@@ -1,0 +1,52 @@
+"""Headline benchmark: runs the engine's queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.session import build_session
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("cdcagg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    next(iter(qs.values()))(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        rows = df.collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        _ = rows
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,359 @@
+"""Core relational operators (SURVEY §2.2 filters/projections, §2.3 joins,
+§2.4 aggregations, §2.5 pagination, §2.6 set ops) demonstrated on the
+driver's TPC-H-ish tables so the DuckDB oracle can hash-check them.
+
+Each public ``q_*`` takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching ANSI-SQL oracle lives in ``ORACLES`` under the same key. Column
+aliases match the SQL exactly (the driver sorts columns by name before
+hashing).
+
+Reference parity notes are cited per operator as /root/reference paths.
+
+Scale notes (100 TB discipline):
+
+- Every filter/projection is a plain Column expression → Catalyst pushes
+  predicates and prunes columns into the parquet scan.
+- Dimension joins (nation/region/part at TPC-H shape; the YAML dims in the
+  reference shape) are explicitly ``broadcast()`` — they are KB-to-MB sized
+  at any realistic scale and must never shuffle the fact side.
+- Aggregations use map-side partial aggregation automatically (hash agg);
+  group keys are the natural low-cardinality columns.
+- Pagination sorts by a stable key and window-numbers **after** the
+  selective snapshot filter; at 100 TB a global row_number is the honest
+  cost of deterministic OAI resumption paging, and AQE coalesces the
+  post-filter partitions before the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Frozen "request time" used as the snapshot bound (P7/O2). The reference
+# injects `_metadata.updated < $isodate(now)` into every list query
+# (/root/reference/tests/test_serve.py:1342); with deterministic test data a
+# frozen literal keeps the query reproducible.
+SNAPSHOT_TS = "1998-01-01 00:00:00"
+PAGE_SIZE = 100
+
+
+# --- §2.2 projections / filters -------------------------------------------
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 field projection: per-format ``fields`` list
+    (/root/reference/cdcagg_oai/metadataformats.py:494-504) → df.select.
+    Catalyst prunes the parquet scan to exactly these columns."""
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 equality predicate: point lookup by key, the GetRecord shape
+    (/root/reference/cdcagg_oai/metadataformats.py:477-478)."""
+    return load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") == 7)
+
+
+def q_ne_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 not-equal with Mongo semantics: ``{$ne: v}`` also matches rows
+    where the field is NULL (/root/reference/cdcagg_oai/metrics.py:172-176).
+    Spark's ``!=`` drops NULLs, so the null-keeping form is explicit."""
+    o = load_table(spark, "orders", sf_dir)
+    keep = F.col("o_orderstatus").isNull() | (F.col("o_orderstatus") != "F")
+    return (
+        o.filter(keep)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 IN-list: the OpenAIRE id-type whitelist shape
+    (/root/reference/cdcagg_oai/metadataformats.py:786-787)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 timestamp range: OAI from/until selective harvest
+    (/root/reference/README.md:41; wire form tests/test_serve.py:1342)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+def q_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 conjunction ``{$and:[...]}``
+    (/root/reference/cdcagg_oai/metrics.py:190-195)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_shipdate") < F.lit(SNAPSHOT_TS).cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+# --- §2.4 aggregations ------------------------------------------------------
+
+def q_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 COUNT(*): records_total (/root/reference/cdcagg_oai/metrics.py:170)."""
+    return load_table(spark, "orders", sf_dir).agg(F.count("*").alias("records_total"))
+
+
+def q_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 filtered count: records excluding logically-deleted analog
+    (/root/reference/cdcagg_oai/metrics.py:172-176)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.when(F.col("o_orderstatus").isNull() | (F.col("o_orderstatus") != "F"), 1)).alias(
+            "records_without_deleted"
+        )
+    )
+
+
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 DISTINCT of a field: query_distinct(_direct_base_url)
+    (/root/reference/cdcagg_oai/metrics.py:179)."""
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-group counts, the §3.3 rewrite: the reference scrapes /metrics
+    with 2 + 2·N store queries (/root/reference/cdcagg_oai/metrics.py:179-198,
+    N+1 plan asserted tests/test_metrics.py:42-74); here it is ONE single-pass
+    groupBy producing both with- and without-deleted counts per group."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy(F.col("o_orderpriority").alias("publisher")).agg(
+        F.count("*").alias("records_total"),
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("records_without_deleted"),
+    )
+
+
+def q_distinct_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 corpus-wide distinct language (feeds the ``language`` ListSets,
+    /root/reference/tests/test_serve.py:1199-1216) on documents.lang."""
+    return load_table(spark, "documents", sf_dir).select("lang").distinct().orderBy("lang")
+
+
+# --- §2.3 joins -------------------------------------------------------------
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 dimension lookup join: record base_url → source definition
+    (/root/reference/cdcagg_oai/metadataformats.py:354-365). Spark-first:
+    broadcast hash joins over the dim chain — no fact-side shuffle."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("customers"), F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 membership semi-join: configurable-set identifiers → records IN set
+    (/root/reference/cdcagg_oai/metadataformats.py:277-295). The membership
+    side is broadcast (set definitions are small dims at any scale)."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        o.join(F.broadcast(members), o.o_custkey == members.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join (lineitem ⋈ orders) — the scale path the
+    reference never needs but a 100 TB corpus does: sort-merge on the shared
+    key, with AQE free to pick broadcast when one side is small."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("lineitems"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+# --- §2.6 set operations -----------------------------------------------------
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 union + dedup of identifier lists
+    (/root/reference/cdcagg_oai/metadataformats.py:287-295; dedup behavior
+    tests/test_serve.py:1372-1377): distinct union of two key populations."""
+    li = load_table(spark, "lineitem", sf_dir)
+    big_parts = li.filter(F.col("l_quantity") >= 45).select(F.col("l_partkey").alias("key"))
+    cheap_parts = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_retailprice") < 950)
+        .select(F.col("p_partkey").alias("key"))
+    )
+    return big_parts.union(cheap_parts).distinct().agg(
+        F.count("*").alias("distinct_keys"), F.sum("key").alias("key_sum")
+    )
+
+
+# --- §2.5 pagination ---------------------------------------------------------
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 resumption-token page: deterministic orderBy(stable key) +
+    row_number window over a snapshot-bounded list query
+    (/root/reference/templates/agg_list_records.xml:10-21; snapshot bound
+    tests/test_serve.py:1342). Returns page 3 (cursor=200, size=100)."""
+    o = load_table(spark, "orders", sf_dir)
+    snapshot = o.filter(F.col("o_orderdate") < F.lit(SNAPSHOT_TS).cast("timestamp"))
+    w = Window.orderBy("o_orderkey")
+    return (
+        snapshot.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 2 * PAGE_SIZE) & (F.col("rn") <= 3 * PAGE_SIZE))
+        .select("rn", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+QUERIES = {
+    "projection": q_projection,
+    "point_lookup": q_point_lookup,
+    "ne_filter": q_ne_filter,
+    "in_list": q_in_list,
+    "range_filter": q_range_filter,
+    "conjunction": q_conjunction,
+    "count_total": q_count_total,
+    "count_filtered": q_count_filtered,
+    "distinct_values": q_distinct_values,
+    "group_counts": q_group_counts,
+    "distinct_language": q_distinct_language,
+    "lookup_join": q_lookup_join,
+    "semi_join": q_semi_join,
+    "fact_join": q_fact_join,
+    "union_dedup": q_union_dedup,
+    "pagination": q_pagination,
+}
+
+ORACLES = {
+    "projection": """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders ORDER BY o_orderkey
+    """,
+    "point_lookup": "SELECT * FROM orders WHERE o_orderkey = 7",
+    "ne_filter": """
+        SELECT o_orderstatus, count(*) AS cnt
+        FROM orders
+        WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'
+        GROUP BY o_orderstatus
+    """,
+    "in_list": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R')
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "range_filter": """
+        SELECT o_orderpriority, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
+    "conjunction": """
+        SELECT l_linestatus, count(*) AS cnt,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_discount >= 0.05
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    "count_total": "SELECT count(*) AS records_total FROM orders",
+    "count_filtered": """
+        SELECT count(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F')
+               AS records_without_deleted
+        FROM orders
+    """,
+    "distinct_values": """
+        SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+    """,
+    "group_counts": """
+        SELECT o_orderpriority AS publisher,
+               count(*) AS records_total,
+               count(*) FILTER (WHERE o_orderstatus <> 'F') AS records_without_deleted
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "distinct_language": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "lookup_join": """
+        SELECT r_name AS region, n_name AS nation,
+               count(*) AS customers, round(sum(c_acctbal), 2) AS acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "semi_join": """
+        SELECT o_orderstatus, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+    """,
+    "fact_join": """
+        SELECT o_orderpriority, count(*) AS lineitems,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
+    "union_dedup": """
+        SELECT count(*) AS distinct_keys, sum(key) AS key_sum FROM (
+            SELECT DISTINCT key FROM (
+                SELECT l_partkey AS key FROM lineitem WHERE l_quantity >= 45
+                UNION ALL
+                SELECT p_partkey AS key FROM part WHERE p_retailprice < 950
+            )
+        )
+    """,
+    "pagination": """
+        SELECT rn, o_orderkey, o_orderdate, o_totalprice FROM (
+            SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+                   o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) WHERE rn > 200 AND rn <= 300
+    """,
+}

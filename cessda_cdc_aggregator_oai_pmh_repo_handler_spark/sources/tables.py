@@ -1,0 +1,51 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Maps the reference's DocStore collection scan (SURVEY §2.1 S1; call sites
+/root/reference/cdcagg_oai/metadataformats.py:386-390) to
+``spark.read.parquet`` — the declarative scan keeps Catalyst's predicate
+pushdown and column pruning in play, which the reference had to hand-build
+as per-format ``fields`` lists and Mongo ``_filter`` dicts.
+
+At 100 TB the fact tables (lineitem/orders/events/documents) would be
+partitioned on ingest date and bucketed on their join keys; loaders here
+read whatever layout the directory provides and never force a repartition
+(that would be a gratuitous full shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so ``spark.sql`` mirrors the
+    oracle's pre-registered DuckDB views."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

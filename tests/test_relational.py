@@ -1,0 +1,39 @@
+"""Correctness smoke for the §2 relational operators at sf0.001 (the full
+DuckDB hash-compare runs via tools/verify_local.py / the driver's t2)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+def test_matches_oracle_rowcount(spark, sf_dir, duck, name):
+    sdf = relational.QUERIES[name](spark, sf_dir)
+    srows = sdf.count()
+    drows = duck.execute(f"SELECT count(*) FROM ({relational.ORACLES[name]})").fetchone()[0]
+    assert srows == drows
+
+
+def test_pagination_is_deterministic(spark, sf_dir):
+    a = [r.o_orderkey for r in relational.q_pagination(spark, sf_dir).collect()]
+    b = [r.o_orderkey for r in relational.q_pagination(spark, sf_dir).collect()]
+    assert a == b
+    assert a == sorted(a)
+    assert len(a) <= relational.PAGE_SIZE
+
+
+def test_broadcast_in_lookup_join_plan(spark, sf_dir):
+    plan = relational.q_lookup_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
