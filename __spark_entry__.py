@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,10 +23,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
+    q.update(arrays.QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
+    o.update(arrays.ORACLES)
     return o

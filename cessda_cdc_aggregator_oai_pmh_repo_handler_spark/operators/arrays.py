@@ -1,0 +1,139 @@
+"""Array / JSON / time-window operators on the driver tables — the
+oracle-checkable scale demos of the reference's nested-data surface:
+
+- P5/P6 ``$elemMatch``/``$exists`` → ``F.exists`` over array columns
+  (/root/reference/tests/test_serve.py:1342-1350).
+- P10 per-element filter + F-series transforms → ``F.filter``/``F.transform``
+  /``F.aggregate`` (/root/reference/templates/agg_oai_datacite.xml:37-60).
+- events.props JSON extraction (the document-store shape, JVM-side).
+- tumbling-window aggregation — the batch twin of the §2.8 streaming plan.
+
+All expressions are higher-order functions evaluated inside codegen; no
+Python touches rows. Float reductions cast to double BEFORE the fold and
+fold left-to-right in both Spark and the DuckDB oracle, so hashes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def q_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 analog: vectors having at least one component > 0.35, counted per
+    label. ``exists`` short-circuits per row; predicate runs in codegen."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return (
+        e.filter(F.exists("embedding", lambda x: x > 0.35))
+        .groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_array_transform_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/F-series analog: per-vector positive-component count and L1 norm
+    (filter + transform + left-fold aggregate), top page by vec_id."""
+    e = load_table(spark, "embeddings", sf_dir)
+    as_double = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    return (
+        e.select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+            F.round(
+                F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 3
+            ).alias("l1_norm"),
+        )
+        .filter(F.col("vec_id") < 100)
+        .orderBy("vec_id")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-shaped props: extract $.k from the JSON string column,
+    aggregate per event_type. get_json_object runs JVM-side."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregation over the event stream table — the
+    batch form of the §2.8 Structured Streaming plan (same ``window()``
+    expression works under readStream + watermark)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type: rank-over-partition — the
+    partitioned cousin of the O1 pagination window (shuffles once on the
+    group key; no global sort)."""
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "value")
+    )
+
+
+QUERIES = {
+    "array_exists": q_array_exists,
+    "array_transform_agg": q_array_transform_agg,
+    "json_extract": q_json_extract,
+    "event_window": q_event_window,
+    "topk_per_group": q_topk_per_group,
+}
+
+ORACLES = {
+    "array_exists": """
+        SELECT label, count(*) AS cnt
+        FROM embeddings
+        WHERE len(list_filter(embedding, x -> x > 0.35)) > 0
+        GROUP BY label
+    """,
+    "array_transform_agg": """
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                   (acc, x) -> acc + x), 3) AS l1_norm
+        FROM embeddings
+        WHERE vec_id < 100
+        ORDER BY vec_id
+    """,
+    "json_extract": """
+        SELECT event_type, count(*) AS cnt,
+               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "event_window": """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "topk_per_group": """
+        SELECT event_type, rk, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rk
+            FROM events
+        ) WHERE rk <= 3
+    """,
+}
