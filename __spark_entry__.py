@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays, relational
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays, metrics, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,6 +24,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
     q.update(arrays.QUERIES)
+    q.update(metrics.QUERIES)
     return q
 
 
@@ -31,4 +32,5 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
     o.update(arrays.ORACLES)
+    o.update(metrics.ORACLES)
     return o

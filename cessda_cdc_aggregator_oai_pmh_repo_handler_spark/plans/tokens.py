@@ -1,0 +1,56 @@
+"""Resumption-token codec (SURVEY §2.5 O1/O2).
+
+The reference's token carries cursor + completeListSize and becomes empty on
+the final page (/root/reference/CHANGELOG.md:69-73, 108-110;
+templates/agg_list_records.xml:10-21). Ours additionally pins the snapshot
+timestamp and a hash of the list-query parameters, so a token replayed
+against a drifted query (different set/from/until/prefix) is rejected as
+badResumptionToken instead of silently paging a different list.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+import json
+from dataclasses import dataclass
+
+
+class BadResumptionToken(ValueError):
+    """OAI badResumptionToken error condition."""
+
+
+@dataclass(frozen=True)
+class ResumptionToken:
+    query_hash: str          # hash of (prefix, set, from, until)
+    cursor: int              # rows already delivered
+    complete_list_size: int  # count() at token birth (A1)
+    snapshot_ts: str         # P7/O2 bound fixed for the token lifetime
+    last_key: str | None = None  # keyset-pagination watermark (scale path):
+                                 # next page = WHERE key > last_key, a pushed-down
+                                 # range scan instead of a global window
+
+    def encode(self) -> str:
+        payload = json.dumps(
+            {"q": self.query_hash, "c": self.cursor, "n": self.complete_list_size,
+             "t": self.snapshot_ts, "k": self.last_key},
+            separators=(",", ":"), sort_keys=True,
+        )
+        return base64.urlsafe_b64encode(payload.encode()).decode()
+
+    @classmethod
+    def decode(cls, token: str) -> "ResumptionToken":
+        try:
+            payload = json.loads(base64.urlsafe_b64decode(token.encode()))
+            return cls(query_hash=payload["q"], cursor=int(payload["c"]),
+                       complete_list_size=int(payload["n"]), snapshot_ts=payload["t"],
+                       last_key=payload.get("k"))
+        except (binascii.Error, json.JSONDecodeError, KeyError, ValueError, TypeError) as exc:
+            raise BadResumptionToken(f"cannot decode token: {token!r}") from exc
+
+
+def query_hash(metadata_prefix: str, set_spec: str | None,
+               from_ts: str | None, until_ts: str | None) -> str:
+    key = json.dumps([metadata_prefix, set_spec, from_ts, until_ts])
+    return hashlib.sha256(key.encode()).hexdigest()[:16]

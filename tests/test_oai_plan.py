@@ -1,0 +1,204 @@
+"""OAI plan-builder tests: set filters, pagination tokens, ListSets, metrics
+— mirroring the reference's wire-level query assertions
+(/root/reference/tests/test_serve.py:1330-1377, tests/test_metrics.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.metrics import compute_metrics
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.query_builder import (
+    FORMAT_FIELDS, OAIQueryPlanner, UnsupportedSetSpec, finalize_token,
+)
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.tokens import (
+    BadResumptionToken, ResumptionToken,
+)
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies import (
+    FSD_URL, GESIS_URL, fixture_studies,
+)
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources import yaml_sets
+
+DATA = "/root/repo/tests/data"
+NOW = "2019-12-12 07:14:38"
+
+
+@pytest.fixture(scope="module")
+def planner(spark):
+    studies = fixture_studies(spark)
+    studies.cache().count()
+    return OAIQueryPlanner(
+        studies,
+        source_defs=yaml_sets.load_source_defs(f"{DATA}/sources.yaml"),
+        configurable_path=f"{DATA}/configurable.yaml",
+        page_size=3,
+    )
+
+
+def ids(df):
+    return sorted(r.aggregator_identifier for r in
+                  df.select("aggregator_identifier").collect())
+
+
+# --- YAML machinery ----------------------------------------------------------
+
+def test_validate_configurable_ok_and_externals():
+    cnf = yaml_sets.validate_configurable(f"{DATA}/configurable.yaml")
+    assert cnf["spec"] == "thematic"
+    loaded = yaml_sets.load_configurable(f"{DATA}/configurable.yaml")
+    assert [n["spec"] for n in loaded["nodes"]] == [
+        "social_sciences", "humanities", "history", "literature"]
+
+
+def test_validate_configurable_errors(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("spec: s\nname: n\nnodes:\n  - spec: c\n    name: cn\n    identifiers: []\n")
+    with pytest.raises(yaml_sets.SetConfigError):
+        yaml_sets.validate_configurable(str(bad))
+    bad.write_text("name: n\nnodes:\n  - spec: c\n    name: cn\n    identifiers: [x]\n")
+    with pytest.raises(yaml_sets.SetConfigError):
+        yaml_sets.validate_configurable(str(bad))
+
+
+def test_source_defs_uniqueness(tmp_path):
+    dup = tmp_path / "dup.yaml"
+    dup.write_text("- {url: u1, source: s1, setname: n1}\n- {url: u1, source: s2, setname: n2}\n")
+    with pytest.raises(yaml_sets.SetConfigError):
+        yaml_sets.load_source_defs(str(dup))
+
+
+def test_configurable_union_dedup():
+    cnf = yaml_sets.load_configurable(f"{DATA}/configurable.yaml")
+    # U1: top-level = deduped union (agg_id_2 in two nodes, counted once)
+    assert yaml_sets.configurable_identifiers(cnf) == [
+        "agg_id_1", "agg_id_2", "agg_id_3", "agg_id_4", "agg_id_5",
+        "agg_id_6", "agg_id_7"]
+    assert yaml_sets.configurable_identifiers(cnf, "social_sciences") == [
+        "agg_id_1", "agg_id_2"]
+
+
+# --- set filters -------------------------------------------------------------
+
+def test_source_set_filter(planner):
+    got = ids(planner.studies.filter(planner.set_filter("source:FSD")))
+    assert got == ["agg_id_1", "agg_id_2", "agg_id_3", "agg_id_5",
+                   "agg_id_7", "agg_id_8"]
+    assert ids(planner.studies.filter(planner.set_filter("source:GESIS"))) == ["agg_id_4"]
+    # bare 'source' = any direct hop with base_url ($exists form)
+    got_all = ids(planner.studies.filter(planner.set_filter("source")))
+    assert "agg_id_6" not in got_all and len(got_all) == 7
+
+
+def test_configurable_set_filter(planner):
+    assert ids(planner.studies.filter(planner.set_filter("thematic:social_sciences"))) == [
+        "agg_id_1", "agg_id_2"]
+    assert ids(planner.studies.filter(planner.set_filter("thematic"))) == [
+        "agg_id_1", "agg_id_2", "agg_id_3", "agg_id_4", "agg_id_5",
+        "agg_id_6", "agg_id_7"]
+
+
+def test_language_and_openaire_filters(planner):
+    assert "agg_id_4" in ids(planner.studies.filter(planner.set_filter("language:sv")))
+    openaire = ids(planner.studies.filter(planner.set_filter("openaire_data")))
+    assert "agg_id_3" not in openaire and "agg_id_5" not in openaire
+    assert "agg_id_1" in openaire
+
+
+def test_unknown_set_spec_raises(planner):
+    with pytest.raises(UnsupportedSetSpec):
+        planner.set_filter("nosuch:set")
+
+
+# --- GetRecord ---------------------------------------------------------------
+
+def test_get_record_projection_and_sets(planner):
+    row = planner.get_record("agg_id_1", "oai_dc").first()
+    assert set(FORMAT_FIELDS["oai_dc"] + ["setSpec", "datestamp", "deleted"]) == set(
+        row.asDict().keys())
+    assert sorted(row["setSpec"]) == [
+        "language:en", "language:fi", "source:FSD", "thematic:social_sciences"]
+    assert row["deleted"] is False
+
+
+def test_get_record_datacite_openaire_set(planner):
+    row = planner.get_record("agg_id_1", "oai_datacite").first()
+    assert "openaire_data" in row["setSpec"]
+    row3 = planner.get_record("agg_id_3", "oai_datacite").first()
+    assert "openaire_data" not in row3["setSpec"]
+
+
+# --- pagination --------------------------------------------------------------
+
+def test_list_pages_to_exhaustion(planner):
+    seen, token, pages = [], None, 0
+    while True:
+        page = planner.list_page("oai_dc", request_ts=NOW, token=token)
+        rows = page.df.collect()
+        seen += [r["aggregator_identifier"] for r in rows]
+        pages += 1
+        assert page.complete_list_size == 8
+        token = finalize_token(page, rows)
+        if token is None:
+            break
+    assert pages == 3 and len(seen) == 8
+    assert seen == sorted(seen)  # deterministic keyset order
+
+
+def test_list_page_datacite_validity_prefilter(planner):
+    page = planner.list_page("oai_datacite", request_ts=NOW)
+    got = [r["aggregator_identifier"] for r in page.df.collect()]
+    # agg_id_2 (no ids), agg_id_3 (Unknown agency), agg_id_5 excluded by P4
+    assert page.complete_list_size == 5
+    assert "agg_id_3" not in got
+
+
+def test_deleted_record_listed_with_deletion_datestamp(planner):
+    page = planner.list_page("oai_dc", request_ts=NOW)
+    rows = {r["aggregator_identifier"]: r for r in page.df.collect()}
+    assert rows["agg_id_2"]["deleted"] is True
+    assert str(rows["agg_id_2"]["datestamp"]).startswith("2000-01-01 23:00")
+
+
+def test_selective_harvest_from_until(planner):
+    # deleted record datestamp = deletion time (2000) → until=2010 catches
+    # ONLY it (others updated 2019)
+    page = planner.list_page("oai_dc", until_ts="2010-01-01", request_ts=NOW)
+    assert [r["aggregator_identifier"] for r in page.df.collect()] == ["agg_id_2"]
+    page2 = planner.list_page("oai_dc", from_ts="2019-06-15", request_ts=NOW)
+    got = [r["aggregator_identifier"] for r in page2.df.collect()]
+    assert "agg_id_2" not in got and "agg_id_7" in got
+
+
+def test_bad_token_rejected(planner):
+    with pytest.raises(BadResumptionToken):
+        planner.list_page("oai_dc", token="garbage!!")
+    page = planner.list_page("oai_dc", request_ts=NOW)
+    tok = finalize_token(page, page.df.collect())
+    with pytest.raises(BadResumptionToken):
+        planner.list_page("oai_dc", set_spec="source:FSD", token=tok)
+
+
+def test_token_roundtrip():
+    t = ResumptionToken("abcd", 3, 10, NOW, last_key="k1")
+    assert ResumptionToken.decode(t.encode()) == t
+
+
+# --- ListSets + metrics ------------------------------------------------------
+
+def test_list_sets(planner):
+    sets = dict((s, (n, d)) for s, n, d in planner.list_sets())
+    assert sets["source:FSD"] == ("FSD metadata", "FSD metadata description")
+    assert sets["source:GESIS"] == ("GESIS metadata", None)
+    assert sets["thematic"] == ("Thematic", "Thematic grouping of records")
+    assert sets["thematic:history"] == ("History", None)
+    assert sets["language:fi"] == ("Language fi", None)
+    assert "openaire_data" in sets
+
+
+def test_compute_metrics_golden(planner):
+    m = compute_metrics(planner.studies)
+    assert m["records_total"] == 8
+    assert m["records_without_deleted"] == 7   # null status counted (P3)
+    assert m["publishers_total"] == 2          # null direct_base_url skipped
+    assert m["publishers_counts"] == {FSD_URL: 6, GESIS_URL: 1}
+    assert m["publishers_counts_without_deleted"] == {FSD_URL: 5, GESIS_URL: 1}
