@@ -1,0 +1,213 @@
+"""OAI-PMH verb facade over the Spark plan layer (SURVEY §3 lifecycle).
+
+The reference's Tornado handler chain (route → kuha protocol parse →
+controller dispatch → DocStore query → Genshi render,
+/root/reference/cdcagg_oai/serve.py:82-117) collapses to: parse/validate
+args → ``OAIQueryPlanner`` builds a DataFrame → collect the bounded page →
+``render`` emits the XML. Protocol errors are OAI ``<error>`` elements in a
+HTTP-200 body, exactly as the reference behaves
+(/root/reference/tests/test_serve.py:204-206).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import derivations as D
+from ..plans.query_builder import (
+    FORMAT_FIELDS, METADATA_PREFIXES, OAIQueryPlanner, UnsupportedSetSpec,
+    finalize_token,
+)
+from ..plans.tokens import BadResumptionToken
+from . import render as R
+
+FORMAT_NAMESPACES = {
+    "oai_dc": ("http://www.openarchives.org/OAI/2.0/oai_dc/",
+               "http://www.openarchives.org/OAI/2.0/oai_dc.xsd"),
+    "oai_ddi25": ("ddi:codebook:2_5",
+                  "https://ddialliance.org/Specification/DDI-Codebook/2.5/XMLSchema/codebook.xsd"),
+    "oai_datacite": ("http://datacite.org/schema/kernel-3",
+                     "http://schema.datacite.org/meta/kernel-3/metadata.xsd"),
+}
+
+
+class OAIFacade:
+    def __init__(self, planner: OAIQueryPlanner,
+                 repository_name: str = "CDC Aggregator OAI Repo Handler (Spark)",
+                 base_url: str = "http://localhost:6003/v0/oai",
+                 admin_email: str = "admin@example.invalid",
+                 deleted_records: str = "persistent"):
+        self.planner = planner
+        self.repository_name = repository_name
+        self.base_url = base_url
+        self.admin_email = admin_email
+        self.deleted_records = deleted_records
+
+    # --- helpers -----------------------------------------------------------
+
+    @staticmethod
+    def _now() -> str:
+        return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+    def _with_datacite_derived(self, df: DataFrame) -> DataFrame:
+        """Attach the F1/F2/F3/F6/P10 derivations the datacite template
+        consumes (/root/reference/cdcagg_oai/metadataformats.py:720-748)."""
+        return (
+            df.withColumn("d_preferred_identifier", D.preferred_identifier())
+            .withColumn("d_publication_year", D.publication_year())
+            .withColumn("d_publisher", D.preferred_publisher())
+            .withColumn("d_funders", D.funder_grants())
+            .withColumn("d_related_identifiers", D.related_identifiers())
+        )
+
+    @staticmethod
+    def _derived_dict(row) -> dict:
+        pref = row["d_preferred_identifier"]
+        return {
+            "preferred_identifier": pref.asDict() if pref is not None else None,
+            "publication_year": row["d_publication_year"],
+            "publisher": row["d_publisher"],
+            "funders": [f.asDict() for f in (row["d_funders"] or [])],
+            "related_identifiers": [r.asDict() for r in (row["d_related_identifiers"] or [])],
+        }
+
+    def _error(self, verb, request_ts, code, message, args=None) -> str:
+        root, _ = R.envelope(verb, self.base_url, request_ts, args, error=(code, message))
+        return R.to_string(root)
+
+    # --- entry point ---------------------------------------------------------
+
+    def handle_request(self, verb: str | None = None, request_ts: str | None = None,
+                       **args) -> str:
+        request_ts = request_ts or self._now()
+        try:
+            if verb == "Identify":
+                return self._identify(request_ts)
+            if verb == "ListMetadataFormats":
+                return self._list_metadata_formats(request_ts)
+            if verb == "ListSets":
+                return self._list_sets(request_ts)
+            if verb == "GetRecord":
+                return self._get_record(request_ts, **args)
+            if verb in ("ListRecords", "ListIdentifiers"):
+                return self._list(verb, request_ts, **args)
+            return self._error(verb, request_ts, "badVerb",
+                               f"Illegal OAI verb: {verb}")
+        except BadResumptionToken as exc:
+            return self._error(verb, request_ts, "badResumptionToken", str(exc), args)
+        except UnsupportedSetSpec as exc:
+            return self._error(verb, request_ts, "badArgument",
+                               f"Unknown set spec: {exc}", args)
+
+    # --- verbs ---------------------------------------------------------------
+
+    def _identify(self, request_ts: str) -> str:
+        root, body = R.envelope("Identify", self.base_url, request_ts)
+        import xml.etree.ElementTree as ET
+
+        for tag, text in [
+            ("repositoryName", self.repository_name),
+            ("baseURL", self.base_url),
+            ("protocolVersion", "2.0"),
+            ("adminEmail", self.admin_email),
+            ("earliestDatestamp", "1970-01-01T00:00:00Z"),
+            ("deletedRecord", self.deleted_records),
+            ("granularity", "YYYY-MM-DDThh:mm:ssZ"),
+        ]:
+            el = ET.SubElement(body, f"{{{R.OAI_NS}}}{tag}")
+            el.text = text
+        return R.to_string(root)
+
+    def _list_metadata_formats(self, request_ts: str) -> str:
+        root, body = R.envelope("ListMetadataFormats", self.base_url, request_ts)
+        import xml.etree.ElementTree as ET
+
+        for prefix in METADATA_PREFIXES:
+            ns, schema = FORMAT_NAMESPACES[prefix]
+            fmt = ET.SubElement(body, f"{{{R.OAI_NS}}}metadataFormat")
+            for tag, text in [("metadataPrefix", prefix), ("schema", schema),
+                              ("metadataNamespace", ns)]:
+                el = ET.SubElement(fmt, f"{{{R.OAI_NS}}}{tag}")
+                el.text = text
+        return R.to_string(root)
+
+    def _list_sets(self, request_ts: str) -> str:
+        root, body = R.envelope("ListSets", self.base_url, request_ts)
+        import xml.etree.ElementTree as ET
+
+        for spec, name, description in self.planner.list_sets():
+            s = ET.SubElement(body, f"{{{R.OAI_NS}}}set")
+            for tag, text in [("setSpec", spec), ("setName", name)]:
+                el = ET.SubElement(s, f"{{{R.OAI_NS}}}{tag}")
+                el.text = text
+            if description is not None:
+                el = ET.SubElement(s, f"{{{R.OAI_NS}}}setDescription")
+                el.text = description
+        return R.to_string(root)
+
+    def _get_record(self, request_ts: str, identifier: str | None = None,
+                    metadataPrefix: str | None = None) -> str:
+        args = {"identifier": identifier, "metadataPrefix": metadataPrefix}
+        if metadataPrefix not in FORMAT_FIELDS:
+            return self._error("GetRecord", request_ts, "cannotDisseminateFormat",
+                               f"Unknown metadataPrefix: {metadataPrefix}", args)
+        if identifier is None:
+            return self._error("GetRecord", request_ts, "badArgument",
+                               "identifier is required", args)
+        df = self.planner.get_record(identifier, metadataPrefix)
+        if metadataPrefix == "oai_datacite":
+            df = self._with_datacite_derived(df)
+        rows = df.collect()
+        if not rows:
+            return self._error("GetRecord", request_ts, "idDoesNotExist",
+                               f"No record with identifier {identifier}", args)
+        row = rows[0]
+        derived = None
+        if metadataPrefix == "oai_datacite":
+            derived = self._derived_dict(row)
+            if not row["deleted"] and derived["preferred_identifier"] is None:
+                # F1: no OpenAIRE-type identifier ⇒ invalid for datacite
+                # (/root/reference/cdcagg_oai/metadataformats.py:775-788)
+                return self._error("GetRecord", request_ts, "idDoesNotExist",
+                                   f"No record with identifier {identifier}", args)
+        root, body = R.envelope("GetRecord", self.base_url, request_ts, args)
+        R.render_record(body, row, metadataPrefix, derived)
+        return R.to_string(root)
+
+    def _list(self, verb: str, request_ts: str, metadataPrefix: str | None = None,
+              set: str | None = None, resumptionToken: str | None = None,
+              **kw) -> str:
+        from_ts, until_ts = kw.get("from"), kw.get("until")
+        args = {"metadataPrefix": metadataPrefix, "set": set,
+                "from": from_ts, "until": until_ts,
+                "resumptionToken": resumptionToken}
+        if resumptionToken is None and metadataPrefix not in FORMAT_FIELDS:
+            return self._error(verb, request_ts, "cannotDisseminateFormat",
+                               f"Unknown metadataPrefix: {metadataPrefix}", args)
+        header_only = verb == "ListIdentifiers"
+        page = self.planner.list_page(
+            metadataPrefix, set_spec=set, from_ts=from_ts, until_ts=until_ts,
+            request_ts=request_ts, token=resumptionToken, header_only=header_only)
+        df = page.df
+        if metadataPrefix == "oai_datacite" and not header_only:
+            df = self._with_datacite_derived(df)
+        rows = df.collect()
+        if not rows and resumptionToken is None:
+            return self._error(verb, request_ts, "noRecordsMatch",
+                               "No records match the given criteria", args)
+        root, body = R.envelope(verb, self.base_url, request_ts, args)
+        for row in rows:
+            if header_only:
+                R.render_header(body, row)
+            else:
+                derived = self._derived_dict(row) if metadataPrefix == "oai_datacite" else None
+                R.render_record(body, row, metadataPrefix, derived)
+        next_token = finalize_token(page, rows)
+        R.render_resumption_token(
+            body, next_token, cursor=page.cursor,
+            complete_list_size=page.complete_list_size,
+            final_page=resumptionToken is not None and next_token is None)
+        return R.to_string(root)

@@ -204,23 +204,22 @@ class OAIQueryPlanner:
         fields = FORMAT_FIELDS[metadata_prefix]
         return (
             self.studies.filter(F.col("aggregator_identifier") == identifier)
-            .select(*fields)
             .withColumn("setSpec", self.set_spec_column(metadata_prefix))
             .withColumn("datestamp", P.record_datestamp())
             .withColumn("deleted", P.is_deleted())
+            .select(*fields, "setSpec", "datestamp", "deleted")
         )
 
     def _list_base(self, metadata_prefix: str, set_spec: str | None,
                    from_ts: str | None, until_ts: str | None,
-                   snapshot_ts: str, header_only: bool) -> DataFrame:
-        fields = HEADER_FIELDS if header_only else FORMAT_FIELDS[metadata_prefix]
+                   snapshot_ts: str) -> DataFrame:
         cond = (
             P.snapshot_bound(snapshot_ts)
             & self.set_filter(set_spec)
             & self.validity_filter(metadata_prefix)
             & P.datestamp_range(from_ts, until_ts)
         )
-        return self.studies.filter(cond).select(*fields)
+        return self.studies.filter(cond)
 
     def list_page(self, metadata_prefix: str, set_spec: str | None = None,
                   from_ts: str | None = None, until_ts: str | None = None,
@@ -241,18 +240,20 @@ class OAIQueryPlanner:
             snapshot_ts, cursor, total, last_key = request_ts, 0, -1, None
 
         base = self._list_base(metadata_prefix, set_spec, from_ts, until_ts,
-                               snapshot_ts, header_only)
+                               snapshot_ts)
         if total < 0:
             total = base.count()
         page = base
         if last_key is not None:
             page = page.filter(F.col("aggregator_identifier") > last_key)
+        fields = HEADER_FIELDS if header_only else FORMAT_FIELDS[metadata_prefix]
         page = (
             page.orderBy("aggregator_identifier")
             .limit(self.page_size)
             .withColumn("setSpec", self.set_spec_column(metadata_prefix))
             .withColumn("datestamp", P.record_datestamp())
             .withColumn("deleted", P.is_deleted())
+            .select(*fields, "setSpec", "datestamp", "deleted")
         )
         next_cursor = min(cursor + self.page_size, total)
         more = next_cursor < total

@@ -1,0 +1,219 @@
+"""End-to-end OAI facade tests: verb → XML, mirroring the reference's
+ElementTree-level assertions (/root/reference/tests/test_serve.py)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.oai.facade import OAIFacade
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.query_builder import OAIQueryPlanner
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources import yaml_sets
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies import fixture_studies
+
+DATA = "/root/repo/tests/data"
+NOW = "2019-12-12 07:14:38"
+NS = {
+    "oai": "http://www.openarchives.org/OAI/2.0/",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "oai_dc": "http://www.openarchives.org/OAI/2.0/oai_dc/",
+    "datacite": "http://datacite.org/schema/kernel-3",
+    "prov": "http://www.openarchives.org/OAI/2.0/provenance",
+}
+
+
+@pytest.fixture(scope="module")
+def facade(spark):
+    studies = fixture_studies(spark)
+    studies.cache().count()
+    planner = OAIQueryPlanner(
+        studies,
+        source_defs=yaml_sets.load_source_defs(f"{DATA}/sources.yaml"),
+        configurable_path=f"{DATA}/configurable.yaml",
+        page_size=3,
+    )
+    return OAIFacade(planner)
+
+
+def parse(xml_str):
+    return ET.fromstring(xml_str)
+
+
+def test_identify(facade):
+    el = parse(facade.handle_request(verb="Identify", request_ts=NOW))
+    assert el.find("./oai:Identify/oai:protocolVersion", NS).text == "2.0"
+    assert el.find("./oai:Identify/oai:deletedRecord", NS).text == "persistent"
+
+
+def test_list_metadata_formats(facade):
+    el = parse(facade.handle_request(verb="ListMetadataFormats", request_ts=NOW))
+    prefixes = [e.text for e in el.findall(
+        "./oai:ListMetadataFormats/oai:metadataFormat/oai:metadataPrefix", NS)]
+    assert sorted(prefixes) == ["oai_datacite", "oai_dc", "oai_ddi25"]
+
+
+def test_list_sets(facade):
+    el = parse(facade.handle_request(verb="ListSets", request_ts=NOW))
+    specs = {e.text for e in el.findall("./oai:ListSets/oai:set/oai:setSpec", NS)}
+    assert {"language", "source", "openaire_data", "thematic",
+            "thematic:social_sciences", "source:FSD", "language:fi"} <= specs
+
+
+def test_badverb(facade):
+    el = parse(facade.handle_request(verb="Nope", request_ts=NOW))
+    err = el.find("./oai:error", NS)
+    assert err.get("code") == "badVerb"
+
+
+def test_get_record_oai_dc(facade):
+    el = parse(facade.handle_request(
+        verb="GetRecord", request_ts=NOW,
+        identifier="agg_id_1", metadataPrefix="oai_dc"))
+    rec = el.find("./oai:GetRecord/oai:record", NS)
+    header = rec.find("./oai:header", NS)
+    assert header.find("./oai:identifier", NS).text == "agg_id_1"
+    assert header.get("status") is None
+    specs = {e.text for e in header.findall("./oai:setSpec", NS)}
+    assert specs == {"source:FSD", "thematic:social_sciences",
+                     "language:en", "language:fi"}
+    dc = rec.find("./oai:metadata/oai_dc:dc", NS)
+    titles = {t.text for t in dc.findall("./dc:title", NS)}
+    assert titles == {"Title of agg_id_1", "Otsikko agg_id_1"}
+    # keyword display fallback (F4): description wins, else value
+    subjects = [s.text for s in dc.findall("./dc:subject", NS)]
+    assert subjects == ["Keyword One", "kw2"]
+    # distinct identifier union (U2)
+    ids = [i.text for i in dc.findall("./dc:identifier", NS)]
+    assert ids == ["doi:10.1000/agg_id_1", "http://docs.fsd/1", "http://urn.fi/1"]
+    assert dc.find("./dc:type", NS).text == "Dataset"
+
+
+def test_get_record_provenance_nesting(facade):
+    el = parse(facade.handle_request(
+        verb="GetRecord", request_ts=NOW,
+        identifier="agg_id_1", metadataPrefix="oai_dc"))
+    outer = el.find("./oai:GetRecord/oai:record/oai:about/prov:provenance"
+                    "/prov:originDescription", NS)
+    assert outer.get("altered") == "true"
+    assert outer.find("./prov:baseURL", NS).text == "http://services.fsd.tuni.fi/v0/oai"
+    inner = outer.find("./prov:originDescription", NS)
+    assert inner is not None
+    assert inner.get("altered") == "false"
+    assert inner.find("./prov:baseURL", NS).text == "http://upstream.example/oai"
+    assert inner.find("./prov:originDescription", NS) is None
+
+
+def test_get_record_deleted_header_only(facade):
+    el = parse(facade.handle_request(
+        verb="GetRecord", request_ts=NOW,
+        identifier="agg_id_2", metadataPrefix="oai_dc"))
+    rec = el.find("./oai:GetRecord/oai:record", NS)
+    header = rec.find("./oai:header", NS)
+    assert header.get("status") == "deleted"
+    assert header.find("./oai:datestamp", NS).text == "2000-01-01T23:00:00Z"
+    assert rec.find("./oai:metadata", NS) is None
+    assert rec.find("./oai:about", NS) is None
+
+
+def test_get_record_datacite(facade):
+    el = parse(facade.handle_request(
+        verb="GetRecord", request_ts=NOW,
+        identifier="agg_id_1", metadataPrefix="oai_datacite"))
+    res = el.find("./oai:GetRecord/oai:record/oai:metadata/datacite:resource", NS)
+    ident = res.find("./datacite:identifier", NS)
+    assert ident.get("identifierType") == "DOI"
+    assert ident.text == "doi:10.1000/agg_id_1"
+    assert res.find("./datacite:publisher", NS).text == "Publisher en"
+    assert res.find("./datacite:publicationYear", NS).text == "2001"
+    contribs = res.findall("./datacite:contributors/datacite:contributor", NS)
+    assert len(contribs) == 1 and contribs[0].get("contributorType") == "Funder"
+    assert contribs[0].find("./datacite:nameIdentifier", NS).text == (
+        "info:eu-repo/grantAgreement/EC/FP7/12345")
+    relids = res.findall("./datacite:relatedIdentifiers/datacite:relatedIdentifier", NS)
+    assert len(relids) == 1 and relids[0].text == "10.1000/relA"
+    assert relids[0].get("relationType") == "IsCitedBy"
+    header = el.find("./oai:GetRecord/oai:record/oai:header", NS)
+    assert "openaire_data" in {e.text for e in header.findall("./oai:setSpec", NS)}
+
+
+def test_get_record_datacite_invalid_is_id_does_not_exist(facade):
+    """F1: no OpenAIRE-type identifier ⇒ idDoesNotExist for datacite."""
+    for ident in ("agg_id_3", "agg_id_5"):
+        el = parse(facade.handle_request(
+            verb="GetRecord", request_ts=NOW,
+            identifier=ident, metadataPrefix="oai_datacite"))
+        assert el.find("./oai:error", NS).get("code") == "idDoesNotExist"
+
+
+def test_get_record_missing(facade):
+    el = parse(facade.handle_request(
+        verb="GetRecord", request_ts=NOW,
+        identifier="nope", metadataPrefix="oai_dc"))
+    assert el.find("./oai:error", NS).get("code") == "idDoesNotExist"
+
+
+def test_get_record_ddi25(facade):
+    el = parse(facade.handle_request(
+        verb="GetRecord", request_ts=NOW,
+        identifier="agg_id_1", metadataPrefix="oai_ddi25"))
+    ns = {"ddi": "ddi:codebook:2_5", **NS}
+    titl = el.find("./oai:GetRecord/oai:record/oai:metadata/ddi:codeBook"
+                   "/ddi:stdyDscr/ddi:citation/ddi:titlStmt/ddi:titl", ns)
+    assert titl.text == "Title of agg_id_1"
+    holdings = el.find("./oai:GetRecord/oai:record/oai:metadata/ddi:codeBook"
+                       "/ddi:stdyDscr/ddi:citation/ddi:holdings", ns)
+    assert holdings.get("URI") == "http://urn.fi/1"
+
+
+def test_list_records_pages_and_token(facade):
+    xml = facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                metadataPrefix="oai_dc")
+    el = parse(xml)
+    records = el.findall("./oai:ListRecords/oai:record", NS)
+    assert len(records) == 3
+    tok_el = el.find("./oai:ListRecords/oai:resumptionToken", NS)
+    assert tok_el.get("completeListSize") == "8"
+    seen = [r.find("./oai:header/oai:identifier", NS).text for r in records]
+    token = tok_el.text
+    while token:
+        el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                         metadataPrefix="oai_dc",
+                                         resumptionToken=token))
+        records = el.findall("./oai:ListRecords/oai:record", NS)
+        seen += [r.find("./oai:header/oai:identifier", NS).text for r in records]
+        tok_el = el.find("./oai:ListRecords/oai:resumptionToken", NS)
+        token = tok_el.text if tok_el is not None else None
+    assert seen == [f"agg_id_{i}" for i in range(1, 9)]
+    # final page carries an empty-bodied closing token
+    assert tok_el is not None and (tok_el.text is None or tok_el.text == "")
+
+
+def test_list_identifiers_headers_only(facade):
+    el = parse(facade.handle_request(verb="ListIdentifiers", request_ts=NOW,
+                                     metadataPrefix="oai_dc"))
+    headers = el.findall("./oai:ListIdentifiers/oai:header", NS)
+    assert len(headers) == 3
+    assert el.find("./oai:ListIdentifiers/oai:record", NS) is None
+
+
+def test_list_records_no_match(facade):
+    el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                     metadataPrefix="oai_dc",
+                                     set="source:GESIS", until="1990-01-01"))
+    assert el.find("./oai:error", NS).get("code") == "noRecordsMatch"
+
+
+def test_list_records_bad_token(facade):
+    el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                     metadataPrefix="oai_dc",
+                                     resumptionToken="!!notatoken!!"))
+    assert el.find("./oai:error", NS).get("code") == "badResumptionToken"
+
+
+def test_list_records_selective_set(facade):
+    el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                     metadataPrefix="oai_dc", set="source:GESIS"))
+    recs = el.findall("./oai:ListRecords/oai:record", NS)
+    ids = [r.find("./oai:header/oai:identifier", NS).text for r in recs]
+    assert ids == ["agg_id_4"]
