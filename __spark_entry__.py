@@ -11,7 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays, metrics, relational
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+    ann, arrays, dedup, metrics, relational, text_analysis,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +27,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational.QUERIES)
     q.update(arrays.QUERIES)
     q.update(metrics.QUERIES)
+    q.update(text_analysis.QUERIES)
+    q.update(dedup.QUERIES)
+    q.update(ann.QUERIES)
     return q
 
 
@@ -33,4 +38,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(relational.ORACLES)
     o.update(arrays.ORACLES)
     o.update(metrics.ORACLES)
+    o.update(text_analysis.ORACLES)
+    o.update(dedup.ORACLES)
+    o.update(ann.ORACLES)
     return o

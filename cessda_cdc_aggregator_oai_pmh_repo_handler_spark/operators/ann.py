@@ -1,0 +1,119 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(BASELINE.json north star: similarity search over an ``array<float>``
+column).
+
+Three strategies, increasingly scale-friendly:
+
+- **brute force** — exact cosine against every vector; the correctness
+  baseline. One scan, no shuffle, top-k via TakeOrderedAndProject (per
+  partition top-k + driver merge, never a global sort).
+- **IVF-style cell probe** — restrict the scan to the query's coarse cell
+  (the ``label`` column stands in for a k-means assignment, which at 100 TB
+  is the table's partition key → partition pruning turns top-k into a
+  1/N_cells scan).
+- **sign-LSH bucket probe** — block on the deterministic sign-bit signature
+  (first 16 component signs); candidates share the query's bucket.
+
+Dot products / norms are left folds over doubles — bit-identical in the
+DuckDB oracles (same caveats as operators.dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import _DOT_SQL, _SIGN_SIG_SQL, _cosine_sql, dot_cols, norm_col, sign_signature
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _with_query(spark: SparkSession, sf_dir: str):
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("label").alias("qlabel")
+    )
+    # single-row broadcast: the fact side never shuffles
+    return e, F.broadcast(q)
+
+
+def _cosine_to_query() -> F.Column:
+    return dot_cols("embedding", "qvec") / (norm_col("embedding") * norm_col("qvec"))
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine; ties broken by vec_id for determinism."""
+    e, q = _with_query(spark, sf_dir)
+    return (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(_cosine_to_query(), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell probe: search only the query's coarse cell (label); at scale
+    the cell is a partition → pruned scan."""
+    e, q = _with_query(spark, sf_dir)
+    return (
+        e.crossJoin(q)
+        .filter((F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") == F.col("qlabel")))
+        .select("vec_id", "label", F.round(_cosine_to_query(), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket probe: candidates share the query's 16-bit sign
+    signature; exact cosine re-ranks the bucket."""
+    e, q = _with_query(spark, sf_dir)
+    sig = sign_signature("embedding")
+    qsig = sign_signature("qvec")
+    return (
+        e.crossJoin(q)
+        .filter((F.col("vec_id") != QUERY_VEC_ID) & (sig == qsig))
+        .select("vec_id", "label", F.round(_cosine_to_query(), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_COS_Q = _cosine_sql("e.embedding", "q.embedding")
+_QSIG = _SIGN_SIG_SQL.replace("embedding[", "q.embedding[")
+_ESIG = _SIGN_SIG_SQL.replace("embedding[", "e.embedding[")
+
+QUERIES = {
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_ivf_probe": q_ann_ivf_probe,
+    "ann_lsh_probe": q_ann_lsh_probe,
+}
+
+ORACLES = {
+    "ann_bruteforce": f"""
+        SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {_COS_Q} DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+    "ann_ivf_probe": f"""
+        SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
+        FROM embeddings e,
+             (SELECT embedding, label FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = q.label
+        ORDER BY {_COS_Q} DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+    "ann_lsh_probe": f"""
+        SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {QUERY_VEC_ID} AND ({_ESIG}) = ({_QSIG})
+        ORDER BY {_COS_Q} DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+}

@@ -1,0 +1,324 @@
+"""Fuzzy deduplication operators over ``documents``/``embeddings`` —
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup
+(BASELINE.json north star; these are the fuzzy stages that follow
+``text_analysis.q_exact_dedup_stats``'s exact pass).
+
+Portability-by-construction: every hash is ``md5`` over an explicit string,
+and every float reduction is a left fold over doubles, so the DuckDB oracle
+reproduces bit-identical values and the driver's value-hash check is exact.
+
+Scale design (100 TB):
+- Shingling/minhashing is a pure per-row map (no shuffle).
+- LSH bands shuffle once on (band, band_hash) — the candidate join is an
+  equi-join on the bucket key, never an all-pairs product; band count and
+  rows-per-band control recall/cost.
+- Jaccard verification joins candidates back to the (doc_id → shingles)
+  relation twice on doc_id; at scale that relation is bucketed by doc_id so
+  both probes are shuffle-free.
+- SimHash pairs use a bounded id window here; the scale path is bucketing
+  by simhash prefix (the standard 64-bit simhash split-into-4-chunks trick).
+- Embedding near-dup blocks on a sign-bit signature (16 deterministic
+  hyperplane signs = the vector's own component signs) — cosine only runs
+  within a block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_PERMS = 8
+N_BANDS = 4          # 2 rows per band
+JACCARD_THRESHOLD = 0.4
+SIGN_DIMS = 16      # simhash bit width
+BLOCK_BITS = 8      # sign-LSH blocking width (2^8 buckets)
+COSINE_THRESHOLD = 0.4
+HEX_HIGH = tuple("89abcdef")  # md5 hex digit with high bit set
+
+
+def shingles_col(col: str = "text") -> Column:
+    """Distinct word 3-grams (SQL-portable: same construction as the
+    oracle's zip-of-slices)."""
+    w = F.split(F.lower(col), " ")
+    tri = F.transform(
+        w,
+        lambda x, i: F.concat(
+            x, F.lit(" "), F.try_element_at(w, i + 2),
+            F.lit(" "), F.try_element_at(w, i + 3),
+        ),
+    )
+    return F.array_distinct(F.filter(tri, lambda s: s.isNotNull()))
+
+
+def _shingles_sql() -> str:
+    return (
+        "list_distinct(list_transform("
+        "list_filter(list_zip(w, w[2:], w[3:]), x -> x[3] IS NOT NULL), "
+        "x -> x[1] || ' ' || x[2] || ' ' || x[3]))"
+    )
+
+
+def minhash_signature(sh: Column) -> list[Column]:
+    """k seeded minhashes: min over md5('<p>:'+shingle) hex strings —
+    lexicographic min is engine-agnostic."""
+    def perm_hash(p):
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{p}:"), s))))
+
+    return [perm_hash(p) for p in range(N_PERMS)]
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH band buckets → candidate pairs → exact-Jaccard verify.
+    Returns (doc_a, doc_b, jaccard) for verified near-duplicates."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = shingles_col()
+    mh = minhash_signature(F.col("shingles"))
+    docs = d.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
+    sigs = docs.select("doc_id", "shingles",
+                       *[m.alias(f"mh{p}") for p, m in enumerate(mh)])
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")).alias("bh"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    jac = F.size(F.array_intersect("sha", "shb")) / F.size(
+        F.array_distinct(F.concat("sha", "shb"))
+    )
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram Jaccard with cheap blocking (same source, bounded id
+    window) — the exhaustive cousin of the LSH pass, for recall audits."""
+    d = load_table(spark, "documents", sf_dir)
+    docs = d.filter(F.col("doc_id") < 500).select(
+        "doc_id", "source", shingles_col().alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src"),
+                    F.col("sh").alias("sha"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src"),
+                    F.col("sh").alias("shb"))
+    jac = F.size(F.array_intersect("sha", "shb")) / F.size(
+        F.array_distinct(F.concat("sha", "shb"))
+    )
+    return (
+        a.join(b, "src")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+def simhash_col(sh: Column) -> Column:
+    """16-bit SimHash as a bitstring: bit j = majority of md5(shingle)'s
+    j-th hex digit having its high bit set."""
+    md5s = F.transform(sh, lambda s: F.md5(s))
+
+    def bit(j):
+        high = F.size(F.filter(md5s, lambda h: F.substring(h, j, 1).isin(*HEX_HIGH)))
+        return F.when(high * 2 > F.size(md5s), F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(j) for j in range(1, SIGN_DIMS + 1)])
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + Hamming-distance pairs (≤3 of 16 bits) over a
+    bounded id window; scale path buckets on simhash chunks instead."""
+    d = load_table(spark, "documents", sf_dir)
+    docs = (
+        d.filter(F.col("doc_id") < 200)
+        .select("doc_id", simhash_col(shingles_col()).alias("sim"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    hamming = sum(
+        F.when(F.substring("sim_a", j, 1) != F.substring("sim_b", j, 1), 1).otherwise(0)
+        for j in range(1, SIGN_DIMS + 1)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+def dot_cols(x: str | Column, y: str | Column) -> Column:
+    """Left-fold double dot product (bit-identical to the oracle's fold)."""
+    prods = F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(x: str | Column) -> Column:
+    sq = F.transform(x, lambda a: a.cast("double") * a.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def sign_signature(x: str | Column, dims: int = BLOCK_BITS) -> Column:
+    """Deterministic LSH block key: sign bits of the first ``dims``
+    components."""
+    xc = F.col(x) if isinstance(x, str) else x
+    return F.concat(*[
+        F.when(F.try_element_at(xc, F.lit(i)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, dims + 1)
+    ])
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: block on the sign signature, exact cosine
+    within blocks, pairs ≥ threshold."""
+    e = load_table(spark, "embeddings", sf_dir)
+    vecs = e.select("vec_id", "embedding", sign_signature("embedding").alias("sig"))
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                    F.col("sig").alias("sig_a"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                    F.col("sig").alias("sig_b"))
+    cos = dot_cols("ea", "eb") / (norm_col("ea") * norm_col("eb"))
+    return (
+        a.join(b, F.col("sig_a") == F.col("sig_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+# --- oracles -----------------------------------------------------------------
+
+_MH_SQL = ",\n           ".join(
+    f"list_min(list_transform(shingles, s -> md5('{p}:' || s))) AS mh{p}"
+    for p in range(N_PERMS)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bh FROM sigs"
+    for b in range(N_BANDS)
+)
+_HAMMING_SQL = " + ".join(
+    f"CASE WHEN substr(a.sim,{j},1) <> substr(b.sim,{j},1) THEN 1 ELSE 0 END"
+    for j in range(1, SIGN_DIMS + 1)
+)
+_SIMHASH_SQL = " || ".join(
+    f"CASE WHEN 2 * len(list_filter(md5s, h -> substr(h,{j},1) IN "
+    f"({', '.join(repr(c) for c in HEX_HIGH)}))) > len(md5s) THEN '1' ELSE '0' END"
+    for j in range(1, SIGN_DIMS + 1)
+)
+_SIGN_SIG_SQL = " || ".join(
+    f"CASE WHEN embedding[{i}] > 0 THEN '1' ELSE '0' END" for i in range(1, BLOCK_BITS + 1)
+)
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+QUERIES = {
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES = {
+    "minhash_lsh_pairs": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        docs AS (
+            SELECT doc_id, {_shingles_sql()} AS shingles FROM words
+        ),
+        nonempty AS (SELECT * FROM docs WHERE len(shingles) > 0),
+        sigs AS (
+            SELECT doc_id, shingles,
+           {_MH_SQL}
+            FROM nonempty
+        ),
+        bands AS ({_BANDS_SQL}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))
+                     / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+                     4) AS jaccard
+        FROM cands
+        JOIN nonempty sa ON sa.doc_id = doc_a
+        JOIN nonempty sb ON sb.doc_id = doc_b
+        WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                    / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+                    4) >= {JACCARD_THRESHOLD}
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH words AS (
+            SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 500
+        ),
+        docs AS (
+            SELECT doc_id, source, {_shingles_sql()} AS sh FROM words
+        ),
+        nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+        FROM nonempty a JOIN nonempty b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh))
+                    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.3
+    """,
+    "simhash_pairs": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 200
+        ),
+        docs AS (
+            SELECT doc_id, list_transform({_shingles_sql()}, s -> md5(s)) AS md5s
+            FROM words
+        ),
+        sims AS (
+            SELECT doc_id, {_SIMHASH_SQL} AS sim FROM docs
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {_HAMMING_SQL} AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE {_HAMMING_SQL} <= 3
+    """,
+    "embedding_neardup": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding, {_SIGN_SIG_SQL} AS sig FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+        FROM vecs a JOIN vecs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= {COSINE_THRESHOLD}
+    """,
+}

@@ -1,0 +1,191 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (BASELINE.json north star): token counting,
+quality scoring, n-gram language-ID heuristic, document fingerprinting.
+
+Everything is built-in-function Column expressions (regexp/split/md5run
+JVM-side under codegen; no Python UDFs). The DuckDB oracles replicate the
+same expressions so the driver hash-checks values, not just shapes.
+
+Scale notes: all per-document maps — embarrassingly parallel, no shuffle
+except the final aggregations, which do map-side partial agg on
+low-cardinality keys (source/lang). At 100 TB these run as a single scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# tiny stopword/marker inventories; deliberately deterministic & portable
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "et"),
+}
+
+
+def _words(col="text"):
+    return F.split(F.lower(col), " ")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + a BPE-ish letter-run
+    regex count (regexp_count is JVM-side)."""
+    d = load_table(spark, "documents", sf_dir)
+    ws_tokens = F.size(_words())
+    re_tokens = F.regexp_count(F.lower("text"), F.lit("[a-z]+"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(ws_tokens).alias("ws_tokens"),
+        F.sum(re_tokens).alias("re_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, mean word length,
+    stopword ratio — the length/punct/stopword heuristics of C4-style
+    cleaning, as pure column math."""
+    d = load_table(spark, "documents", sf_dir)
+    w = _words()
+    n = F.size(w)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    mean_word_len = (F.col("n_chars") - (n - 1)) / n  # chars minus separators
+    return (
+        d.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(mean_word_len, 4).alias("mean_word_len"),
+            F.round(stop_hits / n, 4).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language hit counts, highest
+    wins (ties by language name) — compared against the dataset's own
+    ``lang`` column for an accuracy rollup."""
+    d = load_table(spark, "documents", sf_dir)
+    w = _words()
+
+    def marker_hits(markers):
+        # NB: a closure, not a default-arg lambda — PySpark binds a second
+        # lambda parameter to the array index
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    guess = F.when(best == 0, "unknown")
+    for lang in sorted(LANG_MARKERS):  # tie → alphabetically first language
+        guess = guess.when(hits[lang] == best, lang)
+    return (
+        d.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting + exact-hash dedup in one: md5 over the
+    10-word prefix (the corpus's designed near-dup key) → keep the lowest
+    doc_id per fingerprint; returns the duplicate groups."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.slice(_words(), 1, 10)))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keeper"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on full text): corpus-level stats. One
+    shuffle on the 128-bit hash; at 100 TB this is the cheapest dedup pass
+    and runs before any fuzzy stage."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("text"))
+    per = d.groupBy(h.alias("h")).agg(F.count("*").alias("c"))
+    return per.agg(
+        F.sum("c").alias("total_docs"),
+        F.count("*").alias("distinct_docs"),
+        (F.sum("c") - F.count("*")).alias("dups_removed"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _marker_sql(lang):
+    return ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+
+
+_LANG_HITS_SQL = ",\n               ".join(
+    f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({_marker_sql(lang)}))) AS hits_{lang}"
+    for lang in LANG_MARKERS
+)
+_BEST_SQL = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_MARKERS) + ")"
+_GUESS_SQL = "CASE WHEN " + _BEST_SQL + " = 0 THEN 'unknown' " + " ".join(
+    f"WHEN hits_{lang} = {_BEST_SQL} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+) + " END"
+
+QUERIES = {
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "exact_dedup_stats": q_exact_dedup_stats,
+}
+
+ORACLES = {
+    "token_stats": """
+        SELECT source, count(*) AS docs,
+               sum(len(string_split(lower(text), ' '))) AS ws_tokens,
+               sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS re_tokens,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY source
+    """,
+    "quality_scores": f"""
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               round((n_chars - (len(string_split(lower(text), ' ')) - 1))
+                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4) AS mean_word_len,
+               round(len(list_filter(string_split(lower(text), ' '),
+                                     x -> x IN ({_STOP_SQL})))
+                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4) AS stopword_ratio
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    "lang_id": f"""
+        WITH hits AS (
+            SELECT lang,
+               {_LANG_HITS_SQL}
+            FROM documents
+        )
+        SELECT lang, {_GUESS_SQL} AS guess, count(*) AS cnt
+        FROM hits GROUP BY lang, guess
+    """,
+    "fingerprint_dedup": """
+        SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper,
+               list_sort(list(doc_id)) AS members
+        FROM (
+            SELECT doc_id,
+                   md5(array_to_string(string_split(lower(text), ' ')[1:10], ' ')) AS fingerprint
+            FROM documents
+        ) GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    "exact_dedup_stats": """
+        SELECT sum(c) AS total_docs, count(*) AS distinct_docs,
+               sum(c) - count(*) AS dups_removed
+        FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+    """,
+}
