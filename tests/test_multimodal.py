@@ -1,0 +1,82 @@
+"""Multimodal plumbing tests: binary columns through Arrow-batched
+mapInPandas stages — schema contract, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = M.synthetic_media(spark, n=32)
+    df.cache().count()
+    return df
+
+
+def test_media_schema_and_payloads(media):
+    assert media.schema == M.MEDIA_SCHEMA
+    row = media.filter(F.col("media_id") == 0).first()
+    assert row["kind"] == "image"
+    assert bytes(row["payload"])[:4] == b"FAKE"
+    assert row["meta"]["width"] == 64
+
+
+def test_decode_media(media):
+    out = M.decode_media(media)
+    assert out.schema == M.DECODED_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 32
+    r0 = rows[0]
+    assert r0["n_values"] == 64
+    assert len(r0["feature"]) == M.FEATURE_DIM
+    assert 0.0 <= r0["mean_value"] <= 1.0
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    assert again[0]["feature"] == r0["feature"]
+
+
+def test_decode_distributed_not_collected(media):
+    """The decode stage must be a mapInPandas plan node (executor-side),
+    not driver-side iteration."""
+    plan = M.decode_media(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_resize_images(media):
+    out = M.resize_images(media, width=32).collect()
+    assert all(r["kind"] == "image" and r["n_values"] == 32 for r in out)
+    assert len(out) == 16
+
+
+def test_sample_frames(media):
+    decoded = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    sampled = {r["media_id"]: r for r in M.sample_frames(media, 4).collect()}
+    for mid, r in sampled.items():
+        assert r["n_values"] == (decoded[mid]["n_values"] + 3) // 4
+
+
+def test_unknown_codec_raises(spark):
+    bad = spark.createDataFrame(
+        [(99, "image", b"PNG\x00realbytes", None)], M.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|FAKE|synthetic"):
+        M.decode_media(bad).collect()
+
+
+def test_features_feed_ann_operators(media):
+    """Decoded features are array<float> compatible with the dedup/ANN
+    column expressions."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.dedup import (
+        dot_cols, norm_col,
+    )
+
+    feats = M.decode_media(media).select("media_id", "feature")
+    a = feats.select(F.col("media_id").alias("ma"), F.col("feature").alias("fa"))
+    b = feats.select(F.col("media_id").alias("mb"), F.col("feature").alias("fb"))
+    cos = dot_cols("fa", "fb") / (norm_col("fa") * norm_col("fb"))
+    pairs = (a.crossJoin(b).filter(F.col("ma") < F.col("mb"))
+             .select("ma", "mb", F.round(cos, 4).alias("c")))
+    assert pairs.count() == 32 * 31 // 2
+    assert pairs.filter(F.col("c").isNull()).count() == 0
