@@ -35,7 +35,9 @@ def _words(col="text"):
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per source: whitespace tokens + a BPE-ish letter-run
     regex count (regexp_count is JVM-side)."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )  # single-file test scan → spread the regexp work across cores
     ws_tokens = F.size(_words())
     re_tokens = F.regexp_count(F.lower("text"), F.lit("[a-z]+"))
     return d.groupBy("source").agg(
