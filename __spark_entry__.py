@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
-    ann, arrays, dedup, metrics, relational, text_analysis,
+    ann, arrays, dedup, metrics, relational, studies_demo, text_analysis,
 )
 
 
@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(text_analysis.QUERIES)
     q.update(dedup.QUERIES)
     q.update(ann.QUERIES)
+    q.update(studies_demo.QUERIES)
     return q
 
 
@@ -41,4 +42,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(text_analysis.ORACLES)
     o.update(dedup.ORACLES)
     o.update(ann.ORACLES)
+    o.update(studies_demo.ORACLES)
     return o
