@@ -1,0 +1,100 @@
+"""Physical-plan quality gates — the 100 TB discipline as assertions.
+
+Each test pins a plan property that matters at scale: filters reaching the
+parquet scan, columns pruned, dimensions broadcast, top-k avoiding global
+sorts, aggregations doing map-side partial combine. A regression here means
+a query silently became a full-scan/full-shuffle at 1000× the data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+    ann, arrays, dedup, relational,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_filter_pushed_to_scan(spark):
+    plan = plan_of(relational.q_point_lookup(spark, SF))
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)" in plan
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = plan_of(relational.q_projection(spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "o_orderkey" in scan and "o_totalprice" in scan
+    assert "o_custkey" not in scan and "o_orderstatus" not in scan
+
+
+def test_lookup_join_broadcasts_dims(spark):
+    plan = plan_of(relational.q_lookup_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_is_broadcast_left_semi(spark):
+    plan = plan_of(relational.q_semi_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_group_counts_partial_aggregation(spark):
+    plan = plan_of(relational.q_group_counts(spark, SF))
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_ann_topk_avoids_global_sort(spark):
+    plan = plan_of(ann.q_ann_bruteforce(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_ann_query_vector_broadcast(spark):
+    plan = plan_of(ann.q_ann_bruteforce(spark, SF))
+    assert "BroadcastExchange" in plan
+
+
+def test_minhash_verify_joins_broadcast_candidates(spark):
+    plan = plan_of(dedup.q_minhash_lsh_pairs(spark, SF))
+    # both verify probes must be broadcast joins (shingle side never shuffles)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pagination_filters_before_window(spark):
+    """The snapshot bound must reach the scan, not sit above the sort."""
+    plan = plan_of(relational.q_pagination(spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "o_orderdate" in scan and "LessThan" in scan
+
+
+def test_event_window_single_shuffle(spark):
+    plan = plan_of(arrays.q_event_window(spark, SF))
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """Scalar pipelines must stay inside codegen (no interpreted gaps)."""
+    import contextlib
+    import io
+    import re
+
+    # AQE wraps stages lazily and reports 0 subtrees pre-execution; the
+    # static plan shows what codegen will compile.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q in (relational.q_conjunction, relational.q_range_filter,
+                  arrays.q_json_extract):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                q(spark, SF).explain("codegen")
+            m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+            assert m and int(m.group(1)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
