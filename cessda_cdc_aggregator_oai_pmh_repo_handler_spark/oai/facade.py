@@ -18,20 +18,11 @@ from pyspark.sql import functions as F
 
 from ..functions import derivations as D
 from ..plans.query_builder import (
-    FORMAT_FIELDS, METADATA_PREFIXES, OAIQueryPlanner, UnsupportedSetSpec,
-    finalize_token,
+    OAIQueryPlanner, UnsupportedSetSpec, finalize_token,
 )
 from ..plans.tokens import BadResumptionToken
+from . import formats as FMT
 from . import render as R
-
-FORMAT_NAMESPACES = {
-    "oai_dc": ("http://www.openarchives.org/OAI/2.0/oai_dc/",
-               "http://www.openarchives.org/OAI/2.0/oai_dc.xsd"),
-    "oai_ddi25": ("ddi:codebook:2_5",
-                  "https://ddialliance.org/Specification/DDI-Codebook/2.5/XMLSchema/codebook.xsd"),
-    "oai_datacite": ("http://datacite.org/schema/kernel-3",
-                     "http://schema.datacite.org/meta/kernel-3/metadata.xsd"),
-}
 
 
 class OAIFacade:
@@ -125,11 +116,11 @@ class OAIFacade:
         root, body = R.envelope("ListMetadataFormats", self.base_url, request_ts)
         import xml.etree.ElementTree as ET
 
-        for prefix in METADATA_PREFIXES:
-            ns, schema = FORMAT_NAMESPACES[prefix]
+        for prefix in FMT.prefixes():
+            f = FMT.get(prefix)
             fmt = ET.SubElement(body, f"{{{R.OAI_NS}}}metadataFormat")
-            for tag, text in [("metadataPrefix", prefix), ("schema", schema),
-                              ("metadataNamespace", ns)]:
+            for tag, text in [("metadataPrefix", prefix), ("schema", f.schema_url),
+                              ("metadataNamespace", f.namespace)]:
                 el = ET.SubElement(fmt, f"{{{R.OAI_NS}}}{tag}")
                 el.text = text
         return R.to_string(root)
@@ -151,14 +142,15 @@ class OAIFacade:
     def _get_record(self, request_ts: str, identifier: str | None = None,
                     metadataPrefix: str | None = None) -> str:
         args = {"identifier": identifier, "metadataPrefix": metadataPrefix}
-        if metadataPrefix not in FORMAT_FIELDS:
+        if FMT.get(metadataPrefix) is None:
             return self._error("GetRecord", request_ts, "cannotDisseminateFormat",
                                f"Unknown metadataPrefix: {metadataPrefix}", args)
         if identifier is None:
             return self._error("GetRecord", request_ts, "badArgument",
                                "identifier is required", args)
+        fmt = FMT.get(metadataPrefix)
         df = self.planner.get_record(identifier, metadataPrefix)
-        if metadataPrefix == "oai_datacite":
+        if fmt.needs_derived:
             df = self._with_datacite_derived(df)
         rows = df.collect()
         if not rows:
@@ -166,7 +158,7 @@ class OAIFacade:
                                f"No record with identifier {identifier}", args)
         row = rows[0]
         derived = None
-        if metadataPrefix == "oai_datacite":
+        if fmt.needs_derived:
             derived = self._derived_dict(row)
             if not row["deleted"] and derived["preferred_identifier"] is None:
                 # F1: no OpenAIRE-type identifier ⇒ invalid for datacite
@@ -184,15 +176,17 @@ class OAIFacade:
         args = {"metadataPrefix": metadataPrefix, "set": set,
                 "from": from_ts, "until": until_ts,
                 "resumptionToken": resumptionToken}
-        if resumptionToken is None and metadataPrefix not in FORMAT_FIELDS:
+        if resumptionToken is None and FMT.get(metadataPrefix) is None:
             return self._error(verb, request_ts, "cannotDisseminateFormat",
                                f"Unknown metadataPrefix: {metadataPrefix}", args)
         header_only = verb == "ListIdentifiers"
         page = self.planner.list_page(
             metadataPrefix, set_spec=set, from_ts=from_ts, until_ts=until_ts,
             request_ts=request_ts, token=resumptionToken, header_only=header_only)
+        fmt = FMT.get(metadataPrefix) if metadataPrefix else None
+        needs_derived = fmt is not None and fmt.needs_derived
         df = page.df
-        if metadataPrefix == "oai_datacite" and not header_only:
+        if needs_derived and not header_only:
             df = self._with_datacite_derived(df)
         rows = df.collect()
         if not rows and resumptionToken is None:
@@ -203,7 +197,7 @@ class OAIFacade:
             if header_only:
                 R.render_header(body, row)
             else:
-                derived = self._derived_dict(row) if metadataPrefix == "oai_datacite" else None
+                derived = self._derived_dict(row) if needs_derived else None
                 R.render_record(body, row, metadataPrefix, derived)
         next_token = finalize_token(page, rows)
         R.render_resumption_token(

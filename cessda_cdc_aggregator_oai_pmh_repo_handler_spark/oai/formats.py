@@ -1,0 +1,76 @@
+"""Metadata-format registry (SURVEY §2.9).
+
+The reference discovers formats through the ``cdcagg.oai.metadataformats``
+entry-point group at startup (/root/reference/setup.py:41-45,
+cdcagg_oai/__init__.py:17-25). The Spark-side equivalent of a "format" is a
+projection list + a renderer + namespace identifiers; this registry makes
+that a first-class, extensible object so a new format plugs in without
+touching the planner or facade.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class MetadataFormat:
+    prefix: str
+    namespace: str
+    schema_url: str
+    fields: list[str]                      # projection (P1) incl. header fields
+    renderer: Callable                     # (parent_el, row, derived) -> None
+    needs_derived: bool = False            # attach F1/F2/F3/F6 columns pre-collect
+    validity_filter_name: str | None = None  # e.g. 'openaire' for datacite (P4)
+
+
+_REGISTRY: dict[str, MetadataFormat] = {}
+
+
+def register(fmt: MetadataFormat) -> None:
+    _REGISTRY[fmt.prefix] = fmt
+
+
+def unregister(prefix: str) -> None:
+    _REGISTRY.pop(prefix, None)
+
+
+def get(prefix: str) -> MetadataFormat | None:
+    return _REGISTRY.get(prefix)
+
+
+def prefixes() -> tuple[str, ...]:
+    return tuple(_REGISTRY)
+
+
+def _register_builtins() -> None:
+    from ..plans.query_builder import FORMAT_FIELDS
+    from . import render as R
+
+    register(MetadataFormat(
+        prefix="oai_dc",
+        namespace="http://www.openarchives.org/OAI/2.0/oai_dc/",
+        schema_url="http://www.openarchives.org/OAI/2.0/oai_dc.xsd",
+        fields=FORMAT_FIELDS["oai_dc"],
+        renderer=lambda parent, row, derived: R.render_oai_dc(parent, row),
+    ))
+    register(MetadataFormat(
+        prefix="oai_ddi25",
+        namespace="ddi:codebook:2_5",
+        schema_url="https://ddialliance.org/Specification/DDI-Codebook/2.5/XMLSchema/codebook.xsd",
+        fields=FORMAT_FIELDS["oai_ddi25"],
+        renderer=lambda parent, row, derived: R.render_oai_ddi25(parent, row),
+    ))
+    register(MetadataFormat(
+        prefix="oai_datacite",
+        namespace="http://datacite.org/schema/kernel-3",
+        schema_url="http://schema.datacite.org/meta/kernel-3/metadata.xsd",
+        fields=FORMAT_FIELDS["oai_datacite"],
+        renderer=R.render_oai_datacite,
+        needs_derived=True,
+        validity_filter_name="openaire",
+    ))
+
+
+_register_builtins()

@@ -284,7 +284,12 @@ def render_record(parent, row, metadata_prefix: str, derived: dict | None = None
     render_header(rec, row)
     if not row["deleted"]:
         md = _sub(rec, f"{{{OAI_NS}}}metadata")
-        METADATA_RENDERERS[metadata_prefix](md, row, derived or {})
+        renderer = METADATA_RENDERERS.get(metadata_prefix)
+        if renderer is None:
+            from . import formats as FMT  # plugin formats (SURVEY §2.9)
+
+            renderer = FMT.get(metadata_prefix).renderer
+        renderer(md, row, derived or {})
         about = _sub(rec, f"{{{OAI_NS}}}about")
         render_provenance(about, row)
 

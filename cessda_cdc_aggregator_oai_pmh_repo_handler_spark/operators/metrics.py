@@ -37,14 +37,13 @@ def metrics_rollup(studies: DataFrame) -> DataFrame:
 
 def compute_metrics(studies: DataFrame) -> dict:
     """Collect the rollup into the gauge dict the reference exposes
-    (records_total, records_without_deleted, publishers_total,
-    publishers_counts{publisher=url}, publishers_counts_without_deleted)."""
+    (gauge names per /root/reference/cdcagg_oai/metrics.py:120-137)."""
     rows = metrics_rollup(studies).collect()
     out: dict = {"publishers_counts": {}, "publishers_counts_without_deleted": {}}
     for r in rows:
         if r["grouping_level"] == 1:
             out["records_total"] = r["records_total"]
-            out["records_without_deleted"] = r["records_without_deleted"]
+            out["records_total_without_deleted"] = r["records_without_deleted"]
         elif r["direct_base_url"] is not None:
             # zero-count groups cannot exist in a groupBy; the reference's
             # explicit skip (metrics.py:183-186) is structural here.
@@ -54,6 +53,43 @@ def compute_metrics(studies: DataFrame) -> dict:
             )
     out["publishers_total"] = len(out["publishers_counts"])
     return out
+
+
+_GAUGE_HELP = {
+    "records_total": "Total number of records included",
+    "records_total_without_deleted":
+        "Total number of records included without logically deleted records",
+    "publishers_total": "Total number of distinct publishers",
+    "publishers_counts": "Number of records included per Publisher",
+    "publishers_counts_without_deleted":
+        "Number of records included per Publisher without logically deleted records",
+}
+
+
+def _escape_label(value: str) -> str:
+    return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def render_prometheus(metrics: dict) -> str:
+    """Prometheus text exposition (S5) of the computed gauges, matching the
+    reference's output lines (e.g.
+    ``publishers_counts{publisher="some.base.url"} 20.0``,
+    /root/reference/tests/test_metrics.py:76-103). The multiprocess merge
+    machinery (metrics.py:73-100) is obsolete: one Spark job computes all
+    gauges."""
+    lines: list[str] = []
+    for name in ("records_total", "records_total_without_deleted", "publishers_total"):
+        lines.append(f"# HELP {name} {_GAUGE_HELP[name]}")
+        lines.append(f"# TYPE {name} gauge")
+        lines.append(f"{name} {float(metrics[name])}")
+    for name in ("publishers_counts", "publishers_counts_without_deleted"):
+        lines.append(f"# HELP {name} {_GAUGE_HELP[name]}")
+        lines.append(f"# TYPE {name} gauge")
+        for publisher, count in sorted(metrics[name].items()):
+            lines.append(
+                f'{name}{{publisher="{_escape_label(publisher)}"}} {float(count)}'
+            )
+    return "\n".join(lines) + "\n"
 
 
 def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

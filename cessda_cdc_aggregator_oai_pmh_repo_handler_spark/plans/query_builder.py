@@ -64,6 +64,19 @@ FORMAT_FIELDS: dict[str, list[str]] = {
 METADATA_PREFIXES = tuple(FORMAT_FIELDS)
 
 
+def fields_for(metadata_prefix: str) -> list[str]:
+    """Projection for a prefix: built-ins, then the plugin registry
+    (SURVEY §2.9; /root/reference/setup.py:41-45)."""
+    if metadata_prefix in FORMAT_FIELDS:
+        return FORMAT_FIELDS[metadata_prefix]
+    from ..oai import formats  # lazy: formats registers built-ins from here
+
+    fmt = formats.get(metadata_prefix)
+    if fmt is None:
+        raise KeyError(f"unknown metadataPrefix: {metadata_prefix}")
+    return fmt.fields
+
+
 class UnsupportedSetSpec(ValueError):
     """OAI noRecordsMatch/badArgument condition for unknown set specs."""
 
@@ -139,7 +152,13 @@ class OAIQueryPlanner:
     def validity_filter(self, metadata_prefix: str) -> Column:
         """Format validity: datacite lists only records with an OpenAIRE-type
         identifier (P4, /root/reference/cdcagg_oai/metadataformats.py:775-788)."""
-        if metadata_prefix == "oai_datacite":
+        name = "openaire" if metadata_prefix == "oai_datacite" else None
+        if name is None:
+            from ..oai import formats  # lazy; see fields_for
+
+            fmt = formats.get(metadata_prefix)
+            name = fmt.validity_filter_name if fmt is not None else None
+        if name == "openaire":
             return P.elem_match("identifiers",
                                 lambda i: i["agency"].isin(*OPENAIRE_ID_TYPES))
         return F.lit(True)
@@ -201,7 +220,7 @@ class OAIQueryPlanner:
     def get_record(self, identifier: str, metadata_prefix: str) -> DataFrame:
         """GetRecord: point lookup + per-format projection (P1/P2,
         /root/reference/cdcagg_oai/metadataformats.py:477-478)."""
-        fields = FORMAT_FIELDS[metadata_prefix]
+        fields = fields_for(metadata_prefix)
         return (
             self.studies.filter(F.col("aggregator_identifier") == identifier)
             .withColumn("setSpec", self.set_spec_column(metadata_prefix))
@@ -246,7 +265,7 @@ class OAIQueryPlanner:
         page = base
         if last_key is not None:
             page = page.filter(F.col("aggregator_identifier") > last_key)
-        fields = HEADER_FIELDS if header_only else FORMAT_FIELDS[metadata_prefix]
+        fields = HEADER_FIELDS if header_only else fields_for(metadata_prefix)
         page = (
             page.orderBy("aggregator_identifier")
             .limit(self.page_size)

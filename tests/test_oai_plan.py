@@ -198,7 +198,20 @@ def test_list_sets(planner):
 def test_compute_metrics_golden(planner):
     m = compute_metrics(planner.studies)
     assert m["records_total"] == 8
-    assert m["records_without_deleted"] == 7   # null status counted (P3)
-    assert m["publishers_total"] == 2          # null direct_base_url skipped
+    assert m["records_total_without_deleted"] == 7   # null status counted (P3)
+    assert m["publishers_total"] == 2                # null direct_base_url skipped
     assert m["publishers_counts"] == {FSD_URL: 6, GESIS_URL: 1}
     assert m["publishers_counts_without_deleted"] == {FSD_URL: 5, GESIS_URL: 1}
+
+
+def test_prometheus_exposition(planner):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.metrics import (
+        render_prometheus,
+    )
+
+    body = render_prometheus(compute_metrics(planner.studies)).splitlines()
+    assert "records_total 8.0" in body
+    assert "records_total_without_deleted 7.0" in body
+    assert "publishers_total 2.0" in body
+    assert f'publishers_counts{{publisher="{FSD_URL}"}} 6.0' in body
+    assert f'publishers_counts_without_deleted{{publisher="{FSD_URL}"}} 5.0' in body
