@@ -91,12 +91,39 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day window aggregation — every event lands in two
+    overlapping windows; Spark expands via the same ``window()`` operator
+    used under Structured Streaming."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) — Spark's
+    ``session_window`` merges overlapping per-event windows; the oracle is
+    the classic gaps-and-islands SQL. Works identically under streaming
+    with a watermark."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "cnt", "sum_value")
+    )
+
+
 QUERIES = {
     "array_exists": q_array_exists,
     "array_transform_agg": q_array_transform_agg,
     "json_extract": q_json_extract,
     "event_window": q_event_window,
     "topk_per_group": q_topk_per_group,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
 }
 
 ORACLES = {
@@ -135,5 +162,34 @@ ORACLES = {
                                       ORDER BY value DESC, event_id) AS rk
             FROM events
         ) WHERE rk <= 3
+    """,
+    "sliding_window": """
+        SELECT window_start, event_type, count(*) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day', event_type, value
+            FROM events
+        ) GROUP BY 1, 2
+    """,
+    "session_window": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        )
+        SELECT min(ts) AS session_start, user_id, count(*) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM sessions GROUP BY user_id, sess_id
     """,
 }

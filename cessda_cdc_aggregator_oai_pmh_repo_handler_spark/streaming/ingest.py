@@ -144,6 +144,46 @@ def start_ingest(spark: SparkSession, source_dir: str, target_path: str,
     return writer.start()
 
 
+def streaming_user_running_totals(spark: SparkSession, source_dir: str,
+                                  schema: T.StructType):
+    """§2.8 custom stateful operator: per-user running event count/value sum
+    via ``applyInPandasWithState`` — the escape hatch for semantics the
+    built-in windowed aggs can't express (here: monotonic running totals
+    emitted every microbatch). State is one row per user; at scale the
+    state store shards by the group key across executors."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame({"user_id": [key[0]], "events_seen": [count],
+                            "value_sum": [round(total, 2)]})
+
+    return (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_event_window_counts(spark: SparkSession, source_dir: str,
                                   schema: T.StructType, watermark: str = "1 day"):
     """§2.8 windowed-aggregation demo: the exact batch plan of

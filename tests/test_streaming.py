@@ -111,6 +111,34 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     assert df.filter(F.col("metadata.updated") <= "2020-01-01").count() == 3
 
 
+def test_streaming_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState totals converge to the batch groupBy result."""
+    from pyspark.sql import functions as SF
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "events_state")
+    events.write.parquet(src)
+
+    stream = I.streaming_user_running_totals(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("user_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # keep the LAST emission per user (running totals grow per microbatch)
+    got = {}
+    for r in spark.sql("SELECT * FROM user_totals").collect():
+        got[r["user_id"]] = (r["events_seen"], r["value_sum"])
+    want = {
+        r["user_id"]: (r["cnt"], r["vs"])
+        for r in events.groupBy("user_id")
+        .agg(SF.count("*").alias("cnt"), SF.round(SF.sum("value"), 2).alias("vs"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_window_counts_match_batch(spark, tmp_path):
     """The §2.8 windowed agg produces the same rows under readStream as the
     batch plan (q_event_window) at sf0.001."""
