@@ -12,7 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
-    ann, arrays, dedup, metrics, relational, studies_demo, text_analysis,
+    ann, arrays, dedup, metrics, relational, relational_ext, studies_demo,
+    text_analysis,
 )
 
 
@@ -25,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
+    q.update(relational_ext.QUERIES)
     q.update(arrays.QUERIES)
     q.update(metrics.QUERIES)
     q.update(text_analysis.QUERIES)
@@ -37,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
+    o.update(relational_ext.ORACLES)
     o.update(arrays.ORACLES)
     o.update(metrics.ORACLES)
     o.update(text_analysis.ORACLES)

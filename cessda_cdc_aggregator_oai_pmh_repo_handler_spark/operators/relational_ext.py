@@ -1,0 +1,163 @@
+"""Relational operators beyond the reference's surface — rounding out the
+engine so a user gets the full DataFrame/SQL toolbox at the same
+correctness bar (every query DuckDB-oracle checked).
+
+The reference performs no outer/anti joins, set intersections, grouping
+sets, or subqueries (SURVEY §2.3/§2.6: "no theta joins, no anti joins…");
+these exist because a 100 TB corpus pipeline needs them, and they exercise
+Catalyst paths (null-aware anti join, partial cube expansion, subquery
+decorrelation) the core set doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers without orders; null-group counted."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("rows"),
+            F.count("o_orderkey").alias("orders"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("customers_without_orders"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders since 2001 (churn shape)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over key populations: parts both ordered in
+    quantity ≥ 48 and priced < 950, minus a brand."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    big = li.filter(F.col("l_quantity") >= 48).select(F.col("l_partkey").alias("key"))
+    cheap = p.filter(F.col("p_retailprice") < 950).select(F.col("p_partkey").alias("key"))
+    brand = p.filter(F.col("p_brand") == "Brand#1").select(F.col("p_partkey").alias("key"))
+    both = big.intersect(cheap).exceptAll(brand.distinct())
+    return both.agg(F.count("*").alias("keys"), F.sum("key").alias("key_sum"))
+
+
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in one
+    pass (partial aggregation before the expand)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — scalar subquery feeding a
+    filter (Catalyst turns it into a broadcast of one value)."""
+    o = load_table(spark, "orders", sf_dir)
+    avg_price = o.agg(F.avg("o_totalprice").alias("a"))
+    return (
+        o.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the manual skew-mitigation pattern:
+    phase 1 aggregates on (key, salt) spreading a hot key across tasks,
+    phase 2 merges salt buckets. Result identical to a direct groupBy; the
+    oracle IS the direct groupBy."""
+    li = load_table(spark, "lineitem", sf_dir)
+    salted = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(8)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count("*").alias("c"), F.sum("l_quantity").alias("q"))
+    )
+    return (
+        salted.groupBy("l_returnflag")
+        .agg(
+            F.sum("c").alias("cnt"),
+            F.round(F.sum("q"), 2).alias("sum_qty"),
+        )
+    )
+
+
+QUERIES = {
+    "outer_join": q_outer_join,
+    "anti_join": q_anti_join,
+    "intersect_except": q_intersect_except,
+    "cube_rollup": q_cube_rollup,
+    "scalar_subquery": q_scalar_subquery,
+    "salted_skew_agg": q_salted_skew_agg,
+}
+
+ORACLES = {
+    "outer_join": """
+        SELECT c_mktsegment, count(*) AS rows,
+               count(o_orderkey) AS orders,
+               count(*) FILTER (WHERE o_orderkey IS NULL) AS customers_without_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "anti_join": """
+        SELECT c_nationkey, count(*) AS cnt
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        GROUP BY c_nationkey
+    """,
+    "intersect_except": """
+        SELECT count(*) AS keys, sum(key) AS key_sum FROM (
+            SELECT key FROM (
+                SELECT l_partkey AS key FROM lineitem WHERE l_quantity >= 48
+                INTERSECT
+                SELECT p_partkey AS key FROM part WHERE p_retailprice < 950
+            )
+            EXCEPT ALL
+            SELECT DISTINCT p_partkey AS key FROM part WHERE p_brand = 'Brand#1'
+        )
+    """,
+    "cube_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "scalar_subquery": """
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+    """,
+    "salted_skew_agg": """
+        SELECT l_returnflag, count(*) AS cnt,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}
