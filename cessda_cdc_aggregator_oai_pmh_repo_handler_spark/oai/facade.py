@@ -25,6 +25,30 @@ from . import formats as FMT
 from . import render as R
 
 
+class RequestMetrics:
+    """Request-level counters/durations, mirroring the reference's
+    log_request hook (/root/reference/cdcagg_oai/metrics.py:224-246):
+    totals, per-user-agent counts, success/failure split, and durations
+    (ms) labeled by (verb, metadataPrefix) — durations recorded only for
+    successful non-error OAI responses."""
+
+    def __init__(self):
+        self.requests_total = 0
+        self.requests_succeeded = 0
+        self.requests_failed = 0
+        self.requests_per_user_agent: dict[str, int] = {}
+        self.requests_duration: dict[tuple[str, str | None], list[float]] = {}
+
+    def record(self, verb, metadata_prefix, user_agent, duration_ms, is_error):
+        self.requests_total += 1
+        ua = user_agent or "unknown"
+        self.requests_per_user_agent[ua] = self.requests_per_user_agent.get(ua, 0) + 1
+        self.requests_succeeded += 1
+        if not is_error:
+            self.requests_duration.setdefault((verb, metadata_prefix), []).append(
+                duration_ms)
+
+
 class OAIFacade:
     def __init__(self, planner: OAIQueryPlanner,
                  repository_name: str = "CDC Aggregator OAI Repo Handler (Spark)",
@@ -36,6 +60,7 @@ class OAIFacade:
         self.base_url = base_url
         self.admin_email = admin_email
         self.deleted_records = deleted_records
+        self.request_metrics = RequestMetrics()
 
     # --- helpers -----------------------------------------------------------
 
@@ -72,26 +97,36 @@ class OAIFacade:
     # --- entry point ---------------------------------------------------------
 
     def handle_request(self, verb: str | None = None, request_ts: str | None = None,
-                       **args) -> str:
+                       user_agent: str | None = None, **args) -> str:
+        import time
+
         request_ts = request_ts or self._now()
+        t0 = time.perf_counter()
         try:
             if verb == "Identify":
-                return self._identify(request_ts)
-            if verb == "ListMetadataFormats":
-                return self._list_metadata_formats(request_ts)
-            if verb == "ListSets":
-                return self._list_sets(request_ts)
-            if verb == "GetRecord":
-                return self._get_record(request_ts, **args)
-            if verb in ("ListRecords", "ListIdentifiers"):
-                return self._list(verb, request_ts, **args)
-            return self._error(verb, request_ts, "badVerb",
-                               f"Illegal OAI verb: {verb}")
+                out = self._identify(request_ts)
+            elif verb == "ListMetadataFormats":
+                out = self._list_metadata_formats(request_ts)
+            elif verb == "ListSets":
+                out = self._list_sets(request_ts)
+            elif verb == "GetRecord":
+                out = self._get_record(request_ts, **args)
+            elif verb in ("ListRecords", "ListIdentifiers"):
+                out = self._list(verb, request_ts, **args)
+            else:
+                out = self._error(verb, request_ts, "badVerb",
+                                  f"Illegal OAI verb: {verb}")
         except BadResumptionToken as exc:
-            return self._error(verb, request_ts, "badResumptionToken", str(exc), args)
+            out = self._error(verb, request_ts, "badResumptionToken", str(exc), args)
         except UnsupportedSetSpec as exc:
-            return self._error(verb, request_ts, "badArgument",
-                               f"Unknown set spec: {exc}", args)
+            out = self._error(verb, request_ts, "badArgument",
+                              f"Unknown set spec: {exc}", args)
+        self.request_metrics.record(
+            verb, args.get("metadataPrefix"), user_agent,
+            1000.0 * (time.perf_counter() - t0),
+            is_error="</error>" in out or "<error " in out,
+        )
+        return out
 
     # --- verbs ---------------------------------------------------------------
 

@@ -211,6 +211,17 @@ def test_list_records_bad_token(facade):
     assert el.find("./oai:error", NS).get("code") == "badResumptionToken"
 
 
+def test_request_metrics_recorded(facade):
+    m = facade.request_metrics
+    base_total = m.requests_total
+    facade.handle_request(verb="Identify", request_ts=NOW, user_agent="pytest-ua")
+    facade.handle_request(verb="Nope", request_ts=NOW)  # OAI error: no duration
+    assert m.requests_total == base_total + 2
+    assert m.requests_per_user_agent.get("pytest-ua", 0) >= 1
+    assert ("Identify", None) in m.requests_duration
+    assert ("Nope", None) not in m.requests_duration
+
+
 def test_list_records_selective_set(facade):
     el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
                                      metadataPrefix="oai_dc", set="source:GESIS"))
