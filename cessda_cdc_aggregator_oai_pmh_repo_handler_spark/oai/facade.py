@@ -91,6 +91,7 @@ class OAIFacade:
         }
 
     def _error(self, verb, request_ts, code, message, args=None) -> str:
+        self._last_was_error = True
         root, _ = R.envelope(verb, self.base_url, request_ts, args, error=(code, message))
         return R.to_string(root)
 
@@ -102,6 +103,7 @@ class OAIFacade:
 
         request_ts = request_ts or self._now()
         t0 = time.perf_counter()
+        self._last_was_error = False
         try:
             if verb == "Identify":
                 out = self._identify(request_ts)
@@ -124,7 +126,7 @@ class OAIFacade:
         self.request_metrics.record(
             verb, args.get("metadataPrefix"), user_agent,
             1000.0 * (time.perf_counter() - t0),
-            is_error="</error>" in out or "<error " in out,
+            is_error=self._last_was_error,
         )
         return out
 
