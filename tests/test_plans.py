@@ -79,6 +79,26 @@ def test_event_window_single_shuffle(spark):
     assert len(shuffles) == 1
 
 
+def test_nested_predicate_pushdown_on_studies(spark, tmp_path):
+    """Struct-field predicates (metadata.status) must push into the parquet
+    scan of the studies corpus — the reference hand-built this as Mongo
+    filter payloads; Catalyst does it from the Column expression."""
+    from pyspark.sql import functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.functions import predicates as P
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies import fixture_studies
+
+    path = str(tmp_path / "studies")
+    fixture_studies(spark).write.parquet(path)
+    df = spark.read.parquet(path)
+    q = df.filter(P.is_deleted()).select("aggregator_identifier", "metadata")
+    plan = plan_of(q)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PushedFilters" in scan and "metadata.status" in scan
+    # top-level pruning: only the two selected columns reach the scan
+    assert "study_titles" not in scan and "provenance" not in scan
+
+
 def test_whole_stage_codegen_everywhere(spark):
     """Scalar pipelines must stay inside codegen (no interpreted gaps)."""
     import contextlib
