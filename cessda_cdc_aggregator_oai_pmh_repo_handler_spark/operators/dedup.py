@@ -259,11 +259,54 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph via iterative min-label propagation — the standard
+    distributed CC algorithm (each sweep is one shuffle; converges in
+    O(graph diameter) sweeps; localCheckpoint truncates lineage). The
+    oracle computes the same components with a recursive CTE."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "neardup_components": q_neardup_components,
 }
 
 ORACLES = {
@@ -331,6 +374,7 @@ ORACLES = {
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         WHERE {_HAMMING_SQL} <= 3
     """,
+    "neardup_components": None,  # filled below from the pairs oracle
     "embedding_neardup": f"""
         WITH vecs AS (
             SELECT vec_id, embedding, {_SIGN_SIG_SQL} AS sig FROM embeddings
@@ -341,3 +385,19 @@ ORACLES = {
         WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= {COSINE_THRESHOLD}
     """,
 }
+
+ORACLES["neardup_components"] = f"""
+    WITH RECURSIVE verified AS ({ORACLES['minhash_lsh_pairs']}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM verified
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+"""

@@ -141,12 +141,58 @@ _GUESS_SQL = "CASE WHEN " + _BEST_SQL + " = 0 THEN 'unknown' " + " ".join(
     f"WHEN hits_{lang} = {_BEST_SQL} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
 ) + " END"
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per source: explode words → tf per (source, term),
+    df across sources, idf = ln(n_sources/df), rank by score. Two shuffles
+    (term counts, rank) — the classic corpus-statistics shape."""
+    d = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = d.select("source", F.explode(_words()).alias("term"))
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = d.select("source").distinct().count()
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(docfreq, "term")
+        .withColumn("score", F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 4))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "term", "score")
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char buckets) per language."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = F.floor(F.col("n_chars") / 50).cast("int")
+    return d.groupBy("lang", bucket.alias("bucket")).agg(F.count("*").alias("cnt"))
+
+
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95) of document length per
+    source — Spark's ``percentile`` matches ANSI percentile_cont."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("source").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 2).alias("p95"),
+        F.count("*").alias("docs"),
+    )
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprint_dedup": q_fingerprint_dedup,
     "exact_dedup_stats": q_exact_dedup_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "length_histogram": q_length_histogram,
+    "percentile_stats": q_percentile_stats,
 }
 
 ORACLES = {
@@ -189,5 +235,36 @@ ORACLES = {
         SELECT sum(c) AS total_docs, count(*) AS distinct_docs,
                sum(c) - count(*) AS dups_removed
         FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+    """,
+    "tfidf_top_terms": """
+        WITH words AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT source, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        docfreq AS (SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+        scored AS (
+            SELECT source, term, tf,
+                   round(tf * ln(CAST(n_sources AS DOUBLE) / df), 4) AS score
+            FROM tf JOIN docfreq USING (term), n
+        )
+        SELECT source, rk, term, score FROM (
+            SELECT source, term, score,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY score DESC, term) AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    """,
+    "length_histogram": """
+        SELECT lang, CAST(floor(n_chars / 50) AS INT) AS bucket, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    """,
+    "percentile_stats": """
+        SELECT source,
+               round(quantile_cont(n_chars, 0.5), 2) AS p50,
+               round(quantile_cont(n_chars, 0.95), 2) AS p95,
+               count(*) AS docs
+        FROM documents GROUP BY source
     """,
 }

@@ -195,5 +195,14 @@ def fixture_records() -> list[dict]:
     ]
 
 
+_FIXTURE_CACHE: dict[int, DataFrame] = {}
+
+
 def fixture_studies(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(fixture_records(), schema=studies_schema())
+    """Deterministic 8-record corpus, built and cached once per session
+    (several demo queries and the whole OAI test-surface share it)."""
+    key = id(spark)
+    if key not in _FIXTURE_CACHE:
+        df = spark.createDataFrame(fixture_records(), schema=studies_schema())
+        _FIXTURE_CACHE[key] = df.cache()
+    return _FIXTURE_CACHE[key]
