@@ -139,6 +139,44 @@ def test_streaming_stateful_running_totals(spark, tmp_path):
     assert got == want
 
 
+def test_synthetic_harvest_source_end_to_end(spark, tmp_path):
+    """Continuous synthetic source → watermarked merge: ids wrap (upserts),
+    every 10th event deletes, corpus stays bounded by the id space."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming import (
+        synthetic_source as S,
+    )
+
+    target = str(tmp_path / "synth_corpus")
+    ckpt = str(tmp_path / "synth_ckpt")
+    stream = S.synthetic_harvest_stream(spark, rows_per_batch=30)
+    q = (stream.writeStream
+         .foreachBatch(lambda df, _e: I.merge_batch(df, target))
+         .option("checkpointLocation", ckpt)
+         .outputMode("update")
+         .trigger(processingTime="1 second")
+         .start())
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    df = spark.read.parquet(target)
+    rows = {r["aggregator_identifier"]: r for r in df.collect()}
+    assert 0 < len(rows) <= S.REHARVEST_MOD  # bounded by the wrapping id space
+    # value 9 → synth_2 deleted in the first batch wave
+    assert rows["synth_2"]["metadata"]["status"] in ("deleted", "created")
+    assert any(r["metadata"]["status"] == "deleted" for r in rows.values())
+    live = [r for r in rows.values() if r["metadata"]["status"] == "created"]
+    assert all(r["direct_base_url"] in
+               ("http://services.fsd.tuni.fi/v0/oai", "https://www.da-ra.de/oaip")
+               for r in live)
+
+
 def test_streaming_window_counts_match_batch(spark, tmp_path):
     """The §2.8 windowed agg produces the same rows under readStream as the
     batch plan (q_event_window) at sf0.001."""
