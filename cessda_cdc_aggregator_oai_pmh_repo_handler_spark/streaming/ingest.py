@@ -94,12 +94,14 @@ def merge_batch(batch: DataFrame, target_path: str) -> None:
     MATCHED INSERT``."""
     spark = batch.sparkSession
     latest = _latest_event_per_key(batch)
-    try:
-        existing = spark.read.parquet(target_path)
-        have_target = True
-    except Exception:
+    # the swap decision keys on directory EXISTENCE, not on read success —
+    # an empty/partially-written target (stopped query) must still be
+    # replaced via rename-swap, never rename-onto
+    have_target = os.path.exists(target_path)
+    if have_target:
+        existing = spark.read.schema(studies_schema()).parquet(target_path)
+    else:
         existing = spark.createDataFrame([], studies_schema())
-        have_target = False
 
     incoming = _as_study_row(latest, existing).cache()
     keys = incoming.select("aggregator_identifier")
