@@ -172,14 +172,26 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_col(sh: Column) -> Column:
     """16-bit SimHash as a bitstring: bit j = majority of md5(shingle)'s
-    j-th hex digit having its high bit set."""
+    j-th hex digit having its high bit set. Computed as ONE aggregate pass
+    per row: each digest folds a 16-wide 0/1 vector into a count vector
+    (16 separate filter passes would inline the md5 transform 16×)."""
     md5s = F.transform(sh, lambda s: F.md5(s))
-
-    def bit(j):
-        high = F.size(F.filter(md5s, lambda h: F.substring(h, j, 1).isin(*HEX_HIGH)))
-        return F.when(high * 2 > F.size(md5s), F.lit("1")).otherwise(F.lit("0"))
-
-    return F.concat(*[bit(j) for j in range(1, SIGN_DIMS + 1)])
+    positions = F.sequence(F.lit(1), F.lit(SIGN_DIMS))
+    counts = F.aggregate(
+        md5s,
+        F.array_repeat(F.lit(0), SIGN_DIMS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                positions,
+                lambda j: F.when(F.substring(h, j, 1).isin(*HEX_HIGH), 1).otherwise(0),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(md5s)
+    bits = F.transform(counts, lambda c: F.when(c * 2 > n, F.lit("1")).otherwise(F.lit("0")))
+    return F.array_join(bits, "")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
