@@ -83,6 +83,50 @@ def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the first 8 dimensions — the k-means E-step
+    shape (at scale: one map-side-combined groupBy, centroids broadcast
+    back for the assign step)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dims = [
+        F.round(F.avg(F.col("embedding").getItem(k).cast("double")), 4).alias(f"d{k}")
+        for k in range(8)
+    ]
+    return e.groupBy("label").agg(F.count("*").alias("n"), *dims)
+
+
+def q_ann_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN with the cosine computed in a vectorized Pandas UDF
+    (numpy over Arrow batches) — the sanctioned pattern when Python math is
+    unavoidable; results identical to the JVM fold of q_ann_bruteforce."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = np.array(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"], dtype=np.float64
+    )
+
+    def _cos(col):
+        m = np.stack(col.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dots = m @ qvec
+        norms = np.sqrt((m * m).sum(axis=1)) * np.sqrt((qvec * qvec).sum())
+        return pd.Series(dots / norms)
+
+    # module-level `from __future__ import annotations` stringifies hints,
+    # which pandas_udf's signature inference rejects — set them as objects
+    _cos.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    cos = pandas_udf(_cos, "double")
+
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(cos("embedding"), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 _COS_Q = _cosine_sql("e.embedding", "q.embedding")
 _QSIG = _SIGN_SIG_SQL.replace("embedding[", "q.embedding[")
 _ESIG = _SIGN_SIG_SQL.replace("embedding[", "e.embedding[")
@@ -91,6 +135,8 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_lsh_probe": q_ann_lsh_probe,
+    "ann_pandas": q_ann_pandas,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLES = {
@@ -115,5 +161,20 @@ ORACLES = {
         WHERE e.vec_id <> {QUERY_VEC_ID} AND ({_ESIG}) = ({_QSIG})
         ORDER BY {_COS_Q} DESC, e.vec_id
         LIMIT {TOP_K}
+    """,
+    # same result as the JVM fold; numpy's pairwise summation agrees with the
+    # fold at 4 decimal places for 64-dim unit-scale vectors
+    "ann_pandas": f"""
+        SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {_COS_Q} DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+    "label_centroids": f"""
+        SELECT label, count(*) AS n,
+               {", ".join(f"round(avg(CAST(embedding[{k + 1}] AS DOUBLE)), 4) AS d{k}"
+                          for k in range(8))}
+        FROM embeddings GROUP BY label
     """,
 }

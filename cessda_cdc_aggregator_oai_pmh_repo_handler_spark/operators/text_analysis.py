@@ -184,7 +184,25 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning verdicts: first failing rule wins (too-short /
+    too-long / too-few-stopwords / kept), rolled up per source — the
+    pipeline stage that gates documents before dedup/training."""
+    d = load_table(spark, "documents", sf_dir)
+    w = _words()
+    n = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / n
+    verdict = (
+        F.when(n < 20, "too_short")
+        .when(n > 90, "too_long")
+        .when(stop_ratio < 0.02, "too_few_stopwords")
+        .otherwise("kept")
+    )
+    return d.groupBy("source", verdict.alias("verdict")).agg(F.count("*").alias("cnt"))
+
+
 QUERIES = {
+    "quality_filter_pipeline": q_quality_filter_pipeline,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -258,6 +276,18 @@ ORACLES = {
     """,
     "length_histogram": """
         SELECT lang, CAST(floor(n_chars / 50) AS INT) AS bucket, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    """,
+    "quality_filter_pipeline": f"""
+        SELECT source,
+               CASE WHEN len(string_split(lower(text), ' ')) < 20 THEN 'too_short'
+                    WHEN len(string_split(lower(text), ' ')) > 90 THEN 'too_long'
+                    WHEN len(list_filter(string_split(lower(text), ' '),
+                                         x -> x IN ({_STOP_SQL})))
+                         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) < 0.02
+                         THEN 'too_few_stopwords'
+                    ELSE 'kept' END AS verdict,
+               count(*) AS cnt
         FROM documents GROUP BY 1, 2
     """,
     "percentile_stats": """
