@@ -54,12 +54,14 @@ class OAIFacade:
                  repository_name: str = "CDC Aggregator OAI Repo Handler (Spark)",
                  base_url: str = "http://localhost:6003/v0/oai",
                  admin_email: str = "admin@example.invalid",
-                 deleted_records: str = "persistent"):
+                 deleted_records: str = "persistent",
+                 stylesheet_url: str | None = None):
         self.planner = planner
         self.repository_name = repository_name
         self.base_url = base_url
         self.admin_email = admin_email
         self.deleted_records = deleted_records
+        self.stylesheet_url = stylesheet_url
         self.request_metrics = RequestMetrics()
 
     # --- helpers -----------------------------------------------------------
@@ -93,7 +95,7 @@ class OAIFacade:
     def _error(self, verb, request_ts, code, message, args=None) -> str:
         self._last_was_error = True
         root, _ = R.envelope(verb, self.base_url, request_ts, args, error=(code, message))
-        return R.to_string(root)
+        return R.to_string(root, self.stylesheet_url)
 
     # --- entry point ---------------------------------------------------------
 
@@ -147,7 +149,7 @@ class OAIFacade:
         ]:
             el = ET.SubElement(body, f"{{{R.OAI_NS}}}{tag}")
             el.text = text
-        return R.to_string(root)
+        return R.to_string(root, self.stylesheet_url)
 
     def _list_metadata_formats(self, request_ts: str) -> str:
         root, body = R.envelope("ListMetadataFormats", self.base_url, request_ts)
@@ -160,7 +162,7 @@ class OAIFacade:
                               ("metadataNamespace", f.namespace)]:
                 el = ET.SubElement(fmt, f"{{{R.OAI_NS}}}{tag}")
                 el.text = text
-        return R.to_string(root)
+        return R.to_string(root, self.stylesheet_url)
 
     def _list_sets(self, request_ts: str) -> str:
         root, body = R.envelope("ListSets", self.base_url, request_ts)
@@ -174,7 +176,7 @@ class OAIFacade:
             if description is not None:
                 el = ET.SubElement(s, f"{{{R.OAI_NS}}}setDescription")
                 el.text = description
-        return R.to_string(root)
+        return R.to_string(root, self.stylesheet_url)
 
     def _get_record(self, request_ts: str, identifier: str | None = None,
                     metadataPrefix: str | None = None) -> str:
@@ -204,7 +206,7 @@ class OAIFacade:
                                    f"No record with identifier {identifier}", args)
         root, body = R.envelope("GetRecord", self.base_url, request_ts, args)
         R.render_record(body, row, metadataPrefix, derived)
-        return R.to_string(root)
+        return R.to_string(root, self.stylesheet_url)
 
     def _list(self, verb: str, request_ts: str, metadataPrefix: str | None = None,
               set: str | None = None, resumptionToken: str | None = None,
@@ -241,4 +243,4 @@ class OAIFacade:
             body, next_token, cursor=page.cursor,
             complete_list_size=page.complete_list_size,
             final_page=resumptionToken is not None and next_token is None)
-        return R.to_string(root)
+        return R.to_string(root, self.stylesheet_url)

@@ -304,11 +304,17 @@ def render_resumption_token(parent, token: str | None, cursor: int,
          cursor=str(cursor), completeListSize=str(complete_list_size))
 
 
-def to_string(root: ET.Element) -> str:
+def to_string(root: ET.Element, stylesheet_url: str | None = None) -> str:
+    """Serialize; optional xml-stylesheet processing instruction mirrors the
+    reference's configurable stylesheet line
+    (/root/reference/tests/test_serve.py:1503-1557)."""
     ET.register_namespace("oai", OAI_NS)
     ET.register_namespace("dc", DC_NS)
     ET.register_namespace("oai_dc", OAI_DC_NS)
     ET.register_namespace("datacite", DATACITE_NS)
     ET.register_namespace("ddi", DDI_NS)
     ET.register_namespace("provenance", PROVENANCE_NS)
-    return '<?xml version="1.0" encoding="UTF-8"?>' + ET.tostring(root, encoding="unicode")
+    pi = (f"<?xml-stylesheet type='text/xsl' href='{stylesheet_url}' ?>"
+          if stylesheet_url else "")
+    return ('<?xml version="1.0" encoding="UTF-8"?>' + pi
+            + ET.tostring(root, encoding="unicode"))

@@ -211,6 +211,34 @@ def test_list_records_bad_token(facade):
     assert el.find("./oai:error", NS).get("code") == "badResumptionToken"
 
 
+def test_stylesheet_pi_and_deleted_policy(spark):
+    """Protocol config edges (/root/reference/tests/test_serve.py:1474-1557):
+    stylesheet PI present when configured, absent otherwise; deletedRecord
+    policy switches transient/persistent."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies import (
+        fixture_studies,
+    )
+
+    planner = OAIQueryPlanner(fixture_studies(spark))
+    styled = OAIFacade(planner, deleted_records="transient",
+                       stylesheet_url="/v0/oai/static/oai2.xsl")
+    xml = styled.handle_request(verb="Identify", request_ts=NOW)
+    assert "<?xml-stylesheet type='text/xsl' href='/v0/oai/static/oai2.xsl' ?>" in xml
+    assert parse(xml).find("./oai:Identify/oai:deletedRecord", NS).text == "transient"
+
+    plain = OAIFacade(planner)
+    assert "xml-stylesheet" not in plain.handle_request(verb="Identify", request_ts=NOW)
+
+
+def test_list_identifiers_datacite_validity(facade):
+    """ListIdentifiers honors the datacite P4 prefilter even header-only."""
+    el = parse(facade.handle_request(verb="ListIdentifiers", request_ts=NOW,
+                                     metadataPrefix="oai_datacite"))
+    headers = el.findall("./oai:ListIdentifiers/oai:header", NS)
+    ids = {h.find("./oai:identifier", NS).text for h in headers}
+    assert "agg_id_3" not in ids and "agg_id_5" not in ids
+
+
 def test_request_metrics_recorded(facade):
     m = facade.request_metrics
     base_total = m.requests_total

@@ -60,6 +60,35 @@ def test_validate_configurable_errors(tmp_path):
         yaml_sets.validate_configurable(str(bad))
 
 
+@pytest.mark.parametrize("content", [
+    "spec: s\nname: n\n",                                         # nodes missing
+    "spec: s\nname: n\nnodes: []\n",                              # nodes empty
+    "spec: s\nname: n\nnodes: [{name: cn, identifiers: [x]}]\n",  # node spec missing
+    "spec: s\nname: n\nnodes: [{spec: c, identifiers: [x]}]\n",   # node name missing
+    "spec: s\nname: n\nnodes: [{spec: c, name: cn}]\n",           # identifiers missing
+    "spec: s\nname: n\nnodes: [{spec: c, name: cn, identifiers: x}]\n",  # not a list
+    "spec: ''\nname: n\nnodes: [{spec: c, name: cn, identifiers: [x]}]\n",  # empty spec
+    "name: n\nnodes: [{spec: c, name: cn, identifiers: [x]}]\n",  # top spec missing
+    "spec: s\nnodes: [{spec: c, name: cn, identifiers: [x]}]\n",  # top name missing
+])
+def test_validate_configurable_error_matrix(tmp_path, content):
+    """Mirror of the reference's 12-variant YAML validation suite
+    (/root/reference/tests/test_metadataformats.py:80-239)."""
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(content)
+    with pytest.raises(yaml_sets.SetConfigError):
+        yaml_sets.validate_configurable(str(bad))
+
+
+def test_validate_configurable_bad_external(tmp_path):
+    ext = tmp_path / "ext.yaml"
+    ext.write_text("- spec: c\n  name: cn\n  identifiers: []\n")  # empty ids in ext
+    main = tmp_path / "main.yaml"
+    main.write_text(f"spec: s\nname: n\nnodes:\n  - path: '{ext}'\n")
+    with pytest.raises(yaml_sets.SetConfigError):
+        yaml_sets.validate_configurable(str(main))
+
+
 def test_source_defs_uniqueness(tmp_path):
     dup = tmp_path / "dup.yaml"
     dup.write_text("- {url: u1, source: s1, setname: n1}\n- {url: u1, source: s2, setname: n2}\n")
