@@ -1,0 +1,61 @@
+"""Property-based tests (hypothesis) for the pure-Python layers: token
+codec, set-membership semantics, datestamp formatting. The DataFrame layer
+gets its rigor from the DuckDB oracle gate instead."""
+
+from __future__ import annotations
+
+import datetime
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.oai.render import _fmt_ts
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.tokens import (
+    BadResumptionToken, ResumptionToken,
+)
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.yaml_sets import (
+    configurable_identifiers,
+)
+
+ident = st.text(string.ascii_letters + string.digits + "_:-.", min_size=1, max_size=40)
+
+
+@given(q=st.text(string.hexdigits, min_size=1, max_size=16), c=st.integers(0, 10**12),
+       n=st.integers(0, 10**12), t=ident, k=st.none() | ident)
+def test_token_roundtrip(q, c, n, t, k):
+    tok = ResumptionToken(q, c, n, t, last_key=k)
+    assert ResumptionToken.decode(tok.encode()) == tok
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200)
+def test_garbage_tokens_never_crash(s):
+    try:
+        ResumptionToken.decode(s)
+    except BadResumptionToken:
+        pass  # the only acceptable exception
+
+
+@given(st.lists(
+    st.tuples(ident, st.lists(ident, min_size=1, max_size=8)),
+    min_size=1, max_size=6))
+def test_configurable_union_semantics(nodes):
+    cnf = {"nodes": [{"spec": spec, "identifiers": ids} for spec, ids in nodes]}
+    # top-level = sorted dedup of ALL identifiers
+    all_ids = configurable_identifiers(cnf)
+    assert all_ids == sorted({i for _, ids in nodes for i in ids})
+    # named child = first node with that spec (reference takes first match)
+    first_spec = nodes[0][0]
+    expected = sorted(set(next(ids for spec, ids in nodes if spec == first_spec)))
+    assert configurable_identifiers(cnf, first_spec) == expected
+    # unknown spec = empty
+    assert configurable_identifiers(cnf, "\x00nosuch") == []
+
+
+@given(st.datetimes(min_value=datetime.datetime(1970, 1, 1),
+                    max_value=datetime.datetime(2100, 1, 1)))
+def test_fmt_ts_shape(dt):
+    s = _fmt_ts(dt)
+    assert len(s) == 20 and s.endswith("Z") and s[4] == "-" and s[10] == "T"
+    assert datetime.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
