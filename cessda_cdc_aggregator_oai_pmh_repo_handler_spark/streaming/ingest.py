@@ -120,6 +120,56 @@ def merge_batch(batch: DataFrame, target_path: str) -> None:
         os.rename(staging, target_path)
 
 
+ID_BUCKETS = 16
+ID_BUCKET_COL = "id_bucket"
+
+
+def _id_bucket(col: str = "aggregator_identifier") -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(ID_BUCKETS)).cast("int")
+
+
+def merge_batch_bucketed(batch: DataFrame, target_path: str) -> None:
+    """Partition-pruned merge: the corpus is partitioned by a hash bucket of
+    the PRIMARY KEY (immutable per record, unlike the publisher), so a
+    microbatch only ever touches the buckets its keys hash to. The merge
+    reads just those partitions (pruned scan) and dynamic partition
+    overwrite rewrites just those directories — batch-sized I/O against a
+    corpus-sized table, the no-Delta equivalent of MERGE + pruning."""
+    spark = batch.sparkSession
+    latest = _latest_event_per_key(batch)
+    affected = [r[0] for r in
+                latest.select(_id_bucket().alias("b")).distinct().collect()]
+
+    have_target = os.path.exists(target_path)
+    if have_target:
+        existing = (
+            spark.read.schema(
+                studies_schema().add(ID_BUCKET_COL, "integer")
+            ).parquet(target_path)
+            .filter(F.col(ID_BUCKET_COL).isin(affected))
+            .drop(ID_BUCKET_COL)
+        )
+    else:
+        existing = spark.createDataFrame([], studies_schema())
+
+    incoming = _as_study_row(latest, existing)
+    keys = incoming.select("aggregator_identifier")
+    kept = existing.join(keys, "aggregator_identifier", "left_anti")
+    merged = kept.unionByName(incoming).withColumn(ID_BUCKET_COL, _id_bucket())
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.repartition(ID_BUCKET_COL)
+         .write.mode("overwrite").partitionBy(ID_BUCKET_COL).parquet(target_path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_bucketed_corpus(spark: SparkSession, target_path: str) -> DataFrame:
+    return spark.read.parquet(target_path).drop(ID_BUCKET_COL)
+
+
 def start_ingest(spark: SparkSession, source_dir: str, target_path: str,
                  checkpoint_dir: str, watermark: str = "1 hour",
                  available_now: bool = True):
