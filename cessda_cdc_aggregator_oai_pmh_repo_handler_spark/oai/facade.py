@@ -208,12 +208,33 @@ class OAIFacade:
         R.render_record(body, row, metadataPrefix, derived)
         return R.to_string(root, self.stylesheet_url)
 
+    @staticmethod
+    def _parse_oai_date(value: str | None) -> str | None:
+        """OAI granularity: YYYY-MM-DD or YYYY-MM-DDThh:mm:ssZ
+        → engine timestamp string; None on malformed input."""
+        if value is None:
+            return None
+        for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%SZ"):
+            try:
+                return datetime.strptime(value, fmt).strftime("%Y-%m-%d %H:%M:%S")
+            except ValueError:
+                continue
+        return None
+
     def _list(self, verb: str, request_ts: str, metadataPrefix: str | None = None,
               set: str | None = None, resumptionToken: str | None = None,
               **kw) -> str:
-        from_ts, until_ts = kw.get("from"), kw.get("until")
+        raw_from, raw_until = kw.get("from"), kw.get("until")
+        from_ts, until_ts = self._parse_oai_date(raw_from), self._parse_oai_date(raw_until)
+        if (raw_from is not None and from_ts is None) or (
+                raw_until is not None and until_ts is None):
+            return self._error(
+                verb, request_ts, "badArgument",
+                "from/until must be YYYY-MM-DD or YYYY-MM-DDThh:mm:ssZ",
+                {"metadataPrefix": metadataPrefix, "set": set,
+                 "from": raw_from, "until": raw_until})
         args = {"metadataPrefix": metadataPrefix, "set": set,
-                "from": from_ts, "until": until_ts,
+                "from": raw_from, "until": raw_until,
                 "resumptionToken": resumptionToken}
         if resumptionToken is None and FMT.get(metadataPrefix) is None:
             return self._error(verb, request_ts, "cannotDisseminateFormat",

@@ -204,6 +204,25 @@ def test_list_records_no_match(facade):
     assert el.find("./oai:error", NS).get("code") == "noRecordsMatch"
 
 
+def test_list_records_date_granularities(facade):
+    """OAI accepts date-only and full-second granularities; the deleted
+    record (datestamp 2000-01-01T23:00:00Z) is caught by an until bound in
+    either form."""
+    for until in ("2010-01-01", "2010-01-01T00:00:00Z"):
+        el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                         metadataPrefix="oai_dc", until=until))
+        recs = el.findall("./oai:ListRecords/oai:record", NS)
+        assert [r.find("./oai:header/oai:identifier", NS).text
+                for r in recs] == ["agg_id_2"]
+
+
+def test_list_records_malformed_date_is_bad_argument(facade):
+    for bad in ("2010-13-45", "notadate", "2010-01-01T99:00:00Z", "2010/01/01"):
+        el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                         metadataPrefix="oai_dc", **{"from": bad}))
+        assert el.find("./oai:error", NS).get("code") == "badArgument"
+
+
 def test_list_records_bad_token(facade):
     el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
                                      metadataPrefix="oai_dc",
