@@ -201,7 +201,44 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source", verdict.alias("verdict")).agg(F.count("*").alias("cnt"))
 
 
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score of document length via grouped-map
+    ``applyInPandas`` — the custom-operator escape hatch where the group's
+    whole frame is needed at once (here it isn't, which is the point the
+    oracle makes: window functions express it too; the pattern is what's
+    being exercised). One shuffle on the group key."""
+    import pandas as pd
+
+    d = load_table(spark, "documents", sf_dir)
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        out = pdf[["doc_id", "source"]].copy()
+        out["z"] = ((pdf["n_chars"] - mu) / sd).round(3)
+        return out
+
+    return (
+        d.groupBy("source")
+        .applyInPandas(zscore, schema="doc_id long, source string, z double")
+        .filter(F.col("doc_id") < 100)
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the sketch path for 100 TB cardinality
+    estimation (no exact-match oracle possible; accuracy bounds are pinned
+    by tests/test_text_ops.py instead)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
 QUERIES = {
+    "zscore_normalize": q_zscore_normalize,
+    "approx_distinct": q_approx_distinct,
     "quality_filter_pipeline": q_quality_filter_pipeline,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -277,6 +314,16 @@ ORACLES = {
     "length_histogram": """
         SELECT lang, CAST(floor(n_chars / 50) AS INT) AS bucket, count(*) AS cnt
         FROM documents GROUP BY 1, 2
+    """,
+    # approx_distinct intentionally has NO oracle (sketch output is
+    # implementation-specific); the driver records the weaker rows-only check
+    "zscore_normalize": """
+        SELECT doc_id, source,
+               round((n_chars - avg(n_chars) OVER w)
+                     / stddev_samp(n_chars) OVER w, 3) AS z
+        FROM documents
+        WINDOW w AS (PARTITION BY source)
+        QUALIFY doc_id < 100
     """,
     "quality_filter_pipeline": f"""
         SELECT source,
