@@ -233,6 +233,17 @@ class OAIFacade:
                 "from/until must be YYYY-MM-DD or YYYY-MM-DDThh:mm:ssZ",
                 {"metadataPrefix": metadataPrefix, "set": set,
                  "from": raw_from, "until": raw_until})
+        if resumptionToken is not None:
+            # resumptionToken is an EXCLUSIVE argument (OAI 2.0 §3.5); the
+            # token itself carries prefix/set/from/until
+            if any(v is not None for v in (metadataPrefix, set, raw_from, raw_until)):
+                return self._error(
+                    verb, request_ts, "badArgument",
+                    "resumptionToken is an exclusive argument",
+                    {"resumptionToken": resumptionToken})
+            from ..plans.tokens import ResumptionToken as _RT
+
+            metadataPrefix = _RT.decode(resumptionToken).metadata_prefix
         args = {"metadataPrefix": metadataPrefix, "set": set,
                 "from": raw_from, "until": raw_until,
                 "resumptionToken": resumptionToken}

@@ -40,7 +40,9 @@ def _request_metric_lines(rm) -> str:
     for ua, n in sorted(rm.requests_per_user_agent.items()):
         ua_esc = ua.replace('"', '\\"')
         lines.append(f'requests_per_user_agent{{harvester="{ua_esc}"}} {float(n)}')
-    for (verb, prefix), durs in sorted(rm.requests_duration.items()):
+    for (verb, prefix), durs in sorted(
+            rm.requests_duration.items(),
+            key=lambda kv: (str(kv[0][0]), str(kv[0][1]))):
         lines.append(
             f'requests_duration_ms_sum{{verb="{verb}",metadataPrefix="{prefix or ""}"}} '
             f"{round(sum(durs), 3)}"

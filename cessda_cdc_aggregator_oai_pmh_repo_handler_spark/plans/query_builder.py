@@ -240,23 +240,27 @@ class OAIQueryPlanner:
         )
         return self.studies.filter(cond)
 
-    def list_page(self, metadata_prefix: str, set_spec: str | None = None,
+    def list_page(self, metadata_prefix: str | None = None,
+                  set_spec: str | None = None,
                   from_ts: str | None = None, until_ts: str | None = None,
                   request_ts: str | None = None, token: str | None = None,
                   header_only: bool = False) -> Page:
         """ListRecords/ListIdentifiers page. First call counts the complete
-        list once and fixes the snapshot; subsequent calls resume via keyset."""
-        qh = query_hash(metadata_prefix, set_spec, from_ts, until_ts)
+        list once and fixes the snapshot; a resumed call carries ONLY the
+        token (exclusive OAI argument) — all query state comes from it."""
         if token is not None:
             tok = ResumptionToken.decode(token)
-            if tok.query_hash != qh:
-                raise BadResumptionToken("token does not match query arguments")
+            metadata_prefix, set_spec, from_ts, until_ts = (
+                tok.metadata_prefix, tok.set_spec, tok.from_ts, tok.until_ts)
             snapshot_ts, cursor, total, last_key = (
                 tok.snapshot_ts, tok.cursor, tok.complete_list_size, tok.last_key)
         else:
             if request_ts is None:
                 raise ValueError("request_ts required for the first page")
+            if metadata_prefix is None:
+                raise ValueError("metadata_prefix required for the first page")
             snapshot_ts, cursor, total, last_key = request_ts, 0, -1, None
+        qh = query_hash(metadata_prefix, set_spec, from_ts, until_ts)
 
         base = self._list_base(metadata_prefix, set_spec, from_ts, until_ts,
                                snapshot_ts)
@@ -278,8 +282,10 @@ class OAIQueryPlanner:
         more = next_cursor < total
         next_token = ResumptionToken(
             query_hash=qh, cursor=next_cursor, complete_list_size=total,
-            snapshot_ts=snapshot_ts, last_key="\x00",  # placeholder; facade
-            # fills the real last key from the collected page rows
+            snapshot_ts=snapshot_ts, metadata_prefix=metadata_prefix,
+            set_spec=set_spec, from_ts=from_ts, until_ts=until_ts,
+            last_key="\x00",  # placeholder; facade fills the real last key
+            # from the collected page rows
         ) if more else None
         return Page(df=page, token=next_token, complete_list_size=total, cursor=cursor)
 

@@ -23,10 +23,18 @@ class BadResumptionToken(ValueError):
 
 @dataclass(frozen=True)
 class ResumptionToken:
-    query_hash: str          # hash of (prefix, set, from, until)
+    """OAI resumptionToken is an EXCLUSIVE argument: a resumed request
+    carries verb + token only, so the token itself holds the full query
+    state (prefix/set/from/until) plus the paging cursor."""
+
+    query_hash: str          # integrity hash of (prefix, set, from, until)
     cursor: int              # rows already delivered
     complete_list_size: int  # count() at token birth (A1)
     snapshot_ts: str         # P7/O2 bound fixed for the token lifetime
+    metadata_prefix: str
+    set_spec: str | None = None
+    from_ts: str | None = None
+    until_ts: str | None = None
     last_key: str | None = None  # keyset-pagination watermark (scale path):
                                  # next page = WHERE key > last_key, a pushed-down
                                  # range scan instead of a global window
@@ -34,7 +42,8 @@ class ResumptionToken:
     def encode(self) -> str:
         payload = json.dumps(
             {"q": self.query_hash, "c": self.cursor, "n": self.complete_list_size,
-             "t": self.snapshot_ts, "k": self.last_key},
+             "t": self.snapshot_ts, "p": self.metadata_prefix, "s": self.set_spec,
+             "f": self.from_ts, "u": self.until_ts, "k": self.last_key},
             separators=(",", ":"), sort_keys=True,
         )
         return base64.urlsafe_b64encode(payload.encode()).decode()
@@ -43,11 +52,17 @@ class ResumptionToken:
     def decode(cls, token: str) -> "ResumptionToken":
         try:
             payload = json.loads(base64.urlsafe_b64decode(token.encode()))
-            return cls(query_hash=payload["q"], cursor=int(payload["c"]),
-                       complete_list_size=int(payload["n"]), snapshot_ts=payload["t"],
-                       last_key=payload.get("k"))
+            tok = cls(query_hash=payload["q"], cursor=int(payload["c"]),
+                      complete_list_size=int(payload["n"]), snapshot_ts=payload["t"],
+                      metadata_prefix=payload["p"], set_spec=payload.get("s"),
+                      from_ts=payload.get("f"), until_ts=payload.get("u"),
+                      last_key=payload.get("k"))
         except (binascii.Error, json.JSONDecodeError, KeyError, ValueError, TypeError) as exc:
             raise BadResumptionToken(f"cannot decode token: {token!r}") from exc
+        if tok.query_hash != query_hash(tok.metadata_prefix, tok.set_spec,
+                                        tok.from_ts, tok.until_ts):
+            raise BadResumptionToken("token integrity check failed")
+        return tok
 
 
 def query_hash(metadata_prefix: str, set_spec: str | None,

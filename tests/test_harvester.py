@@ -26,9 +26,9 @@ def harvested(spark, tmp_path_factory):
     target = str(tmp_path_factory.mktemp("harvest") / "corpus")
     token, events = None, []
     while True:
-        kw = {"resumptionToken": token} if token else {}
-        xml = facade.handle_request(verb="ListRecords", request_ts=NOW,
-                                    metadataPrefix="oai_dc", **kw)
+        kw = ({"resumptionToken": token} if token
+              else {"metadataPrefix": "oai_dc"})  # token is exclusive
+        xml = facade.handle_request(verb="ListRecords", request_ts=NOW, **kw)
         events += H.parse_list_records(xml, UPSTREAM, HARVEST_TS)
         import xml.etree.ElementTree as ET
 

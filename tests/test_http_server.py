@@ -56,8 +56,7 @@ def test_full_harvest_over_http(server):
         if tok is None or not tok.text:
             break
         status, _, body = fetch(
-            server,
-            f"/v0/oai?verb=ListRecords&metadataPrefix=oai_dc&resumptionToken={tok.text}")
+            server, f"/v0/oai?verb=ListRecords&resumptionToken={tok.text}")
     assert seen == [f"agg_id_{i}" for i in range(1, 9)]
 
 

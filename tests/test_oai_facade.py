@@ -177,8 +177,8 @@ def test_list_records_pages_and_token(facade):
     seen = [r.find("./oai:header/oai:identifier", NS).text for r in records]
     token = tok_el.text
     while token:
+        # resumptionToken is exclusive: no metadataPrefix on resume
         el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
-                                         metadataPrefix="oai_dc",
                                          resumptionToken=token))
         records = el.findall("./oai:ListRecords/oai:record", NS)
         seen += [r.find("./oai:header/oai:identifier", NS).text for r in records]
@@ -225,9 +225,19 @@ def test_list_records_malformed_date_is_bad_argument(facade):
 
 def test_list_records_bad_token(facade):
     el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
-                                     metadataPrefix="oai_dc",
                                      resumptionToken="!!notatoken!!"))
     assert el.find("./oai:error", NS).get("code") == "badResumptionToken"
+
+
+def test_resumption_token_is_exclusive(facade):
+    """OAI 2.0 §3.5: token + any other argument ⇒ badArgument."""
+    first = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                        metadataPrefix="oai_dc"))
+    token = first.find("./oai:ListRecords/oai:resumptionToken", NS).text
+    el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                     metadataPrefix="oai_dc",
+                                     resumptionToken=token))
+    assert el.find("./oai:error", NS).get("code") == "badArgument"
 
 
 def test_stylesheet_pi_and_deleted_policy(spark):

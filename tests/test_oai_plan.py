@@ -201,14 +201,29 @@ def test_selective_harvest_from_until(planner):
 def test_bad_token_rejected(planner):
     with pytest.raises(BadResumptionToken):
         planner.list_page("oai_dc", token="garbage!!")
-    page = planner.list_page("oai_dc", request_ts=NOW)
-    tok = finalize_token(page, page.df.collect())
+    # tampered integrity hash is rejected at decode
     with pytest.raises(BadResumptionToken):
-        planner.list_page("oai_dc", set_spec="source:FSD", token=tok)
+        planner.list_page(token=ResumptionToken(
+            "f" * 16, 3, 10, NOW, metadata_prefix="oai_dc").encode())
+
+
+def test_token_carries_query_state(planner):
+    """A resumed call passes ONLY the token; set/range state comes from it."""
+    page = planner.list_page("oai_dc", set_spec="source:FSD", request_ts=NOW)
+    tok = finalize_token(page, page.df.collect())
+    page2 = planner.list_page(token=tok)
+    ids = [r["aggregator_identifier"] for r in page2.df.collect()]
+    assert ids and all(planner.studies.filter(
+        planner.set_filter("source:FSD")).filter(
+        F.col("aggregator_identifier") == i).count() == 1 for i in ids)
 
 
 def test_token_roundtrip():
-    t = ResumptionToken("abcd", 3, 10, NOW, last_key="k1")
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.tokens import query_hash
+
+    qh = query_hash("oai_dc", "source:FSD", None, None)
+    t = ResumptionToken(qh, 3, 10, NOW, metadata_prefix="oai_dc",
+                        set_spec="source:FSD", last_key="k1")
     assert ResumptionToken.decode(t.encode()) == t
 
 

@@ -21,11 +21,25 @@ from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.yaml_sets import (
 ident = st.text(string.ascii_letters + string.digits + "_:-.", min_size=1, max_size=40)
 
 
-@given(q=st.text(string.hexdigits, min_size=1, max_size=16), c=st.integers(0, 10**12),
-       n=st.integers(0, 10**12), t=ident, k=st.none() | ident)
-def test_token_roundtrip(q, c, n, t, k):
-    tok = ResumptionToken(q, c, n, t, last_key=k)
+@given(p=ident, s=st.none() | ident, f=st.none() | ident, u=st.none() | ident,
+       c=st.integers(0, 10**12), n=st.integers(0, 10**12), t=ident,
+       k=st.none() | ident)
+def test_token_roundtrip(p, s, f, u, c, n, t, k):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.tokens import query_hash
+
+    tok = ResumptionToken(query_hash(p, s, f, u), c, n, t, metadata_prefix=p,
+                          set_spec=s, from_ts=f, until_ts=u, last_key=k)
     assert ResumptionToken.decode(tok.encode()) == tok
+
+
+@given(p=ident, c=st.integers(0, 100))
+def test_tampered_token_rejected(p, c):
+    tok = ResumptionToken("0" * 16, c, 10, "2020-01-01", metadata_prefix=p)
+    try:
+        ResumptionToken.decode(tok.encode())
+        raise AssertionError("tampered token accepted")
+    except BadResumptionToken:
+        pass
 
 
 @given(st.text(max_size=60))
