@@ -435,3 +435,76 @@ ORACLES["neardup_components"] = f"""
     SELECT u AS doc_id, least(u, min(v)) AS component
     FROM reach GROUP BY u
 """
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning pipeline in one query: quality gate
+    (C4-style rules) → exact dedup (md5 hash-groupBy) → near-dup removal
+    (MinHash-LSH components, keep each cluster's lowest id). Returns the
+    funnel counts — the headline numbers a 100 TB curation run reports."""
+    from .text_analysis import STOPWORDS
+
+    d = load_table(spark, "documents", sf_dir)
+    w = F.split(F.lower("text"), " ")
+    n = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / n
+    quality_ok = (n >= 20) & (n <= 90) & (stop_ratio >= 0.02)
+
+    docs = d.select("doc_id", F.md5("text").alias("h")).filter(quality_ok)
+    # exact dedup: keep lowest doc_id per hash
+    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    # near-dup removal among exact-keepers: drop non-representatives of
+    # minhash components (component id = lowest member)
+    comps = q_neardup_components(spark, sf_dir)
+    dupes = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    final = keeper.join(dupes, "doc_id", "left_anti")
+
+    total = d.count()
+    after_quality = docs.count()
+    after_exact = keeper.count()
+    after_neardup = final.count()
+    return spark.createDataFrame(
+        [(total, after_quality, after_exact, after_neardup)],
+        "total long, after_quality long, after_exact long, after_neardup long",
+    )
+
+
+QUERIES["clean_corpus"] = q_clean_corpus
+
+ORACLES["clean_corpus"] = f"""
+    WITH RECURSIVE verified AS ({ORACLES['minhash_lsh_pairs']}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM verified
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comps AS (
+        SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    quality AS (
+        SELECT doc_id, md5(text) AS h
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) BETWEEN 20 AND 90
+          AND len(list_filter(string_split(lower(text), ' '),
+                              x -> x IN ({', '.join(repr(s) for s in
+                                          ('the', 'a', 'of', 'and', 'to', 'in',
+                                           'is', 'on', 'for', 'with'))})))
+              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.02
+    ),
+    keeper AS (SELECT h, min(doc_id) AS doc_id FROM quality GROUP BY h),
+    final AS (
+        SELECT k.doc_id FROM keeper k
+        WHERE k.doc_id NOT IN (
+            SELECT doc_id FROM comps WHERE doc_id <> component
+        )
+    )
+    SELECT (SELECT count(*) FROM documents) AS total,
+           (SELECT count(*) FROM quality) AS after_quality,
+           (SELECT count(*) FROM keeper) AS after_exact,
+           (SELECT count(*) FROM final) AS after_neardup
+"""
