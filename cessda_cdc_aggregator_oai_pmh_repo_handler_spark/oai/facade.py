@@ -134,6 +134,15 @@ class OAIFacade:
 
     # --- verbs ---------------------------------------------------------------
 
+    def _earliest_datestamp(self) -> str:
+        """Corpus min OAI datestamp (deleted-aware), one tiny agg; falls
+        back to epoch on an empty corpus."""
+        from ..functions import predicates as P
+
+        row = self.planner.studies.agg(
+            F.min(P.record_datestamp()).alias("m")).first()
+        return R._fmt_ts(row["m"]) if row["m"] is not None else "1970-01-01T00:00:00Z"
+
     def _identify(self, request_ts: str) -> str:
         root, body = R.envelope("Identify", self.base_url, request_ts)
         import xml.etree.ElementTree as ET
@@ -143,7 +152,7 @@ class OAIFacade:
             ("baseURL", self.base_url),
             ("protocolVersion", "2.0"),
             ("adminEmail", self.admin_email),
-            ("earliestDatestamp", "1970-01-01T00:00:00Z"),
+            ("earliestDatestamp", self._earliest_datestamp()),
             ("deletedRecord", self.deleted_records),
             ("granularity", "YYYY-MM-DDThh:mm:ssZ"),
         ]:

@@ -44,6 +44,9 @@ def test_identify(facade):
     el = parse(facade.handle_request(verb="Identify", request_ts=NOW))
     assert el.find("./oai:Identify/oai:protocolVersion", NS).text == "2.0"
     assert el.find("./oai:Identify/oai:deletedRecord", NS).text == "persistent"
+    # corpus-derived earliest datestamp = the deleted record's deletion time
+    assert el.find("./oai:Identify/oai:earliestDatestamp", NS).text == (
+        "2000-01-01T23:00:00Z")
 
 
 def test_list_metadata_formats(facade):
