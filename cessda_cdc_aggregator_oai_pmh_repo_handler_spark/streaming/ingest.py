@@ -87,12 +87,34 @@ def _as_study_row(events: DataFrame, existing: DataFrame) -> DataFrame:
     return out.select(*[name for name, _ in STUDY_DDL])
 
 
-def merge_batch(batch: DataFrame, target_path: str) -> None:
+VALID_ACTIONS = (ACTION_UPSERT, ACTION_DELETE)
+
+
+def split_quarantine(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Events that cannot merge (missing key, unknown action, missing
+    harvest timestamp) go to a side channel instead of poisoning the batch
+    — at scale the quarantine is a dated parquet the harvest operators
+    triage. Returns (good, bad)."""
+    bad_cond = (
+        F.col("aggregator_identifier").isNull()
+        | (F.col("aggregator_identifier") == "")
+        | ~F.col("action").isin(*VALID_ACTIONS)
+        | F.col("harvest_ts").isNull()
+    )
+    return batch.filter(~bad_cond), batch.filter(bad_cond)
+
+
+def merge_batch(batch: DataFrame, target_path: str,
+                quarantine_path: str | None = None) -> None:
     """Upsert/delete merge of one microbatch into the corpus at
     ``target_path`` (the foreachBatch body). Equivalent Delta form:
     ``MERGE INTO studies USING batch ON key WHEN MATCHED ... WHEN NOT
-    MATCHED INSERT``."""
+    MATCHED INSERT``. Malformed events are appended to ``quarantine_path``
+    when given, silently dropped otherwise."""
     spark = batch.sparkSession
+    batch, bad = split_quarantine(batch)
+    if quarantine_path is not None and bad.limit(1).count() > 0:
+        bad.write.mode("append").parquet(quarantine_path)
     latest = _latest_event_per_key(batch)
     # the swap decision keys on directory EXISTENCE, not on read success —
     # an empty/partially-written target (stopped query) must still be

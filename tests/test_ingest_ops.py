@@ -1,0 +1,82 @@
+"""Operational ingest hygiene: quarantine channel + compaction."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources import compaction as C
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies import fixture_records
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming import ingest as I
+
+
+def _event(rec, action, ts, ident=...):
+    ev = dict(rec)
+    if ident is not ...:
+        ev["aggregator_identifier"] = ident
+    ev["action"] = action
+    ev["harvest_ts"] = (datetime.datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
+                        if ts else None)
+    return ev
+
+
+def test_quarantine_channel(spark, tmp_path):
+    target = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "rejects")
+    recs = fixture_records()
+    events = [
+        _event(recs[0], "upsert", "2020-01-01T00:00:00Z"),
+        _event(recs[1], "upsert", "2020-01-01T00:00:00Z", ident=None),   # no key
+        _event(recs[2], "frobnicate", "2020-01-01T00:00:00Z"),           # bad action
+        _event(recs[3], "upsert", "2020-01-01T00:00:00Z", ident=""),     # empty key
+    ]
+    df = spark.createDataFrame(events, I.harvest_event_schema())
+    I.merge_batch(df, target, quarantine_path=quarantine)
+    assert spark.read.parquet(target).count() == 1
+    bad = spark.read.parquet(quarantine)
+    assert bad.count() == 3
+    assert {r["action"] for r in bad.collect()} == {"upsert", "frobnicate"}
+
+
+def test_merge_without_quarantine_drops_bad(spark, tmp_path):
+    target = str(tmp_path / "corpus")
+    recs = fixture_records()
+    df = spark.createDataFrame(
+        [_event(recs[0], "upsert", "2020-01-01T00:00:00Z"),
+         _event(recs[1], "nonsense", "2020-01-01T00:00:00Z")],
+        I.harvest_event_schema())
+    I.merge_batch(df, target)
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "fragmented")
+    # simulate many tiny merge outputs
+    for i in range(6):
+        (spark.range(i * 100, (i + 1) * 100)
+         .withColumn("v", F.col("id") * 2)
+         .write.mode("append").parquet(path))
+    before = C.parquet_file_count(path)
+    assert before >= 6
+    after = C.compact(spark, path, target_mb=128)
+    assert after < before
+    df = spark.read.parquet(path)
+    assert df.count() == 600
+    assert df.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(600))
+
+
+def test_compaction_preserves_partitioning(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df = spark.range(1000).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    for _ in range(3):
+        df.write.mode("append").partitionBy("bucket").parquet(path)
+    C.compact(spark, path, partition_col="bucket", target_mb=128)
+    out = spark.read.parquet(path)
+    assert out.count() == 3000
+    assert sorted(r["bucket"] for r in out.select("bucket").distinct().collect()) == [
+        0, 1, 2, 3]
+    import glob
+
+    assert glob.glob(f"{path}/bucket=*"), "partition directories preserved"
