@@ -12,8 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
-    ann, arrays, dedup, metrics, relational, relational_ext, studies_demo,
-    text_analysis,
+    ann, arrays, clustering, dedup, metrics, relational, relational_ext,
+    studies_demo, text_analysis,
 )
 
 
@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.QUERIES)
     q.update(ann.QUERIES)
     q.update(studies_demo.QUERIES)
+    q.update(clustering.QUERIES)
     return q
 
 
