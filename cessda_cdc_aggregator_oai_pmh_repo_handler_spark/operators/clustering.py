@@ -75,11 +75,30 @@ def init_farthest_point(vectors: DataFrame, k: int) -> list[list[float]]:
     return centroids
 
 
+def init_first_k(vectors: DataFrame, k: int) -> list[list[float]]:
+    """One-job seeding: the k lowest vec_ids' vectors."""
+    seeds = vectors.orderBy("vec_id").limit(k).collect()
+    return [list(map(float, r["embedding"])) for r in seeds]
+
+
 def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = K,
-               max_iter: int = MAX_ITER) -> tuple[DataFrame, list[list[float]], int]:
-    """Returns (assignments DF, final centroids, iterations run)."""
-    centroids = init_farthest_point(vectors, k)
+               max_iter: int = MAX_ITER, init: str = "farthest",
+               check_convergence: bool = True,
+               ) -> tuple[DataFrame, list[list[float]], int]:
+    """Returns (assignments DF, final centroids, iterations run).
+
+    ``check_convergence=False`` runs a fixed sweep budget with no
+    per-sweep checkpoint or changed-count job — centroids are driver-side
+    literals, so every sweep's plan stays flat (one groupBy job each)."""
+    centroids = (init_farthest_point(vectors, k) if init == "farthest"
+                 else init_first_k(vectors, k))
     dim = len(centroids[0])
+    if not check_convergence:
+        for _ in range(max_iter):
+            cmap = recompute_centroids(assign_clusters(vectors, centroids), dim)
+            centroids = [cmap.get(i, centroids[i]) for i in range(k)]
+        return assign_clusters(vectors, centroids), centroids, max_iter
+
     assigned = assign_clusters(vectors, centroids).localCheckpoint()
     for it in range(1, max_iter + 1):
         cmap = recompute_centroids(assigned, dim)
@@ -98,10 +117,13 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = K,
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-size/inertia summary of a converged k-means fit (iterative ⇒
-    no SQL oracle; rows-only check)."""
+    """Cluster-size/inertia summary of a BOUNDED k-means fit: cheap first-k
+    init + 4 Lloyd sweeps — the fixed-budget form a pipeline schedules
+    (full convergence + farthest-point init live in kmeans_fit and are
+    exercised by tests). Iterative ⇒ no SQL oracle; rows-only check."""
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    assigned, _centroids, _iters = kmeans_fit(spark, e)
+    assigned, _centroids, _iters = kmeans_fit(
+        spark, e, max_iter=4, init="first_k", check_convergence=False)
     return (
         assigned.groupBy("cluster")
         .agg(F.count("*").alias("n"), F.round(F.sum("dist_sq"), 2).alias("inertia"))
