@@ -177,6 +177,41 @@ def test_synthetic_harvest_source_end_to_end(spark, tmp_path):
                for r in live)
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """A duplicate document arriving in a LATER microbatch is dropped: the
+    content-hash state survives across runs via the checkpoint."""
+    import datetime as dt
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.dedup_stream import (
+        DOC_STREAM_SCHEMA, dedup_document_stream,
+    )
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "docs_ckpt")
+    out = str(tmp_path / "docs_out")
+    ts = dt.datetime(2024, 1, 1)
+
+    def run_wave(rows):
+        spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = (dedup_document_stream(spark, src)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_wave([(1, "alpha beta gamma", "en", "s0", ts),
+              (2, "delta epsilon", "en", "s0", ts),
+              (3, "alpha beta gamma", "en", "s1", ts)])   # dup within batch
+    run_wave([(4, "alpha beta gamma", "en", "s2", ts),    # dup across batches
+              (5, "zeta eta theta", "en", "s0", ts)])
+
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # one per distinct content
+    texts = {r["text"] for r in got.collect()}
+    assert texts == {"alpha beta gamma", "delta epsilon", "zeta eta theta"}
+
+
 def test_streaming_window_counts_match_batch(spark, tmp_path):
     """The §2.8 windowed agg produces the same rows under readStream as the
     batch plan (q_event_window) at sf0.001."""
