@@ -116,7 +116,81 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value list so
+    the plan is a single aggregation, no distinct-values pre-pass)."""
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running window: for every purchase, the
+    user's most recent signup at-or-before it (one shuffle on user_id; the
+    classic as-of backward join without any range-join machinery)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_ts", last_signup)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_signup_ts",
+            (F.col("ts").cast("timestamp").cast("double")
+             - F.col("last_signup_ts").cast("timestamp").cast("double"))
+            .cast("long").alias("gap_seconds"),
+        )
+    )
+
+
+def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range self-join: pairs of events by the same user within 10
+    minutes. The time-bucket band turns an O(n²) theta join into an
+    equi-join on (user, bucket) with the true range predicate applied after
+    — each event probes its own and the neighbouring bucket."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 600).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"), F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"), F.col("bucket").alias("bucket_b"),
+    )
+    # probe own bucket and the next: covers every pair within 600s once
+    probes = ev.withColumn("probe", F.explode(F.array(F.col("bucket"),
+                                                      F.col("bucket") + 1)))
+    return (
+        probes.join(b, (probes.user_id == b.user_b) & (probes.probe == b.bucket_b))
+        .filter(
+            (F.col("event_id") < F.col("event_b"))
+            & (F.col("ts_b") >= F.col("ts"))
+            & (F.col("ts_b").cast("timestamp").cast("double")
+               - F.col("ts").cast("timestamp").cast("double") <= 600)
+        )
+        .select("user_id", "event_id", "event_b",
+                (F.col("ts_b").cast("timestamp").cast("double")
+                 - F.col("ts").cast("timestamp").cast("double"))
+                .cast("long").alias("gap_seconds"))
+    )
+
+
 QUERIES = {
+    "pivot_events": q_pivot_events,
+    "asof_last_signup": q_asof_last_signup,
+    "range_join_pairs": q_range_join_pairs,
     "array_exists": q_array_exists,
     "array_transform_agg": q_array_transform_agg,
     "json_extract": q_json_extract,
@@ -127,6 +201,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pivot_events": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'view') AS view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+    "asof_last_signup": """
+        SELECT event_id, user_id, ts AS purchase_ts, last_signup_ts,
+               CAST(floor(epoch(ts) - epoch(last_signup_ts)) AS BIGINT) AS gap_seconds
+        FROM (
+            SELECT *, last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+            FROM events
+        ) WHERE event_type = 'purchase'
+    """,
+    "range_join_pairs": """
+        SELECT a.user_id, a.event_id, b.event_id AS event_b,
+               CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS gap_seconds
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND b.ts >= a.ts AND epoch(b.ts) - epoch(a.ts) <= 600
+    """,
     "array_exists": """
         SELECT label, count(*) AS cnt
         FROM embeddings
