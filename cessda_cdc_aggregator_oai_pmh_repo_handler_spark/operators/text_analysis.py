@@ -236,7 +236,24 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the first two hex digits of
+    md5(doc_id) give a stable 0-255 draw, thresholded 80/10/10 — portable,
+    seedless, and stable under corpus growth (a document's split never
+    changes when other documents arrive; the property random splits lack)."""
+    d = load_table(spark, "documents", sf_dir)
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10) \
+        .cast("int")
+    split = (
+        F.when(draw < 205, "train")      # 205/256 ≈ 80%
+        .when(draw < 230, "val")         # 25/256 ≈ 10%
+        .otherwise("test")
+    )
+    return d.groupBy("source", split.alias("split")).agg(F.count("*").alias("cnt"))
+
+
 QUERIES = {
+    "train_val_split": q_train_val_split,
     "zscore_normalize": q_zscore_normalize,
     "approx_distinct": q_approx_distinct,
     "quality_filter_pipeline": q_quality_filter_pipeline,
@@ -313,6 +330,16 @@ ORACLES = {
     """,
     "length_histogram": """
         SELECT lang, CAST(floor(n_chars / 50) AS INT) AS bucket, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    """,
+    "train_val_split": """
+        SELECT source,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205
+                    THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS cnt
         FROM documents GROUP BY 1, 2
     """,
     # approx_distinct intentionally has NO oracle (sketch output is

@@ -104,13 +104,38 @@ def split_quarantine(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     return batch.filter(~bad_cond), batch.filter(bad_cond)
 
 
+def _epoch_marker(target_path: str) -> str:
+    return f"{target_path}._last_epoch"
+
+
+def _read_epoch(target_path: str) -> int:
+    try:
+        with open(_epoch_marker(target_path)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _write_epoch(target_path: str, epoch_id: int) -> None:
+    with open(_epoch_marker(target_path), "w") as f:
+        f.write(str(epoch_id))
+
+
 def merge_batch(batch: DataFrame, target_path: str,
-                quarantine_path: str | None = None) -> None:
+                quarantine_path: str | None = None,
+                epoch_id: int | None = None) -> None:
     """Upsert/delete merge of one microbatch into the corpus at
     ``target_path`` (the foreachBatch body). Equivalent Delta form:
     ``MERGE INTO studies USING batch ON key WHEN MATCHED ... WHEN NOT
     MATCHED INSERT``. Malformed events are appended to ``quarantine_path``
-    when given, silently dropped otherwise."""
+    when given, silently dropped otherwise.
+
+    ``epoch_id`` makes the sink exactly-once under foreachBatch retries: a
+    marker records the last applied epoch and replays of an already-applied
+    microbatch become no-ops (the standard idempotent-sink pattern; Delta
+    tracks txn versions for the same purpose)."""
+    if epoch_id is not None and epoch_id <= _read_epoch(target_path):
+        return
     spark = batch.sparkSession
     batch, bad = split_quarantine(batch)
     if quarantine_path is not None and bad.limit(1).count() > 0:
@@ -140,6 +165,8 @@ def merge_batch(batch: DataFrame, target_path: str,
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(staging, target_path)
+    if epoch_id is not None:
+        _write_epoch(target_path, epoch_id)
 
 
 ID_BUCKETS = 16
@@ -208,7 +235,7 @@ def start_ingest(spark: SparkSession, source_dir: str, target_path: str,
     )
     writer = (
         stream.writeStream.foreachBatch(
-            lambda df, _epoch: merge_batch(df, target_path)
+            lambda df, epoch: merge_batch(df, target_path, epoch_id=epoch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

@@ -51,6 +51,32 @@ def test_merge_without_quarantine_drops_bad(spark, tmp_path):
     assert spark.read.parquet(target).count() == 1
 
 
+def test_merge_epoch_idempotence(spark, tmp_path):
+    """Replaying an already-applied microbatch (foreachBatch retry) is a
+    no-op; a NEWER epoch still applies."""
+    target = str(tmp_path / "corpus")
+    recs = fixture_records()
+    b1 = spark.createDataFrame(
+        [_event(recs[0], "upsert", "2020-01-01T00:00:00Z")], I.harvest_event_schema())
+    I.merge_batch(b1, target, epoch_id=0)
+    assert spark.read.parquet(target).count() == 1
+
+    # replay epoch 0 with a DIFFERENT payload: must not apply
+    b1_replay = spark.createDataFrame(
+        [_event(dict(recs[0], study_number="should_not_apply"), "upsert",
+                "2020-01-02T00:00:00Z")], I.harvest_event_schema())
+    I.merge_batch(b1_replay, target, epoch_id=0)
+    assert spark.read.parquet(target).first()["study_number"] == "study_agg_id_1"
+
+    # epoch 1 applies
+    I.merge_batch(
+        spark.createDataFrame(
+            [_event(recs[1], "upsert", "2020-01-03T00:00:00Z")],
+            I.harvest_event_schema()),
+        target, epoch_id=1)
+    assert spark.read.parquet(target).count() == 2
+
+
 def test_compaction_reduces_files(spark, tmp_path):
     path = str(tmp_path / "fragmented")
     # simulate many tiny merge outputs
