@@ -32,6 +32,30 @@ def test_publisher_scan_prunes_partitions(spark, tmp_path):
     assert "(publisher_bucket" in scan and "=" in scan
 
 
+def test_selective_harvest_prunes_partitions(spark, tmp_path):
+    """A source-set ListRecords over the bucketed corpus reaches the scan
+    with a PartitionFilter — selective harvest reads 1/N of the files."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.query_builder import (
+        OAIQueryPlanner,
+    )
+
+    path = str(tmp_path / "corpus")
+    CL.write_corpus(fixture_studies(spark), path)
+    corpus = spark.read.parquet(path)  # keeps publisher_bucket column
+    planner = OAIQueryPlanner(
+        corpus,
+        source_defs=[{"url": FSD_URL, "source": "FSD", "setname": "FSD"}])
+    page = planner.list_page("oai_dc", set_spec="source:FSD",
+                             request_ts="2019-12-12 07:14:38")
+    plan = page.df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [isnotnull(publisher_bucket" in scan
+    assert page.complete_list_size == 6
+    ids = [r["aggregator_identifier"] for r in page.df.collect()]
+    assert ids == ["agg_id_1", "agg_id_2", "agg_id_3", "agg_id_5",
+                   "agg_id_7", "agg_id_8"][:len(ids)]
+
+
 def test_null_publisher_tombstones_addressable(spark, tmp_path):
     path = str(tmp_path / "corpus")
     CL.write_corpus(fixture_studies(spark), path)
