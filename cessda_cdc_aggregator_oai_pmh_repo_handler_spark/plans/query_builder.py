@@ -112,13 +112,21 @@ class OAIQueryPlanner:
     """
 
     def __init__(self, studies: DataFrame, source_defs: list[dict] | None = None,
-                 configurable_path: str | None = None, page_size: int = 100):
+                 configurable_path: str | None = None, page_size: int = 100,
+                 page_sizes: dict[str, int] | None = None):
         self.studies = studies
         self.source_defs = source_defs or []
         self.configurable_path = configurable_path
         self.page_size = page_size
+        # per-format overrides, mirroring the reference's
+        # --oai-pmh-list-size-{oai-dc,oai-ddi25,oai-datacite} flags
+        # (/root/reference/cdcagg_oai/metadataformats.py:506-529)
+        self.page_sizes = page_sizes or {}
         self._url_by_source = {d["source"]: d["url"] for d in self.source_defs}
         self._source_by_url = {d["url"]: d["source"] for d in self.source_defs}
+
+    def page_size_for(self, metadata_prefix: str) -> int:
+        return self.page_sizes.get(metadata_prefix, self.page_size)
 
     # --- set filters (J1/P5/P6 + kuha built-ins) -------------------------
 
@@ -278,16 +286,17 @@ class OAIQueryPlanner:
         page = base
         if last_key is not None:
             page = page.filter(F.col("aggregator_identifier") > last_key)
+        size = self.page_size_for(metadata_prefix)
         fields = HEADER_FIELDS if header_only else fields_for(metadata_prefix)
         page = (
             page.orderBy("aggregator_identifier")
-            .limit(self.page_size)
+            .limit(size)
             .withColumn("setSpec", self.set_spec_column(metadata_prefix))
             .withColumn("datestamp", P.record_datestamp())
             .withColumn("deleted", P.is_deleted())
             .select(*fields, "setSpec", "datestamp", "deleted")
         )
-        next_cursor = min(cursor + self.page_size, total)
+        next_cursor = min(cursor + size, total)
         more = next_cursor < total
         next_token = ResumptionToken(
             query_hash=qh, cursor=next_cursor, complete_list_size=total,

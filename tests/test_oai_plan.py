@@ -259,3 +259,22 @@ def test_prometheus_exposition(planner):
     assert "publishers_total 2.0" in body
     assert f'publishers_counts{{publisher="{FSD_URL}"}} 6.0' in body
     assert f'publishers_counts_without_deleted{{publisher="{FSD_URL}"}} 5.0' in body
+
+
+def test_per_format_page_size(spark):
+    """Per-format list sizes mirror the reference's
+    --oai-pmh-list-size-* flags (metadataformats.py:506-529)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies import (
+        fixture_studies,
+    )
+
+    planner = OAIQueryPlanner(fixture_studies(spark), page_size=3,
+                              page_sizes={"oai_datacite": 2})
+    dc = planner.list_page("oai_dc", request_ts=NOW)
+    assert len(dc.df.collect()) == 3
+    datacite = planner.list_page("oai_datacite", request_ts=NOW)
+    assert len(datacite.df.collect()) == 2
+    # token resume keeps the format's own size
+    tok = finalize_token(datacite, datacite.df.collect())
+    page2 = planner.list_page(token=tok)
+    assert len(page2.df.collect()) == 2
