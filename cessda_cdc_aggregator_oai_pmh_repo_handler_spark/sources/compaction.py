@@ -34,6 +34,21 @@ def parquet_file_count(path: str) -> int:
     return n
 
 
+def cleanup_stale(path: str) -> list[str]:
+    """Remove leftover ``.staging-*`` / ``.old-*`` / ``.compact-*`` sibling
+    directories that a crashed merge/compaction may have stranded (they are
+    never the live directory — the swap protocol renames before cleanup).
+    Returns the removed paths."""
+    import glob
+
+    removed = []
+    for pattern in (f"{path}.staging-*", f"{path}.old-*", f"{path}.compact-*"):
+        for stale in glob.glob(pattern):
+            shutil.rmtree(stale, ignore_errors=True)
+            removed.append(stale)
+    return removed
+
+
 def compact(spark: SparkSession, path: str, partition_col: str | None = None,
             target_mb: int = 128) -> int:
     """Rewrite ``path`` with ≈target_mb files; returns the new file count."""

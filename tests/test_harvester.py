@@ -72,6 +72,18 @@ def test_provenance_hop_prepended(harvested):
     assert row["direct_base_url"] == UPSTREAM
 
 
+def test_parse_get_record_response(spark):
+    """GetRecord responses parse with the same function (single record)."""
+    facade = OAIFacade(OAIQueryPlanner(fixture_studies(spark)))
+    xml = facade.handle_request(verb="GetRecord", request_ts=NOW,
+                                identifier="agg_id_1", metadataPrefix="oai_dc")
+    events = H.parse_list_records(xml, UPSTREAM, HARVEST_TS)
+    assert len(events) == 1
+    assert events[0]["aggregator_identifier"] == "agg_id_1"
+    assert events[0]["action"] == "upsert"
+    assert len(events[0]["provenance"]) == 3  # new hop + two upstream
+
+
 def test_reserve_harvested_corpus(spark, harvested):
     """The re-harvested corpus serves through the facade again."""
     facade = OAIFacade(OAIQueryPlanner(harvested, page_size=100))

@@ -93,6 +93,22 @@ def test_compaction_reduces_files(spark, tmp_path):
     assert df.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(600))
 
 
+def test_cleanup_stale_dirs(spark, tmp_path):
+    import os
+
+    target = str(tmp_path / "corpus")
+    recs = fixture_records()
+    I.merge_batch(
+        spark.createDataFrame([_event(recs[0], "upsert", "2020-01-01T00:00:00Z")],
+                              I.harvest_event_schema()), target)
+    os.makedirs(f"{target}.staging-deadbeef")
+    os.makedirs(f"{target}.old-cafebabe")
+    removed = C.cleanup_stale(target)
+    assert len(removed) == 2
+    assert os.path.exists(target)  # live dir untouched
+    assert not os.path.exists(f"{target}.staging-deadbeef")
+
+
 def test_compaction_preserves_partitioning(spark, tmp_path):
     path = str(tmp_path / "part")
     df = spark.range(1000).withColumn("bucket", (F.col("id") % 4).cast("int"))
