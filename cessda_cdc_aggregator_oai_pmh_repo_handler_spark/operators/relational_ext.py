@@ -146,7 +146,24 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dimension rollup (broadcast nation join + exact balance
+    percentiles) — completes gate coverage of every driver table."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            F.round(F.percentile("s_acctbal", F.lit(0.5)), 2).alias("median_balance"),
+        )
+    )
+
+
 QUERIES = {
+    "supplier_stats": q_supplier_stats,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "outer_join": q_outer_join,
@@ -158,6 +175,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_stats": """
+        SELECT n_name, count(*) AS suppliers,
+               round(sum(s_acctbal), 2) AS total_balance,
+               round(quantile_cont(s_acctbal, 0.5), 2) AS median_balance
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -69,6 +69,32 @@ def test_bucketed_merge_only_touches_affected_partitions(spark, tmp_path):
         .first()["study_number"] == "revised"
 
 
+def test_serve_from_bucketed_ingest(spark, tmp_path):
+    """ingest (bucketed merge) → serve (planner pages + metrics) without a
+    layout conversion step."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.metrics import (
+        compute_metrics,
+    )
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.query_builder import (
+        OAIQueryPlanner,
+    )
+
+    target = str(tmp_path / "served")
+    recs = fixture_records()
+    I.merge_batch_bucketed(
+        spark.createDataFrame(
+            [_event(r, "upsert", "2020-01-01T00:00:00Z") for r in recs],
+            I.harvest_event_schema()),
+        target)
+    corpus = I.read_bucketed_corpus(spark, target)
+    planner = OAIQueryPlanner(corpus, page_size=5)
+    page = planner.list_page("oai_dc", request_ts="2020-06-01 00:00:00")
+    assert page.complete_list_size == 8
+    assert len(page.df.collect()) == 5
+    m = compute_metrics(corpus)
+    assert m["records_total"] == 8 and m["publishers_total"] == 2
+
+
 def test_bucketed_scan_prunes_on_key_lookup(spark, tmp_path):
     target = str(tmp_path / "bucketed2")
     recs = fixture_records()
