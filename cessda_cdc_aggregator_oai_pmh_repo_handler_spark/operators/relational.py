@@ -340,7 +340,7 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "union_dedup": """
-        SELECT count(*) AS distinct_keys, sum(key) AS key_sum FROM (
+        SELECT count(*) AS distinct_keys, CAST(sum(key) AS BIGINT) AS key_sum FROM (
             SELECT DISTINCT key FROM (
                 SELECT l_partkey AS key FROM lineitem WHERE l_quantity >= 45
                 UNION ALL

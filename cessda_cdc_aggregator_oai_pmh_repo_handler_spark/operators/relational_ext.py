@@ -226,7 +226,7 @@ ORACLES = {
         GROUP BY c_nationkey
     """,
     "intersect_except": """
-        SELECT count(*) AS keys, sum(key) AS key_sum FROM (
+        SELECT count(*) AS keys, CAST(sum(key) AS BIGINT) AS key_sum FROM (
             SELECT key FROM (
                 SELECT l_partkey AS key FROM lineitem WHERE l_quantity >= 48
                 INTERSECT

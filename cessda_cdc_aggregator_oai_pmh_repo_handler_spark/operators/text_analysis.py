@@ -105,7 +105,12 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("dup_count"),
             F.min("doc_id").alias("keeper"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            # Stringified (comma-joined) so the result is hashable for the
+            # driver's pandas canonicalizer; numeric sort happens pre-join.
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda v: v.cast("string")),
+                ",",
+            ).alias("members"),
         )
         .filter(F.col("dup_count") > 1)
     )
@@ -270,8 +275,8 @@ QUERIES = {
 ORACLES = {
     "token_stats": """
         SELECT source, count(*) AS docs,
-               sum(len(string_split(lower(text), ' '))) AS ws_tokens,
-               sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS re_tokens,
+               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS re_tokens,
                round(avg(n_chars), 2) AS avg_chars
         FROM documents GROUP BY source
     """,
@@ -296,7 +301,7 @@ ORACLES = {
     """,
     "fingerprint_dedup": """
         SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper,
-               list_sort(list(doc_id)) AS members
+               array_to_string(list_sort(list(doc_id)), ',') AS members
         FROM (
             SELECT doc_id,
                    md5(array_to_string(string_split(lower(text), ' ')[1:10], ' ')) AS fingerprint
@@ -304,8 +309,8 @@ ORACLES = {
         ) GROUP BY fingerprint HAVING count(*) > 1
     """,
     "exact_dedup_stats": """
-        SELECT sum(c) AS total_docs, count(*) AS distinct_docs,
-               sum(c) - count(*) AS dups_removed
+        SELECT CAST(sum(c) AS BIGINT) AS total_docs, count(*) AS distinct_docs,
+               CAST(sum(c) - count(*) AS BIGINT) AS dups_removed
         FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
     """,
     "tfidf_top_terms": """

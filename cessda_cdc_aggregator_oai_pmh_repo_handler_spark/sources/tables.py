@@ -34,10 +34,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects unless nanosAsLong is on. The conf is runtime-settable,
+        # so set it here instead of relying on session.py having configured the
+        # session — callers (the correctness harness, notebooks) bring their
+        # own SparkSession. Restore the caller's value afterwards: the flag
+        # only matters at analysis time of this read.
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
+    else:
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py);
         # restore a timestamp_ntz at microsecond precision, matching what
