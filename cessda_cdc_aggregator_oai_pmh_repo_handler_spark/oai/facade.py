@@ -43,8 +43,13 @@ class RequestMetrics:
         self.requests_total += 1
         ua = user_agent or "unknown"
         self.requests_per_user_agent[ua] = self.requests_per_user_agent.get(ua, 0) + 1
-        self.requests_succeeded += 1
-        if not is_error:
+        # success/failure split per the reference: OAI-error responses count
+        # as failures, durations only observed for successful responses
+        # (/root/reference/cdcagg_oai/metrics.py:224-246).
+        if is_error:
+            self.requests_failed += 1
+        else:
+            self.requests_succeeded += 1
             self.requests_duration.setdefault((verb, metadata_prefix), []).append(
                 duration_ms)
 
@@ -92,6 +97,26 @@ class OAIFacade:
             "related_identifiers": [r.asDict() for r in (row["d_related_identifiers"] or [])],
         }
 
+    # Legal request arguments per verb (OAI 2.0 §4); anything else is
+    # badArgument, never a TypeError that kills the handler.
+    _VERB_ARGS = {
+        "Identify": frozenset(),
+        "ListMetadataFormats": frozenset({"identifier"}),
+        "ListSets": frozenset({"resumptionToken"}),
+        "GetRecord": frozenset({"identifier", "metadataPrefix"}),
+        "ListRecords": frozenset({"metadataPrefix", "set", "from", "until",
+                                  "resumptionToken"}),
+        "ListIdentifiers": frozenset({"metadataPrefix", "set", "from", "until",
+                                      "resumptionToken"}),
+    }
+
+    @classmethod
+    def _unknown_args(cls, verb, args: dict) -> set[str]:
+        allowed = cls._VERB_ARGS.get(verb)
+        if allowed is None:  # badVerb path handles it
+            return set()
+        return {k for k in args if k not in allowed}
+
     def _error(self, verb, request_ts, code, message, args=None) -> str:
         self._last_was_error = True
         root, _ = R.envelope(verb, self.base_url, request_ts, args, error=(code, message))
@@ -107,12 +132,23 @@ class OAIFacade:
         t0 = time.perf_counter()
         self._last_was_error = False
         try:
-            if verb == "Identify":
+            unknown = self._unknown_args(verb, args)
+            if unknown:
+                # OAI 2.0 §3.6: any unrecognized argument is badArgument —
+                # it must never crash the handler thread responseless.
+                out = self._error(verb, request_ts, "badArgument",
+                                  f"Illegal argument(s): {', '.join(sorted(unknown))}")
+            elif verb == "Identify":
                 out = self._identify(request_ts)
             elif verb == "ListMetadataFormats":
                 out = self._list_metadata_formats(request_ts)
             elif verb == "ListSets":
-                out = self._list_sets(request_ts)
+                if args.get("resumptionToken") is not None:
+                    # the set hierarchy always fits one response; any token is stale
+                    out = self._error(verb, request_ts, "badResumptionToken",
+                                      "ListSets does not issue resumption tokens")
+                else:
+                    out = self._list_sets(request_ts)
             elif verb == "GetRecord":
                 out = self._get_record(request_ts, **args)
             elif verb in ("ListRecords", "ListIdentifiers"):
@@ -218,28 +254,45 @@ class OAIFacade:
         return R.to_string(root, self.stylesheet_url)
 
     @staticmethod
-    def _parse_oai_date(value: str | None) -> str | None:
+    def _parse_oai_date(value: str | None, end: bool = False) -> str | None:
         """OAI granularity: YYYY-MM-DD or YYYY-MM-DDThh:mm:ssZ
-        → engine timestamp string; None on malformed input."""
+        → engine timestamp string; None on malformed input.
+
+        A date-only bound used as ``until`` (``end=True``) expands to the end
+        of that day — the inclusive upper bound a day-granularity harvester
+        means; midnight would silently drop that whole day's updates against
+        this seconds-granularity repository."""
         if value is None:
             return None
         for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%SZ"):
             try:
-                return datetime.strptime(value, fmt).strftime("%Y-%m-%d %H:%M:%S")
+                dt = datetime.strptime(value, fmt)
             except ValueError:
                 continue
+            if end and fmt == "%Y-%m-%d":
+                dt = dt.replace(hour=23, minute=59, second=59)
+            return dt.strftime("%Y-%m-%d %H:%M:%S")
         return None
 
     def _list(self, verb: str, request_ts: str, metadataPrefix: str | None = None,
               set: str | None = None, resumptionToken: str | None = None,
               **kw) -> str:
         raw_from, raw_until = kw.get("from"), kw.get("until")
-        from_ts, until_ts = self._parse_oai_date(raw_from), self._parse_oai_date(raw_until)
+        from_ts = self._parse_oai_date(raw_from)
+        until_ts = self._parse_oai_date(raw_until, end=True)
         if (raw_from is not None and from_ts is None) or (
                 raw_until is not None and until_ts is None):
             return self._error(
                 verb, request_ts, "badArgument",
                 "from/until must be YYYY-MM-DD or YYYY-MM-DDThh:mm:ssZ",
+                {"metadataPrefix": metadataPrefix, "set": set,
+                 "from": raw_from, "until": raw_until})
+        if (raw_from is not None and raw_until is not None
+                and len(raw_from) != len(raw_until)):
+            # OAI 2.0 §3.3.1: from and until must share one granularity
+            return self._error(
+                verb, request_ts, "badArgument",
+                "from and until must use the same granularity",
                 {"metadataPrefix": metadataPrefix, "set": set,
                  "from": raw_from, "until": raw_until})
         if resumptionToken is not None:

@@ -30,7 +30,14 @@ def _fmt_ts(value) -> str:
     if value is None:
         return ""
     if isinstance(value, str):
-        return value
+        # Engine-format strings ('YYYY-MM-DD HH:MM:SS', the Spark snapshot
+        # literal) must still render as OAI UTCdatetime — strict harvesters
+        # reject a space-separated responseDate (OAI 2.0 §3.3).
+        try:
+            return (datetime.strptime(value, "%Y-%m-%d %H:%M:%S")
+                    .strftime("%Y-%m-%dT%H:%M:%SZ"))
+        except ValueError:
+            return value
     if isinstance(value, datetime):
         if value.tzinfo is not None:
             value = value.astimezone(timezone.utc).replace(tzinfo=None)

@@ -69,15 +69,21 @@ class OAIHTTPServer:
                 if parsed.path == OAI_PATH:
                     params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
                     verb = params.pop("verb", None)
-                    with outer._lock:
-                        body = outer.facade.handle_request(
-                            verb=verb,
-                            user_agent=self.headers.get("User-Agent"),
-                            **params,
-                        )
-                    payload = body.encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/xml; charset=utf-8")
+                    try:
+                        with outer._lock:
+                            body = outer.facade.handle_request(
+                                verb=verb,
+                                user_agent=self.headers.get("User-Agent"),
+                                **params,
+                            )
+                    except Exception as exc:  # a request must never die responseless
+                        payload = f"internal error: {exc}".encode()
+                        self.send_response(500)
+                        self.send_header("Content-Type", "text/plain")
+                    else:
+                        payload = body.encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/xml; charset=utf-8")
                 elif parsed.path == METRICS_PATH:
                     with outer._lock:
                         gauges = compute_metrics(outer.facade.planner.studies)

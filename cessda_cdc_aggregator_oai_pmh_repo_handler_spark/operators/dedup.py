@@ -194,26 +194,55 @@ def simhash_col(sh: Column) -> Column:
     return F.array_join(bits, "")
 
 
+SIMHASH_CHUNKS = 4  # 16 bits split into 4 chunks of 4
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + Hamming-distance pairs (≤3 of 16 bits) over a
-    bounded id window; scale path buckets on simhash chunks instead."""
+    bounded id window, via **chunk bucketing** (the standard 64-bit simhash
+    split-into-4 trick): any pair within Hamming distance 3 differs in at
+    most 3 of the 4 chunks, so by pigeonhole it agrees on at least one —
+    an equi-join on (chunk_idx, chunk_value) finds every qualifying pair
+    with zero recall loss and NO cartesian product. Candidates dedup on the
+    pair key, then the full 16-bit Hamming verify runs once per candidate."""
     d = _parallel_docs(spark, sf_dir)
+    width = SIGN_DIMS // SIMHASH_CHUNKS
     docs = (
         d.filter(F.col("doc_id") < 200)
         .select("doc_id", simhash_col(shingles_col()).alias("sim"))
-        # barrier: both sides of the pair join reuse one simhash pass
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # barrier: every chunk row and both join sides reuse one simhash pass
+        .localCheckpoint()
     )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    chunks = docs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.substring("sim", c * width + 1, width).alias("chunk"),
+                )
+                for c in range(SIMHASH_CHUNKS)
+            ])
+        ).alias("ck"),
+    ).select("doc_id", "sim", "ck.chunk_idx", "ck.chunk")
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+                      "chunk_idx", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+                      "chunk_idx", "chunk")
+    cands = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # a pair close on k chunks surfaces k times; verify once
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
     hamming = sum(
         F.when(F.substring("sim_a", j, 1) != F.substring("sim_b", j, 1), 1).otherwise(0)
         for j in range(1, SIGN_DIMS + 1)
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
 
@@ -450,19 +479,28 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / n
     quality_ok = (n >= 20) & (n <= 90) & (stop_ratio >= 0.02)
 
-    docs = d.select("doc_id", F.md5("text").alias("h")).filter(quality_ok)
+    # cache the funnel stages: four driver counts follow, and without the
+    # persist each count re-executes every upstream stage (the quality scan
+    # twice, the exact-dedup groupBy twice) — measured ~2× the runtime
+    docs = d.select("doc_id", F.md5("text").alias("h")).filter(quality_ok).persist()
     # exact dedup: keep lowest doc_id per hash
-    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("doc_id")).persist()
     # near-dup removal among exact-keepers: drop non-representatives of
-    # minhash components (component id = lowest member)
+    # minhash components (component id = lowest member). The components DF
+    # arrives localCheckpointed (label-propagation truncates its own lineage),
+    # so the LSH subtree runs once, not once per count.
     comps = q_neardup_components(spark, sf_dir)
     dupes = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     final = keeper.join(dupes, "doc_id", "left_anti")
 
-    total = d.count()
-    after_quality = docs.count()
-    after_exact = keeper.count()
-    after_neardup = final.count()
+    try:
+        total = d.count()
+        after_quality = docs.count()
+        after_exact = keeper.count()
+        after_neardup = final.count()
+    finally:
+        docs.unpersist()
+        keeper.unpersist()
     return spark.createDataFrame(
         [(total, after_quality, after_exact, after_neardup)],
         "total long, after_quality long, after_exact long, after_neardup long",

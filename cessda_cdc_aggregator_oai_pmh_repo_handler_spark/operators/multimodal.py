@@ -146,6 +146,62 @@ def resize_images(media: DataFrame, width: int) -> DataFrame:
     return media.mapInPandas(resize_batches, schema=DECODED_SCHEMA)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode the deterministic media table (Arrow-batched
+    mapInPandas, payloads never touch the driver) and roll the extracted
+    features up per kind. The oracle is a literal-VALUES table computed from
+    the same synthetic codec in plain Python (the media table is built
+    in-memory, so DuckDB can't scan it — but its expected output is exact)."""
+    dec = decode_media(synthetic_media(spark, 64))
+    feat_sum = F.aggregate("feature", F.lit(0.0),
+                           lambda acc, v: acc + v.cast("double"))
+    return (
+        dec.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_values").alias("total_values"),
+            F.round(F.avg("mean_value"), 4).alias("avg_mean"),
+            F.round(F.avg(feat_sum), 4).alias("avg_feature_sum"),
+        )
+    )
+
+
+def _expected_feature_rollup() -> list[tuple]:
+    """Mirror of q_multimodal_features in driver-side Python. Feature values
+    round-trip through Arrow float32 (DECODED_SCHEMA), so emulate that
+    truncation before summing in double, exactly as the Spark side does."""
+    import numpy as np
+
+    acc: dict[str, list] = {}
+    for i in range(64):
+        kind = "image" if i % 2 == 0 else "audio"
+        n_values = 64 + (i * 17) % 192
+        vals = _decode_fake(encode_fake_payload(i, kind, n_values))
+        feat_sum = sum(float(np.float32(v)) for v in _feature(vals))
+        a = acc.setdefault(kind, [0, 0, 0.0, 0.0])
+        a[0] += 1
+        a[1] += len(vals)
+        a[2] += sum(vals) / len(vals)
+        a[3] += feat_sum
+    return [
+        (k, a[0], a[1], round(a[2] / a[0], 4), round(a[3] / a[0], 4))
+        for k, a in sorted(acc.items())
+    ]
+
+
+QUERIES = {"multimodal_features": q_multimodal_features}
+
+ORACLES = {
+    "multimodal_features": "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{k}', CAST({n} AS BIGINT), CAST({tv} AS BIGINT), "
+        f"CAST({am} AS DOUBLE), CAST({af} AS DOUBLE))"
+        for k, n, tv, am, af in _expected_feature_rollup()
+    )
+    + ") AS t(kind, n_media, total_values, avg_mean, avg_feature_sum)",
+}
+
+
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
     """Frame-sampling stub (video/audio): keep every n-th decoded value."""
 

@@ -95,12 +95,16 @@ class Page:
 def finalize_token(page: Page, rows) -> str | None:
     """Fill the keyset watermark from the collected page rows and encode.
     Returns None when the list is complete (the facade then renders the
-    closing empty token, /root/reference/CHANGELOG.md:108-110)."""
+    closing empty token, /root/reference/CHANGELOG.md:108-110).
+
+    A resumed page that collects ZERO rows (records drifted out of the
+    snapshot after completeListSize was counted) closes the list: a None
+    last_key would drop the keyset filter and re-deliver page one."""
     import dataclasses
 
-    if page.token is None:
+    if page.token is None or not rows:
         return None
-    last = rows[-1]["aggregator_identifier"] if rows else None
+    last = rows[-1]["aggregator_identifier"]
     return dataclasses.replace(page.token, last_key=last).encode()
 
 

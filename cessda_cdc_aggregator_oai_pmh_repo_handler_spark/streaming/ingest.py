@@ -177,14 +177,26 @@ def _id_bucket(col: str = "aggregator_identifier") -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(ID_BUCKETS)).cast("int")
 
 
-def merge_batch_bucketed(batch: DataFrame, target_path: str) -> None:
+def merge_batch_bucketed(batch: DataFrame, target_path: str,
+                         quarantine_path: str | None = None,
+                         epoch_id: int | None = None) -> None:
     """Partition-pruned merge: the corpus is partitioned by a hash bucket of
     the PRIMARY KEY (immutable per record, unlike the publisher), so a
     microbatch only ever touches the buckets its keys hash to. The merge
     reads just those partitions (pruned scan) and dynamic partition
     overwrite rewrites just those directories — batch-sized I/O against a
-    corpus-sized table, the no-Delta equivalent of MERGE + pruning."""
+    corpus-sized table, the no-Delta equivalent of MERGE + pruning. This is
+    the ``start_ingest`` default; ``merge_batch`` (full rewrite + atomic
+    swap) remains as the layout-free fallback.
+
+    ``epoch_id`` gives the same exactly-once replay protection as
+    ``merge_batch``; malformed events divert to ``quarantine_path``."""
+    if epoch_id is not None and epoch_id <= _read_epoch(target_path):
+        return
     spark = batch.sparkSession
+    batch, bad = split_quarantine(batch)
+    if quarantine_path is not None and bad.limit(1).count() > 0:
+        bad.write.mode("append").parquet(quarantine_path)
     latest = _latest_event_per_key(batch)
     affected = [r[0] for r in
                 latest.select(_id_bucket().alias("b")).distinct().collect()]
@@ -213,19 +225,26 @@ def merge_batch_bucketed(batch: DataFrame, target_path: str) -> None:
          .write.mode("overwrite").partitionBy(ID_BUCKET_COL).parquet(target_path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if epoch_id is not None:
+        _write_epoch(target_path, epoch_id)
 
 
 def read_bucketed_corpus(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read either corpus layout back as studies-schema rows (``drop`` of a
+    missing partition column is a no-op on the flat layout)."""
     return spark.read.parquet(target_path).drop(ID_BUCKET_COL)
 
 
 def start_ingest(spark: SparkSession, source_dir: str, target_path: str,
                  checkpoint_dir: str, watermark: str = "1 hour",
-                 available_now: bool = True):
+                 available_now: bool = True, bucketed: bool = True):
     """File-source harvest stream → watermarked dedup → merge sink.
 
     ``available_now=True`` drains what's present and stops (test/batch-up
-    mode); ``False`` runs continuously with the default trigger."""
+    mode); ``False`` runs continuously with the default trigger. The sink is
+    the partition-pruned bucketed merge by default — batch-sized I/O per
+    microbatch; pass ``bucketed=False`` for the flat full-rewrite layout."""
+    merge = merge_batch_bucketed if bucketed else merge_batch
     stream = (
         spark.readStream.schema(harvest_event_schema())
         .option("maxFilesPerTrigger", 16)
@@ -235,7 +254,7 @@ def start_ingest(spark: SparkSession, source_dir: str, target_path: str,
     )
     writer = (
         stream.writeStream.foreachBatch(
-            lambda df, epoch: merge_batch(df, target_path, epoch_id=epoch)
+            lambda df, epoch: merge(df, target_path, epoch_id=epoch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

@@ -32,7 +32,8 @@ def target(tmp_path):
 
 
 def read_target(spark, target):
-    return spark.read.parquet(target)
+    # handles both the flat and the bucketed (start_ingest default) layouts
+    return I.read_bucketed_corpus(spark, target)
 
 
 def test_merge_insert_then_update(spark, target):
