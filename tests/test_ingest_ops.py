@@ -122,3 +122,35 @@ def test_compaction_preserves_partitioning(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{path}/bucket=*"), "partition directories preserved"
+
+
+def test_bucketed_merge_quarantine_and_epoch(spark, tmp_path):
+    """The bucketed merge (start_ingest default) carries the same hygiene as
+    the flat path: malformed events divert to quarantine, replayed epochs
+    are no-ops, newer epochs apply."""
+    target = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "rejects")
+    recs = fixture_records()
+    b1 = spark.createDataFrame(
+        [_event(recs[0], "upsert", "2020-01-01T00:00:00Z"),
+         _event(recs[1], "frobnicate", "2020-01-01T00:00:00Z")],
+        I.harvest_event_schema())
+    I.merge_batch_bucketed(b1, target, quarantine_path=quarantine, epoch_id=0)
+    assert I.read_bucketed_corpus(spark, target).count() == 1
+    assert spark.read.parquet(quarantine).count() == 1
+
+    # replay epoch 0 with a different payload: must not apply
+    replay = spark.createDataFrame(
+        [_event(dict(recs[0], study_number="should_not_apply"), "upsert",
+                "2020-01-02T00:00:00Z")], I.harvest_event_schema())
+    I.merge_batch_bucketed(replay, target, epoch_id=0)
+    assert (I.read_bucketed_corpus(spark, target).first()["study_number"]
+            == "study_agg_id_1")
+
+    # epoch 1 applies
+    I.merge_batch_bucketed(
+        spark.createDataFrame(
+            [_event(recs[1], "upsert", "2020-01-03T00:00:00Z")],
+            I.harvest_event_schema()),
+        target, epoch_id=1)
+    assert I.read_bucketed_corpus(spark, target).count() == 2

@@ -288,3 +288,65 @@ def test_list_records_selective_set(facade):
     recs = el.findall("./oai:ListRecords/oai:record", NS)
     ids = [r.find("./oai:header/oai:identifier", NS).text for r in recs]
     assert ids == ["agg_id_4"]
+
+
+def test_unknown_argument_is_bad_argument(facade):
+    """OAI 2.0 §3.6 (reference behavior: any unrecognized argument ⇒
+    badArgument, never an exception that kills the handler)."""
+    el = parse(facade.handle_request(verb="GetRecord", request_ts=NOW,
+                                     identifier="agg_id_1",
+                                     metadataPrefix="oai_dc", foo="1"))
+    err = el.find("./oai:error", NS)
+    assert err.get("code") == "badArgument" and "foo" in err.text
+    el = parse(facade.handle_request(verb="Identify", request_ts=NOW,
+                                     extra="x"))
+    assert el.find("./oai:error", NS).get("code") == "badArgument"
+
+
+def test_list_sets_rejects_resumption_token(facade):
+    el = parse(facade.handle_request(verb="ListSets", request_ts=NOW,
+                                     resumptionToken="whatever"))
+    assert el.find("./oai:error", NS).get("code") == "badResumptionToken"
+
+
+def test_response_date_is_oai_utcdatetime(facade):
+    """responseDate must be YYYY-MM-DDThh:mm:ssZ even though the facade's
+    snapshot literal uses the engine's space-separated form (OAI 2.0 §3.3)."""
+    import re
+
+    for verb in ("Identify", "Nope"):
+        el = parse(facade.handle_request(verb=verb, request_ts=NOW))
+        rd = el.find("./oai:responseDate", NS).text
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", rd), rd
+
+
+def test_until_date_only_covers_whole_day(facade):
+    """A day-granularity until is inclusive of that entire day: the deleted
+    record's datestamp is 2000-01-01T23:00:00Z, after midnight — mapping
+    until=2000-01-01 to 00:00:00 would silently drop it."""
+    el = parse(facade.handle_request(verb="ListIdentifiers", request_ts=NOW,
+                                     metadataPrefix="oai_dc",
+                                     until="2000-01-01"))
+    headers = el.findall("./oai:ListIdentifiers/oai:header", NS)
+    assert [h.find("./oai:identifier", NS).text for h in headers] == ["agg_id_2"]
+
+
+def test_mixed_from_until_granularity_is_bad_argument(facade):
+    el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                     metadataPrefix="oai_dc",
+                                     until="2010-01-01T00:00:00Z",
+                                     **{"from": "2000-01-01"}))
+    assert el.find("./oai:error", NS).get("code") == "badArgument"
+
+
+def test_request_metrics_success_failure_split(facade):
+    """OAI-error responses count as failures, not successes
+    (/root/reference/cdcagg_oai/metrics.py:224-246)."""
+    m = facade.request_metrics
+    ok, bad = m.requests_succeeded, m.requests_failed
+    facade.handle_request(verb="Identify", request_ts=NOW)
+    facade.handle_request(verb="Nope", request_ts=NOW)
+    facade.handle_request(verb="GetRecord", request_ts=NOW,
+                          identifier="missing", metadataPrefix="oai_dc")
+    assert m.requests_succeeded == ok + 1
+    assert m.requests_failed == bad + 2

@@ -278,3 +278,17 @@ def test_per_format_page_size(spark):
     tok = finalize_token(datacite, datacite.df.collect())
     page2 = planner.list_page(token=tok)
     assert len(page2.df.collect()) == 2
+
+
+def test_finalize_token_empty_resumed_page_closes_list():
+    """A resumed page that collects zero rows (records drifted out of the
+    snapshot after completeListSize was counted) must CLOSE the list — a
+    None last_key would drop the keyset filter and re-deliver page one."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.query_builder import Page
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.plans.tokens import ResumptionToken
+
+    tok = ResumptionToken(query_hash="h", cursor=3, complete_list_size=9,
+                          snapshot_ts="2019-12-12 07:14:38",
+                          metadata_prefix="oai_dc", last_key="agg_id_3")
+    page = Page(df=None, token=tok, complete_list_size=9, cursor=3)
+    assert finalize_token(page, []) is None

@@ -66,6 +66,15 @@ def test_minhash_verify_joins_broadcast_candidates(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_simhash_pairs_no_cartesian_product(spark):
+    """Chunk-prefix bucketing must turn the pair search into an equi-join;
+    a CartesianProduct/nested-loop node here is the O(n²) scale-killer the
+    bucketing exists to avoid."""
+    plan = plan_of(dedup.q_simhash_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pagination_filters_before_window(spark):
     """The snapshot bound must reach the scan, not sit above the sort."""
     plan = plan_of(relational.q_pagination(spark, SF))
