@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..sources.studies import OPENAIRE_ID_TYPES
+from ..sources.studies import OPENAIRE_ID_TYPES, RELATED_ID_TYPES
 
 EU_REPO_GRANT_PREFIX = "info:eu-repo/grantAgreement"
 
@@ -103,12 +103,13 @@ def related_identifiers(
     related_publications: Column | str = "related_publications",
 ) -> Column:
     """P10/datacite relatedIdentifier: keep only entries whose
-    identifier_agency ∈ OpenAIRE whitelist AND identifier non-empty
-    (/root/reference/tests/test_serve.py:934-993)."""
+    identifier_agency ∈ the OpenAIRE relatedIdentifierType vocabulary
+    (broader than the record-validity list: ISBN etc. qualify here) AND
+    identifier non-empty (/root/reference/tests/test_serve.py:934-993)."""
     r = _c(related_publications)
     kept = F.filter(
         r,
-        lambda x: x["identifier_agency"].isin(*OPENAIRE_ID_TYPES)
+        lambda x: x["identifier_agency"].isin(*RELATED_ID_TYPES)
         & x["identifier"].isNotNull()
         & (x["identifier"] != ""),
     )

@@ -76,9 +76,21 @@ def studies_schema() -> T.StructType:
 FSD_URL = "http://services.fsd.tuni.fi/v0/oai"
 GESIS_URL = "https://www.da-ra.de/oaip"
 
-# OpenAIRE identifier-type whitelist
-# (/root/reference/cdcagg_oai/metadataformats.py:786-787).
+# OpenAIRE identifier-type whitelist for the datacite P4 record-validity
+# prefilter (/root/reference/cdcagg_oai/metadataformats.py:786-787,
+# tests/test_serve.py:1335-1336).
 OPENAIRE_ID_TYPES = ("DOI", "ARK", "Handle", "PURL", "URN", "URL")
+
+# Broader controlled list for datacite relatedIdentifier agencies — the
+# OpenAIRE relatedIdentifierType vocabulary. The reference's tests keep
+# ISBN here while the record-validity list above does not
+# (/root/reference/tests/test_serve.py:934-977; vocabulary per
+# guidelines.openaire.eu field_relatedidentifier).
+RELATED_ID_TYPES = (
+    "ARK", "arXiv", "bibcode", "DOI", "EAN13", "EISSN", "Handle", "ISBN",
+    "ISSN", "ISTC", "LISSN", "LSID", "PMID", "PURL", "UPC", "URL", "URN",
+    "WOS",
+)
 
 
 def _vl(*pairs):
