@@ -387,6 +387,9 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("component").alias("nmin"))
         )
+        # carry the convergence flag inside the update row: the follow-up
+        # sum() runs over the checkpointed result — no second join / no
+        # extra per-sweep job against the previous labels
         new_labels = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
@@ -394,17 +397,14 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nmin"), F.col("component"))
+                 < F.col("component")).cast("int").alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("chg")).first()[0]
+        labels = new_labels.drop("chg")
+        if not changed:
             break
     return labels.select(F.col("id").alias("doc_id"), "component")
 
