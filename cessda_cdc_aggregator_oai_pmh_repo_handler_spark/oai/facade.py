@@ -226,12 +226,16 @@ class OAIFacade:
     def _get_record(self, request_ts: str, identifier: str | None = None,
                     metadataPrefix: str | None = None) -> str:
         args = {"identifier": identifier, "metadataPrefix": metadataPrefix}
+        missing = [k for k, v in args.items() if v is None]
+        if missing:
+            # OAI 2.0 §4.1: both arguments are REQUIRED; absence is
+            # badArgument (cannotDisseminateFormat is for unsupported values)
+            return self._error("GetRecord", request_ts, "badArgument",
+                               f"Missing required argument(s): {', '.join(missing)}",
+                               args)
         if FMT.get(metadataPrefix) is None:
             return self._error("GetRecord", request_ts, "cannotDisseminateFormat",
                                f"Unknown metadataPrefix: {metadataPrefix}", args)
-        if identifier is None:
-            return self._error("GetRecord", request_ts, "badArgument",
-                               "identifier is required", args)
         fmt = FMT.get(metadataPrefix)
         df = self.planner.get_record(identifier, metadataPrefix)
         if fmt.needs_derived:
@@ -278,6 +282,13 @@ class OAIFacade:
               set: str | None = None, resumptionToken: str | None = None,
               **kw) -> str:
         raw_from, raw_until = kw.get("from"), kw.get("until")
+        if metadataPrefix is None and resumptionToken is None:
+            # OAI 2.0 §4.3/4.5: metadataPrefix is REQUIRED unless resuming;
+            # a missing required argument is badArgument, not
+            # cannotDisseminateFormat (that code is for unsupported values)
+            return self._error(verb, request_ts, "badArgument",
+                               "metadataPrefix is required",
+                               {"set": set, "from": raw_from, "until": raw_until})
         from_ts = self._parse_oai_date(raw_from)
         until_ts = self._parse_oai_date(raw_until, end=True)
         if (raw_from is not None and from_ts is None) or (

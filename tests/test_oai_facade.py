@@ -350,3 +350,22 @@ def test_request_metrics_success_failure_split(facade):
                           identifier="missing", metadataPrefix="oai_dc")
     assert m.requests_succeeded == ok + 1
     assert m.requests_failed == bad + 2
+
+
+def test_missing_required_arguments_are_bad_argument(facade):
+    """OAI 2.0 §4.1/4.3/4.5: a MISSING required argument is badArgument;
+    cannotDisseminateFormat is reserved for unsupported prefix VALUES."""
+    cases = [
+        dict(verb="GetRecord"),
+        dict(verb="GetRecord", identifier="agg_id_1"),
+        dict(verb="GetRecord", metadataPrefix="oai_dc"),
+        dict(verb="ListRecords"),
+        dict(verb="ListIdentifiers"),
+    ]
+    for kwargs in cases:
+        el = parse(facade.handle_request(request_ts=NOW, **kwargs))
+        assert el.find("./oai:error", NS).get("code") == "badArgument", kwargs
+    # unsupported VALUE still maps to cannotDisseminateFormat
+    el = parse(facade.handle_request(verb="ListRecords", request_ts=NOW,
+                                     metadataPrefix="nope"))
+    assert el.find("./oai:error", NS).get("code") == "cannotDisseminateFormat"
