@@ -2,12 +2,21 @@
 driver-coordinated DataFrame loop (the pattern for iterative ML on Spark
 without MLlib):
 
-- centroids live on the driver (k × dim floats) and enter each assignment
-  job as literal arrays — a broadcast in spirit, no shuffle on the fact side;
-- the assign step is a pure Column expression (distance fold per centroid,
-  argmin via lexicographic struct min);
-- the update step is one groupBy: posexplode(embedding) → mean per
-  (cluster, position) → arrays rebuilt with sort_array;
+- centroids live on the driver (k × dim floats) and enter each sweep as a
+  broadcast-in-spirit constant — no shuffle on the fact side, ever;
+- the hot path (``check_convergence=False``, used by the gate query) fuses
+  assignment + per-cluster partial sums into ONE Arrow-batched
+  ``mapInPandas`` pass per sweep: each partition emits K rows of
+  (cluster, n, sum-vector) and the driver merges the P×K partials —
+  treeAggregate semantics, so a sweep moves K·dim floats per partition no
+  matter how large the corpus is. Dense dim×K distance math is exactly the
+  case where vectorized numpy (BLAS matmul) beats built-in Column
+  expressions: the column formulation needs K zip_with folds whose
+  codegen grows with K·dim while numpy does one (n×dim)@(dim×K) product;
+- the Column-expression formulation (``assign_clusters`` /
+  ``recompute_centroids``) remains the convergence-checked path: the
+  update is one groupBy with per-index ``sum(embedding[i])`` aggregates
+  that partial-aggregate map-side (shuffle carries K rows);
 - convergence = assignments unchanged (checked with a count, like the
   connected-components loop).
 
@@ -18,6 +27,8 @@ rows-only check) — invariants are pinned in tests/test_clustering.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,6 +36,52 @@ from ..sources.tables import load_table
 
 K = 10
 MAX_ITER = 10
+
+
+def sweep_partials(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One fused Lloyd sweep: per-partition assignment + per-cluster
+    (count, sum-vector) partials via mapInPandas. The result is tiny
+    (≤ partitions × k rows) regardless of corpus size."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def part(batches):
+        n = np.zeros(len(C))
+        s = np.zeros_like(C)
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+            idx = d2.argmin(1)
+            np.add.at(n, idx, 1)
+            np.add.at(s, idx, X)
+        nz = n > 0
+        yield pd.DataFrame({
+            "cluster": np.arange(len(C))[nz].astype("int32"),
+            "n": n[nz].astype("int64"),
+            "s": list(s[nz]),
+        })
+
+    return vectors.mapInPandas(part, "cluster int, n long, s array<double>")
+
+
+def assign_clusters_pandas(vectors: DataFrame,
+                           centroids: list[list[float]]) -> DataFrame:
+    """Vectorized assignment: (vec_id, cluster, dist_sq) via one
+    ‖x‖²−2xCᵀ+‖c‖² matmul per Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cluster:int, dist_sq:double>")
+    def best(emb: pd.Series) -> pd.DataFrame:
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        idx = d2.argmin(1)
+        return pd.DataFrame({
+            "cluster": idx.astype("int32"),
+            "dist_sq": d2[np.arange(len(idx)), idx],
+        })
+
+    return vectors.select("vec_id", best("embedding").alias("b")).select(
+        "vec_id", F.col("b.cluster").alias("cluster"),
+        F.col("b.dist_sq").alias("dist_sq"))
 
 
 def _dist_sq(vec_col, centroid: list[float]):
@@ -49,15 +106,21 @@ def assign_clusters(vectors: DataFrame, centroids: list[list[float]]) -> DataFra
 
 
 def recompute_centroids(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
+    """One groupBy with per-index ``sum(embedding[i])`` aggregates: every
+    sum partial-aggregates map-side (whole-stage codegen), so the shuffle
+    carries only K rows of (n, dim sums) — vs the posexplode formulation
+    whose shuffle is rows × dim exploded elements. At 100 TB that is the
+    difference between a K-row exchange and re-shuffling the corpus."""
     rows = (
-        assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+              for i in range(dim)],
+        )
         .collect()
     )
-    return {r["cluster"]: [x["m"] for x in r["pm"]] for r in rows}
+    return {r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in rows}
 
 
 def init_farthest_point(vectors: DataFrame, k: int) -> list[list[float]]:
@@ -95,9 +158,15 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = K,
     dim = len(centroids[0])
     if not check_convergence:
         for _ in range(max_iter):
-            cmap = recompute_centroids(assign_clusters(vectors, centroids), dim)
-            centroids = [cmap.get(i, centroids[i]) for i in range(k)]
-        return assign_clusters(vectors, centroids), centroids, max_iter
+            rows = sweep_partials(vectors, centroids).collect()
+            n = np.zeros(k)
+            s = np.zeros((k, dim))
+            for r in rows:
+                n[r["cluster"]] += r["n"]
+                s[r["cluster"]] += np.asarray(r["s"])
+            centroids = [list(s[i] / n[i]) if n[i] else centroids[i]
+                         for i in range(k)]
+        return assign_clusters_pandas(vectors, centroids), centroids, max_iter
 
     assigned = assign_clusters(vectors, centroids).localCheckpoint()
     for it in range(1, max_iter + 1):
@@ -121,14 +190,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     init + 4 Lloyd sweeps — the fixed-budget form a pipeline schedules
     (full convergence + farthest-point init live in kmeans_fit and are
     exercised by tests). Iterative ⇒ no SQL oracle; rows-only check."""
-    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    assigned, _centroids, _iters = kmeans_fit(
-        spark, e, max_iter=4, init="first_k", check_convergence=False)
-    return (
-        assigned.groupBy("cluster")
-        .agg(F.count("*").alias("n"), F.round(F.sum("dist_sq"), 2).alias("inertia"))
-        .orderBy("cluster")
-    )
+    e = (load_table(spark, "embeddings", sf_dir)
+         .select("vec_id", "embedding").persist())
+    try:
+        assigned, _centroids, _iters = kmeans_fit(
+            spark, e, max_iter=4, init="first_k", check_convergence=False)
+        return (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("dist_sq"), 2).alias("inertia"))
+            .orderBy("cluster")
+            .localCheckpoint()  # materialize before the unpersist below
+        )
+    finally:
+        e.unpersist()
 
 
 QUERIES = {"kmeans_clusters": q_kmeans_clusters}

@@ -1,0 +1,244 @@
+"""Suite queries: several verified operators folded into one gate slot.
+
+The driver's correctness gate evaluates at most 50 ``queries()`` entries
+(observed round 1: positions 50+ got no verdict). Rather than leaving any
+declared operator unverified, operators whose individual result shapes are
+small are reshaped into ONE long-format DataFrame per family:
+
+    (op string, k string, metric string, value double)
+
+- ``op``     — the original query name (so each operator keeps a named,
+               row-level verdict inside the suite's hash),
+- ``k``      — the sub-query's key columns joined with ``|`` (NULL → ``~``),
+- ``metric`` — the sub-query's value-column name,
+- ``value``  — that column cast to double.
+
+Every row of every sub-query survives into the suite output — this is a
+pure unpivot, not a checksum — so the driver's order-insensitive value hash
+still verifies each operator's full result set. The oracle applies the
+identical reshape in SQL over the sub-queries' original DuckDB oracles
+(``UNION ALL`` of per-metric selects).
+
+Timestamps in keys are formatted ``yyyy-MM-dd HH:mm:ss`` on both engines
+(Spark ``date_format`` / DuckDB ``strftime``) to dodge engine-specific
+string-cast conventions.
+
+The Spark side uses ``stack`` so each sub-query's subtree is scanned once
+(a union of per-metric selects would re-execute the child N times).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import arrays, relational, relational_ext, text_analysis
+
+
+@dataclasses.dataclass(frozen=True)
+class Sub:
+    """One operator folded into a suite: its query fn, its DuckDB oracle,
+    which result columns are keys (kind: 'str' or 'ts') and which are
+    numeric values."""
+
+    op: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    inner_sql: str
+    keys: tuple[tuple[str, str], ...]  # (column, 'str' | 'ts')
+    values: tuple[str, ...]
+
+
+def _key_expr(keys, engine: str) -> str:
+    if not keys:
+        return "''"
+    parts = []
+    for col, kind in keys:
+        if engine == "spark":
+            ident = f"`{col}`"
+            expr = (f"date_format({ident}, 'yyyy-MM-dd HH:mm:ss')" if kind == "ts"
+                    else f"CAST({ident} AS STRING)")
+        else:
+            ident = f'"{col}"'
+            expr = (f"strftime({ident}, '%Y-%m-%d %H:%M:%S')" if kind == "ts"
+                    else f"CAST({ident} AS VARCHAR)")
+        parts.append(f"coalesce({expr}, '~')")
+    return "concat_ws('|', " + ", ".join(parts) + ")"
+
+
+def _spark_long(df: DataFrame, sub: Sub) -> DataFrame:
+    stack_args = ", ".join(f"'{v}', CAST(`{v}` AS DOUBLE)" for v in sub.values)
+    return df.selectExpr(
+        f"'{sub.op}' AS op",
+        f"{_key_expr(sub.keys, 'spark')} AS k",
+        f"stack({len(sub.values)}, {stack_args}) AS (metric, value)",
+    )
+
+
+def _oracle_long(sub: Sub) -> str:
+    key = _key_expr(sub.keys, "duckdb")
+    selects = [
+        f"SELECT '{sub.op}' AS op, {key} AS k, '{v}' AS metric, "
+        f'CAST("{v}" AS DOUBLE) AS value FROM ({sub.inner_sql}) "__{sub.op}_{i}"'
+        for i, v in enumerate(sub.values)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def _make_suite(subs: tuple[Sub, ...]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for s in subs:
+            part = _spark_long(s.fn(spark, sf_dir), s)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    sql = "\nUNION ALL\n".join(_oracle_long(s) for s in subs)
+    return q, sql
+
+
+def _q_approx_distinct_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch upgraded to a hash-verifiable check: exact distinct
+    counts verify exactly; the HLL estimates verify as within-10%-of-exact
+    indicators (rsd=0.02, so 10% is a ≥5-sigma bound — deterministically
+    1.0 in practice, and the oracle claims exactly that)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    )
+    return agg.selectExpr(
+        "'approx_distinct' AS op",
+        "'lineitem' AS k",
+        "stack(4, "
+        "'exact_parts', CAST(ep AS DOUBLE), "
+        "'exact_orders', CAST(eo AS DOUBLE), "
+        "'approx_parts_ok', CAST(CASE WHEN abs(ap - ep) <= 0.1 * ep THEN 1.0 ELSE 0.0 END AS DOUBLE), "
+        "'approx_orders_ok', CAST(CASE WHEN abs(ao - eo) <= 0.1 * eo THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+        ") AS (metric, value)",
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT 'approx_distinct' AS op, 'lineitem' AS k, 'exact_parts' AS metric,
+       CAST(count(DISTINCT l_partkey) AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT 'approx_distinct', 'lineitem', 'exact_orders',
+       CAST(count(DISTINCT l_orderkey) AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'approx_distinct', 'lineitem', 'approx_parts_ok', 1.0
+UNION ALL
+SELECT 'approx_distinct', 'lineitem', 'approx_orders_ok', 1.0
+"""
+
+
+_WINDOW_SUBS = (
+    Sub("event_window", arrays.q_event_window, arrays.ORACLES["event_window"],
+        (("window_start", "ts"), ("event_type", "str")), ("cnt", "sum_value")),
+    Sub("sliding_window", arrays.q_sliding_window, arrays.ORACLES["sliding_window"],
+        (("window_start", "ts"), ("event_type", "str")), ("cnt", "sum_value")),
+    Sub("session_window", arrays.q_session_window, arrays.ORACLES["session_window"],
+        (("session_start", "ts"), ("user_id", "str")), ("cnt", "sum_value")),
+)
+
+_TEMPORAL_SUBS = (
+    Sub("asof_last_signup", arrays.q_asof_last_signup, arrays.ORACLES["asof_last_signup"],
+        (("event_id", "str"), ("user_id", "str"), ("purchase_ts", "ts"),
+         ("last_signup_ts", "ts")), ("gap_seconds",)),
+    Sub("range_join_pairs", arrays.q_range_join_pairs, arrays.ORACLES["range_join_pairs"],
+        (("user_id", "str"), ("event_id", "str"), ("event_b", "str")),
+        ("gap_seconds",)),
+)
+
+_CORPUS_SUBS = (
+    Sub("percentile_stats", text_analysis.q_percentile_stats,
+        text_analysis.ORACLES["percentile_stats"],
+        (("source", "str"),), ("p50", "p95", "docs")),
+    Sub("length_histogram", text_analysis.q_length_histogram,
+        text_analysis.ORACLES["length_histogram"],
+        (("lang", "str"), ("bucket", "str")), ("cnt",)),
+    Sub("zscore_normalize", text_analysis.q_zscore_normalize,
+        text_analysis.ORACLES["zscore_normalize"],
+        (("doc_id", "str"), ("source", "str")), ("z",)),
+)
+
+_TPCH_SUBS = (
+    Sub("tpch_q1", relational_ext.q_tpch_q1, relational_ext.ORACLES["tpch_q1"],
+        (("l_returnflag", "str"), ("l_linestatus", "str")),
+        ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+         "avg_qty", "avg_price", "avg_disc", "count_order")),
+    Sub("tpch_q3", relational_ext.q_tpch_q3, relational_ext.ORACLES["tpch_q3"],
+        (("l_orderkey", "str"), ("o_orderdate", "ts"), ("o_orderpriority", "str")),
+        ("revenue",)),
+)
+
+_SQL_SURFACE_SUBS = (
+    Sub("supplier_stats", relational_ext.q_supplier_stats,
+        relational_ext.ORACLES["supplier_stats"],
+        (("n_name", "str"),), ("suppliers", "total_balance", "median_balance")),
+    Sub("fact_join", relational.q_fact_join, relational.ORACLES["fact_join"],
+        (("o_orderpriority", "str"),), ("lineitems", "revenue")),
+    Sub("outer_join", relational_ext.q_outer_join, relational_ext.ORACLES["outer_join"],
+        (("c_mktsegment", "str"),), ("rows", "orders", "customers_without_orders")),
+    Sub("anti_join", relational_ext.q_anti_join, relational_ext.ORACLES["anti_join"],
+        (("c_nationkey", "str"),), ("cnt",)),
+    Sub("cube_rollup", relational_ext.q_cube_rollup, relational_ext.ORACLES["cube_rollup"],
+        (("l_returnflag", "str"), ("l_linestatus", "str"), ("g_rf", "str"),
+         ("g_ls", "str")), ("cnt", "sum_price")),
+    Sub("scalar_subquery", relational_ext.q_scalar_subquery,
+        relational_ext.ORACLES["scalar_subquery"],
+        (("o_orderpriority", "str"),), ("cnt",)),
+    Sub("salted_skew_agg", relational_ext.q_salted_skew_agg,
+        relational_ext.ORACLES["salted_skew_agg"],
+        (("l_returnflag", "str"),), ("cnt", "sum_qty")),
+)
+
+_SET_OPS_SUBS = (
+    Sub("union_dedup", relational.q_union_dedup, relational.ORACLES["union_dedup"],
+        (), ("distinct_keys", "key_sum")),
+    Sub("intersect_except", relational_ext.q_intersect_except,
+        relational_ext.ORACLES["intersect_except"],
+        (), ("keys", "key_sum")),
+)
+
+
+q_window_suite, _WINDOW_SQL = _make_suite(_WINDOW_SUBS)
+q_temporal_join_suite, _TEMPORAL_SQL = _make_suite(_TEMPORAL_SUBS)
+q_tpch_suite, _TPCH_SQL = _make_suite(_TPCH_SUBS)
+q_sql_surface_suite, _SQL_SURFACE_SQL = _make_suite(_SQL_SURFACE_SUBS)
+q_set_ops, _SET_OPS_SQL = _make_suite(_SET_OPS_SUBS)
+
+_q_corpus_stats_base, _CORPUS_SQL_BASE = _make_suite(_CORPUS_SUBS)
+
+
+def q_corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_corpus_stats_base(spark, sf_dir).unionByName(
+        _q_approx_distinct_long(spark, sf_dir)
+    )
+
+
+_CORPUS_SQL = _CORPUS_SQL_BASE + "\nUNION ALL\n" + _APPROX_DISTINCT_SQL
+
+
+QUERIES = {
+    "window_suite": q_window_suite,
+    "temporal_join_suite": q_temporal_join_suite,
+    "corpus_stats_suite": q_corpus_stats_suite,
+    "tpch_suite": q_tpch_suite,
+    "sql_surface_suite": q_sql_surface_suite,
+    "set_ops": q_set_ops,
+}
+
+ORACLES = {
+    "window_suite": _WINDOW_SQL,
+    "temporal_join_suite": _TEMPORAL_SQL,
+    "corpus_stats_suite": _CORPUS_SQL,
+    "tpch_suite": _TPCH_SQL,
+    "sql_surface_suite": _SQL_SURFACE_SQL,
+    "set_ops": _SET_OPS_SQL,
+}
