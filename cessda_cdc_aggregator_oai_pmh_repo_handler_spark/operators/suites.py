@@ -106,11 +106,18 @@ def _q_approx_distinct_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     indicators (rsd=0.02, so 10% is a ≥5-sigma bound — deterministically
     1.0 in practice, and the oracle claims exactly that)."""
     li = load_table(spark, "lineitem", sf_dir)
-    agg = li.agg(
+    # three column-pruned scans, NOT one agg mixing two countDistincts with
+    # the HLLs: the mixed form plans an Expand that triples every input row
+    # before the shuffle (measured 8.1s vs 0.9s at sf0.1). Each single-
+    # distinct agg is the cheap two-phase partial-distinct plan, and the
+    # 1-row results recombine with free broadcast cross joins.
+    hll = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
-        F.countDistinct("l_partkey").alias("ep"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
-        F.countDistinct("l_orderkey").alias("eo"),
+    )
+    agg = (
+        hll.crossJoin(li.agg(F.countDistinct("l_partkey").alias("ep")))
+        .crossJoin(li.agg(F.countDistinct("l_orderkey").alias("eo")))
     )
     return agg.selectExpr(
         "'approx_distinct' AS op",
