@@ -2,12 +2,13 @@
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode kernels themselves are STUBS — the real image/audio libraries
-are not in this container — but everything Spark-side is real and tested:
-the schema contract, the Arrow batch shapes, the partition-preserving
-pipeline, and the deterministic fake decoder used to exercise it. Swapping
-``_decode_fake`` for PIL/librosa is a one-function change; the distributed
-plan does not move.
+Decode kernels are REAL for the uncompressed formats this environment can
+handle without codec libraries — PCM WAV (stdlib ``wave``) and binary PPM
+(header parse + numpy) — plus a deterministic FAKE codec for plumbing
+tests. Compressed formats (PNG/JPEG/MP3/H.264) raise NotImplementedError
+until PIL/librosa/ffmpeg are installed; the dispatch in ``_decode`` is the
+single extension point, and the distributed plan does not move when a codec
+is added.
 
 Scale notes:
 - Payloads stay in executors end-to-end (mapInPandas streams Arrow batches;
@@ -82,16 +83,111 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _decode_fake(payload: bytes) -> list[float]:
-    """The stub decode kernel. Real formats raise until a codec library is
-    installed (import-gated, never at module import time)."""
+    """The synthetic plumbing codec (FAKE magic)."""
     if payload[:4] != _MAGIC:
         raise NotImplementedError(
             "only the FAKE synthetic codec is available in this environment; "
-            "install PIL/librosa and extend _decode_fake for real formats"
+            "install PIL/librosa and extend _decode for real formats"
         )
     (n,) = struct.unpack("<i", payload[4:8])
     body = payload[8:8 + n]
     return [b / 255.0 for b in body]
+
+
+# --- real uncompressed codecs (no external libraries needed) -----------------
+
+def encode_wav_payload(media_id: int, n_samples: int,
+                       sample_rate: int = 16000) -> bytes:
+    """Real PCM16 mono WAV bytes (stdlib ``wave``): deterministic md5-seeded
+    samples so executors and the driver-side oracle mirror agree exactly."""
+    import io
+    import wave as wave_mod
+
+    seed = hashlib.md5(f"wav:{media_id}".encode()).digest()
+    noise = (seed * (2 * n_samples // len(seed) + 1))[:2 * n_samples]
+    # center the unsigned byte stream so samples span negative and positive
+    samples = struct.pack(
+        "<%dh" % n_samples,
+        *[(noise[2 * i] | (noise[2 * i + 1] << 8)) - 32768
+          for i in range(n_samples)],
+    )
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """PCM16 WAV → floats in [-1, 1). Stdlib parse; no codec library."""
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV is decoded here")
+        n = w.getnframes()
+        nch = w.getnchannels()
+        raw = w.readframes(n)
+    return [s / 32768.0 for s in struct.unpack("<%dh" % (n * nch), raw)]
+
+
+def encode_ppm_payload(media_id: int, width: int, height: int) -> bytes:
+    """Real binary PPM (P6) bytes with deterministic md5-seeded RGB."""
+    seed = hashlib.md5(f"ppm:{media_id}".encode()).digest()
+    n = 3 * width * height
+    body = (seed * (n // len(seed) + 1))[:n]
+    return b"P6\n%d %d\n255\n" % (width, height) + body
+
+
+def _decode_ppm(payload: bytes) -> list[float]:
+    """Binary PPM (P6) → per-pixel luma floats in [0, 1] (BT.601 weights)."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("only binary PPM (P6) images are decoded here")
+    parts = payload.split(b"\n", 3)
+    width, height = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    body = parts[3][: 3 * width * height]
+    return [
+        (0.299 * body[3 * i] + 0.587 * body[3 * i + 1] + 0.114 * body[3 * i + 2])
+        / maxval
+        for i in range(width * height)
+    ]
+
+
+def _decode(payload: bytes) -> list[float]:
+    """Format dispatch by magic bytes — the one place a new codec plugs in."""
+    if payload[:4] == _MAGIC:
+        return _decode_fake(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    # compressed formats need PIL/librosa/ffmpeg — not in this container
+    return _decode_fake(payload)  # raises the canonical NotImplementedError
+
+
+def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Media table carrying REAL encoded bytes: PPM images (even ids) and
+    PCM WAV audio (odd ids)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            width = 8 + (i * 5) % 24
+            height = 4 + i % 6
+            payload = encode_ppm_payload(i, width, height)
+            meta = {"format": "PPM", "width": width, "height": height,
+                    "sample_rate": None, "n_samples": None}
+            rows.append((i, "image", payload, meta))
+        else:
+            n_samples = 64 + (i * 17) % 192
+            payload = encode_wav_payload(i, n_samples)
+            meta = {"format": "WAV", "width": None, "height": None,
+                    "sample_rate": 16000, "n_samples": n_samples}
+            rows.append((i, "audio", payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def _feature(values: list[float]) -> list[float]:
@@ -112,7 +208,7 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            values = pdf["payload"].map(lambda p: _decode_fake(bytes(p)))
+            values = pdf["payload"].map(lambda p: _decode(bytes(p)))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -131,7 +227,7 @@ def resize_images(media: DataFrame, width: int) -> DataFrame:
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
-            vals = pdf["payload"].map(lambda p: _decode_fake(bytes(p)))
+            vals = pdf["payload"].map(lambda p: _decode(bytes(p)))
             resized = vals.map(
                 lambda v: [v[int(i * len(v) / width)] for i in range(width)] if v else []
             )
@@ -147,12 +243,14 @@ def resize_images(media: DataFrame, width: int) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: decode the deterministic media table (Arrow-batched
-    mapInPandas, payloads never touch the driver) and roll the extracted
-    features up per kind. The oracle is a literal-VALUES table computed from
-    the same synthetic codec in plain Python (the media table is built
-    in-memory, so DuckDB can't scan it — but its expected output is exact)."""
-    dec = decode_media(synthetic_media(spark, 64))
+    """Gate query: decode a media table of REAL encoded bytes — binary PPM
+    images and PCM16 WAV audio, decoded by the actual codecs above inside
+    Arrow-batched mapInPandas (payloads never touch the driver) — and roll
+    the extracted features up per kind. The oracle is a literal-VALUES
+    table computed by running the same codecs in plain Python (the media
+    table is built in-memory, so DuckDB can't scan it — but its expected
+    output is exact)."""
+    dec = decode_media(synthetic_media_real(spark, 64))
     feat_sum = F.aggregate("feature", F.lit(0.0),
                            lambda acc, v: acc + v.cast("double"))
     return (
@@ -167,16 +265,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _expected_feature_rollup() -> list[tuple]:
-    """Mirror of q_multimodal_features in driver-side Python. Feature values
+    """Mirror of q_multimodal_features in driver-side Python, running the
+    SAME codecs over the same deterministic payloads. Feature values
     round-trip through Arrow float32 (DECODED_SCHEMA), so emulate that
     truncation before summing in double, exactly as the Spark side does."""
     import numpy as np
 
     acc: dict[str, list] = {}
     for i in range(64):
-        kind = "image" if i % 2 == 0 else "audio"
-        n_values = 64 + (i * 17) % 192
-        vals = _decode_fake(encode_fake_payload(i, kind, n_values))
+        if i % 2 == 0:
+            kind = "image"
+            vals = _decode(encode_ppm_payload(i, 8 + (i * 5) % 24, 4 + i % 6))
+        else:
+            kind = "audio"
+            vals = _decode(encode_wav_payload(i, 64 + (i * 17) % 192))
         feat_sum = sum(float(np.float32(v)) for v in _feature(vals))
         a = acc.setdefault(kind, [0, 0, 0.0, 0.0])
         a[0] += 1
@@ -207,7 +309,7 @@ def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = pdf["payload"].map(lambda p: _decode_fake(bytes(p))[::every_n])
+            vals = pdf["payload"].map(lambda p: _decode(bytes(p))[::every_n])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
