@@ -157,7 +157,11 @@ def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("suppliers"),
             F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
-            F.round(F.percentile("s_acctbal", F.lit(0.5)), 2).alias("median_balance"),
+            # round to 3, not 2: the median of 2-decimal balances is a
+            # multiple of 0.005, which sits EXACTLY on the 2-decimal rounding
+            # boundary — engines then disagree by a cent on half-up vs
+            # nearest-even. At 3 decimals every such value is off-boundary.
+            F.round(F.percentile("s_acctbal", F.lit(0.5)), 3).alias("median_balance"),
         )
     )
 
@@ -178,7 +182,7 @@ ORACLES = {
     "supplier_stats": """
         SELECT n_name, count(*) AS suppliers,
                round(sum(s_acctbal), 2) AS total_balance,
-               round(quantile_cont(s_acctbal, 0.5), 2) AS median_balance
+               round(quantile_cont(s_acctbal, 0.5), 3) AS median_balance
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
