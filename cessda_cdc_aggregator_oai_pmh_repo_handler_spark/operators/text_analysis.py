@@ -116,6 +116,52 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD'03): positional
+    k-gram hashes → sliding windows of ``w`` hashes → keep each window's
+    minimum → distinct fingerprint set per document. Guarantees any match
+    of length ≥ w+k-1 tokens between two documents shares a fingerprint.
+
+    Pure higher-order Column expressions (transform/sequence/slice/
+    array_min), all under whole-stage codegen — no shuffle, no Python; at
+    100 TB this is a single map pass whose output feeds an equi-join on
+    fingerprint exactly like the LSH band join in operators.dedup.
+
+    Returns (doc_id, fingerprints array<string>)."""
+    words = F.split(F.lower(text_col), " ")
+    n = F.size(words)
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)])),
+    )
+    m = F.size(kgram_hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), m - (w - 1)),
+        lambda j: F.array_min(F.slice(kgram_hashes, j, w)),
+    )
+    fps = F.when(n >= k + w - 1, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<string>"))
+    return docs.select("doc_id", fps.alias("fingerprints"))
+
+
+def winnow_pairs(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥1 winnowing fingerprint, with the
+    shared-fingerprint count: explode → equi-join on the fingerprint (the
+    scale path — bucket key join, never all-pairs)."""
+    fp = winnow_fingerprints(docs, k, w).select(
+        "doc_id", F.explode("fingerprints").alias("fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
+
+
 def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy on full text): corpus-level stats. One
     shuffle on the 128-bit hash; at 100 TB this is the cheapest dedup pass

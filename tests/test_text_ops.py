@@ -33,3 +33,44 @@ def test_lang_id_mostly_matches_metadata(spark, sf_dir):
            for r in TA.q_lang_id(spark, sf_dir).collect()}
     total = sum(agg.values())
     assert total > 0
+
+
+def _winnow_py(text: str, k: int = 3, w: int = 4) -> set[str]:
+    """Reference winnowing in plain Python (same md5-over-kgram hashes)."""
+    import hashlib
+
+    words = text.lower().split(" ")
+    if len(words) < k + w - 1:
+        return set()
+    hashes = [
+        hashlib.md5(" ".join(words[i:i + k]).encode()).hexdigest()
+        for i in range(len(words) - k + 1)
+    ]
+    return {min(hashes[j:j + w]) for j in range(len(hashes) - w + 1)}
+
+
+def test_winnow_fingerprints_match_python_reference(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    got = {r["doc_id"]: set(r["fingerprints"])
+           for r in TA.winnow_fingerprints(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == _winnow_py(r["text"]), r["doc_id"]
+
+
+def test_winnow_guarantee_shared_fingerprint_on_long_match(spark):
+    """Two docs sharing a run of >= w+k-1 tokens MUST share a fingerprint
+    (the winnowing guarantee), and near-identical docs pair up."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base + " one two"), (2, "zero " + base), (3, "completely different words here indeed yes")],
+        "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_fingerprints"]
+             for r in TA.winnow_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_short_doc_empty(spark):
+    docs = spark.createDataFrame([(1, "too few words")], "doc_id long, text string")
+    out = TA.winnow_fingerprints(docs).collect()
+    assert out[0]["fingerprints"] == []
