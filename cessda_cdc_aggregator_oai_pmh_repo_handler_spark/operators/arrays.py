@@ -92,14 +92,30 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 2-day/1-day window aggregation — every event lands in two
-    overlapping windows; Spark expands via the same ``window()`` operator
-    used under Structured Streaming."""
+    """Sliding 2-day/1-day window aggregation via TUMBLING PRE-AGGREGATION:
+    aggregate once per (1-day pane, event_type), then explode each pane
+    into the two sliding windows it belongs to and merge. Spark's native
+    ``window(ts, '2 days', '1 day')`` expands every EVENT into two rows
+    before the shuffle — at 100 TB that doubles shuffle volume; panes make
+    the expansion happen after the heavy aggregation, on pane-count rows.
+    (The same pane trick applies under Structured Streaming.) Sums stay
+    double-exact because each pane sum is rounded only after the final
+    merge."""
     ev = load_table(spark, "events", sf_dir)
+    panes = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("pane"), "event_type", "cnt", "sv")
+    )
+    two = panes.select(
+        F.explode(F.array(F.col("pane"),
+                          F.col("pane") - F.expr("INTERVAL 1 DAY")))
+        .alias("window_start"),
+        "event_type", "cnt", "sv",
+    )
     return (
-        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+        two.groupBy("window_start", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 2).alias("sum_value"))
     )
 
 

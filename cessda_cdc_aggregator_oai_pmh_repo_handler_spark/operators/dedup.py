@@ -383,13 +383,63 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+LOCAL_CC_MAX_EDGES = 2_000_000  # ~32 MB of edge longs: safely driver-sized
+
+
+def connected_components_local(edge_rows) -> list[tuple[int, int]]:
+    """Driver-side union-find with path compression over collected edges.
+    Returns (id, component) with component = min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((x, find(x)) for x in parent)
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
-    MinHash pair graph via iterative min-label propagation — the standard
-    distributed CC algorithm (each sweep is one shuffle; converges in
-    O(graph diameter) sweeps; localCheckpoint truncates lineage). The
-    oracle computes the same components with a recursive CTE."""
+    MinHash pair graph.
+
+    Hybrid strategy (the same switch GraphFrames-style CC implementations
+    make): the verified-pair graph is ORDERS smaller than the corpus —
+    after banding + Jaccard verification only actual near-duplicates
+    remain — so when it fits comfortably on the driver
+    (≤ LOCAL_CC_MAX_EDGES) a single collect + union-find with path
+    compression answers exactly, replacing O(diameter) shuffle sweeps with
+    one job. Above the threshold, iterative min-label propagation (one
+    shuffle per sweep, lineage cut per sweep) — the standard distributed
+    CC — takes over unchanged. Both paths produce identical labels
+    (tests/test_plans.py pins the equivalence) and the oracle's recursive
+    CTE checks whichever ran."""
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # one probe job: fetch cap+1 rows; a full result under the cap means the
+    # graph is driver-sized and union-find answers exactly in O(E α(E))
+    probe = pairs.limit(LOCAL_CC_MAX_EDGES + 1).collect()
+    if len(probe) <= LOCAL_CC_MAX_EDGES:
+        comp = connected_components_local(
+            [(r["doc_a"], r["doc_b"]) for r in probe])
+        return spark.createDataFrame(comp, "doc_id long, component long")
+    return connected_components_distributed(pairs)
+
+
+def connected_components_distributed(pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over (doc_a, doc_b) edges: one
+    shuffle per sweep, convergence flag fused into the update row, lineage
+    truncated per sweep. Returns (doc_id, component)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").localCheckpoint()

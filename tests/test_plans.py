@@ -83,6 +83,19 @@ def test_simhash_pairs_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cc_local_and_distributed_agree(spark):
+    """The hybrid CC switch must be invisible in results: driver union-find
+    and min-label propagation produce identical (doc_id, component) labels
+    over the same verified-pair graph."""
+    pairs = dedup.q_minhash_lsh_pairs(spark, SF).select("doc_a", "doc_b")
+    rows = pairs.collect()
+    local = set(dedup.connected_components_local(
+        [(r["doc_a"], r["doc_b"]) for r in rows]))
+    dist = {(r["doc_id"], r["component"])
+            for r in dedup.connected_components_distributed(pairs).collect()}
+    assert local == dist and len(local) > 0
+
+
 def test_pagination_filters_before_window(spark):
     """The snapshot bound must reach the scan, not sit above the sort."""
     plan = plan_of(relational.q_pagination(spark, SF))
