@@ -141,7 +141,8 @@ class OAIFacade:
             elif verb == "Identify":
                 out = self._identify(request_ts)
             elif verb == "ListMetadataFormats":
-                out = self._list_metadata_formats(request_ts)
+                out = self._list_metadata_formats(request_ts,
+                                                  args.get("identifier"))
             elif verb == "ListSets":
                 if args.get("resumptionToken") is not None:
                     # the set hierarchy always fits one response; any token is stale
@@ -196,8 +197,20 @@ class OAIFacade:
             el.text = text
         return R.to_string(root, self.stylesheet_url)
 
-    def _list_metadata_formats(self, request_ts: str) -> str:
-        root, body = R.envelope("ListMetadataFormats", self.base_url, request_ts)
+    def _list_metadata_formats(self, request_ts: str,
+                               identifier: str | None = None) -> str:
+        """Every format applies to every record here (as in the reference),
+        but OAI 2.0 §4.4 still requires idDoesNotExist for an unknown
+        identifier — a point-lookup existence probe, pushed to the scan."""
+        if identifier is not None:
+            exists = self.planner.get_record_exists(identifier)
+            if not exists:
+                return self._error("ListMetadataFormats", request_ts,
+                                   "idDoesNotExist",
+                                   f"No record with identifier {identifier}",
+                                   {"identifier": identifier})
+        root, body = R.envelope("ListMetadataFormats", self.base_url, request_ts,
+                                {"identifier": identifier})
         import xml.etree.ElementTree as ET
 
         for prefix in FMT.prefixes():

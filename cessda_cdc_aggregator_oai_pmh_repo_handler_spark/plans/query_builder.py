@@ -250,6 +250,15 @@ class OAIQueryPlanner:
             .select(*fields, "setSpec", "datestamp", "deleted")
         )
 
+    def get_record_exists(self, identifier: str) -> bool:
+        """Existence probe for ListMetadataFormats' identifier argument:
+        pushed-down point predicate + limit(1) — the scan stops at the
+        first matching row-group."""
+        return bool(
+            self.studies.filter(F.col("aggregator_identifier") == identifier)
+            .select("aggregator_identifier").limit(1).take(1)
+        )
+
     def _list_base(self, metadata_prefix: str, set_spec: str | None,
                    from_ts: str | None, until_ts: str | None,
                    snapshot_ts: str) -> DataFrame:

@@ -56,6 +56,22 @@ def test_list_metadata_formats(facade):
     assert sorted(prefixes) == ["oai_datacite", "oai_dc", "oai_ddi25"]
 
 
+def test_list_metadata_formats_with_identifier(facade):
+    """OAI 2.0 §4.4: a known identifier lists its formats (all of them
+    here, as in the reference); an unknown identifier is idDoesNotExist."""
+    el = parse(facade.handle_request(verb="ListMetadataFormats",
+                                     request_ts=NOW, identifier="agg_id_1"))
+    prefixes = [e.text for e in el.findall(
+        "./oai:ListMetadataFormats/oai:metadataFormat/oai:metadataPrefix", NS)]
+    assert sorted(prefixes) == ["oai_datacite", "oai_dc", "oai_ddi25"]
+    assert el.find("./oai:request", NS).get("identifier") == "agg_id_1"
+
+    el = parse(facade.handle_request(verb="ListMetadataFormats",
+                                     request_ts=NOW, identifier="nope-404"))
+    err = el.find("./oai:error", NS)
+    assert err is not None and err.get("code") == "idDoesNotExist"
+
+
 def test_list_sets(facade):
     el = parse(facade.handle_request(verb="ListSets", request_ts=NOW))
     specs = {e.text for e in el.findall("./oai:ListSets/oai:set/oai:setSpec", NS)}
