@@ -36,11 +36,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Catalog-style metadata cache: DataFrames are immutable logical plans, so
+# one spark.read.parquet per (session, path) is safe and skips re-reading
+# parquet footers/schema on every query — exactly what a real catalog's
+# table resolution does.
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects unless nanosAsLong is on. The conf is runtime-settable,
@@ -68,6 +78,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
