@@ -187,7 +187,12 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
             meta = {"format": "WAV", "width": None, "height": None,
                     "sample_rate": 16000, "n_samples": n_samples}
             rows.append((i, "audio", payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # A driver-built demo table parallelizes into one slice per core — for
+    # 64 rows that is 32 near-empty Arrow batches, each paying a Python
+    # worker round-trip in the decode stage. Pack the demo into a few
+    # real batches; a production media table gets its partitioning from
+    # the file layout instead.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def _feature(values: list[float]) -> list[float]:
