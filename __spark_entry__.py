@@ -31,7 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   window_suite        = event_window + sliding_window + session_window
 #   temporal_join_suite = asof_last_signup + range_join_pairs
 #   corpus_stats_suite  = percentile_stats + length_histogram
-#                         + zscore_normalize + approx_distinct
+#                         + zscore_normalize + gopher_repetition
+#                         + contamination_check + approx_distinct
 #   tpch_suite          = tpch_q1 + tpch_q3
 #   sql_surface_suite   = supplier_stats + fact_join + outer_join
 #                         + anti_join + cube_rollup + scalar_subquery

@@ -172,6 +172,12 @@ _CORPUS_SUBS = (
     Sub("zscore_normalize", text_analysis.q_zscore_normalize,
         text_analysis.ORACLES["zscore_normalize"],
         (("doc_id", "str"), ("source", "str")), ("z",)),
+    Sub("gopher_repetition", text_analysis.q_gopher_repetition,
+        text_analysis.ORACLES["gopher_repetition"],
+        (("source", "str"),), ("docs", "flagged", "rep_ratio")),
+    Sub("contamination_check", text_analysis.q_contamination_check,
+        text_analysis.ORACLES["contamination_check"],
+        (("source", "str"),), ("contaminated_docs", "matched_grams")),
 )
 
 _TPCH_SUBS = (

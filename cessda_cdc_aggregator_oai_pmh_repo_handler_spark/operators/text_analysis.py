@@ -303,7 +303,81 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source", split.alias("split")).agg(F.count("*").alias("cnt"))
 
 
+def _ngrams(w, k: int):
+    """Distinct word k-grams as a column (empty array below k words — the
+    ``sequence`` guard mirrors ``dedup.shingles_col``)."""
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+REPETITION_FLAG_THRESHOLD = 0.1
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring: the duplicate-bigram fraction of a
+    document (1 − distinct/total word 2-grams) is the classic signal for
+    boilerplate/keyword-stuffed pages. Per source: docs scored, docs over
+    the flag threshold, and the corpus-level repetition ratio from summed
+    integer counts (one double division per group — no per-row float
+    accumulation order to diverge between engines).
+
+    Scale: pure per-row column math (no shuffle) into one groupBy on the
+    low-cardinality source key — the same single-pass shape at 100 TB."""
+    d = load_table(spark, "documents", sf_dir)
+    w = _words()
+    bi = _ngrams(w, 2)  # NOT distinct — repetition needs the multiset
+    t = F.size(bi)
+    u = F.size(F.array_distinct(bi))
+    per_doc = d.select(
+        "source", t.alias("t"), u.alias("u"),
+        ((F.lit(1.0) - u / t) > REPETITION_FLAG_THRESHOLD).cast("int").alias("flag"),
+    ).filter(F.col("t") >= 1)
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum("flag").alias("flagged"),
+        (F.lit(1.0) - F.sum("u") / F.sum("t")).alias("rep_ratio"),
+    )
+
+
+CONTAMINATION_NGRAM = 4  # production sweeps use 8–13-gram overlap; 4 keeps
+                         # the synthetic corpus's collision rate testable
+BENCHMARK_MOD = 97       # deterministic pseudo eval set: doc_id % 97 == 0
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: which training documents share word
+    n-grams with a held-out eval set (here the deterministic doc_id % 97
+    slice). Per source: contaminated docs and total matched grams.
+
+    Scale: the eval-set gram table is tiny relative to the corpus, so the
+    overlap join broadcasts it — the corpus side stays a single scan with
+    no shuffle except the final source rollup."""
+    d = load_table(spark, "documents", sf_dir)
+    grams = d.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(_ngrams(_words(), CONTAMINATION_NGRAM))).alias("g"),
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    bench = grams.filter(is_bench).select("g").distinct()
+    hits = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("matched"))
+    )
+    return hits.groupBy("source").agg(
+        F.count("*").alias("contaminated_docs"),
+        F.sum("matched").alias("matched_grams"),
+    )
+
+
 QUERIES = {
+    "gopher_repetition": q_gopher_repetition,
+    "contamination_check": q_contamination_check,
     "train_val_split": q_train_val_split,
     "zscore_normalize": q_zscore_normalize,
     "approx_distinct": q_approx_distinct,
@@ -319,6 +393,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gopher_repetition": """
+        WITH per AS (
+          SELECT source, len(bi) AS t, len(list_distinct(bi)) AS u
+          FROM (SELECT source, list_transform(
+                  list_filter(list_zip(w, w[2:]), x -> x[2] IS NOT NULL),
+                  x -> x[1] || ' ' || x[2]) AS bi
+                FROM (SELECT source, string_split(lower(text), ' ') AS w
+                      FROM documents))
+          WHERE len(bi) >= 1
+        )
+        SELECT source, count(*) AS docs,
+               CAST(sum(CASE WHEN 1.0 - CAST(u AS DOUBLE)/t > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+               1.0 - CAST(sum(u) AS DOUBLE)/sum(t) AS rep_ratio
+        FROM per GROUP BY source
+    """,
+    "contamination_check": """
+        WITH grams AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+              list_filter(list_zip(w, w[2:], w[3:], w[4:]), x -> x[4] IS NOT NULL),
+              x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]))) AS g
+          FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                FROM documents)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT doc_id, source, count(*) AS matched
+          FROM grams JOIN bench USING (g)
+          WHERE doc_id % 97 <> 0
+          GROUP BY 1, 2
+        )
+        SELECT source, count(*) AS contaminated_docs,
+               CAST(sum(matched) AS BIGINT) AS matched_grams
+        FROM hits GROUP BY source
+    """,
     "token_stats": """
         SELECT source, count(*) AS docs,
                CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,

@@ -74,3 +74,39 @@ def test_winnow_short_doc_empty(spark):
     docs = spark.createDataFrame([(1, "too few words")], "doc_id long, text string")
     out = TA.winnow_fingerprints(docs).collect()
     assert out[0]["fingerprints"] == []
+
+
+def test_gopher_repetition_bounds_and_repeat_detection(spark, sf_dir):
+    rows = TA.q_gopher_repetition(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["rep_ratio"] < 1.0 for r in rows)
+    assert all(0 <= r["flagged"] <= r["docs"] for r in rows)
+    # a fully repetitive doc must be flagged; a no-repeat doc must not
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam", "x", "s"),
+         (1, "one two three four five six", "x", "s")],
+        "doc_id long, text string, lang string, source string")
+    from pyspark.sql import functions as SF
+    w = SF.split(SF.lower("text"), " ")
+    bi = TA._ngrams(w, 2)
+    per = docs.select(
+        "doc_id",
+        (1.0 - SF.size(SF.array_distinct(bi)) / SF.size(bi)).alias("frac"),
+    ).collect()
+    fracs = {r["doc_id"]: r["frac"] for r in per}
+    assert fracs[0] > TA.REPETITION_FLAG_THRESHOLD
+    assert fracs[1] == 0.0
+
+
+def test_contamination_check_broadcasts_eval_set(spark, sf_dir):
+    out = TA.q_contamination_check(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert rows and all(r["matched_grams"] >= r["contaminated_docs"] for r in rows)
+
+
+def test_ngrams_short_doc_empty(spark):
+    from pyspark.sql import functions as SF
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = docs.select(TA._ngrams(SF.split("text", " "), 4).alias("g")).collect()
+    assert out[0]["g"] == []
