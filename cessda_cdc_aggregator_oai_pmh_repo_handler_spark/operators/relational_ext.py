@@ -146,6 +146,57 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the canonical 6-table join.
+    Region/nation broadcast (tiny dims); customer/orders/lineitem/supplier
+    shuffle on their join keys with AQE free to re-plan — at 100 TB the
+    fact joins are co-located via orderkey/custkey bucketing and only the
+    dims stay broadcast."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "AFRICA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: pre-aggregate lineitem per order,
+    HAVING-filter to the rare big orders, then join the small survivor set
+    BROADCAST against orders/customer — the aggregate-then-join shape that
+    keeps the fact table out of the dimensional joins entirely."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey", F.col("qty").cast("long").alias("sum_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension rollup (broadcast nation join + exact balance
     percentiles) — completes gate coverage of every driver table."""
@@ -170,6 +221,8 @@ QUERIES = {
     "supplier_stats": q_supplier_stats,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q18": q_tpch_q18,
     "outer_join": q_outer_join,
     "anti_join": q_anti_join,
     "intersect_except": q_intersect_except,
@@ -199,6 +252,31 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q5": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AFRICA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM (
+            SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+        ) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
     """,
     "tpch_q3": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -188,6 +188,11 @@ _TPCH_SUBS = (
     Sub("tpch_q3", relational_ext.q_tpch_q3, relational_ext.ORACLES["tpch_q3"],
         (("l_orderkey", "str"), ("o_orderdate", "ts"), ("o_orderpriority", "str")),
         ("revenue",)),
+    Sub("tpch_q5", relational_ext.q_tpch_q5, relational_ext.ORACLES["tpch_q5"],
+        (("n_name", "str"),), ("revenue",)),
+    Sub("tpch_q18", relational_ext.q_tpch_q18, relational_ext.ORACLES["tpch_q18"],
+        (("c_name", "str"), ("c_custkey", "str"), ("o_orderkey", "str"),
+         ("o_orderdate", "ts")), ("o_totalprice", "sum_qty")),
 )
 
 _SQL_SURFACE_SUBS = (

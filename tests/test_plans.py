@@ -148,3 +148,18 @@ def test_whole_stage_codegen_everywhere(spark):
             assert m and int(m.group(1)) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan       # nation/region stay broadcast
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan           # orderdate/region filters reach the scan
+
+
+def test_tpch_q18_aggregates_before_joining(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q18(spark, SF))
+    assert "BroadcastHashJoin" in plan       # big-order survivors broadcast
+    assert "TakeOrderedAndProject" in plan   # top-20 without a global sort
