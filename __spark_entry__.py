@@ -32,7 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   temporal_join_suite = asof_last_signup + range_join_pairs
 #   corpus_stats_suite  = percentile_stats + length_histogram
 #                         + zscore_normalize + gopher_repetition
-#                         + contamination_check + approx_distinct
+#                         + contamination_check + pii_scrub
+#                         + approx_distinct
 #   tpch_suite          = tpch_q1 + tpch_q3 + tpch_q5 + tpch_q18
 #   sql_surface_suite   = supplier_stats + fact_join + outer_join
 #                         + anti_join + cube_rollup + scalar_subquery

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import arrays, relational, relational_ext, text_analysis
+from . import arrays, pii, relational, relational_ext, text_analysis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +178,8 @@ _CORPUS_SUBS = (
     Sub("contamination_check", text_analysis.q_contamination_check,
         text_analysis.ORACLES["contamination_check"],
         (("source", "str"),), ("contaminated_docs", "matched_grams")),
+    Sub("pii_scrub", pii.q_pii_scrub, pii.ORACLES["pii_scrub"],
+        (("pii_id", "str"),), ("email", "phone", "ipv4", "residual")),
 )
 
 _TPCH_SUBS = (
