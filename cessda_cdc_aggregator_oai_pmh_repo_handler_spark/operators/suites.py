@@ -180,6 +180,9 @@ _CORPUS_SUBS = (
         (("source", "str"),), ("contaminated_docs", "matched_grams")),
     Sub("pii_scrub", pii.q_pii_scrub, pii.ORACLES["pii_scrub"],
         (("pii_id", "str"),), ("email", "phone", "ipv4", "residual")),
+    Sub("token_entropy", text_analysis.q_token_entropy,
+        text_analysis.ORACLES["token_entropy"],
+        (("doc_id", "str"), ("source", "str")), ("n_tokens", "entropy")),
 )
 
 _TPCH_SUBS = (

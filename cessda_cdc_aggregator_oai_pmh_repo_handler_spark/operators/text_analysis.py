@@ -375,8 +375,32 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the token-diversity
+    quality signal (low entropy = boilerplate / keyword stuffing).
+    H = ln(n) − Σ c·ln(c) / n over per-word counts c: two groupBys, both
+    partial-aggregated map-side; rounding to 4 absorbs the engines'
+    float-summation-order ulps. Bounded to doc_id < 150 to keep the gate
+    row set small (the expression itself is corpus-wide at scale)."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    wc = (
+        d.select("doc_id", "source", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "source", "w").agg(F.count("*").alias("c"))
+    )
+    per = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+    )
+    return per.select(
+        "doc_id", "source",
+        F.col("n").alias("n_tokens"),
+        F.round(F.log("n") - F.col("clogc") / F.col("n"), 4).alias("entropy"),
+    )
+
+
 QUERIES = {
     "gopher_repetition": q_gopher_repetition,
+    "token_entropy": q_token_entropy,
     "contamination_check": q_contamination_check,
     "train_val_split": q_train_val_split,
     "zscore_normalize": q_zscore_normalize,
@@ -393,6 +417,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_entropy": """
+        WITH wc AS (
+          SELECT doc_id, source, w, count(*) AS c
+          FROM (SELECT doc_id, source,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents WHERE doc_id < 150)
+          GROUP BY 1, 2, 3
+        ), per AS (
+          SELECT doc_id, source, sum(c) AS n, sum(c * ln(c)) AS clogc
+          FROM wc GROUP BY 1, 2
+        )
+        SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+               round(ln(n) - clogc / n, 4) AS entropy
+        FROM per
+    """,
     "gopher_repetition": """
         WITH per AS (
           SELECT source, len(bi) AS t, len(list_distinct(bi)) AS u

@@ -110,3 +110,25 @@ def test_ngrams_short_doc_empty(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     out = docs.select(TA._ngrams(SF.split("text", " "), 4).alias("g")).collect()
     assert out[0]["g"] == []
+
+
+def test_token_entropy_bounds_and_extremes(spark, sf_dir):
+    rows = TA.q_token_entropy(spark, sf_dir).collect()
+    import math
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= math.log(r["n_tokens"]) + 1e-9
+    # constant doc → 0; all-distinct doc → ln(n)
+    docs = spark.createDataFrame(
+        [(0, "x x x x", "en", "s", 7), (1, "a b c d", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    from pyspark.sql import functions as SF
+    wc = (docs.select("doc_id", SF.explode(SF.split(SF.lower("text"), " ")).alias("w"))
+          .groupBy("doc_id", "w").agg(SF.count("*").alias("c")))
+    per = wc.groupBy("doc_id").agg(
+        SF.sum("c").alias("n"), SF.sum(SF.col("c") * SF.log("c")).alias("clogc"))
+    ent = {r["doc_id"]: r["e"] for r in per.select(
+        "doc_id", SF.round(SF.log("n") - SF.col("clogc") / SF.col("n"), 4).alias("e")
+    ).collect()}
+    assert ent[0] == 0.0
+    assert abs(ent[1] - round(math.log(4), 4)) < 1e-9
