@@ -193,14 +193,28 @@ def start_neardup_stream(spark: SparkSession, source_dir: str, index_path: str,
                          rejected_path: str | None = None,
                          once: bool = True):
     """Continuous curation: readStream over the document drop directory →
-    per-batch near-dup gate against the persisted index."""
+    per-batch near-dup gate against the persisted index.
+
+    Replay-idempotent via the same epoch-marker protocol as
+    ``ingest.merge_batch``: the sinks here are parquet APPENDS, so a
+    foreachBatch retry of an already-committed epoch would double-append
+    accepted rows AND double-extend the index — the marker makes the
+    retry a no-op (exactly-once effect; in production the marker write is
+    a transactional commit alongside the sink, e.g. a Delta txn)."""
     from .dedup_stream import DOC_STREAM_SCHEMA
+    from .ingest import _read_epoch, _write_epoch
+
+    def _once(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= _read_epoch(accepted_path):
+            return
+        process_batch(batch.sparkSession, batch, index_path,
+                      accepted_path, rejected_path)
+        _write_epoch(accepted_path, epoch_id)
 
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(source_dir)
     writer = (
         stream.writeStream
-        .foreachBatch(lambda b, _eid: process_batch(
-            b.sparkSession, b, index_path, accepted_path, rejected_path))
+        .foreachBatch(_once)
         .option("checkpointLocation", checkpoint)
     )
     if once:

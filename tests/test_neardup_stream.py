@@ -103,3 +103,23 @@ def test_probe_plan_broadcasts_batch_side(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_stream_replay_is_noop(spark, tmp_path):
+    """A replayed epoch (fresh checkpoint, same files, same epoch id) must
+    not double-append accepted docs or double-extend the index."""
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    src = str(tmp_path / "src")
+    NS.bootstrap_index(_docs_df(spark, [(1, BASE_1)]), idx)
+    _docs_df(spark, [(101, FRESH_1)]).write.mode("append").parquet(src)
+
+    q = NS.start_neardup_stream(spark, src, idx, acc, str(tmp_path / "c1"))
+    q.awaitTermination(120)
+    n_acc = spark.read.parquet(acc).count()
+    n_idx = spark.read.parquet(f"{idx}/{NS.SHINGLES}").count()
+
+    q = NS.start_neardup_stream(spark, src, idx, acc, str(tmp_path / "c2"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(acc).count() == n_acc
+    assert spark.read.parquet(f"{idx}/{NS.SHINGLES}").count() == n_idx
