@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   corpus_stats_suite  = percentile_stats + length_histogram
 #                         + zscore_normalize + gopher_repetition
 #                         + contamination_check + pii_scrub
-#                         + token_entropy + approx_distinct
+#                         + token_entropy + dataset_mixture
+#                         + sequence_packing + approx_distinct
 #   tpch_suite          = tpch_q1 + tpch_q3 + tpch_q5 + tpch_q18
 #   sql_surface_suite   = supplier_stats + fact_join + outer_join
 #                         + anti_join + cube_rollup + scalar_subquery

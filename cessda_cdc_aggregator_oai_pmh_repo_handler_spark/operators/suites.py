@@ -183,6 +183,12 @@ _CORPUS_SUBS = (
     Sub("token_entropy", text_analysis.q_token_entropy,
         text_analysis.ORACLES["token_entropy"],
         (("doc_id", "str"), ("source", "str")), ("n_tokens", "entropy")),
+    Sub("dataset_mixture", text_analysis.q_dataset_mixture,
+        text_analysis.ORACLES["dataset_mixture"],
+        (("source", "str"),), ("total", "kept", "weight_pct")),
+    Sub("sequence_packing", text_analysis.q_sequence_packing,
+        text_analysis.ORACLES["sequence_packing"],
+        (("source", "str"), ("bin", "str")), ("docs", "bin_tokens")),
 )
 
 _TPCH_SUBS = (

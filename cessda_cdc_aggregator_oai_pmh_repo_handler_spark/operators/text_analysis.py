@@ -400,9 +400,60 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted downsampling: each source gets a deterministic keep
+    rate (training-mixture weights), applied with the same seedless
+    md5-bucket draw as ``q_train_val_split`` — a document's keep decision
+    never changes as the corpus grows, and re-runs are exactly
+    reproducible (what `.sample()` can't give across engines). Per
+    source: corpus total, kept count, configured weight."""
+    d = load_table(spark, "documents", sf_dir)
+    src_num = F.regexp_replace("source", "[^0-9]", "").cast("int")
+    weight = (40 + (src_num * 7) % 60)  # keep-% in [40, 99], per source
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10) \
+        .cast("int")
+    kept = (draw * 100 < weight * 256).cast("int")
+    return d.groupBy("source").agg(
+        F.count("*").alias("total"),
+        F.sum(kept).alias("kept"),
+        F.max(weight).alias("weight_pct"),
+    )
+
+
+PACK_TOKENS = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing: documents are packed per source in
+    doc_id order into fixed-token bins (bin = starting-offset //
+    PACK_TOKENS) via one running-sum window — the deterministic,
+    shuffle-light approximation of training-batch packing (true first-fit
+    bin packing is order-dependent and unstable; sequential packing is
+    what large corpora actually use because it streams). Per (source,
+    bin): docs packed and token payload."""
+    d = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    tokens = F.size(_words())
+    w = Window.partitionBy("source").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = F.sum(tokens).over(w) - tokens
+    binned = d.select(
+        "source",
+        tokens.alias("tokens"),
+        F.floor(start / PACK_TOKENS).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("docs"),
+        F.sum("tokens").alias("bin_tokens"),
+    )
+
+
 QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "token_entropy": q_token_entropy,
+    "dataset_mixture": q_dataset_mixture,
+    "sequence_packing": q_sequence_packing,
     "contamination_check": q_contamination_check,
     "train_val_split": q_train_val_split,
     "zscore_normalize": q_zscore_normalize,
@@ -419,6 +470,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dataset_mixture": """
+        SELECT source, count(*) AS total,
+               CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) * 100
+                              < (40 + (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) * 7) % 60) * 256
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               40 + (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) * 7) % 60 AS weight_pct
+        FROM documents GROUP BY source
+    """,
+    "sequence_packing": """
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(string_split(lower(text), ' ')) AS tokens
+          FROM documents
+        ), b AS (
+          SELECT source, tokens,
+                 CAST(floor((sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) - tokens)
+                            / 2048.0) AS BIGINT) AS bin
+          FROM t
+        )
+        SELECT source, bin, count(*) AS docs,
+               CAST(sum(tokens) AS BIGINT) AS bin_tokens
+        FROM b GROUP BY 1, 2
+    """,
     "token_entropy": """
         WITH wc AS (
           SELECT doc_id, source, w, count(*) AS c

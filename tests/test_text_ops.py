@@ -132,3 +132,29 @@ def test_token_entropy_bounds_and_extremes(spark, sf_dir):
     ).collect()}
     assert ent[0] == 0.0
     assert abs(ent[1] - round(math.log(4), 4)) < 1e-9
+
+
+def test_dataset_mixture_growth_stable_and_near_weight(spark, sf_dir):
+    rows = {r["source"]: r for r in TA.q_dataset_mixture(spark, sf_dir).collect()}
+    for src, r in rows.items():
+        assert 40 <= r["weight_pct"] <= 99
+        assert 0 <= r["kept"] <= r["total"]
+        # md5-bucket draw ≈ binomial(total, w%): allow 5 sigma
+        import math
+        w = r["weight_pct"] / 100
+        sigma = math.sqrt(r["total"] * w * (1 - w))
+        assert abs(r["kept"] - r["total"] * w) <= 5 * sigma + 3, src
+
+
+def test_sequence_packing_bins_cover_all_docs(spark, sf_dir):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+    out = TA.q_sequence_packing(spark, sf_dir).collect()
+    d = load_table(spark, "documents", sf_dir)
+    assert sum(r["docs"] for r in out) == d.count()
+    # every bin except a source's last holds >= PACK_TOKENS-worth of starts:
+    # bins are consecutive from 0 per source
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["bin"])
+    for src, bins in by_src.items():
+        assert sorted(bins) == list(range(len(bins))), src
