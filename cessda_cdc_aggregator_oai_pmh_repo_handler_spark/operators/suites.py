@@ -201,6 +201,15 @@ _TPCH_SUBS = (
         ("revenue",)),
     Sub("tpch_q5", relational_ext.q_tpch_q5, relational_ext.ORACLES["tpch_q5"],
         (("n_name", "str"),), ("revenue",)),
+    Sub("tpch_q6", relational_ext.q_tpch_q6, relational_ext.ORACLES["tpch_q6"],
+        (), ("revenue", "cnt")),
+    Sub("tpch_q10", relational_ext.q_tpch_q10, relational_ext.ORACLES["tpch_q10"],
+        (("c_custkey", "str"), ("c_name", "str"), ("n_name", "str")),
+        ("revenue",)),
+    Sub("tpch_q14", relational_ext.q_tpch_q14, relational_ext.ORACLES["tpch_q14"],
+        (), ("promo_pct", "total_revenue")),
+    Sub("tpch_q19", relational_ext.q_tpch_q19, relational_ext.ORACLES["tpch_q19"],
+        (("p_brand", "str"),), ("revenue", "cnt")),
     Sub("tpch_q18", relational_ext.q_tpch_q18, relational_ext.ORACLES["tpch_q18"],
         (("c_name", "str"), ("c_custkey", "str"), ("o_orderkey", "str"),
          ("o_orderdate", "ts")), ("o_totalprice", "sum_qty")),

@@ -163,3 +163,31 @@ def test_tpch_q18_aggregates_before_joining(spark):
     plan = plan_of(relational_ext.q_tpch_q18(spark, SF))
     assert "BroadcastHashJoin" in plan       # big-order survivors broadcast
     assert "TakeOrderedAndProject" in plan   # top-20 without a global sort
+
+
+def test_tpch_q6_single_codegen_scan(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q6(spark, SF))
+    # every predicate reaches the parquet scan; no join, no wide shuffle
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "Join" not in plan
+    # column pruning: only the 4 referenced columns reach the scan
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+
+
+def test_tpch_q10_topk_and_broadcast_nation(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q10(spark, SF))
+    assert "TakeOrderedAndProject" in plan   # top-20, no global sort
+    assert "BroadcastHashJoin" in plan       # nation dim broadcast
+    assert "EqualTo(l_returnflag,R)" in plan  # returnflag pushed to the scan
+
+
+def test_tpch_q19_or_bands_pushed_past_join(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q19(spark, SF))
+    assert "CartesianProduct" not in plan
+    # Catalyst derives single-side OR approximations and pushes them into
+    # both scans (In(p_brand,...) / quantity-range Or on lineitem)
+    assert "In(p_brand" in plan or "Or(And" in plan
