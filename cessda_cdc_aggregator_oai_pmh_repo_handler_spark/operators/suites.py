@@ -192,6 +192,9 @@ _CORPUS_SUBS = (
     Sub("semantic_dedup", dedup.q_semantic_dedup,
         dedup.ORACLES["semantic_dedup"],
         (("label", "str"),), ("n", "pruned", "kept")),
+    Sub("duplicate_spans", text_analysis.q_duplicate_spans,
+        text_analysis.ORACLES["duplicate_spans"],
+        (("source", "str"),), ("docs", "flagged", "covered_tokens", "dup_ratio")),
 )
 
 _TPCH_SUBS = (

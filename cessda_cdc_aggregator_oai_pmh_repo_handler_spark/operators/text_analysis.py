@@ -377,6 +377,63 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUPSPAN_K = 6        # minimum duplicated-span length, in tokens
+DUPSPAN_FLAG = 0.2   # flag docs with ≥20% of tokens inside duplicated spans
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection across documents — the distributed
+    stand-in for the suffix-array ExactSubstr dedup of Lee et al. 2021
+    (arXiv:2107.06499): any duplicated span of ≥ k tokens necessarily
+    contains a duplicated k-gram, so a positional k-gram inverted index
+    finds every such span. Per document: tokens covered by any
+    cross-document-duplicated k-gram window; per source: docs, flagged
+    docs (coverage ≥ 20%), covered tokens, corpus dup ratio.
+
+    Scale: one shuffle to group grams (map-side partial on the struct
+    key), one equi-join of positional grams against the duplicated-gram
+    set (shuffle join — the dup set is NOT broadcast; it grows with the
+    corpus), and the k-fold window expansion happens only on matched
+    grams. No pair of documents is ever joined row-to-row, so there is no
+    quadratic anywhere — this is what makes the k-gram relaxation
+    tractable at 100 TB where true suffix arrays are not."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", "source", _words().alias("w"))
+    grams = toks.select(
+        "doc_id", "source", F.size("w").alias("n_tokens"),
+        F.posexplode(_ngrams(F.col("w"), DUPSPAN_K)).alias("pos", "g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = (
+        grams.join(dup, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"),
+                                 F.col("pos") + F.lit(DUPSPAN_K - 1))).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("cov"))
+    )
+    per_doc = (
+        toks.select("doc_id", "source", F.size("w").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select("doc_id", "source", "n_tokens",
+                F.coalesce("cov", F.lit(0)).alias("cov"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(F.col("cov") >= DUPSPAN_FLAG * F.col("n_tokens"), 1)
+              .otherwise(0)).alias("flagged"),
+        F.sum("cov").alias("covered_tokens"),
+        F.round(F.sum("cov").cast("double") / F.sum("n_tokens"), 4).alias("dup_ratio"),
+    )
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram Shannon entropy (nats) — the token-diversity
     quality signal (low entropy = boilerplate / keyword stuffing).
@@ -450,6 +507,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "duplicate_spans": q_duplicate_spans,
     "gopher_repetition": q_gopher_repetition,
     "token_entropy": q_token_entropy,
     "dataset_mixture": q_dataset_mixture,
@@ -470,6 +528,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "duplicate_spans": f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(lower(text), ' ') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, source, len(w) AS n_tokens, i AS pos,
+                 array_to_string(w[i:i+{DUPSPAN_K - 1}], ' ') AS g
+          FROM toks, unnest(range(1, len(w) - {DUPSPAN_K} + 2)) AS u(i)
+        ),
+        dup AS (
+          SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+          SELECT doc_id, count(DISTINCT pos + t) AS cov
+          FROM (SELECT gr.doc_id, gr.pos, s.t
+                FROM grams gr JOIN dup USING (g),
+                     unnest(range(0, {DUPSPAN_K})) AS s(t))
+          GROUP BY doc_id
+        ),
+        per_doc AS (
+          SELECT t.doc_id, t.source, len(t.w) AS n_tokens,
+                 coalesce(c.cov, 0) AS cov
+          FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+        )
+        SELECT source, count(*) AS docs,
+               CAST(sum(CASE WHEN cov >= {DUPSPAN_FLAG} * n_tokens
+                             THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+               CAST(sum(cov) AS BIGINT) AS covered_tokens,
+               round(CAST(sum(cov) AS DOUBLE) / sum(n_tokens), 4) AS dup_ratio
+        FROM per_doc GROUP BY source
+    """,
     "dataset_mixture": """
         SELECT source, count(*) AS total,
                CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) * 100

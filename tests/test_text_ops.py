@@ -158,3 +158,21 @@ def test_sequence_packing_bins_cover_all_docs(spark, sf_dir):
         by_src.setdefault(r["source"], []).append(r["bin"])
     for src, bins in by_src.items():
         assert sorted(bins) == list(range(len(bins))), src
+
+
+def test_duplicate_spans_invariants_and_neardup_consistency(spark, sf_dir):
+    """Coverage never exceeds the doc's tokens (ratio ≤ 1), every source is
+    present, and the k-gram relaxation is sound: the corpus that minhash
+    finds near-dup pairs in must also show duplicated spans (a shared
+    document chunk of ≥ k tokens IS a duplicated span)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import dedup
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    out = TA.q_duplicate_spans(spark, sf_dir).collect()
+    d = load_table(spark, "documents", sf_dir)
+    assert sum(r["docs"] for r in out) == d.count()
+    for r in out:
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["flagged"] <= r["docs"]
+    if dedup.q_minhash_lsh_pairs(spark, sf_dir).count() > 0:
+        assert sum(r["covered_tokens"] for r in out) > 0
