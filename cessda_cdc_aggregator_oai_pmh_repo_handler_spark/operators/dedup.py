@@ -333,12 +333,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: block on the sign signature, exact cosine
     within blocks, pairs ≥ threshold."""
     e = load_table(spark, "embeddings", sf_dir)
-    vecs = e.select("vec_id", "embedding", sign_signature("embedding").alias("sig"))
+    # norm computed ONCE per vector before the pair join — per pair the
+    # remaining fold is just the dot product (3 array folds → 1); the
+    # division by the two norm columns is value-identical to folding the
+    # norms pair-side, so the oracle is unchanged
+    vecs = e.select("vec_id", "embedding", sign_signature("embedding").alias("sig"),
+                    norm_col("embedding").alias("nrm"))
     a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-                    F.col("sig").alias("sig_a"))
+                    F.col("sig").alias("sig_a"), F.col("nrm").alias("na"))
     b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-                    F.col("sig").alias("sig_b"))
-    cos = dot_cols("ea", "eb") / (norm_col("ea") * norm_col("eb"))
+                    F.col("sig").alias("sig_b"), F.col("nrm").alias("nb"))
+    cos = dot_cols("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("sig_a") == F.col("sig_b"))
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -367,10 +372,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster pair join never leaves its partition."""
     e = load_table(spark, "embeddings", sf_dir)
     a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
-                 F.col("embedding").alias("ea"))
+                 F.col("embedding").alias("ea"), norm_col("embedding").alias("na"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
-                 F.col("embedding").alias("eb"))
-    cos = dot_cols("ea", "eb") / (norm_col("ea") * norm_col("eb"))
+                 F.col("embedding").alias("eb"), norm_col("embedding").alias("nb"))
+    # norms fold once per vector pre-join (see q_embedding_neardup)
+    cos = dot_cols("ea", "eb") / (F.col("na") * F.col("nb"))
     dups = (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
         .filter(F.round(cos, 4) >= SEMANTIC_THRESHOLD)
