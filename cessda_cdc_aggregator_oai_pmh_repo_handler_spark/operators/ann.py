@@ -33,14 +33,16 @@ TOP_K = 10
 def _with_query(spark: SparkSession, sf_dir: str):
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec"), F.col("label").alias("qlabel")
+        F.col("embedding").alias("qvec"), F.col("label").alias("qlabel"),
+        # query norm folded ONCE here, not once per corpus row post-join
+        norm_col("embedding").alias("qnorm"),
     )
     # single-row broadcast: the fact side never shuffles
     return e, F.broadcast(q)
 
 
 def _cosine_to_query() -> F.Column:
-    return dot_cols("embedding", "qvec") / (norm_col("embedding") * norm_col("qvec"))
+    return dot_cols("embedding", "qvec") / (norm_col("embedding") * F.col("qnorm"))
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
