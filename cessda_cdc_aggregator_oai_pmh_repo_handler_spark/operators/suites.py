@@ -195,6 +195,9 @@ _CORPUS_SUBS = (
     Sub("duplicate_spans", text_analysis.q_duplicate_spans,
         text_analysis.ORACLES["duplicate_spans"],
         (("source", "str"),), ("docs", "flagged", "covered_tokens", "dup_ratio")),
+    Sub("winnow_pairs", text_analysis.q_winnow_pairs,
+        text_analysis.ORACLES["winnow_pairs"],
+        (("doc_a", "str"), ("doc_b", "str")), ("shared_fingerprints",)),
 )
 
 _TPCH_SUBS = (

@@ -162,6 +162,19 @@ def winnow_pairs(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     )
 
 
+WINNOW_MIN_SHARED = 3  # candidate pairs need ≥3 shared fingerprints
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup candidates as a verified query: document pairs
+    sharing ≥3 winnowing fingerprints (single-fingerprint pairs are common
+    phrases; three window minima in common means a real shared run). Same
+    equi-join-on-fingerprint scale shape as the LSH band join."""
+    d = load_table(spark, "documents", sf_dir)
+    return winnow_pairs(d).filter(
+        F.col("shared_fingerprints") >= WINNOW_MIN_SHARED)
+
+
 def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy on full text): corpus-level stats. One
     shuffle on the 128-bit hash; at 100 TB this is the cheapest dedup pass
@@ -507,6 +520,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
     "gopher_repetition": q_gopher_repetition,
     "token_entropy": q_token_entropy,
@@ -528,6 +542,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winnow_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        kh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 6 THEN
+                   list_transform(range(1, len(w) - 1),
+                                  i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                 ELSE [] END AS khs
+          FROM toks
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CASE WHEN len(khs) >= 4 THEN
+                   list_distinct(list_transform(range(1, len(khs) - 2),
+                                                j -> list_min(khs[j:j+3])))
+                 ELSE [] END AS fps
+          FROM kh
+        ),
+        ex AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_fingerprints
+        FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
     "duplicate_spans": f"""
         WITH toks AS (
           SELECT doc_id, source, string_split(lower(text), ' ') AS w
