@@ -197,6 +197,42 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions over a keyed partition: per-customer order
+    sequence number, previous-order price (lag) and running total. The
+    window partitions on o_custkey, so the only exchange is one hash
+    shuffle on the customer key and every function evaluates in one sorted
+    pass per partition — nothing global. Bounded to custkey < 100 to keep
+    the gate row set small."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev, Pearson correlation, sample
+    covariance) per group — single-pass moment sketches with map-side
+    partial merge; round(4) absorbs partial-merge summation-order ulps."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a tiny negative covariance
+        # rounds to -0 on one engine and 0 on the other otherwise)
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0))
+        .alias("cov_disc_tax"),
+    )
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting revenue change: pure scan + predicate + global
     aggregate. The whole query should collapse to one WholeStageCodegen
@@ -316,6 +352,8 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "window_functions": q_window_functions,
+    "stats_agg": q_stats_agg,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
@@ -364,6 +402,25 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1995-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "window_functions": """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INT) AS seq,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "stats_agg": """
+        SELECT l_returnflag, count(*) AS cnt,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "tpch_q6": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

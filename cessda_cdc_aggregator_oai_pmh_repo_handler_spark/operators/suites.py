@@ -243,6 +243,14 @@ _SQL_SURFACE_SUBS = (
     Sub("salted_skew_agg", relational_ext.q_salted_skew_agg,
         relational_ext.ORACLES["salted_skew_agg"],
         (("l_returnflag", "str"),), ("cnt", "sum_qty")),
+    Sub("window_functions", relational_ext.q_window_functions,
+        relational_ext.ORACLES["window_functions"],
+        (("o_custkey", "str"), ("o_orderkey", "str")),
+        ("seq", "prev_price", "running_total")),
+    Sub("stats_agg", relational_ext.q_stats_agg,
+        relational_ext.ORACLES["stats_agg"],
+        (("l_returnflag", "str"),),
+        ("cnt", "sd_qty", "corr_qty_price", "cov_disc_tax")),
 )
 
 _SET_OPS_SUBS = (
