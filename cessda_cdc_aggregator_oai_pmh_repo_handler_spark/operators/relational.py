@@ -44,11 +44,13 @@ PAGE_SIZE = 100
 def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 field projection: per-format ``fields`` list
     (/root/reference/cdcagg_oai/metadataformats.py:494-504) → df.select.
-    Catalyst prunes the parquet scan to exactly these columns."""
+    Catalyst prunes the parquet scan to exactly these columns. No orderBy:
+    the reference asserts no result order for projections and the driver's
+    compare is order-insensitive, so a global sort here would be a pure
+    full-shuffle tax at scale."""
     return (
         load_table(spark, "orders", sf_dir)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 

@@ -198,6 +198,9 @@ _CORPUS_SUBS = (
     Sub("winnow_pairs", text_analysis.q_winnow_pairs,
         text_analysis.ORACLES["winnow_pairs"],
         (("doc_a", "str"), ("doc_b", "str")), ("shared_fingerprints",)),
+    Sub("quality_model", text_analysis.q_quality_model,
+        text_analysis.ORACLES["quality_model"],
+        (("source", "str"),), ("docs", "kept", "avg_score")),
 )
 
 _TPCH_SUBS = (

@@ -69,6 +69,39 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed linear quality-model weights (a fasttext/logreg-style classifier's
+# broadcastable parameters; values chosen to spread scores over the corpus)
+QM_BIAS = -1.2
+QM_W_LOG_TOKENS = 0.55
+QM_W_STOPWORD = 2.0
+QM_W_WORDLEN = -0.08
+QM_KEEP = 0.5
+
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a linear classifier over the C4-style
+    features (log token count, stopword ratio, mean word length) squashed
+    with the ALGEBRAIC sigmoid 0.5*(1 + z/(1+|z|)) — pure +,*,/,abs, so
+    the score is bit-identical across engines (libm ``exp`` is not). The
+    weights stand in for a trained model's parameters: at 100 TB they are
+    a broadcast array and this stays a zero-shuffle scan until the final
+    per-source rollup."""
+    d = load_table(spark, "documents", sf_dir)
+    w = _words()
+    n = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / n
+    mean_word_len = (F.col("n_chars") - (n - 1)) / n
+    z = (F.lit(QM_BIAS) + F.lit(QM_W_LOG_TOKENS) * F.log(n.cast("double"))
+         + F.lit(QM_W_STOPWORD) * stop_ratio
+         + F.lit(QM_W_WORDLEN) * mean_word_len)
+    score = 0.5 * (1 + z / (1 + F.abs(z)))
+    return d.select("source", F.round(score, 4).alias("s")).groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(F.col("s") >= QM_KEEP, 1).otherwise(0)).alias("kept"),
+        F.round(F.avg("s"), 4).alias("avg_score"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: per-language hit counts, highest
     wins (ties by language name) — compared against the dataset's own
@@ -520,6 +553,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "quality_model": q_quality_model,
     "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
     "gopher_repetition": q_gopher_repetition,
@@ -542,6 +576,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_model": f"""
+        WITH f AS (
+          SELECT source, n_chars,
+                 len(string_split(lower(text), ' ')) AS n,
+                 len(list_filter(string_split(lower(text), ' '),
+                                 x -> x IN ({_STOP_SQL}))) AS stop_hits
+          FROM documents
+        ),
+        z AS (
+          SELECT source,
+                 ({QM_BIAS} + {QM_W_LOG_TOKENS} * ln(CAST(n AS DOUBLE))
+                  + {QM_W_STOPWORD} * (stop_hits / CAST(n AS DOUBLE))
+                  + {QM_W_WORDLEN} * ((n_chars - (n - 1)) / CAST(n AS DOUBLE))) AS z
+          FROM f
+        ),
+        sc AS (
+          SELECT source, round(0.5 * (1 + z / (1 + abs(z))), 4) AS s FROM z
+        )
+        SELECT source, count(*) AS docs,
+               CAST(sum(CASE WHEN s >= {QM_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               round(avg(s), 4) AS avg_score
+        FROM sc GROUP BY source
+    """,
     "winnow_pairs": f"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
