@@ -201,6 +201,9 @@ _CORPUS_SUBS = (
     Sub("quality_model", text_analysis.q_quality_model,
         text_analysis.ORACLES["quality_model"],
         (("source", "str"),), ("docs", "kept", "avg_score")),
+    Sub("approx_quantiles", text_analysis.q_approx_quantiles,
+        text_analysis.ORACLES["approx_quantiles"],
+        (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),
 )
 
 _TPCH_SUBS = (

@@ -333,6 +333,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna via ``percentile_approx``) checked
+    against the exact percentiles, the same verified-sketch pattern as
+    approx_distinct: exact values hash-verify, the sketch verifies as a
+    within-2% indicator the oracle claims outright. At 100 TB only the
+    sketch runs (mergeable, bounded memory); the exact percentile here is
+    the local-scale ground truth."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ex = li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 3).alias("p50_exact"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 3).alias("p95_exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+    )
+    def ok(a, e):
+        return (F.when(F.abs(F.col(a) - F.col(e)) <= 0.02 * F.col(e), 1.0)
+                .otherwise(0.0))
+    return ex.select(
+        "p50_exact", "p95_exact",
+        ok("a50", "p50_exact").alias("approx_p50_ok"),
+        ok("a95", "p95_exact").alias("approx_p95_ok"),
+    )
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: the first two hex digits of
     md5(doc_id) give a stable 0-255 draw, thresholded 80/10/10 — portable,
@@ -554,6 +578,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "quality_model": q_quality_model,
+    "approx_quantiles": q_approx_quantiles,
     "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
     "gopher_repetition": q_gopher_repetition,
@@ -576,6 +601,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "approx_quantiles": """
+        SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
+               round(quantile_cont(l_extendedprice, 0.95), 3) AS p95_exact,
+               1.0 AS approx_p50_ok, 1.0 AS approx_p95_ok
+        FROM lineitem
+    """,
     "quality_model": f"""
         WITH f AS (
           SELECT source, n_chars,
