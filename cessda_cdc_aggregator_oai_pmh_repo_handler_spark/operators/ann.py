@@ -85,6 +85,43 @@ def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_QUERIES = 8  # vec_id < 8 form the query batch
+BATCH_K = 3
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-k neighbors for EVERY query in a batch at once — the
+    realistic retrieval workload (N queries, not one). The single-query
+    probes above broadcast one row; here the whole query batch broadcasts
+    and the corpus side EQUI-joins on the IVF cell (label), so the plan is
+    a BroadcastHashJoin — candidate count is sum of the queries' cell
+    sizes, never |batch| x |corpus|. Per-query top-k is a row_number window
+    partitioned by query id: partitions are cell-sized, so the window never
+    sees a global sort. At 100 TB the corpus is partitioned by label and
+    the join prunes to the batch's cells."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        norm_col("embedding").alias("qnorm"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos_exact").desc(), F.col("vec_id"))
+    return (
+        e.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", "label", _cosine_to_query().alias("cos_exact"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BATCH_K)
+        .select("qid", "vec_id", "label",
+                F.round("cos_exact", 4).alias("cosine"), "rk")
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the first 8 dimensions — the k-means E-step
     shape (at scale: one map-side-combined groupBy, centroids broadcast
@@ -138,6 +175,7 @@ QUERIES = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_lsh_probe": q_ann_lsh_probe,
     "ann_pandas": q_ann_pandas,
+    "ann_batch_topk": q_ann_batch_topk,
     "label_centroids": q_label_centroids,
 }
 
@@ -172,6 +210,20 @@ ORACLES = {
         WHERE e.vec_id <> {QUERY_VEC_ID}
         ORDER BY {_COS_Q} DESC, e.vec_id
         LIMIT {TOP_K}
+    """,
+    "ann_batch_topk": f"""
+        SELECT qid, vec_id, label, round(cos_exact, 4) AS cosine, rk
+        FROM (
+            SELECT q.vec_id AS qid, e.vec_id AS vec_id, e.label AS label,
+                   {_COS_Q} AS cos_exact,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS_Q} DESC, e.vec_id) AS rk
+            FROM embeddings e
+            JOIN embeddings q
+              ON e.label = q.label AND q.vec_id < {BATCH_QUERIES}
+             AND e.vec_id <> q.vec_id
+        ) t
+        WHERE rk <= {BATCH_K}
     """,
     "label_centroids": f"""
         SELECT label, count(*) AS n,

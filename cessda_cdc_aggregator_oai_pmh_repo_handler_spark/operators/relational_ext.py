@@ -347,8 +347,59 @@ def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): per-priority count of
+    orders in a quarter having at least one late lineitem. The synthetic
+    schema lacks commit/receipt dates, so "late" is l_shipdate after the
+    order date — what matters is the EXISTS: a correlated subquery with an
+    extra non-equi conjunct, which Catalyst decorrelates into a left
+    SEMI-join on the order key. The fact side shuffles once on the join
+    key; no row multiplication ever reaches the aggregate (semi-join
+    returns each order at most once regardless of lineitem fan-out)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): customers with
+    above-average positive balance and no orders at all, grouped by a
+    country code (nationkey mod 5 stands in for the phone prefix). Composes
+    the two subquery forms in one plan: a scalar subquery (global average →
+    1-row broadcast, no fact shuffle for the comparison) and a NOT EXISTS
+    (left ANTI join against orders, shuffled on the key at scale)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("string").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q22": q_tpch_q22,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -368,6 +419,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q22": """
+        SELECT CAST(c_nationkey % 5 AS VARCHAR) AS cntry,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer,
+             (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0) a
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY 1
+    """,
     "supplier_stats": """
         SELECT n_name, count(*) AS suppliers,
                round(sum(s_acctbal), 2) AS total_balance,

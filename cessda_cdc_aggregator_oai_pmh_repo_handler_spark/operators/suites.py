@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import arrays, dedup, pii, relational, relational_ext, text_analysis
+from . import ann, arrays, dedup, pii, relational, relational_ext, text_analysis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -204,6 +204,13 @@ _CORPUS_SUBS = (
     Sub("approx_quantiles", text_analysis.q_approx_quantiles,
         text_analysis.ORACLES["approx_quantiles"],
         (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),
+    Sub("stratified_sample", text_analysis.q_stratified_sample,
+        text_analysis.ORACLES["stratified_sample"],
+        (("doc_id", "str"), ("source", "str")), ("rk", "quota")),
+    Sub("ann_batch_topk", ann.q_ann_batch_topk,
+        ann.ORACLES["ann_batch_topk"],
+        (("qid", "str"), ("vec_id", "str"), ("label", "str")),
+        ("cosine", "rk")),
 )
 
 _TPCH_SUBS = (
@@ -225,6 +232,10 @@ _TPCH_SUBS = (
         (), ("promo_pct", "total_revenue")),
     Sub("tpch_q19", relational_ext.q_tpch_q19, relational_ext.ORACLES["tpch_q19"],
         (("p_brand", "str"),), ("revenue", "cnt")),
+    Sub("tpch_q4", relational_ext.q_tpch_q4, relational_ext.ORACLES["tpch_q4"],
+        (("o_orderpriority", "str"),), ("order_count",)),
+    Sub("tpch_q22", relational_ext.q_tpch_q22, relational_ext.ORACLES["tpch_q22"],
+        (("cntry", "str"),), ("numcust", "totacctbal")),
     Sub("tpch_q18", relational_ext.q_tpch_q18, relational_ext.ORACLES["tpch_q18"],
         (("c_name", "str"), ("c_custkey", "str"), ("o_orderkey", "str"),
          ("o_orderdate", "ts")), ("o_totalprice", "sum_qty")),

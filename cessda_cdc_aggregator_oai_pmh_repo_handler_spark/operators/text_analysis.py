@@ -576,8 +576,38 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRAC = 0.2
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fraction stratified sampling: per source, keep the first
+    ceil(frac * stratum_size) documents in md5(doc_id) order. Unlike the
+    hash-THRESHOLD split of q_train_val_split (per-row independent, size
+    only approximate), this guarantees the per-stratum quota exactly —
+    the shape used when a mixture recipe demands hard per-source budgets.
+    Seedless and deterministic: the md5 order is a property of the keys.
+    One shuffle on source; both window functions (quota count + rank)
+    share the same partitioning, so Catalyst plans a single exchange.
+    Skewed strata sort within their partition — at 100 TB cap stratum
+    size upstream or pre-aggregate with the mixture sampler instead."""
+    d = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    w_all = Window.partitionBy("source")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w_ord))
+        .withColumn("quota",
+                    F.ceil(F.lit(SAMPLE_FRAC) * F.count("*").over(w_all)))
+        .filter(F.col("rk") <= F.col("quota"))
+    )
+
+
 QUERIES = {
     "quality_model": q_quality_model,
+    "stratified_sample": q_stratified_sample,
     "approx_quantiles": q_approx_quantiles,
     "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
@@ -601,6 +631,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stratified_sample": f"""
+        SELECT doc_id, source, rk, quota FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rk,
+                   CAST(ceil({SAMPLE_FRAC} * count(*) OVER (PARTITION BY source))
+                        AS BIGINT) AS quota
+            FROM documents
+        ) t
+        WHERE rk <= quota
+    """,
     "approx_quantiles": """
         SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
                round(quantile_cont(l_extendedprice, 0.95), 3) AS p95_exact,

@@ -207,3 +207,58 @@ def test_tpch_q19_or_bands_pushed_past_join(spark):
     # Catalyst derives single-side OR approximations and pushes them into
     # both scans (In(p_brand,...) / quantity-range Or on lineitem)
     assert "In(p_brand" in plan or "Or(And" in plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan        # EXISTS never multiplies order rows
+    assert "CartesianProduct" not in plan
+    # the quarter bound reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q22_scalar_broadcast_and_anti_join(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q22(spark, SF))
+    assert "LeftAnti" in plan        # NOT EXISTS
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_batch_topk_equi_join_no_cartesian(spark):
+    plan = plan_of(ann.q_ann_batch_topk(spark, SF))
+    # the batch joins the corpus on the IVF cell — an equi-join with the
+    # query batch broadcast, never |batch| x |corpus|
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_batch_topk_exactly_k_per_query(spark):
+    rows = ann.q_ann_batch_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(range(ann.BATCH_QUERIES))
+    for qid, group in by_q.items():
+        assert [r["rk"] for r in sorted(group, key=lambda r: r["rk"])] == [1, 2, 3]
+        cos = [r["cosine"] for r in sorted(group, key=lambda r: r["rk"])]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_stratified_sample_single_exchange_and_quota(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import text_analysis
+    df = text_analysis.q_stratified_sample(spark, SF)
+    # both windows share the source partitioning: exactly one shuffle
+    assert plan_of(df).count("Exchange hashpartitioning") == 1
+    rows = df.collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    import math
+    d = relational.load_table(spark, "documents", SF)
+    totals = {r["source"]: r["cnt"] for r in
+              d.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    for src, group in per_source.items():
+        quota = math.ceil(text_analysis.SAMPLE_FRAC * totals[src])
+        assert len(group) == quota  # exact per-stratum budget, not approximate
