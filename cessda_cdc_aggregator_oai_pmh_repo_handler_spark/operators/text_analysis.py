@@ -156,35 +156,59 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     minimum → distinct fingerprint set per document. Guarantees any match
     of length ≥ w+k-1 tokens between two documents shares a fingerprint.
 
-    Pure higher-order Column expressions (transform/sequence/slice/
-    array_min), all under whole-stage codegen — no shuffle, no Python; at
-    100 TB this is a single map pass whose output feeds an equi-join on
-    fingerprint exactly like the LSH band join in operators.dedup.
+    Pure higher-order Column expressions, all under whole-stage codegen —
+    no shuffle, no Python; at 100 TB this is a single map pass whose
+    output feeds an equi-join on fingerprint exactly like the LSH band
+    join in operators.dedup.
+
+    Shape matters here: both the k-gram hashing and the rolling window
+    minimum are ``arrays_zip`` over k (resp. w) SHIFTED SLICES of a
+    column materialized by the previous projection — one linear pass
+    each. The obvious nested form (``transform(sequence(...), i ->
+    md5(element_at(words, i)...))`` then ``transform(..., j ->
+    array_min(slice(khs, j, w)))``) re-evaluates the un-materialized
+    inner arrays inside every lambda iteration — O(n²·|doc|) work that
+    took 298 s for 5 000 avg-54-word docs at sf0.1; this form takes ~2 s.
 
     Returns (doc_id, fingerprints array<string>)."""
     words = F.split(F.lower(text_col), " ")
-    n = F.size(words)
-    kgram_hashes = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.md5(F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(k)])),
+    staged = docs.select("doc_id", words.alias("__words"))
+    wcol = F.col("__words")
+    khs = F.transform(
+        _ngrams(wcol, k),
+        lambda g: F.md5(F.concat_ws(" ", *[g[str(j)] for j in range(k)])),
     )
-    m = F.size(kgram_hashes)
-    wins = F.transform(
-        F.sequence(F.lit(1), m - (w - 1)),
-        lambda j: F.array_min(F.slice(kgram_hashes, j, w)),
-    )
-    fps = F.when(n >= k + w - 1, F.array_distinct(wins)).otherwise(
+    staged = staged.select("doc_id", wcol, khs.alias("__khs"))
+    kcol = F.col("__khs")
+    win_len = F.greatest(F.size(kcol) - (w - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(kcol, j + 1, win_len).alias(str(j)) for j in range(w)])
+    wins = F.transform(zipped, lambda s: F.least(*[s[str(j)] for j in range(w)]))
+    fps = F.when(F.size(wcol) >= k + w - 1, F.array_distinct(wins)).otherwise(
         F.array().cast("array<string>"))
-    return docs.select("doc_id", fps.alias("fingerprints"))
+    return staged.select("doc_id", fps.alias("fingerprints"))
 
 
-def winnow_pairs(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+def winnow_pairs(docs: DataFrame, k: int = 3, w: int = 4,
+                 max_df: int = 20) -> DataFrame:
     """Candidate near-dup pairs sharing ≥1 winnowing fingerprint, with the
     shared-fingerprint count: explode → equi-join on the fingerprint (the
-    scale path — bucket key join, never all-pairs)."""
+    scale path — bucket key join, never all-pairs).
+
+    Fingerprints appearing in more than ``max_df`` documents are dropped
+    before the pair join — MOSS's own "stop fingerprint" rule (Schleimer
+    et al. §5 ignore over-common fingerprints as boilerplate). This is
+    also the quadratic-blowup guard: a repeated-everywhere phrase puts its
+    fingerprint in every document, and an uncapped bucket of n docs joins
+    into n²/2 pairs (measured: the sf0.1 word-soup corpus, vocabulary
+    ~40 words, hangs the suite for minutes uncapped; capped it's ~2 s).
+    With the cap, any bucket yields ≤ max_df²/2 pairs. Discriminative
+    fingerprints — a run duplicated across a handful of docs — survive."""
     fp = winnow_fingerprints(docs, k, w).select(
         "doc_id", F.explode("fingerprints").alias("fp"))
+    rare = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df)
+    fp = fp.join(rare.select("fp"), "fp")
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -196,6 +220,7 @@ def winnow_pairs(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
 
 
 WINNOW_MIN_SHARED = 3  # candidate pairs need ≥3 shared fingerprints
+WINNOW_MAX_DF = 20     # stop-fingerprint document-frequency cap
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +229,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases; three window minima in common means a real shared run). Same
     equi-join-on-fingerprint scale shape as the LSH band join."""
     d = load_table(spark, "documents", sf_dir)
-    return winnow_pairs(d).filter(
+    return winnow_pairs(d, max_df=WINNOW_MAX_DF).filter(
         F.col("shared_fingerprints") >= WINNOW_MIN_SHARED)
 
 
@@ -692,7 +717,10 @@ ORACLES = {
                  ELSE [] END AS fps
           FROM kh
         ),
-        ex AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+        ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        rare AS (SELECT f FROM ex0 GROUP BY f
+                 HAVING count(*) <= {WINNOW_MAX_DF}),
+        ex AS (SELECT doc_id, f FROM ex0 JOIN rare USING (f))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS shared_fingerprints
         FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id

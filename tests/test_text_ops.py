@@ -176,3 +176,18 @@ def test_duplicate_spans_invariants_and_neardup_consistency(spark, sf_dir):
         assert r["flagged"] <= r["docs"]
     if dedup.q_minhash_lsh_pairs(spark, sf_dir).count() > 0:
         assert sum(r["covered_tokens"] for r in out) > 0
+
+
+def test_winnow_stop_fingerprints_capped(spark):
+    """A fingerprint present in more than max_df documents is boilerplate
+    and must not generate pairs (MOSS stop-fingerprint rule — also the
+    quadratic-blowup guard: an uncapped common phrase joins n docs into
+    n^2/2 pairs)."""
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(8)], "doc_id long, text string")
+    # identical docs, but the shared fingerprints hit all 8 docs > max_df=4
+    assert TA.winnow_pairs(docs, max_df=4).count() == 0
+    # with a permissive cap the same corpus pairs everything: 8*7/2
+    assert TA.winnow_pairs(docs, max_df=8).filter(
+        F.col("shared_fingerprints") >= 1).count() == 28
