@@ -204,7 +204,19 @@ def winnow_pairs(docs: DataFrame, k: int = 3, w: int = 4,
     ~40 words, hangs the suite for minutes uncapped; capped it's ~2 s).
     With the cap, any bucket yields ≤ max_df²/2 pairs. Discriminative
     fingerprints — a run duplicated across a handful of docs — survive."""
-    fp = winnow_fingerprints(docs, k, w).select(
+    # localCheckpoint BEFORE the explode, for two reasons. (1) The
+    # fingerprint relation feeds THREE consumers (the df histogram and
+    # both legs of the pair join) — materialize the md5/zip pipeline once,
+    # the same shingle-once discipline as operators.dedup. (2) Explode
+    # over the raw expression triggers InferFiltersFromGenerate: Catalyst
+    # infers `size(fingerprints) > 0` and pushes it below the projections,
+    # substituting the WHOLE chain into an interpreted Filter in its
+    # fully-inlined form — every slice re-derives split(text), the exact
+    # quadratic shape the staged projections avoid (measured: ~6 s extra
+    # at sf0.1; with the barrier the filter tests a materialized array).
+    # At 100 TB this is per-executor-disk rows of (doc_id, hash array) —
+    # small next to the corpus.
+    fp = winnow_fingerprints(docs, k, w).localCheckpoint().select(
         "doc_id", F.explode("fingerprints").alias("fp"))
     rare = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_df)
