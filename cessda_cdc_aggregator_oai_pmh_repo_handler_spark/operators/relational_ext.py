@@ -372,6 +372,48 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue flowing between two nations per
+    year, where supplier nation and customer nation are the chosen pair in
+    either direction. The nation-pair predicate is pushed INTO the
+    supplier/customer dimension scans before any fact join — supplier
+    shrinks to ~2/25 and broadcasts into lineitem; the customer leg joins
+    orders first (both pre-filtered), so the or-of-pairs disjunction never
+    evaluates against the full fact join. Year extraction stays a column
+    expression under codegen."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_nationkey").isin(1, 2))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"),
+                F.col("s_nationkey").alias("sn"))
+    )
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_nationkey").isin(1, 2))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"),
+                F.col("c_nationkey").alias("cn"))
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(((F.col("sn") == 1) & (F.col("cn") == 2))
+                | ((F.col("sn") == 2) & (F.col("cn") == 1)))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global-sales opportunity): customers with
     above-average positive balance and no orders at all, grouped by a
@@ -399,6 +441,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "tpch_q4": q_tpch_q4,
+    "tpch_q7": q_tpch_q7,
     "tpch_q22": q_tpch_q22,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -427,6 +470,22 @@ ORACLES = {
           AND EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
+    """,
+    "tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((s_nationkey = 1 AND c_nationkey = 2)
+               OR (s_nationkey = 2 AND c_nationkey = 1))
+        GROUP BY 1, 2, 3
     """,
     "tpch_q22": """
         SELECT CAST(c_nationkey % 5 AS VARCHAR) AS cntry,

@@ -234,6 +234,9 @@ _TPCH_SUBS = (
         (("p_brand", "str"),), ("revenue", "cnt")),
     Sub("tpch_q4", relational_ext.q_tpch_q4, relational_ext.ORACLES["tpch_q4"],
         (("o_orderpriority", "str"),), ("order_count",)),
+    Sub("tpch_q7", relational_ext.q_tpch_q7, relational_ext.ORACLES["tpch_q7"],
+        (("supp_nation", "str"), ("cust_nation", "str"), ("l_year", "str")),
+        ("revenue",)),
     Sub("tpch_q22", relational_ext.q_tpch_q22, relational_ext.ORACLES["tpch_q22"],
         (("cntry", "str"),), ("numcust", "totacctbal")),
     Sub("tpch_q18", relational_ext.q_tpch_q18, relational_ext.ORACLES["tpch_q18"],

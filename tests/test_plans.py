@@ -262,3 +262,14 @@ def test_stratified_sample_single_exchange_and_quota(spark):
     for src, group in per_source.items():
         quota = math.ceil(text_analysis.SAMPLE_FRAC * totals[src])
         assert len(group) == quota  # exact per-stratum budget, not approximate
+
+
+def test_tpch_q7_nation_pair_pushed_into_dim_scans(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q7(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the nation-pair predicate reaches the supplier/customer scans
+    assert "In(s_nationkey, [1,2])" in plan
+    assert "In(c_nationkey, [1,2])" in plan
+    # pre-filtered supplier leg broadcasts into lineitem
+    assert "BroadcastHashJoin" in plan
