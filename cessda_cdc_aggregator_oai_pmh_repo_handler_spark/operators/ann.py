@@ -122,6 +122,41 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    4× storage compression before an ANN index is built at scale (float32
+    → int8 with a per-vector scale). Pure column expressions: per-vector
+    absmax → scale 127/absmax → round/clamp each component; per label the
+    rollup reports vector count, the exact integer sum of all quantized
+    components, and how many components saturated at ±127. Integer
+    metrics make the check engine-exact (no float accumulation order).
+    Zero Python, zero extra shuffles beyond the label rollup; at 100 TB
+    this is one map pass writing the int8 sidecar next to the vectors."""
+    e = load_table(spark, "embeddings", sf_dir)
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    staged = e.select(
+        "label", "embedding", (F.lit(127.0) / absmax).alias("scale"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.least(
+            F.greatest(F.round(x.cast("double") * F.col("scale")), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("long"),
+    )
+    per_row = staged.select(
+        "label",
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        .alias("row_sum"),
+        F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias("row_sat"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("row_sum").alias("sum_q"),
+        F.sum("row_sat").alias("saturated"),
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the first 8 dimensions — the k-means E-step
     shape (at scale: one map-side-combined groupBy, centroids broadcast
@@ -176,6 +211,7 @@ QUERIES = {
     "ann_lsh_probe": q_ann_lsh_probe,
     "ann_pandas": q_ann_pandas,
     "ann_batch_topk": q_ann_batch_topk,
+    "embedding_quantize": q_embedding_quantize,
     "label_centroids": q_label_centroids,
 }
 
@@ -224,6 +260,31 @@ ORACLES = {
              AND e.vec_id <> q.vec_id
         ) t
         WHERE rk <= {BATCH_K}
+    """,
+    # same association as the Spark side: each component multiplies the
+    # per-vector scale (127/absmax) — NOT x*127/absmax, whose different
+    # rounding could flip a half-ulp case
+    "embedding_quantize": """
+        SELECT label, count(*) AS n,
+               sum(row_sum) AS sum_q, sum(row_sat) AS saturated
+        FROM (
+            SELECT label,
+                   list_sum(q) AS row_sum,
+                   len(list_filter(q, v -> abs(v) = 127)) AS row_sat
+            FROM (
+                SELECT label,
+                       list_transform(embedding, x -> CAST(
+                           least(greatest(round(CAST(x AS DOUBLE) * scale),
+                                          -127.0), 127.0) AS BIGINT)) AS q
+                FROM (
+                    SELECT label, embedding,
+                           127.0 / list_max(list_transform(embedding,
+                                            x -> abs(CAST(x AS DOUBLE)))) AS scale
+                    FROM embeddings
+                )
+            )
+        )
+        GROUP BY label
     """,
     "label_centroids": f"""
         SELECT label, count(*) AS n,

@@ -211,6 +211,9 @@ _CORPUS_SUBS = (
         ann.ORACLES["ann_batch_topk"],
         (("qid", "str"), ("vec_id", "str"), ("label", "str")),
         ("cosine", "rk")),
+    Sub("embedding_quantize", ann.q_embedding_quantize,
+        ann.ORACLES["embedding_quantize"],
+        (("label", "str"),), ("n", "sum_q", "saturated")),
 )
 
 _TPCH_SUBS = (

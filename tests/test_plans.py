@@ -273,3 +273,21 @@ def test_tpch_q7_nation_pair_pushed_into_dim_scans(spark):
     assert "In(c_nationkey, [1,2])" in plan
     # pre-filtered supplier leg broadcasts into lineitem
     assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_quantize_bounds_and_saturation(spark):
+    from pyspark.sql import functions as F
+    rows = ann.q_embedding_quantize(spark, SF).collect()
+    assert rows, "quantize returned no groups"
+    e = relational.load_table(spark, "embeddings", SF)
+    total = e.count()
+    assert sum(r["n"] for r in rows) == total
+    for r in rows:
+        # every vector's absmax component quantizes to exactly ±127, so a
+        # group of n vectors saturates at least n components
+        assert r["saturated"] >= r["n"]
+        # |sum of quantized components| can never exceed 127 * components
+        dim = len(e.first()["embedding"])
+        assert abs(r["sum_q"]) <= 127 * dim * r["n"]
+    plan = plan_of(ann.q_embedding_quantize(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1  # label rollup only
