@@ -203,8 +203,49 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAPFILL_DAY = "2024-01-05"
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: the full (event_type × hour) grid for
+    one day, zero-filled where no events landed — the time-series shape a
+    plain groupBy can't produce (empty buckets simply don't exist in the
+    input). The grid is GENERATED (``sequence`` + explode over 24 hour
+    marks crossed with the distinct-type dimension), never scanned, and
+    broadcasts into the aggregated side — so at 100 TB the cost is the
+    one filtered scan + hourly rollup; the join adds nothing. Dashboards,
+    rate alerting, and ML feature frames all need the dense grid."""
+    ev = load_table(spark, "events", sf_dir)
+    day_start = F.lit(GAPFILL_DAY).cast("timestamp_ntz")
+    day_end = F.lit(f"{GAPFILL_DAY} 23:00:00").cast("timestamp_ntz")
+    hours = spark.range(1).select(
+        F.explode(F.sequence(day_start, day_end, F.expr("interval 1 hour")))
+        .alias("hour"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(hours)  # |types| × 24 rows — generated, tiny
+    hourly = (
+        ev.filter((F.col("ts") >= day_start)
+                  & (F.col("ts") < F.lit(f"{GAPFILL_DAY} 23:59:59.999999")
+                     .cast("timestamp_ntz")))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    # right outer with the grid broadcast: Spark can't broadcast the
+    # PRESERVED side of an outer join, so "grid LEFT JOIN hourly" would
+    # shuffle — "hourly RIGHT JOIN broadcast(grid)" is the same result
+    # with the grid as the build side
+    return (
+        hourly.join(F.broadcast(grid), ["event_type", "hour"], "right")
+        .select("event_type", "hour",
+                F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"))
+    )
+
+
 QUERIES = {
     "pivot_events": q_pivot_events,
+    "gapfill_hourly": q_gapfill_hourly,
     "asof_last_signup": q_asof_last_signup,
     "range_join_pairs": q_range_join_pairs,
     "array_exists": q_array_exists,
@@ -217,6 +258,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gapfill_hourly": f"""
+        WITH grid AS (
+            SELECT t.event_type, g.hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                TIMESTAMP '{GAPFILL_DAY} 00:00:00',
+                TIMESTAMP '{GAPFILL_DAY} 23:00:00',
+                INTERVAL 1 HOUR)) AS hour) g
+        ),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS cnt, round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '{GAPFILL_DAY} 00:00:00'
+              AND ts < TIMESTAMP '{GAPFILL_DAY} 23:59:59.999999'
+            GROUP BY 1, 2
+        )
+        SELECT grid.event_type, grid.hour,
+               coalesce(hourly.cnt, 0) AS cnt,
+               coalesce(hourly.sum_value, 0.0) AS sum_value
+        FROM grid LEFT JOIN hourly
+          ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour
+    """,
     "pivot_events": """
         SELECT user_id,
                count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -151,6 +151,8 @@ _WINDOW_SUBS = (
         (("window_start", "ts"), ("event_type", "str")), ("cnt", "sum_value")),
     Sub("session_window", arrays.q_session_window, arrays.ORACLES["session_window"],
         (("session_start", "ts"), ("user_id", "str")), ("cnt", "sum_value")),
+    Sub("gapfill_hourly", arrays.q_gapfill_hourly, arrays.ORACLES["gapfill_hourly"],
+        (("event_type", "str"), ("hour", "ts")), ("cnt", "sum_value")),
 )
 
 _TEMPORAL_SUBS = (

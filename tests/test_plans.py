@@ -291,3 +291,15 @@ def test_embedding_quantize_bounds_and_saturation(spark):
         assert abs(r["sum_q"]) <= 127 * dim * r["n"]
     plan = plan_of(ann.q_embedding_quantize(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1  # label rollup only
+
+
+def test_gapfill_dense_grid_and_broadcast(spark):
+    df = arrays.q_gapfill_hourly(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "RightOuter" in plan
+    rows = df.collect()
+    types = {r["event_type"] for r in rows}
+    # dense grid: every (type, hour-of-day) cell present exactly once
+    assert len(rows) == 24 * len(types)
+    assert any(r["cnt"] == 0 for r in rows)  # sf0.001 day has real gaps
+    assert all(r["sum_value"] == 0.0 for r in rows if r["cnt"] == 0)
