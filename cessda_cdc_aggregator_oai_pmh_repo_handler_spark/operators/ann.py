@@ -157,6 +157,75 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60       # standard reciprocal-rank-fusion constant
+RRF_POOL = 50    # per-modality candidate pool
+RRF_TOP = 10
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical ranking
+    (distinct-token overlap with the query document) and a vector ranking
+    (cosine to the query embedding) are each cut to a top-``RRF_POOL``
+    candidate list, then fused by RRF score Σ 1/(k + rank) over the lists
+    an item appears in — the standard way to combine BM25-ish and
+    embedding retrieval without score calibration.
+
+    Scale shape: each modality's pool comes from TakeOrderedAndProject
+    (per-partition top-k, no global sort); the rank window then runs over
+    POOL rows — constant work however big the corpus. The fusion join is
+    pool-sized. doc_id and vec_id share the id space in the synthetic
+    corpus, standing in for a document with both a text and an embedding
+    column."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    qwords = docs.filter(F.col("doc_id") == 0).select(
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("qw"))
+    lex_pool = (
+        docs.crossJoin(F.broadcast(qwords))
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.size(F.array_intersect(
+                F.array_distinct(F.split(F.lower("text"), " ")),
+                F.col("qw"))).alias("overlap"),
+        )
+        .orderBy(F.col("overlap").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("overlap").desc(), "doc_id")).alias("lex_rank"),
+    )
+    e, q = _with_query(spark, sf_dir)
+    vec_pool = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(F.col("vec_id").alias("doc_id"),
+                _cosine_to_query().alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    vec = vec_pool.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), "doc_id")).alias("vec_rank"),
+    )
+    rrf = (F.when(F.col("lex_rank").isNotNull(), 1.0 / (RRF_K + F.col("lex_rank")))
+           .otherwise(0.0)
+           + F.when(F.col("vec_rank").isNotNull(), 1.0 / (RRF_K + F.col("vec_rank")))
+           .otherwise(0.0))
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf_score"),
+                F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+                F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the first 8 dimensions — the k-means E-step
     shape (at scale: one map-side-combined groupBy, centroids broadcast
@@ -212,6 +281,7 @@ QUERIES = {
     "ann_pandas": q_ann_pandas,
     "ann_batch_topk": q_ann_batch_topk,
     "embedding_quantize": q_embedding_quantize,
+    "hybrid_rrf": q_hybrid_rrf,
     "label_centroids": q_label_centroids,
 }
 
@@ -260,6 +330,49 @@ ORACLES = {
              AND e.vec_id <> q.vec_id
         ) t
         WHERE rk <= {BATCH_K}
+    """,
+    "hybrid_rrf": f"""
+        WITH qw AS (
+            SELECT list_distinct(string_split(lower(text), ' ')) AS qw
+            FROM documents WHERE doc_id = 0
+        ),
+        lexp AS (
+            SELECT doc_id,
+                   len(list_distinct(list_intersect(
+                       list_distinct(string_split(lower(text), ' ')), qw)))
+                   AS overlap
+            FROM documents, qw
+            WHERE doc_id <> 0
+            ORDER BY overlap DESC, doc_id
+            LIMIT {RRF_POOL}
+        ),
+        lex AS (
+            SELECT doc_id, row_number() OVER (ORDER BY overlap DESC, doc_id)
+                   AS lex_rank
+            FROM lexp
+        ),
+        vecp AS (
+            SELECT e.vec_id AS doc_id, {_COS_Q} AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY cosine DESC, doc_id
+            LIMIT {RRF_POOL}
+        ),
+        vec AS (
+            SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+                   AS vec_rank
+            FROM vecp
+        )
+        SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({RRF_K} + lex_rank), 0)
+                     + coalesce(1.0 / ({RRF_K} + vec_rank), 0), 6) AS rrf_score,
+               coalesce(lex_rank, 0) AS lex_rank,
+               coalesce(vec_rank, 0) AS vec_rank
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {RRF_TOP}
     """,
     # same association as the Spark side: each component multiplies the
     # per-vector scale (127/absmax) — NOT x*127/absmax, whose different

@@ -216,6 +216,8 @@ _CORPUS_SUBS = (
     Sub("embedding_quantize", ann.q_embedding_quantize,
         ann.ORACLES["embedding_quantize"],
         (("label", "str"),), ("n", "sum_q", "saturated")),
+    Sub("hybrid_rrf", ann.q_hybrid_rrf, ann.ORACLES["hybrid_rrf"],
+        (("doc_id", "str"),), ("rrf_score", "lex_rank", "vec_rank")),
 )
 
 _TPCH_SUBS = (

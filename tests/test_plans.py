@@ -303,3 +303,21 @@ def test_gapfill_dense_grid_and_broadcast(spark):
     assert len(rows) == 24 * len(types)
     assert any(r["cnt"] == 0 for r in rows)  # sf0.001 day has real gaps
     assert all(r["sum_value"] == 0.0 for r in rows if r["cnt"] == 0)
+
+
+def test_hybrid_rrf_pools_avoid_global_sort(spark):
+    df = ann.q_hybrid_rrf(spark, SF)
+    plan = plan_of(df)
+    # both modality pools cut via per-partition top-k, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= ann.RRF_TOP
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # a result must come from at least one modality list, and the
+        # score must equal the RRF formula over its (nonzero) ranks
+        assert r["lex_rank"] > 0 or r["vec_rank"] > 0
+        expect = (1.0 / (ann.RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0) \
+            + (1.0 / (ann.RRF_K + r["vec_rank"]) if r["vec_rank"] else 0.0)
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
