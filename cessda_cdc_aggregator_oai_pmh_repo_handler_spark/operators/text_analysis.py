@@ -613,6 +613,46 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEAK_K = 8  # 8-gram overlap = verbatim leakage, not shared vocabulary
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split decontamination check: documents in val/test sharing a
+    verbatim word 8-gram with any TRAIN document — the leakage a
+    hash-based split cannot prevent when near-duplicates straddle the
+    boundary (the eval-set counterpart is q_contamination_check; this one
+    guards the split itself). Per non-train split: leaked docs and
+    distinct shared grams.
+
+    Shape: one gram relation, checkpointed once (two consumers), then a
+    self equi-join on the gram hash — train side vs rest, never
+    doc-to-doc. At 100 TB add the stop-gram df cap used by winnow_pairs;
+    8-grams make collision buckets rare enough here that the join stays
+    bounded without it."""
+    d = load_table(spark, "documents", sf_dir)
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                  16, 10).cast("int")
+    split = (F.when(draw < 205, "train").when(draw < 230, "val")
+             .otherwise("test"))
+    w = _words()
+    grams = F.array_distinct(F.transform(
+        _ngrams(w, LEAK_K),
+        lambda g: F.md5(F.concat_ws(" ", *[g[str(j)] for j in range(LEAK_K)])),
+    ))
+    staged = d.select("doc_id", split.alias("split"), grams.alias("grams")) \
+        .localCheckpoint()
+    ex = staged.select("split", "doc_id", F.explode("grams").alias("gram"))
+    train = ex.filter(F.col("split") == "train").select(
+        "gram", F.col("doc_id").alias("train_doc"))
+    other = ex.filter(F.col("split") != "train")
+    return (
+        other.join(train, "gram")
+        .groupBy("split")
+        .agg(F.countDistinct("doc_id").alias("leaked_docs"),
+             F.countDistinct("gram").alias("shared_grams"))
+    )
+
+
 SAMPLE_FRAC = 0.2
 
 
@@ -645,6 +685,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "quality_model": q_quality_model,
     "stratified_sample": q_stratified_sample,
+    "split_leakage": q_split_leakage,
     "approx_quantiles": q_approx_quantiles,
     "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
@@ -668,6 +709,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "split_leakage": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             AS INT) < 205 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             AS INT) < 230 THEN 'val'
+                        ELSE 'test' END AS split,
+                   string_split(lower(text), ' ') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, split,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(w) - {LEAK_K - 2}),
+                       i -> md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(LEAK_K))}))))
+                   AS gram
+            FROM s WHERE len(w) >= {LEAK_K}
+        )
+        SELECT o.split, count(DISTINCT o.doc_id) AS leaked_docs,
+               count(DISTINCT o.gram) AS shared_grams
+        FROM g o JOIN g t ON o.gram = t.gram
+        WHERE t.split = 'train' AND o.split <> 'train'
+        GROUP BY 1
+    """,
     "stratified_sample": f"""
         SELECT doc_id, source, rk, quota FROM (
             SELECT doc_id, source,

@@ -191,3 +191,33 @@ def test_winnow_stop_fingerprints_capped(spark):
     # with a permissive cap the same corpus pairs everything: 8*7/2
     assert TA.winnow_pairs(docs, max_df=8).filter(
         F.col("shared_fingerprints") >= 1).count() == 28
+
+
+def test_split_leakage_flags_planted_near_dup(spark):
+    """A val-split doc sharing an 8-gram run with a train doc must be
+    flagged; disjoint docs must not produce rows."""
+    import pyspark.sql.functions as F
+    # doc_ids chosen so the md5 draw puts 3 in train and 23 in val
+    # (draws: md5('3')=0xee.. no — assert split assignment instead of
+    # hard-coding: find one train and one val id among 0..99)
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import text_analysis as TA
+    import hashlib
+    def draw(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+    train_id = next(i for i in range(100) if draw(i) < 205)
+    val_id = next(i for i in range(100) if 205 <= draw(i) < 230)
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(train_id, run + " filler words here"),
+            (val_id, "prefix " + run),
+            (next(i for i in range(100, 200) if draw(i) < 205),
+             "completely different content with no shared runs at all ok")]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+            .withColumn("n_chars", F.length("text")) \
+            .write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["split"]: r for r in TA.q_split_leakage(spark, tmp).collect()}
+    assert "val" in out and out["val"]["leaked_docs"] == 1
+    assert out["val"]["shared_grams"] >= 3  # 10-word run -> 3 distinct 8-grams
+    assert "test" not in out
