@@ -304,6 +304,46 @@ def streaming_user_running_totals(spark: SparkSession, source_dir: str,
     )
 
 
+def signup_purchase_join(events: DataFrame, max_gap_days: int = 7,
+                         watermark: str = "1 day") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the signups of
+    the same user within the preceding ``max_gap_days`` — the attribution
+    shape (conversion within N days of signup). Works identically on a
+    static DataFrame (watermarks are no-ops in batch), which is what the
+    test equivalence relies on.
+
+    Streaming semantics: BOTH sides carry a watermark and the join
+    condition bounds event-time distance, so Spark can expire join state
+    — without the time bound the state store would grow forever. One
+    shuffle on user_id for both sides; at 100 TB the state per user is
+    the in-horizon signups only."""
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("signup_ts") + F.expr(f"interval {max_gap_days} days")),
+    ).select("event_id", "user_id", "purchase_ts", "signup_ts")
+
+
+def streaming_signup_purchase_join(spark: SparkSession, source_dir: str,
+                                   schema: T.StructType) -> DataFrame:
+    """§2.8 stream-stream join demo over a file source."""
+    return signup_purchase_join(
+        spark.readStream.schema(schema).parquet(source_dir))
+
+
 def streaming_event_window_counts(spark: SparkSession, source_dir: str,
                                   schema: T.StructType, watermark: str = "1 day"):
     """§2.8 windowed-aggregation demo: the exact batch plan of

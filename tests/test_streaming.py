@@ -231,3 +231,22 @@ def test_streaming_window_counts_match_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM win_counts").collect()}
     want = {tuple(r) for r in q_event_window(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The §2.8 stream-stream interval join (purchases × signups within 7
+    days, watermarked both sides) yields exactly the batch join's rows."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "events_join_stream")
+    events.write.parquet(src)
+
+    stream = I.streaming_signup_purchase_join(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("ss_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    want = {tuple(r) for r in I.signup_purchase_join(events).collect()}
+    assert got == want and len(want) > 0
