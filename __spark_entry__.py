@@ -41,8 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #                         + salted_skew_agg
 #   set_ops             = union_dedup + intersect_except
 # ann_pandas is pytest/bench-covered only (it duplicates ann_bruteforce's
-# oracle); kmeans_clusters stays rows-only by design (iterative algorithm,
-# not SQL-expressible).
+# oracle); kmeans_clusters is verified against a 4-sweep Lloyd's recursion
+# unrolled as chained DuckDB CTEs (operators/clustering._kmeans_oracle_sql).
 GATE_ORDER = [
     # Reference query surface (SURVEY §2.2-§2.6)
     "projection", "point_lookup", "ne_filter", "in_list", "range_filter",
@@ -96,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(dedup.ORACLES)
     o.update(ann.ORACLES)
     o.update(studies_demo.ORACLES)
+    o.update(clustering.ORACLES)
     o.update(multimodal.ORACLES)
     o.update(suites.ORACLES)
     declared = set(queries())

@@ -135,8 +135,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     absmax = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    staged = e.select(
-        "label", "embedding", (F.lit(127.0) / absmax).alias("scale"))
+    # absmax == 0 (all-zero vector) would divide by zero: ANSI mode raises,
+    # non-ANSI yields inf -> all components clamp to ±127 — both wrong.
+    # Scale 0 quantizes the zero vector to all-zero components.
+    scale = F.when(absmax == 0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+    staged = e.select("label", "embedding", scale.alias("scale"))
     q = F.transform(
         "embedding",
         lambda x: F.least(
@@ -391,9 +394,13 @@ ORACLES = {
                                           -127.0), 127.0) AS BIGINT)) AS q
                 FROM (
                     SELECT label, embedding,
-                           127.0 / list_max(list_transform(embedding,
-                                            x -> abs(CAST(x AS DOUBLE)))) AS scale
-                    FROM embeddings
+                           CASE WHEN am = 0 THEN 0.0 ELSE 127.0 / am END AS scale
+                    FROM (
+                        SELECT label, embedding,
+                               list_max(list_transform(embedding,
+                                        x -> abs(CAST(x AS DOUBLE)))) AS am
+                        FROM embeddings
+                    )
                 )
             )
         )

@@ -204,6 +204,7 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GAPFILL_DAY = "2024-01-05"
+GAPFILL_NEXT_DAY = "2024-01-06"  # exclusive upper bound — keeps all of hour 23
 
 
 def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,18 +226,17 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = types.crossJoin(hours)  # |types| × 24 rows — generated, tiny
     hourly = (
         ev.filter((F.col("ts") >= day_start)
-                  & (F.col("ts") < F.lit(f"{GAPFILL_DAY} 23:59:59.999999")
-                     .cast("timestamp_ntz")))
+                  & (F.col("ts") < F.lit(GAPFILL_NEXT_DAY).cast("timestamp_ntz")))
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count("*").alias("cnt"),
              F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    # right outer with the grid broadcast: Spark can't broadcast the
-    # PRESERVED side of an outer join, so "grid LEFT JOIN hourly" would
-    # shuffle — "hourly RIGHT JOIN broadcast(grid)" is the same result
-    # with the grid as the build side
+    # grid LEFT JOIN broadcast(hourly): for LeftOuter the build side must be
+    # the non-preserved (right) side, so broadcasting the aggregated hourly
+    # relation is the only hint Spark can honor — and it's the right one,
+    # both sides being <= |types|*24 rows post-aggregation
     return (
-        hourly.join(F.broadcast(grid), ["event_type", "hour"], "right")
+        grid.join(F.broadcast(hourly), ["event_type", "hour"], "left")
         .select("event_type", "hour",
                 F.coalesce("cnt", F.lit(0)).alias("cnt"),
                 F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"))
@@ -272,7 +272,7 @@ ORACLES = {
                    count(*) AS cnt, round(sum(value), 2) AS sum_value
             FROM events
             WHERE ts >= TIMESTAMP '{GAPFILL_DAY} 00:00:00'
-              AND ts < TIMESTAMP '{GAPFILL_DAY} 23:59:59.999999'
+              AND ts < TIMESTAMP '{GAPFILL_NEXT_DAY} 00:00:00'
             GROUP BY 1, 2
         )
         SELECT grid.event_type, grid.hour,
@@ -326,7 +326,7 @@ ORACLES = {
     """,
     "json_extract": """
         SELECT event_type, count(*) AS cnt,
-               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
     """,

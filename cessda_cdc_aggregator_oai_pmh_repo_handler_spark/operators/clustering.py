@@ -189,7 +189,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size/inertia summary of a BOUNDED k-means fit: cheap first-k
     init + 4 Lloyd sweeps — the fixed-budget form a pipeline schedules
     (full convergence + farthest-point init live in kmeans_fit and are
-    exercised by tests). Iterative ⇒ no SQL oracle; rows-only check."""
+    exercised by tests). The fit is fully deterministic (first-k init,
+    fixed sweep count, argmin ties break toward the lower cluster index),
+    so "iterative" does NOT mean unverifiable: the oracle unrolls the same
+    4 sweeps as chained SQL CTEs in DuckDB (see _kmeans_oracle_sql) — an
+    independent engine computing the identical fixed-point-free recursion."""
     e = (load_table(spark, "embeddings", sf_dir)
          .select("vec_id", "embedding").persist())
     try:
@@ -206,5 +210,75 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.unpersist()
 
 
+GATE_SWEEPS = 4  # must match q_kmeans_clusters' max_iter
+GATE_DIM = 64    # driver testdata embedding width (all sfs)
+
+
+def _kmeans_oracle_sql(k: int = K, dim: int = GATE_DIM,
+                       sweeps: int = GATE_SWEEPS) -> str:
+    """Unrolled Lloyd's algorithm as pure DuckDB SQL: init = the k lowest
+    vec_ids' vectors; each sweep = argmin assignment (row_number ordered by
+    distance then cluster index — numpy argmin's first-minimum tie-break)
+    followed by an element-wise mean, with empty clusters keeping the
+    previous centroid via LEFT JOIN + coalesce. Everything is cast to
+    DOUBLE before arithmetic, mirroring the float64 numpy path. Float
+    summation order differs between the engines (BLAS expansion vs
+    sequential (a-b)^2), so agreement to the rounded cent is a genuine
+    cross-engine verification, not a shared-code tautology."""
+
+    def dist(pt: str, ct: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> pow({pt}.e[j] - {ct}.c[j], 2)))")
+
+    parts = [f"""
+        pts AS (
+            SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {k})
+        ),
+        dims AS (SELECT unnest(range(1, {dim + 1})) AS i)"""]
+    for t in range(1, sweeps + 1):
+        parts.append(f"""
+        a{t} AS (
+            SELECT vec_id, e, cluster FROM (
+                SELECT p.vec_id, p.e, c.cluster,
+                       row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY {dist('p', 'c')}, c.cluster) AS rn
+                FROM pts p CROSS JOIN c{t - 1} c
+            ) WHERE rn = 1
+        ),
+        c{t} AS (
+            SELECT prev.cluster, coalesce(upd.c, prev.c) AS c
+            FROM c{t - 1} prev
+            LEFT JOIN (
+                SELECT cluster, list(m ORDER BY i) AS c FROM (
+                    SELECT a.cluster, d.i, avg(a.e[d.i]) AS m
+                    FROM a{t} a CROSS JOIN dims d
+                    GROUP BY a.cluster, d.i
+                ) GROUP BY cluster
+            ) upd USING (cluster)
+        )""")
+    parts.append(f"""
+        fin AS (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT p.vec_id, c.cluster, {dist('p', 'c')} AS dist,
+                       row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY {dist('p', 'c')}, c.cluster) AS rn
+                FROM pts p CROSS JOIN c{sweeps} c
+            ) WHERE rn = 1
+        )""")
+    ctes = ",".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT cluster, count(*) AS n, round(sum(dist), 2) AS inertia
+        FROM fin GROUP BY cluster ORDER BY cluster
+    """
+
+
 QUERIES = {"kmeans_clusters": q_kmeans_clusters}
-ORACLES: dict[str, str] = {}  # iterative — driver records rows-only
+ORACLES = {"kmeans_clusters": _kmeans_oracle_sql()}

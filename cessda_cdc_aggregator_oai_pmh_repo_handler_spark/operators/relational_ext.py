@@ -271,8 +271,19 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        # Exact DECIMAL arithmetic, not double: a double revenue sum can land
+        # a float-ulp either side of a half-cent (x.xx5), where the engines'
+        # round(x, 2) then disagree by a cent (r2 gate: customer 249).
+        # price(2dp) * (1-discount(2dp)) has exactly 4 decimals, so
+        # DECIMAL(18,4) products sum exactly; round(exact, 2) is half-up on
+        # positives in both engines, and the final decimal->double cast is
+        # the same nearest-double on both. Bit-identical by construction.
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                      * (F.lit(1).cast("decimal(18,4)")
+                         - F.col("l_discount").cast("decimal(18,4)"))), 2)
+            .cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -562,7 +573,9 @@ ORACLES = {
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, session_key
 
 # tiny stopword/marker inventories; deliberately deterministic & portable
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -249,7 +249,7 @@ _LEAK_GRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     fp = _WINNOW_FP_CACHE.get(key)
     if fp is None:
         fp = winnow_exploded(load_table(spark, "documents", sf_dir))
@@ -651,7 +651,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-to-doc. At 100 TB add the stop-gram df cap used by winnow_pairs;
     8-grams make collision buckets rare enough here that the join stays
     bounded without it."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     ex = _LEAK_GRAM_CACHE.get(key)
     if ex is None:
         d = load_table(spark, "documents", sf_dir)

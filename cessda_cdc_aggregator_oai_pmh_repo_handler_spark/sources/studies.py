@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .tables import session_key
+
 _VL = "array<struct<value:string,language:string>>"
 
 STUDY_DDL: list[tuple[str, str]] = [
@@ -213,7 +215,7 @@ _FIXTURE_CACHE: dict[int, DataFrame] = {}
 def fixture_studies(spark: SparkSession) -> DataFrame:
     """Deterministic 8-record corpus, built and cached once per session
     (several demo queries and the whole OAI test-surface share it)."""
-    key = id(spark)
+    key = session_key(spark)
     if key not in _FIXTURE_CACHE:
         df = spark.createDataFrame(fixture_records(), schema=studies_schema())
         _FIXTURE_CACHE[key] = df.cache()

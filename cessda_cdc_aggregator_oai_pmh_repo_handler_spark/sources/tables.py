@@ -36,18 +36,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+
+def session_key(spark: SparkSession) -> str:
+    """Cache key for per-session memoization. applicationId is stable and
+    unique per SparkContext — unlike ``id(spark)``, which a new session can
+    reuse after the old one is garbage-collected, handing out cached
+    DataFrames bound to a dead context."""
+    return spark.sparkContext.applicationId
+
+
 # Catalog-style metadata cache: DataFrames are immutable logical plans, so
 # one spark.read.parquet per (session, path) is safe and skips re-reading
 # parquet footers/schema on every query — exactly what a real catalog's
 # table resolution does.
-_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), path)
+    key = (session_key(spark), path)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -296,7 +296,10 @@ def test_embedding_quantize_bounds_and_saturation(spark):
 def test_gapfill_dense_grid_and_broadcast(spark):
     df = arrays.q_gapfill_hourly(spark, SF)
     plan = plan_of(df)
-    assert "BroadcastHashJoin" in plan and "RightOuter" in plan
+    # grid LEFT JOIN broadcast(hourly): LeftOuter must build the right
+    # (non-preserved) side, so the honored hint is BuildRight on hourly
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "BuildRight" in plan
     rows = df.collect()
     types = {r["event_type"] for r in rows}
     # dense grid: every (type, hour-of-day) cell present exactly once
