@@ -188,10 +188,45 @@ def render_oai_datacite(parent, row, derived) -> None:
 
 
 def render_oai_ddi25(parent, row) -> None:
-    """DDI 2.5 codeBook skeleton. The full template lives in the unvendored
-    kuha library; the field inventory it consumes is pinned at
-    /root/reference/tests/test_serve.py:1384-1424 and is what we render."""
+    """DDI 2.5 codeBook over the full 37-field oai_ddi25 projection
+    (/root/reference/tests/test_serve.py:1384-1424). The template itself
+    lives in the unvendored kuha library, so two classes of placement:
+
+    - REFERENCE-PINNED shapes (element path + attributes asserted by the
+      reference's own tests): holdings@URI+xml:lang (:359-380), docDscr
+      document titles (:382-404), dataKind (:405-427), useStmt/conditions
+      @elementVersion (:428-453), distDate text=description@date (:454-479),
+      resInstru text=description + concept@vocab/vocabURI child (:480-512),
+      collDate text=description@date@event (:513-539).
+    - DDI 2.5 CANONICAL placements for fields whose template section the
+      reference never asserts: prodStmt copyright/fundAg/grantNo/prodDate,
+      docDscr prodStmt (copyrights, publication_dates), sumDscr anlyUnit,
+      useStmt citReq/deposReq, setAvail avlStatus, fileDscr fileName —
+      element order follows the DDI 2.5 codebook sequence
+      (docDscr, stdyDscr, fileDscr / titlStmt..holdings / setAvail,useStmt).
+    """
     cb = ET.SubElement(parent, f"{{{DDI_NS}}}codeBook")
+    # --- docDscr: the metadata-document description -------------------------
+    doc_titles = _vl_items(row, "document_titles")
+    doc_copy = _vl_items(row, "copyrights")
+    doc_dates = _vl_items(row, "publication_dates")
+    if doc_titles or doc_copy or doc_dates:
+        doc = _sub(cb, f"{{{DDI_NS}}}docDscr")
+        doc_cit = _sub(doc, f"{{{DDI_NS}}}citation")
+        if doc_titles:
+            doc_titl_stmt = _sub(doc_cit, f"{{{DDI_NS}}}titlStmt")
+            for t in doc_titles:
+                _sub(doc_titl_stmt, f"{{{DDI_NS}}}titl", t["value"],
+                     **{XML_LANG: t["language"]})
+        if doc_copy or doc_dates:
+            doc_prod = _sub(doc_cit, f"{{{DDI_NS}}}prodStmt")
+            for d in doc_dates:
+                _sub(doc_prod, f"{{{DDI_NS}}}prodDate", d["description"],
+                     date=d["value"], **{XML_LANG: d["language"]})
+            for c in doc_copy:
+                _sub(doc_prod, f"{{{DDI_NS}}}copyright", c["value"],
+                     **{XML_LANG: c["language"]})
+    # --- stdyDscr -----------------------------------------------------------
     stdy = _sub(cb, f"{{{DDI_NS}}}stdyDscr")
     cit = _sub(stdy, f"{{{DDI_NS}}}citation")
     titl_stmt = _sub(cit, f"{{{DDI_NS}}}titlStmt")
@@ -209,6 +244,21 @@ def render_oai_ddi25(parent, row) -> None:
     prod = _sub(cit, f"{{{DDI_NS}}}prodStmt")
     for p in _vl_items(row, "publishers"):
         _sub(prod, f"{{{DDI_NS}}}producer", p["value"], **{XML_LANG: p["language"]})
+    for c in _vl_items(row, "data_collection_copyrights"):
+        # study-level copyright: the reference's dc template renders this
+        # field as the record's dc:rights (agg_oai_dc.xml:42-44)
+        _sub(prod, f"{{{DDI_NS}}}copyright", c["value"], **{XML_LANG: c["language"]})
+    for y in _vl_items(row, "publication_years"):
+        _sub(prod, f"{{{DDI_NS}}}prodDate", y["value"],
+             date=y["distribution_date"], **{XML_LANG: y["language"]})
+    for fa in _vl_items(row, "funding_agencies"):
+        # grant & funding added to oai_ddi25 in reference 0.3.0
+        # (/root/reference/CHANGELOG.md:183-185); DDI 2.5 prodStmt carries
+        # fundAg + grantNo
+        _sub(prod, f"{{{DDI_NS}}}fundAg", fa["value"], **{XML_LANG: fa["language"]})
+    for g in _vl_items(row, "grant_numbers"):
+        _sub(prod, f"{{{DDI_NS}}}grantNo", g["value"], agency=g["agency"],
+             **{XML_LANG: g["language"]})
     dist_stmt = _sub(cit, f"{{{DDI_NS}}}distStmt")
     for d in _vl_items(row, "distributors"):
         _sub(dist_stmt, f"{{{DDI_NS}}}distrbtr", d["value"], **{XML_LANG: d["language"]})
@@ -216,7 +266,9 @@ def render_oai_ddi25(parent, row) -> None:
         _sub(dist_stmt, f"{{{DDI_NS}}}distDate", d["description"], date=d["value"],
              **{XML_LANG: d["language"]})
     for u in _vl_items(row, "study_uris"):
-        _sub(cit, f"{{{DDI_NS}}}holdings", "", URI=u["value"])
+        # xml:lang pinned at /root/reference/tests/test_serve.py:359-380
+        _sub(cit, f"{{{DDI_NS}}}holdings", "", URI=u["value"],
+             **{XML_LANG: u["language"]})
     info = _sub(stdy, f"{{{DDI_NS}}}stdyInfo")
     subj = _sub(info, f"{{{DDI_NS}}}subject")
     for k in _vl_items(row, "keywords"):
@@ -229,12 +281,16 @@ def render_oai_ddi25(parent, row) -> None:
         _sub(info, f"{{{DDI_NS}}}abstract", a["value"], **{XML_LANG: a["language"]})
     sumdsc = _sub(info, f"{{{DDI_NS}}}sumDscr")
     for c in _vl_items(row, "collection_periods"):
-        _sub(sumdsc, f"{{{DDI_NS}}}collDate", c["value"], event=c["event"],
-             **{XML_LANG: c["language"]})
+        # text=description, date/event attrs pinned at
+        # /root/reference/tests/test_serve.py:513-539
+        _sub(sumdsc, f"{{{DDI_NS}}}collDate", c["description"] or "",
+             date=c["value"], event=c["event"], **{XML_LANG: c["language"]})
     for g in _vl_items(row, "geographic_coverages"):
         _sub(sumdsc, f"{{{DDI_NS}}}nation", g["value"], **{XML_LANG: g["language"]})
     for c in _vl_items(row, "study_area_countries"):
         _sub(sumdsc, f"{{{DDI_NS}}}geogCover", c["value"], **{XML_LANG: c["language"]})
+    for u in _vl_items(row, "analysis_units"):
+        _sub(sumdsc, f"{{{DDI_NS}}}anlyUnit", u["value"], **{XML_LANG: u["language"]})
     for u in _vl_items(row, "universes"):
         _sub(sumdsc, f"{{{DDI_NS}}}universe", u["value"], **{XML_LANG: u["language"]})
     for d in _vl_items(row, "data_kinds"):
@@ -248,13 +304,46 @@ def render_oai_ddi25(parent, row) -> None:
     for m in _vl_items(row, "collection_modes"):
         _sub(dcoll, f"{{{DDI_NS}}}collMode", m["value"], **{XML_LANG: m["language"]})
     for i in _vl_items(row, "research_instruments"):
+        # resInstru text = description; concept child carries value +
+        # vocab/vocabURI (/root/reference/tests/test_serve.py:480-512)
+        ri = _sub(dcoll, f"{{{DDI_NS}}}resInstru", i["description"],
+                  **{XML_LANG: i["language"]})
+        _sub(ri, f"{{{DDI_NS}}}concept", i["value"], vocab=i["system_name"],
+             vocabURI=i["uri"])
+    for i in _vl_items(row, "instruments"):
+        # plain instrument name, no CV concept — distinct field from
+        # research_instruments in the projection inventory
         _sub(dcoll, f"{{{DDI_NS}}}resInstru", i["value"], **{XML_LANG: i["language"]})
     acc = _sub(stdy, f"{{{DDI_NS}}}dataAccs")
-    for a in _vl_items(row, "data_access"):
-        _sub(acc, f"{{{DDI_NS}}}useStmt", a["value"], **{XML_LANG: a["language"]})
+    avail = _vl_items(row, "data_access")
+    if avail:
+        set_avail = _sub(acc, f"{{{DDI_NS}}}setAvail")
+        for a in avail:
+            _sub(set_avail, f"{{{DDI_NS}}}avlStatus", a["value"],
+                 **{XML_LANG: a["language"]})
+    use = _sub(acc, f"{{{DDI_NS}}}useStmt")
+    for c in _vl_items(row, "citation_requirements"):
+        _sub(use, f"{{{DDI_NS}}}citReq", c["value"], **{XML_LANG: c["language"]})
+    for d in _vl_items(row, "deposit_requirements"):
+        _sub(use, f"{{{DDI_NS}}}deposReq", d["value"], **{XML_LANG: d["language"]})
+    for c in _vl_items(row, "data_access_descriptions"):
+        # elementVersion attr pinned at
+        # /root/reference/tests/test_serve.py:428-453
+        _sub(use, f"{{{DDI_NS}}}conditions", c["value"],
+             elementVersion=c["element_version"], **{XML_LANG: c["language"]})
     othr = _sub(stdy, f"{{{DDI_NS}}}othrStdyMat")
     for r in _vl_items(row, "related_publications"):
         _sub(othr, f"{{{DDI_NS}}}relPubl", r["value"], **{XML_LANG: r["language"]})
+    for u in _vl_items(row, "document_uris"):
+        _sub(othr, f"{{{DDI_NS}}}relMat", u["value"], **{XML_LANG: u["language"]})
+    # --- fileDscr -----------------------------------------------------------
+    fnames = _vl_items(row, "file_names")
+    if fnames:
+        fdscr = _sub(cb, f"{{{DDI_NS}}}fileDscr")
+        ftxt = _sub(fdscr, f"{{{DDI_NS}}}fileTxt")
+        for fn in fnames:
+            _sub(ftxt, f"{{{DDI_NS}}}fileName", fn["value"],
+                 **{XML_LANG: fn["language"]})
 
 
 def render_provenance(parent, row) -> None:

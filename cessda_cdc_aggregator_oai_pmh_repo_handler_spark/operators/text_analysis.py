@@ -358,11 +358,30 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source z-score of document length via grouped-map
-    ``applyInPandas`` — the custom-operator escape hatch where the group's
-    whole frame is needed at once (here it isn't, which is the point the
-    oracle makes: window functions express it too; the pattern is what's
-    being exercised). One shuffle on the group key."""
+    """Per-source z-score of document length as built-in window functions —
+    ``(n_chars - avg over w) / stddev_samp over w`` stays entirely inside
+    whole-stage codegen: one shuffle on the group key, zero Python workers.
+    This is the GATE form; the grouped-map ``applyInPandas`` formulation of
+    the same semantics lives in ``zscore_normalize_pandas`` as the
+    custom-operator pattern demo (pytest-pinned equivalent, not shipped in
+    the hot path — at 100 TB it would pay Arrow transfer for every row)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source")
+    z = ((F.col("n_chars") - F.avg("n_chars").over(w))
+         / F.stddev_samp("n_chars").over(w))
+    return (
+        d.select("doc_id", "source", F.round(z, 3).alias("z"))
+        .filter(F.col("doc_id") < 100)
+    )
+
+
+def zscore_normalize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` formulation of q_zscore_normalize —
+    kept as the escape-hatch pattern for operators that genuinely need the
+    whole group frame at once (this one doesn't; tests pin its equivalence
+    to the window form)."""
     import pandas as pd
 
     d = load_table(spark, "documents", sf_dir)

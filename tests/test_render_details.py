@@ -49,6 +49,24 @@ def rich_facade(spark):
         principal_investigators=[{"value": "Dr. Example", "language": "en",
                                   "organization": "Example University"}],
         grant_numbers=[],  # no eu-repo grants → NO contributors element
+        # full ddi25 inventory (reference tests/test_serve.py:1384-1424)
+        copyrights=[{"value": "Doc copyright", "language": "en"}],
+        publication_dates=[{"value": "2019-02-02", "language": "en",
+                            "description": "Published"}],
+        data_collection_copyrights=[{"value": "FSD copyright", "language": "en"}],
+        funding_agencies=[{"value": "Academy of Finland", "language": "en"}],
+        analysis_units=[{"value": "Individual", "language": "en"}],
+        instruments=[{"value": "CAPI", "language": "en"}],
+        citation_requirements=[{"value": "Cite as X", "language": "en"}],
+        deposit_requirements=[{"value": "Deposit to Y", "language": "en"}],
+        file_names=[{"value": "data.por", "language": "en"}],
+        universes=[{"value": "Adults 18+", "language": "en"}],
+        data_access=[{"value": "Open", "language": "en"}],
+        time_methods=[{"value": "Longitudinal", "language": "en"}],
+        sampling_procedures=[{"value": "Random sample", "language": "en"}],
+        collection_modes=[{"value": "Interview", "language": "en"}],
+        study_area_countries=[{"value": "Finland", "language": "en"}],
+        geographic_coverages=[{"value": "FI", "language": "en"}],
     )
     df = spark.createDataFrame([rec], studies_schema())
     return OAIFacade(OAIQueryPlanner(df))
@@ -63,17 +81,86 @@ def get(facade, prefix):
 def test_ddi25_attribute_carriers(rich_facade):
     el = get(rich_facade, "oai_ddi25")
     cb = el.find("./oai:GetRecord/oai:record/oai:metadata/ddi:codeBook", NS)
-    titles = [t.text for t in cb.findall(".//ddi:titlStmt/ddi:titl", NS)]
+    titles = [t.text for t in cb.findall("./ddi:stdyDscr/ddi:citation/ddi:titlStmt/ddi:titl", NS)]
     assert "Title of rich_1" in titles
     dist = cb.find(".//ddi:distStmt/ddi:distDate", NS)
     assert dist.get("date") == "2019-01-01" and dist.text == "First release"
+    # collDate: date attr = value, text = description
+    # (/root/reference/tests/test_serve.py:513-539)
     colls = cb.findall(".//ddi:sumDscr/ddi:collDate", NS)
-    assert [(c.get("event"), c.text) for c in colls] == [
-        ("start", "2018-01-01"), ("end", "2018-06-30")]
+    assert [(c.get("event"), c.get("date"), c.text or "") for c in colls] == [
+        ("start", "2018-01-01", ""), ("end", "2018-06-30", "")]
+    # resInstru: text = description; concept child carries the CV value
+    # (/root/reference/tests/test_serve.py:480-512)
     resinstru = cb.find(".//ddi:dataColl/ddi:resInstru", NS)
-    assert resinstru.text == "structured questionnaire"
+    assert resinstru.text == "desc"
+    concept = resinstru.find("./ddi:concept", NS)
+    assert concept.text == "structured questionnaire"
+    assert concept.get("vocab") == "CVS"
+    assert concept.get("vocabURI") == "http://cv.example"
     kinds = [k.text for k in cb.findall(".//ddi:sumDscr/ddi:dataKind", NS)]
     assert kinds == ["quantitative"]
+
+
+def test_ddi25_docdscr_and_holdings(rich_facade):
+    """Document titles live under docDscr/citation/titlStmt
+    (/root/reference/tests/test_serve.py:382-404); holdings carries
+    URI + xml:lang (:359-380)."""
+    el = get(rich_facade, "oai_ddi25")
+    cb = el.find("./oai:GetRecord/oai:record/oai:metadata/ddi:codeBook", NS)
+    doc_titles = {t.get(XML_LANG): t.text for t in cb.findall(
+        "./ddi:docDscr/ddi:citation/ddi:titlStmt/ddi:titl", NS)}
+    assert doc_titles == {"en": "some_doc", "fi": "joku_doc"}
+    holdings = cb.findall("./ddi:stdyDscr/ddi:citation/ddi:holdings", NS)
+    assert [(h.get("URI"), h.get(XML_LANG)) for h in holdings] == [
+        ("http://urn.fi/1", "en")]
+
+
+def test_ddi25_conditions_element_version(rich_facade):
+    """conditions under dataAccs/useStmt with elementVersion
+    (/root/reference/tests/test_serve.py:428-453)."""
+    el = get(rich_facade, "oai_ddi25")
+    cb = el.find("./oai:GetRecord/oai:record/oai:metadata/ddi:codeBook", NS)
+    cond = cb.find("./ddi:stdyDscr/ddi:dataAccs/ddi:useStmt/ddi:conditions", NS)
+    assert cond.text == "conditions apply"
+    assert cond.get("elementVersion") == "1.2.3"
+
+
+def test_ddi25_full_field_inventory(rich_facade):
+    """Every projected oai_ddi25 field appears in the XML — the 37-field
+    inventory of /root/reference/tests/test_serve.py:1384-1424."""
+    el = get(rich_facade, "oai_ddi25")
+    cb = el.find("./oai:GetRecord/oai:record/oai:metadata/ddi:codeBook", NS)
+    expectations = {
+        # canonical DDI 2.5 placements for template-unpinned fields
+        "./ddi:docDscr/ddi:citation/ddi:prodStmt/ddi:prodDate": "Published",
+        "./ddi:docDscr/ddi:citation/ddi:prodStmt/ddi:copyright": "Doc copyright",
+        "./ddi:stdyDscr/ddi:citation/ddi:prodStmt/ddi:copyright": "FSD copyright",
+        "./ddi:stdyDscr/ddi:citation/ddi:prodStmt/ddi:fundAg": "Academy of Finland",
+        "./ddi:stdyDscr/ddi:citation/ddi:prodStmt/ddi:prodDate": "2001-05-01",
+        "./ddi:stdyDscr/ddi:stdyInfo/ddi:sumDscr/ddi:anlyUnit": "Individual",
+        "./ddi:stdyDscr/ddi:stdyInfo/ddi:sumDscr/ddi:universe": "Adults 18+",
+        "./ddi:stdyDscr/ddi:dataAccs/ddi:setAvail/ddi:avlStatus": "Open",
+        "./ddi:stdyDscr/ddi:dataAccs/ddi:useStmt/ddi:citReq": "Cite as X",
+        "./ddi:stdyDscr/ddi:dataAccs/ddi:useStmt/ddi:deposReq": "Deposit to Y",
+        "./ddi:stdyDscr/ddi:method/ddi:dataColl/ddi:timeMeth": "Longitudinal",
+        "./ddi:stdyDscr/ddi:method/ddi:dataColl/ddi:sampProc": "Random sample",
+        "./ddi:stdyDscr/ddi:method/ddi:dataColl/ddi:collMode": "Interview",
+        "./ddi:stdyDscr/ddi:stdyInfo/ddi:sumDscr/ddi:geogCover": "Finland",
+        "./ddi:stdyDscr/ddi:stdyInfo/ddi:sumDscr/ddi:nation": "FI",
+        "./ddi:fileDscr/ddi:fileTxt/ddi:fileName": "data.por",
+    }
+    for path, want in expectations.items():
+        found = [e.text for e in cb.findall(path, NS)]
+        assert want in found, f"{path}: wanted {want!r}, found {found}"
+    # instruments render as plain resInstru alongside the CV-bearing one
+    instr_texts = [e.text for e in cb.findall(
+        "./ddi:stdyDscr/ddi:method/ddi:dataColl/ddi:resInstru", NS)]
+    assert "CAPI" in instr_texts
+    # document_uris → othrStdyMat/relMat
+    relmats = [e.text for e in cb.findall(
+        "./ddi:stdyDscr/ddi:othrStdyMat/ddi:relMat", NS)]
+    assert "http://docs.fsd/1" in relmats
 
 
 def test_datacite_subject_schemes_and_affiliation(rich_facade):

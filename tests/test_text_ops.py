@@ -19,11 +19,19 @@ def test_approx_distinct_within_bound(spark, sf_dir):
 
 
 def test_zscore_normalize_properties(spark, sf_dir):
+    """Gate form is pure window functions (no Python workers in the plan);
+    the applyInPandas pattern demo computes the identical result."""
     out = TA.q_zscore_normalize(spark, sf_dir)
     rows = out.collect()
     assert all(abs(r["z"]) < 10 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan and "Window" in plan
+
+    pandas_form = TA.zscore_normalize_pandas(spark, sf_dir)
+    pplan = pandas_form._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in pplan
+    assert sorted(map(tuple, rows), key=lambda t: t[:2]) == sorted(
+        map(tuple, pandas_form.collect()), key=lambda t: t[:2])
 
 
 def test_lang_id_mostly_matches_metadata(spark, sf_dir):
