@@ -195,25 +195,40 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # derive from the shared materialized shingle relation (cheap pushed
-    # filter over the checkpoint; shingling itself never re-runs)
+    # filter over the checkpoint; shingling itself never re-runs). Coalesce
+    # the 500-row slice: the checkpoint keeps the full corpus's partition
+    # count, and without this every downstream stage of a 500-row
+    # computation schedules one task per corpus partition — measured as the
+    # r2 regression (0.48 → 0.92 s); at scale it's the same rule of
+    # matching task count to surviving data, which AQE applies post-shuffle
+    # but never to the map side of a narrow filter.
     docs = (
         _shingled_docs(spark, sf_dir)
         .filter(F.col("doc_id") < 500)
         .select("doc_id", F.col("shingles").alias("sh"))
+        .coalesce(4)
     )
+    # shuffle 8-byte shingle hashes, not ~30-char strings: prefix filtering
+    # only needs a CONSISTENT global shingle order (any total order is
+    # lossless), so rarity-then-hash ordering works and a hash collision can
+    # only ADD candidates — the exact-Jaccard verify below removes them.
+    # df comes from a count-over-window on the same exchange the rank needs'
+    # sibling, replacing the groupBy+join that re-shuffled the exploded
+    # relation a second time (r2 regression, 0.48 → 0.92 s).
     ex = docs.select(
-        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rank = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    ).select("doc_id", "sz", F.xxhash64("s").alias("h"))
+    df_w = Window.partitionBy("h")
+    rank = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h"))
     prefix = (
-        ex.join(freq, "s")
+        ex.withColumn("df", F.count(F.lit(1)).over(df_w))
         .withColumn("rk", rank)
         .filter(F.col("rk") <= F.col("sz")
                 - F.ceil(F.lit(NGRAM_THRESHOLD) * F.col("sz")) + 1)
-        .select("doc_id", "s")
+        .select("doc_id", "h")
     )
     cands = (
-        prefix.alias("a").join(prefix.alias("b"), "s")
+        prefix.alias("a").join(prefix.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
