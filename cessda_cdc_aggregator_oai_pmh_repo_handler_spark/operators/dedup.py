@@ -368,9 +368,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMANTIC_THRESHOLD = 0.35
+SEM_CLUSTER_CAP = 100  # above this size a cluster sub-buckets on sign bits
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_stats(e: DataFrame) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — the pattern, reimplemented on DataFrames): cluster
     the embedding space, compare pairs ONLY within a cluster, and prune
@@ -380,20 +381,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cluster assignment here is the table's ``label`` column, standing
     in for the paper's precomputed k-means step (this engine's
-    ``kmeans_clusters``/``label_centroids`` operators ARE that step). At
-    100 TB the quadratic stays bounded by the cluster size: repartition by
-    cluster id, cap oversized clusters by sub-bucketing on sign bits
-    (``sign_signature``) exactly as ``q_embedding_neardup`` does, and the
-    per-cluster pair join never leaves its partition."""
-    e = load_table(spark, "embeddings", sf_dir)
-    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
-                 F.col("embedding").alias("ea"), norm_col("embedding").alias("na"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
-                 F.col("embedding").alias("eb"), norm_col("embedding").alias("nb"))
+    ``kmeans_clusters``/``label_centroids`` operators ARE that step).
+
+    Oversized-cluster guard: a viral cluster of size m costs m² pairs, so
+    clusters above ``SEM_CLUSTER_CAP`` additionally join on the
+    ``sign_signature`` sub-bucket (2^BLOCK_BITS buckets), the same sign-bit
+    blocking q_embedding_neardup uses — bounding every bucket's pair count
+    while high-cosine near-duplicates (which agree on almost all sign
+    bits) stay co-bucketed. The cluster-size relation is label-cardinality
+    rows, broadcast; tests/test_plans.py pins that an oversized cluster's
+    pair join carries the sub-bucket key."""
+    sizes = e.groupBy("label").agg(F.count("*").alias("csz"))
+    keyed = (
+        e.join(F.broadcast(sizes), "label")
+        .withColumn("sub", F.when(F.col("csz") > SEM_CLUSTER_CAP,
+                                  sign_signature("embedding"))
+                    .otherwise(F.lit("")))
+    )
+    a = keyed.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
+                     F.col("sub").alias("sa"),
+                     F.col("embedding").alias("ea"), norm_col("embedding").alias("na"))
+    b = keyed.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+                     F.col("sub").alias("sb"),
+                     F.col("embedding").alias("eb"), norm_col("embedding").alias("nb"))
     # norms fold once per vector pre-join (see q_embedding_neardup)
     cos = dot_cols("ea", "eb") / (F.col("na") * F.col("nb"))
     dups = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("sa") == F.col("sb"))
+               & (F.col("va") < F.col("vb")))
         .filter(F.round(cos, 4) >= SEMANTIC_THRESHOLD)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
@@ -409,6 +424,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("is_dup")).alias("kept"),
         )
     )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup_stats(load_table(spark, "embeddings", sf_dir))
 
 
 # --- oracles -----------------------------------------------------------------
@@ -640,10 +659,17 @@ ORACLES = {
     """,
     "neardup_components": None,  # filled below from the pairs oracle
     "semantic_dedup": f"""
-        WITH dups AS (
+        WITH keyed AS (
+            SELECT vec_id, label, embedding,
+                   CASE WHEN count(*) OVER (PARTITION BY label)
+                             > {SEM_CLUSTER_CAP}
+                        THEN {_SIGN_SIG_SQL} ELSE '' END AS sub
+            FROM embeddings
+        ),
+        dups AS (
             SELECT DISTINCT b.vec_id
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM keyed a JOIN keyed b
+              ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
             WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 4)
                   >= {SEMANTIC_THRESHOLD}
         )

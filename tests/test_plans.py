@@ -324,3 +324,43 @@ def test_hybrid_rrf_pools_avoid_global_sort(spark):
         expect = (1.0 / (ann.RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0) \
             + (1.0 / (ann.RRF_K + r["vec_rank"]) if r["vec_rank"] else 0.0)
         assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+
+
+def test_semantic_dedup_subbuckets_oversized_clusters(spark):
+    """A cluster above SEM_CLUSTER_CAP must pair-join on the sign-bit
+    sub-bucket, not raw label alone — the guard that keeps one viral
+    cluster from going quadratic at scale."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # one oversized cluster (label 0, 3x the cap) + one small cluster
+    for vid in range(3 * dedup.SEM_CLUSTER_CAP):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)], 0))
+    for vid in range(3 * dedup.SEM_CLUSTER_CAP, 3 * dedup.SEM_CLUSTER_CAP + 10):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)], 1))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    out = dedup.semantic_dedup_stats(e)
+    plan = plan_of(out)
+    # the pair join's keys must include the sub-bucket column
+    join_lines = [l for l in plan.splitlines()
+                  if "Join" in l and "la" in l and "vec" not in l.lower()]
+    assert any("sa" in l and "sb" in l for l in join_lines), plan
+
+    # functional bound: pairs compared within the oversized cluster are
+    # limited to same-sign-bucket pairs — mirror the bucket math in python
+    import collections
+    buckets = collections.Counter()
+    for vid, emb, label in rows:
+        if label != 0:
+            continue
+        sig = "".join("1" if emb[i] > 0 else "0"
+                      for i in range(dedup.BLOCK_BITS))
+        buckets[sig] += 1
+    bounded_pairs = sum(m * (m - 1) // 2 for m in buckets.values())
+    m = 3 * dedup.SEM_CLUSTER_CAP
+    assert bounded_pairs < m * (m - 1) // 2 / 4  # sub-bucketing cuts >4x
+    # and the operator still returns a row per label
+    labels = {r["label"] for r in out.collect()}
+    assert labels == {0, 1}
