@@ -2,14 +2,19 @@
 
 The reference discovers formats through the ``cdcagg.oai.metadataformats``
 entry-point group at startup (/root/reference/setup.py:41-45,
-cdcagg_oai/__init__.py:17-25). The Spark-side equivalent of a "format" is a
+cdcagg_oai/__init__.py:17-25, loaded by kuha's ``load_metadataformats`` at
+cdcagg_oai/serve.py:98). The Spark-side equivalent of a "format" is a
 projection list + a renderer + namespace identifiers; this registry makes
 that a first-class, extensible object so a new format plugs in without
-touching the planner or facade.
+touching the planner or facade — either programmatically via ``register``
+or, matching the reference's packaging contract, by shipping a package
+that declares a ``cdcagg.oai.metadataformats`` entry point
+(``discover_entry_points`` scans the group at import time).
 """
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -73,4 +78,39 @@ def _register_builtins() -> None:
     ))
 
 
+ENTRY_POINT_GROUP = "cdcagg.oai.metadataformats"
+
+
+def discover_entry_points(group: str = ENTRY_POINT_GROUP) -> list[str]:
+    """Scan the installed-package metadata for format plugins, mirroring
+    the reference's startup discovery. Each entry point may resolve to a
+    ``MetadataFormat``, a zero-arg factory returning one, or a list of
+    either. A broken plugin is skipped with a warning — a third-party
+    package must not take the server down. Returns registered prefixes."""
+    from importlib import metadata as im
+
+    try:
+        eps = im.entry_points(group=group)
+    except TypeError:  # Python < 3.10 signature
+        eps = im.entry_points().get(group, [])  # pragma: no cover
+    loaded: list[str] = []
+    for ep in eps:
+        try:
+            obj = ep.load()
+            if not isinstance(obj, (MetadataFormat, list, tuple)) and callable(obj):
+                obj = obj()
+            fmts = obj if isinstance(obj, (list, tuple)) else [obj]
+            for fmt in fmts:
+                if not isinstance(fmt, MetadataFormat):
+                    raise TypeError(f"{ep.value} yielded {type(fmt).__name__}, "
+                                    "expected MetadataFormat")
+                register(fmt)
+                loaded.append(fmt.prefix)
+        except Exception as exc:  # noqa: BLE001 — isolate plugin faults
+            warnings.warn(f"metadata-format entry point {ep.name!r} failed: {exc}",
+                          stacklevel=2)
+    return loaded
+
+
 _register_builtins()
+discover_entry_points()
