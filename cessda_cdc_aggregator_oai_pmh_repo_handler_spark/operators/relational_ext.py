@@ -449,11 +449,148 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dec_rev():
+    """Exact-money revenue term: DECIMAL sums never land a float-ulp from a
+    rounding boundary (the q10 lesson — see q_tpch_q10's comment)."""
+    return (F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)")))
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: of all PROMO-part revenue sold to
+    EUROPE customers over two years, the fraction supplied by NATION_7,
+    per order year. Five-table star: both nation legs and the filtered
+    part/supplier dims broadcast; lineitem shuffles once onto orders.
+    Numerator and denominator sum as DECIMAL, convert to double, and
+    divide — identical doubles on both engines."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    cust_nations = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                    .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                    .select("c_custkey"))
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    rev_dec = F.sum(_dec_rev())
+    nation_rev_dec = F.sum(F.when(F.col("supp_nation") == "NATION_7", _dec_rev())
+                           .otherwise(F.lit(0).cast("decimal(18,4)")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_nations, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(nation_rev_dec.cast("double") / rev_dec.cast("double"), 6)
+             .alias("mkt_share"),
+             F.round(rev_dec, 2).cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit) adapted to the trimmed schema:
+    no partsupp, so cost is p_retailprice·quantity·1% — the SHAPE is what
+    matters: a 4-table fact join with an expression aggregate grouped by
+    (nation, year). Part filter pushes to its scan, filtered part +
+    supplier-with-nation broadcast, orders joins only for the year.
+    Profit accumulates as DECIMAL end to end."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").contains("1"))
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("nation")))
+    cost = (F.col("p_retailprice").cast("decimal(18,4)")
+            * F.col("l_quantity").cast("decimal(18,4)")
+            * F.lit(0.01).cast("decimal(6,4)"))
+    amount = _dec_rev().cast("decimal(30,8)") - cost.cast("decimal(30,8)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT join so
+    zero-order customers survive into the c_count=0 bucket, then a second
+    aggregation over the counts. Two shuffles (custkey, then count) —
+    the double-aggregation shape; all-integer output is engine-exact."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
+    supplier(s) matching the maximum. The max is a 1-row broadcast joined
+    back against the aggregated view (computed once via a reused subtree),
+    not a second scan; DECIMAL revenue makes the equality comparison exact
+    — with doubles, 'rev = max(rev)' is a float-equality landmine."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    s = load_table(spark, "supplier", sf_dir)
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec_rev()).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(top),
+                     F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("supplier_no", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lineitems of one brand with
+    quantity under 20% of that part's average quantity. The correlated
+    scalar subquery decorrelates into a per-part aggregate joined back on
+    partkey; quantities are integer-valued doubles so the per-part average
+    is bit-exact on both engines and the comparison cannot flip."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#13")
+    li = load_table(spark, "lineitem", sf_dir)
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_qty = (branded.groupBy(F.col("l_partkey").alias("ap"))
+               .agg(F.avg("l_quantity").alias("aq")))
+    return (
+        branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(F.round(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+             .cast("double") / 7.0), 2).alias("avg_yearly"),
+            F.count("*").alias("cnt"))
+    )
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
     "tpch_q22": q_tpch_q22,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -514,6 +651,95 @@ ORACLES = {
                round(quantile_cont(s_acctbal, 0.5), 3) AS median_balance
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "tpch_q8": """
+        WITH supp AS (
+            SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ),
+        eu_cust AS (
+            SELECT c_custkey
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                     6) AS mkt_share,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supp ON l_suppkey = s_suppkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_custkey IN (SELECT c_custkey FROM eu_cust)
+        GROUP BY 1
+    """,
+    "tpch_q9": """
+        SELECT nation, o_year,
+               CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(30,8))
+                   - CAST(CAST(p_retailprice AS DECIMAL(18,4))
+                          * CAST(l_quantity AS DECIMAL(18,4))
+                          * CAST(0.01 AS DECIMAL(6,4)) AS DECIMAL(30,8)) AS amount
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%1%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+        )
+        GROUP BY nation, o_year
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT supplier_no, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM revenue
+        JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "tpch_q17": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly,
+               count(*) AS cnt
+        FROM lineitem l1
+        JOIN part ON l1.l_partkey = p_partkey AND p_brand = 'Brand#13'
+        WHERE l1.l_quantity < 0.2 * (
+            SELECT avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,

@@ -252,6 +252,16 @@ _TPCH_SUBS = (
     Sub("tpch_q18", relational_ext.q_tpch_q18, relational_ext.ORACLES["tpch_q18"],
         (("c_name", "str"), ("c_custkey", "str"), ("o_orderkey", "str"),
          ("o_orderdate", "ts")), ("o_totalprice", "sum_qty")),
+    Sub("tpch_q8", relational_ext.q_tpch_q8, relational_ext.ORACLES["tpch_q8"],
+        (("o_year", "str"),), ("mkt_share", "total_revenue")),
+    Sub("tpch_q9", relational_ext.q_tpch_q9, relational_ext.ORACLES["tpch_q9"],
+        (("nation", "str"), ("o_year", "str")), ("sum_profit",)),
+    Sub("tpch_q13", relational_ext.q_tpch_q13, relational_ext.ORACLES["tpch_q13"],
+        (("c_count", "str"),), ("custdist",)),
+    Sub("tpch_q15", relational_ext.q_tpch_q15, relational_ext.ORACLES["tpch_q15"],
+        (("supplier_no", "str"), ("s_name", "str")), ("total_revenue",)),
+    Sub("tpch_q17", relational_ext.q_tpch_q17, relational_ext.ORACLES["tpch_q17"],
+        (), ("avg_yearly", "cnt")),
 )
 
 _SQL_SURFACE_SUBS = (
