@@ -38,6 +38,14 @@ HEADLINERS = {
     "tpch_q4": "TPC-H Q4: EXISTS decorrelated to a left semi-join; quarter bound at the orders scan.",
     "tpch_q7": "TPC-H Q7: nation-pair predicate inside both dim scans; pre-filtered supplier broadcasts into lineitem.",
     "tpch_q22": "TPC-H Q22: scalar avg broadcast + NOT EXISTS as left anti-join.",
+    "tpch_q8": "TPC-H Q8 market share: PROMO part + EUROPE customer dims reduced before any fact join; only lineitem-orders exchanges.",
+    "tpch_q13": "TPC-H Q13: left join preserves zero-order customers, then double aggregation (custkey exchange, count exchange).",
+    "tpch_q15": "TPC-H Q15: max-revenue scalar broadcast back against the reused aggregate view — one lineitem scan.",
+    "tpch_q17": "TPC-H Q17: correlated avg decorrelated to a per-part aggregate broadcast back on partkey.",
+    "gapfill_hourly": "Gap-fill: generated dense grid LEFT-joins broadcast(hourly rollup) — LeftOuter builds the non-preserved side.",
+    "ngram_jaccard_pairs": "Exact AllPairs Jaccard: 500-row slice coalesced (task count matches surviving data), prefix join on 8-byte shingle hashes, df via count-over-window.",
+    "tfidf_top_terms": "TF-IDF: n_sources as a 1-row broadcast cross join (no mid-build driver action); tf and df shuffles only.",
+    "zscore_normalize": "Per-source z-score: pure Window functions — zero Python workers (the applyInPandas form is a pytest-only pattern demo).",
 }
 
 
