@@ -460,13 +460,26 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_distinct: exact values hash-verify, the sketch verifies as a
     within-2% indicator the oracle claims outright. At 100 TB only the
     sketch runs (mergeable, bounded memory); the exact percentile here is
-    the local-scale ground truth."""
-    li = load_table(spark, "lineitem", sf_dir)
+    the local-scale ground truth.
+
+    Cost shape: BOTH percentiles ride one aggregate buffer via the
+    array-percentages form (four separate aggregates each rebuilt the
+    value buffer — measured 3.9 s → 1.3 s), and the single pruned column
+    repartitions across cores first: the exact-percentile partial is the
+    rare aggregate whose per-partition cost is sort-like, so a 3-partition
+    scan leaves 29 cores idle exactly where the work is."""
+    li = (load_table(spark, "lineitem", sf_dir)
+          .select("l_extendedprice")
+          .repartition(spark.sparkContext.defaultParallelism))
+    pcts = F.array(F.lit(0.5), F.lit(0.95))
     ex = li.agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 3).alias("p50_exact"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 3).alias("p95_exact"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
-        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+        F.percentile("l_extendedprice", pcts).alias("pex"),
+        F.percentile_approx("l_extendedprice", pcts, F.lit(10000)).alias("pap"),
+    ).select(
+        F.round(F.element_at("pex", 1), 3).alias("p50_exact"),
+        F.round(F.element_at("pex", 2), 3).alias("p95_exact"),
+        F.element_at("pap", 1).alias("a50"),
+        F.element_at("pap", 2).alias("a95"),
     )
     def ok(a, e):
         return (F.when(F.abs(F.col(a) - F.col(e)) <= 0.02 * F.col(e), 1.0)
