@@ -61,10 +61,22 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_tokenized_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # write-then-rename: concurrent sessions (test runner + gate runner)
+        # must never observe a half-written table; the loser of the rename
+        # race just reads the winner's copy
+        import uuid
+
+        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
         d = load_table(spark, "documents", sf_dir).repartition(
             spark.sparkContext.defaultParallelism)
         d.select("doc_id", "source", "lang", "n_chars", "text",
-                 _words().alias("words")).write.mode("overwrite").parquet(path)
+                 _words().alias("words")).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:  # another session won the race
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     docs = spark.read.parquet(path)
     _TOKENIZED_CACHE[key] = docs
     return docs
