@@ -58,7 +58,15 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text AND words whether it needs them or not (measured: suite 7.7 s →
     # 11 s). A parquet side-table keeps pruning/vectorization — the literal
     # 100 TB design, where stage one writes the tokenized corpus table.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache identity = source path + file stats: if the corpus parquet is
+    # regenerated in place, the stale side-table must not be served
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        ident = sf_dir
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_tokenized_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # write-then-rename: concurrent sessions (test runner + gate runner)
