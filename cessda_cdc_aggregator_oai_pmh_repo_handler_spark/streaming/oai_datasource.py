@@ -22,12 +22,15 @@ partition across the cluster. Resumption-token pages within one endpoint
 are inherently sequential (each token comes from the previous page), so
 the endpoint is the parallelism unit, exactly like a kafka partition.
 
-Streaming offsets: the simple-stream reader's offset is the completed
-sweep count. An OAI endpoint is a living corpus, not a replayable log —
-``readBetweenOffsets`` re-polls rather than replaying history, and the
-downstream merge's (identifier, harvest_ts) dedup + epoch markers make
-that safe. This mirrors how the reference ecosystem's harvesters treat
-endpoints: poll, upsert, repeat.
+Streaming offsets: the offset carries (completed sweeps, max upstream
+datestamp). Every sweep after the first polls with ``from = cursor`` —
+incremental selective harvesting instead of full re-lists, resumed from
+the checkpoint across restarts. An OAI endpoint is a living corpus, not a
+replayable log — ``readBetweenOffsets`` re-polls the cursor window rather
+than replaying history, and the downstream merge's (identifier,
+harvest_ts) dedup + epoch markers make both the replay and the inclusive
+`from` boundary repeat safe. This mirrors how the reference ecosystem's
+harvesters treat endpoints: poll, upsert, repeat.
 """
 
 from __future__ import annotations
@@ -105,8 +108,25 @@ class _BatchReader(DataSourceReader):
         yield from _event_rows(_sweep(self._options, partition.url), self._schema)
 
 
+def _max_datestamp(events: list[dict]) -> str | None:
+    """Highest upstream datestamp in a sweep (the new direct hop carries
+    it); ISO-8601 strings order lexicographically."""
+    best = None
+    for ev in events:
+        hops = ev.get("provenance") or []
+        ds = hops[0].get("datestamp") if hops else None
+        if ds and (best is None or ds > best):
+            best = ds
+    return best
+
+
 class _StreamReader(SimpleDataSourceStreamReader):
-    """One full sweep per microbatch; offset = completed-sweep count."""
+    """One sweep per microbatch, INCREMENTAL: the offset carries the
+    highest upstream datestamp delivered so far, and each sweep polls with
+    `from = cursor` (OAI from/until are inclusive, so the boundary record
+    repeats — the ingest merge's dedup absorbs it; see also
+    harvest_cursor.next_from_argument). Restart from a checkpoint resumes
+    the cursor instead of re-listing the repository."""
 
     def __init__(self, options: dict, schema: T.StructType):
         self._options = options
@@ -117,15 +137,31 @@ class _StreamReader(SimpleDataSourceStreamReader):
         self._url = url
 
     def initialOffset(self) -> dict:
-        return {"sweeps": 0}
+        # a configured lower bound seeds the cursor (e.g. resuming a
+        # harvest relationship established out of band)
+        return {"sweeps": 0, "from": self._options.get("from")}
+
+    def _sweep_from(self, frm: str | None) -> list[dict]:
+        opts = dict(self._options)
+        if frm:
+            opts["from"] = frm
+        elif "from" in opts:
+            del opts["from"]
+        return _sweep(opts, self._url)
 
     def read(self, start: dict):
-        rows = list(_event_rows(_sweep(self._options, self._url), self._schema))
-        return iter(rows), {"sweeps": int(start.get("sweeps", 0)) + 1}
+        frm = start.get("from")
+        events = self._sweep_from(frm)
+        new_from = _max_datestamp(events) or frm
+        rows = list(_event_rows(events, self._schema))
+        return iter(rows), {"sweeps": int(start.get("sweeps", 0)) + 1,
+                            "from": new_from}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # a living endpoint cannot replay history; re-poll (see module doc)
-        return iter(_event_rows(_sweep(self._options, self._url), self._schema))
+        # a living endpoint cannot replay history; re-poll the start
+        # cursor's window (see module doc — merge dedup makes this safe)
+        return iter(_event_rows(self._sweep_from(start.get("from")),
+                                self._schema))
 
     def commit(self, end: dict) -> None:
         pass

@@ -96,3 +96,33 @@ def test_stream_polls_endpoint(registered, source_server, tmp_path):
         assert {r[0] for r in got} == {f"agg_id_{i}" for i in range(1, 9)}
     finally:
         q.stop()
+
+
+def test_stream_offsets_advance_incremental_cursor(registered, source_server):
+    """The stream offset carries the max upstream datestamp; the next sweep
+    polls with `from = cursor`, shrinking full re-lists to boundary-or-newer
+    records (driven directly through the reader, no engine needed)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.oai_datasource import (
+        OAIPMHDataSource,
+    )
+
+    ds = OAIPMHDataSource({
+        "url": f"http://127.0.0.1:{source_server.port}/v0/oai",
+        "metadataprefix": "oai_dc",
+        "harvestts": HARVEST_TS,
+    })
+    reader = ds.simpleStreamReader(harvest_event_schema())
+    rows1, off1 = reader.read(reader.initialOffset())
+    rows1 = list(rows1)
+    assert len(rows1) == 8
+    assert off1["sweeps"] == 1 and off1["from"] is not None
+
+    rows2, off2 = reader.read(off1)
+    rows2 = list(rows2)
+    # inclusive lower bound: only boundary-or-newer records return
+    assert 1 <= len(rows2) < len(rows1)
+    assert off2["from"] >= off1["from"]
+
+    # replay of a committed range re-polls the same cursor window
+    replay = list(reader.readBetweenOffsets(off1, off2))
+    assert {r[0] for r in replay} == {r[0] for r in rows2}
