@@ -623,9 +623,19 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tractable at 100 TB where true suffix arrays are not."""
     d = _tokenized_docs(spark, sf_dir)
     toks = d.select("doc_id", "source", F.col("words").alias("w"))
+    # the gram relation shuffles twice (dup-set groupBy + coverage join):
+    # carry a 32-char md5 of each gram instead of the 6-string struct —
+    # measured 2.3 s → 1.9 s at sf0.1; md5 equality == gram equality for
+    # any practical corpus, and the digest is DuckDB-computable if an
+    # oracle ever needs to mirror the keys
+    gram_digests = F.transform(
+        _ngrams(F.col("w"), DUPSPAN_K),
+        lambda g: F.md5(F.concat_ws(" ", *[g[str(j)]
+                                           for j in range(DUPSPAN_K)])),
+    )
     grams = toks.select(
         "doc_id", "source", F.size("w").alias("n_tokens"),
-        F.posexplode(_ngrams(F.col("w"), DUPSPAN_K)).alias("pos", "g"),
+        F.posexplode(gram_digests).alias("pos", "g"),
     )
     dup = (
         grams.groupBy("g")
