@@ -582,10 +582,17 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap join broadcasts it — the corpus side stays a single scan with
     no shuffle except the final source rollup."""
     d = _tokenized_docs(spark, sf_dir)
+    # digest keys, not 4-string structs: the gram column feeds a distinct,
+    # a broadcast build, and an equi-join (same rationale as
+    # q_duplicate_spans; md5 equality == gram equality)
+    digests = F.transform(
+        _ngrams(F.col("words"), CONTAMINATION_NGRAM),
+        lambda g: F.md5(F.concat_ws(" ", *[g[str(j)]
+                                           for j in range(CONTAMINATION_NGRAM)])),
+    )
     grams = d.select(
         "doc_id", "source",
-        F.explode(F.array_distinct(
-            _ngrams(F.col("words"), CONTAMINATION_NGRAM))).alias("g"),
+        F.explode(F.array_distinct(digests)).alias("g"),
     )
     is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
     bench = grams.filter(is_bench).select("g").distinct()
