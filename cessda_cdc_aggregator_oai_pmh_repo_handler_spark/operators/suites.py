@@ -203,6 +203,9 @@ _CORPUS_SUBS = (
     Sub("quality_model", text_analysis.q_quality_model,
         text_analysis.ORACLES["quality_model"],
         (("source", "str"),), ("docs", "kept", "avg_score")),
+    Sub("bigram_lm_score", text_analysis.q_bigram_lm_score,
+        text_analysis.ORACLES["bigram_lm_score"],
+        (("source", "str"),), ("docs", "avg_logprob", "low_docs")),
     Sub("approx_quantiles", text_analysis.q_approx_quantiles,
         text_analysis.ORACLES["approx_quantiles"],
         (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),

@@ -718,6 +718,49 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_LOW_LOGPROB = -6.0  # flag docs whose mean bigram log-prob falls below
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity proxy — the CCNet/Gopher-style quality signal
+    scored WITHOUT an external model: train the bigram MLE on the corpus
+    itself (P(w|prev) = C(prev,w)/C(prev)) and score every document by its
+    mean bigram log-probability. Low scores mark documents whose word
+    transitions are unusual for the corpus (boilerplate, keyword stuffing,
+    wrong-language fragments) — the same ranking an external KenLM gives,
+    minus the model download.
+
+    Shape: one exploded bigram relation feeds BOTH count tables (pair and
+    prev — map-side partial aggregation each) and the scoring join; keys
+    are md5 digests, not word structs (narrow shuffles). At 100 TB the
+    count tables are corpus-vocabulary-sized — they shuffle-join rather
+    than broadcast, and the whole thing is three exchanges end to end.
+    Per source: docs scored, mean log-prob, low-scoring docs."""
+    d = _tokenized_docs(spark, sf_dir)
+    ex = (
+        d.select("doc_id", "source",
+                 F.explode(_ngrams(F.col("words"), 2)).alias("g"))
+        .select("doc_id", "source",
+                F.md5(F.col("g")["0"]).alias("ph"),
+                F.md5(F.concat_ws(" ", F.col("g")["0"], F.col("g")["1"]))
+                .alias("bh"))
+    )
+    pair_counts = ex.groupBy("bh").agg(F.count(F.lit(1)).alias("cb"))
+    prev_counts = ex.groupBy("ph").agg(F.count(F.lit(1)).alias("cp"))
+    per_doc = (
+        ex.join(pair_counts, "bh")
+        .join(prev_counts, "ph")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log("cb") - F.log("cp")).alias("lp"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.sum(F.when(F.col("lp") < LM_LOW_LOGPROB, 1).otherwise(0))
+        .alias("low_docs"),
+    )
+
+
 PACK_TOKENS = 2048
 
 
@@ -821,6 +864,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "bigram_lm_score": q_bigram_lm_score,
     "quality_model": q_quality_model,
     "stratified_sample": q_stratified_sample,
     "split_leakage": q_split_leakage,
@@ -847,6 +891,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bigram_lm_score": f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, source,
+                   md5(w[i]) AS ph,
+                   md5(w[i] || ' ' || w[i + 1]) AS bh
+            FROM toks, unnest(range(1, len(w))) AS t(i)
+        ),
+        pc AS (SELECT bh, count(*) AS cb FROM flat GROUP BY bh),
+        pv AS (SELECT ph, count(*) AS cp FROM flat GROUP BY ph),
+        per_doc AS (
+            SELECT doc_id, source, avg(ln(cb) - ln(cp)) AS lp
+            FROM flat JOIN pc USING (bh) JOIN pv USING (ph)
+            GROUP BY doc_id, source
+        )
+        SELECT source, count(*) AS docs,
+               round(avg(lp), 4) AS avg_logprob,
+               CAST(sum(CASE WHEN lp < {LM_LOW_LOGPROB} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS low_docs
+        FROM per_doc GROUP BY source
+    """,
     "split_leakage": f"""
         WITH s AS (
             SELECT doc_id,

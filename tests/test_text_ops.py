@@ -229,3 +229,15 @@ def test_split_leakage_flags_planted_near_dup(spark):
     assert "val" in out and out["val"]["leaked_docs"] == 1
     assert out["val"]["shared_grams"] >= 3  # 10-word run -> 3 distinct 8-grams
     assert "test" not in out
+
+
+def test_bigram_lm_score_bounds(spark, sf_dir):
+    """MLE bigram log-probs are never positive (C(pair) <= C(prev) by
+    construction), and every multi-word document gets scored."""
+    rows = TA.q_bigram_lm_score(spark, sf_dir).collect()
+    assert rows
+    assert all(r["avg_logprob"] <= 0.0 for r in rows)
+    assert all(0 <= r["low_docs"] <= r["docs"] for r in rows)
+    d = load_table(spark, "documents", sf_dir)
+    multiword = (d.filter(F.size(F.split(F.lower("text"), " ")) >= 2).count())
+    assert sum(r["docs"] for r in rows) == multiword
