@@ -520,6 +520,48 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority, adapted: no shipmode or
+    commit/receipt dates in the trimmed schema): per order priority, how
+    many 1996 lineitems shipped late (>30 days after the order date) vs on
+    time. The join pushes the year bound into the orders scan; the
+    conditional counts partial-aggregate map-side — integer output,
+    engine-exact."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, "lineitem", sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(late, 0).otherwise(1)).alias("ontime_count"),
+        )
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship, adapted: the supplier
+    set per part comes from lineitem instead of the absent partsupp, and
+    the excluded-supplier subquery is negative-balance suppliers instead
+    of complaint comments): per (brand, type, size) band, how many
+    distinct suppliers ship it. NOT IN → left ANTI join before the
+    count-distinct; part filter broadcasts into the fact."""
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#9") & F.col("p_size").isin(1, 4, 7, 10, 13))
+    li = load_table(spark, "lineitem", sf_dir)
+    excluded = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 customer order-count distribution: LEFT join so
     zero-order customers survive into the c_count=0 bucket, then a second
@@ -588,6 +630,8 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q16": q_tpch_q16,
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
@@ -702,6 +746,28 @@ ORACLES = {
             JOIN orders ON l_orderkey = o_orderkey
         )
         GROUP BY nation, o_year
+    """,
+    "tpch_q12": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                             THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#9'
+          AND p_size IN (1, 4, 7, 10, 13)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
     """,
     "tpch_q13": """
         SELECT c_count, count(*) AS custdist

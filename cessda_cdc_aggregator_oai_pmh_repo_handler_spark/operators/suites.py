@@ -259,6 +259,11 @@ _TPCH_SUBS = (
         (("o_year", "str"),), ("mkt_share", "total_revenue")),
     Sub("tpch_q9", relational_ext.q_tpch_q9, relational_ext.ORACLES["tpch_q9"],
         (("nation", "str"), ("o_year", "str")), ("sum_profit",)),
+    Sub("tpch_q12", relational_ext.q_tpch_q12, relational_ext.ORACLES["tpch_q12"],
+        (("o_orderpriority", "str"),), ("late_count", "ontime_count")),
+    Sub("tpch_q16", relational_ext.q_tpch_q16, relational_ext.ORACLES["tpch_q16"],
+        (("p_brand", "str"), ("p_type", "str"), ("p_size", "str")),
+        ("supplier_cnt",)),
     Sub("tpch_q13", relational_ext.q_tpch_q13, relational_ext.ORACLES["tpch_q13"],
         (("c_count", "str"),), ("custdist",)),
     Sub("tpch_q15", relational_ext.q_tpch_q15, relational_ext.ORACLES["tpch_q15"],
