@@ -367,6 +367,44 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: inside every near-duplicate
+    cluster, keep the HIGHEST-quality member (quality-model score, ties to
+    the lower doc_id) — the production upgrade over clean_corpus's naive
+    lowest-id rule, and the step that decides WHICH copy of a duplicated
+    page survives into training data.
+
+    Shape: the memoized component labelling joins per-doc scores, then ONE
+    aggregation computes the winner via ``max(struct(score, -doc_id))`` —
+    no per-cluster window, no second shuffle; the argmax rides the same
+    exchange as the member count. Scores come from the algebraic-sigmoid
+    model (bit-identical across engines), so the cross-engine tie-break is
+    exact. The oracle recomputes the clusters with the recursive-CTE CC
+    and mirrors the struct-max argmax."""
+    from . import text_analysis as TA
+
+    comp = q_neardup_components(spark, sf_dir)
+    d = TA._tokenized_docs(spark, sf_dir)
+    n = F.size("words")
+    stop_hits = F.size(F.filter("words", lambda x: x.isin(*TA.STOPWORDS)))
+    mean_word_len = (F.col("n_chars") - (n - 1)) / n
+    z = (F.lit(TA.QM_BIAS) + F.lit(TA.QM_W_LOG_TOKENS) * F.log(n.cast("double"))
+         + F.lit(TA.QM_W_STOPWORD) * (stop_hits / n)
+         + F.lit(TA.QM_W_WORDLEN) * mean_word_len)
+    s = 0.5 * (1 + z / (1 + F.abs(z)))
+    scored = d.select("doc_id", s.alias("s"))
+    best = F.max(F.struct(F.col("s"), (-F.col("doc_id")).alias("nd")))
+    return (
+        comp.join(scored, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (-best.getField("nd")).alias("kept_doc"),
+            F.round(best.getField("s"), 4).alias("best_score"),
+        )
+    )
+
+
 SEMANTIC_THRESHOLD = 0.35
 SEM_CLUSTER_CAP = 100  # above this size a cluster sub-buckets on sign bits
 
@@ -581,6 +619,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
     "neardup_components": q_neardup_components,
+    "canonical_selection": q_canonical_selection,
 }
 
 ORACLES = {
@@ -705,6 +744,45 @@ ORACLES["neardup_components"] = f"""
     SELECT u AS doc_id, least(u, min(v)) AS component
     FROM reach GROUP BY u
 """
+
+
+def _canonical_selection_oracle() -> str:
+    from . import text_analysis as TA
+
+    stop_sql = ", ".join(f"'{s}'" for s in TA.STOPWORDS)
+    return f"""
+        WITH sc AS (
+            SELECT doc_id,
+                   0.5 * (1 + z / (1 + abs(z))) AS s
+            FROM (
+                SELECT doc_id,
+                       ({TA.QM_BIAS}
+                        + {TA.QM_W_LOG_TOKENS} * ln(CAST(n AS DOUBLE))
+                        + {TA.QM_W_STOPWORD} * (stop_hits / CAST(n AS DOUBLE))
+                        + {TA.QM_W_WORDLEN}
+                          * ((n_chars - (n - 1)) / CAST(n AS DOUBLE))) AS z
+                FROM (
+                    SELECT doc_id, n_chars,
+                           len(string_split(lower(text), ' ')) AS n,
+                           len(list_filter(string_split(lower(text), ' '),
+                                           x -> x IN ({stop_sql}))) AS stop_hits
+                    FROM documents
+                )
+            )
+        )
+        SELECT component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(-((max(struct_pack(s := s, nd := -doc_id))).nd)
+                    AS BIGINT) AS kept_doc,
+               round((max(struct_pack(s := s, nd := -doc_id))).s, 4)
+                   AS best_score
+        FROM ({ORACLES["neardup_components"]}) comp
+        JOIN sc USING (doc_id)
+        GROUP BY component
+    """
+
+
+ORACLES["canonical_selection"] = _canonical_selection_oracle()
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,6 +194,9 @@ _CORPUS_SUBS = (
     Sub("semantic_dedup", dedup.q_semantic_dedup,
         dedup.ORACLES["semantic_dedup"],
         (("label", "str"),), ("n", "pruned", "kept")),
+    Sub("canonical_selection", dedup.q_canonical_selection,
+        dedup.ORACLES["canonical_selection"],
+        (("component", "str"),), ("n_members", "kept_doc", "best_score")),
     Sub("duplicate_spans", text_analysis.q_duplicate_spans,
         text_analysis.ORACLES["duplicate_spans"],
         (("source", "str"),), ("docs", "flagged", "covered_tokens", "dup_ratio")),
