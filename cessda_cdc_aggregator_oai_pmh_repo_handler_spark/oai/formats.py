@@ -113,4 +113,8 @@ def discover_entry_points(group: str = ENTRY_POINT_GROUP) -> list[str]:
 
 
 _register_builtins()
-discover_entry_points()
+# entry-point discovery is NOT run at import time: importing the library
+# must never execute third-party plugin code. The serving entry point
+# (serve.py) calls discover_entry_points() at startup, mirroring the
+# reference's load_metadataformats in cdcagg_oai/serve.py:98; embedders
+# call it themselves when they want plugins.

@@ -50,6 +50,10 @@ def sweep_partials(vectors: DataFrame, centroids: list[list[float]]) -> DataFram
         for pdf in batches:
             X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+            # the expanded form cancels to ~-1e-13 when a point IS its
+            # centroid; clamp so downstream inertia can never be -0.0
+            # (which hashes differently from the oracle's +0.0)
+            np.maximum(d2, 0.0, out=d2)
             idx = d2.argmin(1)
             np.add.at(n, idx, 1)
             np.add.at(s, idx, X)
@@ -73,6 +77,7 @@ def assign_clusters_pandas(vectors: DataFrame,
     def best(emb: pd.Series) -> pd.DataFrame:
         X = np.vstack(emb.to_numpy()).astype(np.float64)
         d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        np.maximum(d2, 0.0, out=d2)  # see sweep_partials: no -0.0 inertia
         idx = d2.argmin(1)
         return pd.DataFrame({
             "cluster": idx.astype("int32"),

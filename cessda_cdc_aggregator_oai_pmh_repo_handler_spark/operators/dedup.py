@@ -95,7 +95,7 @@ def _parallel_docs(spark: SparkSession, sf_dir: str, table: str = "documents") -
     )
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,13 +385,7 @@ def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     comp = q_neardup_components(spark, sf_dir)
     d = TA._tokenized_docs(spark, sf_dir)
-    n = F.size("words")
-    stop_hits = F.size(F.filter("words", lambda x: x.isin(*TA.STOPWORDS)))
-    mean_word_len = (F.col("n_chars") - (n - 1)) / n
-    z = (F.lit(TA.QM_BIAS) + F.lit(TA.QM_W_LOG_TOKENS) * F.log(n.cast("double"))
-         + F.lit(TA.QM_W_STOPWORD) * (stop_hits / n)
-         + F.lit(TA.QM_W_WORDLEN) * mean_word_len)
-    s = 0.5 * (1 + z / (1 + F.abs(z)))
+    s = TA.quality_score_col(F.col("words"), F.col("n_chars"))
     scored = d.select("doc_id", s.alias("s"))
     best = F.max(F.struct(F.col("s"), (-F.col("doc_id")).alias("nd")))
     return (
@@ -531,7 +525,7 @@ def connected_components_local(edge_rows) -> list[tuple[int, int]]:
     return sorted((x, find(x)) for x in parent)
 
 
-_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_COMPONENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,27 +743,8 @@ ORACLES["neardup_components"] = f"""
 def _canonical_selection_oracle() -> str:
     from . import text_analysis as TA
 
-    stop_sql = ", ".join(f"'{s}'" for s in TA.STOPWORDS)
     return f"""
-        WITH sc AS (
-            SELECT doc_id,
-                   0.5 * (1 + z / (1 + abs(z))) AS s
-            FROM (
-                SELECT doc_id,
-                       ({TA.QM_BIAS}
-                        + {TA.QM_W_LOG_TOKENS} * ln(CAST(n AS DOUBLE))
-                        + {TA.QM_W_STOPWORD} * (stop_hits / CAST(n AS DOUBLE))
-                        + {TA.QM_W_WORDLEN}
-                          * ((n_chars - (n - 1)) / CAST(n AS DOUBLE))) AS z
-                FROM (
-                    SELECT doc_id, n_chars,
-                           len(string_split(lower(text), ' ')) AS n,
-                           len(list_filter(string_split(lower(text), ' '),
-                                           x -> x IN ({stop_sql}))) AS stop_hits
-                    FROM documents
-                )
-            )
-        )
+        WITH sc AS ({TA.quality_score_sql()})
         SELECT component,
                CAST(count(*) AS BIGINT) AS n_members,
                CAST(-((max(struct_pack(s := s, nd := -doc_id))).nd)

@@ -63,7 +63,9 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(src)
-        ident = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
+        # nanosecond mtime: second-truncation could alias an in-place
+        # rewrite landing within the same second at the same byte size
+        ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
         ident = sf_dir
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
@@ -81,10 +83,16 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  _words().alias("words")).write.mode("overwrite").parquet(staging)
         try:
             os.rename(staging, path)
-        except OSError:  # another session won the race
-            import shutil
+        except OSError:
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # another session won the race; read the winner's copy
+                import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                # rename failed for a real reason (e.g. cross-device
+                # TMPDIR) — the staging copy is a complete valid table
+                path = staging
     docs = spark.read.parquet(path)
     _TOKENIZED_CACHE[key] = docs
     return docs
@@ -134,6 +142,42 @@ QM_W_WORDLEN = -0.08
 QM_KEEP = 0.5
 
 
+def quality_score_col(words, n_chars) -> "F.Column":
+    """THE quality-model score — single source of truth for every consumer
+    (quality_model rollup, canonical selection). Algebraic sigmoid
+    0.5*(1 + z/(1+|z|)): pure +,*,/,abs, so the value is bit-identical
+    across engines (libm exp is not)."""
+    n = F.size(words)
+    stop_ratio = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS))) / n
+    mean_word_len = (n_chars - (n - 1)) / n
+    z = (F.lit(QM_BIAS) + F.lit(QM_W_LOG_TOKENS) * F.log(n.cast("double"))
+         + F.lit(QM_W_STOPWORD) * stop_ratio
+         + F.lit(QM_W_WORDLEN) * mean_word_len)
+    return 0.5 * (1 + z / (1 + F.abs(z)))
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    """DuckDB mirror of quality_score_col: SELECT doc_id, s FROM <table>."""
+    stop_sql = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        SELECT doc_id, source, 0.5 * (1 + z / (1 + abs(z))) AS s
+        FROM (
+            SELECT doc_id, source,
+                   ({QM_BIAS} + {QM_W_LOG_TOKENS} * ln(CAST(n AS DOUBLE))
+                    + {QM_W_STOPWORD} * (stop_hits / CAST(n AS DOUBLE))
+                    + {QM_W_WORDLEN}
+                      * ((n_chars - (n - 1)) / CAST(n AS DOUBLE))) AS z
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       len(string_split(lower(text), ' ')) AS n,
+                       len(list_filter(string_split(lower(text), ' '),
+                                       x -> x IN ({stop_sql}))) AS stop_hits
+                FROM {table}
+            )
+        )
+    """
+
+
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: a linear classifier over the C4-style
     features (log token count, stopword ratio, mean word length) squashed
@@ -143,14 +187,7 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast array and this stays a zero-shuffle scan until the final
     per-source rollup."""
     d = _tokenized_docs(spark, sf_dir)
-    w = F.col("words")
-    n = F.size(w)
-    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / n
-    mean_word_len = (F.col("n_chars") - (n - 1)) / n
-    z = (F.lit(QM_BIAS) + F.lit(QM_W_LOG_TOKENS) * F.log(n.cast("double"))
-         + F.lit(QM_W_STOPWORD) * stop_ratio
-         + F.lit(QM_W_WORDLEN) * mean_word_len)
-    score = 0.5 * (1 + z / (1 + F.abs(z)))
+    score = quality_score_col(F.col("words"), F.col("n_chars"))
     return d.select("source", F.round(score, 4).alias("s")).groupBy("source").agg(
         F.count("*").alias("docs"),
         F.sum(F.when(F.col("s") >= QM_KEEP, 1).otherwise(0)).alias("kept"),
@@ -300,8 +337,8 @@ WINNOW_MAX_DF = 20     # stop-fingerprint document-frequency cap
 # memoized materializations per (session, sf_dir) — same catalog-style
 # reuse as dedup._SHINGLE_CACHE: repeated gate/bench runs re-probe a
 # built relation instead of re-fingerprinting the corpus
-_WINNOW_FP_CACHE: dict[tuple[int, str], DataFrame] = {}
-_LEAK_GRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+_WINNOW_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LEAK_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,22 +996,8 @@ ORACLES = {
         FROM lineitem
     """,
     "quality_model": f"""
-        WITH f AS (
-          SELECT source, n_chars,
-                 len(string_split(lower(text), ' ')) AS n,
-                 len(list_filter(string_split(lower(text), ' '),
-                                 x -> x IN ({_STOP_SQL}))) AS stop_hits
-          FROM documents
-        ),
-        z AS (
-          SELECT source,
-                 ({QM_BIAS} + {QM_W_LOG_TOKENS} * ln(CAST(n AS DOUBLE))
-                  + {QM_W_STOPWORD} * (stop_hits / CAST(n AS DOUBLE))
-                  + {QM_W_WORDLEN} * ((n_chars - (n - 1)) / CAST(n AS DOUBLE))) AS z
-          FROM f
-        ),
-        sc AS (
-          SELECT source, round(0.5 * (1 + z / (1 + abs(z))), 4) AS s FROM z
+        WITH sc AS (
+          SELECT source, round(s, 4) AS s FROM ({quality_score_sql()})
         )
         SELECT source, count(*) AS docs,
                CAST(sum(CASE WHEN s >= {QM_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS kept,

@@ -49,6 +49,11 @@ def build_app(args: argparse.Namespace, spark=None) -> OAIHTTPServer:
     started). Configure-time contracts mirror the reference: sources load
     once here; the configurable-set file is validated now and re-read per
     request."""
+    from .oai import formats
+
+    # plugin formats load at SERVER startup, never at library import
+    # (/root/reference/cdcagg_oai/serve.py:98)
+    formats.discover_entry_points()
     spark = spark or build_session("cdcagg-serve")
     source_defs = (load_source_defs(args.oai_set_sources_path)
                    if args.oai_set_sources_path else [])

@@ -209,7 +209,7 @@ def fixture_records() -> list[dict]:
     ]
 
 
-_FIXTURE_CACHE: dict[int, DataFrame] = {}
+_FIXTURE_CACHE: dict[str, DataFrame] = {}
 
 
 def fixture_studies(spark: SparkSession) -> DataFrame:

@@ -38,11 +38,15 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def session_key(spark: SparkSession) -> str:
-    """Cache key for per-session memoization. applicationId is stable and
-    unique per SparkContext — unlike ``id(spark)``, which a new session can
-    reuse after the old one is garbage-collected, handing out cached
-    DataFrames bound to a dead context."""
-    return spark.sparkContext.applicationId
+    """Cache key for per-session memoization: applicationId PLUS the
+    session object id. applicationId alone would hand one session's cached
+    (and ``.cache()``d) DataFrames to a sibling ``newSession()`` with
+    different session-scoped confs; ``id(spark)`` alone can be reused by a
+    NEW context after the old one is garbage-collected. Combined they are
+    safe: a new context changes applicationId, and within a live context
+    the cache's own strong reference to the DataFrame keeps its session
+    alive, so its id is never recycled."""
+    return f"{spark.sparkContext.applicationId}-{id(spark)}"
 
 
 # Catalog-style metadata cache: DataFrames are immutable logical plans, so

@@ -92,7 +92,14 @@ def _sweep(options: dict, url: str) -> list[dict]:
 
 class _BatchReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
-        self._options = options
+        # freeze harvestTs at reader construction (driver side): executor
+        # tasks calling now() independently would stamp the same record
+        # differently across partitions and task retries, breaking the
+        # downstream (identifier, harvest_ts) dedup and determinism of
+        # repeated actions on the same DataFrame
+        self._options = dict(options)
+        if not self._options.get("harvestts"):
+            self._options["harvestts"] = _parse_ts(None).isoformat()
         self._schema = schema
 
     def _urls(self) -> list[str]:
@@ -141,27 +148,33 @@ class _StreamReader(SimpleDataSourceStreamReader):
         # harvest relationship established out of band)
         return {"sweeps": 0, "from": self._options.get("from")}
 
-    def _sweep_from(self, frm: str | None) -> list[dict]:
+    def _sweep_from(self, frm: str | None, ts: str | None) -> list[dict]:
         opts = dict(self._options)
         if frm:
             opts["from"] = frm
         elif "from" in opts:
             del opts["from"]
+        if ts:
+            opts["harvestts"] = ts
         return _sweep(opts, self._url)
 
     def read(self, start: dict):
         frm = start.get("from")
-        events = self._sweep_from(frm)
+        # stamp the sweep once, driver-side, and RECORD the stamp in the
+        # offset so an offset-range replay reproduces identical rows
+        ts = self._options.get("harvestts") or _parse_ts(None).isoformat()
+        events = self._sweep_from(frm, ts)
         new_from = _max_datestamp(events) or frm
         rows = list(_event_rows(events, self._schema))
         return iter(rows), {"sweeps": int(start.get("sweeps", 0)) + 1,
-                            "from": new_from}
+                            "from": new_from, "ts": ts}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # a living endpoint cannot replay history; re-poll the start
-        # cursor's window (see module doc — merge dedup makes this safe)
-        return iter(_event_rows(self._sweep_from(start.get("from")),
-                                self._schema))
+        # cursor's window with the ORIGINAL sweep's timestamp (recorded in
+        # the end offset) so replayed rows stamp identically
+        return iter(_event_rows(
+            self._sweep_from(start.get("from"), end.get("ts")), self._schema))
 
     def commit(self, end: dict) -> None:
         pass

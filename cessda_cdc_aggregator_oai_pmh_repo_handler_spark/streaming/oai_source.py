@@ -128,6 +128,7 @@ def harvest_endpoint_to_corpus(spark: SparkSession, base_url: str,
     """Convenience end-to-end: poll ``base_url`` to exhaustion, stream the
     landed events through the watermarked ingest merge, return the corpus
     path. ``work_dir`` holds the landing/checkpoint/corpus directories."""
+    from ..sources.studies import studies_schema
     from .ingest import start_ingest
 
     run = uuid.uuid4().hex[:8]
@@ -139,4 +140,8 @@ def harvest_endpoint_to_corpus(spark: SparkSession, base_url: str,
     if landed:
         q = start_ingest(spark, events_dir, corpus, checkpoint)
         q.awaitTermination()
+    else:
+        # a sweep matching nothing must still yield a readable (empty)
+        # corpus, not a dangling path
+        spark.createDataFrame([], studies_schema()).write.parquet(corpus)
     return corpus
