@@ -73,3 +73,49 @@ def test_fmt_ts_shape(dt):
     s = _fmt_ts(dt)
     assert len(s) == 20 and s.endswith("Z") and s[4] == "-" and s[10] == "T"
     assert datetime.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+
+
+# --- AllPairs/PPJoin prefix-filter losslessness (pure math, no Spark) -----
+#
+# q_ngram_jaccard_pairs keeps only the first |s| - ceil(t*|s|) + 1 shingles
+# of each doc (in a consistent global order) as its candidate prefix. The
+# engine's correctness rests on the theorem that any pair with Jaccard >= t
+# shares at least one PREFIX element; this property test attacks it with
+# random set families and both ordering schemes (rarity-first and plain
+# hash order), mirroring the guarantee the Spark join depends on.
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _prefix(s: list, t: float) -> list:
+    keep = len(s) - math.ceil(t * len(s)) + 1
+    return s[:keep]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2, max_size=6),
+    st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_prefix_filter_never_loses_a_qualifying_pair(families, t):
+    # consistent global order: (frequency across docs, value) — the
+    # rarity-first order the operator uses; any total order satisfies the
+    # theorem, this one doubles as its skew guard
+    from collections import Counter
+
+    freq = Counter(x for s in families for x in s)
+    ordered = [sorted(s, key=lambda x: (freq[x], x)) for s in families]
+    prefixes = [set(_prefix(o, t)) for o in ordered]
+    for i in range(len(families)):
+        for j in range(i + 1, len(families)):
+            a, b = families[i], families[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefixes[i] & prefixes[j], (
+                    f"qualifying pair ({sorted(a)}, {sorted(b)}) J={jac:.3f} "
+                    f"shares no prefix element at t={t}")
