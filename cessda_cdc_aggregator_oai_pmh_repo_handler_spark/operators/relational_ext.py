@@ -520,6 +520,28 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock, adapted: part value from lineitem
+    revenue instead of the absent partsupp): parts whose revenue exceeds a
+    fraction of TOTAL corpus revenue — the scalar-subquery-in-HAVING shape.
+    The total reuses the same aggregate subtree as a 1-row broadcast; the
+    threshold compare happens post-aggregation on group-count rows, so the
+    scalar never touches the fact scan. DECIMAL sums; the compare runs on
+    their exact doubles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_dec_rev()).alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("total_val"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double")
+                > 0.001 * F.col("total_val").cast("double"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-mode priority, adapted: no shipmode or
     commit/receipt dates in the trimmed schema): per order priority, how
@@ -630,6 +652,7 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
     "tpch_q12": q_tpch_q12,
     "tpch_q16": q_tpch_q16,
     "tpch_q13": q_tpch_q13,
@@ -746,6 +769,18 @@ ORACLES = {
             JOIN orders ON l_orderkey = o_orderkey
         )
         GROUP BY nation, o_year
+    """,
+    "tpch_q11": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE CAST(val AS DOUBLE) > 0.001 * (
+            SELECT CAST(sum(val) AS DOUBLE) FROM per_part)
     """,
     "tpch_q12": """
         SELECT o_orderpriority,

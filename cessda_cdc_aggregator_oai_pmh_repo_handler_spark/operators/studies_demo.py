@@ -26,8 +26,21 @@ from ..sources.studies import fixture_studies
 REQUEST_TS = "2019-12-12 07:14:38"
 
 
+_PLANNER_CACHE: dict[tuple[str, int], OAIQueryPlanner] = {}
+
+
 def _planner(spark: SparkSession, page_size: int = 5) -> OAIQueryPlanner:
-    return OAIQueryPlanner(
+    """Memoized per session: the four studies gate rows each built a fresh
+    planner (and its set-dimension maps) per call — the r2 bench flagged
+    the studies rows doubling; a planner is immutable here so one per
+    (session, page_size) serves them all."""
+    from ..sources.tables import session_key
+
+    key = (session_key(spark), page_size)
+    cached = _PLANNER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    planner = OAIQueryPlanner(
         fixture_studies(spark),
         source_defs=[
             {"url": "http://services.fsd.tuni.fi/v0/oai", "source": "FSD",
@@ -38,6 +51,8 @@ def _planner(spark: SparkSession, page_size: int = 5) -> OAIQueryPlanner:
         configurable_path=None,
         page_size=page_size,
     )
+    _PLANNER_CACHE[key] = planner
+    return planner
 
 
 def q_studies_list_page(spark: SparkSession, sf_dir: str) -> DataFrame:

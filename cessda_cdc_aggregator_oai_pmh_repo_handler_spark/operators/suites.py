@@ -262,6 +262,8 @@ _TPCH_SUBS = (
         (("o_year", "str"),), ("mkt_share", "total_revenue")),
     Sub("tpch_q9", relational_ext.q_tpch_q9, relational_ext.ORACLES["tpch_q9"],
         (("nation", "str"), ("o_year", "str")), ("sum_profit",)),
+    Sub("tpch_q11", relational_ext.q_tpch_q11, relational_ext.ORACLES["tpch_q11"],
+        (("l_partkey", "str"),), ("part_value",)),
     Sub("tpch_q12", relational_ext.q_tpch_q12, relational_ext.ORACLES["tpch_q12"],
         (("o_orderpriority", "str"),), ("late_count", "ontime_count")),
     Sub("tpch_q16", relational_ext.q_tpch_q16, relational_ext.ORACLES["tpch_q16"],
