@@ -26,7 +26,7 @@ HEADLINERS = {
     "tpch_q18": "TPC-H Q18: lineitem pre-aggregated, rare big-order survivors broadcast into orders/customer, TakeOrdered top-20.",
     "tpch_q6": "TPC-H Q6: every predicate pushed to the scan, one partial+final aggregate, no join — the pure-pushdown litmus.",
     "tpch_q10": "TPC-H Q10: returnflag+quarter filters at the scans, broadcast nation, TakeOrdered top-20.",
-    "duplicate_spans": "ExactSubstr k-gram relaxation: gram groupBy with map-side partials, shuffle equi-join of positional grams vs the dup-gram set — no doc-to-doc join anywhere.",
+    "duplicate_spans": "ExactSubstr k-gram relaxation, digest-keyed: gram groupBy with map-side partials + shuffle equi-join vs the dup-gram set, both on 32-char md5 keys — no doc-to-doc join anywhere.",
     "semantic_dedup": "SemDeDup: pair join strictly equi on the cluster label; norms folded pre-join.",
     "window_functions": "Analytic windows: one hash exchange on o_custkey, all three functions in a single sorted Window pass.",
     "contamination_check": "Contamination sweep: tiny eval-set gram table broadcast; the corpus side is one scan, shuffled only for the source rollup.",
@@ -46,6 +46,10 @@ HEADLINERS = {
     "ngram_jaccard_pairs": "Exact AllPairs Jaccard: 500-row slice coalesced (task count matches surviving data), prefix join on 8-byte shingle hashes, df via count-over-window.",
     "tfidf_top_terms": "TF-IDF: n_sources as a 1-row broadcast cross join (no mid-build driver action); tf and df shuffles only.",
     "zscore_normalize": "Per-source z-score: pure Window functions — zero Python workers (the applyInPandas form is a pytest-only pattern demo).",
+    "tpch_q11": "TPC-H Q11 shape: global scalar (1-row broadcast) filters post-aggregation groups; the fact scan never sees the subquery.",
+    "bigram_lm_score": "Corpus-LM scoring: one digest-keyed bigram relation feeds both count tables and the scoring join; vocabulary-sized sides shuffle-join.",
+    "canonical_selection": "Canonical selection: per-cluster argmax via max(struct(score, -doc_id)) riding the member-count exchange — no per-cluster window.",
+    "approx_quantiles": "Verified quantile sketch: exact + approx percentiles ride ONE aggregate buffer each over the repartitioned single column.",
 }
 
 
