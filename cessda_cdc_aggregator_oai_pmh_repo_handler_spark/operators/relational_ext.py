@@ -11,7 +11,7 @@ decorrelation) the core set doesn't.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -645,8 +645,130 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: the absent partsupp
+    relation is derived as min(l_extendedprice) per (part, supplier) from
+    lineitem; the BRASS/size predicate becomes p_type='STANDARD' AND
+    p_size<=15 against this dataset's vocabulary). The correlated
+    min-cost-in-region subquery decorrelates into a per-part aggregate
+    broadcast back against the joined relation — the same shape Catalyst
+    produces for the real Q2. supply_cost is a MIN (a selection, not a
+    sum), so both engines pick the identical parquet double and the
+    equality join cannot flip. Supplier×nation×region is a broadcast dim
+    chain; at 100 TB only the part-supplier aggregation shuffles, keyed by
+    (partkey, suppkey) which is near-uniform."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.min("l_extendedprice").alias("supply_cost")))
+    joined = (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+              .join(F.broadcast(dims), ps.l_suppkey == F.col("s_suppkey")))
+    min_cost = (joined.groupBy(F.col("p_partkey").alias("mk"))
+                .agg(F.min("supply_cost").alias("min_cost")))
+    return (
+        joined.join(F.broadcast(min_cost),
+                    (F.col("p_partkey") == F.col("mk"))
+                    & (F.col("supply_cost") == F.col("min_cost")))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential-part-promotion shape (adapted: without
+    partsupp.availqty, a supplier 'holds excess stock' of a part when their
+    1996 shipped quantity exceeds 30% of the part's total 1996 shipped
+    quantity). Keeps the real Q2O's nested-IN chain as Spark-first
+    semi-joins: parts by name prefix → per-(supplier, part) quantity vs
+    per-part total (the correlated agg, decorrelated and broadcast) →
+    suppliers in a region. l_quantity is integer-valued so the double sums
+    are exact regardless of add order and the 0.3 threshold compare is
+    engine-stable. The fact scan shuffles once on (suppkey, partkey); the
+    per-part totals are a window over those aggregate rows, never a second
+    pass over lineitem."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    p = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").startswith("small")).select("p_partkey")
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    shipped = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    per_sp = (shipped.groupBy("l_suppkey", "l_partkey")
+              .agg(F.sum("l_quantity").alias("qty")))
+    # per-part totals as a window over the ALREADY-AGGREGATED relation —
+    # a groupBy+join-back would re-run the fact scan and full-width
+    # shuffle a second time; the window only re-shuffles (supp, part, qty)
+    # aggregate rows by partkey.
+    total_w = Window.partitionBy("l_partkey")
+    excess = (per_sp
+              .withColumn("total_qty", F.sum("qty").over(total_w))
+              .filter(F.col("qty") > 0.3 * F.col("total_qty")))
+    dominant = (excess.groupBy("l_suppkey")
+                .agg(F.count("*").alias("excess_parts"),
+                     F.sum("qty").alias("excess_qty")))
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        dims.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_name", "excess_parts",
+                F.col("excess_qty").cast("double").alias("excess_qty"))
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: without
+    commit/receipt dates, 'late' means shipping >60 days after the order
+    date). The EXISTS / NOT EXISTS pair over the same fact decorrelates
+    into ONE per-order aggregate — n_supp (distinct suppliers) and n_late
+    (distinct late suppliers) — joined back to the distinct late
+    (order, supplier) candidates: EXISTS other supplier ⇔ n_supp > 1,
+    NOT EXISTS other late supplier ⇔ n_late = 1 (the candidate itself is
+    late). One shuffle on orderkey serves both the aggregate and the
+    candidate dedup; supplier/nation/region stay broadcast. The oracle is
+    the classic EXISTS/NOT EXISTS form, proving the decorrelation
+    semantics-preserving."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    li2 = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (li2.groupBy("o_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(late, F.col("l_suppkey")))
+                      .alias("n_late")))
+    cand = (li2.filter(late)
+            .select(F.col("l_orderkey").alias("w_orderkey"), "l_suppkey")
+            .distinct())
+    waiting = (cand.join(per_order, F.col("w_orderkey") == F.col("o_orderkey"))
+               .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)))
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        waiting.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
     "tpch_q22": q_tpch_q22,
@@ -841,6 +963,79 @@ ORACLES = {
             SELECT avg(l2.l_quantity) FROM lineitem l2
             WHERE l2.l_partkey = l1.l_partkey
         )
+    """,
+    # q2 oracle keeps the reference's correlated-scalar-subquery form (the
+    # min cost per part over region suppliers) to pin the Spark
+    # decorrelation as semantics-preserving.
+    "tpch_q2": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+        FROM ps
+        JOIN part ON p_partkey = l_partkey
+            AND p_size <= 15 AND p_type = 'STANDARD'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        WHERE supply_cost = (
+            SELECT min(ps2.supply_cost) FROM ps ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE'
+            WHERE ps2.l_partkey = p_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    # q20 oracle keeps the nested-IN form of the original query.
+    "tpch_q20": """
+        WITH shipped AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_name, n_name,
+               count(*) AS excess_parts,
+               CAST(sum(qty) AS DOUBLE) AS excess_qty
+        FROM shipped
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        WHERE qty > 0.3 * (SELECT sum(s2.qty) FROM shipped s2
+                           WHERE s2.l_partkey = shipped.l_partkey)
+        GROUP BY s_name, n_name
+        ORDER BY s_name
+    """,
+    # q21 oracle is the classic EXISTS / NOT EXISTS correlation; the Spark
+    # side replaces it with one per-order aggregate (n_supp, n_late).
+    "tpch_q21": """
+        SELECT s_name, count(*) AS numwait
+        FROM (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM lineitem l1
+            JOIN orders ON l1.l_orderkey = o_orderkey
+                AND o_orderstatus = 'F'
+            WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o_orderdate
+                                    + INTERVAL 60 DAY)
+        ) w
+        JOIN supplier ON w.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,

@@ -275,6 +275,14 @@ _TPCH_SUBS = (
         (("supplier_no", "str"), ("s_name", "str")), ("total_revenue",)),
     Sub("tpch_q17", relational_ext.q_tpch_q17, relational_ext.ORACLES["tpch_q17"],
         (), ("avg_yearly", "cnt")),
+    Sub("tpch_q2", relational_ext.q_tpch_q2, relational_ext.ORACLES["tpch_q2"],
+        (("s_name", "str"), ("n_name", "str"), ("p_partkey", "str")),
+        ("s_acctbal", "supply_cost")),
+    Sub("tpch_q20", relational_ext.q_tpch_q20, relational_ext.ORACLES["tpch_q20"],
+        (("s_name", "str"), ("n_name", "str")),
+        ("excess_parts", "excess_qty")),
+    Sub("tpch_q21", relational_ext.q_tpch_q21, relational_ext.ORACLES["tpch_q21"],
+        (("s_name", "str"),), ("numwait",)),
 )
 
 _SQL_SURFACE_SUBS = (

@@ -226,6 +226,39 @@ def test_tpch_q22_scalar_broadcast_and_anti_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q2_min_cost_broadcast_chain(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q2(spark, SF))
+    assert "TakeOrderedAndProject" in plan   # top-100 without a global sort
+    assert "BroadcastHashJoin" in plan       # part + supplier dims broadcast
+    assert "CartesianProduct" not in plan
+    # the part slice predicates reach the part scan
+    assert "EqualTo(p_type,STANDARD)" in plan
+
+
+def test_tpch_q20_semi_join_and_one_fact_shuffle(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q20(spark, SF))
+    assert "LeftSemi" in plan                # name-prefix part IN-list
+    assert "CartesianProduct" not in plan
+    # the ship-year range reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # per-(supp,part) agg and per-part totals share ONE fact shuffle: the
+    # totals re-aggregate the already-shuffled relation, so exactly one
+    # exchange hashes full-width lineitem rows (the others move agg rows)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_tpch_q21_decorrelated_single_fact_join(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_tpch_q21(spark, SF))
+    assert "TakeOrderedAndProject" in plan   # top-20
+    assert "BroadcastHashJoin" in plan       # supplier/nation/region chain
+    assert "CartesianProduct" not in plan
+    # orderstatus pushed into the orders scan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
 def test_ann_batch_topk_equi_join_no_cartesian(spark):
     plan = plan_of(ann.q_ann_batch_topk(spark, SF))
     # the batch joins the corpus on the IVF cell — an equi-join with the
