@@ -669,12 +669,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.min("l_extendedprice").alias("supply_cost")))
     joined = (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
               .join(F.broadcast(dims), ps.l_suppkey == F.col("s_suppkey")))
-    min_cost = (joined.groupBy(F.col("p_partkey").alias("mk"))
-                .agg(F.min("supply_cost").alias("min_cost")))
+    # the regional per-part minimum as a window over the joined aggregate
+    # rows — a groupBy + join-back would re-run the fact aggregation (the
+    # only expensive subtree) twice; the window re-shuffles only the few
+    # surviving (part, supplier) rows.
+    min_w = Window.partitionBy("p_partkey")
     return (
-        joined.join(F.broadcast(min_cost),
-                    (F.col("p_partkey") == F.col("mk"))
-                    & (F.col("supply_cost") == F.col("min_cost")))
+        joined.withColumn("min_cost", F.min("supply_cost").over(min_w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -729,14 +731,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: without
     commit/receipt dates, 'late' means shipping >60 days after the order
     date). The EXISTS / NOT EXISTS pair over the same fact decorrelates
-    into ONE per-order aggregate — n_supp (distinct suppliers) and n_late
-    (distinct late suppliers) — joined back to the distinct late
-    (order, supplier) candidates: EXISTS other supplier ⇔ n_supp > 1,
-    NOT EXISTS other late supplier ⇔ n_late = 1 (the candidate itself is
-    late). One shuffle on orderkey serves both the aggregate and the
-    candidate dedup; supplier/nation/region stay broadcast. The oracle is
-    the classic EXISTS/NOT EXISTS form, proving the decorrelation
-    semantics-preserving."""
+    into per-order window counts over deduped (order, supplier, was-late)
+    rows: EXISTS other supplier ⇔ n_supp > 1, NOT EXISTS other late
+    supplier ⇔ n_late = 1 (the candidate itself is late). One shuffle on
+    (orderkey, suppkey) serves the dedup, and the order-partitioned window
+    rides the same ordering; supplier/nation/region stay broadcast. The
+    oracle is the classic EXISTS/NOT EXISTS form, proving the
+    decorrelation semantics-preserving."""
     o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, "lineitem", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
@@ -744,15 +745,20 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
     li2 = li.join(o, li.l_orderkey == o.o_orderkey)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (li2.groupBy("o_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(F.when(late, F.col("l_suppkey")))
-                      .alias("n_late")))
-    cand = (li2.filter(late)
-            .select(F.col("l_orderkey").alias("w_orderkey"), "l_suppkey")
-            .distinct())
-    waiting = (cand.join(per_order, F.col("w_orderkey") == F.col("o_orderkey"))
-               .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)))
+    # ONE pass over the fact join: dedup to (order, supplier, was-late)
+    # rows, then window counts per order replace both correlated
+    # subqueries — n_supp > 1 ⇔ EXISTS other supplier, n_late = 1 ⇔
+    # NOT EXISTS other late supplier. The groupBy and the window share the
+    # same orderkey-prefixed shuffle; a separate per-order aggregate +
+    # join-back would execute the lineitem⋈orders join twice.
+    pairs = (li2.groupBy(F.col("l_orderkey").alias("w_orderkey"), "l_suppkey")
+             .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late")))
+    order_w = Window.partitionBy("w_orderkey")
+    waiting = (pairs
+               .withColumn("n_supp", F.count("*").over(order_w))
+               .withColumn("n_late", F.sum("is_late").over(order_w))
+               .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
+                       & (F.col("n_late") == 1)))
     dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     return (
