@@ -209,6 +209,9 @@ _CORPUS_SUBS = (
     Sub("bigram_lm_score", text_analysis.q_bigram_lm_score,
         text_analysis.ORACLES["bigram_lm_score"],
         (("source", "str"),), ("docs", "avg_logprob", "low_docs")),
+    Sub("dsir_importance", text_analysis.q_dsir_importance,
+        text_analysis.ORACLES["dsir_importance"],
+        (("source", "str"),), ("docs", "avg_weight", "kept")),
     Sub("approx_quantiles", text_analysis.q_approx_quantiles,
         text_analysis.ORACLES["approx_quantiles"],
         (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),

@@ -798,6 +798,52 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_LANG = "en"   # the "target domain" whose distribution we match
+DSIR_KEEP_THRESHOLD = -0.80  # keep docs whose mean log-ratio clears this
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by how target-like its bigram distribution is — mean over
+    bigrams of ln(target_count+1) - ln(raw_count+1) — and keep documents
+    above a threshold. The target slice here is the corpus' own
+    ``lang = 'en'`` documents, so the op needs no external model: target
+    counts ⊆ raw counts, weights are ≤ 0, and 0 means "every transition in
+    this document is exclusively in-target".
+
+    Shape: the SAME exploded-bigram relation (md5-digest keys, narrow
+    shuffles) feeds the raw count table, the target count table, and the
+    scoring join — three exchanges total, identical to q_bigram_lm_score.
+    At 100 TB the count tables are vocabulary-sized and shuffle-join;
+    the +1 smoothing keeps unseen-in-target bigrams finite without a
+    separate vocabulary pass. Per source: docs, mean weight, kept."""
+    d = _tokenized_docs(spark, sf_dir)
+    ex = (
+        d.select("doc_id", "source", "lang",
+                 F.explode(_ngrams(F.col("words"), 2)).alias("g"))
+        .select("doc_id", "source", "lang",
+                F.md5(F.concat_ws(" ", F.col("g")["0"], F.col("g")["1"]))
+                .alias("bh"))
+    )
+    raw_counts = ex.groupBy("bh").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = (ex.filter(F.col("lang") == DSIR_TARGET_LANG)
+                  .groupBy("bh").agg(F.count(F.lit(1)).alias("ct")))
+    per_doc = (
+        ex.join(raw_counts, "bh")
+        .join(tgt_counts, "bh", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                   - F.log(F.col("cr") + F.lit(1))).alias("w"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("w"), 4).alias("avg_weight"),
+        F.sum(F.when(F.col("w") > DSIR_KEEP_THRESHOLD, 1).otherwise(0))
+        .alias("kept"),
+    )
+
+
 PACK_TOKENS = 2048
 
 
@@ -902,6 +948,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bigram_lm_score": q_bigram_lm_score,
+    "dsir_importance": q_dsir_importance,
     "quality_model": q_quality_model,
     "stratified_sample": q_stratified_sample,
     "split_leakage": q_split_leakage,
@@ -950,6 +997,31 @@ ORACLES = {
                round(avg(lp), 4) AS avg_logprob,
                CAST(sum(CASE WHEN lp < {LM_LOW_LOGPROB} THEN 1 ELSE 0 END)
                     AS BIGINT) AS low_docs
+        FROM per_doc GROUP BY source
+    """,
+    "dsir_importance": f"""
+        WITH toks AS (
+            SELECT doc_id, source, lang, string_split(lower(text), ' ') AS w
+            FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, source, lang,
+                   md5(w[i] || ' ' || w[i + 1]) AS bh
+            FROM toks, unnest(range(1, len(w))) AS t(i)
+        ),
+        rawc AS (SELECT bh, count(*) AS cr FROM flat GROUP BY bh),
+        tgtc AS (SELECT bh, count(*) AS ct FROM flat
+                 WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bh),
+        per_doc AS (
+            SELECT doc_id, source,
+                   avg(ln(coalesce(ct, 0) + 1) - ln(cr + 1)) AS w
+            FROM flat JOIN rawc USING (bh) LEFT JOIN tgtc USING (bh)
+            GROUP BY doc_id, source
+        )
+        SELECT source, count(*) AS docs,
+               round(avg(w), 4) AS avg_weight,
+               CAST(sum(CASE WHEN w > {DSIR_KEEP_THRESHOLD} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept
         FROM per_doc GROUP BY source
     """,
     "split_leakage": f"""

@@ -241,3 +241,34 @@ def test_bigram_lm_score_bounds(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
     multiword = (d.filter(F.size(F.split(F.lower("text"), " ")) >= 2).count())
     assert sum(r["docs"] for r in rows) == multiword
+
+
+def test_dsir_importance_bounds(spark, sf_dir):
+    """Target counts are a subset of raw counts, so every importance
+    weight is <= 0 and the per-source mean is too; kept never exceeds
+    docs; every multi-word document is scored exactly once."""
+    rows = TA.q_dsir_importance(spark, sf_dir).collect()
+    assert rows
+    assert all(r["avg_weight"] <= 0.0 for r in rows)
+    assert all(0 <= r["kept"] <= r["docs"] for r in rows)
+    d = load_table(spark, "documents", sf_dir)
+    multiword = d.filter(F.size(F.split(F.lower("text"), " ")) >= 2).count()
+    assert sum(r["docs"] for r in rows) == multiword
+
+
+def test_dsir_all_target_corpus_weight_zero(spark):
+    """When every document IS the target domain, ct == cr for every bigram
+    and all weights collapse to exactly 0 (ln((c+1)/(c+1)))."""
+    import os
+    import tempfile
+
+    rows = [(i, "alpha beta gamma alpha beta", "en", "s", 27)
+            for i in range(4)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = TA.q_dsir_importance(spark, tmp).collect()
+    assert len(out) == 1
+    assert out[0]["avg_weight"] == 0.0
+    assert out[0]["kept"] == out[0]["docs"] == 4
