@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import ann, arrays, dedup, pii, relational, relational_ext, text_analysis
+from . import (ann, arrays, bpe, dedup, pii, relational, relational_ext,
+               text_analysis)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,6 +213,12 @@ _CORPUS_SUBS = (
     Sub("dsir_importance", text_analysis.q_dsir_importance,
         text_analysis.ORACLES["dsir_importance"],
         (("source", "str"),), ("docs", "avg_weight", "kept")),
+) + tuple(
+    Sub("bpe_merges", bpe.q_bpe_merges, sql,
+        (("rank", "str"), ("a", "str"), ("b", "str"), ("merged", "str")),
+        ("freq",))
+    for sql in ([bpe.ORACLES["bpe_merges"]] if bpe.ORACLES else [])
+) + (
     Sub("approx_quantiles", text_analysis.q_approx_quantiles,
         text_analysis.ORACLES["approx_quantiles"],
         (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),

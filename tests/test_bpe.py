@@ -1,0 +1,61 @@
+"""BPE tokenizer training: greedy-merge semantics, determinism, and
+Spark-vs-Python-mirror agreement on the real corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import bpe
+
+
+def _wf(spark, words):
+    return spark.createDataFrame(
+        [([w for w in word],) for word in words], "symbols array<string>"
+    ).withColumn("cnt", F.lit(1))
+
+
+def test_apply_merge_greedy_left_to_right(spark):
+    """'aaa' + merge (a,a) -> ['aa','a'] (BPE's scan order), and the merged
+    symbol participates in later pair counts."""
+    wf = _wf(spark, ["aaa", "aab", "ba"])
+    out = bpe._apply_merge(wf, "a", "a").select("symbols").collect()
+    got = sorted(tuple(r["symbols"]) for r in out)
+    assert got == [("aa", "a"), ("aa", "b"), ("b", "a")]
+
+
+def test_pair_counts_weighted(spark):
+    wf = spark.createDataFrame(
+        [(["a", "b", "a", "b"], 3), (["b", "a"], 2)],
+        "symbols array<string>, cnt long")
+    got = {(r["a"], r["b"]): r["total"]
+           for r in bpe._pair_counts(wf).collect()}
+    assert got == {("a", "b"): 6, ("b", "a"): 5}
+
+
+def test_bpe_train_deterministic_tiebreak(spark):
+    """Equal-count pairs resolve to the lexicographically smallest —
+    'ab'×2 vs 'ba'... corpus 'abab' has (a,b)=2, (b,a)=1; after merging
+    (a,b) the next best is (ab,ab)=1."""
+    docs = spark.createDataFrame([(["abab"],)], "words array<string>")
+    merges, _ = bpe.bpe_train(spark, docs, n_merges=2)
+    assert [(m[1], m[2], m[4]) for m in merges] == \
+        [("a", "b", 2), ("ab", "ab", 1)]
+
+
+def test_gate_query_matches_python_mirror(spark, sf_dir):
+    """The distributed learner and the oracle's driver-side mirror agree
+    merge-for-merge on the real corpus, including the vocab row."""
+    got = sorted(tuple(r) for r in bpe.q_bpe_merges(spark, sf_dir).collect())
+    import duckdb
+
+    exp = sorted(tuple(r) for r in
+                 duckdb.sql(bpe.bpe_oracle_sql(sf_dir)).fetchall())
+    assert got == exp
+
+
+def test_merged_symbol_is_concatenation(spark, sf_dir):
+    rows = bpe.q_bpe_merges(spark, sf_dir).collect()
+    for r in rows:
+        if r["rank"] > 0:
+            assert r["merged"] == r["a"] + r["b"]
+            assert r["freq"] > 0

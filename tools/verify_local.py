@@ -8,9 +8,15 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# corpus-dependent literal oracles (e.g. the BPE merge table) are built at
+# import time for this sf_dir — export it BEFORE the entry module loads
+if len(sys.argv) > 1:
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sys.argv[1]
 
 import duckdb
 
