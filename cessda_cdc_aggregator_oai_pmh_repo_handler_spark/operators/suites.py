@@ -234,6 +234,9 @@ _CORPUS_SUBS = (
         (("label", "str"),), ("n", "sum_q", "saturated")),
     Sub("hybrid_rrf", ann.q_hybrid_rrf, ann.ORACLES["hybrid_rrf"],
         (("doc_id", "str"),), ("rrf_score", "lex_rank", "vec_rank")),
+    Sub("pq_ann", ann.q_pq_ann, ann.ORACLES["pq_ann"],
+        (("vec_id", "str"), ("label", "str"), ("code0", "str"),
+         ("code1", "str")), ("adc_dist",)),
     Sub("split_leakage", text_analysis.q_split_leakage,
         text_analysis.ORACLES["split_leakage"],
         (("split", "str"),), ("leaked_docs", "shared_grams")),
