@@ -170,7 +170,125 @@ def bpe_oracle_sql(sf_dir: str) -> str:
             f"t(rank, a, b, merged, freq)")
 
 
-QUERIES = {"bpe_merges": q_bpe_merges}
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the learned merges — the pipeline stage
+    BPE training exists FOR: per source, character count, token count
+    after the merge table is applied, and the compression ratio.
+
+    Scale shape: merges are applied to the WORD-FREQUENCY table (each
+    distinct word's post-merge token count computed once), and documents
+    get their token totals by joining word → token_count and summing —
+    the corpus-wide pass never re-runs the merge folds per occurrence.
+    That's a vocab-sized fold job plus one broadcast-ish join on word,
+    exactly how a production tokenizer counts tokens over 100 TB."""
+    d = _tokenized_docs(spark, sf_dir)
+    key = (session_key(spark), sf_dir)
+    rows = _BPE_CACHE.get(key)
+    if rows is None:
+        q_bpe_merges(spark, sf_dir)  # trains + memoizes
+        rows = _BPE_CACHE[key]
+    merges = [(a, b) for (r, a, b, _m, _c) in rows if r > 0]
+    wf = (
+        d.select(F.explode("words").alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", _char_symbols("word").alias("symbols"), "cnt")
+        .coalesce(1)
+    )
+    for a, b in merges:
+        wf = _apply_merge_keep(wf, a, b)
+    tok = wf.select("word", F.size("symbols").alias("word_tokens"))
+    per_doc = (
+        d.select("doc_id", "source", "n_chars",
+                 F.explode("words").alias("word"))
+        .join(F.broadcast(tok), "word")
+        .groupBy("doc_id", "source", "n_chars")
+        .agg(F.sum("word_tokens").alias("doc_tokens"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("doc_tokens").alias("tokens"),
+        F.round(F.sum("n_chars") / F.sum("doc_tokens"), 4)
+        .alias("chars_per_token"),
+    )
+
+
+def _apply_merge_keep(wf: DataFrame, a: str, b: str) -> DataFrame:
+    """_apply_merge preserving the word key column."""
+    la, lb = F.lit(a), F.lit(b)
+    merged = F.lit(a + b)
+    fold = F.aggregate(
+        "symbols",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return wf.select("word", fold.alias("symbols"), "cnt")
+
+
+def bpe_compression_oracle_sql(sf_dir: str) -> str:
+    """Python-mirror literal oracle for the per-source compression stats:
+    the same merges applied to the same word list, token totals joined
+    back through each document's words."""
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    # learn the merge table with the same mirror as bpe_oracle_sql
+    wf = duckdb.sql(
+        f"SELECT w AS word, count(*) AS cnt FROM (SELECT unnest("
+        f"string_split(lower(text), ' ')) AS w FROM '{path}') GROUP BY w"
+    ).fetchall()
+    words = {w: (tuple(w), c) for w, c in wf}
+    for _rank in range(1, BPE_MERGES + 1):
+        counts: dict[tuple, int] = {}
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + c
+        if not counts:
+            break
+        (a, b), _total = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, (syms, c) in words.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = (tuple(out), c)
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, n_chars, string_split(lower(text), ' ') "
+        f"AS w FROM '{path}'").fetchall()
+    per_source: dict[str, list[int]] = {}
+    for _doc_id, source, n_chars, ws in docs:
+        toks = sum(len(words[w][0]) for w in ws)
+        agg = per_source.setdefault(source, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += n_chars
+        agg[2] += toks
+    # Spark's round() is HALF_UP on the double's shortest decimal repr;
+    # Python's built-in round is banker's — mirror Spark exactly
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up4(x: float) -> str:
+        return str(Decimal(repr(x)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    values = ", ".join(
+        f"('{s}', {d}, {ch}, {tk}, {half_up4(ch / tk)})"
+        for s, (d, ch, tk) in sorted(per_source.items()))
+    return (f"SELECT source, CAST(docs AS BIGINT) AS docs, "
+            f"CAST(chars AS BIGINT) AS chars, CAST(tokens AS BIGINT) AS "
+            f"tokens, CAST(chars_per_token AS DOUBLE) AS chars_per_token "
+            f"FROM (VALUES {values}) t(source, docs, chars, tokens, "
+            f"chars_per_token)")
+
+
+QUERIES = {"bpe_merges": q_bpe_merges, "bpe_compression": q_bpe_compression}
 
 # The merge table depends on the corpus, so the literal oracle is built
 # for the gate's sf_dir (the driver always verifies at sf0.01;
@@ -181,6 +299,9 @@ import os as _os
 _ORACLE_SF_DIR = _os.environ.get(
     "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 try:
-    ORACLES = {"bpe_merges": bpe_oracle_sql(_ORACLE_SF_DIR)}
+    ORACLES = {
+        "bpe_merges": bpe_oracle_sql(_ORACLE_SF_DIR),
+        "bpe_compression": bpe_compression_oracle_sql(_ORACLE_SF_DIR),
+    }
 except Exception:  # testdata absent (e.g. docs-only checkout)
     ORACLES = {}

@@ -213,12 +213,14 @@ _CORPUS_SUBS = (
     Sub("dsir_importance", text_analysis.q_dsir_importance,
         text_analysis.ORACLES["dsir_importance"],
         (("source", "str"),), ("docs", "avg_weight", "kept")),
-) + tuple(
-    Sub("bpe_merges", bpe.q_bpe_merges, sql,
+) + ((
+    Sub("bpe_merges", bpe.q_bpe_merges, bpe.ORACLES["bpe_merges"],
         (("rank", "str"), ("a", "str"), ("b", "str"), ("merged", "str")),
-        ("freq",))
-    for sql in ([bpe.ORACLES["bpe_merges"]] if bpe.ORACLES else [])
-) + (
+        ("freq",)),
+    Sub("bpe_compression", bpe.q_bpe_compression,
+        bpe.ORACLES["bpe_compression"],
+        (("source", "str"),), ("docs", "chars", "tokens", "chars_per_token")),
+) if bpe.ORACLES else ()) + (
     Sub("approx_quantiles", text_analysis.q_approx_quantiles,
         text_analysis.ORACLES["approx_quantiles"],
         (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),

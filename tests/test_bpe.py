@@ -59,3 +59,26 @@ def test_merged_symbol_is_concatenation(spark, sf_dir):
         if r["rank"] > 0:
             assert r["merged"] == r["a"] + r["b"]
             assert r["freq"] > 0
+
+
+def test_bpe_compression_bounds(spark, sf_dir):
+    """Tokens per doc are bounded by chars (merges only shrink, singles
+    can't exceed character count) and every doc is counted."""
+    rows = bpe.q_bpe_compression(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["tokens"] <= r["chars"]
+        assert r["chars_per_token"] >= 1.0
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    total = load_table(spark, "documents", sf_dir).count()
+    assert sum(r["docs"] for r in rows) == total
+
+
+def test_bpe_compression_improves_on_no_merges(spark, sf_dir):
+    """With 8 learned merges the corpus tokenizes to strictly fewer
+    tokens than raw characters-in-words (the merges actually fire)."""
+    rows = bpe.q_bpe_compression(spark, sf_dir).collect()
+    # chars include separators; character-level tokens = chars of words.
+    # chars_per_token > 1 for at least one source proves merges applied.
+    assert any(r["chars_per_token"] > 1.0 for r in rows)
