@@ -506,9 +506,102 @@ def _pq_oracle_sql(subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM,
     """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+BM25_QUERY_DOC = 0
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval through a real INVERTED INDEX — the lexical half of
+    hybrid retrieval done the way a search engine does it at scale: build
+    (term, doc_id, tf) postings once, then answer a query by EQUI-JOINING
+    its terms against the postings — candidates are the docs sharing at
+    least one query term, reached through the index, never by scanning
+    every document's text.
+
+    Okapi BM25: idf(t) = ln((N - df + .5)/(df + .5) + 1), tf saturation
+    with k1 = 1.2 and length normalization b = 0.75 against the corpus
+    mean document length. N and avgdl enter as a 1-row broadcast
+    crossJoin (the scalar_subquery pattern — no driver action). At 100 TB
+    the postings relation is the bucketed-by-term index table; the query
+    probe is a broadcast of the query's terms. Scores are rounded to 4
+    before the TakeOrderedAndProject top-k; doc_id breaks ties."""
+    from .text_analysis import _tokenized_docs
+
+    d = _tokenized_docs(spark, sf_dir)
+    postings = (
+        d.select("doc_id", F.explode("words").alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size("words").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        d.filter(F.col("doc_id") == BM25_QUERY_DOC)
+        .select(F.explode(F.array_distinct("words")).alias("term"))
+        .distinct()
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    norm = (F.col("tf") * (BM25_K1 + 1)
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B
+                                        + BM25_B * F.col("dl") / F.col("avgdl"))))
+    return (
+        postings.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != BM25_QUERY_DOC)
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * norm), 4).alias("bm25"),
+             F.count(F.lit(1)).alias("matched_terms"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+_BM25_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    postings AS (
+        SELECT doc_id, unnest(w) AS term FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM postings
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterms AS (
+        SELECT DISTINCT unnest(w) AS term FROM toks
+        WHERE doc_id = {BM25_QUERY_DOC}
+    )
+    SELECT doc_id,
+           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                     * tf * ({BM25_K1} + 1)
+                     / (tf + {BM25_K1} * (1 - {BM25_B}
+                         + {BM25_B} * dl / avgdl))), 4) AS bm25,
+           count(*) AS matched_terms
+    FROM tf
+    JOIN qterms USING (term)
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    WHERE doc_id <> {BM25_QUERY_DOC}
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+"""
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "pq_ann": q_pq_ann,
+    "bm25_topk": q_bm25_topk,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_lsh_probe": q_ann_lsh_probe,
     "ann_pandas": q_ann_pandas,
@@ -520,6 +613,7 @@ QUERIES = {
 
 ORACLES = {
     "pq_ann": _pq_oracle_sql(),
+    "bm25_topk": _BM25_SQL,
     "ann_bruteforce": f"""
         SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q

@@ -239,6 +239,8 @@ _CORPUS_SUBS = (
     Sub("pq_ann", ann.q_pq_ann, ann.ORACLES["pq_ann"],
         (("vec_id", "str"), ("label", "str"), ("code0", "str"),
          ("code1", "str")), ("adc_dist",)),
+    Sub("bm25_topk", ann.q_bm25_topk, ann.ORACLES["bm25_topk"],
+        (("doc_id", "str"),), ("bm25", "matched_terms")),
     Sub("split_leakage", text_analysis.q_split_leakage,
         text_analysis.ORACLES["split_leakage"],
         (("split", "str"),), ("leaked_docs", "shared_grams")),
