@@ -339,6 +339,32 @@ WINNOW_MAX_DF = 20     # stop-fingerprint document-frequency cap
 # built relation instead of re-fingerprinting the corpus
 _WINNOW_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LEAK_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BIGRAM_EX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bigram_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded bigram relation (doc_id, source, lang, ph, bh) shared
+    by the corpus-LM scorer and the DSIR weigher — each consumes it three
+    times (two count tables + the scoring join), so one materialization
+    serves six subtree scans across the two operators. Narrow (two
+    md5 digests + keys), so the checkpoint's loss of column pruning is
+    immaterial; at 100 TB this is the persisted bigram side-table the
+    first scoring job writes."""
+    key = (session_key(spark), sf_dir)
+    ex = _BIGRAM_EX_CACHE.get(key)
+    if ex is None:
+        d = _tokenized_docs(spark, sf_dir)
+        ex = (
+            d.select("doc_id", "source", "lang",
+                     F.explode(_ngrams(F.col("words"), 2)).alias("g"))
+            .select("doc_id", "source", "lang",
+                    F.md5(F.col("g")["0"]).alias("ph"),
+                    F.md5(F.concat_ws(" ", F.col("g")["0"], F.col("g")["1"]))
+                    .alias("bh"))
+            .localCheckpoint()
+        )
+        _BIGRAM_EX_CACHE[key] = ex
+    return ex
 
 
 def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,15 +799,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables are corpus-vocabulary-sized — they shuffle-join rather
     than broadcast, and the whole thing is three exchanges end to end.
     Per source: docs scored, mean log-prob, low-scoring docs."""
-    d = _tokenized_docs(spark, sf_dir)
-    ex = (
-        d.select("doc_id", "source",
-                 F.explode(_ngrams(F.col("words"), 2)).alias("g"))
-        .select("doc_id", "source",
-                F.md5(F.col("g")["0"]).alias("ph"),
-                F.md5(F.concat_ws(" ", F.col("g")["0"], F.col("g")["1"]))
-                .alias("bh"))
-    )
+    ex = _bigram_digests(spark, sf_dir)
     pair_counts = ex.groupBy("bh").agg(F.count(F.lit(1)).alias("cb"))
     prev_counts = ex.groupBy("ph").agg(F.count(F.lit(1)).alias("cp"))
     per_doc = (
@@ -818,14 +836,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the count tables are vocabulary-sized and shuffle-join;
     the +1 smoothing keeps unseen-in-target bigrams finite without a
     separate vocabulary pass. Per source: docs, mean weight, kept."""
-    d = _tokenized_docs(spark, sf_dir)
-    ex = (
-        d.select("doc_id", "source", "lang",
-                 F.explode(_ngrams(F.col("words"), 2)).alias("g"))
-        .select("doc_id", "source", "lang",
-                F.md5(F.concat_ws(" ", F.col("g")["0"], F.col("g")["1"]))
-                .alias("bh"))
-    )
+    ex = _bigram_digests(spark, sf_dir)
     raw_counts = ex.groupBy("bh").agg(F.count(F.lit(1)).alias("cr"))
     tgt_counts = (ex.filter(F.col("lang") == DSIR_TARGET_LANG)
                   .groupBy("bh").agg(F.count(F.lit(1)).alias("ct")))

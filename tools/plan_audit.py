@@ -50,6 +50,12 @@ HEADLINERS = {
     "bigram_lm_score": "Corpus-LM scoring: one digest-keyed bigram relation feeds both count tables and the scoring join; vocabulary-sized sides shuffle-join.",
     "canonical_selection": "Canonical selection: per-cluster argmax via max(struct(score, -doc_id)) riding the member-count exchange — no per-cluster window.",
     "approx_quantiles": "Verified quantile sketch: exact + approx percentiles ride ONE aggregate buffer each over the repartitioned single column.",
+    "tpch_q2": "TPC-H Q2: derived part-supplier aggregate; regional per-part min as a window over the aggregate rows (no join-back re-running the fact agg); dims broadcast; TakeOrdered top-100.",
+    "tpch_q20": "TPC-H Q20: name-prefix parts as a left semi-join; per-part totals as a window over the already-aggregated (supp, part) rows — one full-width fact shuffle total.",
+    "tpch_q21": "TPC-H Q21: EXISTS/NOT EXISTS decorrelated to per-order window counts over deduped (order, supplier, late) rows; supplier/nation/region broadcast; TakeOrdered top-20.",
+    "dsir_importance": "DSIR weights: the shared checkpointed bigram-digest relation feeds raw counts, target counts, and the scoring join — no re-explode per consumer.",
+    "bm25_topk": "BM25: query terms broadcast into the postings equi-join (index probe, not a corpus text scan); N/avgdl as a 1-row broadcast cross join; TakeOrdered top-10.",
+    "bpe_compression": "BPE apply: merge folds run over the vocabulary-sized word table only; documents join word→token_count (broadcast) and aggregate — no per-occurrence fold.",
 }
 
 
@@ -59,14 +65,16 @@ def main() -> None:
 
     import __spark_entry__ as entry
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
-        ann, arrays, dedup, pii, relational, relational_ext, text_analysis,
+        ann, arrays, bpe, dedup, pii, relational, relational_ext,
+        text_analysis,
     )
 
     spark = build_session("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     # suite-folded operators keep their standalone fns; audit those plans
     qs = dict(entry.queries())
-    for mod in (ann, arrays, dedup, pii, relational, relational_ext, text_analysis):
+    for mod in (ann, arrays, bpe, dedup, pii, relational, relational_ext,
+                text_analysis):
         for name, fn in mod.QUERIES.items():
             qs.setdefault(name, fn)
     out = ["# PLANS — physical plans of headline queries (sf0.01)",
