@@ -313,9 +313,9 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern."""
     import numpy as np
 
-    from ..sources.tables import session_key
+    from ..sources.tables import corpus_key
 
-    key = (session_key(spark), sf_dir)
+    key = corpus_key(spark, sf_dir, table="embeddings")
     cached = _PQ_CACHE.get(key)
     if cached is not None:
         return cached
@@ -355,7 +355,8 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"code{si}") + 1)
         out = (
             codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-            .select("vec_id", "label", "code0", "code1",
+            .select("vec_id", "label",
+                    *[f"code{si}" for si in range(PQ_SUBS)],
                     F.round(adc, 3).alias("adc_dist"))
             .orderBy("adc_dist", "vec_id")
             .limit(TOP_K)
@@ -538,10 +539,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # exploding array_distinct of the single query row is already
+    # distinct — no extra aggregate before the broadcast
     qterms = (
         d.filter(F.col("doc_id") == BM25_QUERY_DOC)
         .select(F.explode(F.array_distinct("words")).alias("term"))
-        .distinct()
     )
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table, session_key
+from ..sources.tables import corpus_key, load_table
 
 N_PERMS = 8
 N_BANDS = 4          # 2 rows per band
@@ -110,7 +110,7 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side; at 100 TB the equivalent is a doc_id-bucketed shingle
     table written once by the first pass and reused by every dedup job —
     this cache is that materialization in local form."""
-    key = (session_key(spark), sf_dir)
+    key = corpus_key(spark, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -549,7 +549,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaning funnel (``q_clean_corpus``) consumes exactly this labelling —
     at 100 TB the component table is written once per corpus snapshot and
     read by every curation job, not recomputed per consumer."""
-    key = (session_key(spark), sf_dir)
+    key = corpus_key(spark, sf_dir)
     cached = _COMPONENTS_CACHE.get(key)
     if cached is not None:
         return cached

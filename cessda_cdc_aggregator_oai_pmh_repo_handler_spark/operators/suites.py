@@ -237,8 +237,9 @@ _CORPUS_SUBS = (
     Sub("hybrid_rrf", ann.q_hybrid_rrf, ann.ORACLES["hybrid_rrf"],
         (("doc_id", "str"),), ("rrf_score", "lex_rank", "vec_rank")),
     Sub("pq_ann", ann.q_pq_ann, ann.ORACLES["pq_ann"],
-        (("vec_id", "str"), ("label", "str"), ("code0", "str"),
-         ("code1", "str")), ("adc_dist",)),
+        (("vec_id", "str"), ("label", "str"),
+         *((f"code{si}", "str") for si in range(ann.PQ_SUBS))),
+        ("adc_dist",)),
     Sub("bm25_topk", ann.q_bm25_topk, ann.ORACLES["bm25_topk"],
         (("doc_id", "str"),), ("bm25", "matched_terms")),
     Sub("split_leakage", text_analysis.q_split_leakage,

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table, session_key
+from ..sources.tables import corpus_key, load_table
 
 # tiny stopword/marker inventories; deliberately deterministic & portable
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -49,7 +49,7 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    key = (session_key(spark), sf_dir)
+    key = corpus_key(spark, sf_dir)
     cached = _TOKENIZED_CACHE.get(key)
     if cached is not None:
         return cached
@@ -350,7 +350,7 @@ def _bigram_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 digests + keys), so the checkpoint's loss of column pruning is
     immaterial; at 100 TB this is the persisted bigram side-table the
     first scoring job writes."""
-    key = (session_key(spark), sf_dir)
+    key = corpus_key(spark, sf_dir)
     ex = _BIGRAM_EX_CACHE.get(key)
     if ex is None:
         d = _tokenized_docs(spark, sf_dir)
@@ -368,7 +368,7 @@ def _bigram_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (session_key(spark), sf_dir)
+    key = corpus_key(spark, sf_dir)
     fp = _WINNOW_FP_CACHE.get(key)
     if fp is None:
         fp = winnow_exploded(load_table(spark, "documents", sf_dir))
@@ -900,7 +900,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-to-doc. At 100 TB add the stop-gram df cap used by winnow_pairs;
     8-grams make collision buckets rare enough here that the join stays
     bounded without it."""
-    key = (session_key(spark), sf_dir)
+    key = corpus_key(spark, sf_dir)
     ex = _LEAK_GRAM_CACHE.get(key)
     if ex is None:
         d = _tokenized_docs(spark, sf_dir)

@@ -49,6 +49,21 @@ def session_key(spark: SparkSession) -> str:
     return f"{spark.sparkContext.applicationId}-{id(spark)}"
 
 
+def corpus_key(spark: SparkSession, sf_dir: str,
+               table: str = "documents") -> tuple[str, str]:
+    """Cache key for per-(session, corpus) memoization: session_key plus
+    the source parquet's identity (size + ns-mtime). Derived relations
+    cached on it go stale the moment the file is regenerated in place —
+    the same contract the tokenized-corpus side table enforces."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{table}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = f"{sf_dir}|{table}"
+    return (session_key(spark), ident)
+
+
 # Catalog-style metadata cache: DataFrames are immutable logical plans, so
 # one spark.read.parquet per (session, path) is safe and skips re-reading
 # parquet footers/schema on every query — exactly what a real catalog's

@@ -77,8 +77,19 @@ def test_bpe_compression_bounds(spark, sf_dir):
 
 def test_bpe_compression_improves_on_no_merges(spark, sf_dir):
     """With 8 learned merges the corpus tokenizes to strictly fewer
-    tokens than raw characters-in-words (the merges actually fire)."""
+    tokens than the no-merge baseline (character-level tokens = total
+    word characters) — proving the merges actually fire. chars_per_token
+    alone can't show this: n_chars counts separator spaces, so it
+    exceeds token count even with zero merges."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
     rows = bpe.q_bpe_compression(spark, sf_dir).collect()
-    # chars include separators; character-level tokens = chars of words.
-    # chars_per_token > 1 for at least one source proves merges applied.
-    assert any(r["chars_per_token"] > 1.0 for r in rows)
+    tokens = sum(r["tokens"] for r in rows)
+    word_chars = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.aggregate(
+            F.split(F.lower("text"), " "),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w)).alias("wc"))
+        .agg(F.sum("wc").alias("t")).collect()[0]["t"])
+    assert tokens < word_chars
