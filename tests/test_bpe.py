@@ -93,3 +93,50 @@ def test_bpe_compression_improves_on_no_merges(spark, sf_dir):
             lambda acc, w: acc + F.length(w)).alias("wc"))
         .agg(F.sum("wc").alias("t")).collect()[0]["t"])
     assert tokens < word_chars
+
+
+def _py_greedy_merge(syms: tuple, a: str, b: str) -> tuple:
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def test_fold_matches_python_mirror_property(spark):
+    """Property: the Spark aggregate fold and the oracle mirror's greedy
+    scan agree on EVERY symbol sequence — including overlap runs
+    ('aaaa'), merged-symbol collisions ('ab'+'ab'), and empties. One
+    Spark job over the whole hypothesis-generated batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = ["a", "b", "ab", "ba"]
+    cases: list[tuple] = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.sampled_from(alphabet), min_size=0, max_size=8),
+           st.sampled_from([("a", "a"), ("a", "b"), ("ab", "ab"),
+                            ("b", "ba")]))
+    def collect(syms, pair):
+        cases.append((tuple(syms), pair))
+
+    collect()
+    rows = [(i, list(syms)) for i, (syms, _p) in enumerate(cases)]
+    by_pair: dict[tuple, list] = {}
+    for i, (syms, pair) in enumerate(cases):
+        by_pair.setdefault(pair, []).append(i)
+    df = spark.createDataFrame(rows, "i long, symbols array<string>") \
+        .withColumn("cnt", F.lit(1))
+    for pair, idxs in by_pair.items():
+        sub = df.filter(F.col("i").isin(idxs))
+        got = {r["i"]: tuple(r["symbols"])
+               for r in bpe._apply_merge(
+                   sub.select("symbols", "cnt", F.col("i").alias("word")),
+                   *pair, keep_word=True)
+               .select(F.col("word").alias("i"), "symbols").collect()}
+        for i in idxs:
+            assert got[i] == _py_greedy_merge(cases[i][0], *pair), \
+                (cases[i], pair, got[i])
