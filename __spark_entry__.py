@@ -35,7 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #                         + contamination_check + pii_scrub
 #                         + token_entropy + dataset_mixture
 #                         + sequence_packing + approx_distinct
-#   tpch_suite          = tpch_q1 + tpch_q3 + tpch_q5 + tpch_q18
+#                         + ... (operators/suites.py:_CORPUS_SUBS is the
+#                         authoritative list — r3 added dsir_importance,
+#                         bpe_merges, bpe_compression, pq_ann, bm25_topk)
+#   tpch_suite          = all 22 TPC-H query shapes
 #   sql_surface_suite   = supplier_stats + fact_join + outer_join
 #                         + anti_join + cube_rollup + scalar_subquery
 #                         + salted_skew_agg

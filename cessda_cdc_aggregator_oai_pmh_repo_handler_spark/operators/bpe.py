@@ -109,6 +109,7 @@ def bpe_train(spark: SparkSession, docs_words: DataFrame,
         .localCheckpoint()
     )
     merges: list[tuple] = []
+    checkpointed = True  # the initial word count above is checkpointed
     for rank in range(1, n_merges + 1):
         top = (_pair_counts(wf)
                .orderBy(F.col("total").desc(), "a", "b")
@@ -117,7 +118,17 @@ def bpe_train(spark: SparkSession, docs_words: DataFrame,
             break
         a, b, total = top[0]["a"], top[0]["b"], int(top[0]["total"])
         merges.append((rank, a, b, a + b, total))
-        wf = _apply_merge(wf, a, b, keep_word=True).localCheckpoint()
+        wf = _apply_merge(wf, a, b, keep_word=True)
+        # checkpoint every few merges, not every merge: re-running ≤3
+        # pending folds over the vocab relation is cheaper than a
+        # materialization job per iteration (9 jobs for 8 merges instead
+        # of 17), while the cadence still bounds lineage/codegen depth
+        # for large merge budgets
+        checkpointed = rank % 4 == 0
+        if checkpointed:
+            wf = wf.localCheckpoint()
+    if not checkpointed:
+        wf = wf.localCheckpoint()
     return merges, wf
 
 

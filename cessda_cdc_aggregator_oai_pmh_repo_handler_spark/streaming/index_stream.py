@@ -94,6 +94,32 @@ def start_index_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def compact_index(spark: SparkSession, index_path: str) -> None:
+    """Fold the accumulated epoch directories into a single base epoch —
+    the small-file compaction a long-running index needs (each microbatch
+    leaves its own files; probes pay per-file open cost forever without
+    this). Same staging-then-rename discipline as the corpus compactor:
+    a concurrent reader sees either the old epoch set or the compacted
+    one, never a half-written mix. Epochs hold disjoint documents, so
+    postings/doclens compact by plain rewrite; stats fold to one row."""
+    import shutil
+    import uuid
+
+    for name in (POSTINGS, DOCLENS, STATS):
+        live = os.path.join(index_path, name)
+        df = spark.read.parquet(live)
+        if name == STATS:
+            df = df.agg(F.sum("batch_docs").alias("batch_docs"),
+                        F.sum("batch_dl_sum").alias("batch_dl_sum"))
+        staging = f"{live}.staging-{uuid.uuid4().hex[:8]}"
+        df.drop("epoch").coalesce(max(1, df.rdd.getNumPartitions() // 8)) \
+            .write.parquet(os.path.join(staging, "epoch=0"))
+        old = f"{live}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def bm25_query(spark: SparkSession, index_path: str, query_terms,
                top_k: int = 10,
                exclude_doc: int | None = None) -> DataFrame:

@@ -81,3 +81,33 @@ def test_probe_plan_broadcasts_query_side(spark, sf_dir, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_compaction_preserves_scores_and_shrinks_files(spark, sf_dir, tmp_path):
+    """Compacting the epoch directories changes neither rankings nor
+    stats; the stats relation folds to one row and postings to one
+    epoch."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ix.bootstrap_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    ix.append_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), idx, epoch=1)
+    ix.append_batch(spark, docs.filter(F.col("doc_id") % 3 == 2), idx, epoch=2)
+    q = _query_terms_of_doc0(spark, sf_dir)
+    before = ix.bm25_query(spark, idx, q, exclude_doc=0).collect()
+    n_files_before = len(glob.glob(os.path.join(idx, ix.POSTINGS, "**", "*.parquet"),
+                                   recursive=True))
+    ix.compact_index(spark, idx)
+    after = ix.bm25_query(spark, idx, q, exclude_doc=0).collect()
+    n_files_after = len(glob.glob(os.path.join(idx, ix.POSTINGS, "**", "*.parquet"),
+                                  recursive=True))
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert n_files_after < n_files_before
+    assert spark.read.parquet(os.path.join(idx, ix.STATS)).count() == 1
+    # the index keeps accepting appends after compaction
+    extra = spark.createDataFrame([(10_000, "key table row")],
+                                  "doc_id long, text string")
+    ix.append_batch(spark, extra, idx, epoch=3)
+    assert ix.bm25_query(spark, idx, ["key"], top_k=500).filter(
+        F.col("doc_id") == 10_000).count() == 1
