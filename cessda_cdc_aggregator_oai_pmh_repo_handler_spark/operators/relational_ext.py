@@ -645,6 +645,51 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind cube/rollup
+    (SPARK-45929 DataFrame API): per-returnflag, per-linestatus, and the
+    grand total in ONE pass over lineitem. Like the cube, Catalyst plans
+    a single scan + Expand (3 copies here, only the sets asked for —
+    cheaper than cube's 4) with partial aggregation before the exchange;
+    grouping() columns disambiguate the null group from real nulls."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
+def q_analytic_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-family windows beyond row_number/lag: ntile quartiles,
+    percent_rank, cume_dist, and a RANGE-frame running sum (peers of a
+    tie enter the frame together, unlike the ROWS frame in
+    q_window_functions). One hash exchange on the partition key serves
+    all four — they share the same (priority, price, key) sort. Bounded
+    to one order-quarter so the suite row count stays small."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp")))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    wr = (Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_orderpriority", "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # RANGE frame: all price-tied peers enter together on both engines
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("range_running"),
+    )
+
+
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 minimum-cost supplier (adapted: the absent partsupp
     relation is derived as min(l_extendedprice) per (part, supplier) from
@@ -772,6 +817,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "supplier_stats": q_supplier_stats,
+    "grouping_sets": q_grouping_sets,
+    "analytic_extras": q_analytic_extras,
     "tpch_q2": q_tpch_q2,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
@@ -969,6 +1016,30 @@ ORACLES = {
             SELECT avg(l2.l_quantity) FROM lineitem l2
             WHERE l2.l_partkey = l1.l_partkey
         )
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "analytic_extras": """
+        SELECT o_orderpriority, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS range_running
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-02-01'
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
     """,
     # q2 oracle keeps the reference's correlated-scalar-subquery form (the
     # min cost per part over region suppliers) to pin the Spark

@@ -330,6 +330,14 @@ _SQL_SURFACE_SUBS = (
         relational_ext.ORACLES["stats_agg"],
         (("l_returnflag", "str"),),
         ("cnt", "sd_qty", "corr_qty_price", "cov_disc_tax")),
+    Sub("grouping_sets", relational_ext.q_grouping_sets,
+        relational_ext.ORACLES["grouping_sets"],
+        (("l_returnflag", "str"), ("l_linestatus", "str"),
+         ("g_rf", "str"), ("g_ls", "str")), ("cnt", "sum_qty")),
+    Sub("analytic_extras", relational_ext.q_analytic_extras,
+        relational_ext.ORACLES["analytic_extras"],
+        (("o_orderpriority", "str"), ("o_orderkey", "str")),
+        ("quartile", "pct_rank", "cume", "range_running")),
 )
 
 _SET_OPS_SUBS = (

@@ -259,6 +259,22 @@ def test_tpch_q21_decorrelated_single_fact_join(spark):
     assert "EqualTo(o_orderstatus,F)" in plan
 
 
+def test_grouping_sets_single_scan_expand(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_grouping_sets(spark, SF))
+    assert plan.count("FileScan") == 1      # one pass, not one per set
+    assert "Expand" in plan                 # the grouping-sets expansion
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_analytic_extras_share_one_exchange(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+    plan = plan_of(relational_ext.q_analytic_extras(spark, SF))
+    # all four window functions ride ONE partition exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_batch_topk_equi_join_no_cartesian(spark):
     plan = plan_of(ann.q_ann_batch_topk(spark, SF))
     # the batch joins the corpus on the IVF cell — an equi-join with the
