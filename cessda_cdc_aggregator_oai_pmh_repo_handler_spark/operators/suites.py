@@ -224,6 +224,9 @@ _CORPUS_SUBS = (
     Sub("approx_quantiles", text_analysis.q_approx_quantiles,
         text_analysis.ORACLES["approx_quantiles"],
         (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),
+    Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
+        text_analysis.ORACLES["cms_heavy_hitters"],
+        (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),
     Sub("stratified_sample", text_analysis.q_stratified_sample,
         text_analysis.ORACLES["stratified_sample"],
         (("doc_id", "str"), ("source", "str")), ("rk", "quota")),

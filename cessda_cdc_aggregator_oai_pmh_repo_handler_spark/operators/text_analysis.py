@@ -574,6 +574,47 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_EPS = 0.001      # over-estimate bound: est <= exact + eps * N
+CMS_CONFIDENCE = 0.99
+CMS_TOP = 10
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, the third verified sketch (after
+    HLL distinct and the quantile sketch): a CMS over lineitem's supplier
+    key — built distributed, merged treeAggregate-style to a driver-held
+    table of eps·e⁻¹ counters — answers frequency queries for the exact
+    top-N keys. CMS NEVER underestimates and overestimates by at most
+    eps·N with the configured confidence, so each row verifies as a
+    provable two-sided indicator the oracle claims outright; the exact
+    counts hash-verify as ground truth. At 100 TB only the sketch pass
+    runs (mergeable, fixed memory per executor); the exact top-N here is
+    the local-scale truth the indicator is judged against. The top-N
+    collect is a bounded driver action (N rows, the k-means precedent)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    # sketch + row count in ONE aggregate pass (the sketch is the
+    # mergeable aggregation buffer; count rides along for the eps·N bound)
+    agg = li.agg(
+        F.count_min_sketch("l_suppkey", F.lit(CMS_EPS),
+                           F.lit(CMS_CONFIDENCE), F.lit(42)).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg["sk"]))
+    top = (li.groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("exact_cnt"))
+           .orderBy(F.col("exact_cnt").desc(), "l_suppkey")
+           .limit(CMS_TOP).collect())
+    bound = CMS_EPS * agg["n"]
+    rows = [(int(r["l_suppkey"]), int(r["exact_cnt"]),
+             1.0 if (r["exact_cnt"]
+                     <= jcms.estimateCount(int(r["l_suppkey"]))
+                     <= r["exact_cnt"] + bound) else 0.0)
+            for r in top]
+    return spark.createDataFrame(
+        rows, "l_suppkey long, exact_cnt long, cms_ok double")
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: the first two hex digits of
     md5(doc_id) give a stable 0-255 draw, thresholded 80/10/10 — portable,
@@ -983,6 +1024,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "length_histogram": q_length_histogram,
     "percentile_stats": q_percentile_stats,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -1071,6 +1113,13 @@ ORACLES = {
             FROM documents
         ) t
         WHERE rk <= quota
+    """,
+    "cms_heavy_hitters": f"""
+        SELECT l_suppkey, exact_cnt, 1.0 AS cms_ok FROM (
+            SELECT l_suppkey, count(*) AS exact_cnt
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY exact_cnt DESC, l_suppkey LIMIT {CMS_TOP}
+        ) t
     """,
     "approx_quantiles": """
         SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,

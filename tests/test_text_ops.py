@@ -272,3 +272,13 @@ def test_dsir_all_target_corpus_weight_zero(spark):
     assert len(out) == 1
     assert out[0]["avg_weight"] == 0.0
     assert out[0]["kept"] == out[0]["docs"] == 4
+
+
+def test_cms_heavy_hitters_bounds(spark, sf_dir):
+    """CMS never underestimates; top-N rows all verify within eps*N, and
+    the exact counts are truly the top-N (descending, key tie-break)."""
+    rows = TA.q_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == TA.CMS_TOP
+    assert all(r["cms_ok"] == 1.0 for r in rows)
+    key = [(-r["exact_cnt"], r["l_suppkey"]) for r in rows]
+    assert key == sorted(key)
