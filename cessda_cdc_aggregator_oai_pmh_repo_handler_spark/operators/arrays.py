@@ -243,7 +243,70 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase): each step's
+    timestamp is the user's FIRST qualifying event strictly after the
+    previous step — the classic product-analytics operator. Three chained
+    windowed mins over ONE user-partitioned exchange (each step's filter
+    references the previous step's column, so they chain as selects but
+    share the partitioning); the per-user step times then collapse to one
+    funnel row. At 100 TB the events table is user-bucketed, making the
+    window pass shuffle-free."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+
+    def first_after(ev: str, after_col: str | None):
+        cond = F.col("event_type") == ev
+        if after_col is not None:
+            cond = cond & (F.col("ts") > F.col(after_col))
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    staged = (
+        e.withColumn("t1", first_after("view", None))
+        .withColumn("t2", first_after("click", "t1"))
+        .withColumn("t3", first_after("purchase", "t2"))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"))
+    return per_user.agg(
+        F.count("t1").alias("step_view"),
+        F.count("t2").alias("step_click"),
+        F.count("t3").alias("step_purchase"),
+        F.round(F.count("t3") * 100.0 / F.count("t1"), 4)
+        .alias("conversion_pct"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first event,
+    distinct active users per (cohort week, weeks-since-cohort) offset —
+    the triangle every growth dashboard draws. One user-partitioned
+    window for the cohort date, then a single rollup; countDistinct
+    partial-aggregates map-side."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    staged = e.withColumn("cohort", F.to_date(F.min("ts").over(w)))
+    return (
+        staged.select(
+            F.date_format(F.date_trunc("week", "cohort"), "yyyy-MM-dd")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort")) / 7)
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 QUERIES = {
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     "pivot_events": q_pivot_events,
     "gapfill_hourly": q_gapfill_hourly,
     "asof_last_signup": q_asof_last_signup,
@@ -258,6 +321,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    "funnel_steps": """
+        WITH s1 AS (
+            SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                          OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ),
+        s2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t3
+            FROM s2
+        ),
+        per_user AS (
+            SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+            FROM s3 GROUP BY user_id
+        )
+        SELECT count(t1) AS step_view,
+               count(t2) AS step_click,
+               count(t3) AS step_purchase,
+               round(count(t3) * 100.0 / count(t1), 4) AS conversion_pct
+        FROM per_user
+    """,
+    "cohort_retention": """
+        WITH staged AS (
+            SELECT user_id, ts,
+                   CAST(min(ts) OVER (PARTITION BY user_id) AS DATE)
+                       AS cohort
+            FROM events
+        )
+        SELECT strftime(date_trunc('week', cohort), '%Y-%m-%d')
+                   AS cohort_week,
+               CAST(floor(date_diff('day', cohort, CAST(ts AS DATE)) / 7.0)
+                    AS BIGINT) AS week_offset,
+               count(DISTINCT user_id) AS active_users
+        FROM staged
+        GROUP BY 1, 2
+    """,
     "gapfill_hourly": f"""
         WITH grid AS (
             SELECT t.event_type, g.hour

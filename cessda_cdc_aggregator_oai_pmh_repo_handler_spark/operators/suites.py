@@ -154,6 +154,11 @@ _WINDOW_SUBS = (
         (("session_start", "ts"), ("user_id", "str")), ("cnt", "sum_value")),
     Sub("gapfill_hourly", arrays.q_gapfill_hourly, arrays.ORACLES["gapfill_hourly"],
         (("event_type", "str"), ("hour", "ts")), ("cnt", "sum_value")),
+    Sub("funnel_steps", arrays.q_funnel_steps, arrays.ORACLES["funnel_steps"],
+        (), ("step_view", "step_click", "step_purchase", "conversion_pct")),
+    Sub("cohort_retention", arrays.q_cohort_retention,
+        arrays.ORACLES["cohort_retention"],
+        (("cohort_week", "str"), ("week_offset", "str")), ("active_users",)),
 )
 
 _TEMPORAL_SUBS = (

@@ -37,3 +37,27 @@ def test_pagination_is_deterministic(spark, sf_dir):
 def test_broadcast_in_lookup_join_plan(spark, sf_dir):
     plan = relational.q_lookup_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_steps_monotonic(spark, sf_dir):
+    """Each funnel step is a subset of the previous (ordered-after
+    semantics can only lose users), and conversion matches the counts."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+
+    r = arrays.q_funnel_steps(spark, sf_dir).collect()[0]
+    assert r["step_view"] >= r["step_click"] >= r["step_purchase"] >= 0
+    assert r["conversion_pct"] == round(
+        r["step_purchase"] * 100.0 / r["step_view"], 4)
+
+
+def test_cohort_retention_triangle(spark, sf_dir):
+    """Offsets are non-negative; every user's events land at or after
+    their cohort week; offset-0 cells cover every cohort."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+
+    rows = arrays.q_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    assert all(r["week_offset"] >= 0 for r in rows)
+    cohorts = {r["cohort_week"] for r in rows}
+    zero = {r["cohort_week"] for r in rows if r["week_offset"] == 0}
+    assert zero == cohorts  # first-week activity defines the cohort
