@@ -304,9 +304,36 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov-chain estimation):
+    lead() over each user's time-ordered events pairs every event with
+    its successor; the rollup counts transitions and each row carries its
+    per-source-state probability — a second windowed sum over the
+    already-aggregated matrix rows, not the event stream. One exchange on
+    user_id for the sequencing, one on the (from, to) pair for the count."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    total_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "transitions",
+        F.round(F.col("transitions")
+                / F.sum("transitions").over(total_w), 6).alias("prob"),
+    )
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
     "pivot_events": q_pivot_events,
     "gapfill_hourly": q_gapfill_hourly,
     "asof_last_signup": q_asof_last_signup,
@@ -348,6 +375,24 @@ ORACLES = {
                count(t3) AS step_purchase,
                round(count(t3) * 100.0 / count(t1), 4) AS conversion_pct
         FROM per_user
+    """,
+    "event_transitions": """
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        matrix AS (
+            SELECT from_type, to_type, count(*) AS transitions
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, transitions,
+               round(transitions * 1.0
+                     / sum(transitions) OVER (PARTITION BY from_type), 6)
+                   AS prob
+        FROM matrix
     """,
     "cohort_retention": """
         WITH staged AS (

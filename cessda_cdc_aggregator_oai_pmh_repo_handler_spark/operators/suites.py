@@ -159,6 +159,9 @@ _WINDOW_SUBS = (
     Sub("cohort_retention", arrays.q_cohort_retention,
         arrays.ORACLES["cohort_retention"],
         (("cohort_week", "str"), ("week_offset", "str")), ("active_users",)),
+    Sub("event_transitions", arrays.q_event_transitions,
+        arrays.ORACLES["event_transitions"],
+        (("from_type", "str"), ("to_type", "str")), ("transitions", "prob")),
 )
 
 _TEMPORAL_SUBS = (

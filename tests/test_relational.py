@@ -61,3 +61,17 @@ def test_cohort_retention_triangle(spark, sf_dir):
     cohorts = {r["cohort_week"] for r in rows}
     zero = {r["cohort_week"] for r in rows if r["week_offset"] == 0}
     assert zero == cohorts  # first-week activity defines the cohort
+
+
+def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+
+    rows = arrays.q_event_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        assert r["transitions"] > 0 and 0 < r["prob"] <= 1
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["prob"]
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4  # rows carry rounded probabilities
