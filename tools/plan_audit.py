@@ -56,6 +56,10 @@ HEADLINERS = {
     "dsir_importance": "DSIR weights: the shared checkpointed bigram-digest relation feeds raw counts, target counts, and the scoring join — no re-explode per consumer.",
     "bm25_topk": "BM25: query terms broadcast into the postings equi-join (index probe, not a corpus text scan); N/avgdl as a 1-row broadcast cross join; TakeOrdered top-10.",
     "bpe_compression": "BPE apply: merge folds run over the vocabulary-sized word table only; documents join word→token_count (broadcast) and aggregate — no per-occurrence fold.",
+    "grouping_sets": "GROUPING SETS: one scan + Expand (3 copies, only the requested sets), partial aggregation before the single exchange.",
+    "analytic_extras": "Ranking windows: ntile/percent_rank/cume_dist + RANGE-frame running sum all ride ONE partition exchange.",
+    "funnel_steps": "Ordered funnel: three chained first-after-step window mins share one user-partitioned exchange; collapse to a single conversion row.",
+    "event_transitions": "Transition matrix: lead() sequencing on the user exchange; per-source probability is a window over MATRIX rows, not events.",
 }
 
 
