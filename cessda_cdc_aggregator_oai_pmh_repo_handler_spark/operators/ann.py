@@ -511,6 +511,12 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP = 10
 BM25_QUERY_DOC = 0
+# stop-term guard: query terms appearing in more than this fraction of
+# documents are dropped BEFORE the postings probe — their idf is ≈ 0 (they
+# cannot change the ranking materially) yet their posting lists are
+# corpus-sized, the one input that can blow up probe cost at 100 TB. The
+# same role as winnowing's stop-fingerprint cap.
+BM25_MAX_DF_FRAC = 0.6
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,12 +556,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = (F.col("tf") * (BM25_K1 + 1)
             / (F.col("tf") + BM25_K1 * (1 - BM25_B
                                         + BM25_B * F.col("dl") / F.col("avgdl"))))
-    return (
-        postings.join(F.broadcast(qterms), "term")
-        .filter(F.col("doc_id") != BM25_QUERY_DOC)
-        .join(dfreq, "term")
-        .join(dl, "doc_id")
+    # resolve df/stats for the query's terms FIRST and drop stop terms
+    # there — the postings probe never touches a corpus-sized posting list
+    survivors = (
+        qterms.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= BM25_MAX_DF_FRAC * F.col("n_docs"))
+    )
+    return (
+        postings.join(F.broadcast(survivors), "term")
+        .filter(F.col("doc_id") != BM25_QUERY_DOC)
+        .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * norm), 4).alias("bm25"),
              F.count(F.lit(1)).alias("matched_terms"))
@@ -594,6 +605,7 @@ _BM25_SQL = f"""
     JOIN dl USING (doc_id)
     CROSS JOIN stats
     WHERE doc_id <> {BM25_QUERY_DOC}
+      AND df <= {BM25_MAX_DF_FRAC} * n_docs
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id
     LIMIT {BM25_TOP}

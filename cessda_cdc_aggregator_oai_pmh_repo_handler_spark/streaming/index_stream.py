@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import BM25_B, BM25_K1
+from ..operators.ann import BM25_B, BM25_K1, BM25_MAX_DF_FRAC
 
 POSTINGS = "postings"
 DOCLENS = "doclens"
@@ -135,14 +135,20 @@ def bm25_query(spark: SparkSession, index_path: str, query_terms,
     stats = stats_rows.agg(
         F.sum("batch_docs").alias("n_docs"),
         (F.sum("batch_dl_sum") / F.sum("batch_docs")).alias("avgdl"))
-    probed = postings.join(F.broadcast(query_terms), "term")
-    if exclude_doc is not None:
-        probed = probed.filter(F.col("doc_id") != exclude_doc)
-    # df aggregates over the probed slice only — but must count ALL docs
-    # holding the term, including an excluded query doc, to match the
-    # batch operator's statistics
+    # df aggregates over the query terms' slice only — but must count ALL
+    # docs holding the term, including an excluded query doc, to match
+    # the batch operator's statistics. Stop terms (df above the fraction
+    # cap, idf ≈ 0) are dropped HERE, before the scoring probe ever
+    # touches their corpus-sized posting lists — same guard as the batch
+    # operator, so the equivalence tests stay exact.
     dfreq = (postings.join(F.broadcast(query_terms), "term")
              .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    survivors = (dfreq.crossJoin(F.broadcast(stats))
+                 .filter(F.col("df")
+                         <= BM25_MAX_DF_FRAC * F.col("n_docs")))
+    probed = postings.join(F.broadcast(survivors), "term")
+    if exclude_doc is not None:
+        probed = probed.filter(F.col("doc_id") != exclude_doc)
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1)
     norm = (F.col("tf") * (BM25_K1 + 1)
@@ -150,9 +156,7 @@ def bm25_query(spark: SparkSession, index_path: str, query_terms,
                                         + BM25_B * F.col("dl") / F.col("avgdl"))))
     return (
         probed
-        .join(F.broadcast(dfreq), "term")
         .join(doclens, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * norm), 4).alias("bm25"),
              F.count(F.lit(1)).alias("matched_terms"))

@@ -54,3 +54,25 @@ def test_bm25_rare_term_outranks_common(spark):
         out = {r["doc_id"]: r["bm25"]
                for r in ann.q_bm25_topk(spark, tmp).collect()}
     assert out[9] == max(out.values())  # the rare-term match ranks first
+
+
+def test_bm25_stop_term_dropped(spark):
+    """A term present in >60% of docs is excluded from scoring and from
+    matched_terms — its posting list never enters the probe."""
+    import os
+    import tempfile
+
+    rows = [(0, "stopword rare", "en", "s", 13)]
+    rows += [(i, "stopword filler%d" % i, "en", "s", 16)
+             for i in range(1, 9)]
+    rows += [(9, "rare alone", "en", "s", 10)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["doc_id"]: r for r in ann.q_bm25_topk(spark, tmp).collect()}
+    # 'stopword' is in 9/10 docs (90% > 60%): only 'rare' scores, so only
+    # doc 9 appears and it matched exactly one term
+    assert set(out) == {9}
+    assert out[9]["matched_terms"] == 1

@@ -105,9 +105,10 @@ def test_compaction_preserves_scores_and_shrinks_files(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
     assert n_files_after < n_files_before
     assert spark.read.parquet(os.path.join(idx, ix.STATS)).count() == 1
-    # the index keeps accepting appends after compaction
-    extra = spark.createDataFrame([(10_000, "key table row")],
+    # the index keeps accepting appends after compaction (query by a
+    # unique term — common corpus words fall to the stop-term df cap)
+    extra = spark.createDataFrame([(10_000, "zqxjkwv table row")],
                                   "doc_id long, text string")
     ix.append_batch(spark, extra, idx, epoch=3)
-    assert ix.bm25_query(spark, idx, ["key"], top_k=500).filter(
+    assert ix.bm25_query(spark, idx, ["zqxjkwv"], top_k=500).filter(
         F.col("doc_id") == 10_000).count() == 1
