@@ -512,11 +512,27 @@ BM25_B = 0.75
 BM25_TOP = 10
 BM25_QUERY_DOC = 0
 # stop-term guard: query terms appearing in more than this fraction of
-# documents are dropped BEFORE the postings probe — their idf is ≈ 0 (they
-# cannot change the ranking materially) yet their posting lists are
-# corpus-sized, the one input that can blow up probe cost at 100 TB. The
-# same role as winnowing's stop-fingerprint cap.
+# documents are dropped BEFORE the postings probe. They are the LOWEST-idf
+# terms (at df = 0.6N, idf ≈ 0.51 — small but not zero, so this is a
+# deliberate, bounded deviation from pure Okapi, the trade every search
+# engine's stopword list makes) and they own the corpus-sized posting
+# lists that dominate probe cost at 100 TB. Applied identically in the
+# batch operator, its oracle, and the streaming-index probe, so the
+# engines never disagree. Same role as winnowing's stop-fingerprint cap.
 BM25_MAX_DF_FRAC = 0.6
+
+
+def bm25_score_expr() -> F.Column:
+    """THE Okapi BM25 per-(doc, term) contribution, over columns
+    (tf, df, dl, n_docs, avgdl) — shared by the batch operator and the
+    streaming index probe so the formula cannot drift between them."""
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    norm = (F.col("tf") * (BM25_K1 + 1)
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B
+                                        + BM25_B * F.col("dl")
+                                        / F.col("avgdl"))))
+    return idf * norm
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,11 +567,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") == BM25_QUERY_DOC)
         .select(F.explode(F.array_distinct("words")).alias("term"))
     )
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1)
-    norm = (F.col("tf") * (BM25_K1 + 1)
-            / (F.col("tf") + BM25_K1 * (1 - BM25_B
-                                        + BM25_B * F.col("dl") / F.col("avgdl"))))
     # resolve df/stats for the query's terms FIRST and drop stop terms
     # there — the postings probe never touches a corpus-sized posting list
     survivors = (
@@ -568,7 +579,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != BM25_QUERY_DOC)
         .join(dl, "doc_id")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * norm), 4).alias("bm25"),
+        .agg(F.round(F.sum(bm25_score_expr()), 4).alias("bm25"),
              F.count(F.lit(1)).alias("matched_terms"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP)

@@ -34,6 +34,10 @@ def _words(col="text"):
 
 _TOKENIZED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# bump when _words() or the side-table projection changes — part of the
+# persistent cache tag so old side-tables are abandoned, not served
+_TOKENIZED_LOGIC_V = "tok-v1:doc_id,source,lang,n_chars,text,words=split(lower(text))"
+
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized tokenized corpus — (doc_id, source, lang, n_chars,
@@ -58,16 +62,15 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text AND words whether it needs them or not (measured: suite 7.7 s →
     # 11 s). A parquet side-table keeps pruning/vectorization — the literal
     # 100 TB design, where stage one writes the tokenized corpus table.
-    # cache identity = source path + file stats: if the corpus parquet is
-    # regenerated in place, the stale side-table must not be served
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        # nanosecond mtime: second-truncation could alias an in-place
-        # rewrite landing within the same second at the same byte size
-        ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        ident = sf_dir
+    # cache identity = shared corpus_ident (source path + file stats — a
+    # regenerated-in-place corpus must not be served stale) salted with
+    # the tokenization version: the PERSISTENT side-table must also go
+    # stale when the tokenizer or projected schema changes, or a code
+    # edit would silently read the old tokenization across processes
+    from ..sources.tables import corpus_ident
+
+    ident = corpus_ident(sf_dir, "documents",
+                         logic_version=_TOKENIZED_LOGIC_V)
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_tokenized_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

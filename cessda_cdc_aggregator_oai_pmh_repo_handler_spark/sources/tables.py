@@ -49,19 +49,29 @@ def session_key(spark: SparkSession) -> str:
     return f"{spark.sparkContext.applicationId}-{id(spark)}"
 
 
-def corpus_key(spark: SparkSession, sf_dir: str,
-               table: str = "documents") -> tuple[str, str]:
-    """Cache key for per-(session, corpus) memoization: session_key plus
-    the source parquet's identity (size + ns-mtime). Derived relations
-    cached on it go stale the moment the file is regenerated in place —
-    the same contract the tokenized-corpus side table enforces."""
+def corpus_ident(sf_dir: str, table: str = "documents",
+                 logic_version: str = "") -> str:
+    """THE definition of corpus identity (path + size + ns-mtime, the
+    nanosecond resolution defeating same-second in-place rewrites), plus
+    an optional logic-version salt for caches whose CONTENT depends on
+    code (a persistent side-table must go stale when its derivation
+    changes, not only when its input does)."""
     src = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(src)
         ident = f"{sf_dir}|{table}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
         ident = f"{sf_dir}|{table}"
-    return (session_key(spark), ident)
+    return f"{ident}|{logic_version}" if logic_version else ident
+
+
+def corpus_key(spark: SparkSession, sf_dir: str,
+               table: str = "documents") -> tuple[str, str]:
+    """Cache key for per-(session, corpus) memoization: session_key plus
+    corpus_ident. Derived relations cached on it go stale the moment the
+    file is regenerated in place — the same contract the tokenized-corpus
+    side table enforces."""
+    return (session_key(spark), corpus_ident(sf_dir, table))
 
 
 # Catalog-style metadata cache: DataFrames are immutable logical plans, so

@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import BM25_B, BM25_K1, BM25_MAX_DF_FRAC
+from ..operators.ann import BM25_MAX_DF_FRAC, bm25_score_expr
 
 POSTINGS = "postings"
 DOCLENS = "doclens"
@@ -98,9 +98,13 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     """Fold the accumulated epoch directories into a single base epoch —
     the small-file compaction a long-running index needs (each microbatch
     leaves its own files; probes pay per-file open cost forever without
-    this). Same staging-then-rename discipline as the corpus compactor:
-    a concurrent reader sees either the old epoch set or the compacted
-    one, never a half-written mix. Epochs hold disjoint documents, so
+    this). Staging-then-rename per relation: a reader never sees
+    half-written FILES, but the two renames leave a microsecond window
+    where a relation directory is absent, and the three relations swap
+    sequentially — run compaction between probe cycles (the maintenance
+    window every compactor needs). At scale the cure is a manifest or
+    catalog pointer flipped atomically; out of scope for the
+    filesystem-layout index here. Epochs hold disjoint documents, so
     postings/doclens compact by plain rewrite; stats fold to one row."""
     import shutil
     import uuid
@@ -129,6 +133,9 @@ def bm25_query(spark: SparkSession, index_path: str, query_terms,
     if not isinstance(query_terms, DataFrame):
         query_terms = spark.createDataFrame(
             [(t,) for t in dict.fromkeys(query_terms)], "term string")
+    else:
+        # a duplicated term would double its df and score contribution
+        query_terms = query_terms.distinct()
     postings = spark.read.parquet(os.path.join(index_path, POSTINGS))
     doclens = spark.read.parquet(os.path.join(index_path, DOCLENS))
     stats_rows = spark.read.parquet(os.path.join(index_path, STATS))
@@ -149,16 +156,11 @@ def bm25_query(spark: SparkSession, index_path: str, query_terms,
     probed = postings.join(F.broadcast(survivors), "term")
     if exclude_doc is not None:
         probed = probed.filter(F.col("doc_id") != exclude_doc)
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1)
-    norm = (F.col("tf") * (BM25_K1 + 1)
-            / (F.col("tf") + BM25_K1 * (1 - BM25_B
-                                        + BM25_B * F.col("dl") / F.col("avgdl"))))
     return (
         probed
         .join(doclens, "doc_id")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * norm), 4).alias("bm25"),
+        .agg(F.round(F.sum(bm25_score_expr()), 4).alias("bm25"),
              F.count(F.lit(1)).alias("matched_terms"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(top_k)

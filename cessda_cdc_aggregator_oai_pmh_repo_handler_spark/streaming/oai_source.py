@@ -49,11 +49,13 @@ class OAIPMHPoller:
     def __init__(self, base_url: str, metadata_prefix: str = "oai_dc",
                  timeout: float = 30.0,
                  fetch: Callable[[str], str] | None = None,
-                 user_agent: str = "cdcagg-spark-harvester"):
+                 user_agent: str = "cdcagg-spark-harvester",
+                 max_pages: int = 100_000):
         self.base_url = base_url
         self.metadata_prefix = metadata_prefix
         self.timeout = timeout
         self.user_agent = user_agent
+        self.max_pages = max_pages
         self._fetch = fetch or self._http_fetch
 
     def _http_fetch(self, url: str) -> str:
@@ -77,6 +79,8 @@ class OAIPMHPoller:
             params["until"] = until
         if set_spec:
             params["set"] = set_spec
+        seen_tokens: set[str] = set()
+        pages = 0
         while True:
             xml_str = self._fetch(self._url(params))
             root = ET.fromstring(xml_str)
@@ -86,11 +90,23 @@ class OAIPMHPoller:
                     return
                 raise OAIProtocolError(err.get("code", "unknown"), err.text or "")
             yield xml_str
+            pages += 1
+            if pages >= self.max_pages:
+                raise OAIProtocolError(
+                    "pageLimit",
+                    f"endpoint exceeded {self.max_pages} pages in one sweep")
             tok = root.find(f"{OAI}ListRecords/{OAI}resumptionToken")
             if tok is None or not (tok.text or "").strip():
                 return
+            token = tok.text.strip()
+            # progress guard: a buggy/malicious endpoint re-issuing a token
+            # (or cycling A→B→A) must not hang the driver's polling loop
+            if token in seen_tokens:
+                raise OAIProtocolError(
+                    "tokenLoop", f"resumption token repeated: {token!r}")
+            seen_tokens.add(token)
             # exclusive-token contract: next request carries ONLY the token
-            params = {"verb": "ListRecords", "resumptionToken": tok.text.strip()}
+            params = {"verb": "ListRecords", "resumptionToken": token}
 
     def harvest_events(self, harvest_ts: datetime.datetime,
                        **page_args) -> list[dict]:

@@ -117,3 +117,47 @@ def test_repolling_is_idempotent(spark, source_server, tmp_path):
     q.awaitTermination()
     corpus = read_bucketed_corpus(spark, corpus_path)
     assert corpus.count() == 8
+
+
+def test_poller_rejects_token_loop():
+    """An endpoint re-issuing the same resumption token must raise, not
+    hang the polling loop."""
+    import pytest
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.oai_source import (
+        OAIPMHPoller, OAIProtocolError,
+    )
+
+    page = """<?xml version="1.0"?>
+    <OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">
+      <ListRecords>
+        <resumptionToken>loop-token</resumptionToken>
+      </ListRecords>
+    </OAI-PMH>"""
+    p = OAIPMHPoller("http://x.invalid/oai", fetch=lambda url: page)
+    with pytest.raises(OAIProtocolError) as e:
+        list(p.pages())
+    assert e.value.code == "tokenLoop"
+
+
+def test_poller_page_cap():
+    import itertools
+
+    import pytest
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.oai_source import (
+        OAIPMHPoller, OAIProtocolError,
+    )
+
+    counter = itertools.count()
+
+    def fetch(url):
+        return ("""<?xml version="1.0"?>
+        <OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">
+          <ListRecords><resumptionToken>t-%d</resumptionToken></ListRecords>
+        </OAI-PMH>""" % next(counter))
+
+    p = OAIPMHPoller("http://x.invalid/oai", fetch=fetch, max_pages=5)
+    with pytest.raises(OAIProtocolError) as e:
+        list(p.pages())
+    assert e.value.code == "pageLimit"
