@@ -606,8 +606,50 @@ def connected_components_distributed(pairs: DataFrame) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
+EDIT_PREF = 40       # verify window: first N normalized chars
+EDIT_BLOCK = 12      # blocking key width
+EDIT_MAX_DIST = 8    # verified-pair threshold
+
+
+def q_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the record-linkage classic for typo
+    -level duplication that token/shingle methods under-weight. Two-window
+    pigeonhole blocking (md5 of chars 1-12 and of chars 13-24: an edit
+    budget of 8 rarely touches both windows), candidates equi-join per
+    block and union-distinct, then ``levenshtein`` verifies the 40-char
+    normalized prefix — identical dynamic-programming semantics on both
+    engines, so the distance is engine-exact. At 100 TB the block join is
+    the skew point: block keys are text prefixes, so a boilerplate prefix
+    needs the LSH_BUCKET_CAP treatment (same Window-rank guard as the
+    minhash buckets) before the self-join."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, EDIT_PREF).alias("pref"),
+        F.md5(F.substring(F.lower("text"), 1, EDIT_BLOCK)).alias("b1"),
+        F.md5(F.substring(F.lower("text"), EDIT_BLOCK + 1, EDIT_BLOCK))
+        .alias("b2"),
+    )
+
+    def block_pairs(key: str) -> DataFrame:
+        a, b = d.alias("a"), d.alias("b")
+        return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        F.col("a.pref").alias("pa"),
+                        F.col("b.pref").alias("pb")))
+
+    cand = block_pairs("b1").union(block_pairs("b2")).distinct()
+    return (
+        cand.select("doc_a", "doc_b",
+                    F.levenshtein("pa", "pb").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
+    )
+
+
 QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "fuzzy_edit_pairs": q_fuzzy_edit_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -617,6 +659,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fuzzy_edit_pairs": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   substr(lower(text), 1, {EDIT_PREF}) AS pref,
+                   md5(substr(lower(text), 1, {EDIT_BLOCK})) AS b1,
+                   md5(substr(lower(text), {EDIT_BLOCK + 1}, {EDIT_BLOCK}))
+                       AS b2
+            FROM documents
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pref AS pa, b.pref AS pb
+            FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id, a.pref, b.pref
+            FROM d a JOIN d b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               levenshtein(pa, pb) AS edit_dist
+        FROM cand
+        WHERE levenshtein(pa, pb) <= {EDIT_MAX_DIST}
+    """,
     "minhash_lsh_pairs": f"""
         WITH words AS (
             SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

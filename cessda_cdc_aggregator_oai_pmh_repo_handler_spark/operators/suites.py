@@ -206,6 +206,9 @@ _CORPUS_SUBS = (
     Sub("canonical_selection", dedup.q_canonical_selection,
         dedup.ORACLES["canonical_selection"],
         (("component", "str"),), ("n_members", "kept_doc", "best_score")),
+    Sub("fuzzy_edit_pairs", dedup.q_fuzzy_edit_pairs,
+        dedup.ORACLES["fuzzy_edit_pairs"],
+        (("doc_a", "str"), ("doc_b", "str")), ("edit_dist",)),
     Sub("duplicate_spans", text_analysis.q_duplicate_spans,
         text_analysis.ORACLES["duplicate_spans"],
         (("source", "str"),), ("docs", "flagged", "covered_tokens", "dup_ratio")),

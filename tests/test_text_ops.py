@@ -282,3 +282,15 @@ def test_cms_heavy_hitters_bounds(spark, sf_dir):
     assert all(r["cms_ok"] == 1.0 for r in rows)
     key = [(-r["exact_cnt"], r["l_suppkey"]) for r in rows]
     assert key == sorted(key)
+
+
+def test_fuzzy_edit_pairs_symmetric_and_bounded(spark, sf_dir):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import dedup
+
+    rows = dedup.q_fuzzy_edit_pairs(spark, sf_dir).collect()
+    assert rows  # the synthetic corpus plants near-dup prefixes
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["edit_dist"] <= dedup.EDIT_MAX_DIST
+    # exact duplicates (same text) must appear with distance 0
+    assert any(r["edit_dist"] == 0 for r in rows)
