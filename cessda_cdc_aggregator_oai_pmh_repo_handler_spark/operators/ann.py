@@ -311,40 +311,35 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same fixed recursion per subspace unrolled as DuckDB
     CTEs (_pq_oracle_sql), extending the kmeans_clusters verification
     pattern."""
+    return _pq_search(spark, sf_dir, cell_probe=False)
+
+
+def q_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (the composition the PQ literature ships): the IVF
+    coarse probe restricts candidates to the query's cell, and ADC over
+    the PQ codes ranks WITHIN the cell — query-time work is the cell's
+    slice of the codes table, the billion-vector search recipe. Same
+    trained codebooks, encode pass, and determinism argument as
+    ``q_pq_ann``; at 100 TB the codes table is partitioned by the coarse
+    cell so the probe is partition pruning."""
+    return _pq_search(spark, sf_dir, cell_probe=True)
+
+
+def _pq_search(spark: SparkSession, sf_dir: str,
+               cell_probe: bool) -> DataFrame:
     import numpy as np
 
     from ..sources.tables import corpus_key
 
-    key = corpus_key(spark, sf_dir, table="embeddings")
+    ck = corpus_key(spark, sf_dir, table="embeddings")
+    key = (*ck, cell_probe)
     cached = _PQ_CACHE.get(key)
     if cached is not None:
         return cached
     e = (load_table(spark, "embeddings", sf_dir)
          .select("vec_id", "label", "embedding").persist())
     try:
-        seeds = e.orderBy("vec_id").limit(PQ_K).collect()
-        qvec = np.asarray(
-            [float(x) for x in
-             e.filter(F.col("vec_id") == QUERY_VEC_ID)
-              .select("embedding").collect()[0][0]], dtype=np.float64)
-        cents = [
-            np.asarray([[float(x) for x in r["embedding"]]
-                        [si * PQ_SUBDIM:(si + 1) * PQ_SUBDIM]
-                        for r in seeds], dtype=np.float64)
-            for si in range(PQ_SUBS)
-        ]
-        for _ in range(PQ_SWEEPS):
-            rows = _pq_sweep_partials(e, cents).collect()
-            for si in range(PQ_SUBS):
-                n = np.zeros(PQ_K)
-                s = np.zeros((PQ_K, PQ_SUBDIM))
-                for r in rows:
-                    if r["sub"] == si:
-                        n[r["cluster"]] += r["n"]
-                        s[r["cluster"]] += np.asarray(r["s"])
-                cents[si] = np.asarray(
-                    [s[i] / n[i] if n[i] else cents[si][i]
-                     for i in range(PQ_K)])
+        cents, qvec, qlabel = _pq_model(spark, e, ck)
         codes = _pq_encode(e, cents)
         adc = F.lit(0.0)
         for si in range(PQ_SUBS):
@@ -353,8 +348,11 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc = adc + F.element_at(
                 F.array(*[F.lit(float(d)) for d in dq]),
                 F.col(f"code{si}") + 1)
+        ranked = codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        if cell_probe:
+            ranked = ranked.filter(F.col("label") == qlabel)
         out = (
-            codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+            ranked
             .select("vec_id", "label",
                     *[f"code{si}" for si in range(PQ_SUBS)],
                     F.round(adc, 3).alias("adc_dist"))
@@ -366,6 +364,45 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         e.unpersist()
+
+
+# trained codebooks + query vector per corpus: training is the expensive
+# part; both search variants (full and cell-probed) reuse one fit
+_PQ_MODEL_CACHE: dict = {}
+
+
+def _pq_model(spark: SparkSession, e: DataFrame, ck):
+    import numpy as np
+
+    cached = _PQ_MODEL_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    seeds = e.orderBy("vec_id").limit(PQ_K).collect()
+    qrow = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding", "label").collect()[0])
+    qvec = np.asarray([float(x) for x in qrow["embedding"]],
+                      dtype=np.float64)
+    qlabel = qrow["label"]
+    cents = [
+        np.asarray([[float(x) for x in r["embedding"]]
+                    [si * PQ_SUBDIM:(si + 1) * PQ_SUBDIM]
+                    for r in seeds], dtype=np.float64)
+        for si in range(PQ_SUBS)
+    ]
+    for _ in range(PQ_SWEEPS):
+        rows = _pq_sweep_partials(e, cents).collect()
+        for si in range(PQ_SUBS):
+            n = np.zeros(PQ_K)
+            s = np.zeros((PQ_K, PQ_SUBDIM))
+            for r in rows:
+                if r["sub"] == si:
+                    n[r["cluster"]] += r["n"]
+                    s[r["cluster"]] += np.asarray(r["s"])
+            cents[si] = np.asarray(
+                [s[i] / n[i] if n[i] else cents[si][i]
+                 for i in range(PQ_K)])
+    _PQ_MODEL_CACHE[ck] = (cents, qvec, qlabel)
+    return cents, qvec, qlabel
 
 
 def _pq_sweep_partials(e: DataFrame, cents) -> DataFrame:
@@ -422,7 +459,8 @@ def _pq_encode(e: DataFrame, cents) -> DataFrame:
 
 
 def _pq_oracle_sql(subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM,
-                   k: int = PQ_K, sweeps: int = PQ_SWEEPS) -> str:
+                   k: int = PQ_K, sweeps: int = PQ_SWEEPS,
+                   cell_probe: bool = False) -> str:
     """Per-subspace unrolled Lloyd recursion (the _kmeans_oracle_sql
     pattern at dim=subdim with a slice offset), then code assignment and
     the ADC lookup joined on code."""
@@ -496,12 +534,15 @@ def _pq_oracle_sql(subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM,
     qd_joins = " ".join(
         f"JOIN qd{s} ON qd{s}.cluster = f{s}.code{s}" for s in finals)
     adc = " + ".join(f"qd{s}.d" for s in finals)
+    cell_pred = (
+        f" AND p.label = (SELECT label FROM embeddings"
+        f" WHERE vec_id = {QUERY_VEC_ID})" if cell_probe else "")
     return f"""
         WITH {ctes}
         SELECT p.vec_id, p.label, {code_cols},
                round({adc}, 3) AS adc_dist
         FROM pts p {joins} {qd_joins}
-        WHERE p.vec_id <> {QUERY_VEC_ID}
+        WHERE p.vec_id <> {QUERY_VEC_ID}{cell_pred}
         ORDER BY adc_dist, p.vec_id
         LIMIT {TOP_K}
     """
@@ -626,6 +667,7 @@ _BM25_SQL = f"""
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "pq_ann": q_pq_ann,
+    "ivf_pq_ann": q_ivf_pq_ann,
     "bm25_topk": q_bm25_topk,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_lsh_probe": q_ann_lsh_probe,
@@ -638,6 +680,7 @@ QUERIES = {
 
 ORACLES = {
     "pq_ann": _pq_oracle_sql(),
+    "ivf_pq_ann": _pq_oracle_sql(cell_probe=True),
     "bm25_topk": _BM25_SQL,
     "ann_bruteforce": f"""
         SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine

@@ -256,6 +256,10 @@ _CORPUS_SUBS = (
         ("adc_dist",)),
     Sub("bm25_topk", ann.q_bm25_topk, ann.ORACLES["bm25_topk"],
         (("doc_id", "str"),), ("bm25", "matched_terms")),
+    Sub("ivf_pq_ann", ann.q_ivf_pq_ann, ann.ORACLES["ivf_pq_ann"],
+        (("vec_id", "str"), ("label", "str"),
+         *((f"code{si}", "str") for si in range(ann.PQ_SUBS))),
+        ("adc_dist",)),
     Sub("split_leakage", text_analysis.q_split_leakage,
         text_analysis.ORACLES["split_leakage"],
         (("split", "str"),), ("leaked_docs", "shared_grams")),

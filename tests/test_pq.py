@@ -62,3 +62,19 @@ def test_pq_encode_assigns_nearest_centroid(spark):
     got = {r["vec_id"]: (r["code0"], r["code1"])
            for r in ann._pq_encode(e, cents).collect()}
     assert got == {0: (0, 0), 1: (1, 0)}
+
+
+def test_ivf_pq_restricts_to_query_cell(spark, sf_dir):
+    """IVFADC results all live in the query's coarse cell, and agree with
+    full-corpus PQ wherever that also chose in-cell vectors."""
+    qlabel = (load_table(spark, "embeddings", sf_dir)
+              .filter(F.col("vec_id") == ann.QUERY_VEC_ID)
+              .select("label").collect()[0][0])
+    cell = ann.q_ivf_pq_ann(spark, sf_dir).collect()
+    assert cell
+    assert all(r["label"] == qlabel for r in cell)
+    full = {r["vec_id"]: r["adc_dist"]
+            for r in ann.q_pq_ann(spark, sf_dir).collect()}
+    for r in cell:
+        if r["vec_id"] in full:  # shared candidates carry identical ADC
+            assert full[r["vec_id"]] == r["adc_dist"]
