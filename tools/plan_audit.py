@@ -60,6 +60,8 @@ HEADLINERS = {
     "analytic_extras": "Ranking windows: ntile/percent_rank/cume_dist + RANGE-frame running sum all ride ONE partition exchange.",
     "funnel_steps": "Ordered funnel: three chained first-after-step window mins share one user-partitioned exchange; collapse to a single conversion row.",
     "event_transitions": "Transition matrix: lead() sequencing on the user exchange; per-source probability is a window over MATRIX rows, not events.",
+    "ivf_pq_ann": "IVFADC: cell filter prunes the codes scan before the ADC literal-lookup ranking; top-k is TakeOrderedAndProject.",
+    "fuzzy_edit_pairs": "Edit-distance dedup: two pigeonhole block equi-joins union-distinct; levenshtein verifies only candidates, never all pairs.",
 }
 
 
