@@ -618,10 +618,14 @@ def q_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget of 8 rarely touches both windows), candidates equi-join per
     block and union-distinct, then ``levenshtein`` verifies the 40-char
     normalized prefix — identical dynamic-programming semantics on both
-    engines, so the distance is engine-exact. At 100 TB the block join is
-    the skew point: block keys are text prefixes, so a boilerplate prefix
-    needs the LSH_BUCKET_CAP treatment (same Window-rank guard as the
-    minhash buckets) before the self-join."""
+    engines, so the distance is engine-exact. Block keys are text
+    prefixes, so a boilerplate prefix is the skew point: each block is
+    capped at LSH_BUCKET_CAP members (deterministically, lowest doc_ids
+    win — the minhash-bucket Window-rank guard) before the self-join, so
+    no block can go quadratic; over-cap members still pair through the
+    other window or the near-dup family's shingle operators."""
+    from pyspark.sql import Window
+
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id",
         F.substring(F.lower("text"), 1, EDIT_PREF).alias("pref"),
@@ -631,7 +635,11 @@ def q_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_pairs(key: str) -> DataFrame:
-        a, b = d.alias("a"), d.alias("b")
+        capped = d.withColumn(
+            "rk", F.row_number().over(
+                Window.partitionBy(key).orderBy("doc_id"))
+        ).filter(F.col("rk") <= LSH_BUCKET_CAP).drop("rk")
+        a, b = capped.alias("a"), capped.alias("b")
         return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
                        & (F.col("a.doc_id") < F.col("b.doc_id")))
                 .select(F.col("a.doc_id").alias("doc_a"),
@@ -668,13 +676,25 @@ ORACLES = {
                        AS b2
             FROM documents
         ),
+        c1 AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY b1
+                                             ORDER BY doc_id) AS rk
+                FROM d) WHERE rk <= {LSH_BUCKET_CAP}
+        ),
+        c2 AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY b2
+                                             ORDER BY doc_id) AS rk
+                FROM d) WHERE rk <= {LSH_BUCKET_CAP}
+        ),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.pref AS pa, b.pref AS pb
-            FROM d a JOIN d b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+            FROM c1 a JOIN c1 b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
             UNION
             SELECT a.doc_id, b.doc_id, a.pref, b.pref
-            FROM d a JOIN d b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+            FROM c2 a JOIN c2 b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
                levenshtein(pa, pb) AS edit_dist

@@ -294,3 +294,26 @@ def test_fuzzy_edit_pairs_symmetric_and_bounded(spark, sf_dir):
         assert 0 <= r["edit_dist"] <= dedup.EDIT_MAX_DIST
     # exact duplicates (same text) must appear with distance 0
     assert any(r["edit_dist"] == 0 for r in rows)
+
+
+def test_fuzzy_block_cap_bounds_viral_prefix(spark):
+    """A boilerplate prefix shared by far more docs than the bucket cap
+    yields at most C(cap,2) pairs per block — never quadratic."""
+    import math
+    import os
+    import tempfile
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import dedup
+
+    n = dedup.LSH_BUCKET_CAP * 3
+    rows = [(i, "identical boilerplate prefix here tail%d" % i,
+             "en", "s", 40) for i in range(n)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        pairs = dedup.q_fuzzy_edit_pairs(spark, tmp).count()
+    cap_pairs = math.comb(dedup.LSH_BUCKET_CAP, 2)
+    # two blocking windows -> at most 2x the per-block cap, unioned
+    assert 0 < pairs <= 2 * cap_pairs
