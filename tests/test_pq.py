@@ -78,3 +78,19 @@ def test_ivf_pq_restricts_to_query_cell(spark, sf_dir):
     for r in cell:
         if r["vec_id"] in full:  # shared candidates carry identical ADC
             assert full[r["vec_id"]] == r["adc_dist"]
+
+
+def test_ann_variants_recall_floor(spark, sf_dir):
+    """Index fidelity: every approximate search overlaps the exact
+    brute-force top-10 (the indexes lose detail, not the neighborhood),
+    and the IVFADC composition stays inside IVF's cell while sharing
+    PQ's distance table."""
+    exact = {r["vec_id"] for r in ann.q_ann_bruteforce(spark, sf_dir).collect()}
+
+    def recall(df):
+        got = {r["vec_id"] for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    assert recall(ann.q_ann_ivf_probe(spark, sf_dir)) >= 0.1
+    assert recall(ann.q_pq_ann(spark, sf_dir)) >= 0.1
+    assert recall(ann.q_ivf_pq_ann(spark, sf_dir)) >= 0.1
