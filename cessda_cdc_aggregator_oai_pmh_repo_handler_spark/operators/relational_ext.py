@@ -645,6 +645,32 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics conformance row set — the corner cases engines
+    quietly disagree on, verified against DuckDB: grouping BY a nullable
+    key (the NULL group is a real group), count(*) vs count(col) (the
+    NULL group's count(col) is 0), null-safe equality (<=> / IS NOT
+    DISTINCT FROM), aggregates ignoring NULLs (avg), and SUM over an
+    all-NULL slice staying NULL instead of 0. The nullable key is
+    manufactured with nullif so the same rows exercise every rule."""
+    o = load_table(spark, "orders", sf_dir)
+    base = o.select(
+        F.expr("nullif(o_orderpriority, '3-MEDIUM')").alias("pri_n"),
+        "o_totalprice",
+        F.expr("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")
+        .alias("p_price"),
+    )
+    return base.groupBy("pri_n").agg(
+        F.count("*").alias("cnt_star"),
+        F.count("pri_n").alias("cnt_col"),
+        F.count(F.when(F.col("pri_n").eqNullSafe(F.lit(None)), 1))
+        .alias("nullsafe_null_cnt"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        # all-NULL slice for most groups: SUM must stay NULL, not 0
+        F.round(F.sum("p_price"), 2).alias("sum_p_only"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the general form behind cube/rollup
     (SPARK-45929 DataFrame API): per-returnflag, per-linestatus, and the
@@ -819,6 +845,7 @@ QUERIES = {
     "supplier_stats": q_supplier_stats,
     "grouping_sets": q_grouping_sets,
     "analytic_extras": q_analytic_extras,
+    "null_semantics": q_null_semantics,
     "tpch_q2": q_tpch_q2,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
@@ -1016,6 +1043,19 @@ ORACLES = {
             SELECT avg(l2.l_quantity) FROM lineitem l2
             WHERE l2.l_partkey = l1.l_partkey
         )
+    """,
+    "null_semantics": """
+        SELECT nullif(o_orderpriority, '3-MEDIUM') AS pri_n,
+               count(*) AS cnt_star,
+               count(nullif(o_orderpriority, '3-MEDIUM')) AS cnt_col,
+               count(CASE WHEN nullif(o_orderpriority, '3-MEDIUM')
+                          IS NOT DISTINCT FROM NULL THEN 1 END)
+                   AS nullsafe_null_cnt,
+               round(avg(o_totalprice), 2) AS avg_price,
+               round(sum(CASE WHEN o_orderstatus = 'P'
+                              THEN o_totalprice END), 2) AS sum_p_only
+        FROM orders
+        GROUP BY 1
     """,
     "grouping_sets": """
         SELECT l_returnflag, l_linestatus,

@@ -356,6 +356,11 @@ _SQL_SURFACE_SUBS = (
         relational_ext.ORACLES["analytic_extras"],
         (("o_orderpriority", "str"), ("o_orderkey", "str")),
         ("quartile", "pct_rank", "cume", "range_running")),
+    Sub("null_semantics", relational_ext.q_null_semantics,
+        relational_ext.ORACLES["null_semantics"],
+        (("pri_n", "str"),),
+        ("cnt_star", "cnt_col", "nullsafe_null_cnt", "avg_price",
+         "sum_p_only")),
 )
 
 _SET_OPS_SUBS = (
