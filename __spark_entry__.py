@@ -29,6 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # shapes are folded into long-format suite queries (operators/suites.py)
 # that preserve full row-level verification per operator:
 #   window_suite        = event_window + sliding_window + session_window
+#                         + gapfill_hourly + funnel_steps
+#                         + cohort_retention + event_transitions
 #   temporal_join_suite = asof_last_signup + range_join_pairs
 #   corpus_stats_suite  = percentile_stats + length_histogram
 #                         + zscore_normalize + gopher_repetition
@@ -41,7 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   tpch_suite          = all 22 TPC-H query shapes
 #   sql_surface_suite   = supplier_stats + fact_join + outer_join
 #                         + anti_join + cube_rollup + scalar_subquery
-#                         + salted_skew_agg
+#                         + salted_skew_agg + window_functions + stats_agg
+#                         + grouping_sets + analytic_extras
+#                         + null_semantics
 #   set_ops             = union_dedup + intersect_except
 # ann_pandas is pytest/bench-covered only (it duplicates ann_bruteforce's
 # oracle); kmeans_clusters is verified against a 4-sweep Lloyd's recursion
