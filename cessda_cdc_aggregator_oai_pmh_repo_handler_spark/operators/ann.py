@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .dedup import _DOT_SQL, _SIGN_SIG_SQL, _cosine_sql, dot_cols, norm_col, sign_signature
+from .dedup import (BLOCK_BITS, _DOT_SQL, _SIGN_SIG_SQL, _cosine_sql,
+                    dot_cols, norm_col, sign_signature)
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -80,6 +81,34 @@ def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(q)
         .filter((F.col("vec_id") != QUERY_VEC_ID) & (sig == qsig))
         .select("vec_id", "label", F.round(_cosine_to_query(), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: candidates within Hamming distance 1 of the
+    query's BLOCK_BITS-bit sign signature — the query's own bucket plus
+    its one-bit neighbors, the standard recall fix for LSH's hard bucket
+    boundary (Lv et al., multi-probe LSH). The Hamming distance is a
+    BLOCK_BITS-term codegen'd sum of per-bit compares between the two
+    signature strings — no bucket enumeration, no driver action; exact
+    cosine re-ranks the widened candidate set, top-k via TakeOrdered. At
+    100 TB with a signature-bucketed table this is BLOCK_BITS+1 pruned
+    bucket probes."""
+    e, q = _with_query(spark, sf_dir)
+    sig = sign_signature("embedding")
+    qsig = sign_signature("qvec")
+    ham = sum(
+        (F.when(F.substring(sig, i, 1) != F.substring(qsig, i, 1), 1)
+         .otherwise(0) for i in range(1, BLOCK_BITS + 1)),
+        F.lit(0),
+    )
+    return (
+        e.crossJoin(q)
+        .filter((F.col("vec_id") != QUERY_VEC_ID) & (ham <= 1))
+        .select("vec_id", "label",
+                F.round(_cosine_to_query(), 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
@@ -668,6 +697,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "pq_ann": q_pq_ann,
     "ivf_pq_ann": q_ivf_pq_ann,
+    "ann_multiprobe_lsh": q_ann_multiprobe_lsh,
     "bm25_topk": q_bm25_topk,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_lsh_probe": q_ann_lsh_probe,
@@ -702,6 +732,24 @@ ORACLES = {
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
         WHERE e.vec_id <> {QUERY_VEC_ID} AND ({_ESIG}) = ({_QSIG})
         ORDER BY {_COS_Q} DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+    "ann_multiprobe_lsh": f"""
+        WITH sigs AS (
+            SELECT e.vec_id, e.label, e.embedding, q.embedding AS qemb,
+                   ({_ESIG}) AS esig, ({_QSIG}) AS qsig
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+        )
+        SELECT vec_id, label,
+               round({_cosine_sql("embedding", "qemb")}, 4) AS cosine
+        FROM sigs
+        WHERE vec_id <> {QUERY_VEC_ID}
+          AND len([i FOR i IN range(1, {BLOCK_BITS + 1})
+                   IF substr(esig, CAST(i AS INT), 1)
+                      <> substr(qsig, CAST(i AS INT), 1)]) <= 1
+        ORDER BY {_cosine_sql("embedding", "qemb")} DESC, vec_id
         LIMIT {TOP_K}
     """,
     # same result as the JVM fold; numpy's pairwise summation agrees with the

@@ -260,6 +260,9 @@ _CORPUS_SUBS = (
         (("vec_id", "str"), ("label", "str"),
          *((f"code{si}", "str") for si in range(ann.PQ_SUBS))),
         ("adc_dist",)),
+    Sub("ann_multiprobe_lsh", ann.q_ann_multiprobe_lsh,
+        ann.ORACLES["ann_multiprobe_lsh"],
+        (("vec_id", "str"), ("label", "str")), ("cosine",)),
     Sub("split_leakage", text_analysis.q_split_leakage,
         text_analysis.ORACLES["split_leakage"],
         (("split", "str"),), ("leaked_docs", "shared_grams")),

@@ -83,6 +83,26 @@ def append_vector_batch(spark: SparkSession, batch: DataFrame,
             os.path.join(index_path, CODES, f"epoch={epoch}"))
 
 
+def start_vector_index_stream(spark: SparkSession, source_dir: str,
+                              index_path: str, checkpoint_dir: str):
+    """Maintain the codes table from a parquet-directory stream of
+    vectors (the index must be bootstrapped first — codebooks are
+    frozen). Epoch = batch id + 1, so replays land idempotently."""
+    stream = (
+        spark.readStream
+        .schema("vec_id long, label int, embedding array<float>")
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(lambda b, eid: append_vector_batch(
+            spark, b, index_path, epoch=int(eid) + 1))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def adc_query(spark: SparkSession, index_path: str, query_vec,
               top_k: int = TOP_K,
               exclude_vec: int | None = None) -> DataFrame:

@@ -94,3 +94,15 @@ def test_ann_variants_recall_floor(spark, sf_dir):
     assert recall(ann.q_ann_ivf_probe(spark, sf_dir)) >= 0.1
     assert recall(ann.q_pq_ann(spark, sf_dir)) >= 0.1
     assert recall(ann.q_ivf_pq_ann(spark, sf_dir)) >= 0.1
+
+
+def test_multiprobe_supersets_single_probe(spark, sf_dir):
+    """Hamming<=1 candidates strictly contain the exact-bucket probe's,
+    so multi-probe recall can only improve on single-probe."""
+    single = {r["vec_id"] for r in ann.q_ann_lsh_probe(spark, sf_dir).collect()}
+    multi_df = ann.q_ann_multiprobe_lsh(spark, sf_dir)
+    multi = {r["vec_id"] for r in multi_df.collect()}
+    assert len(multi) >= len(single)
+    exact = {r["vec_id"] for r in ann.q_ann_bruteforce(spark, sf_dir).collect()}
+    # recall(multi) >= recall(single) on the same exact top-10
+    assert len(multi & exact) >= len(single & exact)
