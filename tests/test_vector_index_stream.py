@@ -67,3 +67,24 @@ def test_vector_epoch_replay_idempotent(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in once] == [tuple(r) for r in twice]
     n = spark.read.parquet(os.path.join(idx, vx.CODES)).count()
     assert n == e.count()  # no double-encoded vectors
+
+
+def test_vector_stream_end_to_end(spark, sf_dir, tmp_path):
+    """Vectors landing in a watched directory flow through the stream
+    into the codes table against the frozen codebooks."""
+    src = str(tmp_path / "vsrc")
+    idx = str(tmp_path / "vidx")
+    ckpt = str(tmp_path / "vckpt")
+    e = load_table(spark, "embeddings", sf_dir)
+    vx.bootstrap_vector_index(
+        spark, e.filter(F.col("vec_id") < 100), idx, sf_dir)
+    (e.filter(F.col("vec_id") >= 100)
+     .select("vec_id", "label", "embedding")
+     .write.mode("append").parquet(src))
+    q = vx.start_vector_index_stream(spark, src, idx, ckpt)
+    q.awaitTermination(120)
+    n = spark.read.parquet(os.path.join(idx, vx.CODES)).count()
+    assert n == e.count()
+    top = vx.adc_query(spark, idx, _query_vec(spark, sf_dir),
+                       exclude_vec=ann.QUERY_VEC_ID).collect()
+    assert len(top) == ann.TOP_K
