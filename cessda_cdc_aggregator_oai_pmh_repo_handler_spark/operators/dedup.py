@@ -606,6 +606,49 @@ def connected_components_distributed(pairs: DataFrame) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-duplicate graph — the second graph
+    operator next to connected components: rank documents by how central
+    they are in their duplication neighborhood (high-rank nodes are the
+    'canonical-ish' hubs a dedup reviewer looks at first). Fixed
+    PR_ITERS power iterations at damping 0.85 over the symmetrized edge
+    list; each iteration is one join + one aggregation over EDGE-sized
+    relations (the corpus never re-enters after the pair computation),
+    with the node count as a 1-row broadcast. Deterministic: fixed
+    iteration count, undirected graph (no dangling mass), rank rounded
+    at 6; the oracle unrolls the same recursion as chained CTEs over the
+    same verified-pairs SQL."""
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    pr = (deg.crossJoin(F.broadcast(n))
+          .select(F.col("doc_a").alias("doc_id"), "deg", "n",
+                  (F.lit(1.0) / F.col("n")).alias("pr")))
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(pr.select(F.col("doc_id").alias("doc_a"),
+                               F.col("deg").alias("sdeg"), "pr"), "doc_a")
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.sum(F.col("pr") / F.col("sdeg")).alias("c"))
+        )
+        pr = (deg.crossJoin(F.broadcast(n))
+              .select(F.col("doc_a").alias("doc_id"), "deg", "n")
+              .join(contrib, "doc_id", "left")
+              .select("doc_id", "deg", "n",
+                      ((1 - PR_DAMPING) / F.col("n")
+                       + PR_DAMPING * F.coalesce("c", F.lit(0.0)))
+                      .alias("pr")))
+    return pr.select("doc_id", "deg", F.round("pr", 6).alias("pagerank"))
+
+
 EDIT_PREF = 40       # verify window: first N normalized chars
 EDIT_BLOCK = 12      # blocking key width
 EDIT_MAX_DIST = 8    # verified-pair threshold
@@ -842,6 +885,40 @@ def _canonical_selection_oracle() -> str:
 
 
 ORACLES["canonical_selection"] = _canonical_selection_oracle()
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """The same fixed power iteration unrolled as chained CTEs over the
+    verified-pairs SQL (nested as a subquery CTE)."""
+    parts = [f"""
+        pairs AS (SELECT doc_a, doc_b
+                  FROM ({ORACLES["minhash_lsh_pairs"]}) mh),
+        sym AS (SELECT doc_a, doc_b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+        deg AS (SELECT doc_a, count(*) AS deg FROM sym GROUP BY doc_a),
+        nn AS (SELECT count(*) AS n FROM deg),
+        pr0 AS (SELECT doc_a AS doc_id, deg, 1.0 / nn.n AS pr
+                FROM deg, nn)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        c{t} AS (SELECT s.doc_b AS doc_id, sum(p.pr / p.deg) AS c
+                 FROM sym s JOIN pr{t - 1} p ON p.doc_id = s.doc_a
+                 GROUP BY s.doc_b),
+        pr{t} AS (SELECT deg.doc_a AS doc_id, deg.deg,
+                         (1 - {d}) / nn.n
+                         + {d} * coalesce(c{t}.c, 0) AS pr
+                  FROM deg CROSS JOIN nn
+                  LEFT JOIN c{t} ON c{t}.doc_id = deg.doc_a)""")
+    ctes = ",".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT doc_id, deg, round(pr, 6) AS pagerank FROM pr{iters}
+    """
+
+
+ORACLES["pagerank_neardup"] = _pagerank_oracle()
+QUERIES["pagerank_neardup"] = q_pagerank_neardup
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,6 +209,9 @@ _CORPUS_SUBS = (
     Sub("fuzzy_edit_pairs", dedup.q_fuzzy_edit_pairs,
         dedup.ORACLES["fuzzy_edit_pairs"],
         (("doc_a", "str"), ("doc_b", "str")), ("edit_dist",)),
+    Sub("pagerank_neardup", dedup.q_pagerank_neardup,
+        dedup.ORACLES["pagerank_neardup"],
+        (("doc_id", "str"),), ("deg", "pagerank")),
     Sub("duplicate_spans", text_analysis.q_duplicate_spans,
         text_analysis.ORACLES["duplicate_spans"],
         (("source", "str"),), ("docs", "flagged", "covered_tokens", "dup_ratio")),

@@ -317,3 +317,20 @@ def test_fuzzy_block_cap_bounds_viral_prefix(spark):
     cap_pairs = math.comb(dedup.LSH_BUCKET_CAP, 2)
     # two blocking windows -> at most 2x the per-block cap, unioned
     assert 0 < pairs <= 2 * cap_pairs
+
+
+def test_pagerank_neardup_invariants(spark, sf_dir):
+    """Ranks are a probability-ish distribution over graph nodes: every
+    rank >= (1-d)/N, total mass ~1 (undirected graph keeps all mass),
+    and higher-degree hubs never rank below the floor."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import dedup
+
+    rows = dedup.q_pagerank_neardup(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    floor = (1 - dedup.PR_DAMPING) / n
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    for r in rows:
+        assert r["pagerank"] >= floor - 1e-9
+        assert r["deg"] >= 1
