@@ -62,6 +62,9 @@ HEADLINERS = {
     "event_transitions": "Transition matrix: lead() sequencing on the user exchange; per-source probability is a window over MATRIX rows, not events.",
     "ivf_pq_ann": "IVFADC: cell filter prunes the codes scan before the ADC literal-lookup ranking; top-k is TakeOrderedAndProject.",
     "fuzzy_edit_pairs": "Edit-distance dedup: two pigeonhole block equi-joins union-distinct; levenshtein verifies only candidates, never all pairs.",
+    "ann_multiprobe_lsh": "Multi-probe LSH: Hamming<=1 as a codegen'd per-bit compare sum; exact cosine re-rank, TakeOrdered top-k.",
+    "pagerank_neardup": "PageRank: power iterations over edge-sized joins; node count broadcast; the corpus never re-enters after the pair computation.",
+    "null_semantics": "NULL conformance: one grouped aggregate carrying the NULL group, count(*) vs count(col), null-safe equality, SUM-over-empty NULL.",
 }
 
 
