@@ -241,6 +241,9 @@ _CORPUS_SUBS = (
     Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
         text_analysis.ORACLES["cms_heavy_hitters"],
         (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),
+    Sub("weighted_sample", text_analysis.q_weighted_sample,
+        text_analysis.ORACLES["weighted_sample"],
+        (("doc_id", "str"), ("source", "str")), ("weight", "es_key")),
     Sub("stratified_sample", text_analysis.q_stratified_sample,
         text_analysis.ORACLES["stratified_sample"],
         (("doc_id", "str"), ("source", "str")), ("rk", "quota")),

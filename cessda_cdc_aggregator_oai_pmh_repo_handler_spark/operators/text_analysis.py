@@ -972,6 +972,33 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ES_SAMPLE_K = 20
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, the Efraimidis–Spirakis
+    exponential-keys method — THE distributed algorithm for 'pick k docs
+    with probability proportional to weight' (here weight = n_chars):
+    each row draws key = -ln(u)/w from a uniform u and the global top-k
+    keys win. One scan + TakeOrderedAndProject, no per-stratum state,
+    mergeable across partitions by construction — at 100 TB this is how
+    you take a weighted corpus sample in one pass. u is a seedless
+    md5-derived uniform (first 12 hex digits / 16^12), so the draw is
+    reproducible on any engine; ties are impossible in practice and
+    doc_id breaks them deterministically anyway."""
+    d = _tokenized_docs(spark, sf_dir)
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                16, 10).cast("double") + 1.0) / F.lit(float(16 ** 12))
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source",
+                 F.col("n_chars").alias("weight"),
+                 F.round(key, 10).alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(ES_SAMPLE_K)
+    )
+
+
 SAMPLE_FRAC = 0.2
 
 
@@ -1028,6 +1055,7 @@ QUERIES = {
     "length_histogram": q_length_histogram,
     "percentile_stats": q_percentile_stats,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
@@ -1116,6 +1144,16 @@ ORACLES = {
             FROM documents
         ) t
         WHERE rk <= quota
+    """,
+    "weighted_sample": f"""
+        SELECT doc_id, source, n_chars AS weight,
+               round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 12)) AS BIGINT) + 1.0)
+                         / {float(16 ** 12)})
+                     / n_chars, 10) AS es_key
+        FROM documents
+        ORDER BY es_key, doc_id
+        LIMIT {ES_SAMPLE_K}
     """,
     "cms_heavy_hitters": f"""
         SELECT l_suppkey, exact_cnt, 1.0 AS cms_ok FROM (

@@ -334,3 +334,18 @@ def test_pagerank_neardup_invariants(spark, sf_dir):
     for r in rows:
         assert r["pagerank"] >= floor - 1e-9
         assert r["deg"] >= 1
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """ES keys are valid (nonnegative), the result is the global k-min
+    cut, and the sample's mean weight exceeds the corpus mean — the
+    bias the method exists to produce."""
+    rows = TA.q_weighted_sample(spark, sf_dir).collect()
+    assert len(rows) == TA.ES_SAMPLE_K
+    keys = [(r["es_key"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["es_key"] >= 0 for r in rows)
+    corpus_mean = (load_table(spark, "documents", sf_dir)
+                   .agg(F.avg("n_chars").alias("m")).collect()[0]["m"])
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
