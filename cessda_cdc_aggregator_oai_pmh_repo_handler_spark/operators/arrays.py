@@ -330,8 +330,43 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONCURRENCY_WINDOW_MIN = 5  # each event occupies [ts, ts + 5 minutes)
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval aggregation: treating each event as a
+    5-minute session, the maximum number of simultaneously-open sessions
+    per event type — the classic 'peak concurrency' query. Each interval
+    unpivots to a +1 start and a -1 end marker; a running sum over
+    (time, delta) per type is the open-session count, and its max is the
+    peak. Ordering ties as (time, delta) closes sessions BEFORE opening
+    new ones at the same instant — deterministic and engine-identical.
+    One exchange on event_type; the window never sees more than 2×|events
+    of that type| marker rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    end_ts = F.col("ts") + F.expr(
+        f"INTERVAL {CONCURRENCY_WINDOW_MIN} MINUTES")
+    markers = (
+        e.select("event_type", F.col("ts").alias("t"),
+                 F.lit(1).alias("delta"))
+        .unionAll(e.select("event_type", end_ts.alias("t"),
+                           F.lit(-1).alias("delta")))
+    )
+    w = (Window.partitionBy("event_type").orderBy("t", "delta")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        markers.withColumn("open_now", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("open_now").alias("max_concurrent"),
+             F.count(F.lit(1)).alias("markers"))
+    )
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
+    "max_concurrency": q_max_concurrency,
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
     "pivot_events": q_pivot_events,
@@ -375,6 +410,28 @@ ORACLES = {
                count(t3) AS step_purchase,
                round(count(t3) * 100.0 / count(t1), 4) AS conversion_pct
         FROM per_user
+    """,
+    "max_concurrency": f"""
+        WITH markers AS (
+            SELECT event_type, ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT event_type,
+                   ts + INTERVAL {CONCURRENCY_WINDOW_MIN} MINUTE,
+                   -1 FROM events
+        ),
+        open_counts AS (
+            SELECT event_type,
+                   sum(delta) OVER (PARTITION BY event_type
+                                    ORDER BY t, delta
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS open_now
+            FROM markers
+        )
+        SELECT event_type,
+               max(open_now) AS max_concurrent,
+               count(*) AS markers
+        FROM open_counts
+        GROUP BY event_type
     """,
     "event_transitions": """
         WITH seq AS (

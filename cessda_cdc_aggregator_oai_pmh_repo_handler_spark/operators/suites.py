@@ -162,6 +162,9 @@ _WINDOW_SUBS = (
     Sub("event_transitions", arrays.q_event_transitions,
         arrays.ORACLES["event_transitions"],
         (("from_type", "str"), ("to_type", "str")), ("transitions", "prob")),
+    Sub("max_concurrency", arrays.q_max_concurrency,
+        arrays.ORACLES["max_concurrency"],
+        (("event_type", "str"),), ("max_concurrent", "markers")),
 )
 
 _TEMPORAL_SUBS = (

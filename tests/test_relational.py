@@ -75,3 +75,21 @@ def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
         by_from[r["from_type"]] += r["prob"]
     for total in by_from.values():
         assert abs(total - 1.0) < 1e-4  # rows carry rounded probabilities
+
+
+def test_max_concurrency_sweep_line(spark, sf_dir):
+    """Markers balance (+1/-1 per event), concurrency is at least 1 and
+    never exceeds that type's event count."""
+    from pyspark.sql import functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    rows = arrays.q_max_concurrency(spark, sf_dir).collect()
+    counts = {r["event_type"]: r["cnt"] for r in
+              load_table(spark, "events", sf_dir)
+              .groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    assert {r["event_type"] for r in rows} == set(counts)
+    for r in rows:
+        assert r["markers"] == 2 * counts[r["event_type"]]
+        assert 1 <= r["max_concurrent"] <= counts[r["event_type"]]
