@@ -645,6 +645,38 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_fn_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everyday scalar-function conformance — the date/string/numeric
+    builtins a user switching engines leans on, verified value-for-value
+    against DuckDB over a fixed order slice: last_day / add_months /
+    date_trunc / weekday (mapped to a shared Monday=0 convention),
+    translate / lpad / reverse / repeat / substring, and
+    positive-modulus / greatest / power (Spark's pmod vs DuckDB's
+    sign-following %, reconciled the portable way). Pure projection —
+    zero exchanges beyond the pushed key filter."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")
+        .alias("month_end"),
+        F.date_format(F.add_months(F.to_date("o_orderdate"), 2),
+                      "yyyy-MM-dd").alias("plus_two_months"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd")
+        .alias("quarter_start"),
+        # shared convention: Monday = 0 (Spark weekday() already is;
+        # DuckDB isodow is Monday = 1)
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.translate("o_orderpriority", "-", "_").alias("pri_translated"),
+        F.lpad("o_orderpriority", 12, "*").alias("pri_padded"),
+        F.reverse(F.substring("o_orderpriority", 1, 3)).alias("pri_rev3"),
+        F.repeat(F.substring("o_orderpriority", 1, 1), 3).alias("pri_rep"),
+        F.pmod(F.col("o_orderkey") - 150, F.lit(7)).alias("pos_mod"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0))
+        .alias("floor_100k"),
+        F.round(F.pow(F.col("o_orderkey"), 1.5), 3).alias("key_pow15"),
+    )
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-semantics conformance row set — the corner cases engines
     quietly disagree on, verified against DuckDB: grouping BY a nullable
@@ -846,6 +878,7 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "analytic_extras": q_analytic_extras,
     "null_semantics": q_null_semantics,
+    "scalar_fn_conformance": q_scalar_fn_conformance,
     "tpch_q2": q_tpch_q2,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
@@ -1043,6 +1076,25 @@ ORACLES = {
             SELECT avg(l2.l_quantity) FROM lineitem l2
             WHERE l2.l_partkey = l1.l_partkey
         )
+    """,
+    "scalar_fn_conformance": """
+        SELECT o_orderkey,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+                   AS month_end,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH,
+                        '%Y-%m-%d') AS plus_two_months,
+               strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+                   AS quarter_start,
+               CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_mon0,
+               replace(o_orderpriority, '-', '_') AS pri_translated,
+               lpad(o_orderpriority, 12, '*') AS pri_padded,
+               reverse(substr(o_orderpriority, 1, 3)) AS pri_rev3,
+               repeat(substr(o_orderpriority, 1, 1), 3) AS pri_rep,
+               CAST(((o_orderkey - 150) % 7 + 7) % 7 AS INT) AS pos_mod,
+               greatest(o_totalprice, 100000.0) AS floor_100k,
+               round(pow(o_orderkey, 1.5), 3) AS key_pow15
+        FROM orders
+        WHERE o_orderkey < 200
     """,
     "null_semantics": """
         SELECT nullif(o_orderpriority, '3-MEDIUM') AS pri_n,

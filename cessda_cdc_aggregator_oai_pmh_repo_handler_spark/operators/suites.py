@@ -373,6 +373,13 @@ _SQL_SURFACE_SUBS = (
         (("pri_n", "str"),),
         ("cnt_star", "cnt_col", "nullsafe_null_cnt", "avg_price",
          "sum_p_only")),
+    Sub("scalar_fn_conformance", relational_ext.q_scalar_fn_conformance,
+        relational_ext.ORACLES["scalar_fn_conformance"],
+        (("o_orderkey", "str"), ("month_end", "str"),
+         ("plus_two_months", "str"), ("quarter_start", "str"),
+         ("pri_translated", "str"), ("pri_padded", "str"),
+         ("pri_rev3", "str"), ("pri_rep", "str")),
+        ("weekday_mon0", "pos_mod", "floor_100k", "key_pow15")),
 )
 
 _SET_OPS_SUBS = (
