@@ -330,6 +330,32 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_fn_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function conformance over the words column —
+    sort_array / reverse+slice / indexed transform / aggregate fold /
+    filter / array_distinct / flatten, each verified value-for-value
+    against DuckDB's list vocabulary (list_sort, list_reverse +
+    list_slice, range comprehension, list_reduce, list_filter,
+    list_distinct, flatten). Pure projection over a pushed key slice;
+    every lambda stays in codegen."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    w = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", F.sort_array(F.slice(w, 1, 5))).alias("sorted5"),
+        F.concat_ws("|", F.reverse(F.slice(w, 1, 3))).alias("rev3"),
+        F.concat_ws("|", F.expr(
+            "transform(slice(split(lower(text), ' '), 1, 3), "
+            "(x, i) -> concat(x, '#', i))")).alias("zipidx"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("total_chars"),
+        F.size(F.filter(w, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.size(F.flatten(F.array(F.slice(w, 1, 2), F.slice(w, 3, 2))))
+        .alias("flat_len"),
+    )
+
+
 CONCURRENCY_WINDOW_MIN = 5  # each event occupies [ts, ts + 5 minutes)
 
 
@@ -367,6 +393,7 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "max_concurrency": q_max_concurrency,
+    "array_fn_conformance": q_array_fn_conformance,
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
     "pivot_events": q_pivot_events,
@@ -410,6 +437,28 @@ ORACLES = {
                count(t3) AS step_purchase,
                round(count(t3) * 100.0 / count(t1), 4) AS conversion_pct
         FROM per_user
+    """,
+    "array_fn_conformance": """
+        WITH d AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               list_aggregate(list_sort(w[1:5]), 'string_agg', '|')
+                   AS sorted5,
+               list_aggregate(list_reverse(w[1:3]), 'string_agg', '|')
+                   AS rev3,
+               list_aggregate(
+                   [w[CAST(i AS INT)] || '#' || CAST(i - 1 AS VARCHAR)
+                    FOR i IN range(1, least(4, len(w) + 1))],
+                   'string_agg', '|') AS zipidx,
+               len(list_distinct(w)) AS n_distinct,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                           (a, b) -> a + b) AS total_chars,
+               len(list_filter(w, x -> length(x) > 4)) AS n_long,
+               len(flatten([w[1:2], w[3:4]])) AS flat_len
+        FROM d
     """,
     "max_concurrency": f"""
         WITH markers AS (

@@ -165,6 +165,11 @@ _WINDOW_SUBS = (
     Sub("max_concurrency", arrays.q_max_concurrency,
         arrays.ORACLES["max_concurrency"],
         (("event_type", "str"),), ("max_concurrent", "markers")),
+    Sub("array_fn_conformance", arrays.q_array_fn_conformance,
+        arrays.ORACLES["array_fn_conformance"],
+        (("doc_id", "str"), ("sorted5", "str"), ("rev3", "str"),
+         ("zipidx", "str")),
+        ("n_distinct", "total_chars", "n_long", "flat_len")),
 )
 
 _TEMPORAL_SUBS = (
