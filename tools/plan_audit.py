@@ -65,6 +65,10 @@ HEADLINERS = {
     "ann_multiprobe_lsh": "Multi-probe LSH: Hamming<=1 as a codegen'd per-bit compare sum; exact cosine re-rank, TakeOrdered top-k.",
     "pagerank_neardup": "PageRank: power iterations over edge-sized joins; node count broadcast; the corpus never re-enters after the pair computation.",
     "null_semantics": "NULL conformance: one grouped aggregate carrying the NULL group, count(*) vs count(col), null-safe equality, SUM-over-empty NULL.",
+    "max_concurrency": "Sweep-line peak concurrency: ±1 interval markers union, running sum + max ride ONE event_type exchange — never an interval self-join.",
+    "weighted_sample": "Efraimidis-Spirakis weighted sample: exponential keys computed in the scan projection, global top-k via TakeOrderedAndProject — one pass, no per-stratum state.",
+    "array_fn_conformance": "Higher-order array functions (transform/filter/aggregate/zip_with/sort/distinct): all codegen'd in one projection — zero exchanges, zero Python.",
+    "scalar_fn_conformance": "Scalar function vocabulary (dates/strings/numerics): single pruned scan + projection; every expression whole-stage-codegen'd.",
 }
 
 
