@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import (ann, arrays, bpe, dedup, pii, relational, relational_ext,
-               text_analysis)
+from . import (ann, arrays, assembly, bpe, dedup, pii, relational,
+               relational_ext, text_analysis)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -280,6 +280,15 @@ _CORPUS_SUBS = (
     Sub("split_leakage", text_analysis.q_split_leakage,
         text_analysis.ORACLES["split_leakage"],
         (("split", "str"),), ("leaked_docs", "shared_grams")),
+    Sub("doc_chunks", assembly.q_doc_chunks, assembly.ORACLES["doc_chunks"],
+        (("doc_id", "str"), ("chunk_idx", "str"), ("chunk_md5", "str")),
+        ("start", "chunk_chars")),
+    Sub("corpus_shards", assembly.q_corpus_shards,
+        assembly.ORACLES["corpus_shards"],
+        (("shard", "str"),), ("docs", "total_chars", "n_sources")),
+    Sub("neardup_safe_split", assembly.q_neardup_safe_split,
+        assembly.ORACLES["neardup_safe_split"],
+        (("split", "str"),), ("docs", "groups", "chars", "leaked_pairs")),
 )
 
 _TPCH_SUBS = (
