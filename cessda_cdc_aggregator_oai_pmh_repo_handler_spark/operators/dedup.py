@@ -651,11 +651,19 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, corpus): it is a pure function of immutable parquet, and at
     100 TB it is written once per corpus snapshot next to the component
     table — every downstream consumer reads it, none re-runs the power
-    iteration."""
+    iteration. ``build_pagerank_neardup`` is the raw iteration plan (what
+    tools/plan_audit.py explains)."""
     key = corpus_key(spark, sf_dir)
     cached = _PAGERANK_CACHE.get(key)
     if cached is not None:
         return cached
+    out = build_pagerank_neardup(spark, sf_dir).localCheckpoint()
+    _PAGERANK_CACHE[key] = out
+    return out
+
+
+def build_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-memoized power-iteration plan (see q_pagerank_neardup)."""
     # the pairs relation is already checkpointed by its own memoizer
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
@@ -680,10 +688,7 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ((1 - PR_DAMPING) / F.col("n")
                        + PR_DAMPING * F.coalesce("c", F.lit(0.0)))
                       .alias("pr")))
-    out = (pr.select("doc_id", "deg", F.round("pr", 6).alias("pagerank"))
-           .localCheckpoint())
-    _PAGERANK_CACHE[key] = out
-    return out
+    return pr.select("doc_id", "deg", F.round("pr", 6).alias("pagerank"))
 
 
 EDIT_PREF = 40       # verify window: first N normalized chars

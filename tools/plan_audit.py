@@ -69,6 +69,9 @@ HEADLINERS = {
     "weighted_sample": "Efraimidis-Spirakis weighted sample: exponential keys computed in the scan projection, global top-k via TakeOrderedAndProject — one pass, no per-stratum state.",
     "array_fn_conformance": "Higher-order array functions (transform/filter/aggregate/zip_with/sort/distinct): all codegen'd in one projection — zero exchanges, zero Python.",
     "scalar_fn_conformance": "Scalar function vocabulary (dates/strings/numerics): single pruned scan + projection; every expression whole-stage-codegen'd.",
+    "doc_chunks": "Chunking: sequence → Generate (explode) → substr projection — zero exchanges; the map stage of a chunk writer.",
+    "corpus_shards": "Shard manifest: md5-draw shard key computed in the scan projection; ONE exchange with map-side partial aggregation.",
+    "neardup_safe_split": "Leakage-safe split: memoized component table joined onto the corpus; the verified-pair probe proving leaked_pairs=0 joins pair-sized relations only.",
 }
 
 
@@ -78,7 +81,7 @@ def main() -> None:
 
     import __spark_entry__ as entry
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
-        ann, arrays, bpe, dedup, pii, relational, relational_ext,
+        ann, arrays, assembly, bpe, dedup, pii, relational, relational_ext,
         text_analysis,
     )
 
@@ -86,10 +89,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # suite-folded operators keep their standalone fns; audit those plans
     qs = dict(entry.queries())
-    for mod in (ann, arrays, bpe, dedup, pii, relational, relational_ext,
-                text_analysis):
+    for mod in (ann, arrays, assembly, bpe, dedup, pii, relational,
+                relational_ext, text_analysis):
         for name, fn in mod.QUERIES.items():
             qs.setdefault(name, fn)
+    # memoized wrappers return checkpoint scans; audit the raw plans
+    qs["minhash_lsh_pairs"] = dedup.build_minhash_lsh_pairs
+    qs["pagerank_neardup"] = dedup.build_pagerank_neardup
     out = ["# PLANS — physical plans of headline queries (sf0.01)",
            "",
            "Auto-generated by tools/plan_audit.py; regenerate after plan-affecting",
