@@ -338,6 +338,51 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_COLS = (
+    # (column, numeric?) — the customer dimension's CBO-relevant columns
+    ("c_custkey", True),
+    ("c_nationkey", True),
+    ("c_acctbal", True),
+    ("c_mktsegment", False),
+)
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics — the inputs a cost-based
+    optimizer (or a human sizing a join) reads: per column, row count,
+    exact NDV, null count, and min/max (numeric columns as values, string
+    columns as lexicographic bounds).
+
+    One single-distinct aggregate per column, NOT one mixed aggregate:
+    N countDistincts in one agg plan an Expand that multiplies every input
+    row N-fold before the shuffle (the measured approx_distinct lesson,
+    8.1 s → 0.9 s); per-column aggs each get the cheap two-phase
+    partial-distinct plan over a one-column pruned scan, and the rows
+    union. At 100 TB this is exactly how ANALYZE sweeps wide tables:
+    column-pruned parallel passes, mergeable per-column results."""
+    c = load_table(spark, "customer", sf_dir)
+    parts = []
+    for col, numeric in _STATS_COLS:
+        parts.append(c.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct(col).alias("ndv"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("nulls"),
+            (F.round(F.min(col).cast("double"), 4) if numeric
+             else F.lit(None).cast("double")).alias("min_num"),
+            (F.round(F.max(col).cast("double"), 4) if numeric
+             else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit("~") if numeric
+             else F.min(col).cast("string")).alias("min_str"),
+            (F.lit("~") if numeric
+             else F.max(col).cast("string")).alias("max_str"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension rollup (broadcast nation join + exact balance
     percentiles) — completes gate coverage of every driver table."""
@@ -909,9 +954,27 @@ QUERIES = {
     "cube_rollup": q_cube_rollup,
     "scalar_subquery": q_scalar_subquery,
     "salted_skew_agg": q_salted_skew_agg,
+    "table_stats": q_table_stats,
 }
 
+_STATS_ORACLE_PARTS = [
+    f"""SELECT '{col}' AS col,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS ndv,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nulls,
+           {f'round(CAST(min({col}) AS DOUBLE), 4)' if numeric
+            else 'CAST(NULL AS DOUBLE)'} AS min_num,
+           {f'round(CAST(max({col}) AS DOUBLE), 4)' if numeric
+            else 'CAST(NULL AS DOUBLE)'} AS max_num,
+           {"'~'" if numeric else f'CAST(min({col}) AS VARCHAR)'} AS min_str,
+           {"'~'" if numeric else f'CAST(max({col}) AS VARCHAR)'} AS max_str
+    FROM customer"""
+    for col, numeric in _STATS_COLS
+]
+
 ORACLES = {
+    "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

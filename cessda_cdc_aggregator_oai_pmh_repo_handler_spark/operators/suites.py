@@ -387,6 +387,10 @@ _SQL_SURFACE_SUBS = (
         (("pri_n", "str"),),
         ("cnt_star", "cnt_col", "nullsafe_null_cnt", "avg_price",
          "sum_p_only")),
+    Sub("table_stats", relational_ext.q_table_stats,
+        relational_ext.ORACLES["table_stats"],
+        (("col", "str"), ("min_str", "str"), ("max_str", "str")),
+        ("cnt", "ndv", "nulls", "min_num", "max_num")),
     Sub("scalar_fn_conformance", relational_ext.q_scalar_fn_conformance,
         relational_ext.ORACLES["scalar_fn_conformance"],
         (("o_orderkey", "str"), ("month_end", "str"),
