@@ -40,12 +40,24 @@ def main():
             _ = rows
         timings[name] = round(best, 4)
         total += best
+    # suite slots fold many verified sub-operators into one timing; report
+    # the fold factor so cross-round per-slot comparisons stay meaningful
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import suites
+    suite_subs = {
+        "window_suite": len(suites._WINDOW_SUBS),
+        "temporal_join_suite": len(suites._TEMPORAL_SUBS),
+        "corpus_stats_suite": len(suites._CORPUS_SUBS) + 1,  # + approx_distinct
+        "tpch_suite": len(suites._TPCH_SUBS),
+        "sql_surface_suite": len(suites._SQL_SURFACE_SUBS),
+        "set_ops": len(suites._SET_OPS_SUBS),
+    }
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": round(total, 4),
         "unit": "sec",
         "runs_per_query": 2,
         "queries": timings,
+        "suite_subs": suite_subs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -46,7 +46,10 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     window starts at the last stride boundary that still has unseen text,
     so every character lands in ≥1 chunk. Per-chunk md5 makes each chunk's
     content hash-verified, not just its offsets."""
-    d = load_table(spark, "documents", sf_dir)
+    # NULL text → '' (one empty chunk): without the guard Spark's
+    # sequence(0, NULL) and DuckDB's range(NULL) disagree (1 row vs 0)
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.coalesce("text", F.lit("")))
     extra = F.greatest(F.length("text") - CHUNK_W, F.lit(0))
     # ceil(extra / stride) in exact integer arithmetic (both engines)
     n_chunks = (F.floor((extra + (CHUNK_S - 1)) / F.lit(CHUNK_S)) + 1).cast("int")
@@ -138,13 +141,16 @@ _SPLIT_CASE = """CASE WHEN CAST('0x' || substr(md5(grp), 1, 2) AS INT) < 205
 
 ORACLES: dict[str, str] = {
     "doc_chunks": f"""
-        WITH exploded AS (
+        WITH guarded AS (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ),
+        exploded AS (
             SELECT doc_id, text,
                    unnest(range(0,
                        CAST(floor((greatest(length(text) - {CHUNK_W}, 0)
                                    + {CHUNK_S - 1}) / {CHUNK_S}) AS BIGINT)
                        + 1)) AS i
-            FROM documents
+            FROM guarded
         )
         SELECT doc_id,
                CAST(i AS INT) AS chunk_idx,

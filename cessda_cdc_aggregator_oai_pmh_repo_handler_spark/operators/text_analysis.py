@@ -433,12 +433,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tokenized_docs(spark, sf_dir)
     words = d.select("source", F.explode("words").alias("term"))
     tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
     nsrc = d.agg(F.countDistinct("source").alias("n_sources"))
     from pyspark.sql import Window
 
+    # df rides a count-over-window on the ALREADY-AGGREGATED tf relation
+    # (its rows are distinct (source, term), so rows-per-term == distinct
+    # sources per term) — replaces the separate groupBy+join back, which
+    # cost an extra aggregate plus a join of two term-shuffled relations
     scored = (
-        tf.join(docfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(nsrc))
         .withColumn("score", F.round(
             F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 4))
