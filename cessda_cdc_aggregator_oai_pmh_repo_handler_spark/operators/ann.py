@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .clustering import sq_dists
 from .dedup import (BLOCK_BITS, _DOT_SQL, _SIGN_SIG_SQL, _cosine_sql,
                     dot_cols, norm_col, sign_signature)
 
@@ -401,17 +402,27 @@ _PQ_MODEL_CACHE: dict = {}
 
 
 def _pq_model(spark: SparkSession, e: DataFrame, ck):
+    """Train (or fetch) the PQ codebooks for ``e``. ``ck`` must identify
+    THE TRAINING INPUT, not just the corpus file — callers training on a
+    subset (e.g. a bootstrap slice) pass ``ck=None`` to bypass the cache
+    entirely, otherwise a subset-trained model would be served to (or
+    poisoned by) the full-corpus gate queries sharing the corpus key."""
     import numpy as np
 
-    cached = _PQ_MODEL_CACHE.get(ck)
+    cached = _PQ_MODEL_CACHE.get(ck) if ck is not None else None
     if cached is not None:
         return cached
     seeds = e.orderBy("vec_id").limit(PQ_K).collect()
-    qrow = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
-            .select("embedding", "label").collect()[0])
-    qvec = np.asarray([float(x) for x in qrow["embedding"]],
-                      dtype=np.float64)
-    qlabel = qrow["label"]
+    qrows = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select("embedding", "label").collect())
+    if qrows:
+        qvec = np.asarray([float(x) for x in qrows[0]["embedding"]],
+                          dtype=np.float64)
+        qlabel = qrows[0]["label"]
+    else:
+        # training-only callers (index bootstrap) may not carry the demo
+        # query vector; they discard qvec/qlabel anyway
+        qvec, qlabel = None, None
     cents = [
         np.asarray([[float(x) for x in r["embedding"]]
                     [si * PQ_SUBDIM:(si + 1) * PQ_SUBDIM]
@@ -430,7 +441,8 @@ def _pq_model(spark: SparkSession, e: DataFrame, ck):
             cents[si] = np.asarray(
                 [s[i] / n[i] if n[i] else cents[si][i]
                  for i in range(PQ_K)])
-    _PQ_MODEL_CACHE[ck] = (cents, qvec, qlabel)
+    if ck is not None:
+        _PQ_MODEL_CACHE[ck] = (cents, qvec, qlabel)
     return cents, qvec, qlabel
 
 
@@ -449,10 +461,7 @@ def _pq_sweep_partials(e: DataFrame, cents) -> DataFrame:
             X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             for si in range(PQ_SUBS):
                 Xs = X[:, si * PQ_SUBDIM:(si + 1) * PQ_SUBDIM]
-                d2 = ((Xs * Xs).sum(1)[:, None] - 2 * Xs @ C[si].T
-                      + (C[si] * C[si]).sum(1)[None, :])
-                np.maximum(d2, 0.0, out=d2)
-                idx = d2.argmin(1)
+                idx = sq_dists(Xs, C[si]).argmin(1)
                 np.add.at(n[si], idx, 1)
                 np.add.at(s[si], idx, Xs)
         out = [(si, k, float(n[si][k]), [float(v) for v in s[si][k]])
@@ -477,10 +486,7 @@ def _pq_encode(e: DataFrame, cents) -> DataFrame:
             out = {"vec_id": pdf["vec_id"], "label": pdf["label"]}
             for si in range(PQ_SUBS):
                 Xs = X[:, si * PQ_SUBDIM:(si + 1) * PQ_SUBDIM]
-                d2 = ((Xs * Xs).sum(1)[:, None] - 2 * Xs @ C[si].T
-                      + (C[si] * C[si]).sum(1)[None, :])
-                np.maximum(d2, 0.0, out=d2)
-                out[f"code{si}"] = d2.argmin(1).astype("int32")
+                out[f"code{si}"] = sq_dists(Xs, C[si]).argmin(1).astype("int32")
             yield pd.DataFrame(out)
 
     code_cols = ", ".join(f"code{si} int" for si in range(PQ_SUBS))
@@ -651,22 +657,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = d.select("doc_id", F.size("words").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # exploding array_distinct of the single query row is already
     # distinct — no extra aggregate before the broadcast
     qterms = (
         d.filter(F.col("doc_id") == BM25_QUERY_DOC)
         .select(F.explode(F.array_distinct("words")).alias("term"))
     )
-    # resolve df/stats for the query's terms FIRST and drop stop terms
-    # there — the postings probe never touches a corpus-sized posting list
+    # probe the index FIRST (the streaming twin's shape,
+    # streaming/index_stream.py:bm25_query): only the query terms' posting
+    # lists leave the index, and since a term's restricted postings still
+    # hold its FULL document list, counting them gives the exact df — the
+    # plan never aggregates the vocabulary-wide postings relation
+    qpost = postings.join(F.broadcast(qterms), "term")
+    dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # stop-term cap applied on the term-sized relation before re-probing
     survivors = (
-        qterms.join(dfreq, "term")
-        .crossJoin(F.broadcast(stats))
+        dfreq.crossJoin(F.broadcast(stats))
         .filter(F.col("df") <= BM25_MAX_DF_FRAC * F.col("n_docs"))
     )
     return (
-        postings.join(F.broadcast(survivors), "term")
+        qpost.join(F.broadcast(survivors), "term")
         .filter(F.col("doc_id") != BM25_QUERY_DOC)
         .join(dl, "doc_id")
         .groupBy("doc_id")
@@ -737,7 +747,7 @@ ORACLES = {
         SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
         WHERE e.vec_id <> {QUERY_VEC_ID}
-        ORDER BY {_COS_Q} DESC, e.vec_id
+        ORDER BY cosine DESC, e.vec_id
         LIMIT {TOP_K}
     """,
     "ann_ivf_probe": f"""
@@ -745,14 +755,14 @@ ORACLES = {
         FROM embeddings e,
              (SELECT embedding, label FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
         WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = q.label
-        ORDER BY {_COS_Q} DESC, e.vec_id
+        ORDER BY cosine DESC, e.vec_id
         LIMIT {TOP_K}
     """,
     "ann_lsh_probe": f"""
         SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
         WHERE e.vec_id <> {QUERY_VEC_ID} AND ({_ESIG}) = ({_QSIG})
-        ORDER BY {_COS_Q} DESC, e.vec_id
+        ORDER BY cosine DESC, e.vec_id
         LIMIT {TOP_K}
     """,
     "ann_multiprobe_lsh": f"""
@@ -770,7 +780,7 @@ ORACLES = {
           AND len([i FOR i IN range(1, {BLOCK_BITS + 1})
                    IF substr(esig, CAST(i AS INT), 1)
                       <> substr(qsig, CAST(i AS INT), 1)]) <= 1
-        ORDER BY {_cosine_sql("embedding", "qemb")} DESC, vec_id
+        ORDER BY cosine DESC, vec_id
         LIMIT {TOP_K}
     """,
     # same result as the JVM fold; numpy's pairwise summation agrees with the
@@ -779,7 +789,7 @@ ORACLES = {
         SELECT e.vec_id, e.label, round({_COS_Q}, 4) AS cosine
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
         WHERE e.vec_id <> {QUERY_VEC_ID}
-        ORDER BY {_COS_Q} DESC, e.vec_id
+        ORDER BY cosine DESC, e.vec_id
         LIMIT {TOP_K}
     """,
     "ann_batch_topk": f"""

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .dedup import ORACLES as DEDUP_ORACLES
 from .dedup import q_minhash_lsh_pairs, q_neardup_components
+from .text_analysis import split_case_sql, split_col
 
 CHUNK_W = 120   # chunk width (chars)
 CHUNK_S = 90    # stride (chars) → CHUNK_W - CHUNK_S = 30 chars of overlap
@@ -97,10 +98,7 @@ def assign_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     comp = q_neardup_components(spark, sf_dir)
     grp = F.coalesce("component", "doc_id").cast("string")
-    draw = F.conv(F.substring(F.md5(grp), 1, 2), 16, 10).cast("int")
-    split = (F.when(draw < 205, "train")
-             .when(draw < 230, "val")
-             .otherwise("test"))
+    split = split_col(grp)  # the ONE split definition (text_analysis)
     return (d.join(comp, "doc_id", "left")
             .select("doc_id", "n_chars", grp.alias("grp"),
                     split.alias("split")))
@@ -133,11 +131,7 @@ def q_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_CASE = """CASE WHEN CAST('0x' || substr(md5(grp), 1, 2) AS INT) < 205
-                      THEN 'train'
-                 WHEN CAST('0x' || substr(md5(grp), 1, 2) AS INT) < 230
-                      THEN 'val'
-                 ELSE 'test' END"""
+_SPLIT_CASE = split_case_sql("grp")
 
 ORACLES: dict[str, str] = {
     "doc_chunks": f"""

@@ -38,6 +38,20 @@ K = 10
 MAX_ITER = 10
 
 
+def sq_dists(X, C):
+    """THE squared-distance/assignment kernel, shared by every numpy
+    consumer (k-means sweeps and assignment here, PQ training and encoding
+    in ann.py, the streaming vector index through those): the expanded
+    ‖x‖²−2xCᵀ+‖c‖² matmul, clamped at 0 because the expansion cancels to
+    ~-1e-13 when a point IS its centroid — and a -0.0 inertia hashes
+    differently from the oracle's +0.0. One definition means a numeric fix
+    lands everywhere at once; argmin(1) over the result is the agreed
+    tie-break (first minimum = lowest cluster index)."""
+    d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
 def sweep_partials(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """One fused Lloyd sweep: per-partition assignment + per-cluster
     (count, sum-vector) partials via mapInPandas. The result is tiny
@@ -49,11 +63,7 @@ def sweep_partials(vectors: DataFrame, centroids: list[list[float]]) -> DataFram
         s = np.zeros_like(C)
         for pdf in batches:
             X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
-            # the expanded form cancels to ~-1e-13 when a point IS its
-            # centroid; clamp so downstream inertia can never be -0.0
-            # (which hashes differently from the oracle's +0.0)
-            np.maximum(d2, 0.0, out=d2)
+            d2 = sq_dists(X, C)
             idx = d2.argmin(1)
             np.add.at(n, idx, 1)
             np.add.at(s, idx, X)
@@ -76,8 +86,7 @@ def assign_clusters_pandas(vectors: DataFrame,
     @F.pandas_udf("struct<cluster:int, dist_sq:double>")
     def best(emb: pd.Series) -> pd.DataFrame:
         X = np.vstack(emb.to_numpy()).astype(np.float64)
-        d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
-        np.maximum(d2, 0.0, out=d2)  # see sweep_partials: no -0.0 inertia
+        d2 = sq_dists(X, C)
         idx = d2.argmin(1)
         return pd.DataFrame({
             "cluster": idx.astype("int32"),

@@ -13,7 +13,7 @@ low-cardinality keys (source/lang). At 100 TB these run as a single scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import corpus_key, load_table
@@ -621,19 +621,38 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "l_suppkey long, exact_cnt long, cms_ok double")
 
 
+# The ONE definition of the hash split: 0-255 draw from the first two md5
+# hex digits, thresholded 80/10/10. Every split consumer (train_val_split,
+# split_leakage, assembly's leakage-safe split) and every oracle derives
+# from these — retuning the ratios or draw width here moves all of them
+# together.
+SPLIT_TRAIN_LT = 205   # 205/256 ≈ 80%
+SPLIT_VAL_LT = 230     # next 25/256 ≈ 10%
+
+
+def split_col(key) -> Column:
+    """train/val/test from the md5 draw of ``key`` (cast to string)."""
+    draw = F.conv(F.substring(F.md5(key.cast("string")), 1, 2), 16, 10) \
+        .cast("int")
+    return (F.when(draw < SPLIT_TRAIN_LT, "train")
+            .when(draw < SPLIT_VAL_LT, "val")
+            .otherwise("test"))
+
+
+def split_case_sql(key_sql: str) -> str:
+    """The DuckDB twin of ``split_col`` over an SQL key expression."""
+    d = f"CAST('0x' || substr(md5({key_sql}), 1, 2) AS INT)"
+    return (f"CASE WHEN {d} < {SPLIT_TRAIN_LT} THEN 'train' "
+            f"WHEN {d} < {SPLIT_VAL_LT} THEN 'val' ELSE 'test' END")
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: the first two hex digits of
     md5(doc_id) give a stable 0-255 draw, thresholded 80/10/10 — portable,
     seedless, and stable under corpus growth (a document's split never
     changes when other documents arrive; the property random splits lack)."""
     d = load_table(spark, "documents", sf_dir)
-    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10) \
-        .cast("int")
-    split = (
-        F.when(draw < 205, "train")      # 205/256 ≈ 80%
-        .when(draw < 230, "val")         # 25/256 ≈ 10%
-        .otherwise("test")
-    )
+    split = split_col(F.col("doc_id"))
     return d.groupBy("source", split.alias("split")).agg(F.count("*").alias("cnt"))
 
 
@@ -951,10 +970,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _LEAK_GRAM_CACHE.get(key)
     if ex is None:
         d = _tokenized_docs(spark, sf_dir)
-        draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
-                      16, 10).cast("int")
-        split = (F.when(draw < 205, "train").when(draw < 230, "val")
-                 .otherwise("test"))
+        split = split_col(F.col("doc_id"))
         w = F.col("words")
         grams = F.array_distinct(F.transform(
             _ngrams(w, LEAK_K),
@@ -1114,11 +1130,7 @@ ORACLES = {
     "split_leakage": f"""
         WITH s AS (
             SELECT doc_id,
-                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                             AS INT) < 205 THEN 'train'
-                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                             AS INT) < 230 THEN 'val'
-                        ELSE 'test' END AS split,
+                   {split_case_sql("CAST(doc_id AS VARCHAR)")} AS split,
                    string_split(lower(text), ' ') AS w
             FROM documents
         ),
@@ -1380,13 +1392,9 @@ ORACLES = {
         SELECT lang, CAST(floor(n_chars / 50) AS INT) AS bucket, count(*) AS cnt
         FROM documents GROUP BY 1, 2
     """,
-    "train_val_split": """
+    "train_val_split": f"""
         SELECT source,
-               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205
-                    THEN 'train'
-                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230
-                    THEN 'val'
-                    ELSE 'test' END AS split,
+               {split_case_sql("CAST(doc_id AS VARCHAR)")} AS split,
                count(*) AS cnt
         FROM documents GROUP BY 1, 2
     """,

@@ -43,7 +43,11 @@ STATS = "stats"
 
 
 def _tokenize(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    # delegate to THE corpus tokenizer so index and batch scorer can never
+    # disagree on what a term is
+    from ..operators.text_analysis import _words
+
+    return docs.select("doc_id", _words("text").alias("words"))
 
 
 def index_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -91,13 +91,16 @@ class OAIPMHPoller:
                 raise OAIProtocolError(err.get("code", "unknown"), err.text or "")
             yield xml_str
             pages += 1
+            tok = root.find(f"{OAI}ListRecords/{OAI}resumptionToken")
+            # a cleanly-closed list (absent/empty token) ends the sweep even
+            # on the limit boundary — only a list that WANTS to continue
+            # past max_pages is a protocol violation
+            if tok is None or not (tok.text or "").strip():
+                return
             if pages >= self.max_pages:
                 raise OAIProtocolError(
                     "pageLimit",
                     f"endpoint exceeded {self.max_pages} pages in one sweep")
-            tok = root.find(f"{OAI}ListRecords/{OAI}resumptionToken")
-            if tok is None or not (tok.text or "").strip():
-                return
             token = tok.text.strip()
             # progress guard: a buggy/malicious endpoint re-issuing a token
             # (or cycling A→B→A) must not hang the driver's polling loop

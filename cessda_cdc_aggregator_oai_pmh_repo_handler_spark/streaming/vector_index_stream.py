@@ -35,8 +35,6 @@ from ..operators.ann import (
     _pq_encode,
     _pq_model,
 )
-from ..sources.tables import corpus_key
-
 CODEBOOK = "codebook"
 CODES = "codes"
 
@@ -48,8 +46,11 @@ def bootstrap_vector_index(spark: SparkSession, vectors: DataFrame,
     embedding)."""
     e = vectors.select("vec_id", "label", "embedding").persist()
     try:
-        cents, _qvec, _qlabel = _pq_model(
-            spark, e, corpus_key(spark, sf_dir, table="embeddings"))
+        # ck=None: `vectors` is caller-chosen (often a bootstrap SUBSET of
+        # the corpus) — caching under the corpus key would serve a
+        # subset-trained model to the full-corpus gate queries, or vice
+        # versa. The trained codebooks are persisted to the index anyway.
+        cents, _qvec, _qlabel = _pq_model(spark, e, None)
         rows = [(si, k, [float(v) for v in cents[si][k]])
                 for si in range(PQ_SUBS) for k in range(len(cents[si]))]
         spark.createDataFrame(
