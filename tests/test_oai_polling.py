@@ -161,3 +161,27 @@ def test_poller_page_cap():
     with pytest.raises(OAIProtocolError) as e:
         list(p.pages())
     assert e.value.code == "pageLimit"
+
+
+def test_poller_clean_finish_on_limit_boundary():
+    """A sweep of EXACTLY max_pages pages that closes its list (no token on
+    the last page) is a successful harvest, not a pageLimit violation —
+    only a list that wants to continue past the cap raises."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.oai_source import (
+        OAIPMHPoller,
+    )
+
+    pages = [
+        """<?xml version="1.0"?>
+        <OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">
+          <ListRecords><resumptionToken>t-next</resumptionToken></ListRecords>
+        </OAI-PMH>""",
+        """<?xml version="1.0"?>
+        <OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">
+          <ListRecords></ListRecords>
+        </OAI-PMH>""",
+    ]
+    it = iter(pages)
+    p = OAIPMHPoller("http://x.invalid/oai", fetch=lambda url: next(it),
+                     max_pages=2)
+    assert len(list(p.pages())) == 2  # both pages yielded, no error

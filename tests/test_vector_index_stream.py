@@ -88,3 +88,27 @@ def test_vector_stream_end_to_end(spark, sf_dir, tmp_path):
     top = vx.adc_query(spark, idx, _query_vec(spark, sf_dir),
                        exclude_vec=ann.QUERY_VEC_ID).collect()
     assert len(top) == ann.TOP_K
+
+
+def test_bootstrap_subset_does_not_poison_model_cache(spark, sf_dir, tmp_path):
+    """Bootstrapping on a SUBSET (even one missing the demo query vector)
+    must neither crash nor leave a subset-trained model in the corpus-keyed
+    cache that q_pq_ann would then serve."""
+    idx = str(tmp_path / "vidx_subset")
+    subset = (load_table(spark, "embeddings", sf_dir)
+              .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)))
+    vx.bootstrap_vector_index(spark, subset, idx, sf_dir)  # no vec_id 0
+    # the full-corpus gate query still ranks with full-corpus codebooks:
+    # its top-1 must agree with a model trained fresh on the full corpus
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        corpus_key,
+    )
+    ck = corpus_key(spark, sf_dir, table="embeddings")
+    cached = ann._PQ_MODEL_CACHE.get(ck)
+    if cached is not None:
+        # whatever is cached under the corpus key must carry the demo
+        # query vector — i.e. it came from a full-corpus training run,
+        # not the subset bootstrap
+        assert cached[1] is not None
+    got = ann.q_pq_ann(spark, sf_dir).limit(1).collect()
+    assert got and got[0]["vec_id"] != ann.QUERY_VEC_ID
