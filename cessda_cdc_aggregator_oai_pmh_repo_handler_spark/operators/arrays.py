@@ -390,8 +390,57 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_BUCKETS = 5
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic event-analytics customer grading:
+    per user, Recency (days since last purchase, against the corpus's own
+    max purchase ts so the query is self-contained), Frequency (purchase
+    count) and Monetary (spend, summed as DECIMAL(18,4) so the total is
+    order-independent and engine-exact — the tpch_q10 lesson); each
+    dimension scored into quintiles by ``ntile``, rolled up per
+    (r, f, m) cell.
+
+    Scale shape: the corpus-sized events relation aggregates FIRST (one
+    shuffle with map-side partials); the three ntile windows then run over
+    the USER-sized relation — a deliberate single-partition sort of an
+    already-thousandfold-smaller table, the same bounded-global-sort call
+    pagination makes. Ties order by user_id, so both engines bucket
+    identically."""
+    from pyspark.sql import Window
+
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("event_type") == "purchase"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary"))
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    scored = (
+        per_user.crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days",
+                    F.datediff(F.col("anchor"), F.col("last_ts")))
+    )
+    r = F.ntile(RFM_BUCKETS).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("user_id")))
+    f = F.ntile(RFM_BUCKETS).over(
+        Window.orderBy(F.col("freq"), F.col("user_id")))
+    m = F.ntile(RFM_BUCKETS).over(
+        Window.orderBy(F.col("monetary"), F.col("user_id")))
+    return (
+        scored.select("user_id", "freq", "monetary",
+                      r.alias("r"), f.alias("f"), m.alias("m"))
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("users"),
+             F.sum("freq").alias("purchases"),
+             F.round(F.sum("monetary").cast("double"), 2).alias("monetary"))
+    )
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
+    "rfm_segments": q_rfm_segments,
     "max_concurrency": q_max_concurrency,
     "array_fn_conformance": q_array_fn_conformance,
     "cohort_retention": q_cohort_retention,
@@ -410,6 +459,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segments": f"""
+        WITH per_user AS (
+            SELECT user_id, max(ts) AS last_ts,
+                   count(*) AS freq,
+                   sum(CAST(value AS DECIMAL(18,4))) AS monetary
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        anchor AS (
+            SELECT max(ts) AS anchor FROM events
+            WHERE event_type = 'purchase'
+        ),
+        scored AS (
+            SELECT user_id, freq, monetary,
+                   datediff('day', last_ts, anchor) AS recency_days
+            FROM per_user, anchor
+        ),
+        graded AS (
+            SELECT freq, monetary,
+                   ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days DESC,
+                                              user_id) AS r,
+                   ntile({RFM_BUCKETS}) OVER (ORDER BY freq, user_id) AS f,
+                   ntile({RFM_BUCKETS}) OVER (ORDER BY monetary, user_id) AS m
+            FROM scored
+        )
+        SELECT r, f, m,
+               CAST(count(*) AS BIGINT) AS users,
+               CAST(sum(freq) AS BIGINT) AS purchases,
+               round(CAST(sum(monetary) AS DOUBLE), 2) AS monetary
+        FROM graded GROUP BY r, f, m
+    """,
     "funnel_steps": """
         WITH s1 AS (
             SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)

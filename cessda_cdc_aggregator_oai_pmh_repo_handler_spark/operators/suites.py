@@ -170,6 +170,9 @@ _WINDOW_SUBS = (
         (("doc_id", "str"), ("sorted5", "str"), ("rev3", "str"),
          ("zipidx", "str")),
         ("n_distinct", "total_chars", "n_long", "flat_len")),
+    Sub("rfm_segments", arrays.q_rfm_segments, arrays.ORACLES["rfm_segments"],
+        (("r", "str"), ("f", "str"), ("m", "str")),
+        ("users", "purchases", "monetary")),
 )
 
 _TEMPORAL_SUBS = (

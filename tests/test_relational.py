@@ -93,3 +93,26 @@ def test_max_concurrency_sweep_line(spark, sf_dir):
     for r in rows:
         assert r["markers"] == 2 * counts[r["event_type"]]
         assert 1 <= r["max_concurrent"] <= counts[r["event_type"]]
+
+
+def test_rfm_segments_invariants(spark, sf_dir):
+    """Quintile grades stay in 1..5, every purchasing user lands in exactly
+    one cell, and the rollup conserves purchase count."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.arrays import (
+        q_rfm_segments,
+    )
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = q_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+        assert r["users"] >= 1 and r["purchases"] >= r["users"]
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase")
+    assert sum(r["users"] for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r["purchases"] for r in rows) == ev.count()

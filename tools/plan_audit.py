@@ -44,7 +44,7 @@ HEADLINERS = {
     "tpch_q17": "TPC-H Q17: correlated avg decorrelated to a per-part aggregate broadcast back on partkey.",
     "gapfill_hourly": "Gap-fill: generated dense grid LEFT-joins broadcast(hourly rollup) — LeftOuter builds the non-preserved side.",
     "ngram_jaccard_pairs": "Exact AllPairs Jaccard: 500-row slice coalesced (task count matches surviving data), prefix join on 8-byte shingle hashes, df via count-over-window.",
-    "tfidf_top_terms": "TF-IDF: n_sources as a 1-row broadcast cross join (no mid-build driver action); tf and df shuffles only.",
+    "tfidf_top_terms": "TF-IDF: df rides a count-over-window on the aggregated tf relation (no groupBy+join-back); n_sources as a 1-row broadcast cross join.",
     "zscore_normalize": "Per-source z-score: pure Window functions — zero Python workers (the applyInPandas form is a pytest-only pattern demo).",
     "tpch_q11": "TPC-H Q11 shape: global scalar (1-row broadcast) filters post-aggregation groups; the fact scan never sees the subquery.",
     "bigram_lm_score": "Corpus-LM scoring: one digest-keyed bigram relation feeds both count tables and the scoring join; vocabulary-sized sides shuffle-join.",
@@ -54,7 +54,7 @@ HEADLINERS = {
     "tpch_q20": "TPC-H Q20: name-prefix parts as a left semi-join; per-part totals as a window over the already-aggregated (supp, part) rows — one full-width fact shuffle total.",
     "tpch_q21": "TPC-H Q21: EXISTS/NOT EXISTS decorrelated to per-order window counts over deduped (order, supplier, late) rows; supplier/nation/region broadcast; TakeOrdered top-20.",
     "dsir_importance": "DSIR weights: the shared checkpointed bigram-digest relation feeds raw counts, target counts, and the scoring join — no re-explode per consumer.",
-    "bm25_topk": "BM25: query terms broadcast into the postings equi-join (index probe, not a corpus text scan); N/avgdl as a 1-row broadcast cross join; TakeOrdered top-10.",
+    "bm25_topk": "BM25: broadcast query terms probe the postings index FIRST; df counted over the restricted posting lists (no vocabulary-wide aggregate); N/avgdl as a 1-row broadcast cross join; TakeOrdered top-10.",
     "bpe_compression": "BPE apply: merge folds run over the vocabulary-sized word table only; documents join word→token_count (broadcast) and aggregate — no per-occurrence fold.",
     "grouping_sets": "GROUPING SETS: one scan + Expand (3 copies, only the requested sets), partial aggregation before the single exchange.",
     "analytic_extras": "Ranking windows: ntile/percent_rank/cume_dist + RANGE-frame running sum all ride ONE partition exchange.",
