@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import (ann, arrays, assembly, bpe, dedup, pii, relational,
-               relational_ext, text_analysis)
+from . import (ann, arrays, assembly, bpe, dedup, expectations, pii,
+               relational, relational_ext, text_analysis)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -390,6 +390,9 @@ _SQL_SURFACE_SUBS = (
         (("pri_n", "str"),),
         ("cnt_star", "cnt_col", "nullsafe_null_cnt", "avg_price",
          "sum_p_only")),
+    Sub("data_expectations", expectations.q_data_expectations,
+        expectations.ORACLES["data_expectations"],
+        (("check", "str"),), ("violations", "checked")),
     Sub("table_stats", relational_ext.q_table_stats,
         relational_ext.ORACLES["table_stats"],
         (("col", "str"), ("min_str", "str"), ("max_str", "str")),

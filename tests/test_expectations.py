@@ -1,0 +1,51 @@
+"""Data-quality expectations: single-pass row checks, FK anti-joins, and a
+probe that provably counts real violations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import expectations as E
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+
+def test_expectations_pass_and_probe_counts(spark, sf_dir):
+    rows = {r["check"]: r for r in E.q_data_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 9
+    probe = rows.pop("lineitem.l_quantity.le_40_probe")
+    assert probe["violations"] > 0  # the gate counts real violations
+    assert all(r["violations"] == 0 for r in rows.values())
+    li_count = load_table(spark, "lineitem", sf_dir).count()
+    assert rows["lineitem.l_orderkey.fk_orders"]["checked"] == li_count
+
+
+def test_row_checks_share_one_aggregate(spark, sf_dir):
+    """All row-level predicate checks ride one aggregate pass: the plan has
+    exactly one scan of the table and no join."""
+    o = load_table(spark, "orders", sf_dir)
+    df = E.run_row_checks(o, [
+        ("a", F.col("o_orderkey").isNull()),
+        ("b", ~(F.col("o_totalprice") > 0)),
+        ("c", F.col("o_custkey").isNull()),
+    ])
+    # read the plan before collect: post-execution AQE output repeats the
+    # tree under '== Initial Plan =='
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1 and "Join" not in plan
+    rows = {r["check"]: r["violations"] for r in df.collect()}
+    assert rows == {"a": 0, "b": 0, "c": 0}
+
+
+def test_detects_planted_violations(spark, sf_dir):
+    """A corrupted frame fails the checks it should fail."""
+    o = load_table(spark, "orders", sf_dir).limit(100)
+    corrupted = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice")))
+    df = E.run_row_checks(corrupted, [
+        ("price_positive", ~(F.col("o_totalprice") > 0)),
+        ("key_not_null", F.col("o_orderkey").isNull()),
+    ])
+    rows = {r["check"]: r["violations"] for r in df.collect()}
+    assert rows["price_positive"] > 0 and rows["key_not_null"] == 0
