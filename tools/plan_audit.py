@@ -72,6 +72,9 @@ HEADLINERS = {
     "doc_chunks": "Chunking: sequence → Generate (explode) → substr projection — zero exchanges; the map stage of a chunk writer.",
     "corpus_shards": "Shard manifest: md5-draw shard key computed in the scan projection; ONE exchange with map-side partial aggregation.",
     "neardup_safe_split": "Leakage-safe split: memoized component table joined onto the corpus; the verified-pair probe proving leaked_pairs=0 joins pair-sized relations only.",
+    "table_stats": "ANALYZE stats: per-column single-distinct aggregates over pruned scans union'd — no multi-distinct Expand.",
+    "data_expectations": "Expectations gate: all row-level checks in ONE aggregate pass per table; FKs as anti-joins; union of check-sized rows.",
+    "rfm_segments": "RFM: events aggregate first (map-side partials); ntile windows run over the user-sized relation only.",
 }
 
 
@@ -81,16 +84,16 @@ def main() -> None:
 
     import __spark_entry__ as entry
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
-        ann, arrays, assembly, bpe, dedup, pii, relational, relational_ext,
-        text_analysis,
+        ann, arrays, assembly, bpe, dedup, expectations, pii, relational,
+        relational_ext, text_analysis,
     )
 
     spark = build_session("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     # suite-folded operators keep their standalone fns; audit those plans
     qs = dict(entry.queries())
-    for mod in (ann, arrays, assembly, bpe, dedup, pii, relational,
-                relational_ext, text_analysis):
+    for mod in (ann, arrays, assembly, bpe, dedup, expectations, pii,
+                relational, relational_ext, text_analysis):
         for name, fn in mod.QUERIES.items():
             qs.setdefault(name, fn)
     # memoized wrappers return checkpoint scans; audit the raw plans
