@@ -416,12 +416,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary"))
-    anchor = ev.agg(F.max("ts").alias("anchor"))
-    scored = (
-        per_user.crossJoin(F.broadcast(anchor))
-        .withColumn("recency_days",
-                    F.datediff(F.col("anchor"), F.col("last_ts")))
-    )
+    # the anchor (corpus-wide max purchase ts) = max(last_ts) over the
+    # already-aggregated user relation — an unpartitioned window alongside
+    # the ntile sorts below, NOT a second scan of the events table
+    anchor = F.max("last_ts").over(Window.partitionBy())
+    scored = per_user.withColumn(
+        "recency_days", F.datediff(anchor, F.col("last_ts")))
     r = F.ntile(RFM_BUCKETS).over(
         Window.orderBy(F.col("recency_days").desc(), F.col("user_id")))
     f = F.ntile(RFM_BUCKETS).over(

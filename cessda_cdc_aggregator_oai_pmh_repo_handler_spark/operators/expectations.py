@@ -2,19 +2,21 @@
 runs before publishing a table (the Great-Expectations/dbt-test idea,
 expressed as Spark plans):
 
-- row-level predicates (not-null, value range, set membership) all ride
-  ONE aggregate pass over the table — each check is a ``sum(when(...))``
-  column, so adding a check adds a column, not a scan;
-- key uniqueness is a count-vs-distinct comparison in the same pass;
-- referential integrity is a left anti-join per (child, parent) pair —
-  the only check that touches a second table, and the parent side is the
-  join's build side (broadcast when dimension-sized).
+- row-level predicates (not-null, value range, set membership) AND key
+  uniqueness all ride ONE aggregate pass over the table — each predicate
+  is a ``sum(when(...))`` column and uniqueness is count-vs-distinct in
+  the same aggregate (a single distinct plans the ordinary two-phase
+  partial-distinct, no Expand, no extra scan), so adding a check adds a
+  column, not a scan;
+- referential integrity is one pass over the child: LEFT-join the
+  distinct parent keys (broadcast when dimension-sized) and count
+  orphans and total rows in the same aggregate.
 
 The report is long-format (check, violations, checked) so any number of
 checks lands in one verifiable relation; violations == 0 everywhere is
-the publish gate. At 100 TB: one scan for all row-level checks + one
-pruned-column anti-join per FK — the same cost envelope as writing the
-table's statistics.
+the publish gate. At 100 TB: one scan per table for every row-level +
+uniqueness check, one pruned-column join pass per FK — the same cost
+envelope as writing the table's statistics.
 """
 
 from __future__ import annotations
@@ -25,22 +27,53 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 
-def _violation_rows(checks: list[tuple[str, Column]], total: Column
-                    ) -> list[Column]:
-    """Each check → sum(when(violated, 1)) in one shared aggregation."""
-    return [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
-            for name, cond in checks] + [total.cast("long").alias("_checked")]
+def _safe_name(name: str) -> str:
+    """Check names are spliced into selectExpr — reject the characters
+    that would break the SQL (and the reserved internal column)."""
+    if any(ch in name for ch in "'`\\") or name == "_checked":
+        raise ValueError(f"invalid check name: {name!r}")
+    return name
 
 
 def run_row_checks(df: DataFrame,
-                   checks: list[tuple[str, Column]]) -> DataFrame:
+                   checks: list[tuple[str, Column]],
+                   unique_keys: list[tuple[str, str]] = ()) -> DataFrame:
     """(check, violations, checked) for violation-predicate columns — one
-    aggregate pass however many checks there are."""
-    agg = df.agg(*_violation_rows(checks, F.count(F.lit(1))))
-    stack = ", ".join(f"'{name}', `{name}`" for name, _ in checks)
+    aggregate pass however many checks there are. ``unique_keys``
+    (name, column) adds count-vs-distinct uniqueness checks to the SAME
+    aggregate: a single distinct plans the ordinary two-phase
+    partial-distinct, no extra scan (asserted in test_expectations)."""
+    if not checks and not unique_keys:
+        return df.sparkSession.createDataFrame(
+            [], "check string, violations long, checked long")
+    cols = [F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(_safe_name(name)) for name, cond in checks]
+    cols += [(F.count(F.lit(1)) - F.countDistinct(col)).cast("long")
+             .alias(_safe_name(name)) for name, col in unique_keys]
+    agg = df.agg(*cols, F.count(F.lit(1)).cast("long").alias("_checked"))
+    names = [name for name, _ in checks] + [name for name, _ in unique_keys]
+    stack = ", ".join(f"'{name}', `{name}`" for name in names)
     return agg.selectExpr(
-        f"stack({len(checks)}, {stack}) AS (check, violations)",
+        f"stack({len(names)}, {stack}) AS (check, violations)",
         "_checked AS checked")
+
+
+def fk_check(child: DataFrame, parent: DataFrame,
+             child_key: str, parent_key: str, name: str) -> DataFrame:
+    """Referential integrity in ONE pass over the child: LEFT-join the
+    (distinct) parent keys and count both orphans and total rows in the
+    same aggregate — no separate count(*) scan for ``checked``. The
+    parent side is deduplicated so a violated parent-side PK can only
+    surface as ITS OWN uniqueness failure, never as inflated FK counts."""
+    pk = (parent.select(F.col(parent_key).alias("_pk")).distinct()
+          .withColumn("_present", F.lit(1)))
+    j = child.select(F.col(child_key).alias("_ck")).join(
+        pk, F.col("_ck") == F.col("_pk"), "left")
+    return j.agg(
+        F.sum(F.when(F.col("_present").isNull(), 1).otherwise(0))
+        .cast("long").alias("violations"),
+        F.count(F.lit(1)).cast("long").alias("checked"),
+    ).select(F.lit(_safe_name(name)).alias("check"), "violations", "checked")
 
 
 def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +98,7 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders.o_totalprice.positive", ~(F.col("o_totalprice") > 0)),
         ("orders.o_orderpriority.in_domain",
          ~F.col("o_orderpriority").isin(pri_domain)),
-    ])
+    ], unique_keys=[("orders.o_orderkey.unique", "o_orderkey")])
     li_checks = run_row_checks(li, [
         ("lineitem.l_discount.range",
          (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
@@ -73,24 +106,11 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
          (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
         ("lineitem.l_quantity.le_40_probe", F.col("l_quantity") > 40),
     ])
-    uniq = o.agg(
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations"),
-        F.count(F.lit(1)).alias("checked"),
-    ).select(F.lit("orders.o_orderkey.unique").alias("check"),
-             "violations", "checked")
-    fk_li = (li.join(o.select("o_orderkey"),
-                     li.l_orderkey == o.o_orderkey, "left_anti")
-             .agg(F.count(F.lit(1)).alias("violations"))
-             .crossJoin(li.agg(F.count(F.lit(1)).alias("checked")))
-             .select(F.lit("lineitem.l_orderkey.fk_orders").alias("check"),
-                     "violations", "checked"))
-    fk_o = (o.join(c.select("c_custkey"),
-                   o.o_custkey == c.c_custkey, "left_anti")
-            .agg(F.count(F.lit(1)).alias("violations"))
-            .crossJoin(o.agg(F.count(F.lit(1)).alias("checked")))
-            .select(F.lit("orders.o_custkey.fk_customer").alias("check"),
-                    "violations", "checked"))
-    return (orders_checks.unionByName(li_checks).unionByName(uniq)
+    fk_li = fk_check(li, o, "l_orderkey", "o_orderkey",
+                     "lineitem.l_orderkey.fk_orders")
+    fk_o = fk_check(o, c, "o_custkey", "c_custkey",
+                    "orders.o_custkey.fk_customer")
+    return (orders_checks.unionByName(li_checks)
             .unionByName(fk_li).unionByName(fk_o))
 
 

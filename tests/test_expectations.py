@@ -49,3 +49,28 @@ def test_detects_planted_violations(spark, sf_dir):
     ])
     rows = {r["check"]: r["violations"] for r in df.collect()}
     assert rows["price_positive"] > 0 and rows["key_not_null"] == 0
+
+
+def test_uniqueness_rides_the_shared_pass(spark, sf_dir):
+    """count-vs-distinct uniqueness joins the row checks' single aggregate:
+    still one scan, no join, no Expand."""
+    o = load_table(spark, "orders", sf_dir)
+    df = E.run_row_checks(
+        o, [("nn", F.col("o_orderkey").isNull())],
+        unique_keys=[("uq", "o_orderkey")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Expand" not in plan
+    rows = {r["check"]: r["violations"] for r in df.collect()}
+    assert rows == {"nn": 0, "uq": 0}
+
+
+def test_run_row_checks_edges(spark, sf_dir):
+    import pytest
+
+    o = load_table(spark, "orders", sf_dir)
+    assert E.run_row_checks(o, []).count() == 0  # empty suite: empty report
+    with pytest.raises(ValueError):
+        E.run_row_checks(o, [("bad'name", F.col("o_orderkey").isNull())])
+    with pytest.raises(ValueError):
+        E.run_row_checks(o, [("_checked", F.col("o_orderkey").isNull())])

@@ -99,6 +99,7 @@ def test_rfm_segments_invariants(spark, sf_dir):
     """Quintile grades stay in 1..5, every purchasing user lands in exactly
     one cell, and the rollup conserves purchase count."""
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.arrays import (
+        RFM_BUCKETS,
         q_rfm_segments,
     )
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
@@ -110,7 +111,7 @@ def test_rfm_segments_invariants(spark, sf_dir):
     rows = q_rfm_segments(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+        assert all(1 <= r[g] <= RFM_BUCKETS for g in ("r", "f", "m"))
         assert r["users"] >= 1 and r["purchases"] >= r["users"]
     ev = load_table(spark, "events", sf_dir).filter(
         F.col("event_type") == "purchase")
