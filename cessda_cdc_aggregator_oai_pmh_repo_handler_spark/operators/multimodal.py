@@ -157,6 +157,18 @@ def _decode_ppm(payload: bytes) -> list[float]:
     ]
 
 
+def encode_gzip_payload(inner: bytes) -> bytes:
+    """Wrap any encoded payload in a gzip container (mtime pinned to 0 so
+    the bytes are deterministic)."""
+    import gzip as gzip_mod
+    import io
+
+    buf = io.BytesIO()
+    with gzip_mod.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(inner)
+    return buf.getvalue()
+
+
 def _decode(payload: bytes) -> list[float]:
     """Format dispatch by magic bytes — the one place a new codec plugs in."""
     if payload[:4] == _MAGIC:
@@ -165,7 +177,14 @@ def _decode(payload: bytes) -> list[float]:
         return _decode_wav(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
-    # compressed formats need PIL/librosa/ffmpeg — not in this container
+    if payload[:2] == b"\x1f\x8b":
+        # gzip container (stdlib): decompress and re-dispatch on the inner
+        # magic — a REAL compressed codec path; gzip'd WAV/PPM round-trip
+        import gzip as gzip_mod
+
+        return _decode(gzip_mod.decompress(payload))
+    # entropy-coded image/audio formats need PIL/librosa/ffmpeg — absent
+    # in this container
     return _decode_fake(payload)  # raises the canonical NotImplementedError
 
 

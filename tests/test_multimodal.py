@@ -115,3 +115,40 @@ def test_features_feed_ann_operators(media):
              .select("ma", "mb", F.round(cos, 4).alias("c")))
     assert pairs.count() == 32 * 31 // 2
     assert pairs.filter(F.col("c").isNull()).count() == 0
+
+
+def test_gzip_container_codec_roundtrip():
+    """gzip-wrapped payloads decode to EXACTLY the inner codec's output —
+    the real compressed-container path through the dispatch."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _decode,
+        encode_gzip_payload,
+        encode_ppm_payload,
+        encode_wav_payload,
+    )
+
+    wav = encode_wav_payload(7, 96)
+    ppm = encode_ppm_payload(8, 12, 5)
+    assert _decode(encode_gzip_payload(wav)) == _decode(wav)
+    assert _decode(encode_gzip_payload(ppm)) == _decode(ppm)
+    # deterministic container bytes (mtime pinned)
+    assert encode_gzip_payload(wav) == encode_gzip_payload(wav)
+
+
+def test_gzip_media_decodes_distributed(spark):
+    """A media table of gzip-compressed payloads runs through the same
+    mapInPandas decode stage as uncompressed ones."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_gzip_payload,
+        encode_wav_payload,
+    )
+
+    rows = [(i, "audio", encode_gzip_payload(encode_wav_payload(i, 64 + i)),
+             {"format": "WAV.GZ", "width": None, "height": None,
+              "sample_rate": 16000, "n_samples": 64 + i})
+            for i in range(8)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+    out = decode_media(media).collect()
+    assert len(out) == 8 and all(r["n_values"] == 64 + r["media_id"] for r in out)
