@@ -647,10 +647,16 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
-    supplier(s) matching the maximum. The max is a 1-row broadcast joined
-    back against the aggregated view (computed once via a reused subtree),
-    not a second scan; DECIMAL revenue makes the equality comparison exact
-    — with doubles, 'rev = max(rev)' is a float-equality landmine."""
+    supplier(s) matching the maximum. The max is a window over the
+    ALREADY-AGGREGATED revenue rows (the q2/q21 rewrite) — one lineitem
+    scan, asserted in tests/test_plans.py. A join-back against a
+    ``revenue.agg(max)`` branch looks like a reused subtree but is NOT:
+    join-inferred isnotnull filters de-canonicalize the two exchanges and
+    the fact table scans twice. DECIMAL revenue makes the equality
+    comparison exact — with doubles, 'rev = max(rev)' is a float-equality
+    landmine."""
+    from pyspark.sql import Window
+
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
@@ -659,10 +665,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_dec_rev()).alias("total_revenue"))
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    max_rev = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(F.broadcast(top),
-                     F.col("total_revenue") == F.col("max_rev"))
+        revenue.withColumn("max_rev", max_rev)
+        .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("supplier_no", "s_name",
                 F.col("total_revenue").cast("double").alias("total_revenue"))

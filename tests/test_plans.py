@@ -414,3 +414,13 @@ def test_semantic_dedup_subbuckets_oversized_clusters(spark):
     # and the operator still returns a row per label
     labels = {r["label"] for r in out.collect()}
     assert labels == {0, 1}
+
+
+def test_tpch_q15_single_fact_scan(spark):
+    """The max-revenue self-reference must NOT re-scan lineitem: the
+    window-over-aggregate form keeps one fact scan (a join-back against a
+    separate agg branch silently de-canonicalizes and scans twice)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
+
+    plan = plan_of(relational_ext.q_tpch_q15(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
