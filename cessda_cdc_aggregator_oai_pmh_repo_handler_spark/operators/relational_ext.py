@@ -569,18 +569,21 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock, adapted: part value from lineitem
     revenue instead of the absent partsupp): parts whose revenue exceeds a
     fraction of TOTAL corpus revenue — the scalar-subquery-in-HAVING shape.
-    The total reuses the same aggregate subtree as a 1-row broadcast; the
-    threshold compare happens post-aggregation on group-count rows, so the
-    scalar never touches the fact scan. DECIMAL sums; the compare runs on
-    their exact doubles."""
+    The total is a window over the per-part aggregate rows (the q15
+    lesson: a separate agg branch does NOT reuse the exchange — inferred
+    filters de-canonicalize it and the fact scans twice), so the fact
+    scans once and the scalar compare runs on part-sized rows. DECIMAL
+    sums; the compare runs on their exact doubles."""
+    from pyspark.sql import Window
+
     li = load_table(spark, "lineitem", sf_dir)
     per_part = (
         li.groupBy("l_partkey")
         .agg(F.sum(_dec_rev()).alias("val"))
     )
-    total = per_part.agg(F.sum("val").alias("total_val"))
+    total = F.sum("val").over(Window.partitionBy())
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("total_val", total)
         .filter(F.col("val").cast("double")
                 > 0.001 * F.col("total_val").cast("double"))
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
@@ -678,16 +681,20 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 small-quantity-order revenue: lineitems of one brand with
     quantity under 20% of that part's average quantity. The correlated
-    scalar subquery decorrelates into a per-part aggregate joined back on
-    partkey; quantities are integer-valued doubles so the per-part average
-    is bit-exact on both engines and the comparison cannot flip."""
+    scalar subquery decorrelates into a per-part average WINDOW over the
+    brand-filtered join — one scan of each table (asserted in
+    tests/test_plans.py); the aggregate-branch join-back form scanned
+    lineitem AND part twice (the q15 lesson). Quantities are
+    integer-valued doubles so the per-part average is bit-exact on both
+    engines and the comparison cannot flip."""
+    from pyspark.sql import Window
+
     p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#13")
     li = load_table(spark, "lineitem", sf_dir)
     branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    avg_qty = (branded.groupBy(F.col("l_partkey").alias("ap"))
-               .agg(F.avg("l_quantity").alias("aq")))
+    aq = F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
-        branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        branded.withColumn("aq", aq)
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(F.round(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))

@@ -416,11 +416,16 @@ def test_semantic_dedup_subbuckets_oversized_clusters(spark):
     assert labels == {0, 1}
 
 
-def test_tpch_q15_single_fact_scan(spark):
-    """The max-revenue self-reference must NOT re-scan lineitem: the
-    window-over-aggregate form keeps one fact scan (a join-back against a
-    separate agg branch silently de-canonicalizes and scans twice)."""
+def test_tpch_self_reference_queries_scan_fact_once(spark):
+    """Self-referencing shapes (q15 max-revenue, q11 scalar-in-HAVING, q17
+    correlated average) must NOT re-scan the fact table: the
+    window-over-aggregate form keeps one scan per table (a join-back
+    against a separate agg branch silently de-canonicalizes — inferred
+    isnotnull filters — and scans twice)."""
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext
 
-    plan = plan_of(relational_ext.q_tpch_q15(spark, SF))
-    assert plan.count("lineitem.parquet") == 1
+    for q in (relational_ext.q_tpch_q15, relational_ext.q_tpch_q11,
+              relational_ext.q_tpch_q17):
+        plan = plan_of(q(spark, SF))
+        assert plan.count("lineitem.parquet") == 1, q.__name__
+    assert plan.count("part.parquet") == 1  # q17's dim side too
