@@ -188,9 +188,17 @@ def _decode(payload: bytes) -> list[float]:
     return _decode_fake(payload)  # raises the canonical NotImplementedError
 
 
+_MEDIA_REAL_CACHE: dict = {}
+
+
 def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
     """Media table carrying REAL encoded bytes: PPM images (even ids) and
     PCM WAV audio (odd ids)."""
+    from ..sources.tables import session_key
+
+    cached = _MEDIA_REAL_CACHE.get((session_key(spark), n))
+    if cached is not None:
+        return cached
     rows = []
     for i in range(n):
         if i % 2 == 0:
@@ -210,8 +218,11 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
     # 64 rows that is 32 near-empty Arrow batches, each paying a Python
     # worker round-trip in the decode stage. Pack the demo into a few
     # real batches; a production media table gets its partitioning from
-    # the file layout instead.
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+    # the file layout instead. Memoized per (session, n) — the encode loop
+    # and createDataFrame dominate this fixed fixture's cost.
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+    _MEDIA_REAL_CACHE[(session_key(spark), n)] = df
+    return df
 
 
 def _feature(values: list[float]) -> list[float]:

@@ -71,11 +71,24 @@ def _pii_rows() -> list[tuple]:
     return rows
 
 
+_PII_DOCS_CACHE: dict[str, DataFrame] = {}
+
+
 def synthetic_pii_docs(spark: SparkSession) -> DataFrame:
     # same rationale as multimodal.synthetic_media_real: pack the demo
-    # into a few real partitions instead of one near-empty slice per core
-    return spark.createDataFrame(
-        _pii_rows(), "pii_id long, text string").coalesce(4)
+    # into a few real partitions instead of one near-empty slice per core.
+    # Memoized per session like the real tables (sources/tables.py): the
+    # driver-side createDataFrame/Arrow conversion is the expensive part
+    # of this fixed fixture, not the regexes.
+    from ..sources.tables import session_key
+
+    key = session_key(spark)
+    df = _PII_DOCS_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame(
+            _pii_rows(), "pii_id long, text string").coalesce(4)
+        _PII_DOCS_CACHE[key] = df
+    return df
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
