@@ -146,6 +146,64 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEBOUNCE_SECONDS = 30
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: drop an event arriving within DEBOUNCE_SECONDS
+    of the PREVIOUS KEPT event of the same (user, type)? — the exact form
+    needs an iterative scan; the standard streaming-compatible relaxation
+    (used here and by every telemetry pipeline) debounces against the
+    previous RAW event via ``lag``, which keeps an event iff the raw gap
+    is ≥ the threshold. One window exchange on (user_id, event_type);
+    ties at the same timestamp break by event_id so both engines keep the
+    same rows. Output is the per-type kept/dropped census."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # integer epoch-micros on both engines (unix_micros / epoch_us): no
+    # float timestamp arithmetic anywhere near the comparison; the ntz ->
+    # ltz cast is UTC (session.py pins the session timezone)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    kept = F.lag("ts").over(w).isNull() | (gap >= DEBOUNCE_SECONDS * 1_000_000)
+    return (
+        e.withColumn("kept", kept)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("events"),
+             F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept"),
+             F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("debounced"))
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP — time-weighted average of ``value`` per event type: each
+    observation holds until the next one (step interpolation), so its
+    weight is the gap to the successor (``lead``); the last observation
+    carries no weight. The metrics/finance classic that a plain AVG gets
+    wrong under irregular sampling. One window exchange on event_type;
+    weights are integer epoch-second gaps and the weighted sum runs in
+    DECIMAL, so both engines divide the same exact numbers (the tpch_q10
+    lesson) and the rounded quotient cannot straddle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.lead(us).over(w) - us  # weight in integer µs (unit cancels)
+    g = e.withColumn("w", gap).filter(F.col("w").isNotNull())
+    vw = (F.col("value").cast("decimal(18,4)")
+          * F.col("w").cast("decimal(18,0)"))
+    return (
+        g.groupBy("event_type")
+        .agg(F.round((F.sum(vw).cast("double")
+                      / F.sum("w").cast("double")), 4).alias("twap"),
+             F.sum("w").alias("total_weight_us"),
+             F.count(F.lit(1)).alias("weighted_obs"))
+    )
+
+
 def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join expressed as a running window: for every purchase, the
     user's most recent signup at-or-before it (one shuffle on user_id; the
@@ -448,6 +506,8 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "gapfill_hourly": q_gapfill_hourly,
     "asof_last_signup": q_asof_last_signup,
+    "debounce_events": q_debounce_events,
+    "time_weighted_avg": q_time_weighted_avg,
     "range_join_pairs": q_range_join_pairs,
     "array_exists": q_array_exists,
     "array_transform_agg": q_array_transform_agg,
@@ -459,6 +519,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "debounce_events": f"""
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS events,
+               CAST(sum(CASE WHEN gap IS NULL
+                             OR gap >= {DEBOUNCE_SECONDS * 1_000_000}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               CAST(sum(CASE WHEN gap IS NULL
+                             OR gap >= {DEBOUNCE_SECONDS * 1_000_000}
+                        THEN 0 ELSE 1 END) AS BIGINT) AS debounced
+        FROM g GROUP BY event_type
+    """,
+    "time_weighted_avg": """
+        WITH g AS (
+            SELECT event_type, value,
+                   lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id)
+                   - epoch_us(ts) AS w
+            FROM events
+        )
+        SELECT event_type,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4)) * w) AS DOUBLE)
+                     / CAST(sum(w) AS DOUBLE), 4) AS twap,
+               CAST(sum(w) AS BIGINT) AS total_weight_us,
+               CAST(count(*) AS BIGINT) AS weighted_obs
+        FROM g WHERE w IS NOT NULL GROUP BY event_type
+    """,
     "rfm_segments": f"""
         WITH per_user AS (
             SELECT user_id, max(ts) AS last_ts,

@@ -176,6 +176,13 @@ _WINDOW_SUBS = (
 )
 
 _TEMPORAL_SUBS = (
+    Sub("debounce_events", arrays.q_debounce_events,
+        arrays.ORACLES["debounce_events"],
+        (("event_type", "str"),), ("events", "kept", "debounced")),
+    Sub("time_weighted_avg", arrays.q_time_weighted_avg,
+        arrays.ORACLES["time_weighted_avg"],
+        (("event_type", "str"),),
+        ("twap", "total_weight_us", "weighted_obs")),
     Sub("asof_last_signup", arrays.q_asof_last_signup, arrays.ORACLES["asof_last_signup"],
         (("event_id", "str"), ("user_id", "str"), ("purchase_ts", "ts"),
          ("last_signup_ts", "ts")), ("gap_seconds",)),

@@ -117,3 +117,31 @@ def test_rfm_segments_invariants(spark, sf_dir):
         F.col("event_type") == "purchase")
     assert sum(r["users"] for r in rows) == ev.select("user_id").distinct().count()
     assert sum(r["purchases"] for r in rows) == ev.count()
+
+
+def test_debounce_and_twap_invariants(spark, sf_dir):
+    """Debounce conserves events (kept + debounced == total) and TWAP lies
+    within each type's value range."""
+    from pyspark.sql import functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.arrays import (
+        q_debounce_events,
+        q_time_weighted_avg,
+    )
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    totals = {r["event_type"]: r["cnt"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    for r in q_debounce_events(spark, sf_dir).collect():
+        assert r["kept"] + r["debounced"] == r["events"] == totals[r["event_type"]]
+        assert r["kept"] >= 1
+    bounds = {r["event_type"]: (r["lo"], r["hi"]) for r in
+              ev.groupBy("event_type").agg(F.min("value").alias("lo"),
+                                           F.max("value").alias("hi")).collect()}
+    for r in q_time_weighted_avg(spark, sf_dir).collect():
+        lo, hi = bounds[r["event_type"]]
+        assert lo - 1e-9 <= r["twap"] <= hi + 1e-9
+        assert r["total_weight_us"] > 0
