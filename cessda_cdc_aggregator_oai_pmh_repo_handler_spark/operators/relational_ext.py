@@ -383,6 +383,65 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+HIST_BUCKETS = 8
+
+
+def q_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of orders.o_totalprice — the other CBO artifact
+    next to q_table_stats (selectivity estimation reads bucket bounds, not
+    min/max). Two bounded passes, NO global sort: pass 1 computes the
+    bucket bounds as exact interpolated percentiles (one aggregate;
+    ``percentile`` ≡ ANSI percentile_cont, parity proven by
+    percentile_stats), pass 2 counts rows per half-open (lo, hi] interval
+    with ``sum(when)`` columns — both engines compare against the
+    identical boundary doubles, so the counts are engine-exact. At 100 TB
+    swap pass 1 to ``percentile_approx`` (mergeable sketch) and keep pass
+    2 unchanged."""
+    o = load_table(spark, "orders", sf_dir)
+    fracs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
+    brow = o.agg(*[F.percentile("o_totalprice", F.lit(f)).alias(f"b{i}")
+                   for i, f in enumerate(fracs, 1)],
+                 F.min("o_totalprice").alias("b0"),
+                 F.max("o_totalprice").alias(f"b{HIST_BUCKETS}")).first()
+    bounds = [brow[f"b{i}"] for i in range(HIST_BUCKETS + 1)]
+    v = F.col("o_totalprice")
+    cols = []
+    for i in range(1, HIST_BUCKETS + 1):
+        lo, hi = bounds[i - 1], bounds[i]
+        cond = (v <= F.lit(hi)) if i == 1 else \
+            ((v > F.lit(lo)) & (v <= F.lit(hi)))
+        cols.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                    .alias(f"c{i}"))
+    counts = o.agg(*cols)
+    stack = ", ".join(
+        f"'{i}', c{i}, {bounds[i - 1]!r}D, {bounds[i]!r}D"
+        for i in range(1, HIST_BUCKETS + 1))
+    return counts.selectExpr(
+        f"stack({HIST_BUCKETS}, {stack}) AS (bucket, rows, lo, hi)")
+
+
+def _histogram_oracle() -> str:
+    """Mirror: bounds via percentile_cont in a CTE, counts via the same
+    half-open CASE columns, unpivoted."""
+    fracs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
+    bsel = ", ".join(
+        [f"percentile_cont({f}) WITHIN GROUP (ORDER BY o_totalprice) AS b{i}"
+         for i, f in enumerate(fracs, 1)]
+        + ["min(o_totalprice) AS b0",
+           f"max(o_totalprice) AS b{HIST_BUCKETS}"])
+    rows = []
+    for i in range(1, HIST_BUCKETS + 1):
+        cond = (f"o_totalprice <= b{i}" if i == 1
+                else f"o_totalprice > b{i - 1} AND o_totalprice <= b{i}")
+        rows.append(
+            f"SELECT '{i}' AS bucket, "
+            f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS rows, "
+            f"CAST(b{i - 1} AS DOUBLE) AS lo, CAST(b{i} AS DOUBLE) AS hi "
+            f"FROM orders, bounds GROUP BY b{i - 1}, b{i}")
+    return "WITH bounds AS (SELECT " + bsel + " FROM orders)\n" + \
+        "\nUNION ALL\n".join(rows)
+
+
 def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dimension rollup (broadcast nation join + exact balance
     percentiles) — completes gate coverage of every driver table."""
@@ -968,6 +1027,7 @@ QUERIES = {
     "scalar_subquery": q_scalar_subquery,
     "salted_skew_agg": q_salted_skew_agg,
     "table_stats": q_table_stats,
+    "column_histogram": q_column_histogram,
 }
 
 _STATS_ORACLE_PARTS = [
@@ -988,6 +1048,7 @@ _STATS_ORACLE_PARTS = [
 
 ORACLES = {
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
+    "column_histogram": _histogram_oracle(),
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

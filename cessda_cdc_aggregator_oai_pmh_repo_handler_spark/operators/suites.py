@@ -404,6 +404,9 @@ _SQL_SURFACE_SUBS = (
         relational_ext.ORACLES["table_stats"],
         (("col", "str"), ("min_str", "str"), ("max_str", "str")),
         ("cnt", "ndv", "nulls", "min_num", "max_num")),
+    Sub("column_histogram", relational_ext.q_column_histogram,
+        relational_ext.ORACLES["column_histogram"],
+        (("bucket", "str"),), ("rows", "lo", "hi")),
     Sub("scalar_fn_conformance", relational_ext.q_scalar_fn_conformance,
         relational_ext.ORACLES["scalar_fn_conformance"],
         (("o_orderkey", "str"), ("month_end", "str"),

@@ -74,3 +74,23 @@ def test_run_row_checks_edges(spark, sf_dir):
         E.run_row_checks(o, [("bad'name", F.col("o_orderkey").isNull())])
     with pytest.raises(ValueError):
         E.run_row_checks(o, [("_checked", F.col("o_orderkey").isNull())])
+
+
+def test_column_histogram_equi_depth(spark, sf_dir):
+    """Buckets tile the full range, conserve the row count, and are
+    near-equal depth (exact percentile bounds)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext import (
+        HIST_BUCKETS,
+        q_column_histogram,
+    )
+
+    rows = sorted(q_column_histogram(spark, sf_dir).collect(),
+                  key=lambda r: int(r["bucket"]))
+    assert len(rows) == HIST_BUCKETS
+    o = load_table(spark, "orders", sf_dir)
+    total = o.count()
+    assert sum(r["rows"] for r in rows) == total
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev["hi"] == nxt["lo"]  # contiguous bounds
+    depths = [r["rows"] for r in rows]
+    assert max(depths) <= 1.2 * total / HIST_BUCKETS + 1  # near-equal depth
