@@ -383,6 +383,36 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# One ANSI-dialect SQL text, executed VERBATIM by both engines: Spark runs
+# it through spark.sql over the registered views, DuckDB runs it as the
+# oracle. The strongest form of SQL-surface parity — not "equivalent"
+# queries, the SAME query.
+SQL_TEXT_PARITY = """
+    SELECT o.o_orderpriority AS priority,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS orders,
+           CAST(sum(CASE WHEN o.o_totalprice > 150000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 2) AS avg_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority, c.c_mktsegment
+"""
+
+
+def q_sql_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the exact oracle text runs through
+    ``spark.sql`` over the registered table views — engine parity on the
+    SAME characters, not a hand-matched DataFrame translation."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_TEXT_PARITY)
+
+
 HIST_BUCKETS = 8
 
 
@@ -1028,6 +1058,7 @@ QUERIES = {
     "salted_skew_agg": q_salted_skew_agg,
     "table_stats": q_table_stats,
     "column_histogram": q_column_histogram,
+    "sql_text_parity": q_sql_text_parity,
 }
 
 _STATS_ORACLE_PARTS = [
@@ -1049,6 +1080,7 @@ _STATS_ORACLE_PARTS = [
 ORACLES = {
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
     "column_histogram": _histogram_oracle(),
+    "sql_text_parity": SQL_TEXT_PARITY,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

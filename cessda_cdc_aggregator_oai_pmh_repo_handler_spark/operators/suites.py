@@ -407,6 +407,10 @@ _SQL_SURFACE_SUBS = (
     Sub("column_histogram", relational_ext.q_column_histogram,
         relational_ext.ORACLES["column_histogram"],
         (("bucket", "str"),), ("rows", "lo", "hi")),
+    Sub("sql_text_parity", relational_ext.q_sql_text_parity,
+        relational_ext.ORACLES["sql_text_parity"],
+        (("priority", "str"), ("segment", "str")),
+        ("orders", "big_orders", "avg_price")),
     Sub("scalar_fn_conformance", relational_ext.q_scalar_fn_conformance,
         relational_ext.ORACLES["scalar_fn_conformance"],
         (("o_orderkey", "str"), ("month_end", "str"),
