@@ -75,6 +75,8 @@ HEADLINERS = {
     "table_stats": "ANALYZE stats: per-column single-distinct aggregates over pruned scans union'd — no multi-distinct Expand.",
     "data_expectations": "Expectations gate: all row-level checks in ONE aggregate pass per table; FKs as anti-joins; union of check-sized rows.",
     "rfm_segments": "RFM: events aggregate first (map-side partials); ntile windows run over the user-sized relation only.",
+    "column_histogram": "Equi-depth histogram: percentile bounds (bounded 1-row action) + ONE counting aggregate against literal bounds — no global sort.",
+    "time_weighted_avg": "TWAP: lead-gap weights on one event_type exchange; decimal-exact weighted sums.",
 }
 
 
