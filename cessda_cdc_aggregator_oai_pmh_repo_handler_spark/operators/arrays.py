@@ -167,7 +167,9 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ltz cast is UTC (session.py pins the session timezone)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
-    kept = F.lag("ts").over(w).isNull() | (gap >= DEBOUNCE_SECONDS * 1_000_000)
+    # NULL handling mirrors the oracle's `gap IS NULL OR ...` exactly — a
+    # lag(ts)-IS-NULL form would diverge on NULL-timestamp rows
+    kept = gap.isNull() | (gap >= DEBOUNCE_SECONDS * 1_000_000)
     return (
         e.withColumn("kept", kept)
         .groupBy("event_type")

@@ -658,21 +658,24 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock, adapted: part value from lineitem
     revenue instead of the absent partsupp): parts whose revenue exceeds a
     fraction of TOTAL corpus revenue — the scalar-subquery-in-HAVING shape.
-    The total is a window over the per-part aggregate rows (the q15
-    lesson: a separate agg branch does NOT reuse the exchange — inferred
-    filters de-canonicalize it and the fact scans twice), so the fact
-    scans once and the scalar compare runs on part-sized rows. DECIMAL
-    sums; the compare runs on their exact doubles."""
-    from pyspark.sql import Window
-
+    The per-part aggregate is MATERIALIZED once (localCheckpoint — the
+    winnowing precedent; at 100 TB it is the intermediate table a real
+    engine's CTE materialization writes), then the total is a 1-row
+    broadcast from the checkpoint. This is the scalable form of
+    self-reference over an UNBOUNDED-cardinality group key: a separate
+    agg branch re-scans the fact (inferred filters de-canonicalize the
+    exchange), and an unpartitioned window funnels billions of part rows
+    through one task. DECIMAL sums; the compare runs on their exact
+    doubles."""
     li = load_table(spark, "lineitem", sf_dir)
     per_part = (
         li.groupBy("l_partkey")
         .agg(F.sum(_dec_rev()).alias("val"))
+        .localCheckpoint()
     )
-    total = F.sum("val").over(Window.partitionBy())
+    total = per_part.agg(F.sum("val").alias("total_val"))
     return (
-        per_part.withColumn("total_val", total)
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("val").cast("double")
                 > 0.001 * F.col("total_val").cast("double"))
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
@@ -739,16 +742,15 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
-    supplier(s) matching the maximum. The max is a window over the
-    ALREADY-AGGREGATED revenue rows (the q2/q21 rewrite) — one lineitem
-    scan, asserted in tests/test_plans.py. A join-back against a
-    ``revenue.agg(max)`` branch looks like a reused subtree but is NOT:
-    join-inferred isnotnull filters de-canonicalize the two exchanges and
-    the fact table scans twice. DECIMAL revenue makes the equality
-    comparison exact — with doubles, 'rev = max(rev)' is a float-equality
+    supplier(s) matching the maximum. The per-supplier aggregate is
+    materialized once (localCheckpoint, the q11 pattern) and the max is a
+    1-row broadcast from it — one lineitem scan (asserted in
+    tests/test_plans.py), no unpartitioned window funneling the
+    supplier-sized relation through one task, and no separate agg branch
+    (whose join-inferred isnotnull filters de-canonicalize the exchange
+    and re-scan the fact). DECIMAL revenue makes the equality comparison
+    exact — with doubles, 'rev = max(rev)' is a float-equality
     landmine."""
-    from pyspark.sql import Window
-
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
@@ -756,10 +758,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_dec_rev()).alias("total_revenue"))
+        .localCheckpoint()
     )
-    max_rev = F.max("total_revenue").over(Window.partitionBy())
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        revenue.withColumn("max_rev", max_rev)
+        revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("supplier_no", "s_name",

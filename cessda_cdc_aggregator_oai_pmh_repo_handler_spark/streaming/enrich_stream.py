@@ -24,7 +24,6 @@ batch with the new attributes — no stream restart, no state. Two shapes:
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
