@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, memo_put
 from .clustering import sq_dists
 from .dedup import (BLOCK_BITS, _DOT_SQL, _SIGN_SIG_SQL, _cosine_sql,
                     dot_cols, norm_col, sign_signature)
@@ -390,7 +390,7 @@ def _pq_search(spark: SparkSession, sf_dir: str,
             .limit(TOP_K)
             .localCheckpoint()  # materialize before the unpersist below
         )
-        _PQ_CACHE[key] = out
+        memo_put(_PQ_CACHE, key, out)
         return out
     finally:
         e.unpersist()
@@ -442,7 +442,7 @@ def _pq_model(spark: SparkSession, e: DataFrame, ck):
                 [s[i] / n[i] if n[i] else cents[si][i]
                  for i in range(PQ_K)])
     if ck is not None:
-        _PQ_MODEL_CACHE[ck] = (cents, qvec, qlabel)
+        memo_put(_PQ_MODEL_CACHE, ck, (cents, qvec, qlabel))
     return cents, qvec, qlabel
 
 
@@ -618,7 +618,7 @@ def _postings_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
             .localCheckpoint()
         )
-        _POSTINGS_CACHE[key] = p
+        memo_put(_POSTINGS_CACHE, key, p)
     return p
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import corpus_key
+from ..sources.tables import corpus_key, memo_put
 from .text_analysis import _tokenized_docs
 
 BPE_MERGES = 8
@@ -156,7 +156,7 @@ def _trained(spark: SparkSession, sf_dir: str):
         rows = [(r, a, b, m, c) for (r, a, b, m, c) in merges]
         rows.append((0, "", "", "<vocab>", int(vocab)))
         entry = (rows, wf)
-        _BPE_CACHE[key] = entry
+        memo_put(_BPE_CACHE, key, entry)
     return entry
 
 

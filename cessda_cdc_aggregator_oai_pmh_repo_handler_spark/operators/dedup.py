@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import corpus_key, load_table
+from ..sources.tables import corpus_key, load_table, memo_put
 
 N_PERMS = 8
 N_BANDS = 4          # 2 rows per band
@@ -125,7 +125,7 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", sh.alias("shingles"))
         .localCheckpoint()
     )
-    _SHINGLE_CACHE[key] = docs
+    memo_put(_SHINGLE_CACHE, key, docs)
     return docs
 
 
@@ -148,7 +148,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     out = build_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
-    _VERIFIED_PAIRS_CACHE[key] = out
+    memo_put(_VERIFIED_PAIRS_CACHE, key, out)
     return out
 
 
@@ -585,7 +585,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.createDataFrame(comp, "doc_id long, component long")
     else:
         out = connected_components_distributed(pairs)
-    _COMPONENTS_CACHE[key] = out
+    memo_put(_COMPONENTS_CACHE, key, out)
     return out
 
 
@@ -658,7 +658,7 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     out = build_pagerank_neardup(spark, sf_dir).localCheckpoint()
-    _PAGERANK_CACHE[key] = out
+    memo_put(_PAGERANK_CACHE, key, out)
     return out
 
 

@@ -64,13 +64,17 @@ def fk_check(child: DataFrame, parent: DataFrame,
     (distinct) parent keys and count both orphans and total rows in the
     same aggregate — no separate count(*) scan for ``checked``. The
     parent side is deduplicated so a violated parent-side PK can only
-    surface as ITS OWN uniqueness failure, never as inflated FK counts."""
+    surface as ITS OWN uniqueness failure, never as inflated FK counts.
+    ANSI FK semantics: a NULL child key is vacuously valid (it belongs to
+    a separate not_null expectation), so NULLs are excluded from the
+    orphan count."""
     pk = (parent.select(F.col(parent_key).alias("_pk")).distinct()
           .withColumn("_present", F.lit(1)))
     j = child.select(F.col(child_key).alias("_ck")).join(
         pk, F.col("_ck") == F.col("_pk"), "left")
     return j.agg(
-        F.sum(F.when(F.col("_present").isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("_present").isNull()
+                     & F.col("_ck").isNotNull(), 1).otherwise(0))
         .cast("long").alias("violations"),
         F.count(F.lit(1)).cast("long").alias("checked"),
     ).select(F.lit(_safe_name(name)).alias("check"), "violations", "checked")
@@ -158,14 +162,16 @@ ORACLE = """
     UNION ALL
     SELECT 'lineitem.l_orderkey.fk_orders',
            CAST((SELECT count(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
                                    WHERE o.o_orderkey = l.l_orderkey))
                 AS BIGINT),
            CAST((SELECT count(*) FROM lineitem) AS BIGINT)
     UNION ALL
     SELECT 'orders.o_custkey.fk_customer',
            CAST((SELECT count(*) FROM orders o
-                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
                                    WHERE c.c_custkey = o.o_custkey))
                 AS BIGINT),
            CAST((SELECT count(*) FROM orders) AS BIGINT)

@@ -420,20 +420,26 @@ def q_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram of orders.o_totalprice — the other CBO artifact
     next to q_table_stats (selectivity estimation reads bucket bounds, not
     min/max). Two bounded passes, NO global sort: pass 1 computes the
-    bucket bounds as exact interpolated percentiles (one aggregate;
-    ``percentile`` ≡ ANSI percentile_cont, parity proven by
-    percentile_stats), pass 2 counts rows per half-open (lo, hi] interval
-    with ``sum(when)`` columns — both engines compare against the
-    identical boundary doubles, so the counts are engine-exact. At 100 TB
-    swap pass 1 to ``percentile_approx`` (mergeable sketch) and keep pass
-    2 unchanged."""
+    bucket bounds as ``percentile_disc`` (one aggregate) — the DISCRETE
+    percentile is an exact data value, never an interpolated double, so
+    the bounds are bit-identical in any engine reading the same parquet
+    (the oracle spells out the same ANSI definition — smallest value with
+    cume_dist >= f — explicitly; interpolating percentile_cont was a
+    1-ulp cross-engine gate risk). Pass 2 counts rows per half-open
+    (lo, hi] interval with ``sum(when)`` columns against those literal
+    bounds. At 100 TB swap pass 1 to ``percentile_approx`` (mergeable
+    sketch) and keep pass 2 unchanged."""
     o = load_table(spark, "orders", sf_dir)
     fracs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
-    brow = o.agg(*[F.percentile("o_totalprice", F.lit(f)).alias(f"b{i}")
+    brow = o.agg(*[F.expr(f"percentile_disc({f}) WITHIN GROUP "
+                          f"(ORDER BY o_totalprice)").alias(f"b{i}")
                    for i, f in enumerate(fracs, 1)],
                  F.min("o_totalprice").alias("b0"),
                  F.max("o_totalprice").alias(f"b{HIST_BUCKETS}")).first()
     bounds = [brow[f"b{i}"] for i in range(HIST_BUCKETS + 1)]
+    if bounds[0] is None:  # empty table: no buckets, not repr(None) SQL
+        return spark.createDataFrame(
+            [], "bucket string, rows long, lo double, hi double")
     v = F.col("o_totalprice")
     cols = []
     for i in range(1, HIST_BUCKETS + 1):
@@ -451,14 +457,16 @@ def q_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _histogram_oracle() -> str:
-    """Mirror: bounds via percentile_cont in a CTE, counts via the same
-    half-open CASE columns, unpivoted."""
+    """Mirror: bounds via the ANSI percentile_disc definition spelled out
+    explicitly (smallest value whose cume_dist >= f) so the bound is an
+    exact data value with no engine-specific interpolation or index
+    rounding; counts via the same half-open CASE columns, unpivoted."""
     fracs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
     bsel = ", ".join(
-        [f"percentile_cont({f}) WITHIN GROUP (ORDER BY o_totalprice) AS b{i}"
+        [f"(SELECT min(v) FROM ranked WHERE cd >= {f}) AS b{i}"
          for i, f in enumerate(fracs, 1)]
-        + ["min(o_totalprice) AS b0",
-           f"max(o_totalprice) AS b{HIST_BUCKETS}"])
+        + ["(SELECT min(o_totalprice) FROM orders) AS b0",
+           f"(SELECT max(o_totalprice) FROM orders) AS b{HIST_BUCKETS}"])
     rows = []
     for i in range(1, HIST_BUCKETS + 1):
         cond = (f"o_totalprice <= b{i}" if i == 1
@@ -468,8 +476,10 @@ def _histogram_oracle() -> str:
             f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS rows, "
             f"CAST(b{i - 1} AS DOUBLE) AS lo, CAST(b{i} AS DOUBLE) AS hi "
             f"FROM orders, bounds GROUP BY b{i - 1}, b{i}")
-    return "WITH bounds AS (SELECT " + bsel + " FROM orders)\n" + \
-        "\nUNION ALL\n".join(rows)
+    return ("WITH ranked AS (SELECT o_totalprice AS v, "
+            "cume_dist() OVER (ORDER BY o_totalprice) AS cd FROM orders),\n"
+            "bounds AS (SELECT " + bsel + ")\n"
+            + "\nUNION ALL\n".join(rows))
 
 
 def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

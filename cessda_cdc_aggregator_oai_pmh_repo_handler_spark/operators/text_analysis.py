@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import corpus_key, load_table
+from ..sources.tables import corpus_key, load_table, memo_put
 
 # tiny stopword/marker inventories; deliberately deterministic & portable
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -97,7 +97,7 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # TMPDIR) — the staging copy is a complete valid table
                 path = staging
     docs = spark.read.parquet(path)
-    _TOKENIZED_CACHE[key] = docs
+    memo_put(_TOKENIZED_CACHE, key, docs)
     return docs
 
 
@@ -366,7 +366,7 @@ def _bigram_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("bh"))
             .localCheckpoint()
         )
-        _BIGRAM_EX_CACHE[key] = ex
+        memo_put(_BIGRAM_EX_CACHE, key, ex)
     return ex
 
 
@@ -375,7 +375,7 @@ def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _WINNOW_FP_CACHE.get(key)
     if fp is None:
         fp = winnow_exploded(load_table(spark, "documents", sf_dir))
-        _WINNOW_FP_CACHE[key] = fp
+        memo_put(_WINNOW_FP_CACHE, key, fp)
     return fp
 
 
@@ -979,7 +979,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = d.select("doc_id", split.alias("split"), grams.alias("grams")) \
             .localCheckpoint()
         ex = staged.select("split", "doc_id", F.explode("grams").alias("gram"))
-        _LEAK_GRAM_CACHE[key] = ex
+        memo_put(_LEAK_GRAM_CACHE, key, ex)
     train = ex.filter(F.col("split") == "train").select(
         "gram", F.col("doc_id").alias("train_doc"))
     other = ex.filter(F.col("split") != "train")

@@ -74,6 +74,37 @@ def corpus_key(spark: SparkSession, sf_dir: str,
     return (session_key(spark), corpus_ident(sf_dir, table))
 
 
+def memo_put(cache: dict, key: tuple[str, str], value) -> None:
+    """Insert into a ``corpus_key``-keyed memo cache, EVICTING any stale
+    entry for the same (session, corpus path) whose ident no longer
+    matches — a corpus regenerated in place must not leave the previous
+    entry's localCheckpoint blocks pinned in executor storage for the
+    process lifetime. Evicted DataFrames are unpersisted best-effort
+    (tuple values may carry a DataFrame member, e.g. the BPE cache);
+    dropping the strong reference also lets the ContextCleaner reclaim
+    checkpointed RDD blocks."""
+    # key = (session_key, corpus_ident, *extra discriminators) — e.g. the
+    # PQ cache appends a cell_probe flag. Stale = same session + same
+    # extras + same corpus path but a different size/mtime/logic tail.
+    sk, ident = key[0], key[1]
+    # corpus_ident = "sf_dir|table|size|mtime[|logic]" — same first two
+    # segments + different tail ⇒ same corpus path, stale snapshot.
+    prefix = "|".join(ident.split("|")[:2]) + "|"
+    stale = [k for k in cache
+             if k[0] == sk and k[2:] == key[2:] and k[1] != ident
+             and isinstance(k[1], str) and k[1].startswith(prefix)]
+    for k in stale:
+        old = cache.pop(k)
+        for member in (old if isinstance(old, tuple) else (old,)):
+            unpersist = getattr(member, "unpersist", None)
+            if callable(unpersist):
+                try:
+                    unpersist()
+                except Exception:
+                    pass  # session may already be stopped; ref drop suffices
+    cache[key] = value
+
+
 # Catalog-style metadata cache: DataFrames are immutable logical plans, so
 # one spark.read.parquet per (session, path) is safe and skips re-reading
 # parquet footers/schema on every query — exactly what a real catalog's

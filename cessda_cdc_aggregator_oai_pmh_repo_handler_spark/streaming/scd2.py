@@ -36,11 +36,18 @@ SCD2_META = ("valid_from", "valid_to", "is_current")
 
 
 def _attr_hash(cols: list[str]) -> F.Column:
-    """Null-safe attribute fingerprint: NULLs hash as a sentinel so a
-    NULL→value change is detected and value-equal rows match."""
-    return F.md5(F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                  for c in cols]))
+    """Null-safe attribute fingerprint with an unambiguous encoding: each
+    column contributes a 1-char null flag plus (when non-null) the fixed
+    32-hex md5 of its value, so the concatenation is uniquely decodable —
+    a literal sentinel byte inside a value cannot collide with NULL, and
+    no value can shift another column's boundary (a flat concat_ws
+    sentinel scheme has both defects)."""
+    blocks = [
+        F.when(F.col(c).isNull(), F.lit("0"))
+         .otherwise(F.concat(F.lit("1"), F.md5(F.col(c).cast("string"))))
+        for c in cols
+    ]
+    return F.md5(F.concat(*blocks))
 
 
 def scd2_merge(spark: SparkSession, target_path: str, batch: DataFrame,
@@ -48,6 +55,16 @@ def scd2_merge(spark: SparkSession, target_path: str, batch: DataFrame,
     """Merge ``batch`` (one row per key: the new state observed at
     ``change_ts``) into the SCD2 table at ``target_path``."""
     ts = F.lit(change_ts).cast("timestamp")
+    # Enforce (don't just document) the one-row-per-key precondition: a
+    # batch with duplicate keys would open multiple is_current versions
+    # and silently corrupt the dimension forever. One tiny agg action.
+    dup = batch.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias("d")
+    ).collect()[0]["d"]
+    if dup:
+        raise ValueError(
+            f"scd2_merge: batch has {dup} duplicate '{key}' rows; "
+            "deduplicate to one state per key before merging")
     incoming = (batch.select(key, *attrs)
                 .withColumn("_h", _attr_hash(attrs)))
     if os.path.exists(target_path):

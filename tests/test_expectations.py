@@ -94,3 +94,52 @@ def test_column_histogram_equi_depth(spark, sf_dir):
         assert prev["hi"] == nxt["lo"]  # contiguous bounds
     depths = [r["rows"] for r in rows]
     assert max(depths) <= 1.2 * total / HIST_BUCKETS + 1  # near-equal depth
+
+
+def test_fk_check_null_child_keys_are_vacuously_valid(spark):
+    """ANSI FK semantics: a NULL foreign key is not an orphan — it belongs
+    to a separate not_null expectation. Only the real orphan counts."""
+    child = spark.createDataFrame(
+        [(1,), (None,), (None,), (99,)], "k bigint")
+    parent = spark.createDataFrame([(1,), (2,)], "k bigint")
+    row = E.fk_check(child, parent, "k", "k", "c.fk").collect()[0]
+    assert row["violations"] == 1  # only 99; the two NULLs don't count
+    assert row["checked"] == 4
+
+
+def test_memo_put_evicts_stale_corpus_entries(spark):
+    """Regenerating a corpus in place must evict (and unpersist) the memo
+    entry cached under the previous size/mtime ident — otherwise
+    localCheckpoint blocks for the dead snapshot pin executor storage for
+    the process lifetime (round-3 advice)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import memo_put
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    cache = {}
+    old = FakeDF()
+    memo_put(cache, ("sess", "/d|documents|100|1"), old)
+    other_table = FakeDF()
+    memo_put(cache, ("sess", "/d|embeddings|50|1"), other_table)
+    other_session = FakeDF()
+    memo_put(cache, ("sess2", "/d|documents|100|1"), other_session)
+    # same session + same corpus path, new size/mtime -> evicts `old` only
+    new = FakeDF()
+    memo_put(cache, ("sess", "/d|documents|200|2"), new)
+    assert old.unpersisted
+    assert not other_table.unpersisted and not other_session.unpersisted
+    assert ("sess", "/d|documents|100|1") not in cache
+    assert cache[("sess", "/d|documents|200|2")] is new
+    assert len(cache) == 3
+    # extra discriminators (the PQ cell_probe flag) partition the space:
+    # same corpus, different flag is NOT stale
+    a, b = FakeDF(), FakeDF()
+    memo_put(cache, ("sess", "/d|documents|200|2", True), a)
+    memo_put(cache, ("sess", "/d|documents|300|3", False), b)
+    assert not a.unpersisted  # different flag survived
+    assert cache[("sess", "/d|documents|200|2")] is new  # 2-tuple untouched

@@ -68,3 +68,34 @@ def test_scd2_closed_history_never_rewrites(spark, tmp_path):
         assert prev["valid_to"] == nxt["valid_from"]
     assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
     assert all(not r["is_current"] for r in hist[:-1])
+
+
+def test_scd2_rejects_duplicate_key_batches(spark, tmp_path):
+    """A batch with two states for one key would open two is_current
+    versions and corrupt the dimension forever — the merge must refuse."""
+    import pytest
+
+    path = str(tmp_path / "dim_scd2c")
+    with pytest.raises(ValueError, match="duplicate"):
+        scd2.scd2_merge(spark, path, _dim(spark, [
+            (1, "a", "x"), (1, "b", "x")]), "user_id", ["tier", "region"], T0)
+    import os
+    assert not os.path.exists(path)  # nothing was written
+
+
+def test_scd2_attr_hash_is_unambiguous(spark, tmp_path):
+    """Adversarial values for the old flat-sentinel scheme: a literal
+    NUL byte must differ from NULL, and a unit-separator inside one
+    attribute must not shift the next attribute's boundary."""
+    path = str(tmp_path / "dim_scd2d")
+    attrs = ["tier", "region"]
+    scd2.scd2_merge(spark, path, _dim(spark, [
+        (1, "\x00", "eu"), (2, "a\x1fb", "c")]), "user_id", attrs, T0)
+    # 1: NUL -> NULL is a REAL change; 2: boundary shift "a" | "b\x1fc"
+    # hashes differently from "a\x1fb" | "c" under the fixed scheme
+    scd2.scd2_merge(spark, path, _dim(spark, [
+        (1, None, "eu"), (2, "a", "b\x1fc")]), "user_id", attrs, T1)
+    d = spark.read.parquet(path)
+    assert d.count() == 4  # both keys versioned: 2 closed + 2 current
+    cur = {r["user_id"]: r for r in d.filter("is_current").collect()}
+    assert cur[1]["tier"] is None and cur[2]["tier"] == "a"
