@@ -112,6 +112,60 @@ def memo_put(cache: dict, key: tuple[str, str], value) -> None:
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_corpus_caches(spark: SparkSession | None = None) -> None:
+    """Drop EVERY in-process memo cache (unpersisting cached/checkpointed
+    DataFrames best-effort) plus Spark's table cache. The benchmark's
+    cold mode calls this between queries so each number is attributable:
+    without it, whichever query first builds a shared relation (the
+    shingled corpus, the verified-pair set, the PQ codebooks) absorbs its
+    cost and later queries report near-zero (the round-3 minhash=0.02 s
+    artifact). On-disk side tables (the tokenized corpus parquet) are NOT
+    deleted — they are the persistent stage-one tables of the 100 TB
+    design, not in-process state."""
+    from importlib import import_module
+
+    specs = [
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables", ("_TABLE_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies", ("_FIXTURE_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.dedup",
+         ("_SHINGLE_CACHE", "_VERIFIED_PAIRS_CACHE", "_COMPONENTS_CACHE",
+          "_PAGERANK_CACHE")),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis",
+         ("_TOKENIZED_CACHE", "_BIGRAM_EX_CACHE", "_WINNOW_FP_CACHE",
+          "_LEAK_GRAM_CACHE")),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.bpe", ("_BPE_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.ann",
+         ("_PQ_CACHE", "_PQ_MODEL_CACHE", "_POSTINGS_CACHE")),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.pii", ("_PII_DOCS_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal", ("_MEDIA_REAL_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.studies_demo", ("_PLANNER_CACHE",)),
+    ]
+    for mod_name, attrs in specs:
+        try:
+            mod = import_module(mod_name)
+        except Exception:
+            continue
+        for attr in attrs:
+            cache = getattr(mod, attr, None)
+            if not isinstance(cache, dict):
+                continue
+            for value in cache.values():
+                members = value if isinstance(value, tuple) else (value,)
+                for member in members:
+                    unpersist = getattr(member, "unpersist", None)
+                    if callable(unpersist):
+                        try:
+                            unpersist()
+                        except Exception:
+                            pass
+            cache.clear()
+    if spark is not None:
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
