@@ -152,7 +152,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def build_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                            bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """The un-memoized banding + verify plan (see q_minhash_lsh_pairs)."""
     mh = minhash_signature(F.col("shingles"))
     docs = _shingled_docs(spark, sf_dir)
@@ -180,7 +181,7 @@ def build_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_rank = F.row_number().over(
         Window.partitionBy("band", "bh").orderBy("doc_id"))
     bands = bands.withColumn("rk", bucket_rank).filter(
-        F.col("rk") <= LSH_BUCKET_CAP).drop("rk")
+        F.col("rk") <= bucket_cap).drop("rk")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -423,9 +424,13 @@ def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMANTIC_THRESHOLD = 0.35
 SEM_CLUSTER_CAP = 100  # above this size a cluster sub-buckets on sign bits
+SEM_ANCHOR_CAP = 64    # within an oversized (cluster, sub-bucket): only the
+                       # lowest-id K members serve as prune anchors
 
 
-def semantic_dedup_stats(e: DataFrame) -> DataFrame:
+def semantic_dedup_stats(e: DataFrame,
+                         cluster_cap: int = SEM_CLUSTER_CAP,
+                         anchor_cap: int = SEM_ANCHOR_CAP) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — the pattern, reimplemented on DataFrames): cluster
     the embedding space, compare pairs ONLY within a cluster, and prune
@@ -438,23 +443,43 @@ def semantic_dedup_stats(e: DataFrame) -> DataFrame:
     ``kmeans_clusters``/``label_centroids`` operators ARE that step).
 
     Oversized-cluster guard: a viral cluster of size m costs m² pairs, so
-    clusters above ``SEM_CLUSTER_CAP`` additionally join on the
+    clusters above ``cluster_cap`` additionally join on the
     ``sign_signature`` sub-bucket (2^BLOCK_BITS buckets), the same sign-bit
     blocking q_embedding_neardup uses — bounding every bucket's pair count
     while high-cosine near-duplicates (which agree on almost all sign
     bits) stay co-bucketed. The cluster-size relation is label-cardinality
     rows, broadcast; tests/test_plans.py pins that an oversized cluster's
-    pair join carries the sub-bucket key."""
+    pair join carries the sub-bucket key.
+
+    Anchor guard (round-4 stress finding): sign-bit sub-bucketing alone
+    does NOT bound a truly viral semantic cluster — near-identical vectors
+    share every sign bit, so the whole cluster lands in ONE sub-bucket and
+    stays m². Within an oversized cluster's (label, sub) bucket, only the
+    ``anchor_cap`` lowest-id members act as prune anchors (the a-side of
+    the pair join), so cost is m·K, linear in m. Recall trade: a member is
+    pruned only if it duplicates an ANCHOR; in a dense near-dup cluster the
+    anchors are representative (everything is close to everything), so
+    pruning stays near-exhaustive — the stress harness measures exactly
+    this. Small clusters (≤ cluster_cap) keep full pairwise semantics, so
+    gate-scale results are unchanged; the oracle mirrors both guards."""
+    from pyspark.sql import Window
+
     sizes = e.groupBy("label").agg(F.count("*").alias("csz"))
     keyed = (
         e.join(F.broadcast(sizes), "label")
-        .withColumn("sub", F.when(F.col("csz") > SEM_CLUSTER_CAP,
+        .withColumn("sub", F.when(F.col("csz") > cluster_cap,
                                   sign_signature("embedding"))
                     .otherwise(F.lit("")))
+        # rank rides the same (label, sub) partitioning the pair join
+        # shuffles on — no extra exchange
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("label", "sub").orderBy("vec_id")))
     )
-    a = keyed.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
-                     F.col("sub").alias("sa"),
-                     F.col("embedding").alias("ea"), norm_col("embedding").alias("na"))
+    a = (keyed.filter((F.col("csz") <= cluster_cap)
+                      | (F.col("rk") <= anchor_cap))
+         .select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
+                 F.col("sub").alias("sa"),
+                 F.col("embedding").alias("ea"), norm_col("embedding").alias("na")))
     b = keyed.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
                      F.col("sub").alias("sb"),
                      F.col("embedding").alias("eb"), norm_col("embedding").alias("nb"))
@@ -694,9 +719,11 @@ def build_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDIT_PREF = 40       # verify window: first N normalized chars
 EDIT_BLOCK = 12      # blocking key width
 EDIT_MAX_DIST = 8    # verified-pair threshold
+FUZZY_BLOCK_CAP = 32  # max docs per prefix block before the self-join
 
 
-def q_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str,
+                       block_cap: int = FUZZY_BLOCK_CAP) -> DataFrame:
     """Edit-distance near-dup pairs — the record-linkage classic for typo
     -level duplication that token/shingle methods under-weight. Two-window
     pigeonhole blocking (md5 of chars 1-12 and of chars 13-24: an edit
@@ -723,7 +750,7 @@ def q_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped = d.withColumn(
             "rk", F.row_number().over(
                 Window.partitionBy(key).orderBy("doc_id"))
-        ).filter(F.col("rk") <= LSH_BUCKET_CAP).drop("rk")
+        ).filter(F.col("rk") <= block_cap).drop("rk")
         a, b = capped.alias("a"), capped.alias("b")
         return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
                        & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -765,13 +792,13 @@ ORACLES = {
             SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY b1
                                              ORDER BY doc_id) AS rk
-                FROM d) WHERE rk <= {LSH_BUCKET_CAP}
+                FROM d) WHERE rk <= {FUZZY_BLOCK_CAP}
         ),
         c2 AS (
             SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY b2
                                              ORDER BY doc_id) AS rk
-                FROM d) WHERE rk <= {LSH_BUCKET_CAP}
+                FROM d) WHERE rk <= {FUZZY_BLOCK_CAP}
         ),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -861,18 +888,25 @@ ORACLES = {
     """,
     "neardup_components": None,  # filled below from the pairs oracle
     "semantic_dedup": f"""
-        WITH keyed AS (
+        WITH keyed0 AS (
             SELECT vec_id, label, embedding,
+                   count(*) OVER (PARTITION BY label) AS csz,
                    CASE WHEN count(*) OVER (PARTITION BY label)
                              > {SEM_CLUSTER_CAP}
                         THEN {_SIGN_SIG_SQL} ELSE '' END AS sub
             FROM embeddings
         ),
+        keyed AS (
+            SELECT *, row_number() OVER (PARTITION BY label, sub
+                                         ORDER BY vec_id) AS rk
+            FROM keyed0
+        ),
         dups AS (
             SELECT DISTINCT b.vec_id
             FROM keyed a JOIN keyed b
               ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
-            WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 4)
+            WHERE (a.csz <= {SEM_CLUSTER_CAP} OR a.rk <= {SEM_ANCHOR_CAP})
+              AND round({_cosine_sql('a.embedding', 'b.embedding')}, 4)
                   >= {SEMANTIC_THRESHOLD}
         )
         SELECT e.label, count(*) AS n,

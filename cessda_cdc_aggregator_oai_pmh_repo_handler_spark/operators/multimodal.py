@@ -2,13 +2,14 @@
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-Decode kernels are REAL for the uncompressed formats this environment can
-handle without codec libraries — PCM WAV (stdlib ``wave``) and binary PPM
-(header parse + numpy) — plus a deterministic FAKE codec for plumbing
-tests. Compressed formats (PNG/JPEG/MP3/H.264) raise NotImplementedError
-until PIL/librosa/ffmpeg are installed; the dispatch in ``_decode`` is the
-single extension point, and the distributed plan does not move when a codec
-is added.
+Decode kernels are REAL for the formats this environment can handle
+without codec libraries — PCM WAV (stdlib ``wave``), binary PPM (header
+parse), non-interlaced 8-bit RGB PNG (stdlib ``zlib`` inflate + full
+five-filter un-filtering), and gzip containers — plus a deterministic
+FAKE codec for plumbing tests. Entropy-coded formats (JPEG/MP3/H.264)
+raise NotImplementedError until PIL/librosa/ffmpeg are installed; the
+dispatch in ``_decode`` is the single extension point, and the
+distributed plan does not move when a codec is added.
 
 Scale notes:
 - Payloads stay in executors end-to-end (mapInPandas streams Arrow batches;
@@ -157,6 +158,129 @@ def _decode_ppm(payload: bytes) -> list[float]:
     ]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_payload(media_id: int, width: int, height: int) -> bytes:
+    """Real non-interlaced 8-bit RGB PNG bytes (stdlib ``zlib`` only):
+    deterministic md5-seeded RGB, one IHDR/IDAT/IEND chunk each with spec
+    CRCs. Rows cycle through all five scanline filters (None/Sub/Up/
+    Average/Paeth) so fixtures exercise the decoder's whole un-filter
+    path, not just filter 0."""
+    import zlib
+
+    seed = hashlib.md5(f"png:{media_id}".encode()).digest()
+    n = 3 * width * height
+    raw = (seed * (n // len(seed) + 1))[:n]
+    bpp, stride = 3, 3 * width
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = raw[y * stride:(y + 1) * stride]
+        f = y % 5
+        out.append(f)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """Non-interlaced 8-bit RGB PNG → per-pixel luma floats in [0, 1]
+    (BT.601, matching _decode_ppm). Stdlib ``zlib`` inflate + spec
+    un-filtering of all five scanline filters; IDAT may span multiple
+    chunks (they concatenate into one zlib stream). Palette, alpha,
+    16-bit, and interlaced variants raise — they need a real imaging
+    library (the JPEG extension point's story)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, width = 8, 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, ctype_id, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if (depth, ctype_id, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only non-interlaced 8-bit RGB PNG is decoded here; "
+                    "palette/alpha/16-bit/interlaced need an imaging library")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, 3 * width
+    prior = bytes(stride)
+    pixels = bytearray()
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for x in range(stride):
+            left = recon[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + left
+            elif f == 2:
+                v = line[x] + up
+            elif f == 3:
+                v = line[x] + ((left + up) >> 1)
+            elif f == 4:
+                v = line[x] + _paeth(left, up, ul)
+            else:
+                raise NotImplementedError(f"unknown PNG filter {f}")
+            recon[x] = v & 0xFF
+        prior = bytes(recon)
+        pixels += recon
+    return [
+        (0.299 * pixels[3 * i] + 0.587 * pixels[3 * i + 1]
+         + 0.114 * pixels[3 * i + 2]) / 255
+        for i in range(width * height)
+    ]
+
+
 def encode_gzip_payload(inner: bytes) -> bytes:
     """Wrap any encoded payload in a gzip container (mtime pinned to 0 so
     the bytes are deterministic)."""
@@ -177,6 +301,8 @@ def _decode(payload: bytes) -> list[float]:
         return _decode_wav(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] == b"\x1f\x8b":
         # gzip container (stdlib): decompress and re-dispatch on the inner
         # magic — a REAL compressed codec path; gzip'd WAV/PPM round-trip
@@ -192,8 +318,9 @@ _MEDIA_REAL_CACHE: dict = {}
 
 
 def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Media table carrying REAL encoded bytes: PPM images (even ids) and
-    PCM WAV audio (odd ids)."""
+    """Media table carrying REAL encoded bytes: images alternate binary PPM
+    (i % 4 == 0) and zlib-compressed RGB PNG (i % 4 == 2); odd ids are
+    PCM16 WAV audio."""
     from ..sources.tables import session_key
 
     cached = _MEDIA_REAL_CACHE.get((session_key(spark), n))
@@ -204,8 +331,13 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
         if i % 2 == 0:
             width = 8 + (i * 5) % 24
             height = 4 + i % 6
-            payload = encode_ppm_payload(i, width, height)
-            meta = {"format": "PPM", "width": width, "height": height,
+            if i % 4 == 0:
+                payload = encode_ppm_payload(i, width, height)
+                fmt = "PPM"
+            else:
+                payload = encode_png_payload(i, width, height)
+                fmt = "PNG"
+            meta = {"format": fmt, "width": width, "height": height,
                     "sample_rate": None, "n_samples": None}
             rows.append((i, "image", payload, meta))
         else:
@@ -279,7 +411,8 @@ def resize_images(media: DataFrame, width: int) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: decode a media table of REAL encoded bytes — binary PPM
-    images and PCM16 WAV audio, decoded by the actual codecs above inside
+    images, zlib-compressed RGB PNG images, and PCM16 WAV audio, decoded
+    by the actual codecs above inside
     Arrow-batched mapInPandas (payloads never touch the driver) — and roll
     the extracted features up per kind. The oracle is a literal-VALUES
     table computed by running the same codecs in plain Python (the media
@@ -310,7 +443,8 @@ def _expected_feature_rollup() -> list[tuple]:
     for i in range(64):
         if i % 2 == 0:
             kind = "image"
-            vals = _decode(encode_ppm_payload(i, 8 + (i * 5) % 24, 4 + i % 6))
+            enc = encode_ppm_payload if i % 4 == 0 else encode_png_payload
+            vals = _decode(enc(i, 8 + (i * 5) % 24, 4 + i % 6))
         else:
             kind = "audio"
             vals = _decode(encode_wav_payload(i, 64 + (i * 17) % 192))

@@ -152,3 +152,59 @@ def test_gzip_media_decodes_distributed(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
     out = decode_media(media).collect()
     assert len(out) == 8 and all(r["n_values"] == 64 + r["media_id"] for r in out)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png_payload cycles scanline filters 0-4 across rows; the
+    decoder's un-filtering must reproduce the exact seeded RGB, proving
+    every filter branch (not just None) against spec math."""
+    import hashlib
+    import struct
+    import zlib
+
+    w, h = 7, 10  # 10 rows -> each of the 5 filters used twice
+    payload = M.encode_png_payload(3, w, h)
+    assert payload[:8] == M._PNG_SIG
+    # the IDAT scanlines really carry filters 0..4
+    (ln,) = struct.unpack(">I", payload[8:12])
+    idat_off = 8 + 12 + ln + 8
+    (dlen,) = struct.unpack(">I", payload[idat_off - 8:idat_off - 4])
+    raw = zlib.decompress(payload[idat_off:idat_off + dlen])
+    stride = 3 * w
+    assert [raw[y * (stride + 1)] for y in range(h)] == [y % 5 for y in range(h)]
+
+    seed = hashlib.md5(b"png:3").digest()
+    n = 3 * w * h
+    rgb = (seed * (n // len(seed) + 1))[:n]
+    expected = [
+        (0.299 * rgb[3 * i] + 0.587 * rgb[3 * i + 1] + 0.114 * rgb[3 * i + 2]) / 255
+        for i in range(w * h)
+    ]
+    assert M._decode_png(payload) == expected
+    assert M._decode(payload) == expected  # magic dispatch
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+
+    # RGBA (color type 6) must refuse, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+    bad = M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        M._decode_png(bad)
+
+
+def test_png_media_decodes_distributed(spark):
+    """PNG payloads flow through the same Arrow-batched decode/resize
+    stages as PPM/WAV — the gate fixture now carries them natively."""
+    media = M.synthetic_media_real(spark, 16)
+    fmts = {r["meta"]["format"] for r in media.select("meta").collect()}
+    assert fmts == {"PPM", "PNG", "WAV"}
+    dec = M.decode_media(media)
+    rows = {r["media_id"]: r for r in dec.collect()}
+    # media_id 2 is PNG (i % 4 == 2): luma count == width*height
+    assert rows[2]["n_values"] == (8 + 2 * 5 % 24) * (4 + 2 % 6)
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows.values())
+    resized = M.resize_images(media, 8).collect()
+    assert all(r["n_values"] == 8 for r in resized)
+    assert {r["media_id"] for r in resized} == {0, 2, 4, 6, 8, 10, 12, 14}

@@ -103,8 +103,9 @@ def gen_embeddings(spark: SparkSession, out_dir: str, n_vecs: int,
     prey). The first ``viral`` vectors all land in label 0 — hundreds of
     times SEM_CLUSTER_CAP."""
     label = (
-        F.when(F.col("id") < viral, F.lit(0))
-        .otherwise((F.pmod(F.xxhash64("id"), F.lit(N_LABELS)) + 1).cast("int"))
+        F.when(F.col("vec_id") < viral, F.lit(0))
+        .otherwise((F.pmod(F.xxhash64("vec_id"), F.lit(N_LABELS)) + 1)
+                   .cast("int"))
     )
     dims = F.sequence(F.lit(1), F.lit(EMB_DIM))
     emb = F.transform(
@@ -112,13 +113,14 @@ def gen_embeddings(spark: SparkSession, out_dir: str, n_vecs: int,
         lambda i: (
             (F.pmod(F.xxhash64(F.col("label").cast("long"), i), F.lit(1000))
              / 500.0 - 1.0)
-            + (F.pmod(F.xxhash64(F.col("id"), i, F.lit(77)), F.lit(100))
+            + (F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(77)), F.lit(100))
                / 1000.0)
         ).cast("float"),
     )
     df = (
         spark.range(n_vecs)
-        .select(F.col("id").alias("vec_id"), label.alias("label"))
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("label", label)
         .select("vec_id", emb.alias("embedding"), "label")
     )
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
