@@ -17,11 +17,19 @@ the direction Spark's stateful API is moving. Per key the state is a
 single (datestamp, count) row, sharded across executors by the group key,
 so a million sources cost a million tiny rows of store state.
 
-Environment note: running this operator needs the RocksDB state store
-provider AND the `protobuf` Python package (the transform-with-state
-worker protocol); this container lacks protobuf, so the live-path test
-skips itself and the processor semantics are unit-tested against a fake
-state handle instead (tests/test_harvest_cursor.py).
+Environment note: running the transformWithState path needs the RocksDB
+state store provider AND the `protobuf` Python package (the
+transform-with-state worker protocol). Because THIS cursor's state is a
+pure (max, count) pair, the same semantics are expressible as a built-in
+streaming aggregation with no Python worker protocol at all —
+``streaming_harvest_cursor_agg`` below — and ``harvest_cursor_stream``
+dispatches on protobuf availability, so the live path always runs
+(tests/test_harvest_cursor.py exercises whichever branch the environment
+supports; the processor's own semantics are additionally unit-tested
+against a fake state handle). transformWithState remains the right shape
+for cursors that grow richer state (per-source error budgets, resumption
+tokens in flight, retry timers) where a fold into max/count no longer
+exists.
 """
 
 from __future__ import annotations
@@ -85,6 +93,40 @@ def streaming_harvest_cursor(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def streaming_harvest_cursor_agg(events: DataFrame) -> DataFrame:
+    """The protobuf-free branch: the cursor as a BUILT-IN streaming
+    aggregation (max + count in update mode). Bit-identical output to the
+    stateful processor for this state shape — ``max`` ignores NULL
+    datestamps and is monotonic, ``count`` accumulates — while running
+    entirely on the JVM state store (no Python worker protocol). Per key
+    the store holds one (max, count) row, same as the ValueState above."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("base_url").agg(
+        F.max("datestamp").alias("max_datestamp"),
+        F.count(F.lit(1)).alias("records_seen"),
+    )
+
+
+def have_transform_with_state() -> bool:
+    """transformWithStateInPandas speaks protobuf to its Python worker."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def harvest_cursor_stream(events: DataFrame) -> DataFrame:
+    """The cursor stream on whichever engine path this environment
+    supports: the arbitrary-state processor when protobuf is present,
+    the built-in aggregation otherwise. Same schema, same semantics."""
+    if have_transform_with_state():
+        return streaming_harvest_cursor(events)
+    return streaming_harvest_cursor_agg(events)
 
 
 def next_from_argument(max_datestamp: str | None) -> str | None:

@@ -15,7 +15,8 @@ import pandas as pd
 import pytest
 
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.harvest_cursor import (
-    HarvestCursorProcessor, next_from_argument, streaming_harvest_cursor,
+    HarvestCursorProcessor, harvest_cursor_stream, have_transform_with_state,
+    next_from_argument, streaming_harvest_cursor_agg,
 )
 
 SCHEMA = "base_url string, identifier string, datestamp string"
@@ -88,12 +89,16 @@ def _write_batch(spark, path, rows):
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
 
 
-@pytest.mark.skipif(not HAVE_PROTOBUF,
-                    reason="transformWithState worker needs google.protobuf")
 def test_cursor_advances_across_batches_live(spark, tmp_path):
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    """Runs LIVE on whichever engine path the environment supports:
+    transformWithStateInPandas when protobuf is present, the built-in
+    streaming-aggregation branch otherwise (same schema, same semantics)
+    - no skip either way."""
+    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if HAVE_PROTOBUF:  # transformWithState additionally needs RocksDB
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     src = str(tmp_path / "events")
     _write_batch(spark, src, [
         ("http://a/oai", "r1", "2024-01-05"),
@@ -101,7 +106,7 @@ def test_cursor_advances_across_batches_live(spark, tmp_path):
         ("http://b/oai", "r3", "2024-02-01"),
     ])
     stream = spark.readStream.schema(SCHEMA).parquet(src)
-    q = (streaming_harvest_cursor(stream)
+    q = (harvest_cursor_stream(stream)
          .writeStream.format("memory").queryName("cursor_sink")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .outputMode("update")
@@ -131,3 +136,49 @@ def test_cursor_advances_across_batches_live(spark, tmp_path):
             raise AssertionError("cursor never advanced")
     finally:
         q.stop()
+        if HAVE_PROTOBUF and prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider)
+
+
+def test_agg_branch_matches_processor_semantics(spark, tmp_path):
+    """The fallback branch is not a weaker check: drive the SAME event
+    sequence through the aggregation cursor and assert the exact outputs
+    the stateful processor's unit tests pin (monotonic max, stale-batch
+    immunity, accumulated counts, all-NULL handling)."""
+    src = str(tmp_path / "agg_events")
+    _write_batch(spark, src, [
+        ("http://a/oai", "r1", "2024-01-05"),
+        ("http://a/oai", "r2", "2024-01-03"),
+        ("http://c/oai", "rx", None),
+        ("http://c/oai", "ry", None),
+    ])
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (streaming_harvest_cursor_agg(stream)
+         .writeStream.format("memory").queryName("agg_cursor_sink")
+         .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+         .outputMode("update")
+         .start())
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [
+            ("http://a/oai", "r4", "2023-12-31"),   # stale: must not regress
+            ("http://a/oai", "r5", "2024-03-01"),
+        ])
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql("SELECT * FROM agg_cursor_sink").collect():
+            latest[r["base_url"]] = r  # update mode: last emit wins
+        assert latest["http://a/oai"]["max_datestamp"] == "2024-03-01"
+        assert latest["http://a/oai"]["records_seen"] == 4
+        assert latest["http://c/oai"]["max_datestamp"] is None
+        assert latest["http://c/oai"]["records_seen"] == 2
+        assert next_from_argument(latest["http://a/oai"]["max_datestamp"]) == "2024-03-01"
+    finally:
+        q.stop()
+
+
+def test_dispatcher_picks_available_engine():
+    import cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.harvest_cursor as hc
+
+    assert hc.have_transform_with_state() == HAVE_PROTOBUF
