@@ -413,6 +413,103 @@ def q_sql_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_TEXT_PARITY)
 
 
+# The rest of the verbatim-text family: one literal ANSI string per
+# SQL-surface corner, each executed by BOTH engines character-for-
+# character. Money folds as DECIMAL(18,4) inside every sum so neither
+# engine's double-accumulation order can perturb the hash; every window
+# ORDER BY carries a unique tie-breaker so frame contents are total-
+# ordered and engine-independent.
+SQL_TEXTS = {
+    # running aggregate + row numbering in one window text
+    "sql_text_window": """
+        SELECT o_custkey,
+               o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2)
+                    AS DOUBLE) AS running_spend
+        FROM orders
+        WHERE o_custkey < 100
+    """,
+    # correlated EXISTS + NOT EXISTS over the same subquery shape
+    "sql_text_exists": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS customers,
+               CAST(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS with_urgent,
+               CAST(sum(CASE WHEN NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS never_ordered
+        FROM customer c
+        GROUP BY c_mktsegment
+    """,
+    # GROUPING SETS with grouping() flags, verbatim
+    "sql_text_grouping_sets": """
+        SELECT coalesce(l_returnflag, '~') AS rf,
+               coalesce(l_linestatus, '~') AS ls,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag),
+                                (l_returnflag, l_linestatus), ())
+    """,
+    # INTERSECT / EXCEPT (set semantics: both engines default DISTINCT)
+    "sql_text_setops": """
+        SELECT CAST((SELECT count(*) FROM
+                     (SELECT o_custkey FROM orders
+                      INTERSECT
+                      SELECT c_custkey FROM customer) i) AS BIGINT)
+                   AS n_intersect,
+               CAST((SELECT count(*) FROM
+                     (SELECT c_custkey FROM customer
+                      EXCEPT
+                      SELECT o_custkey FROM orders) e) AS BIGINT)
+                   AS n_except
+    """,
+    # chained CTEs feeding a windowed quartile rollup
+    "sql_text_cte": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+            FROM orders
+            GROUP BY o_custkey
+        ), ranked AS (
+            SELECT o_custkey, total,
+                   ntile(4) OVER (ORDER BY total, o_custkey) AS quartile
+            FROM spend
+        )
+        SELECT quartile,
+               CAST(count(*) AS BIGINT) AS customers,
+               CAST(round(sum(total), 2) AS DOUBLE) AS quartile_spend
+        FROM ranked
+        GROUP BY quartile
+    """,
+}
+
+
+def _make_text_query(sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.tables import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+    return q
+
+
+TEXT_QUERIES = {name: _make_text_query(sql) for name, sql in SQL_TEXTS.items()}
+
+
 HIST_BUCKETS = 8
 
 
@@ -1072,6 +1169,7 @@ QUERIES = {
     "table_stats": q_table_stats,
     "column_histogram": q_column_histogram,
     "sql_text_parity": q_sql_text_parity,
+    **TEXT_QUERIES,
 }
 
 _STATS_ORACLE_PARTS = [
@@ -1094,6 +1192,7 @@ ORACLES = {
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
     "column_histogram": _histogram_oracle(),
     "sql_text_parity": SQL_TEXT_PARITY,
+    **SQL_TEXTS,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

@@ -411,6 +411,25 @@ _SQL_SURFACE_SUBS = (
         relational_ext.ORACLES["sql_text_parity"],
         (("priority", "str"), ("segment", "str")),
         ("orders", "big_orders", "avg_price")),
+    Sub("sql_text_window", relational_ext.TEXT_QUERIES["sql_text_window"],
+        relational_ext.SQL_TEXTS["sql_text_window"],
+        (("o_custkey", "str"), ("o_orderkey", "str")),
+        ("rn", "running_spend")),
+    Sub("sql_text_exists", relational_ext.TEXT_QUERIES["sql_text_exists"],
+        relational_ext.SQL_TEXTS["sql_text_exists"],
+        (("c_mktsegment", "str"),),
+        ("customers", "with_urgent", "never_ordered")),
+    Sub("sql_text_grouping_sets",
+        relational_ext.TEXT_QUERIES["sql_text_grouping_sets"],
+        relational_ext.SQL_TEXTS["sql_text_grouping_sets"],
+        (("rf", "str"), ("ls", "str"), ("g_rf", "str"), ("g_ls", "str")),
+        ("cnt", "sum_qty")),
+    Sub("sql_text_setops", relational_ext.TEXT_QUERIES["sql_text_setops"],
+        relational_ext.SQL_TEXTS["sql_text_setops"],
+        (), ("n_intersect", "n_except")),
+    Sub("sql_text_cte", relational_ext.TEXT_QUERIES["sql_text_cte"],
+        relational_ext.SQL_TEXTS["sql_text_cte"],
+        (("quartile", "str"),), ("customers", "quartile_spend")),
     Sub("scalar_fn_conformance", relational_ext.q_scalar_fn_conformance,
         relational_ext.ORACLES["scalar_fn_conformance"],
         (("o_orderkey", "str"), ("month_end", "str"),
