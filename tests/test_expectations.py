@@ -143,3 +143,24 @@ def test_memo_put_evicts_stale_corpus_entries(spark):
     memo_put(cache, ("sess", "/d|documents|300|3", False), b)
     assert not a.unpersisted  # different flag survived
     assert cache[("sess", "/d|documents|200|2")] is new  # 2-tuple untouched
+
+
+def test_clear_corpus_caches_drops_and_unpersists(spark):
+    """bench.py's cold mode depends on this: every registered memo cache
+    empties and cached DataFrames are unpersisted best-effort."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import dedup
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources import tables
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    fake = FakeDF()
+    dedup._SHINGLE_CACHE[("s", "i")] = fake
+    tables._TABLE_CACHE[("s", "/p")] = FakeDF()
+    tables.clear_corpus_caches()
+    assert dedup._SHINGLE_CACHE == {} and tables._TABLE_CACHE == {}
+    assert fake.unpersisted
