@@ -1,0 +1,44 @@
+"""Keeps tools/scale_stress.py runnable: a miniature end-to-end pass of
+the stress harness (generation + every family + cap-engagement evidence)
+so the committed STRESS_r04.json stays reproducible. The real volumes run
+via `python tools/scale_stress.py` (SCALING.md "Stress evidence")."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import dedup
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+    clear_corpus_caches,
+)
+
+
+def test_stress_harness_smoke(spark, tmp_path):
+    import scale_stress as ss
+
+    out = str(tmp_path / "stress")
+    ss.gen_documents(spark, out, n_docs=20_000, viral=2_000)
+    ss.gen_embeddings(spark, out, n_vecs=8_000, viral=1_500)
+    try:
+        report = ss.stress_once(spark, out, "smoke")
+    finally:
+        clear_corpus_caches(spark)
+
+    # the viral cluster must actually blow past the caps pre-guard...
+    assert report["lsh_max_bucket_precap"] > dedup.LSH_BUCKET_CAP
+    assert report["fuzzy_max_block_precap"] > dedup.FUZZY_BLOCK_CAP
+    assert report["sem_max_cluster"] > dedup.SEM_CLUSTER_CAP
+    assert report["semantic_dedup"]["subbucketed"] is True
+    # ...and every family completes with sane outputs
+    assert report["minhash_lsh"]["pairs"] > 0
+    assert report["cc_distributed"]["components"] > 0
+    assert report["cc_distributed"]["path"].startswith("min-label")
+    assert report["fuzzy_edit"]["pairs"] > 0
+    assert report["semantic_dedup"]["pruned"] > 0
+    assert report["ann_bruteforce"]["topk"] == 10
+    assert report["skewed_join"]["rows"] == 20_000
+    # the guard really bounds the blowup: a 2k viral cluster uncapped would
+    # be ~2M LSH pairs; capped output stays orders below
+    assert report["minhash_lsh"]["pairs"] < 100_000
