@@ -235,16 +235,24 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- §2.5 pagination ---------------------------------------------------------
 
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1/O2 resumption-token page: deterministic orderBy(stable key) +
-    row_number window over a snapshot-bounded list query
+    """O1/O2 resumption-token page over a snapshot-bounded list query
     (/root/reference/templates/agg_list_records.xml:10-21; snapshot bound
-    tests/test_serve.py:1342). Returns page 3 (cursor=200, size=100)."""
+    tests/test_serve.py:1342). Returns page 3 (cursor=200, size=100).
+
+    Shape: TakeOrderedAndProject(page_end) first — per-partition top-k,
+    never a global sort — then the row_number window runs over the
+    300-row bounded prefix (one tiny partition by construction), NOT over
+    the whole snapshot. Same result as the naive global-window form the
+    oracle spells, with the full-relation sort eliminated; the production
+    planner goes further and pages by keyset (plans/query_builder.py),
+    which needs no rank at all."""
     o = load_table(spark, "orders", sf_dir)
     snapshot = o.filter(F.col("o_orderdate") < F.lit(SNAPSHOT_TS).cast("timestamp"))
-    w = Window.orderBy("o_orderkey")
+    prefix = snapshot.orderBy("o_orderkey").limit(3 * PAGE_SIZE)
+    w = Window.orderBy("o_orderkey")  # bounded: 300 rows, single partition
     return (
-        snapshot.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 2 * PAGE_SIZE) & (F.col("rn") <= 3 * PAGE_SIZE))
+        prefix.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 2 * PAGE_SIZE)
         .select("rn", "o_orderkey", "o_orderdate", "o_totalprice")
     )
 

@@ -477,23 +477,26 @@ SQL_TEXTS = {
                       SELECT o_custkey FROM orders) e) AS BIGINT)
                    AS n_except
     """,
-    # chained CTEs feeding a windowed quartile rollup
+    # chained CTEs feeding a windowed quartile rollup; the ntile is
+    # PARTITIONED by segment so the quartile window shuffles on a key
+    # instead of sorting the whole customer set on one executor
     "sql_text_cte": """
         WITH spend AS (
-            SELECT o_custkey,
-                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
-            FROM orders
-            GROUP BY o_custkey
+            SELECT c.c_mktsegment AS segment, o.o_custkey,
+                   sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
         ), ranked AS (
-            SELECT o_custkey, total,
-                   ntile(4) OVER (ORDER BY total, o_custkey) AS quartile
+            SELECT segment, o_custkey, total,
+                   ntile(4) OVER (PARTITION BY segment
+                                  ORDER BY total, o_custkey) AS quartile
             FROM spend
         )
-        SELECT quartile,
+        SELECT segment, quartile,
                CAST(count(*) AS BIGINT) AS customers,
                CAST(round(sum(total), 2) AS DOUBLE) AS quartile_spend
         FROM ranked
-        GROUP BY quartile
+        GROUP BY segment, quartile
     """,
 }
 

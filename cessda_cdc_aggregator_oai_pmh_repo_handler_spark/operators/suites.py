@@ -429,7 +429,8 @@ _SQL_SURFACE_SUBS = (
         (), ("n_intersect", "n_except")),
     Sub("sql_text_cte", relational_ext.TEXT_QUERIES["sql_text_cte"],
         relational_ext.SQL_TEXTS["sql_text_cte"],
-        (("quartile", "str"),), ("customers", "quartile_spend")),
+        (("segment", "str"), ("quartile", "str")),
+        ("customers", "quartile_spend")),
     Sub("scalar_fn_conformance", relational_ext.q_scalar_fn_conformance,
         relational_ext.ORACLES["scalar_fn_conformance"],
         (("o_orderkey", "str"), ("month_end", "str"),

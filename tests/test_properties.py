@@ -119,3 +119,27 @@ def test_prefix_filter_never_loses_a_qualifying_pair(families, t):
                 assert prefixes[i] & prefixes[j], (
                     f"qualifying pair ({sorted(a)}, {sorted(b)}) J={jac:.3f} "
                     f"shares no prefix element at t={t}")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 40), st.integers(1, 40))
+def test_png_codec_roundtrip_property(media_id, width, height):
+    """Any (seed, width, height): decode(encode(...)) reproduces the exact
+    BT.601 luma of the seeded RGB — covering every scanline-filter mix the
+    row-cycling encoder emits (heights 1-40 hit all 5 filters in varied
+    first/subsequent-row roles) and both the x<bpp and prior-row edges."""
+    import hashlib
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _decode_png, encode_png_payload,
+    )
+
+    seed = hashlib.md5(f"png:{media_id}".encode()).digest()
+    n = 3 * width * height
+    rgb = (seed * (n // len(seed) + 1))[:n]
+    expected = [
+        (0.299 * rgb[3 * i] + 0.587 * rgb[3 * i + 1]
+         + 0.114 * rgb[3 * i + 2]) / 255
+        for i in range(width * height)
+    ]
+    assert _decode_png(encode_png_payload(media_id, width, height)) == expected
