@@ -1,0 +1,660 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy + stdlib — the
+entropy-coded image format the multimodal dispatch previously left as a
+documented ``NotImplementedError`` extension point.
+
+Scope (honest and spec-cited):
+- DECODE: baseline sequential DCT (SOF0), 8-bit, grayscale or 3-component
+  YCbCr with sampling factors 1 or 2 (covers 4:4:4 and 4:2:0), standard
+  or custom Huffman/quant tables from the stream, restart intervals
+  (DRI/RSTn), multi-chunk entropy segments with 0xFF00 byte-stuffing.
+  Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+  ``NotImplementedError`` — those genuinely need an imaging library.
+- ENCODE (fixture source): grayscale, 4:4:4 and 4:2:0 color, Annex K
+  quantization tables scaled by a quality knob, Annex K Huffman tables.
+
+Why hand-rolled: this container has no PIL/libjpeg, and the 100 TB story
+needs the *plumbing* (binary column → Arrow batch → vectorized decode →
+fixed-width feature) to be real. The per-block math (DCT, quantize,
+zigzag) is vectorized numpy over all blocks at once; only the Huffman
+bit-twiddling is per-symbol Python, which is the irreducible serial part
+of the format. At production scale the decode stage's parallelism is the
+parquet file-split count — each executor core runs this codec over its
+own Arrow batches, nothing shuffles, nothing collects.
+
+Reference parity note: the reference app (cessda.cdc.aggregator
+oai-pmh-repo-handler) serves XML metadata and has no media path; this
+module belongs to the training-data-pipeline surface the brief layers on
+top (multimodal columns, SURVEY.md §2 extension).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants (ITU-T T.81 Annex K) ------------------------------------------
+
+# zigzag scan order: index i in scan order -> position in the 8x8 block,
+# built from the anti-diagonal walk (T.81 Figure A.6) rather than a
+# transcribed literal
+def _zigzag_order() -> np.ndarray:
+    order = []
+    for s in range(15):            # anti-diagonals
+        rng = range(s + 1) if s % 2 == 1 else range(s, -1, -1)
+        for i in rng:
+            j = s - i
+            if i < 8 and j < 8:
+                order.append(i * 8 + j)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+# --- Huffman tables -----------------------------------------------------------
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 §C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """Length-indexed canonical decode table (T.81 §F.2.2.3 DECODE)."""
+
+    def __init__(self, bits: list[int], values: list[int]):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.values = values
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = reader.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG: Huffman code longer than 16 bits")
+            code = (code << 1) | reader.read_bit()
+        return self.values[self.valptr[length] + code - self.mincode[length]]
+
+
+# --- bit I/O with 0xFF byte-stuffing ------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:        # byte stuffing (T.81 §B.1.1.5)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG: entropy data exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1          # stuffed FF
+                else:
+                    # a real marker inside the scan — treat as end-of-data
+                    # (the MCU loop should have stopped; pad with zeros)
+                    self.pos -= 1
+                    byte = 0
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+    def at_marker(self) -> int | None:
+        """Peek: is an (unstuffed) marker next? Returns marker byte or None."""
+        p = self.pos
+        if p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+            return self.data[p + 1]
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map t-bit magnitude to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value -> (category t, t-bit code) — inverse of _extend."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << t) - 1
+    return t, v
+
+
+# --- DCT (vectorized over all blocks) -----------------------------------------
+
+def _dct_matrix() -> np.ndarray:
+    n = 8
+    m = np.zeros((n, n))
+    for k in range(n):
+        for x in range(n):
+            m[k, x] = np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    m *= np.sqrt(2.0 / n)
+    m[0, :] *= np.sqrt(0.5)
+    return m
+
+
+_DCT = _dct_matrix()          # forward: F = D @ f @ D.T
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> (n, 8, 8) DCT coefficients."""
+    return np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", _DCT, coefs, _DCT)
+
+
+# --- quality scaling (IJG convention) -----------------------------------------
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+# --- plane helpers ------------------------------------------------------------
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad plane (edge-replicate) to multiples of 8 and split into
+    (n_blocks, 8, 8) in raster order; returns (blocks, bw, bh)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = padded.shape
+    bh, bw = hh // 8, ww // 8
+    blocks = (padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(bh * bw, 8, 8))
+    return blocks, bw, bh
+
+
+def _from_blocks(blocks: np.ndarray, bw: int, bh: int,
+                 h: int, w: int) -> np.ndarray:
+    plane = (blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+             .reshape(bh * 8, bw * 8))
+    return plane[:h, :w]
+
+
+# --- encoder ------------------------------------------------------------------
+
+def _encode_block_stream(writer: _BitWriter, qcoefs: np.ndarray, pred: int,
+                         dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one quantized block (zigzag order). Returns new DC pred."""
+    zz = qcoefs.reshape(64)[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    t, bitsv = _magnitude(diff) if diff else (0, 0)
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(bitsv, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]      # ZRL
+            writer.write(code, length)
+            run -= 16
+        t, bitsv = _magnitude(v)
+        code, length = ac_codes[(run << 4) | t]
+        writer.write(code, length)
+        writer.write(bitsv, t)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]          # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _dht_segment(tc: int, th: int, spec: tuple[list[int], list[int]]) -> bytes:
+    bits, values = spec
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, table_zz: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(x) for x in table_zz)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = 88,
+                     restart_interval: int = 0) -> bytes:
+    """Baseline grayscale JFIF from a (h, w) uint8 array."""
+    return _encode_jpeg(pixels[:, :, None].repeat(3, axis=2), quality,
+                        subsampling="gray", restart_interval=restart_interval)
+
+
+def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 88,
+                    subsampling: str = "444",
+                    restart_interval: int = 0) -> bytes:
+    """Baseline color JFIF from a (h, w, 3) uint8 array; 4:4:4 or 4:2:0."""
+    return _encode_jpeg(rgb, quality, subsampling=subsampling,
+                        restart_interval=restart_interval)
+
+
+def _encode_jpeg(rgb: np.ndarray, quality: int, subsampling: str,
+                 restart_interval: int = 0) -> bytes:
+    h, w = rgb.shape[:2]
+    arr = rgb.astype(np.float64)
+    # JFIF YCbCr (BT.601 full-range)
+    y = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    cb = 128.0 - 0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2]
+    cr = 128.0 + 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2]
+
+    qy = _scaled_quant(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _scaled_quant(QUANT_CHROMA, quality).reshape(8, 8)
+
+    if subsampling == "gray":
+        comps = [(1, 1, y, qy)]
+    elif subsampling == "444":
+        comps = [(1, 1, y, qy), (1, 1, cb, qc), (1, 1, cr, qc)]
+    elif subsampling == "420":
+        # 2x2 box-average chroma downsample (pad odd dims by edge replication)
+        def down(p: np.ndarray) -> np.ndarray:
+            pp = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                        mode="edge")
+            return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                    + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+        comps = [(2, 2, y, qy), (1, 1, down(cb), qc), (1, 1, down(cr), qc)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+
+    # quantized blocks per component, in raster order, plus block-grid dims
+    comp_blocks = []
+    for hi, vi, plane, q in comps:
+        blocks, bw, bh = _to_blocks(plane)
+        coefs = _fdct_blocks(blocks - 128.0)
+        qb = np.round(coefs / q[None, :, :]).astype(np.int64)
+        # MCU coverage may exceed the padded plane's block grid when the
+        # plane dimension in MCUs is larger than in blocks — extend with
+        # zero blocks (pure DC of the level-shifted mean ≈ edge padding)
+        mcux = -(-w // (8 * hmax)) * hi
+        mcuy = -(-h // (8 * vmax)) * vi
+        if mcux > bw or mcuy > bh:
+            grid = np.zeros((mcuy, mcux, 8, 8), dtype=np.int64)
+            grid[:bh, :bw] = qb.reshape(bh, bw, 8, 8)
+            qb = grid.reshape(mcuy * mcux, 8, 8)
+            bw, bh = mcux, mcuy
+        comp_blocks.append((hi, vi, qb, bw, bh))
+
+    dc_y = _canonical_codes(*DC_LUMA_SPEC)
+    ac_y = _canonical_codes(*AC_LUMA_SPEC)
+    dc_c = _canonical_codes(*DC_CHROMA_SPEC)
+    ac_c = _canonical_codes(*AC_CHROMA_SPEC)
+    preds = [0] * len(comps)
+    n_mcux = -(-w // (8 * hmax))
+    n_mcuy = -(-h // (8 * vmax))
+    scan = bytearray()
+    writer = _BitWriter()
+    mcu_count = 0
+    rst = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                scan += writer.flush()
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _BitWriter()
+                preds = [0] * len(comps)
+            for ci, (hi, vi, qb, bw, bh) in enumerate(comp_blocks):
+                dc_codes = dc_y if ci == 0 else dc_c
+                ac_codes = ac_y if ci == 0 else ac_c
+                for by in range(vi):
+                    for bx in range(hi):
+                        idx = (my * vi + by) * bw + (mx * hi + bx)
+                        preds[ci] = _encode_block_stream(
+                            writer, qb[idx], preds[ci], dc_codes, ac_codes)
+            mcu_count += 1
+    scan += writer.flush()
+
+    # --- assemble the stream ---
+    out = bytearray(b"\xff\xd8")                              # SOI
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif  # APP0
+    out += _dqt_segment(0, _scaled_quant(QUANT_LUMA, quality)[ZIGZAG])
+    if subsampling != "gray":
+        out += _dqt_segment(1, _scaled_quant(QUANT_CHROMA, quality)[ZIGZAG])
+    # SOF0
+    ncomp = len(comps)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (hi, vi, _, _) in enumerate(comps):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _dht_segment(0, 0, DC_LUMA_SPEC)
+    out += _dht_segment(1, 0, AC_LUMA_SPEC)
+    if subsampling != "gray":
+        out += _dht_segment(0, 1, DC_CHROMA_SPEC)
+        out += _dht_segment(1, 1, AC_CHROMA_SPEC)
+    # SOS
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += scan
+    out += b"\xff\xd9"                                        # EOI
+    return bytes(out)
+
+
+# --- decoder ------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF -> (h, w, 3) uint8 RGB (grayscale replicates to 3
+    channels). Raises NotImplementedError for progressive/arithmetic/12-bit
+    streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None          # (h, w, [(cid, hi, vi, tq)])
+    restart_interval = 0
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:      # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:      # DQT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables need 12-bit mode")
+                zz = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = zz
+                qtables[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:    # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nvals = sum(bits)
+                values = list(seg[p + 17:p + 17 + nvals])
+                (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, values)
+                p += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision is decoded")
+            comps = []
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                tq = seg[8 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended/arithmetic JPEG needs an imaging library")
+        elif marker == 0xDD:    # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:    # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs = seg[1 + 2 * ci]
+                td_ta = seg[2 + 2 * ci]
+                scan_comps.append((cs, td_ta >> 4, td_ta & 0x0F))
+            return _decode_scan(payload, pos + seglen, frame, scan_comps,
+                                qtables, huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _decode_scan(data: bytes, pos: int, frame, scan_comps, qtables,
+                 huff_dc, huff_ac, restart_interval: int) -> np.ndarray:
+    h, w, comps = frame
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcux = -(-w // (8 * hmax))
+    n_mcuy = -(-h // (8 * vmax))
+
+    by_cid = {cs: (td, ta) for cs, td, ta in scan_comps}
+    plan = []        # per component: (hi, vi, bw, bh, coef array, dc dec, ac dec, q)
+    for cid, hi, vi, tq in comps:
+        bw, bh = n_mcux * hi, n_mcuy * vi
+        td, ta = by_cid[cid]
+        plan.append([hi, vi, bw, bh,
+                     np.zeros((bh * bw, 64), dtype=np.int64),
+                     huff_dc[td], huff_ac[ta], qtables[tq]])
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align()
+                m = reader.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    reader.pos += 2
+                preds = [0] * len(comps)
+            for ci, (hi, vi, bw, bh, coefs, dcd, acd, _q) in enumerate(plan):
+                for by in range(vi):
+                    for bx in range(hi):
+                        idx = (my * vi + by) * bw + (mx * hi + bx)
+                        preds[ci] = _decode_block(reader, coefs[idx],
+                                                  dcd, acd, preds[ci])
+            mcu_count += 1
+
+    # dequantize + IDCT, vectorized per component
+    planes = []
+    for hi, vi, bw, bh, coefs, _dcd, _acd, q in plan:
+        deq = np.zeros_like(coefs, dtype=np.float64).reshape(-1, 64)
+        deq[:, ZIGZAG] = coefs * 1.0   # coefs stored in zigzag order
+        deq = deq.reshape(-1, 8, 8) * q[None, :, :]
+        spatial = np.clip(_idct_blocks(deq) + 128.0, 0, 255)
+        plane = _from_blocks(spatial, bw, bh, bh * 8, bw * 8)
+        # upsample to full MCU-grid resolution by sample-factor replication
+        plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = planes[0]
+        rgb = np.stack([y, y, y], axis=2)
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader: _BitReader, out_zz: np.ndarray,
+                  dcd: _HuffDecoder, acd: _HuffDecoder, pred: int) -> int:
+    """Decode one block's coefficients INTO zigzag order. Returns new pred."""
+    t = dcd.decode(reader)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    dc = pred + diff
+    out_zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = acd.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16        # ZRL
+                continue
+            break              # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index overflow")
+        out_zz[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return dc

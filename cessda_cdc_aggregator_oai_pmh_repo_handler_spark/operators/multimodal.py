@@ -5,11 +5,13 @@ as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Decode kernels are REAL for the formats this environment can handle
 without codec libraries — PCM WAV (stdlib ``wave``), binary PPM (header
 parse), non-interlaced 8-bit RGB PNG (stdlib ``zlib`` inflate + full
-five-filter un-filtering), and gzip containers — plus a deterministic
-FAKE codec for plumbing tests. Entropy-coded formats (JPEG/MP3/H.264)
-raise NotImplementedError until PIL/librosa/ffmpeg are installed; the
-dispatch in ``_decode`` is the single extension point, and the
-distributed plan does not move when a codec is added.
+five-filter un-filtering), baseline JPEG (own T.81 entropy decoder in
+``jpeg.py``: Huffman + dequant + vectorized IDCT, grayscale/4:4:4/4:2:0,
+restart intervals), and gzip containers — plus a deterministic FAKE
+codec for plumbing tests. Remaining entropy-coded formats (progressive
+JPEG, MP3, H.264) raise NotImplementedError until PIL/librosa/ffmpeg are
+installed; the dispatch in ``_decode`` is the single extension point,
+and the distributed plan does not move when a codec is added.
 
 Scale notes:
 - Payloads stay in executors end-to-end (mapInPandas streams Arrow batches;
@@ -281,6 +283,42 @@ def _decode_png(payload: bytes) -> list[float]:
     ]
 
 
+def encode_jpeg_payload(media_id: int, width: int, height: int) -> bytes:
+    """Real baseline JFIF bytes (own T.81 codec, numpy-only): deterministic
+    md5-seeded smooth RGB content. Alternates 4:4:4 and 4:2:0 subsampling
+    by id so both decoder sampling paths stay exercised; every 4th JPEG
+    carries restart markers (DRI/RSTn)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg_rgb
+
+    seed = hashlib.md5(f"jpeg:{media_id}".encode()).digest()
+    n = 3 * width * height
+    noise = np.frombuffer(
+        (seed * (n // len(seed) + 1))[:n], dtype=np.uint8
+    ).astype(np.float64).reshape(height, width, 3)
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = 128.0 + 60.0 * np.sin(xx / 5.0) + 50.0 * np.cos(yy / 3.0)
+    rgb = np.clip(base[:, :, None] + (noise - 128.0) * 0.15, 0, 255)
+    return encode_jpeg_rgb(
+        rgb.astype(np.uint8),
+        quality=90,
+        subsampling="420" if media_id % 4 == 2 else "444",
+        restart_interval=2 if media_id % 8 == 6 else 0,
+    )
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Baseline JPEG → per-pixel luma floats in [0, 1] (BT.601, matching
+    _decode_ppm/_decode_png). Full entropy decode via operators.jpeg."""
+    from .jpeg import decode_jpeg
+
+    rgb = decode_jpeg(payload).astype("float64")
+    luma = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]) / 255.0
+    return [float(v) for v in luma.reshape(-1)]
+
+
 def encode_gzip_payload(inner: bytes) -> bytes:
     """Wrap any encoded payload in a gzip container (mtime pinned to 0 so
     the bytes are deterministic)."""
@@ -303,6 +341,8 @@ def _decode(payload: bytes) -> list[float]:
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:2] == b"\x1f\x8b":
         # gzip container (stdlib): decompress and re-dispatch on the inner
         # magic — a REAL compressed codec path; gzip'd WAV/PPM round-trip
@@ -317,10 +357,22 @@ def _decode(payload: bytes) -> list[float]:
 _MEDIA_REAL_CACHE: dict = {}
 
 
+def _image_payload(i: int, width: int, height: int) -> tuple[bytes, str]:
+    """Image fixture codec rotation: PPM / PNG / baseline JPEG by (i//2)%3.
+    One helper shared by the Spark fixture and the driver-side oracle
+    mirror so the two can never drift."""
+    slot = (i // 2) % 3
+    if slot == 0:
+        return encode_ppm_payload(i, width, height), "PPM"
+    if slot == 1:
+        return encode_png_payload(i, width, height), "PNG"
+    return encode_jpeg_payload(i, width, height), "JPEG"
+
+
 def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Media table carrying REAL encoded bytes: images alternate binary PPM
-    (i % 4 == 0) and zlib-compressed RGB PNG (i % 4 == 2); odd ids are
-    PCM16 WAV audio."""
+    """Media table carrying REAL encoded bytes: even ids rotate through
+    binary PPM, zlib-compressed RGB PNG, and entropy-coded baseline JPEG
+    images; odd ids are PCM16 WAV audio."""
     from ..sources.tables import session_key
 
     cached = _MEDIA_REAL_CACHE.get((session_key(spark), n))
@@ -331,12 +383,7 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
         if i % 2 == 0:
             width = 8 + (i * 5) % 24
             height = 4 + i % 6
-            if i % 4 == 0:
-                payload = encode_ppm_payload(i, width, height)
-                fmt = "PPM"
-            else:
-                payload = encode_png_payload(i, width, height)
-                fmt = "PNG"
+            payload, fmt = _image_payload(i, width, height)
             meta = {"format": fmt, "width": width, "height": height,
                     "sample_rate": None, "n_samples": None}
             rows.append((i, "image", payload, meta))
@@ -411,7 +458,8 @@ def resize_images(media: DataFrame, width: int) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: decode a media table of REAL encoded bytes — binary PPM
-    images, zlib-compressed RGB PNG images, and PCM16 WAV audio, decoded
+    images, zlib-compressed RGB PNG images, entropy-coded baseline JPEG
+    images (own T.81 Huffman+IDCT decoder), and PCM16 WAV audio, decoded
     by the actual codecs above inside
     Arrow-batched mapInPandas (payloads never touch the driver) — and roll
     the extracted features up per kind. The oracle is a literal-VALUES
@@ -443,8 +491,8 @@ def _expected_feature_rollup() -> list[tuple]:
     for i in range(64):
         if i % 2 == 0:
             kind = "image"
-            enc = encode_ppm_payload if i % 4 == 0 else encode_png_payload
-            vals = _decode(enc(i, 8 + (i * 5) % 24, 4 + i % 6))
+            payload, _fmt = _image_payload(i, 8 + (i * 5) % 24, 4 + i % 6)
+            vals = _decode(payload)
         else:
             kind = "audio"
             vals = _decode(encode_wav_payload(i, 64 + (i * 17) % 192))
