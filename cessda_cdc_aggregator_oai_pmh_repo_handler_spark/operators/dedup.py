@@ -997,6 +997,101 @@ ORACLES["pagerank_neardup"] = _pagerank_oracle()
 QUERIES["pagerank_neardup"] = q_pagerank_neardup
 
 
+MAX_HOPS = 8  # BFS depth bound: near-dup cluster diameters are tiny (a
+              # viral cluster is DENSE, not long); 8 sweeps is generous
+              # and keeps the sweep count — and thus the job count —
+              # fixed and deterministic at any corpus size.
+
+
+def q_neardup_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path hop distance from each near-dup cluster's
+    CANONICAL document — the third graph operator next to connected
+    components and PageRank. A dedup reviewer reads it as "how far is
+    this copy from the page we kept": hop 1 documents are direct verified
+    near-duplicates of the canonical, hop 2+ are transitive members that
+    never matched the canonical directly (the chain the band join found).
+
+    Shape: min-plus relaxation sweeps over the EDGE-sized symmetrized
+    verified-pair relation — exactly the distributed-BFS plan, one
+    join + one aggregation per sweep, lineage cut per sweep, the corpus
+    never re-enters. Sweep count is fixed at MAX_HOPS (no convergence
+    probe, no driver action inside the loop), so the job graph is static.
+    The seeds are the quality-argmax canonicals from
+    ``q_canonical_selection``; every relation consumed here (pairs,
+    components, canonicals) is the memoized corpus-snapshot table, so at
+    100 TB this runs as edge-sized follow-up jobs over already-published
+    relations. The oracle recomputes the same BFS as a DuckDB recursive
+    CTE seeded by its own canonical-selection mirror."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
+    comp = q_neardup_components(spark, sf_dir)
+    canon = q_canonical_selection(spark, sf_dir).select("component", "kept_doc")
+    dist = (
+        comp.join(canon, "component")
+        .select(
+            "doc_id", "component",
+            F.when(F.col("doc_id") == F.col("kept_doc"), F.lit(0))
+            .cast("int").alias("hops"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(MAX_HOPS):
+        reached = dist.filter(F.col("hops").isNotNull())
+        relax = (
+            edges.join(reached, edges.dst == reached.doc_id)
+            .groupBy("src")
+            .agg((F.min("hops") + 1).alias("nh"))
+        )
+        dist = (
+            dist.join(relax, dist.doc_id == relax.src, "left")
+            .select(
+                dist.doc_id, dist.component,
+                F.least(
+                    F.coalesce(F.col("hops"), F.col("nh")),
+                    F.coalesce(F.col("nh"), F.col("hops")),
+                ).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    return dist.filter(F.col("hops").isNotNull())
+
+
+def _hop_distance_oracle() -> str:
+    """The same bounded BFS as one recursive CTE: seeds are the oracle's
+    own canonical winners, edges the symmetrized verified pairs; UNION
+    distinct on (doc, hops) + the depth bound guarantee termination, and
+    min(hops) per doc is the BFS distance."""
+    return f"""
+        WITH RECURSIVE
+        verified AS ({ORACLES['minhash_lsh_pairs']}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM verified
+        ),
+        comp AS (SELECT * FROM ({ORACLES['neardup_components']}) c0),
+        canon AS (SELECT component, kept_doc
+                  FROM ({ORACLES['canonical_selection']}) k0),
+        bfs(doc_id, hops) AS (
+            SELECT kept_doc, 0 FROM canon
+            UNION
+            SELECT e.v, b.hops + 1
+            FROM bfs b JOIN edges e ON e.u = b.doc_id
+            WHERE b.hops < {MAX_HOPS}
+        )
+        SELECT c.doc_id, c.component, CAST(min(b.hops) AS INT) AS hops
+        FROM bfs b JOIN comp c ON b.doc_id = c.doc_id
+        GROUP BY c.doc_id, c.component
+    """
+
+
+ORACLES["neardup_hop_distance"] = _hop_distance_oracle()
+QUERIES["neardup_hop_distance"] = q_neardup_hop_distance
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleaning pipeline in one query: quality gate
     (C4-style rules) → exact dedup (md5 hash-groupBy) → near-dup removal

@@ -477,6 +477,46 @@ SQL_TEXTS = {
                       SELECT o_custkey FROM orders) e) AS BIGINT)
                    AS n_except
     """,
+    # WITH RECURSIVE date spine (Spark 4 recursive CTE) LEFT-joined to the
+    # fact — the gap-filling calendar-dimension pattern, generated by the
+    # engine instead of materialized. Both engines run the identical text;
+    # day renders as a string so the key column is dialect-neutral.
+    "sql_text_recursive_spine": """
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE '1996-01-01'
+            UNION ALL
+            SELECT d + INTERVAL '1' DAY FROM spine
+            WHERE d < DATE '1996-01-14'
+        )
+        SELECT CAST(CAST(s.d AS DATE) AS STRING) AS day,
+               CAST(count(o.o_orderkey) AS BIGINT) AS orders,
+               CAST(round(sum(coalesce(CAST(o.o_totalprice
+                                            AS DECIMAL(18,4)), 0)), 2)
+                    AS DOUBLE) AS day_revenue
+        FROM spine s
+        LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = CAST(s.d AS DATE)
+        GROUP BY CAST(s.d AS DATE)
+    """,
+    # WITH RECURSIVE graph walk with a depth bound: follow a deterministic
+    # successor function over nation keys (a cyclic functional graph), then
+    # roll up visits / distinct nodes / max depth per start — the bounded
+    # transitive-closure shape, verbatim on both engines.
+    "sql_text_recursive_walk": """
+        WITH RECURSIVE walk(start_key, node_key, depth) AS (
+            SELECT n_nationkey, n_nationkey, 0
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT w.start_key, n.n_nationkey, w.depth + 1
+            FROM walk w
+            JOIN nation n ON n.n_nationkey = (w.node_key * 7 + 3) % 25
+            WHERE w.depth < 6
+        )
+        SELECT start_key,
+               CAST(count(*) AS BIGINT) AS visits,
+               CAST(count(DISTINCT node_key) AS BIGINT) AS distinct_nodes,
+               CAST(max(depth) AS INT) AS max_depth
+        FROM walk GROUP BY start_key
+    """,
     # chained CTEs feeding a windowed quartile rollup; the ntile is
     # PARTITIONED by segment so the quartile window shuffles on a key
     # instead of sorting the whole customer set on one executor

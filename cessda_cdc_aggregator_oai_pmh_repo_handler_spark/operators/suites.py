@@ -227,6 +227,9 @@ _CORPUS_SUBS = (
     Sub("fuzzy_edit_pairs", dedup.q_fuzzy_edit_pairs,
         dedup.ORACLES["fuzzy_edit_pairs"],
         (("doc_a", "str"), ("doc_b", "str")), ("edit_dist",)),
+    Sub("neardup_hop_distance", dedup.q_neardup_hop_distance,
+        dedup.ORACLES["neardup_hop_distance"],
+        (("doc_id", "str"),), ("component", "hops")),
     Sub("pagerank_neardup", dedup.q_pagerank_neardup,
         dedup.ORACLES["pagerank_neardup"],
         (("doc_id", "str"),), ("deg", "pagerank")),
@@ -427,6 +430,15 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_text_setops", relational_ext.TEXT_QUERIES["sql_text_setops"],
         relational_ext.SQL_TEXTS["sql_text_setops"],
         (), ("n_intersect", "n_except")),
+    Sub("sql_text_recursive_spine",
+        relational_ext.TEXT_QUERIES["sql_text_recursive_spine"],
+        relational_ext.SQL_TEXTS["sql_text_recursive_spine"],
+        (("day", "str"),), ("orders", "day_revenue")),
+    Sub("sql_text_recursive_walk",
+        relational_ext.TEXT_QUERIES["sql_text_recursive_walk"],
+        relational_ext.SQL_TEXTS["sql_text_recursive_walk"],
+        (("start_key", "str"),),
+        ("visits", "distinct_nodes", "max_depth")),
     Sub("sql_text_cte", relational_ext.TEXT_QUERIES["sql_text_cte"],
         relational_ext.SQL_TEXTS["sql_text_cte"],
         (("segment", "str"), ("quartile", "str")),
