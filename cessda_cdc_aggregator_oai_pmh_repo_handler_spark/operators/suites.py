@@ -230,6 +230,9 @@ _CORPUS_SUBS = (
     Sub("neardup_hop_distance", dedup.q_neardup_hop_distance,
         dedup.ORACLES["neardup_hop_distance"],
         (("doc_id", "str"),), ("component", "hops")),
+    Sub("triangle_stats", dedup.q_triangle_stats,
+        dedup.ORACLES["triangle_stats"],
+        (("doc_id", "str"),), ("deg", "triangles", "clustering")),
     Sub("pagerank_neardup", dedup.q_pagerank_neardup,
         dedup.ORACLES["pagerank_neardup"],
         (("doc_id", "str"),), ("deg", "pagerank")),
