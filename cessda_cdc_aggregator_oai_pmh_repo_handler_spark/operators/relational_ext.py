@@ -477,25 +477,34 @@ SQL_TEXTS = {
                       SELECT o_custkey FROM orders) e) AS BIGINT)
                    AS n_except
     """,
-    # WITH RECURSIVE date spine (Spark 4 recursive CTE) LEFT-joined to the
-    # fact — the gap-filling calendar-dimension pattern, generated by the
-    # engine instead of materialized. Both engines run the identical text;
-    # day renders as a string so the key column is dialect-neutral.
+    # WITH RECURSIVE date spine (Spark 4 recursive CTE) gap-filling a
+    # daily rollup — the generated calendar-dimension pattern. The fact
+    # AGGREGATES FIRST behind a pushed date bound and only the day-sized
+    # rollup joins the spine (a spine LEFT JOIN over the raw fact would
+    # force the 100 TB side into the outer join's build/broadcast side).
+    # Both engines run the identical text; day renders as a string so the
+    # key column is dialect-neutral.
     "sql_text_recursive_spine": """
         WITH RECURSIVE spine(d) AS (
             SELECT DATE '1996-01-01'
             UNION ALL
             SELECT d + INTERVAL '1' DAY FROM spine
             WHERE d < DATE '1996-01-14'
+        ),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   count(*) AS orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-15'
+            GROUP BY CAST(o_orderdate AS DATE)
         )
         SELECT CAST(CAST(s.d AS DATE) AS STRING) AS day,
-               CAST(count(o.o_orderkey) AS BIGINT) AS orders,
-               CAST(round(sum(coalesce(CAST(o.o_totalprice
-                                            AS DECIMAL(18,4)), 0)), 2)
-                    AS DOUBLE) AS day_revenue
+               CAST(coalesce(dy.orders, 0) AS BIGINT) AS orders,
+               CAST(round(coalesce(dy.rev, 0), 2) AS DOUBLE) AS day_revenue
         FROM spine s
-        LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = CAST(s.d AS DATE)
-        GROUP BY CAST(s.d AS DATE)
+        LEFT JOIN daily dy ON dy.day = CAST(s.d AS DATE)
     """,
     # WITH RECURSIVE graph walk with a depth bound: follow a deterministic
     # successor function over nation keys (a cyclic functional graph), then
