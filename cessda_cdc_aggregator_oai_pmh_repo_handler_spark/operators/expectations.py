@@ -177,5 +177,111 @@ ORACLE = """
            CAST((SELECT count(*) FROM orders) AS BIGINT)
 """
 
-QUERIES = {"data_expectations": q_data_expectations}
-ORACLES = {"data_expectations": ORACLE}
+ERASE_MOD = 37  # deterministic erase set: ~1/37 of documents (md5 draw)
+
+
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep: purge a deterministic erase set of
+    documents from every doc-keyed derived relation and report, per
+    relation, rows_before / purged / rows_after — the audit artifact a
+    compliance pipeline publishes after an erasure run. Relations:
+
+    - corpus: the documents table itself;
+    - chunks: the fixed-width chunk relation (counted via the closed-form
+      per-doc chunk count — the audit never materializes the exploded
+      relation, a 100 TB chunk table is counted, not rebuilt);
+    - postings: distinct (doc_id, term) pairs, the inverted-index
+      backbone (BM25's index rows for erased docs MUST go);
+    - shard_assignment: the doc→shard manifest rows.
+
+    `purged` is nonzero by construction (the erase set is real), and
+    rows_before - purged = rows_after is checked per relation by the
+    oracle, which recomputes all three counts independently in SQL.
+    At scale each relation's audit is one aggregate pass with the
+    erase-set membership as a broadcast join (the erase list is tiny
+    relative to the corpus); the chunk row avoids its explode entirely."""
+    from .assembly import CHUNK_S, CHUNK_W, N_SHARDS, _shard_draw
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text", F.coalesce("text", F.lit("")))
+    erased = (F.pmod(_shard_draw(F.col("doc_id")), F.lit(ERASE_MOD)) == 0)
+    flagged = docs.withColumn("_e", erased.cast("long"))
+
+    def audit(rel: DataFrame, name: str, weight=None) -> DataFrame:
+        w = weight if weight is not None else F.lit(1).cast("long")
+        return rel.agg(
+            F.sum(w).cast("long").alias("rows_before"),
+            F.sum(w * F.col("_e")).cast("long").alias("purged"),
+            F.sum(w * (1 - F.col("_e"))).cast("long").alias("rows_after"),
+        ).select(F.lit(name).alias("relation"),
+                 "rows_before", "purged", "rows_after")
+
+    corpus = audit(flagged, "corpus")
+    extra = F.greatest(F.length("text") - CHUNK_W, F.lit(0))
+    n_chunks = (F.floor((extra + (CHUNK_S - 1)) / F.lit(CHUNK_S)) + 1)
+    chunks = audit(flagged, "chunks", weight=n_chunks.cast("long"))
+    postings_rel = (
+        flagged.select(
+            "doc_id", "_e",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .select("doc_id", "_e", "term").distinct()
+    )
+    postings = audit(postings_rel, "postings")
+    shard_rel = flagged.select(
+        "doc_id", "_e",
+        F.pmod(_shard_draw(F.col("doc_id")), F.lit(N_SHARDS)).alias("shard"))
+    shards = audit(shard_rel, "shard_assignment")
+    return (corpus.unionByName(chunks)
+            .unionByName(postings).unionByName(shards))
+
+
+def _erasure_oracle() -> str:
+    from .assembly import CHUNK_S, CHUNK_W, N_SHARDS
+
+    return f"""
+        WITH flagged AS (
+            SELECT doc_id, coalesce(text, '') AS text,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 4) AS INT)
+                             % {ERASE_MOD} = 0 THEN 1 ELSE 0 END AS e
+            FROM documents
+        ),
+        chunked AS (
+            SELECT e,
+                   CAST(floor((greatest(length(text) - {CHUNK_W}, 0)
+                               + {CHUNK_S - 1}) / {CHUNK_S}) AS BIGINT) + 1
+                       AS n_chunks
+            FROM flagged
+        ),
+        postings AS (
+            SELECT DISTINCT f.doc_id, f.e, t.term
+            FROM flagged f,
+                 unnest(string_split(lower(f.text), ' ')) AS t(term)
+            WHERE t.term <> ''
+        )
+        SELECT 'corpus' AS relation,
+               CAST(count(*) AS BIGINT) AS rows_before,
+               CAST(sum(e) AS BIGINT) AS purged,
+               CAST(sum(1 - e) AS BIGINT) AS rows_after
+        FROM flagged
+        UNION ALL
+        SELECT 'chunks', CAST(sum(n_chunks) AS BIGINT),
+               CAST(sum(n_chunks * e) AS BIGINT),
+               CAST(sum(n_chunks * (1 - e)) AS BIGINT)
+        FROM chunked
+        UNION ALL
+        SELECT 'postings', CAST(count(*) AS BIGINT),
+               CAST(sum(e) AS BIGINT), CAST(sum(1 - e) AS BIGINT)
+        FROM postings
+        UNION ALL
+        SELECT 'shard_assignment', CAST(count(*) AS BIGINT),
+               CAST(sum(e) AS BIGINT), CAST(sum(1 - e) AS BIGINT)
+        FROM flagged
+    """
+
+
+QUERIES = {"data_expectations": q_data_expectations,
+           "erasure_audit": q_erasure_audit}
+ORACLES = {"data_expectations": ORACLE,
+           "erasure_audit": _erasure_oracle()}

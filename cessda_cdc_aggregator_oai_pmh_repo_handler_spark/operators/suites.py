@@ -403,6 +403,9 @@ _SQL_SURFACE_SUBS = (
         (("pri_n", "str"),),
         ("cnt_star", "cnt_col", "nullsafe_null_cnt", "avg_price",
          "sum_p_only")),
+    Sub("erasure_audit", expectations.q_erasure_audit,
+        expectations.ORACLES["erasure_audit"],
+        (("relation", "str"),), ("rows_before", "purged", "rows_after")),
     Sub("data_expectations", expectations.q_data_expectations,
         expectations.ORACLES["data_expectations"],
         (("check", "str"),), ("violations", "checked")),

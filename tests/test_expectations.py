@@ -164,3 +164,29 @@ def test_clear_corpus_caches_drops_and_unpersists(spark):
     tables.clear_corpus_caches()
     assert dedup._SHINGLE_CACHE == {} and tables._TABLE_CACHE == {}
     assert fake.unpersisted
+
+
+def test_erasure_audit_invariants(spark, sf_dir):
+    """Erasure sweep: the erase set is real (purged > 0 for the corpus),
+    conservation holds per relation, and the per-doc purge propagates
+    proportionally into every derived relation."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.expectations import (
+        q_erasure_audit,
+    )
+
+    rows = {r["relation"]: r for r in q_erasure_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"corpus", "chunks", "postings", "shard_assignment"}
+    for r in rows.values():
+        assert r["rows_before"] == r["purged"] + r["rows_after"]
+    assert rows["corpus"]["purged"] > 0
+    # shard assignment is one row per doc — identical counts to the corpus
+    assert (rows["shard_assignment"]["rows_before"]
+            == rows["corpus"]["rows_before"])
+    # chunk and posting relations each carry >= 1 row per doc, so their
+    # purge counts dominate the corpus purge count
+    assert rows["chunks"]["purged"] >= rows["corpus"]["purged"]
+    assert rows["postings"]["purged"] >= rows["corpus"]["purged"]
+    # deterministic: same erase draw, same audit
+    again = {r["relation"]: r for r in q_erasure_audit(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()}
