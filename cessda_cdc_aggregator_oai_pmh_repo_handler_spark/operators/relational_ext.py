@@ -526,6 +526,44 @@ SQL_TEXTS = {
                CAST(max(depth) AS INT) AS max_depth
         FROM walk GROUP BY start_key
     """,
+    # PIVOT in the FROM clause, verbatim: aliased IN-list labels keep the
+    # generated column names dialect-neutral (bare identifiers, no
+    # backtick/double-quote divergence)
+    "sql_text_pivot": """
+        SELECT o_orderpriority,
+               CAST(round(open_st, 2) AS DOUBLE) AS open_rev,
+               CAST(round(filled_st, 2) AS DOUBLE) AS filled_rev,
+               CAST(round(pending_st, 2) AS DOUBLE) AS pending_rev
+        FROM (
+            SELECT * FROM (
+                SELECT o_orderpriority, o_orderstatus,
+                       CAST(o_totalprice AS DECIMAL(18,4)) AS p
+                FROM orders
+            ) PIVOT (
+                sum(p) FOR o_orderstatus IN ('O' AS open_st,
+                                             'F' AS filled_st,
+                                             'P' AS pending_st)
+            )
+        ) t
+    """,
+    # UNPIVOT back to long format — the inverse rotation, over a grouped
+    # rollup whose three measures share one DECIMAL type (UNPIVOT requires
+    # a common value type in both dialects)
+    "sql_text_unpivot": """
+        SELECT o_orderpriority, metric,
+               CAST(round(val, 2) AS DOUBLE) AS value
+        FROM (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS DECIMAL(18,4)) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS revenue,
+                   CAST(count(DISTINCT o_custkey) AS DECIMAL(18,4))
+                       AS customers
+            FROM orders GROUP BY o_orderpriority
+        ) UNPIVOT (
+            val FOR metric IN (n_orders, revenue, customers)
+        )
+    """,
     # chained CTEs feeding a windowed quartile rollup; the ntile is
     # PARTITIONED by segment so the quartile window shuffles on a key
     # instead of sorting the whole customer set on one executor

@@ -436,6 +436,13 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_text_setops", relational_ext.TEXT_QUERIES["sql_text_setops"],
         relational_ext.SQL_TEXTS["sql_text_setops"],
         (), ("n_intersect", "n_except")),
+    Sub("sql_text_pivot", relational_ext.TEXT_QUERIES["sql_text_pivot"],
+        relational_ext.SQL_TEXTS["sql_text_pivot"],
+        (("o_orderpriority", "str"),),
+        ("open_rev", "filled_rev", "pending_rev")),
+    Sub("sql_text_unpivot", relational_ext.TEXT_QUERIES["sql_text_unpivot"],
+        relational_ext.SQL_TEXTS["sql_text_unpivot"],
+        (("o_orderpriority", "str"), ("metric", "str")), ("value",)),
     Sub("sql_text_recursive_spine",
         relational_ext.TEXT_QUERIES["sql_text_recursive_spine"],
         relational_ext.SQL_TEXTS["sql_text_recursive_spine"],
