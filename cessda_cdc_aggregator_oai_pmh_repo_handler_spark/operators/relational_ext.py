@@ -564,6 +564,35 @@ SQL_TEXTS = {
             val FOR metric IN (n_orders, revenue, customers)
         )
     """,
+    # time-based RANGE frame: the rolling last-hour census every event
+    # pipeline writes, as one verbatim window text (count and max are
+    # order-insensitive, so the frame is engine-exact)
+    "sql_text_interval_frame": """
+        SELECT user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(count(*) OVER w AS BIGINT) AS events_last_hour,
+               CAST(max(value) OVER w AS DOUBLE) AS max_value_last_hour
+        FROM events
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                               AND CURRENT ROW)
+    """,
+    # correlated LATERAL subquery: per-customer aggregate computed in the
+    # FROM clause — the decorrelation shape both engines must plan as a
+    # grouped join, not a per-row re-execution
+    "sql_text_lateral": """
+        SELECT c.c_custkey,
+               CAST(t.n_orders AS BIGINT) AS n_orders,
+               CAST(round(t.top_price, 2) AS DOUBLE) AS top_price
+        FROM customer c,
+             LATERAL (SELECT count(*) AS n_orders,
+                             max(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                                 AS top_price
+                      FROM orders o
+                      WHERE o.o_custkey = c.c_custkey) t
+        WHERE c.c_custkey < 50
+    """,
     # chained CTEs feeding a windowed quartile rollup; the ntile is
     # PARTITIONED by segment so the quartile window shuffles on a key
     # instead of sorting the whole customer set on one executor

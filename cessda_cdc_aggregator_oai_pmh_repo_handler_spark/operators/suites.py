@@ -443,6 +443,14 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_text_unpivot", relational_ext.TEXT_QUERIES["sql_text_unpivot"],
         relational_ext.SQL_TEXTS["sql_text_unpivot"],
         (("o_orderpriority", "str"), ("metric", "str")), ("value",)),
+    Sub("sql_text_interval_frame",
+        relational_ext.TEXT_QUERIES["sql_text_interval_frame"],
+        relational_ext.SQL_TEXTS["sql_text_interval_frame"],
+        (("user_id", "str"), ("event_id", "str")),
+        ("events_last_hour", "max_value_last_hour")),
+    Sub("sql_text_lateral", relational_ext.TEXT_QUERIES["sql_text_lateral"],
+        relational_ext.SQL_TEXTS["sql_text_lateral"],
+        (("c_custkey", "str"),), ("n_orders", "top_price")),
     Sub("sql_text_recursive_spine",
         relational_ext.TEXT_QUERIES["sql_text_recursive_spine"],
         relational_ext.SQL_TEXTS["sql_text_recursive_spine"],

@@ -36,6 +36,11 @@ def test_stress_harness_smoke(spark, tmp_path):
     assert report["cc_distributed"]["components"] > 0
     assert report["cc_distributed"]["path"].startswith("min-label")
     assert report["fuzzy_edit"]["pairs"] > 0
+    # graph family rides the same capped pair relation
+    assert report["triangle_stats"]["nodes"] > 0
+    assert report["triangle_stats"]["triangles"] > 0
+    assert 0 < report["hop_distance"]["reached"]
+    assert report["hop_distance"]["max_hops"] <= dedup.MAX_HOPS
     assert report["semantic_dedup"]["pruned"] > 0
     assert report["ann_bruteforce"]["topk"] == 10
     assert report["skewed_join"]["rows"] == 20_000

@@ -173,6 +173,27 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         dedup.LOCAL_CC_MAX_EDGES = saved_cap
         dedup._COMPONENTS_CACHE.clear()
 
+    # --- graph analytics over the verified pair relation ------------------
+    # triangle counting on the capped viral cluster: the oriented wedge
+    # join must stay edge-bounded, not |cluster|^3
+    secs, stats = timed(lambda: dedup.q_triangle_stats(spark, sf_dir)
+                        .agg(F.count("*").alias("nodes"),
+                             F.sum("triangles").alias("t3")).first())
+    report["triangle_stats"] = {
+        "sec": secs, "nodes": int(stats["nodes"]),
+        "triangles": int((stats["t3"] or 0) // 3),
+    }
+    # BFS hop distance: sweep count == diameter (early exit), not MAX_HOPS
+    dedup._HOPS_CACHE.clear()
+    secs, stats = timed(lambda: dedup.q_neardup_hop_distance(spark, sf_dir)
+                        .agg(F.count("*").alias("reached"),
+                             F.max("hops").alias("maxh")).first())
+    report["hop_distance"] = {
+        "sec": secs, "reached": int(stats["reached"]),
+        "max_hops": int(stats["maxh"]),
+        "hop_ceiling": dedup.MAX_HOPS,
+    }
+
     # --- fuzzy edit-distance blocking -------------------------------------
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     max_block = (d.groupBy(F.md5(F.substring(F.lower("text"), 1,
@@ -258,8 +279,9 @@ def main() -> None:
         third, full = report["runs"]
         report["time_ratio_full_over_third"] = {
             k: round(full[k]["sec"] / max(third[k]["sec"], 1e-9), 2)
-            for k in ("minhash_lsh", "cc_distributed", "fuzzy_edit",
-                      "semantic_dedup", "ann_bruteforce", "skewed_join")
+            for k in ("minhash_lsh", "cc_distributed", "triangle_stats",
+                      "hop_distance", "fuzzy_edit", "semantic_dedup",
+                      "ann_bruteforce", "skewed_join")
         }
         print(json.dumps(report))
         if args.json:
