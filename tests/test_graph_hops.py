@@ -76,3 +76,41 @@ def test_recursive_walk_text_runs_on_spark(spark, sf_dir):
     assert len(rows) == 5  # one per start node
     # depth bound honored: 7 visits each (depth 0..6), bounded distinct set
     assert all(r["visits"] == 7 and r["max_depth"] == 6 for r in rows)
+
+
+def test_triangle_plan_no_cartesian(spark, sf_dir):
+    """The wedge enumeration must stay equi-join only — a cartesian or
+    nested-loop node here means the orientation trick regressed."""
+    df = dedup.q_triangle_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    """Exact triangle check: enumerate triangles in driver Python over the
+    collected (tiny at sf0.001) pair set and compare per-node counts."""
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.q_minhash_lsh_pairs(spark, sf_dir).collect()}
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_count = {n: 0 for n in adj}
+    for a, b in pairs:
+        for _c in adj[a] & adj[b]:
+            # a triangle's three edges each credit their two endpoints
+            # once -> every node of the triangle ends at exactly 2
+            tri_count[a] += 1
+            tri_count[b] += 1
+    expected = {n: t // 2 for n, t in tri_count.items()}
+    got = {r["doc_id"]: (r["deg"], r["triangles"], r["clustering"])
+           for r in dedup.q_triangle_stats(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for n, (deg, tri, coeff) in got.items():
+        assert deg == len(adj[n])
+        assert tri == expected[n]
+        if deg >= 2:
+            assert abs(coeff - 2.0 * tri / (deg * (deg - 1))) < 1e-3
+        else:
+            assert coeff == 0.0
