@@ -79,6 +79,7 @@ HEADLINERS = {
     "time_weighted_avg": "TWAP: lead-gap weights on one event_type exchange; decimal-exact weighted sums.",
     "triangle_stats": "Triangle count: oriented wedge join (e1.b=e2.a) closed by the third edge — each triangle once, hub fan-out bounded by id-orientation; all relations edge-sized.",
     "sql_text_recursive_spine": "Recursive CTE date spine (Spark 4 UnionLoop): the fact aggregates FIRST behind a pushed date bound; only the day-sized rollup enters the outer join with the generated spine.",
+    "sql_text_lateral": "Correlated LATERAL aggregate: decorrelated to one grouped orders aggregate + broadcast joins — no per-row subquery re-execution.",
 }
 
 
