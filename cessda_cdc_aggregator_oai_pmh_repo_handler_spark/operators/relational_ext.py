@@ -1249,8 +1249,42 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Representative filter DICT exercising the reference's whole operator
+# vocabulary in one compile: $or over $in / $gte, multi-op range spec
+# with $isodate wire literals, null-keeping $ne. The gate proves the
+# COMPILER (functions/filter_compiler.py), not a hand-written predicate:
+# the Spark side filters with compile_filter(MONGO_FILTER) and the oracle
+# states the equivalent SQL independently.
+MONGO_FILTER = {
+    "$or": [
+        {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},
+        {"o_totalprice": {"$gte": 400000.0}},
+    ],
+    "o_orderdate": {"$gte": {"$isodate": "1995-01-01T00:00:00"},
+                    "$lt": {"$isodate": "1997-01-01T00:00:00"}},
+    "o_orderstatus": {"$ne": "P"},
+}
+
+
+def q_mongo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's query IR end-to-end: an arbitrary Mongo filter
+    dict compiled to one Column by ``compile_filter`` and pushed through
+    a grouped rollup — the 'port your DocStore query unchanged' path."""
+    from ..functions.filter_compiler import compile_filter
+
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(compile_filter(MONGO_FILTER))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                     .cast("double"), 2).alias("revenue"))
+    )
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
+    "mongo_filter": q_mongo_filter,
     "grouping_sets": q_grouping_sets,
     "analytic_extras": q_analytic_extras,
     "null_semantics": q_null_semantics,
@@ -1309,6 +1343,19 @@ _STATS_ORACLE_PARTS = [
 
 ORACLES = {
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
+    "mongo_filter": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        WHERE (o_orderpriority IN ('1-URGENT', '2-HIGH')
+               OR o_totalprice >= 400000.0)
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND (o_orderstatus IS NULL OR o_orderstatus <> 'P')
+        GROUP BY o_orderpriority
+    """,
     "column_histogram": _histogram_oracle(),
     "sql_text_parity": SQL_TEXT_PARITY,
     **SQL_TEXTS,

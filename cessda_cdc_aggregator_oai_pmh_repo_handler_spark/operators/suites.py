@@ -416,6 +416,9 @@ _SQL_SURFACE_SUBS = (
     Sub("column_histogram", relational_ext.q_column_histogram,
         relational_ext.ORACLES["column_histogram"],
         (("bucket", "str"),), ("rows", "lo", "hi")),
+    Sub("mongo_filter", relational_ext.q_mongo_filter,
+        relational_ext.ORACLES["mongo_filter"],
+        (("o_orderpriority", "str"),), ("n_orders", "revenue")),
     Sub("sql_text_parity", relational_ext.q_sql_text_parity,
         relational_ext.ORACLES["sql_text_parity"],
         (("priority", "str"), ("segment", "str")),
