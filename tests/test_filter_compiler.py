@@ -143,3 +143,129 @@ def test_unsupported_operators_raise():
         compile_filter({"x": {"$regex": "a.*"}})
     with pytest.raises(ValueError, match="unsupported"):
         compile_filter({"$where": "1"})
+
+
+def test_fuzz_compiler_vs_python_mirror(spark):
+    """200 seeded random filter dicts over a 48-row table, all evaluated
+    in ONE Spark job (each compiled filter becomes a boolean projection
+    column) and compared against a driver-side Mongo-semantics evaluator.
+    NULL collapse: a filter predicate evaluating to SQL NULL rejects the
+    row, and the compiler coalesces NULL to FALSE under $not/$nor — so
+    the Python mirror can work in plain booleans throughout."""
+    import random
+
+    rng = random.Random(4)
+    rows = []
+    for i in range(48):
+        rows.append((
+            i,
+            rng.choice([None, 1, 2, 3, 5, 8, 13]),
+            rng.choice([None, "a", "b", "c", "d"]),
+            rng.choice([None, [], [{"k": "x", "n": 1}], [{"k": "y", "n": 2}],
+                        [{"k": "x", "n": 3}, {"k": "y", "n": 1}]]),
+        ))
+    schema = "id long, a long, s string, hops array<struct<k: string, n: long>>"
+    df = spark.createDataFrame(rows, schema)
+
+    def gen_spec(field):
+        kind = rng.randrange(8)
+        if field == "a":
+            v = rng.choice([1, 2, 3, 5, 8])
+            if kind == 0:
+                return v
+            if kind == 1:
+                return {"$ne": v}
+            if kind == 2:
+                return {"$in": rng.sample([1, 2, 3, 5, 8, 13], rng.randrange(1, 4))}
+            if kind == 3:
+                return {"$nin": rng.sample([1, 2, 3], rng.randrange(1, 3))}
+            if kind == 4:
+                return {rng.choice(["$lt", "$lte", "$gt", "$gte"]): v}
+            if kind == 5:
+                return {"$exists": rng.random() < 0.5}
+            if kind == 6:
+                return {"$not": {rng.choice(["$lt", "$gte"]): v}}
+            return {"$gte": 2, "$lt": 9}
+        v = rng.choice(["a", "b", "c"])
+        if kind in (0, 1):
+            return v
+        if kind == 2:
+            return {"$ne": v}
+        if kind == 3:
+            return {"$in": rng.sample(["a", "b", "c", "d"], rng.randrange(1, 3))}
+        return {"$exists": rng.random() < 0.5}
+
+    def gen_filter(depth=0):
+        r = rng.random()
+        if depth < 2 and r < 0.3:
+            op = rng.choice(["$and", "$or", "$nor"])
+            return {op: [gen_filter(depth + 1)
+                         for _ in range(rng.randrange(1, 3))]}
+        if r < 0.4:
+            return {"hops": {"$elemMatch": {"k": rng.choice(["x", "y"]),
+                                            "n": {"$gte": rng.randrange(1, 4)}}}}
+        out = {}
+        for field in rng.sample(["a", "s"], rng.randrange(1, 3)):
+            out[field] = gen_spec(field)
+        return out
+
+    def ev_spec(val, spec):
+        if not isinstance(spec, dict):
+            return val is not None and val == spec
+        ok = True
+        for op, arg in spec.items():
+            if op == "$eq":
+                ok &= val is not None and val == arg
+            elif op == "$ne":
+                ok &= val is None or val != arg
+            elif op == "$in":
+                ok &= val is not None and val in arg
+            elif op == "$nin":
+                ok &= val is None or val not in arg
+            elif op == "$lt":
+                ok &= val is not None and val < arg
+            elif op == "$lte":
+                ok &= val is not None and val <= arg
+            elif op == "$gt":
+                ok &= val is not None and val > arg
+            elif op == "$gte":
+                ok &= val is not None and val >= arg
+            elif op == "$exists":
+                ok &= (val is not None) == arg
+            elif op == "$not":
+                ok &= not ev_spec(val, arg)
+            else:
+                raise AssertionError(op)
+        return ok
+
+    def ev_elem(e, cond):
+        return all(ev_spec(e[k] if e else None, v) for k, v in cond.items())
+
+    def ev(row, filt):
+        out = True
+        for k, v in filt.items():
+            if k == "$and":
+                out &= all(ev(row, f) for f in v)
+            elif k == "$or":
+                out &= any(ev(row, f) for f in v)
+            elif k == "$nor":
+                out &= not any(ev(row, f) for f in v)
+            elif isinstance(v, dict) and "$elemMatch" in v:
+                arr = row[k]
+                out &= arr is not None and any(
+                    ev_elem(e, v["$elemMatch"]) for e in arr)
+            else:
+                out &= ev_spec(row[k], v)
+        return out
+
+    filters = [gen_filter() for _ in range(200)]
+    proj = df.select(
+        "id", *[F.coalesce(compile_filter(f), F.lit(False)).alias(f"f{i}")
+                for i, f in enumerate(filters)])
+    got = {r["id"]: r for r in proj.collect()}
+    by_id = {r[0]: {"id": r[0], "a": r[1], "s": r[2], "hops": r[3]}
+             for r in rows}
+    for i, f in enumerate(filters):
+        for rid, row in by_id.items():
+            expected = ev(row, f)
+            assert bool(got[rid][f"f{i}"]) == expected, (f, row)
