@@ -184,3 +184,21 @@ def test_jpeg_media_decodes_distributed(spark):
         m = metas[mid]
         assert rows[mid]["n_values"] == m["width"] * m["height"]
         assert len(rows[mid]["feature"]) == M.FEATURE_DIM
+
+
+def test_flat_image_is_dc_only_and_near_exact():
+    """Independent spot-check of the transform chain: a uniform image has
+    zero AC energy, so (a) the entropy stream is tiny — every block is
+    one DC symbol + EOB — and (b) the only loss is DC quantization
+    rounding, bounding the reconstruction error by half a DC step."""
+    for gray in (0, 7, 128, 200, 255):
+        g = np.full((24, 24), gray, dtype=np.uint8)
+        p = jpeg.encode_jpeg_gray(g, quality=88)
+        # 9 blocks, each a handful of bits: far below a textured payload
+        assert len(p) < 400, (gray, len(p))
+        d = jpeg.decode_jpeg(p)[:, :, 0].astype(int)
+        q_dc = int(jpeg._scaled_quant(jpeg.QUANT_LUMA, 88)[0])
+        tol = (q_dc + 1) // 2 + 1
+        assert np.abs(d - int(gray)).max() <= tol, (gray, np.abs(d - gray).max())
+        # and the flat field stays flat (no block boundary artifacts)
+        assert d.min() == d.max()
