@@ -724,7 +724,60 @@ _BM25_SQL = f"""
 """
 
 
+SIM_JOIN_THRESHOLD = 0.4
+
+
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE similarity join — the relational form of ANN: every
+    probe vector (a deterministic 10% slice) paired with every corpus
+    vector whose cosine clears the threshold, not just its top-k. The
+    retrieval-augmentation / candidate-generation primitive: "find all
+    corpus items similar to each of these N queries" as ONE equi-join.
+
+    Shape: both sides carry the sign-bit block signature, so the pair
+    space is an equi-join on 2^BLOCK_BITS buckets (never a cartesian);
+    norms fold once per vector pre-join. At 100 TB the probe side is the
+    small relation and broadcasts; the corpus side is scanned bucketed
+    by the same signature, making the join co-located. A probe and a
+    corpus vector in different sign buckets are missed by design — the
+    same documented recall trade as embedding_neardup, tuned by
+    BLOCK_BITS."""
+    e = load_table(spark, "embeddings", sf_dir)
+    vecs = e.select("vec_id", "embedding",
+                    sign_signature("embedding").alias("sig"),
+                    norm_col("embedding").alias("nrm"))
+    probes = (vecs.filter(F.pmod("vec_id", F.lit(10)) == 0)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pe"),
+                      F.col("sig").alias("psig"), F.col("nrm").alias("pn")))
+    corpus = (vecs.filter(F.pmod("vec_id", F.lit(10)) != 0)
+              .select(F.col("vec_id").alias("corpus_id"),
+                      F.col("embedding").alias("ce"),
+                      F.col("sig").alias("csig"), F.col("nrm").alias("cn")))
+    cos = dot_cols("pe", "ce") / (F.col("pn") * F.col("cn"))
+    return (
+        corpus.join(F.broadcast(probes), F.col("csig") == F.col("psig"))
+        .select("probe_id", "corpus_id", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= SIM_JOIN_THRESHOLD)
+    )
+
+
+SIMILARITY_JOIN_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding, {_SIGN_SIG_SQL} AS sig FROM embeddings
+    ),
+    probes AS (SELECT * FROM vecs WHERE vec_id % 10 = 0),
+    corpus AS (SELECT * FROM vecs WHERE vec_id % 10 <> 0)
+    SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+           round({_cosine_sql('p.embedding', 'c.embedding')}, 4) AS cosine
+    FROM probes p JOIN corpus c ON p.sig = c.sig
+    WHERE round({_cosine_sql('p.embedding', 'c.embedding')}, 4)
+          >= {SIM_JOIN_THRESHOLD}
+"""
+
+
 QUERIES = {
+    "similarity_join": q_similarity_join,
     "ann_bruteforce": q_ann_bruteforce,
     "pq_ann": q_pq_ann,
     "ivf_pq_ann": q_ivf_pq_ann,
@@ -740,6 +793,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_join": SIMILARITY_JOIN_ORACLE,
     "pq_ann": _pq_oracle_sql(),
     "ivf_pq_ann": _pq_oracle_sql(cell_probe=True),
     "bm25_topk": _BM25_SQL,

@@ -269,6 +269,69 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_THRESHOLD = 0.9
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric shingle CONTAINMENT ≥ t: |A∩B| / |A| for the
+    smaller document A inside a (usually larger) B — the curation signal
+    resemblance-based dedup is blind to. A page quoting a whole short
+    document, or a boilerplate wrapper around an article, has LOW Jaccard
+    (the union is dominated by the big side) but containment ≈ 1; MinHash
+    estimates resemblance, so the LSH family can't see these.
+
+    Shape: the probe (contained) side keeps only its rare-first prefix —
+    ``|A| - ceil(t·|A|) + 1`` shingles, the same lossless AllPairs bound
+    as the Jaccard operator but against the FULL inverted shingle index
+    of the other side (containment gives no license to prefix-trim the
+    container: B must merely hold t·|A| of A's shingles, and |A| is
+    unknown from B's side). Rare-first probe keys keep join buckets off
+    the common-term hubs; the verify join computes exact containment
+    over the shared shingle relation. The oracle is the brute-force
+    all-ordered-pairs join — prefix filtering is lossless, so outputs
+    match exactly. Direction: emitted as (contained doc_a → container
+    doc_b) with |A|<|B|, ties broken by id, so each qualifying pair
+    appears once."""
+    from pyspark.sql import Window
+
+    docs = (
+        _shingled_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.col("shingles").alias("sh"))
+        .coalesce(4)
+    )
+    ex = docs.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    ).select("doc_id", "sz", F.xxhash64("s").alias("h"))
+    index = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    df_w = Window.partitionBy("h")
+    rank = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h"))
+    prefix = (
+        ex.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .withColumn("rk", rank)
+        .filter(F.col("rk") <= F.col("sz")
+                - F.ceil(F.lit(CONTAIN_THRESHOLD) * F.col("sz")) + 1)
+        .select(F.col("doc_id").alias("doc_a"), "h")
+    )
+    cands = (
+        prefix.join(index, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    cont = F.size(F.array_intersect("sha", "shb")) / F.size("sha")
+    inter = sa.join(F.broadcast(cands), "doc_a")
+    return (
+        sb.join(F.broadcast(inter), "doc_b")
+        .filter((F.size("sha") < F.size("shb"))
+                | ((F.size("sha") == F.size("shb"))
+                   & (F.col("doc_a") < F.col("doc_b"))))
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
 def simhash_col(sh: Column) -> Column:
     """16-bit SimHash as a bitstring: bit j = majority of md5(shingle)'s
     j-th hex digit having its high bit set. Computed as ONE aggregate pass
@@ -771,6 +834,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "fuzzy_edit_pairs": q_fuzzy_edit_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
@@ -866,6 +930,27 @@ ORACLES = {
           ON a.doc_id < b.doc_id
         WHERE round(len(list_intersect(a.sh, b.sh))
                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= {NGRAM_THRESHOLD}
+    """,
+    "containment_pairs": f"""
+        WITH words AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id < 500
+        ),
+        docs AS (
+            SELECT doc_id, {_shingles_sql()} AS sh FROM words
+        ),
+        nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
+        -- brute-force ordered pairs: the engine's probe-side prefix
+        -- filtering is lossless, so its output must equal this exactly
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))
+                     / CAST(len(a.sh) AS DOUBLE), 4) AS containment
+        FROM nonempty a JOIN nonempty b
+          ON a.doc_id <> b.doc_id
+         AND (len(a.sh) < len(b.sh)
+              OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+        WHERE round(len(list_intersect(a.sh, b.sh))
+                    / CAST(len(a.sh) AS DOUBLE), 4) >= {CONTAIN_THRESHOLD}
     """,
     "simhash_pairs": f"""
         WITH words AS (

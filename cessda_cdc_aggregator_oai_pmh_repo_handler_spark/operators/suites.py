@@ -224,6 +224,9 @@ _CORPUS_SUBS = (
     Sub("canonical_selection", dedup.q_canonical_selection,
         dedup.ORACLES["canonical_selection"],
         (("component", "str"),), ("n_members", "kept_doc", "best_score")),
+    Sub("containment_pairs", dedup.q_containment_pairs,
+        dedup.ORACLES["containment_pairs"],
+        (("doc_a", "str"), ("doc_b", "str")), ("containment",)),
     Sub("fuzzy_edit_pairs", dedup.q_fuzzy_edit_pairs,
         dedup.ORACLES["fuzzy_edit_pairs"],
         (("doc_a", "str"), ("doc_b", "str")), ("edit_dist",)),
@@ -278,6 +281,9 @@ _CORPUS_SUBS = (
     Sub("embedding_quantize", ann.q_embedding_quantize,
         ann.ORACLES["embedding_quantize"],
         (("label", "str"),), ("n", "sum_q", "saturated")),
+    Sub("similarity_join", ann.q_similarity_join,
+        ann.ORACLES["similarity_join"],
+        (("probe_id", "str"), ("corpus_id", "str")), ("cosine",)),
     Sub("hybrid_rrf", ann.q_hybrid_rrf, ann.ORACLES["hybrid_rrf"],
         (("doc_id", "str"),), ("rrf_score", "lex_rank", "vec_rank")),
     Sub("pq_ann", ann.q_pq_ann, ann.ORACLES["pq_ann"],

@@ -43,6 +43,9 @@ def test_stress_harness_smoke(spark, tmp_path):
     assert report["hop_distance"]["max_hops"] <= dedup.MAX_HOPS
     assert report["semantic_dedup"]["pruned"] > 0
     assert report["ann_bruteforce"]["topk"] == 10
+    # executor-side JPEG encode -> Arrow decode: every payload decoded
+    assert report["media_decode"]["values"] > 0
+    assert report["media_decode"]["values_per_sec"] > 0
     assert report["skewed_join"]["rows"] == 20_000
     # the guard really bounds the blowup: a 2k viral cluster uncapped would
     # be ~2M LSH pairs; capped output stays orders below

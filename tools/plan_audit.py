@@ -80,6 +80,8 @@ HEADLINERS = {
     "triangle_stats": "Triangle count: oriented wedge join (e1.b=e2.a) closed by the third edge — each triangle once, hub fan-out bounded by id-orientation; all relations edge-sized.",
     "sql_text_recursive_spine": "Recursive CTE date spine (Spark 4 UnionLoop): the fact aggregates FIRST behind a pushed date bound; only the day-sized rollup enters the outer join with the generated spine.",
     "sql_text_lateral": "Correlated LATERAL aggregate: decorrelated to one grouped orders aggregate + broadcast joins — no per-row subquery re-execution.",
+    "containment_pairs": "Asymmetric containment: rare-first probe prefix equi-joined to the FULL inverted shingle index; verify join computes exact |A∩B|/|A| — no all-pairs product.",
+    "similarity_join": "Cross-table similarity join: sign-block equi-join with the probe relation broadcast; norms folded pre-join; threshold filter, not top-k.",
 }
 
 

@@ -126,6 +126,32 @@ def gen_embeddings(spark: SparkSession, out_dir: str, n_vecs: int,
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def _media_decode_run(spark: SparkSession, n: int) -> int:
+    """Distributed JPEG encode (mapInPandas) → decode_media → total luma
+    count; returns the decoded-value count (the throughput denominator)."""
+    import pandas as pd
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media, encode_jpeg_payload,
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": "image",
+                "payload": [encode_jpeg_payload(int(i), 16 + int(i) % 17,
+                                                8 + int(i) % 9)
+                            for i in ids],
+                "meta": [None] * len(ids),
+            })
+
+    media = spark.range(n).repartition(32).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA)
+    return decode_media(media).agg(F.sum("n_values")).first()[0]
+
+
 def timed(fn):
     t0 = time.perf_counter()
     out = fn()
@@ -229,6 +255,16 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         .orderBy(F.desc("cosine"), "vec_id").limit(10).collect())
     report["ann_bruteforce"] = {"sec": secs, "topk": len(rows)}
 
+    # --- multimodal decode throughput (entropy-coded JPEG, Arrow path) ----
+    # payloads are ENCODED in executors too (mapInPandas), so neither side
+    # of the codec ever runs on the driver
+    n_media = 20_000 if scale_tag == "full" else 6_000
+    secs, stats = timed(lambda: _media_decode_run(spark, n_media))
+    report["media_decode"] = {
+        "sec": secs, "jpegs": n_media, "values": int(stats),
+        "values_per_sec": int(stats / max(secs, 1e-9)),
+    }
+
     # --- skewed-publisher sort-merge join under AQE skew handling ---------
     per_source = d.groupBy("source").agg(F.count("*").alias("docs_in_source"))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -281,7 +317,7 @@ def main() -> None:
             k: round(full[k]["sec"] / max(third[k]["sec"], 1e-9), 2)
             for k in ("minhash_lsh", "cc_distributed", "triangle_stats",
                       "hop_distance", "fuzzy_edit", "semantic_dedup",
-                      "ann_bruteforce", "skewed_join")
+                      "media_decode", "ann_bruteforce", "skewed_join")
         }
         print(json.dumps(report))
         if args.json:
