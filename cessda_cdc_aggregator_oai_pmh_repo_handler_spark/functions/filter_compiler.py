@@ -91,6 +91,12 @@ def _compile_op(col: Column, op: str, val) -> Column:
         return ~F.coalesce(_compile_spec(col, val), F.lit(False))
     if op == "$elemMatch":
         return F.exists(col, lambda x: _compile_element(x, val))
+    if op == "$all":
+        if not val:
+            return F.lit(True)
+        return reduce(and_, [F.array_contains(col, _lit(v)) for v in val])
+    if op == "$size":
+        return F.size(col) == int(val)
     raise ValueError(f"unsupported operator {op}")
 
 

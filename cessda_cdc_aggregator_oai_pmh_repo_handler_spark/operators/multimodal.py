@@ -434,9 +434,56 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+def resize_images_2d(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL 2-D bilinear image resize: decode → (h, w) luma plane →
+    bilinear sample onto an (out_h, out_w) grid → flatten. numpy-vectorized
+    per image inside Arrow batches; audio rows are filtered out (resize is
+    an image op). Align-corners convention: the four grid corners map
+    exactly, interior samples interpolate between the four neighboring
+    pixels — so a constant image stays constant and a linear ramp is
+    reproduced exactly (both pinned in tests)."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+
+            def one(row):
+                # Arrow null-able struct ints surface as floats in pandas
+                w = int(row["meta"]["width"])
+                h = int(row["meta"]["height"])
+                plane = np.asarray(_decode(bytes(row["payload"])),
+                                   dtype=np.float64).reshape(h, w)
+                ys = (np.linspace(0, h - 1, out_h) if out_h > 1
+                      else np.zeros(1))
+                xs = (np.linspace(0, w - 1, out_w) if out_w > 1
+                      else np.zeros(1))
+                y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+                x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+                y1 = np.minimum(y0 + 1, h - 1)
+                x1 = np.minimum(x0 + 1, w - 1)
+                fy = (ys - y0)[:, None]
+                fx = (xs - x0)[None, :]
+                top = plane[y0][:, x0] * (1 - fx) + plane[y0][:, x1] * fx
+                bot = plane[y1][:, x0] * (1 - fx) + plane[y1][:, x1] * fx
+                return (top * (1 - fy) + bot * fy).reshape(-1).tolist()
+
+            vals = pdf.apply(one, axis=1) if len(pdf) else pd.Series([], dtype=object)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_values": vals.map(len).astype("int32"),
+                "mean_value": vals.map(lambda v: sum(v) / len(v) if v else None),
+                "feature": vals.map(_feature),
+            })
+
+    return media.mapInPandas(resize_batches, schema=DECODED_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int) -> DataFrame:
-    """Image resize stub: reshapes the decoded value stream to ``width``
-    samples (nearest-neighbor). Same mapInPandas shape as a real resize."""
+    """1-D stream resize (nearest-neighbor over the decoded value list) —
+    kept as the cheap thumbnail-vector path; ``resize_images_2d`` above is
+    the real bilinear image resize."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

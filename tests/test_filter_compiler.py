@@ -269,3 +269,45 @@ def test_fuzz_compiler_vs_python_mirror(spark):
         for rid, row in by_id.items():
             expected = ev(row, f)
             assert bool(got[rid][f"f{i}"]) == expected, (f, row)
+
+
+def test_all_and_size_operators(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a"]), (3, []), (4, None)],
+        "id long, xs array<string>")
+    assert sorted(r["id"] for r in df.filter(
+        compile_filter({"xs": {"$all": ["a", "b"]}})).collect()) == [1]
+    assert sorted(r["id"] for r in df.filter(
+        compile_filter({"xs": {"$all": []}})).collect()) == [1, 2, 3, 4]
+    assert sorted(r["id"] for r in df.filter(
+        compile_filter({"xs": {"$size": 1}})).collect()) == [2]
+    assert sorted(r["id"] for r in df.filter(
+        compile_filter({"xs": {"$size": 0}})).collect()) == [3]
+
+
+def test_compiler_matches_oai_planner_predicates(spark):
+    """The reference's actual wire filters, fed to the compiler, select
+    the SAME records as the hand-built predicate helpers the OAI planner
+    uses (predicates.not_deleted / direct_hop_from) — a user can port
+    their DocStore query dict verbatim."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies import (
+        FSD_URL, fixture_studies,
+    )
+
+    studies = fixture_studies(spark)
+
+    # deleted-exclusion (cdcagg_oai metrics shape)
+    via_dict = studies.filter(compile_filter(
+        {"metadata.status": {"$ne": "deleted"}}))
+    via_helper = studies.filter(P.not_deleted())
+    ids_d = {r["aggregator_identifier"] for r in via_dict.collect()}
+    ids_h = {r["aggregator_identifier"] for r in via_helper.collect()}
+    assert ids_d == ids_h and ids_h
+
+    # source-set membership (test_serve.py:1342-1345 wire shape)
+    f = {"provenance": {"$elemMatch": {"base_url": FSD_URL, "direct": True}}}
+    ids_d = {r["aggregator_identifier"]
+             for r in studies.filter(compile_filter(f)).collect()}
+    ids_h = {r["aggregator_identifier"] for r in studies.filter(
+        P.direct_hop_from(FSD_URL)).collect()}
+    assert ids_d == ids_h and ids_h
