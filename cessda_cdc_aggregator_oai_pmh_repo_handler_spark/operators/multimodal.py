@@ -349,6 +349,14 @@ def _decode(payload: bytes) -> list[float]:
         import gzip as gzip_mod
 
         return _decode(gzip_mod.decompress(payload))
+    if payload[:3] == b"BZh":
+        import bz2
+
+        return _decode(bz2.decompress(payload))
+    if payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return _decode(lzma.decompress(payload))
     # entropy-coded image/audio formats need PIL/librosa/ffmpeg — absent
     # in this container
     return _decode_fake(payload)  # raises the canonical NotImplementedError

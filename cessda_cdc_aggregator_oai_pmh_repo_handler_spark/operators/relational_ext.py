@@ -593,6 +593,20 @@ SQL_TEXTS = {
                       WHERE o.o_custkey = c.c_custkey) t
         WHERE c.c_custkey < 50
     """,
+    # TRY_CAST error-tolerant conversion semantics over an inline VALUES
+    # table: invalid int/date strings yield NULL, never an error. Two
+    # probed divergences are deliberately excluded — fractional-string→
+    # INTEGER (DuckDB rounds '3.5'→4, Spark rejects) and 4-digit signed
+    # strings→DATE (Spark reads '-0007' as a year, DuckDB rejects); the
+    # verbatim family only carries texts whose semantics coincide.
+    "sql_text_trycast": """
+        SELECT s,
+               TRY_CAST(s AS INTEGER) AS as_int,
+               TRY_CAST(s AS DOUBLE) AS as_double,
+               CAST(TRY_CAST(s AS DATE) AS STRING) AS as_date
+        FROM (VALUES ('42'), ('-7'), ('x7'),
+                     ('2024-01-31'), ('2024-02-30'), ('')) AS t(s)
+    """,
     # chained CTEs feeding a windowed quartile rollup; the ntile is
     # PARTITIONED by segment so the quartile window shuffles on a key
     # instead of sorting the whole customer set on one executor

@@ -460,6 +460,9 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_text_lateral", relational_ext.TEXT_QUERIES["sql_text_lateral"],
         relational_ext.SQL_TEXTS["sql_text_lateral"],
         (("c_custkey", "str"),), ("n_orders", "top_price")),
+    Sub("sql_text_trycast", relational_ext.TEXT_QUERIES["sql_text_trycast"],
+        relational_ext.SQL_TEXTS["sql_text_trycast"],
+        (("s", "str"), ("as_date", "str")), ("as_int", "as_double")),
     Sub("sql_text_recursive_spine",
         relational_ext.TEXT_QUERIES["sql_text_recursive_spine"],
         relational_ext.SQL_TEXTS["sql_text_recursive_spine"],

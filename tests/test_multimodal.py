@@ -265,3 +265,15 @@ def test_resize_2d_runs_on_gate_fixture(spark):
     assert len(out) == 12
     assert all(r["n_values"] == 64 for r in out)
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in out)
+
+
+def test_bz2_and_xz_containers():
+    """bzip2 and xz containers dispatch by magic and decode to exactly the
+    inner codec's output — all three stdlib compressed containers work."""
+    import bz2
+    import lzma
+
+    wav = M.encode_wav_payload(3, 80)
+    png = M.encode_png_payload(5, 6, 4)
+    assert M._decode(bz2.compress(wav)) == M._decode(wav)
+    assert M._decode(lzma.compress(png)) == M._decode(png)
