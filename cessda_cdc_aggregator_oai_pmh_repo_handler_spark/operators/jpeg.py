@@ -384,8 +384,11 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 88,
                         restart_interval=restart_interval)
 
 
-def _encode_jpeg(rgb: np.ndarray, quality: int, subsampling: str,
-                 restart_interval: int = 0) -> bytes:
+def _quantized_components(rgb: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, subsample, block DCT,
+    quantize. Returns (h, w, comp_blocks, hmax, vmax) with comp_blocks =
+    [(hi, vi, quantized (n,8,8) int blocks on the MCU-extended grid,
+    bw, bh)]."""
     h, w = rgb.shape[:2]
     arr = rgb.astype(np.float64)
     # JFIF YCbCr (BT.601 full-range)
@@ -431,6 +434,40 @@ def _encode_jpeg(rgb: np.ndarray, quality: int, subsampling: str,
             qb = grid.reshape(mcuy * mcux, 8, 8)
             bw, bh = mcux, mcuy
         comp_blocks.append((hi, vi, qb, bw, bh))
+    return h, w, comp_blocks, hmax, vmax
+
+
+def _headers(h: int, w: int, quality: int, subsampling: str,
+             comps_hv: list[tuple[int, int]], sof_marker: bytes,
+             restart_interval: int = 0) -> bytearray:
+    """SOI..DHT header run shared by the baseline and progressive
+    encoders (everything before the first SOS)."""
+    out = bytearray(b"\xff\xd8")                              # SOI
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif  # APP0
+    out += _dqt_segment(0, _scaled_quant(QUANT_LUMA, quality)[ZIGZAG])
+    if subsampling != "gray":
+        out += _dqt_segment(1, _scaled_quant(QUANT_CHROMA, quality)[ZIGZAG])
+    ncomp = len(comps_hv)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (hi, vi) in enumerate(comps_hv):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _dht_segment(0, 0, DC_LUMA_SPEC)
+    out += _dht_segment(1, 0, AC_LUMA_SPEC)
+    if subsampling != "gray":
+        out += _dht_segment(0, 1, DC_CHROMA_SPEC)
+        out += _dht_segment(1, 1, AC_CHROMA_SPEC)
+    return out
+
+
+def _encode_jpeg(rgb: np.ndarray, quality: int, subsampling: str,
+                 restart_interval: int = 0) -> bytes:
+    h, w, comp_blocks, hmax, vmax = _quantized_components(
+        rgb, quality, subsampling)
+    comps = comp_blocks
 
     dc_y = _canonical_codes(*DC_LUMA_SPEC)
     ac_y = _canonical_codes(*AC_LUMA_SPEC)
