@@ -501,25 +501,10 @@ def _encode_jpeg(rgb: np.ndarray, quality: int, subsampling: str,
     scan += writer.flush()
 
     # --- assemble the stream ---
-    out = bytearray(b"\xff\xd8")                              # SOI
-    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif  # APP0
-    out += _dqt_segment(0, _scaled_quant(QUANT_LUMA, quality)[ZIGZAG])
-    if subsampling != "gray":
-        out += _dqt_segment(1, _scaled_quant(QUANT_CHROMA, quality)[ZIGZAG])
-    # SOF0
     ncomp = len(comps)
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
-    for ci, (hi, vi, _, _) in enumerate(comps):
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += _dht_segment(0, 0, DC_LUMA_SPEC)
-    out += _dht_segment(1, 0, AC_LUMA_SPEC)
-    if subsampling != "gray":
-        out += _dht_segment(0, 1, DC_CHROMA_SPEC)
-        out += _dht_segment(1, 1, AC_CHROMA_SPEC)
+    out = _headers(h, w, quality, subsampling,
+                   [(hi, vi) for hi, vi, *_ in comps], b"\xff\xc0",
+                   restart_interval)
     # SOS
     sos = bytearray([ncomp])
     for ci in range(ncomp):
