@@ -104,7 +104,13 @@ def oracle_sql() -> dict[str, str]:
     o.update(ann.ORACLES)
     o.update(studies_demo.ORACLES)
     o.update(clustering.ORACLES)
-    o.update(multimodal.ORACLES)
     o.update(suites.ORACLES)
+    # Built lazily (32 codec round-trips); a codec regression here must
+    # degrade exactly multimodal_features to a rows-only check, never
+    # zero the other gate rows (round-4 post-mortem).
+    try:
+        o.update(multimodal.oracles())
+    except Exception:
+        pass
     declared = set(queries())
     return {name: sql for name, sql in o.items() if name in declared}

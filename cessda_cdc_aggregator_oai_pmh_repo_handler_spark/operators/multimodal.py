@@ -565,15 +565,28 @@ def _expected_feature_rollup() -> list[tuple]:
 
 QUERIES = {"multimodal_features": q_multimodal_features}
 
-ORACLES = {
-    "multimodal_features": "SELECT * FROM (VALUES "
-    + ", ".join(
-        f"('{k}', CAST({n} AS BIGINT), CAST({tv} AS BIGINT), "
-        f"CAST({am} AS DOUBLE), CAST({af} AS DOUBLE))"
-        for k, n, tv, am, af in _expected_feature_rollup()
-    )
-    + ") AS t(kind, n_media, total_values, avg_mean, avg_feature_sum)",
-}
+_ORACLE_CACHE: dict[str, str] | None = None
+
+
+def oracles() -> dict[str, str]:
+    """Oracle SQL for the gate, built LAZILY on first call (memoized).
+
+    The literal-VALUES table runs 32 codec encode+decode round-trips
+    (JPEG/PPM/PNG/WAV), so it must never execute at module import time:
+    a codec regression should fail exactly the ``multimodal_features``
+    gate row, not the whole-engine import (round-4 post-mortem)."""
+    global _ORACLE_CACHE
+    if _ORACLE_CACHE is None:
+        _ORACLE_CACHE = {
+            "multimodal_features": "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{k}', CAST({n} AS BIGINT), CAST({tv} AS BIGINT), "
+                f"CAST({am} AS DOUBLE), CAST({af} AS DOUBLE))"
+                for k, n, tv, am, af in _expected_feature_rollup()
+            )
+            + ") AS t(kind, n_media, total_values, avg_mean, avg_feature_sum)",
+        }
+    return _ORACLE_CACHE
 
 
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
