@@ -109,9 +109,21 @@ def process_components_batch(spark: SparkSession, batch: DataFrame,
     buckets, shingled = lsh_parts(batch)
     pairs = _batch_pairs(spark, buckets, shingled, index_path, threshold)
 
+    # Idempotency under at-least-once foreachBatch retries / re-delivered
+    # doc_ids: a doc already labeled must NOT be re-seeded with its own id
+    # (that would leave two conflicting component rows — the index probe's
+    # self-pair has ca == cb, so no merge would repair it), and its index
+    # rows must not be appended twice. The probe is batch-sized on both
+    # sides: semi-join the corpus-sized tables against the broadcast batch
+    # id set first, then anti-join the batch against that (small) overlap.
     labels = read_labels(spark, index_path)
-    fresh = shingled.select(
-        "doc_id", F.col("doc_id").alias("component"))
+    batch_ids = shingled.select("doc_id")
+    seen = labels.join(F.broadcast(batch_ids), "doc_id", "left_semi") \
+                 .select("doc_id").localCheckpoint()
+    fresh = (
+        shingled.join(F.broadcast(seen), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
     all_labels = labels.unionByName(fresh)
 
     # label-graph: distinct component collisions induced by the new pairs
@@ -139,12 +151,24 @@ def process_components_batch(spark: SparkSession, batch: DataFrame,
                         F.coalesce("winner", "component").alias("component"))
             )
 
+    # Index-append guard keyed on the index's OWN contents (not labels):
+    # a crash between the label overwrite and the index appends leaves the
+    # tables out of step, and each must dedupe against itself on retry.
+    idx_ids = _read_or_empty(
+        spark, os.path.join(index_path, SHINGLES),
+        "doc_id long, shingles array<string>").select("doc_id")
+    indexed = idx_ids.join(F.broadcast(batch_ids), "doc_id", "left_semi") \
+                     .select("doc_id").localCheckpoint()
+    buckets_new = buckets.join(F.broadcast(indexed), "doc_id", "left_anti")
+    shingled_new = shingled.join(F.broadcast(indexed), "doc_id", "left_anti")
+
     # materialize BEFORE overwrite (the plan reads the path it replaces);
     # production storage is a keyed MERGE instead of a rewrite
     out = all_labels.localCheckpoint()
     out.write.mode("overwrite").parquet(os.path.join(index_path, LABELS))
-    buckets.write.mode("append").parquet(os.path.join(index_path, BUCKETS))
-    shingled.write.mode("append").parquet(os.path.join(index_path, SHINGLES))
+    buckets_new.write.mode("append").parquet(os.path.join(index_path, BUCKETS))
+    shingled_new.write.mode("append").parquet(
+        os.path.join(index_path, SHINGLES))
 
 
 def start_components_stream(spark: SparkSession, source_dir: str,

@@ -124,3 +124,34 @@ def test_components_stream_driver_end_to_end(spark, tmp_path):
     labels = {r["doc_id"]: r["component"]
               for r in CS.read_labels(spark, str(tmp_path / "idx3")).collect()}
     assert labels == {0: 0, 1: 0, 9: 0}
+
+def test_retry_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch (or re-delivering a
+    doc_id after its label was merged) must not duplicate label rows,
+    re-seed a merged doc with its own id, or double-append index rows."""
+    t = "sun moon star comet nebula quasar pulsar meteor galaxy cluster"
+    idx = str(tmp_path / "ccidx_retry")
+
+    b0 = spark.createDataFrame(
+        [_doc(3, t), _doc(4, t + " nova")], SCHEMA)
+    CS.process_components_batch(spark, b0, idx)
+    labels1 = CS.read_labels(spark, idx).collect()
+    n_buckets = spark.read.parquet(f"{idx}/{CS.BUCKETS}").count()
+    n_shingles = spark.read.parquet(f"{idx}/{CS.SHINGLES}").count()
+
+    # exact replay of the same batch (retry after a crash)
+    CS.process_components_batch(spark, b0, idx)
+    labels2 = CS.read_labels(spark, idx).collect()
+    assert sorted((r["doc_id"], r["component"]) for r in labels2) == \
+        sorted((r["doc_id"], r["component"]) for r in labels1)
+    assert len(labels2) == 2  # one row per doc, no conflicting duplicates
+    assert spark.read.parquet(f"{idx}/{CS.BUCKETS}").count() == n_buckets
+    assert spark.read.parquet(f"{idx}/{CS.SHINGLES}").count() == n_shingles
+
+    # re-delivery of doc 4 AFTER a merge relabeled it (label 3, not 4):
+    # the re-seed must not resurrect component=4
+    CS.process_components_batch(
+        spark, spark.createDataFrame([_doc(4, t + " nova")], SCHEMA), idx)
+    after = {r["doc_id"]: r["component"]
+             for r in CS.read_labels(spark, idx).collect()}
+    assert after == {3: 3, 4: 3}
