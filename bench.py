@@ -65,14 +65,34 @@ def main():
     # suite slots fold many verified sub-operators into one timing; report
     # the fold factor so cross-round per-slot comparisons stay meaningful
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import suites
-    suite_subs = {
-        "window_suite": len(suites._WINDOW_SUBS),
-        "temporal_join_suite": len(suites._TEMPORAL_SUBS),
-        "corpus_stats_suite": len(suites._CORPUS_SUBS) + 1,  # + approx_distinct
-        "tpch_suite": len(suites._TPCH_SUBS),
-        "sql_surface_suite": len(suites._SQL_SURFACE_SUBS),
-        "set_ops": len(suites._SET_OPS_SUBS),
+    suite_sub_lists = {
+        "window_suite": suites._WINDOW_SUBS,
+        "temporal_join_suite": suites._TEMPORAL_SUBS,
+        "corpus_stats_suite": suites._CORPUS_SUBS,
+        "tpch_suite": suites._TPCH_SUBS,
+        "sql_surface_suite": suites._SQL_SURFACE_SUBS,
+        "set_ops": suites._SET_OPS_SUBS,
     }
+    suite_subs = {name: len(subs) for name, subs in suite_sub_lists.items()}
+    suite_subs["corpus_stats_suite"] += 1  # + approx_distinct
+
+    # Per-sub-op attribution (the only bench lines that move round-over-
+    # round are suite rows; a growth vs regression question must be
+    # answerable per operator). Timed individually on the warm caches the
+    # suite runs just built, through the same long-format wrapper the
+    # suite itself uses, so per-op numbers sum ~= the suite's warm time.
+    suite_op_sec: dict[str, dict[str, float]] = {}
+    for suite_name, subs in suite_sub_lists.items():
+        ops: dict[str, float] = {}
+        for s in subs:
+            t0 = time.perf_counter()
+            suites._spark_long(s.fn(spark, sf_dir), s).collect()
+            ops[s.op] = round(time.perf_counter() - t0, 4)
+        if suite_name == "corpus_stats_suite":
+            t0 = time.perf_counter()
+            suites._q_approx_distinct_long(spark, sf_dir).collect()
+            ops["approx_distinct"] = round(time.perf_counter() - t0, 4)
+        suite_op_sec[suite_name] = ops
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": round(total_warm, 4),
@@ -83,6 +103,7 @@ def main():
         "queries_cold": cold,
         "cold_total_sec": round(total_cold, 4),
         "suite_subs": suite_subs,
+        "suite_op_sec": suite_op_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -517,12 +517,237 @@ def _encode_jpeg(rgb: np.ndarray, quality: int, subsampling: str,
     return bytes(out)
 
 
+# --- progressive encoder (SOF2, T.81 Annex G) ---------------------------------
+
+# The classic default scan script (public knowledge — the same shape
+# libjpeg's jcparam.c ships): an interleaved DC-first scan at Al=1, AC
+# first scans per component at reduced precision, then the Ah->Al
+# refinement ladder ending at full precision. Exercises all four
+# progressive scan kinds (DC first/refine, AC first/refine).
+_PROGRESSIVE_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first, all components, Al=1
+    ((0,), 1, 5, 0, 2),        # luma AC low band, coarse
+    ((2,), 1, 63, 0, 1),       # chroma AC full band, Al=1
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),       # luma AC high band, coarse
+    ((0,), 1, 63, 2, 1),       # luma AC refine 2->1
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refine to full precision
+    ((2,), 1, 63, 1, 0),       # AC refines to full precision
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_PROGRESSIVE_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 88,
+                            subsampling: str = "444") -> bytes:
+    """Progressive JFIF (SOF2) from a (h, w, 3) uint8 array — spectral
+    selection + successive approximation over the standard scan script.
+    Entropy path is lossless over the same quantized coefficients as the
+    baseline encoder, so decode(progressive) == decode(baseline) exactly
+    for the same quality/subsampling."""
+    h, w, comp_blocks, hmax, vmax = _quantized_components(
+        rgb, quality, subsampling)
+    script = (_PROGRESSIVE_SCRIPT_GRAY if subsampling == "gray"
+              else _PROGRESSIVE_SCRIPT_COLOR)
+    out = _headers(h, w, quality, subsampling,
+                   [(hi, vi) for hi, vi, *_ in comp_blocks], b"\xff\xc2")
+    n_mcux = -(-w // (8 * hmax))
+    n_mcuy = -(-h // (8 * vmax))
+    # per-comp non-interleaved block grid (T.81 A.2.2)
+    comp_grids = []
+    for hi, vi, _qb, bw, bh in comp_blocks:
+        cbw = -(- (-(-w * hi // hmax)) // 8)
+        cbh = -(- (-(-h * vi // vmax)) // 8)
+        comp_grids.append((cbw, cbh))
+    for comp_ids, ss, se, ah, al in script:
+        out += _encode_progressive_scan(
+            comp_blocks, comp_grids, comp_ids, ss, se, ah, al,
+            n_mcux, n_mcuy)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_gray(pixels: np.ndarray,
+                                 quality: int = 88) -> bytes:
+    """Progressive grayscale JFIF from a (h, w) uint8 array."""
+    return encode_jpeg_progressive(pixels[:, :, None].repeat(3, axis=2),
+                                   quality, subsampling="gray")
+
+
+def _sos_segment(comp_ids, ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytearray([len(comp_ids)])
+    for ci in comp_ids:
+        td_ta = 0x00 if ci == 0 else 0x11
+        body += bytes([ci + 1, td_ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def _encode_progressive_scan(comp_blocks, comp_grids, comp_ids, ss, se,
+                             ah, al, n_mcux, n_mcuy) -> bytes:
+    """SOS header + entropy data for one progressive scan. EOB runs are
+    flushed per block (EOB0 only), so the Annex K tables — which lack
+    EOB1..EOB14 symbols — suffice; decoders handle the general EOBn."""
+    dc_y = _canonical_codes(*DC_LUMA_SPEC)
+    dc_c = _canonical_codes(*DC_CHROMA_SPEC)
+    ac_y = _canonical_codes(*AC_LUMA_SPEC)
+    ac_c = _canonical_codes(*AC_CHROMA_SPEC)
+    writer = _BitWriter()
+
+    if ss == 0 and ah == 0:          # DC first: interleaved MCU order
+        preds = {ci: 0 for ci in comp_ids}
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                for ci in comp_ids:
+                    hi, vi, qb, bw, _bh = comp_blocks[ci]
+                    dc_codes = dc_y if ci == 0 else dc_c
+                    for by in range(vi):
+                        for bx in range(hi):
+                            idx = (my * vi + by) * bw + (mx * hi + bx)
+                            dc = int(qb[idx].reshape(64)[0]) >> al
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            t, bitsv = _magnitude(diff) if diff else (0, 0)
+                            code, length = dc_codes[t]
+                            writer.write(code, length)
+                            if t:
+                                writer.write(bitsv, t)
+    elif ss == 0:                    # DC refine: one raw bit per block
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                for ci in comp_ids:
+                    hi, vi, qb, bw, _bh = comp_blocks[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            idx = (my * vi + by) * bw + (mx * hi + bx)
+                            dc = int(qb[idx].reshape(64)[0])
+                            writer.write((dc >> al) & 1, 1)
+    else:                            # AC scans: single-component only
+        (ci,) = comp_ids
+        _hi, _vi, qb, bw, _bh = comp_blocks[ci]
+        cbw, cbh = comp_grids[ci]
+        ac_codes = ac_y if ci == 0 else ac_c
+        for by in range(cbh):
+            for bx in range(cbw):
+                zz = qb[by * bw + bx].reshape(64)[ZIGZAG]
+                if ah == 0:
+                    _enc_ac_first_block(writer, zz, ss, se, al, ac_codes)
+                else:
+                    _enc_ac_refine_block(writer, zz, ss, se, al, ac_codes)
+
+    return bytes(_sos_segment(comp_ids, ss, se, ah, al)) + writer.flush()
+
+
+def _enc_ac_first_block(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                        al: int, ac_codes: dict) -> None:
+    """First AC scan of a band: point transform truncates toward zero
+    (T.81 G.1.2.2 — unlike DC's arithmetic shift)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]          # ZRL
+            writer.write(code, length)
+            run -= 16
+        s, bitsv = _magnitude(t if v > 0 else -t)
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(bitsv, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]              # EOB0 (run flushed now)
+        writer.write(code, length)
+
+
+def _enc_ac_refine_block(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                         al: int, ac_codes: dict) -> None:
+    """AC refinement scan (T.81 G.1.2.3): newly-nonzero coefficients emit
+    (run, 1) + sign; already-nonzero coefficients append a correction bit
+    after the next symbol; runs count zero-history positions only."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    # index (relative) of the last newly-nonzero coefficient: positions
+    # after it are covered by EOB0 + trailing correction bits
+    eob_rel = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_rel = i
+    run = 0
+    pending: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_rel:
+            code, length = ac_codes[0xF0]          # ZRL
+            writer.write(code, length)
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+            run -= 16
+        if t > 1:                                  # nonzero history
+            pending.append(t & 1)
+            continue
+        # newly nonzero: (run, 1) + sign bit, then flush correction bits
+        code, length = ac_codes[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, length = ac_codes[0x00]              # EOB0
+        writer.write(code, length)
+        for b in pending:
+            writer.write(b, 1)
+
+
 # --- decoder ------------------------------------------------------------------
 
+class _FrameState:
+    """Coefficient accumulator shared by every scan of one frame: per-
+    component zigzag-order int coefficient arrays on the MCU-extended
+    storage grid, plus the per-component non-interleaved block grid
+    (T.81 A.2.2: ceil dims of the component's OWN sample array)."""
+
+    def __init__(self, h: int, w: int, comps: list[tuple[int, int, int, int]]):
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.n_mcux = -(-w // (8 * self.hmax))
+        self.n_mcuy = -(-h // (8 * self.vmax))
+        self.coefs: list[np.ndarray] = []
+        self.dims: list[tuple[int, int, int, int]] = []  # bw, bh, cbw, cbh
+        for _cid, hi, vi, _tq in comps:
+            bw, bh = self.n_mcux * hi, self.n_mcuy * vi
+            comp_w = -(-w * hi // self.hmax)   # ceil of the comp's samples
+            comp_h = -(-h * vi // self.vmax)
+            cbw, cbh = -(-comp_w // 8), -(-comp_h // 8)
+            self.coefs.append(np.zeros((bh * bw, 64), dtype=np.int64))
+            self.dims.append((bw, bh, cbw, cbh))
+        self.eobrun = 0  # progressive AC end-of-band run (reset per scan)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF -> (h, w, 3) uint8 RGB (grayscale replicates to 3
-    channels). Raises NotImplementedError for progressive/arithmetic/12-bit
-    streams."""
+    """JFIF -> (h, w, 3) uint8 RGB (grayscale replicates to 3 channels).
+
+    Decodes baseline sequential (SOF0/1, interleaved or multi-scan
+    non-interleaved) AND progressive (SOF2: spectral selection +
+    successive approximation, DC/AC first and refinement scans, EOBn run
+    coding, restart markers). Raises NotImplementedError for arithmetic
+    coding, 12-bit precision, and lossless/hierarchical modes."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -530,7 +755,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None          # (h, w, [(cid, hi, vi, tq)])
+    progressive = False
+    state: _FrameState | None = None
     restart_interval = 0
+    any_scan = False
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -564,7 +792,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + nvals])
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, values)
                 p += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision is decoded")
@@ -575,14 +804,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tq = seg[8 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            state = _FrameState(h, w, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG needs an imaging library")
+                "lossless/extended/arithmetic JPEG needs an imaging library")
         elif marker == 0xDD:    # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:    # SOS — entropy data follows
-            if frame is None:
+            if frame is None or state is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             scan_comps = []
@@ -590,61 +820,202 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * ci]
                 td_ta = seg[2 + 2 * ci]
                 scan_comps.append((cs, td_ta >> 4, td_ta & 0x0F))
-            return _decode_scan(payload, pos + seglen, frame, scan_comps,
-                                qtables, huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan_into(
+                payload, pos + seglen, state, scan_comps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, progressive)
+            any_scan = True
+            continue
         pos += seglen
-    raise ValueError("corrupt JPEG: no SOS marker")
+    if not any_scan or state is None:
+        raise ValueError("corrupt JPEG: no SOS marker")
+    return _reconstruct(state, qtables)
 
 
-def _decode_scan(data: bytes, pos: int, frame, scan_comps, qtables,
-                 huff_dc, huff_ac, restart_interval: int) -> np.ndarray:
-    h, w, comps = frame
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    n_mcux = -(-w // (8 * hmax))
-    n_mcuy = -(-h // (8 * vmax))
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded bytes to the next real marker (skips
+    stuffed FF00 and stray RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,):
+            m = data[pos + 1]
+            if m == 0xFF:          # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= m <= 0xD7:  # stray restart marker
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
 
-    by_cid = {cs: (td, ta) for cs, td, ta in scan_comps}
-    plan = []        # per component: (hi, vi, bw, bh, coef array, dc dec, ac dec, q)
-    for cid, hi, vi, tq in comps:
-        bw, bh = n_mcux * hi, n_mcuy * vi
-        td, ta = by_cid[cid]
-        plan.append([hi, vi, bw, bh,
-                     np.zeros((bh * bw, 64), dtype=np.int64),
-                     huff_dc[td], huff_ac[ta], qtables[tq]])
 
+def _decode_scan_into(data: bytes, pos: int, state: _FrameState, scan_comps,
+                      ss: int, se: int, ah: int, al: int,
+                      huff_dc, huff_ac, restart_interval: int,
+                      progressive: bool) -> int:
+    """Decode ONE scan's entropy data into the frame's coefficient arrays.
+    Handles interleaved (ns>1 or sequential single-comp frames) and
+    non-interleaved (ns==1) block orders, all four progressive scan kinds
+    (T.81 G.2), EOBn runs, and restart markers. Returns the stream
+    position of the next marker."""
+    comps_by_cid = {c[0]: i for i, c in enumerate(state.comps)}
+    members = []       # (comp_index, dc decoder|None, ac decoder|None)
+    for cs, td, ta in scan_comps:
+        ci = comps_by_cid[cs]
+        members.append((ci, huff_dc.get(td), huff_ac.get(ta)))
+    state.eobrun = 0
     reader = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(n_mcuy):
-        for mx in range(n_mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align()
-                m = reader.at_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    reader.pos += 2
-                preds = [0] * len(comps)
-            for ci, (hi, vi, bw, bh, coefs, dcd, acd, _q) in enumerate(plan):
-                for by in range(vi):
-                    for bx in range(hi):
-                        idx = (my * vi + by) * bw + (mx * hi + bx)
-                        preds[ci] = _decode_block(reader, coefs[idx],
-                                                  dcd, acd, preds[ci])
-            mcu_count += 1
+    preds = {ci: 0 for ci, _d, _a in members}
 
-    # dequantize + IDCT, vectorized per component
+    def restart(unit_count: int) -> None:
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.align()
+            m = reader.at_marker()
+            if m is not None and 0xD0 <= m <= 0xD7:
+                reader.pos += 2
+            for k in preds:
+                preds[k] = 0
+            state.eobrun = 0
+
+    def decode_one(ci: int, dcd, acd, idx: int) -> None:
+        coefs = state.coefs[ci][idx]
+        if not progressive:
+            preds[ci] = _decode_block(reader, coefs, dcd, acd, preds[ci])
+        elif ss == 0 and ah == 0:    # DC first
+            t = dcd.decode(reader)
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            preds[ci] += diff
+            coefs[0] = preds[ci] << al
+        elif ss == 0:                # DC refinement: one raw bit per block
+            if reader.read_bit():
+                coefs[0] |= 1 << al
+        elif ah == 0:                # AC first (spectral band, EOBn runs)
+            _decode_ac_first(reader, coefs, acd, ss, se, al, state)
+        else:                        # AC refinement (correction bits)
+            _decode_ac_refine(reader, coefs, acd, ss, se, al, state)
+
+    if len(members) > 1:
+        # interleaved MCU order over the scan's components
+        unit = 0
+        for my in range(state.n_mcuy):
+            for mx in range(state.n_mcux):
+                restart(unit)
+                for ci, dcd, acd in members:
+                    _cid, hi, vi, _tq = state.comps[ci]
+                    bw = state.dims[ci][0]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            idx = (my * vi + by) * bw + (mx * hi + bx)
+                            decode_one(ci, dcd, acd, idx)
+                unit += 1
+    else:
+        ci, dcd, acd = members[0]
+        _cid, hi, vi, _tq = state.comps[ci]
+        # single-component scan: always non-interleaved over the
+        # component's OWN block grid (T.81 A.2.2), storage stride bw
+        bw, _bh, cbw, cbh = state.dims[ci]
+        unit = 0
+        for by in range(cbh):
+            for bx in range(cbw):
+                restart(unit)
+                decode_one(ci, dcd, acd, by * bw + bx)
+                unit += 1
+    return _skip_to_marker(data, reader.pos)
+
+
+def _decode_ac_first(reader: _BitReader, coefs: np.ndarray, acd: _HuffDecoder,
+                     ss: int, se: int, al: int, state: _FrameState) -> None:
+    """T.81 G.2.2 / §F.2.2.2 with EOBn: first AC scan of a spectral band."""
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = acd.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:               # EOBn: run of 2^r + bits end-of-bands
+                state.eobrun = (1 << r) - 1
+                if r:
+                    state.eobrun += reader.read_bits(r)
+                return
+            k += 16                  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index overflow")
+        coefs[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader: _BitReader, coefs: np.ndarray, acd: _HuffDecoder,
+                      ss: int, se: int, al: int, state: _FrameState) -> None:
+    """T.81 G.1.2.3: AC successive-approximation refinement. Nonzero-
+    history coefficients absorb one correction bit whenever the scan
+    passes over them; runs count only zero-history positions."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and not (coefs[k] & p1):
+            coefs[k] += p1 if coefs[k] >= 0 else m1
+
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = acd.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:           # EOBn
+                    state.eobrun = 1 << r
+                    if r:
+                        state.eobrun += reader.read_bits(r)
+                    break
+                # ZRL: pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: refinement size != 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coefs[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            coefs[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            if coefs[k] != 0:
+                correct(k)
+            k += 1
+        state.eobrun -= 1
+
+
+def _reconstruct(state: _FrameState, qtables) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color transform, vectorized."""
     planes = []
-    for hi, vi, bw, bh, coefs, _dcd, _acd, q in plan:
+    for i, (_cid, hi, vi, tq) in enumerate(state.comps):
+        bw, bh, _cbw, _cbh = state.dims[i]
+        coefs = state.coefs[i]
+        q = qtables[tq]
         deq = np.zeros_like(coefs, dtype=np.float64).reshape(-1, 64)
         deq[:, ZIGZAG] = coefs * 1.0   # coefs stored in zigzag order
         deq = deq.reshape(-1, 8, 8) * q[None, :, :]
         spatial = np.clip(_idct_blocks(deq) + 128.0, 0, 255)
         plane = _from_blocks(spatial, bw, bh, bh * 8, bw * 8)
         # upsample to full MCU-grid resolution by sample-factor replication
-        plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
-        planes.append(plane[:h, :w])
+        plane = plane.repeat(state.vmax // vi, axis=0) \
+                     .repeat(state.hmax // hi, axis=1)
+        planes.append(plane[:state.h, :state.w])
 
     if len(planes) == 1:
         y = planes[0]
@@ -660,7 +1031,8 @@ def _decode_scan(data: bytes, pos: int, frame, scan_comps, qtables,
 
 def _decode_block(reader: _BitReader, out_zz: np.ndarray,
                   dcd: _HuffDecoder, acd: _HuffDecoder, pred: int) -> int:
-    """Decode one block's coefficients INTO zigzag order. Returns new pred."""
+    """Decode one sequential block's coefficients INTO zigzag order.
+    Returns new pred."""
     t = dcd.decode(reader)
     diff = _extend(reader.read_bits(t), t) if t else 0
     dc = pred + diff

@@ -5,13 +5,14 @@ as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Decode kernels are REAL for the formats this environment can handle
 without codec libraries — PCM WAV (stdlib ``wave``), binary PPM (header
 parse), non-interlaced 8-bit RGB PNG (stdlib ``zlib`` inflate + full
-five-filter un-filtering), baseline JPEG (own T.81 entropy decoder in
-``jpeg.py``: Huffman + dequant + vectorized IDCT, grayscale/4:4:4/4:2:0,
-restart intervals), and gzip containers — plus a deterministic FAKE
-codec for plumbing tests. Remaining entropy-coded formats (progressive
-JPEG, MP3, H.264) raise NotImplementedError until PIL/librosa/ffmpeg are
-installed; the dispatch in ``_decode`` is the single extension point,
-and the distributed plan does not move when a codec is added.
+five-filter un-filtering), baseline AND progressive JPEG (own T.81
+codec in ``jpeg.py``: Huffman + dequant + vectorized IDCT, grayscale/
+4:4:4/4:2:0, restart intervals, SOF2 multi-scan successive
+approximation), and gzip/bz2/xz containers — plus a deterministic FAKE
+codec for plumbing tests. Remaining entropy-coded formats (MP3, H.264)
+raise NotImplementedError until librosa/ffmpeg are installed; the
+dispatch in ``_decode`` is the single extension point, and the
+distributed plan does not move when a codec is added.
 
 Scale notes:
 - Payloads stay in executors end-to-end (mapInPandas streams Arrow batches;
@@ -284,13 +285,14 @@ def _decode_png(payload: bytes) -> list[float]:
 
 
 def encode_jpeg_payload(media_id: int, width: int, height: int) -> bytes:
-    """Real baseline JFIF bytes (own T.81 codec, numpy-only): deterministic
-    md5-seeded smooth RGB content. Alternates 4:4:4 and 4:2:0 subsampling
-    by id so both decoder sampling paths stay exercised; every 4th JPEG
-    carries restart markers (DRI/RSTn)."""
+    """Real JFIF bytes (own T.81 codec, numpy-only): deterministic
+    md5-seeded smooth RGB content. Rotates decoder paths by id: 4:4:4 and
+    4:2:0 subsampling, restart markers (DRI/RSTn) on every 8th, and
+    PROGRESSIVE (SOF2 multi-scan successive approximation) on ids with
+    id % 4 == 1."""
     import numpy as np
 
-    from .jpeg import encode_jpeg_rgb
+    from .jpeg import encode_jpeg_progressive, encode_jpeg_rgb
 
     seed = hashlib.md5(f"jpeg:{media_id}".encode()).digest()
     n = 3 * width * height
@@ -300,6 +302,9 @@ def encode_jpeg_payload(media_id: int, width: int, height: int) -> bytes:
     yy, xx = np.mgrid[0:height, 0:width]
     base = 128.0 + 60.0 * np.sin(xx / 5.0) + 50.0 * np.cos(yy / 3.0)
     rgb = np.clip(base[:, :, None] + (noise - 128.0) * 0.15, 0, 255)
+    if media_id % 4 == 1:
+        return encode_jpeg_progressive(
+            rgb.astype(np.uint8), quality=90, subsampling="444")
     return encode_jpeg_rgb(
         rgb.astype(np.uint8),
         quality=90,

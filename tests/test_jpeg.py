@@ -141,13 +141,55 @@ def test_byte_stuffing_survives():
     assert hit, "no fixture produced a stuffed byte; widen the seed range"
 
 
-def test_progressive_refused():
-    g = _smooth(8, 8)
-    p = bytearray(jpeg.encode_jpeg_gray(g))
-    i = p.index(b"\xff\xc0")
-    p[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg.decode_jpeg(bytes(p))
+@pytest.mark.parametrize("sub", ["444", "420", "gray"])
+@pytest.mark.parametrize("h,w", [(16, 24), (17, 23)])
+def test_progressive_roundtrip_matches_baseline(sub, h, w):
+    """Progressive (SOF2) entropy coding is lossless over the same
+    quantized coefficients, so its decode must equal the baseline
+    decode EXACTLY — every scan kind (DC first/refine, AC first/refine,
+    EOB runs, spectral bands) participates via the standard script."""
+    rgb = np.stack([_smooth(h, w, s) for s in range(3)], axis=2)
+    if sub == "gray":
+        p_base = jpeg.encode_jpeg_gray(rgb[:, :, 0], quality=85)
+        p_prog = jpeg.encode_jpeg_progressive_gray(rgb[:, :, 0], quality=85)
+    else:
+        p_base = jpeg.encode_jpeg_rgb(rgb, quality=85, subsampling=sub)
+        p_prog = jpeg.encode_jpeg_progressive(rgb, quality=85, subsampling=sub)
+    assert b"\xff\xc2" in p_prog and b"\xff\xc2" not in p_base
+    # multi-scan: progressive carries one SOS per script entry
+    n_scans = p_prog.count(b"\xff\xda")
+    assert n_scans == (6 if sub == "gray" else 10)
+    assert np.array_equal(jpeg.decode_jpeg(p_prog), jpeg.decode_jpeg(p_base))
+
+
+def test_progressive_truncated_prefix_still_decodes_dc():
+    """The point of progressive: a prefix of the stream is a coarse but
+    complete image. Truncate after the first (DC) scan — the decode must
+    succeed and approximate the full image (no AC detail)."""
+    g = _smooth(24, 24, seed=11)
+    p = jpeg.encode_jpeg_progressive_gray(g, quality=85)
+    # cut just before the second SOS, append EOI
+    first_sos = p.index(b"\xff\xda")
+    second_sos = p.index(b"\xff\xda", first_sos + 2)
+    truncated = p[:second_sos] + b"\xff\xd9"
+    d = jpeg.decode_jpeg(truncated)[:, :, 0].astype(float)
+    full = jpeg.decode_jpeg(p)[:, :, 0].astype(float)
+    # DC-only reconstruction: each 8x8 block is flat at ~the block mean
+    for by in range(3):
+        for bx in range(3):
+            blk = d[8 * by:8 * by + 8, 8 * bx:8 * bx + 8]
+            assert blk.min() == blk.max()
+    assert np.sqrt(np.mean((d - full) ** 2)) < 40.0
+
+
+def test_progressive_in_fixture_rotation():
+    """Fixture JPEGs alternate baseline and progressive by id; both
+    dispatch through the same FFD8 magic and decode identically."""
+    base = M.encode_jpeg_payload(4, 18, 9)       # id%4 != 1 -> baseline
+    prog = M.encode_jpeg_payload(5, 18, 9)       # id%4 == 1 -> progressive
+    assert b"\xff\xc2" not in base
+    assert b"\xff\xc2" in prog
+    assert len(M._decode(prog)) == 18 * 9
 
 
 def test_not_a_jpeg_refused():
