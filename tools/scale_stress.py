@@ -265,6 +265,63 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         "values_per_sec": int(stats / max(secs, 1e-9)),
     }
 
+    # --- recursive CTE (UnionLoop) + LATERAL at corpus volume -------------
+    # The gate runs these verbatim texts only at sf0.01; here the same
+    # plan shapes run against the scaled corpus so UnionLoop's scaling is
+    # measured, not assumed. An orders-shaped view derives from documents
+    # (dates/prices/custkeys are deterministic functions of doc_id), so
+    # the fact side grows with the stress ladder.
+    d.selectExpr(
+        "doc_id % 100000 AS o_custkey",
+        "date_add(DATE '1996-01-01', CAST(doc_id % 14 AS INT)) AS o_orderdate",
+        "CAST(n_chars AS DECIMAL(18,4)) AS o_totalprice",
+    ).createOrReplaceTempView("orders_syn")
+    # recursive date spine LEFT JOIN day-rollup of the corpus-sized fact
+    secs, n = timed(lambda: spark.sql("""
+        WITH RECURSIVE spine(dd) AS (
+            SELECT DATE '1996-01-01'
+            UNION ALL
+            SELECT dd + INTERVAL '1' DAY FROM spine
+            WHERE dd < DATE '1996-01-14'
+        ),
+        daily AS (
+            SELECT o_orderdate AS day, count(*) AS orders,
+                   sum(o_totalprice) AS rev
+            FROM orders_syn GROUP BY o_orderdate
+        )
+        SELECT count(*) AS n, sum(orders) AS total
+        FROM spine s LEFT JOIN daily dy ON dy.day = s.dd
+    """).first()[0])
+    report["recursive_spine"] = {"sec": secs, "spine_days": int(n)}
+    # recursive graph walk seeded at CORPUS size (distinct doc-derived
+    # keys), bounded depth: every UnionLoop iteration carries a
+    # corpus-sized frontier through the join
+    secs, n = timed(lambda: spark.sql("""
+        WITH RECURSIVE walk(start_key, node_key, depth) AS (
+            SELECT DISTINCT o_custkey, o_custkey, 0
+            FROM orders_syn
+            UNION ALL
+            SELECT w.start_key, (w.node_key * 7 + 3) % 100000, w.depth + 1
+            FROM walk w WHERE w.depth < 4
+        )
+        SELECT count(*) FROM walk
+    """).first()[0])
+    report["recursive_walk"] = {"sec": secs, "rows": int(n)}
+    # correlated LATERAL: bounded key set, corpus-sized inner aggregate —
+    # must decorrelate to one grouped join, not a per-row re-execution
+    secs, n = timed(lambda: spark.sql("""
+        SELECT count(*) FROM (
+            SELECT k.o_custkey, t.n_orders, t.top_price
+            FROM (SELECT DISTINCT o_custkey FROM orders_syn
+                  WHERE o_custkey < 50) k,
+                 LATERAL (SELECT count(*) AS n_orders,
+                                 max(o.o_totalprice) AS top_price
+                          FROM orders_syn o
+                          WHERE o.o_custkey = k.o_custkey) t
+        )
+    """).first()[0])
+    report["lateral_decorrelated"] = {"sec": secs, "rows": int(n)}
+
     # --- skewed-publisher sort-merge join under AQE skew handling ---------
     per_source = d.groupBy("source").agg(F.count("*").alias("docs_in_source"))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
