@@ -124,6 +124,32 @@ def encode_wav_payload(media_id: int, n_samples: int,
     return buf.getvalue()
 
 
+def encode_flac_payload(media_id: int, n_samples: int,
+                        sample_rate: int = 16000) -> bytes:
+    """Real FLAC bytes (own Rice/FIXED-predictor codec, operators/flac.py)
+    over the SAME md5-seeded samples as ``encode_wav_payload`` — FLAC is
+    lossless, so decode(flac(id)) == decode(wav(id)) sample-exact."""
+    import numpy as np
+
+    from .flac import encode_flac
+
+    seed = hashlib.md5(f"wav:{media_id}".encode()).digest()
+    noise = (seed * (2 * n_samples // len(seed) + 1))[:2 * n_samples]
+    samples = np.array(
+        [(noise[2 * i] | (noise[2 * i + 1] << 8)) - 32768
+         for i in range(n_samples)], dtype=np.int16)
+    return encode_flac(samples, sample_rate)
+
+
+def _decode_flac(payload: bytes) -> list[float]:
+    """FLAC → floats in [-1, 1) (mono; stereo interleaves channels),
+    matching _decode_wav's PCM16 normalization."""
+    from .flac import decode_flac
+
+    samples, _rate = decode_flac(payload)
+    return [float(s) / 32768.0 for s in samples.reshape(-1)]
+
+
 def _decode_wav(payload: bytes) -> list[float]:
     """PCM16 WAV → floats in [-1, 1). Stdlib parse; no codec library."""
     import io
@@ -342,6 +368,8 @@ def _decode(payload: bytes) -> list[float]:
         return _decode_fake(payload)
     if payload[:4] == b"RIFF":
         return _decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        return _decode_flac(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
@@ -370,6 +398,16 @@ def _decode(payload: bytes) -> list[float]:
 _MEDIA_REAL_CACHE: dict = {}
 
 
+def _audio_payload(i: int, n_samples: int) -> tuple[bytes, str]:
+    """Audio fixture codec rotation: PCM16 WAV / lossless FLAC by i%4.
+    Both carry the SAME md5-seeded samples, so the decoded floats are
+    identical regardless of codec. One helper shared by the Spark fixture
+    and the driver-side oracle mirror so the two can never drift."""
+    if i % 4 == 3:
+        return encode_flac_payload(i, n_samples), "FLAC"
+    return encode_wav_payload(i, n_samples), "WAV"
+
+
 def _image_payload(i: int, width: int, height: int) -> tuple[bytes, str]:
     """Image fixture codec rotation: PPM / PNG / baseline JPEG by (i//2)%3.
     One helper shared by the Spark fixture and the driver-side oracle
@@ -384,8 +422,9 @@ def _image_payload(i: int, width: int, height: int) -> tuple[bytes, str]:
 
 def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
     """Media table carrying REAL encoded bytes: even ids rotate through
-    binary PPM, zlib-compressed RGB PNG, and entropy-coded baseline JPEG
-    images; odd ids are PCM16 WAV audio."""
+    binary PPM, zlib-compressed RGB PNG, and entropy-coded JPEG images
+    (baseline and progressive); odd ids rotate PCM16 WAV and lossless
+    FLAC audio."""
     from ..sources.tables import session_key
 
     cached = _MEDIA_REAL_CACHE.get((session_key(spark), n))
@@ -402,8 +441,8 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
             rows.append((i, "image", payload, meta))
         else:
             n_samples = 64 + (i * 17) % 192
-            payload = encode_wav_payload(i, n_samples)
-            meta = {"format": "WAV", "width": None, "height": None,
+            payload, fmt = _audio_payload(i, n_samples)
+            meta = {"format": fmt, "width": None, "height": None,
                     "sample_rate": 16000, "n_samples": n_samples}
             rows.append((i, "audio", payload, meta))
     # A driver-built demo table parallelizes into one slice per core — for
@@ -555,7 +594,7 @@ def _expected_feature_rollup() -> list[tuple]:
             vals = _decode(payload)
         else:
             kind = "audio"
-            vals = _decode(encode_wav_payload(i, 64 + (i * 17) % 192))
+            vals = _decode(_audio_payload(i, 64 + (i * 17) % 192)[0])
         feat_sum = sum(float(np.float32(v)) for v in _feature(vals))
         a = acc.setdefault(kind, [0, 0, 0.0, 0.0])
         a[0] += 1

@@ -199,7 +199,7 @@ def test_png_media_decodes_distributed(spark):
     stages as PPM/WAV — the gate fixture now carries them natively."""
     media = M.synthetic_media_real(spark, 16)
     fmts = {r["meta"]["format"] for r in media.select("meta").collect()}
-    assert fmts == {"PPM", "PNG", "JPEG", "WAV"}
+    assert fmts == {"PPM", "PNG", "JPEG", "WAV", "FLAC"}
     dec = M.decode_media(media)
     rows = {r["media_id"]: r for r in dec.collect()}
     # media_id 2 is PNG (i % 4 == 2): luma count == width*height
