@@ -45,6 +45,7 @@ MEDIA_SCHEMA = T.StructType([
         T.StructField("height", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
     ]), True),
 ])
 
@@ -81,6 +82,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             "height": 1 if kind == "image" else None,
             "sample_rate": 16000 if kind == "audio" else None,
             "n_samples": n_values if kind == "audio" else None,
+            "n_frames": None,
         }
         rows.append((i, kind, encode_fake_payload(i, kind, n_values), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -315,20 +317,13 @@ def encode_jpeg_payload(media_id: int, width: int, height: int) -> bytes:
     md5-seeded smooth RGB content. Rotates decoder paths by id: 4:4:4 and
     4:2:0 subsampling, restart markers (DRI/RSTn) on every 8th, and
     PROGRESSIVE (SOF2 multi-scan successive approximation) on ids with
-    id % 4 == 1."""
+    id % 8 == 0 (even, so the gate fixture's image slots carry it)."""
     import numpy as np
 
     from .jpeg import encode_jpeg_progressive, encode_jpeg_rgb
 
-    seed = hashlib.md5(f"jpeg:{media_id}".encode()).digest()
-    n = 3 * width * height
-    noise = np.frombuffer(
-        (seed * (n // len(seed) + 1))[:n], dtype=np.uint8
-    ).astype(np.float64).reshape(height, width, 3)
-    yy, xx = np.mgrid[0:height, 0:width]
-    base = 128.0 + 60.0 * np.sin(xx / 5.0) + 50.0 * np.cos(yy / 3.0)
-    rgb = np.clip(base[:, :, None] + (noise - 128.0) * 0.15, 0, 255)
-    if media_id % 4 == 1:
+    rgb = _fixture_rgb(f"jpeg:{media_id}", width, height)
+    if media_id % 8 == 0:
         return encode_jpeg_progressive(
             rgb.astype(np.uint8), quality=90, subsampling="444")
     return encode_jpeg_rgb(
@@ -337,6 +332,52 @@ def encode_jpeg_payload(media_id: int, width: int, height: int) -> bytes:
         subsampling="420" if media_id % 4 == 2 else "444",
         restart_interval=2 if media_id % 8 == 6 else 0,
     )
+
+
+def _fixture_rgb(seed_text: str, width: int, height: int):
+    """Deterministic md5-seeded smooth RGB content shared by the JPEG and
+    AVI fixture encoders (and their oracle mirrors)."""
+    import numpy as np
+
+    seed = hashlib.md5(seed_text.encode()).digest()
+    n = 3 * width * height
+    noise = np.frombuffer(
+        (seed * (n // len(seed) + 1))[:n], dtype=np.uint8
+    ).astype(np.float64).reshape(height, width, 3)
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = 128.0 + 60.0 * np.sin(xx / 5.0) + 50.0 * np.cos(yy / 3.0)
+    return np.clip(base[:, :, None] + (noise - 128.0) * 0.15, 0, 255)
+
+
+def encode_avi_payload(media_id: int, width: int, height: int,
+                       n_frames: int, fps: int = 10) -> bytes:
+    """Real MJPEG AVI bytes (operators/avi.py mux over our own T.81
+    encoder): n_frames deterministic JPEG frames whose content varies per
+    frame index."""
+    import numpy as np
+
+    from .avi import encode_mjpeg_avi
+    from .jpeg import encode_jpeg_rgb
+
+    frames = [
+        encode_jpeg_rgb(
+            _fixture_rgb(f"avi:{media_id}:{fi}", width, height)
+            .astype(np.uint8), quality=90)
+        for fi in range(n_frames)
+    ]
+    return encode_mjpeg_avi(frames, width, height, fps)
+
+
+def _decode_avi(payload: bytes, every_n: int = 1) -> list[float]:
+    """MJPEG AVI → concatenated per-frame luma floats in [0, 1]; frame
+    sampling (every_n) happens at DEMUX, before any pixel decode."""
+    from .avi import demux_avi
+
+    frames, _meta = demux_avi(payload, every_n)
+    out: list[float] = []
+    for f in frames:
+        out.extend(_decode_jpeg(f))
+    return out
 
 
 def _decode_jpeg(payload: bytes) -> list[float]:
@@ -367,6 +408,8 @@ def _decode(payload: bytes) -> list[float]:
     if payload[:4] == _MAGIC:
         return _decode_fake(payload)
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            return _decode_avi(payload)
         return _decode_wav(payload)
     if payload[:4] == b"fLaC":
         return _decode_flac(payload)
@@ -424,7 +467,8 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
     """Media table carrying REAL encoded bytes: even ids rotate through
     binary PPM, zlib-compressed RGB PNG, and entropy-coded JPEG images
     (baseline and progressive); odd ids rotate PCM16 WAV and lossless
-    FLAC audio."""
+    FLAC audio; ids % 16 == 10 are MJPEG AVI video clips (a JPEG per
+    frame inside a RIFF container)."""
     from ..sources.tables import session_key
 
     cached = _MEDIA_REAL_CACHE.get((session_key(spark), n))
@@ -432,18 +476,29 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
         return cached
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 16 == 10:
+            width = 8 + (i * 5) % 24
+            height = 4 + i % 6
+            n_frames = 2 + i % 3
+            payload = encode_avi_payload(i, width, height, n_frames)
+            meta = {"format": "AVI", "width": width, "height": height,
+                    "sample_rate": None, "n_samples": None,
+                    "n_frames": n_frames}
+            rows.append((i, "video", payload, meta))
+        elif i % 2 == 0:
             width = 8 + (i * 5) % 24
             height = 4 + i % 6
             payload, fmt = _image_payload(i, width, height)
             meta = {"format": fmt, "width": width, "height": height,
-                    "sample_rate": None, "n_samples": None}
+                    "sample_rate": None, "n_samples": None,
+                    "n_frames": None}
             rows.append((i, "image", payload, meta))
         else:
             n_samples = 64 + (i * 17) % 192
             payload, fmt = _audio_payload(i, n_samples)
             meta = {"format": fmt, "width": None, "height": None,
-                    "sample_rate": 16000, "n_samples": n_samples}
+                    "sample_rate": 16000, "n_samples": n_samples,
+                    "n_frames": None}
             rows.append((i, "audio", payload, meta))
     # A driver-built demo table parallelizes into one slice per core — for
     # 64 rows that is 32 near-empty Arrow batches, each paying a Python
@@ -588,7 +643,11 @@ def _expected_feature_rollup() -> list[tuple]:
 
     acc: dict[str, list] = {}
     for i in range(64):
-        if i % 2 == 0:
+        if i % 16 == 10:
+            kind = "video"
+            vals = _decode(encode_avi_payload(
+                i, 8 + (i * 5) % 24, 4 + i % 6, 2 + i % 3))
+        elif i % 2 == 0:
             kind = "image"
             payload, _fmt = _image_payload(i, 8 + (i * 5) % 24, 4 + i % 6)
             vals = _decode(payload)
@@ -633,8 +692,35 @@ def oracles() -> dict[str, str]:
     return _ORACLE_CACHE
 
 
+def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """REAL video frame sampling: keep every n-th FRAME of MJPEG AVI
+    payloads, selected at demux — sampled-out frames are never
+    pixel-decoded (operators/avi.py), which is the property that matters
+    at 100 TB: a 1-in-n sample pays 1/n of the JPEG decode cost, not a
+    post-decode slice. Non-video payloads decode whole."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(p) -> list[float]:
+                p = bytes(p)
+                if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    return _decode_avi(p, every_n)
+                return _decode(p)
+            vals = pdf["payload"].map(one)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_values": vals.map(len).astype("int32"),
+                "mean_value": vals.map(lambda v: sum(v) / len(v) if v else None),
+                "feature": vals.map(_feature),
+            })
+
+    return media.mapInPandas(sample_batches, schema=DECODED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """Frame-sampling stub (video/audio): keep every n-th decoded value."""
+    """Value-level sampling (audio decimation): keep every n-th decoded
+    value. For frame-level video sampling use ``sample_video_frames``."""
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -185,8 +185,8 @@ def test_progressive_truncated_prefix_still_decodes_dc():
 def test_progressive_in_fixture_rotation():
     """Fixture JPEGs alternate baseline and progressive by id; both
     dispatch through the same FFD8 magic and decode identically."""
-    base = M.encode_jpeg_payload(4, 18, 9)       # id%4 != 1 -> baseline
-    prog = M.encode_jpeg_payload(5, 18, 9)       # id%4 == 1 -> progressive
+    base = M.encode_jpeg_payload(4, 18, 9)       # id%8 != 0 -> baseline
+    prog = M.encode_jpeg_payload(8, 18, 9)       # id%8 == 0 -> progressive
     assert b"\xff\xc2" not in base
     assert b"\xff\xc2" in prog
     assert len(M._decode(prog)) == 18 * 9

@@ -95,6 +95,8 @@ def test_decode_media_real_formats(spark):
         m = metas[mid]
         if r["kind"] == "image":
             assert r["n_values"] == m["width"] * m["height"]
+        elif r["kind"] == "video":
+            assert r["n_values"] == m["width"] * m["height"] * m["n_frames"]
         else:
             assert r["n_values"] == m["n_samples"]
         assert len(r["feature"]) == M.FEATURE_DIM
@@ -199,7 +201,7 @@ def test_png_media_decodes_distributed(spark):
     stages as PPM/WAV — the gate fixture now carries them natively."""
     media = M.synthetic_media_real(spark, 16)
     fmts = {r["meta"]["format"] for r in media.select("meta").collect()}
-    assert fmts == {"PPM", "PNG", "JPEG", "WAV", "FLAC"}
+    assert fmts == {"PPM", "PNG", "JPEG", "WAV", "FLAC", "AVI"}
     dec = M.decode_media(media)
     rows = {r["media_id"]: r for r in dec.collect()}
     # media_id 2 is PNG (i % 4 == 2): luma count == width*height
@@ -207,7 +209,8 @@ def test_png_media_decodes_distributed(spark):
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows.values())
     resized = M.resize_images(media, 8).collect()
     assert all(r["n_values"] == 8 for r in resized)
-    assert {r["media_id"] for r in resized} == {0, 2, 4, 6, 8, 10, 12, 14}
+    # id 10 is a video clip now, not a still image
+    assert {r["media_id"] for r in resized} == {0, 2, 4, 6, 8, 12, 14}
 
 
 def test_resize_2d_bilinear_exactness(spark):
@@ -262,7 +265,7 @@ def test_resize_2d_runs_on_gate_fixture(spark):
     resize with correct output dims."""
     media = M.synthetic_media_real(spark, 24)
     out = M.resize_images_2d(media, 8, 8).collect()
-    assert len(out) == 12
+    assert len(out) == 11      # 12 even ids minus id 10 (now a video clip)
     assert all(r["n_values"] == 64 for r in out)
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in out)
 
