@@ -152,6 +152,59 @@ def _media_decode_run(spark: SparkSession, n: int) -> int:
     return decode_media(media).agg(F.sum("n_values")).first()[0]
 
 
+def _flac_decode_run(spark: SparkSession, n: int) -> int:
+    """Distributed FLAC encode (Rice-coded, executor-side) → decode_media
+    → total sample count."""
+    import pandas as pd
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media, encode_flac_payload,
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": "audio",
+                "payload": [encode_flac_payload(int(i), 800 + int(i) % 400)
+                            for i in ids],
+                "meta": [None] * len(ids),
+            })
+
+    media = spark.range(n).repartition(32).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA)
+    return decode_media(media).agg(F.sum("n_values")).first()[0]
+
+
+def _avi_sample_run(spark: SparkSession, n: int, every_n: int) -> int:
+    """Distributed MJPEG AVI mux (executor-side) → frame-sampled decode.
+    The 100 TB property under test: every_n=k decodes ~1/k of the pixels
+    because sampling happens at DEMUX, before JPEG decode."""
+    import pandas as pd
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_avi_payload, sample_video_frames,
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": "video",
+                "payload": [encode_avi_payload(int(i), 16, 8,
+                                               4 + int(i) % 4)
+                            for i in ids],
+                "meta": [None] * len(ids),
+            })
+
+    media = spark.range(n).repartition(32).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA)
+    return sample_video_frames(media, every_n) \
+        .agg(F.sum("n_values")).first()[0]
+
+
 def timed(fn):
     t0 = time.perf_counter()
     out = fn()
@@ -263,6 +316,24 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
     report["media_decode"] = {
         "sec": secs, "jpegs": n_media, "values": int(stats),
         "values_per_sec": int(stats / max(secs, 1e-9)),
+    }
+    n_flac = 12_000 if scale_tag == "full" else 4_000
+    secs, stats = timed(lambda: _flac_decode_run(spark, n_flac))
+    report["flac_decode"] = {
+        "sec": secs, "clips": n_flac, "samples": int(stats),
+        "samples_per_sec": int(stats / max(secs, 1e-9)),
+    }
+    # AVI demux-level frame sampling: full decode vs 1-in-4 sample; the
+    # sampled run must cost ~1/4, not full-decode-then-slice
+    n_avi = 3_000 if scale_tag == "full" else 1_000
+    full_sec, full_vals = timed(lambda: _avi_sample_run(spark, n_avi, 1))
+    samp_sec, samp_vals = timed(lambda: _avi_sample_run(spark, n_avi, 4))
+    report["avi_frame_sampling"] = {
+        "clips": n_avi,
+        "full": {"sec": full_sec, "values": int(full_vals)},
+        "every_4": {"sec": samp_sec, "values": int(samp_vals)},
+        "value_ratio": round(samp_vals / max(full_vals, 1), 3),
+        "decode_cost_ratio": round(samp_sec / max(full_sec, 1e-9), 3),
     }
 
     # --- recursive CTE (UnionLoop) + LATERAL at corpus volume -------------
