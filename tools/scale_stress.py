@@ -141,7 +141,39 @@ def _media_decode_run(spark: SparkSession, n: int) -> int:
             yield pd.DataFrame({
                 "media_id": ids,
                 "kind": "image",
-                "payload": [encode_jpeg_payload(int(i), 16 + int(i) % 17,
+                # odd ids: always BASELINE JPEG (progressive rotation
+                # fires on id % 8 == 0) so this family's throughput is
+                # attributable to the baseline codec alone
+                "payload": [encode_jpeg_payload(2 * int(i) + 1,
+                                                16 + int(i) % 17,
+                                                8 + int(i) % 9)
+                            for i in ids],
+                "meta": [None] * len(ids),
+            })
+
+    media = spark.range(n).repartition(32).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA)
+    return decode_media(media).agg(F.sum("n_values")).first()[0]
+
+
+def _progressive_decode_run(spark: SparkSession, n: int) -> int:
+    """Progressive (SOF2) JPEG encode+decode throughput, attributed
+    separately from baseline: the multi-scan entropy path costs more per
+    pixel on both sides by design."""
+    import pandas as pd
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media, encode_jpeg_payload,
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": "image",
+                "payload": [encode_jpeg_payload(8 * int(i),   # always SOF2
+                                                16 + int(i) % 17,
                                                 8 + int(i) % 9)
                             for i in ids],
                 "meta": [None] * len(ids),
@@ -177,10 +209,11 @@ def _flac_decode_run(spark: SparkSession, n: int) -> int:
     return decode_media(media).agg(F.sum("n_values")).first()[0]
 
 
-def _avi_sample_run(spark: SparkSession, n: int, every_n: int) -> int:
-    """Distributed MJPEG AVI mux (executor-side) → frame-sampled decode.
-    The 100 TB property under test: every_n=k decodes ~1/k of the pixels
-    because sampling happens at DEMUX, before JPEG decode."""
+def _avi_media(spark: SparkSession, n: int):
+    """Distributed MJPEG AVI mux (executor-side), MATERIALIZED so the
+    sampling passes time demux+decode only — the 100 TB property under
+    test is that every_n=k decodes ~1/k of the pixels because sampling
+    happens at DEMUX, before JPEG decode."""
     import pandas as pd
 
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
@@ -200,9 +233,8 @@ def _avi_sample_run(spark: SparkSession, n: int, every_n: int) -> int:
             })
 
     media = spark.range(n).repartition(32).mapInPandas(
-        encode_batches, schema=MEDIA_SCHEMA)
-    return sample_video_frames(media, every_n) \
-        .agg(F.sum("n_values")).first()[0]
+        encode_batches, schema=MEDIA_SCHEMA).localCheckpoint()
+    return media
 
 
 def timed(fn):
@@ -317,17 +349,31 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         "sec": secs, "jpegs": n_media, "values": int(stats),
         "values_per_sec": int(stats / max(secs, 1e-9)),
     }
+    n_prog = 3_000 if scale_tag == "full" else 1_000
+    secs, stats = timed(lambda: _progressive_decode_run(spark, n_prog))
+    report["progressive_jpeg"] = {
+        "sec": secs, "jpegs": n_prog, "values": int(stats),
+        "values_per_sec": int(stats / max(secs, 1e-9)),
+    }
     n_flac = 12_000 if scale_tag == "full" else 4_000
     secs, stats = timed(lambda: _flac_decode_run(spark, n_flac))
     report["flac_decode"] = {
         "sec": secs, "clips": n_flac, "samples": int(stats),
         "samples_per_sec": int(stats / max(secs, 1e-9)),
     }
-    # AVI demux-level frame sampling: full decode vs 1-in-4 sample; the
-    # sampled run must cost ~1/4, not full-decode-then-slice
+    # AVI demux-level frame sampling: decode all frames vs 1-in-4, over
+    # PRE-MATERIALIZED clips (localCheckpoint) so the passes time
+    # demux+decode only — the sampled pass must cost ~1/4, proving
+    # sampled-out frames are never pixel-decoded
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        sample_video_frames,
+    )
     n_avi = 3_000 if scale_tag == "full" else 1_000
-    full_sec, full_vals = timed(lambda: _avi_sample_run(spark, n_avi, 1))
-    samp_sec, samp_vals = timed(lambda: _avi_sample_run(spark, n_avi, 4))
+    avi_media = _avi_media(spark, n_avi)
+    full_sec, full_vals = timed(lambda: sample_video_frames(avi_media, 1)
+                                .agg(F.sum("n_values")).first()[0])
+    samp_sec, samp_vals = timed(lambda: sample_video_frames(avi_media, 4)
+                                .agg(F.sum("n_values")).first()[0])
     report["avi_frame_sampling"] = {
         "clips": n_avi,
         "full": {"sec": full_sec, "values": int(full_vals)},
@@ -445,7 +491,9 @@ def main() -> None:
             k: round(full[k]["sec"] / max(third[k]["sec"], 1e-9), 2)
             for k in ("minhash_lsh", "cc_distributed", "triangle_stats",
                       "hop_distance", "fuzzy_edit", "semantic_dedup",
-                      "media_decode", "ann_bruteforce", "skewed_join")
+                      "media_decode", "progressive_jpeg", "flac_decode",
+                      "ann_bruteforce", "skewed_join", "recursive_spine",
+                      "recursive_walk", "lateral_decorrelated")
         }
         print(json.dumps(report))
         if args.json:
