@@ -1162,7 +1162,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
     dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
-    ps = (li.groupBy("l_partkey", "l_suppkey")
+    # part/supplier predicates commute with the per-(part, supplier) MIN:
+    # apply them BELOW the aggregate as broadcast semi-joins, so the only
+    # fact shuffle aggregates the surviving slice, not all of lineitem
+    li_pruned = (
+        li.join(F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+                "l_partkey", "left_semi")
+        .join(F.broadcast(dims.select(F.col("s_suppkey").alias("l_suppkey"))),
+              "l_suppkey", "left_semi")
+    )
+    ps = (li_pruned.groupBy("l_partkey", "l_suppkey")
           .agg(F.min("l_extendedprice").alias("supply_cost")))
     joined = (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
               .join(F.broadcast(dims), ps.l_suppkey == F.col("s_suppkey")))
