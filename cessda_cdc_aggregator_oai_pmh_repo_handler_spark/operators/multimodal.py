@@ -3,14 +3,19 @@ as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
 Decode kernels are REAL for the formats this environment can handle
-without codec libraries — PCM WAV (stdlib ``wave``), binary PPM (header
-parse), non-interlaced 8-bit RGB PNG (stdlib ``zlib`` inflate + full
-five-filter un-filtering), baseline AND progressive JPEG (own T.81
-codec in ``jpeg.py``: Huffman + dequant + vectorized IDCT, grayscale/
-4:4:4/4:2:0, restart intervals, SOF2 multi-scan successive
-approximation), and gzip/bz2/xz containers — plus a deterministic FAKE
-codec for plumbing tests. Remaining entropy-coded formats (MP3, H.264)
-raise NotImplementedError until librosa/ffmpeg are installed; the
+without codec libraries — PCM16 / IMA ADPCM / G.711 µ-law WAV and
+lossless FLAC audio (own RIFF parse + codecs in ``audio_codecs.py`` /
+``flac.py``), binary PPM, non-interlaced 8-bit RGB PNG (stdlib ``zlib``
+inflate + full five-filter un-filtering), baseline AND progressive JPEG
+(own T.81 codec in ``jpeg.py``: Huffman + dequant + vectorized IDCT,
+grayscale/4:4:4/4:2:0, restart intervals, SOF2 multi-scan successive
+approximation), LZW GIF incl. animated (own codec in ``gif.py``), MJPEG
+AVI video (``avi.py``), and gzip/bz2/xz containers — plus a
+deterministic FAKE codec for plumbing tests. MP3 and H.264 remain
+documented extension points: a conformant implementation requires the
+ISO entropy/filterbank constant tables (11172-3 Annex B windows, 14496-10
+CAVLC tables), which are not reproducible from first principles offline —
+every format whose spec is self-contained is implemented for real. The
 dispatch in ``_decode`` is the single extension point, and the
 distributed plan does not move when a codec is added.
 
@@ -109,14 +114,9 @@ def encode_wav_payload(media_id: int, n_samples: int,
     import io
     import wave as wave_mod
 
-    seed = hashlib.md5(f"wav:{media_id}".encode()).digest()
-    noise = (seed * (2 * n_samples // len(seed) + 1))[:2 * n_samples]
     # center the unsigned byte stream so samples span negative and positive
-    samples = struct.pack(
-        "<%dh" % n_samples,
-        *[(noise[2 * i] | (noise[2 * i + 1] << 8)) - 32768
-          for i in range(n_samples)],
-    )
+    samples = struct.pack("<%dh" % n_samples,
+                          *_seeded_samples(media_id, n_samples))
     buf = io.BytesIO()
     with wave_mod.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -135,11 +135,7 @@ def encode_flac_payload(media_id: int, n_samples: int,
 
     from .flac import encode_flac
 
-    seed = hashlib.md5(f"wav:{media_id}".encode()).digest()
-    noise = (seed * (2 * n_samples // len(seed) + 1))[:2 * n_samples]
-    samples = np.array(
-        [(noise[2 * i] | (noise[2 * i + 1] << 8)) - 32768
-         for i in range(n_samples)], dtype=np.int16)
+    samples = np.array(_seeded_samples(media_id, n_samples), dtype=np.int16)
     return encode_flac(samples, sample_rate)
 
 
@@ -153,17 +149,44 @@ def _decode_flac(payload: bytes) -> list[float]:
 
 
 def _decode_wav(payload: bytes) -> list[float]:
-    """PCM16 WAV → floats in [-1, 1). Stdlib parse; no codec library."""
-    import io
-    import wave as wave_mod
+    """WAV → floats in [-1, 1). Own RIFF parse (operators/audio_codecs.py)
+    dispatching on the fmt chunk's format tag: PCM16 (1), G.711 µ-law (7),
+    IMA ADPCM (0x11) — the latter two are REAL compressed-audio decodes."""
+    from .audio_codecs import decode_wav_any
 
-    with wave_mod.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError("only PCM16 WAV is decoded here")
-        n = w.getnframes()
-        nch = w.getnchannels()
-        raw = w.readframes(n)
-    return [s / 32768.0 for s in struct.unpack("<%dh" % (n * nch), raw)]
+    samples, _rate = decode_wav_any(payload)
+    return [s / 32768.0 for s in samples]
+
+
+def _seeded_samples(media_id: int, n_samples: int) -> list[int]:
+    """The shared md5-seeded int16 sample source every audio fixture codec
+    encodes (WAV/FLAC carry it losslessly; ADPCM/µ-law quantize it)."""
+    seed = hashlib.md5(f"wav:{media_id}".encode()).digest()
+    noise = (seed * (2 * n_samples // len(seed) + 1))[:2 * n_samples]
+    return [(noise[2 * i] | (noise[2 * i + 1] << 8)) - 32768
+            for i in range(n_samples)]
+
+
+def encode_adpcm_payload(media_id: int, n_samples: int,
+                         sample_rate: int = 16000) -> bytes:
+    """Real IMA ADPCM WAV bytes (own 4-bit codec, operators/audio_codecs.py)
+    over the SAME md5-seeded samples as ``encode_wav_payload`` — 4:1
+    compressed, lossy; the decode is deterministic so the oracle mirror
+    reproduces it exactly."""
+    from .audio_codecs import encode_wav_ima_adpcm
+
+    return encode_wav_ima_adpcm(_seeded_samples(media_id, n_samples),
+                                sample_rate)
+
+
+def encode_mulaw_payload(media_id: int, n_samples: int,
+                         sample_rate: int = 16000) -> bytes:
+    """Real G.711 µ-law WAV bytes (operators/audio_codecs.py) over the
+    SAME md5-seeded samples — 2:1 companded telephony PCM."""
+    from .audio_codecs import encode_wav_mulaw
+
+    return encode_wav_mulaw(_seeded_samples(media_id, n_samples),
+                            sample_rate)
 
 
 def encode_ppm_payload(media_id: int, width: int, height: int) -> bytes:
@@ -380,6 +403,59 @@ def _decode_avi(payload: bytes, every_n: int = 1) -> list[float]:
     return out
 
 
+def _gif_fixture(seed_text: str, width: int, height: int,
+                 n_frames: int = 1) -> tuple[bytes, list[bytes]]:
+    """Deterministic md5-seeded 64-color palette + per-frame indices for
+    the GIF fixtures (shared by the Spark fixture and the oracle mirror)."""
+    pal_seed = hashlib.md5(f"{seed_text}:pal".encode()).digest()
+    palette = (pal_seed * (64 * 3 // len(pal_seed) + 1))[:64 * 3]
+    frames = []
+    for fi in range(n_frames):
+        seed = hashlib.md5(f"{seed_text}:{fi}".encode()).digest()
+        n = width * height
+        frames.append(bytes(b % 64 for b in
+                            (seed * (n // len(seed) + 1))[:n]))
+    return palette, frames
+
+
+def encode_gif_payload(media_id: int, width: int, height: int) -> bytes:
+    """Real static GIF bytes (own LZW codec, operators/gif.py): 64-color
+    md5-seeded palette + indices. GIF is lossless for indexed color, so
+    decode is byte-exact against the fixture."""
+    from .gif import encode_gif
+
+    palette, frames = _gif_fixture(f"gif:{media_id}", width, height)
+    return encode_gif(frames, palette, width, height)
+
+
+def encode_animated_gif_payload(media_id: int, width: int, height: int,
+                                n_frames: int) -> bytes:
+    """Real animated GIF bytes: one Graphic Control Extension + LZW image
+    per frame — the second video container next to MJPEG AVI."""
+    from .gif import encode_gif
+
+    palette, frames = _gif_fixture(f"agif:{media_id}", width, height,
+                                   n_frames)
+    return encode_gif(frames, palette, width, height, delay_cs=10)
+
+
+def _decode_gif(payload: bytes, every_n: int = 1) -> list[float]:
+    """GIF → concatenated per-frame luma floats in [0, 1] (BT.601,
+    matching the other image decoders). For animated GIFs, frame
+    sampling (every_n) happens at the container level: sampled-out
+    frames' LZW streams are never decompressed (operators/gif.py)."""
+    from .gif import decode_gif_rgb
+
+    out: list[float] = []
+    for rgb in decode_gif_rgb(payload, every_n):
+        out.extend(
+            (0.299 * rgb[3 * i] + 0.587 * rgb[3 * i + 1]
+             + 0.114 * rgb[3 * i + 2]) / 255
+            for i in range(len(rgb) // 3)
+        )
+    return out
+
+
 def _decode_jpeg(payload: bytes) -> list[float]:
     """Baseline JPEG → per-pixel luma floats in [0, 1] (BT.601, matching
     _decode_ppm/_decode_png). Full entropy decode via operators.jpeg."""
@@ -413,6 +489,8 @@ def _decode(payload: bytes) -> list[float]:
         return _decode_wav(payload)
     if payload[:4] == b"fLaC":
         return _decode_flac(payload)
+    if payload[:4] == b"GIF8":
+        return _decode_gif(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
@@ -442,64 +520,105 @@ _MEDIA_REAL_CACHE: dict = {}
 
 
 def _audio_payload(i: int, n_samples: int) -> tuple[bytes, str]:
-    """Audio fixture codec rotation: PCM16 WAV / lossless FLAC by i%4.
-    Both carry the SAME md5-seeded samples, so the decoded floats are
-    identical regardless of codec. One helper shared by the Spark fixture
-    and the driver-side oracle mirror so the two can never drift."""
-    if i % 4 == 3:
+    """Audio fixture codec rotation by i%8: PCM16 WAV (1), lossless FLAC
+    (3), IMA ADPCM (5), G.711 µ-law (7). All encode the SAME md5-seeded
+    samples (WAV/FLAC losslessly; ADPCM/µ-law through their deterministic
+    quantizers). One helper shared by the Spark fixture and the
+    driver-side oracle mirror so the two can never drift."""
+    slot = i % 8
+    if slot == 3:
         return encode_flac_payload(i, n_samples), "FLAC"
+    if slot == 5:
+        return encode_adpcm_payload(i, n_samples), "ADPCM"
+    if slot == 7:
+        return encode_mulaw_payload(i, n_samples), "MULAW"
     return encode_wav_payload(i, n_samples), "WAV"
 
 
 def _image_payload(i: int, width: int, height: int) -> tuple[bytes, str]:
-    """Image fixture codec rotation: PPM / PNG / baseline JPEG by (i//2)%3.
-    One helper shared by the Spark fixture and the driver-side oracle
-    mirror so the two can never drift."""
-    slot = (i // 2) % 3
+    """Image fixture codec rotation: PPM / PNG / baseline-or-progressive
+    JPEG / GIF by (i//2)%4. One helper shared by the Spark fixture and the
+    driver-side oracle mirror so the two can never drift."""
+    slot = (i // 2) % 4
     if slot == 0:
         return encode_ppm_payload(i, width, height), "PPM"
     if slot == 1:
         return encode_png_payload(i, width, height), "PNG"
-    return encode_jpeg_payload(i, width, height), "JPEG"
+    if slot == 2:
+        return _jpeg_variant_payload(i, width, height), "JPEG"
+    return encode_gif_payload(i, width, height), "GIF"
+
+
+def _jpeg_variant_payload(i: int, width: int, height: int) -> bytes:
+    """Gate JPEG image ids are ≡4 (mod 8) under the 4-format rotation, so
+    the id-keyed variant rules in ``encode_jpeg_payload`` would never
+    fire; rotate the codec variants explicitly by i//8 instead:
+    progressive SOF2 → 4:2:0 → restart markers → plain baseline."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg_progressive, encode_jpeg_rgb
+
+    rgb = _fixture_rgb(f"jpeg:{i}", width, height).astype(np.uint8)
+    k = (i // 8) % 4
+    if k == 0:
+        return encode_jpeg_progressive(rgb, quality=90, subsampling="444")
+    return encode_jpeg_rgb(rgb, quality=90,
+                           subsampling="420" if k == 1 else "444",
+                           restart_interval=2 if k == 2 else 0)
+
+
+def _video_payload(i: int, width: int, height: int,
+                   n_frames: int) -> tuple[bytes, str]:
+    """Video fixture codec rotation: MJPEG AVI (i%16==10) / animated GIF
+    (i%16==14). One helper shared by the Spark fixture and the driver-side
+    oracle mirror so the two can never drift."""
+    if i % 16 == 14:
+        return encode_animated_gif_payload(i, width, height, n_frames), "GIF"
+    return encode_avi_payload(i, width, height, n_frames), "AVI"
+
+
+def _fixture_row(i: int) -> tuple:
+    """One deterministic media row: kind + payload + meta for id ``i``.
+    Ids %16∈{10,14} are video (MJPEG AVI / animated GIF); other even ids
+    rotate PPM/PNG/JPEG(incl. progressive)/GIF images; odd ids rotate
+    WAV/FLAC/ADPCM/µ-law audio."""
+    if i % 16 in (10, 14):
+        width = 8 + (i * 5) % 24
+        height = 4 + i % 6
+        n_frames = 2 + i % 3
+        payload, fmt = _video_payload(i, width, height, n_frames)
+        return (i, "video", payload,
+                {"format": fmt, "width": width, "height": height,
+                 "sample_rate": None, "n_samples": None,
+                 "n_frames": n_frames})
+    if i % 2 == 0:
+        width = 8 + (i * 5) % 24
+        height = 4 + i % 6
+        payload, fmt = _image_payload(i, width, height)
+        return (i, "image", payload,
+                {"format": fmt, "width": width, "height": height,
+                 "sample_rate": None, "n_samples": None, "n_frames": None})
+    n_samples = 64 + (i * 17) % 192
+    payload, fmt = _audio_payload(i, n_samples)
+    return (i, "audio", payload,
+            {"format": fmt, "width": None, "height": None,
+             "sample_rate": 16000, "n_samples": n_samples,
+             "n_frames": None})
 
 
 def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Media table carrying REAL encoded bytes: even ids rotate through
-    binary PPM, zlib-compressed RGB PNG, and entropy-coded JPEG images
-    (baseline and progressive); odd ids rotate PCM16 WAV and lossless
-    FLAC audio; ids % 16 == 10 are MJPEG AVI video clips (a JPEG per
-    frame inside a RIFF container)."""
+    """Media table carrying REAL encoded bytes: images rotate binary PPM,
+    zlib-compressed RGB PNG, entropy-coded JPEG (baseline and
+    progressive), and LZW GIF; audio rotates PCM16 WAV, lossless FLAC,
+    IMA ADPCM, and G.711 µ-law; video ids carry MJPEG AVI clips and
+    animated GIFs. All built by ``_fixture_row`` — the same helper the
+    oracle mirror runs."""
     from ..sources.tables import session_key
 
     cached = _MEDIA_REAL_CACHE.get((session_key(spark), n))
     if cached is not None:
         return cached
-    rows = []
-    for i in range(n):
-        if i % 16 == 10:
-            width = 8 + (i * 5) % 24
-            height = 4 + i % 6
-            n_frames = 2 + i % 3
-            payload = encode_avi_payload(i, width, height, n_frames)
-            meta = {"format": "AVI", "width": width, "height": height,
-                    "sample_rate": None, "n_samples": None,
-                    "n_frames": n_frames}
-            rows.append((i, "video", payload, meta))
-        elif i % 2 == 0:
-            width = 8 + (i * 5) % 24
-            height = 4 + i % 6
-            payload, fmt = _image_payload(i, width, height)
-            meta = {"format": fmt, "width": width, "height": height,
-                    "sample_rate": None, "n_samples": None,
-                    "n_frames": None}
-            rows.append((i, "image", payload, meta))
-        else:
-            n_samples = 64 + (i * 17) % 192
-            payload, fmt = _audio_payload(i, n_samples)
-            meta = {"format": fmt, "width": None, "height": None,
-                    "sample_rate": 16000, "n_samples": n_samples,
-                    "n_frames": None}
-            rows.append((i, "audio", payload, meta))
+    rows = [_fixture_row(i) for i in range(n)]
     # A driver-built demo table parallelizes into one slice per core — for
     # 64 rows that is 32 near-empty Arrow batches, each paying a Python
     # worker round-trip in the decode stage. Pack the demo into a few
@@ -643,17 +762,8 @@ def _expected_feature_rollup() -> list[tuple]:
 
     acc: dict[str, list] = {}
     for i in range(64):
-        if i % 16 == 10:
-            kind = "video"
-            vals = _decode(encode_avi_payload(
-                i, 8 + (i * 5) % 24, 4 + i % 6, 2 + i % 3))
-        elif i % 2 == 0:
-            kind = "image"
-            payload, _fmt = _image_payload(i, 8 + (i * 5) % 24, 4 + i % 6)
-            vals = _decode(payload)
-        else:
-            kind = "audio"
-            vals = _decode(_audio_payload(i, 64 + (i * 17) % 192)[0])
+        _mid, kind, payload, _meta = _fixture_row(i)
+        vals = _decode(payload)
         feat_sum = sum(float(np.float32(v)) for v in _feature(vals))
         a = acc.setdefault(kind, [0, 0, 0.0, 0.0])
         a[0] += 1
@@ -693,11 +803,14 @@ def oracles() -> dict[str, str]:
 
 
 def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """REAL video frame sampling: keep every n-th FRAME of MJPEG AVI
-    payloads, selected at demux — sampled-out frames are never
-    pixel-decoded (operators/avi.py), which is the property that matters
-    at 100 TB: a 1-in-n sample pays 1/n of the JPEG decode cost, not a
-    post-decode slice. Non-video payloads decode whole."""
+    """REAL video frame sampling: keep every n-th FRAME of MJPEG AVI /
+    animated-GIF payloads, selected at the container level — sampled-out
+    frames are never pixel-decoded (AVI: demux skips the JPEG, GIF: the
+    LZW stream is skipped byte-wise). That is the property that matters
+    at 100 TB: a 1-in-n sample pays ~1/n of the decode cost, not a
+    post-decode slice. Non-video payloads decode whole. NOTE: a static
+    GIF is a 1-frame container, so frame 0 always survives sampling —
+    image rows are untouched, exactly like the AVI path."""
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -705,6 +818,8 @@ def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
                 p = bytes(p)
                 if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
                     return _decode_avi(p, every_n)
+                if p[:4] == b"GIF8":
+                    return _decode_gif(p, every_n)
                 return _decode(p)
             vals = pdf["payload"].map(one)
             yield pd.DataFrame({

@@ -112,7 +112,7 @@ def test_sample_video_frames_distributed(spark):
                for r in M.sample_video_frames(media, 2).collect()}
     metas = {r["media_id"]: r["meta"] for r in media.collect()}
     for mid, m in metas.items():
-        if m["format"] == "AVI":
+        if m["n_frames"]:  # video containers: AVI and animated GIF
             kept = -(-m["n_frames"] // 2)
             assert sampled[mid]["n_values"] == m["width"] * m["height"] * kept
         else:

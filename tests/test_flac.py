@@ -282,8 +282,12 @@ def test_flac_payload_matches_wav_exactly():
 def test_audio_rotation_includes_flac():
     p, fmt = M._audio_payload(3, 100)
     assert fmt == "FLAC" and p[:4] == b"fLaC"
-    p, fmt = M._audio_payload(5, 100)
+    p, fmt = M._audio_payload(1, 100)
     assert fmt == "WAV" and p[:4] == b"RIFF"
+    p, fmt = M._audio_payload(5, 100)
+    assert fmt == "ADPCM" and p[:4] == b"RIFF"
+    p, fmt = M._audio_payload(7, 100)
+    assert fmt == "MULAW" and p[:4] == b"RIFF"
 
 
 def test_flac_in_compressed_container():

@@ -201,16 +201,17 @@ def test_png_media_decodes_distributed(spark):
     stages as PPM/WAV — the gate fixture now carries them natively."""
     media = M.synthetic_media_real(spark, 16)
     fmts = {r["meta"]["format"] for r in media.select("meta").collect()}
-    assert fmts == {"PPM", "PNG", "JPEG", "WAV", "FLAC", "AVI"}
+    assert fmts == {"PPM", "PNG", "JPEG", "GIF", "WAV", "FLAC", "ADPCM",
+                    "MULAW", "AVI"}
     dec = M.decode_media(media)
     rows = {r["media_id"]: r for r in dec.collect()}
-    # media_id 2 is PNG (i % 4 == 2): luma count == width*height
+    # media_id 2 is PNG ((i//2) % 4 == 1): luma count == width*height
     assert rows[2]["n_values"] == (8 + 2 * 5 % 24) * (4 + 2 % 6)
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows.values())
     resized = M.resize_images(media, 8).collect()
     assert all(r["n_values"] == 8 for r in resized)
-    # id 10 is a video clip now, not a still image
-    assert {r["media_id"] for r in resized} == {0, 2, 4, 6, 8, 12, 14}
+    # ids 10 (AVI) and 14 (animated GIF) are video clips, not still images
+    assert {r["media_id"] for r in resized} == {0, 2, 4, 6, 8, 12}
 
 
 def test_resize_2d_bilinear_exactness(spark):
@@ -261,11 +262,11 @@ def test_resize_2d_bilinear_exactness(spark):
 
 
 def test_resize_2d_runs_on_gate_fixture(spark):
-    """All three image codecs (PPM/PNG/JPEG) flow through the bilinear
+    """All four image codecs (PPM/PNG/JPEG/GIF) flow through the bilinear
     resize with correct output dims."""
     media = M.synthetic_media_real(spark, 24)
     out = M.resize_images_2d(media, 8, 8).collect()
-    assert len(out) == 11      # 12 even ids minus id 10 (now a video clip)
+    assert len(out) == 10      # 12 even ids minus video ids 10 and 14
     assert all(r["n_values"] == 64 for r in out)
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in out)
 
