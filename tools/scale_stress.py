@@ -209,6 +209,31 @@ def _flac_decode_run(spark: SparkSession, n: int) -> int:
     return decode_media(media).agg(F.sum("n_values")).first()[0]
 
 
+def _codec_decode_run(spark: SparkSession, n: int, kind: str,
+                      payload_fn) -> int:
+    """Generic executor-side encode → decode_media → value count, for
+    per-codec throughput attribution (GIF LZW, ADPCM, µ-law…)."""
+    import pandas as pd
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media,
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": kind,
+                "payload": [payload_fn(int(i)) for i in ids],
+                "meta": [None] * len(ids),
+            })
+
+    media = spark.range(n).repartition(32).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA)
+    return decode_media(media).agg(F.sum("n_values")).first()[0]
+
+
 def _avi_media(spark: SparkSession, n: int):
     """Distributed MJPEG AVI mux (executor-side), MATERIALIZED so the
     sampling passes time demux+decode only — the 100 TB property under
@@ -361,6 +386,25 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         "sec": secs, "clips": n_flac, "samples": int(stats),
         "samples_per_sec": int(stats / max(secs, 1e-9)),
     }
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        encode_adpcm_payload, encode_gif_payload,
+    )
+    n_gif = 12_000 if scale_tag == "full" else 4_000
+    secs, stats = timed(lambda: _codec_decode_run(
+        spark, n_gif, "image",
+        lambda i: encode_gif_payload(i, 16 + i % 17, 8 + i % 9)))
+    report["gif_decode"] = {
+        "sec": secs, "images": n_gif, "values": int(stats),
+        "values_per_sec": int(stats / max(secs, 1e-9)),
+    }
+    n_adpcm = 12_000 if scale_tag == "full" else 4_000
+    secs, stats = timed(lambda: _codec_decode_run(
+        spark, n_adpcm, "audio",
+        lambda i: encode_adpcm_payload(i, 800 + i % 400)))
+    report["adpcm_decode"] = {
+        "sec": secs, "clips": n_adpcm, "samples": int(stats),
+        "samples_per_sec": int(stats / max(secs, 1e-9)),
+    }
     # AVI demux-level frame sampling: decode all frames vs 1-in-4, over
     # PRE-MATERIALIZED clips (localCheckpoint) so the passes time
     # demux+decode only — the sampled pass must cost ~1/4, proving
@@ -492,6 +536,7 @@ def main() -> None:
             for k in ("minhash_lsh", "cc_distributed", "triangle_stats",
                       "hop_distance", "fuzzy_edit", "semantic_dedup",
                       "media_decode", "progressive_jpeg", "flac_decode",
+                      "gif_decode", "adpcm_decode",
                       "ann_bruteforce", "skewed_join", "recursive_spine",
                       "recursive_walk", "lateral_decorrelated")
         }
