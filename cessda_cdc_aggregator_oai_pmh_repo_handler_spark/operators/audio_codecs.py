@@ -139,6 +139,7 @@ def ima_adpcm_decode(data: bytes, block_align: int, n_samples: int
 
 _MULAW_BIAS = 0x84
 _MULAW_CLIP = 32635
+_MULAW_LUT: list[int] | None = None  # built on first µ-law WAV decode
 
 
 def mulaw_encode(sample: int) -> int:
@@ -232,7 +233,10 @@ def decode_wav_any(payload: bytes) -> tuple[list[int], int]:
         n = len(data) // 2
         return list(struct.unpack("<%dh" % n, data[:2 * n])), sample_rate
     if fmt_tag == WAVE_FORMAT_MULAW:
-        samples = [mulaw_decode(b) for b in data]
+        global _MULAW_LUT
+        if _MULAW_LUT is None:
+            _MULAW_LUT = [mulaw_decode(c) for c in range(256)]
+        samples = [_MULAW_LUT[b] for b in data]
         if n_samples >= 0:
             samples = samples[:n_samples]
         return samples, sample_rate

@@ -443,16 +443,20 @@ def _decode_gif(payload: bytes, every_n: int = 1) -> list[float]:
     """GIF → concatenated per-frame luma floats in [0, 1] (BT.601,
     matching the other image decoders). For animated GIFs, frame
     sampling (every_n) happens at the container level: sampled-out
-    frames' LZW streams are never decompressed (operators/gif.py)."""
-    from .gif import decode_gif_rgb
+    frames' LZW streams are never decompressed (operators/gif.py).
+    Palette→luma is a 256-entry LUT applied with numpy — only the LZW
+    stream itself is sequential."""
+    import numpy as np
 
+    from .gif import decode_gif
+
+    frames, palette, _w, _h = decode_gif(payload, every_n)
+    pal = np.frombuffer(palette, dtype=np.uint8).astype(np.float64)
+    pal = pal.reshape(-1, 3)
+    lut = (0.299 * pal[:, 0] + 0.587 * pal[:, 1] + 0.114 * pal[:, 2]) / 255
     out: list[float] = []
-    for rgb in decode_gif_rgb(payload, every_n):
-        out.extend(
-            (0.299 * rgb[3 * i] + 0.587 * rgb[3 * i + 1]
-             + 0.114 * rgb[3 * i + 2]) / 255
-            for i in range(len(rgb) // 3)
-        )
+    for f in frames:
+        out.extend(lut[np.frombuffer(bytes(f), dtype=np.uint8)].tolist())
     return out
 
 

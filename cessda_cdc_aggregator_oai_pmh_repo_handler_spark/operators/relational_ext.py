@@ -464,6 +464,19 @@ SQL_TEXTS = {
         GROUP BY GROUPING SETS ((l_returnflag),
                                 (l_returnflag, l_linestatus), ())
     """,
+    # GROUP BY ALL / ORDER BY ALL (the modern shorthand both engines
+    # accept: every non-aggregate select item groups, every column sorts)
+    "sql_text_group_order_all": """
+        SELECT c_mktsegment AS segment,
+               CAST(c_nationkey AS INT) AS nation,
+               CAST(count(*) AS BIGINT) AS customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_custkey < 900
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
     # INTERSECT / EXCEPT (set semantics: both engines default DISTINCT)
     "sql_text_setops": """
         SELECT CAST((SELECT count(*) FROM

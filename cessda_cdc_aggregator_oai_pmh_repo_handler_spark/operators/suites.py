@@ -442,6 +442,11 @@ _SQL_SURFACE_SUBS = (
         relational_ext.SQL_TEXTS["sql_text_grouping_sets"],
         (("rf", "str"), ("ls", "str"), ("g_rf", "str"), ("g_ls", "str")),
         ("cnt", "sum_qty")),
+    Sub("sql_text_group_order_all",
+        relational_ext.TEXT_QUERIES["sql_text_group_order_all"],
+        relational_ext.SQL_TEXTS["sql_text_group_order_all"],
+        (("segment", "str"), ("nation", "str")),
+        ("customers", "total_bal")),
     Sub("sql_text_setops", relational_ext.TEXT_QUERIES["sql_text_setops"],
         relational_ext.SQL_TEXTS["sql_text_setops"],
         (), ("n_intersect", "n_except")),
