@@ -167,9 +167,47 @@ def mulaw_decode(code: int) -> int:
     return -sample if sign else sample
 
 
-# --- RIFF/WAVE container (fmt tags 1 / 7 / 0x11) ------------------------------
+_ALAW_SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+_ALAW_LUT: list[int] | None = None  # built on first A-law WAV decode
+
+
+def alaw_encode(sample: int) -> int:
+    """G.711 A-law compress one int16 sample to an 8-bit code (13-bit
+    magnitude, 7 segments, even-bit inversion mask 0x55)."""
+    pcm = sample >> 3  # 16-bit → 13-bit
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm = -pcm - 1
+    seg = 0
+    while seg < 8 and pcm > _ALAW_SEG_END[seg]:
+        seg += 1
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (pcm >> 1 if seg < 2 else pcm >> seg) & 0x0F
+    return aval ^ mask
+
+
+def alaw_decode(code: int) -> int:
+    """G.711 A-law expand one 8-bit code to int16."""
+    code ^= 0x55
+    t = (code & 0x0F) << 4
+    seg = (code & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if code & 0x80 else -t
+
+
+# --- RIFF/WAVE container (fmt tags 1 / 6 / 7 / 0x11) --------------------------
 
 WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_IMA_ADPCM = 0x0011
 
@@ -199,6 +237,15 @@ def encode_wav_mulaw(samples: list[int], sample_rate: int = 16000) -> bytes:
     """Mono G.711 µ-law WAV (format tag 7) with fact chunk."""
     data = bytes(mulaw_encode(int(s)) for s in samples)
     fmt = struct.pack("<HHIIHHH", WAVE_FORMAT_MULAW, 1, sample_rate,
+                      sample_rate, 1, 8, 0)
+    fact = struct.pack("<I", len(samples))
+    return _riff([(b"fmt ", fmt), (b"fact", fact), (b"data", data)])
+
+
+def encode_wav_alaw(samples: list[int], sample_rate: int = 16000) -> bytes:
+    """Mono G.711 A-law WAV (format tag 6) with fact chunk."""
+    data = bytes(alaw_encode(int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHHH", WAVE_FORMAT_ALAW, 1, sample_rate,
                       sample_rate, 1, 8, 0)
     fact = struct.pack("<I", len(samples))
     return _riff([(b"fmt ", fmt), (b"fact", fact), (b"data", data)])
@@ -237,6 +284,14 @@ def decode_wav_any(payload: bytes) -> tuple[list[int], int]:
         if _MULAW_LUT is None:
             _MULAW_LUT = [mulaw_decode(c) for c in range(256)]
         samples = [_MULAW_LUT[b] for b in data]
+        if n_samples >= 0:
+            samples = samples[:n_samples]
+        return samples, sample_rate
+    if fmt_tag == WAVE_FORMAT_ALAW:
+        global _ALAW_LUT
+        if _ALAW_LUT is None:
+            _ALAW_LUT = [alaw_decode(c) for c in range(256)]
+        samples = [_ALAW_LUT[b] for b in data]
         if n_samples >= 0:
             samples = samples[:n_samples]
         return samples, sample_rate

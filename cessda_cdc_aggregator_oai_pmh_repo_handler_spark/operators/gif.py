@@ -161,12 +161,23 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _interlace_rows(height: int) -> list[int]:
+    """The spec's 4-pass interlace row order: rows 0,8,16… then 4,12,20…
+    then 2,6,10… then 1,3,5…"""
+    out = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        out.extend(range(start, height, step))
+    return out
+
+
 def encode_gif(frames: list[bytes], palette: bytes, width: int, height: int,
-               delay_cs: int = 10) -> bytes:
+               delay_cs: int = 10, interlace: bool = False) -> bytes:
     """Encode indexed frames (each ``width*height`` palette indices) into a
     GIF. One frame → plain GIF89a image; several frames → animated GIF
     with a Graphic Control Extension (``delay_cs`` hundredths of a second)
-    before each frame. ``palette`` is packed RGB, 2..256 entries."""
+    before each frame. ``palette`` is packed RGB, 2..256 entries.
+    ``interlace`` stores rows in the spec's 4-pass order (flag 0x40 in the
+    image descriptor); decode restores raster order."""
     n_colors = len(palette) // 3
     if not 2 <= n_colors <= 256:
         raise ValueError("GIF palette must have 2..256 RGB entries")
@@ -185,8 +196,12 @@ def encode_gif(frames: list[bytes], palette: bytes, width: int, height: int,
         if len(frames) > 1:
             out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04,
                                delay_cs, 0, 0)
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                           0x40 if interlace else 0)
         out.append(min_code_size)
+        if interlace:
+            frame = b"".join(frame[r * width:(r + 1) * width]
+                             for r in _interlace_rows(height))
         out += _sub_blocks(_lzw_encode(bytes(frame), min_code_size))
     out.append(0x3B)
     return bytes(out)
@@ -254,6 +269,12 @@ def decode_gif(payload: bytes, every_n: int = 1
             frame = _lzw_decode(data, min_code_size)
             if len(frame) != fw * fh:
                 raise ValueError("GIF frame decoded to wrong pixel count")
+            if fpacked & 0x40:  # interlaced: restore raster row order
+                raster = bytearray(len(frame))
+                for stored, r in enumerate(_interlace_rows(fh)):
+                    raster[r * fw:(r + 1) * fw] = \
+                        frame[stored * fw:(stored + 1) * fw]
+                frame = raster
             frames.append(frame)
         else:
             pos = _skip_sub_blocks(payload, pos)

@@ -189,6 +189,16 @@ def encode_mulaw_payload(media_id: int, n_samples: int,
                             sample_rate)
 
 
+def encode_alaw_payload(media_id: int, n_samples: int,
+                        sample_rate: int = 16000) -> bytes:
+    """Real G.711 A-law WAV bytes (operators/audio_codecs.py) over the
+    SAME md5-seeded samples — the other G.711 companding law."""
+    from .audio_codecs import encode_wav_alaw
+
+    return encode_wav_alaw(_seeded_samples(media_id, n_samples),
+                           sample_rate)
+
+
 def encode_ppm_payload(media_id: int, width: int, height: int) -> bytes:
     """Real binary PPM (P6) bytes with deterministic md5-seeded RGB."""
     seed = hashlib.md5(f"ppm:{media_id}".encode()).digest()
@@ -421,11 +431,14 @@ def _gif_fixture(seed_text: str, width: int, height: int,
 def encode_gif_payload(media_id: int, width: int, height: int) -> bytes:
     """Real static GIF bytes (own LZW codec, operators/gif.py): 64-color
     md5-seeded palette + indices. GIF is lossless for indexed color, so
-    decode is byte-exact against the fixture."""
+    decode is byte-exact against the fixture. Every other id stores
+    interlaced (the spec's 4-pass row order) so the de-interlace path
+    stays in the gate rotation."""
     from .gif import encode_gif
 
     palette, frames = _gif_fixture(f"gif:{media_id}", width, height)
-    return encode_gif(frames, palette, width, height)
+    return encode_gif(frames, palette, width, height,
+                      interlace=(media_id // 16) % 2 == 1)
 
 
 def encode_animated_gif_payload(media_id: int, width: int, height: int,
@@ -525,16 +538,19 @@ _MEDIA_REAL_CACHE: dict = {}
 
 def _audio_payload(i: int, n_samples: int) -> tuple[bytes, str]:
     """Audio fixture codec rotation by i%8: PCM16 WAV (1), lossless FLAC
-    (3), IMA ADPCM (5), G.711 µ-law (7). All encode the SAME md5-seeded
-    samples (WAV/FLAC losslessly; ADPCM/µ-law through their deterministic
-    quantizers). One helper shared by the Spark fixture and the
-    driver-side oracle mirror so the two can never drift."""
+    (3), IMA ADPCM (5), G.711 µ-law/A-law (7, split by i%16). All encode
+    the SAME md5-seeded samples (WAV/FLAC losslessly; ADPCM/G.711 through
+    their deterministic quantizers). One helper shared by the Spark
+    fixture and the driver-side oracle mirror so the two can never
+    drift."""
     slot = i % 8
     if slot == 3:
         return encode_flac_payload(i, n_samples), "FLAC"
     if slot == 5:
         return encode_adpcm_payload(i, n_samples), "ADPCM"
     if slot == 7:
+        if i % 16 == 15:
+            return encode_alaw_payload(i, n_samples), "ALAW"
         return encode_mulaw_payload(i, n_samples), "MULAW"
     return encode_wav_payload(i, n_samples), "WAV"
 

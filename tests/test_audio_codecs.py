@@ -112,7 +112,8 @@ def test_compressed_audio_in_fixture_rotation(spark):
     media = M.synthetic_media_real(spark, 16)
     metas = {r["media_id"]: r["meta"] for r in media.collect()}
     assert [i for i, m in metas.items() if m["format"] == "ADPCM"] == [5, 13]
-    assert [i for i, m in metas.items() if m["format"] == "MULAW"] == [7, 15]
+    assert [i for i, m in metas.items() if m["format"] == "MULAW"] == [7]
+    assert [i for i, m in metas.items() if m["format"] == "ALAW"] == [15]
     rows = {r["media_id"]: r for r in M.decode_media(media).collect()}
     for mid in (5, 7, 13, 15):
         assert rows[mid]["n_values"] == metas[mid]["n_samples"]
