@@ -1,8 +1,8 @@
-"""Compressed-WAV audio codecs — IMA ADPCM (4:1) and G.711 µ-law (2:1),
-implemented from scratch, plus the RIFF/WAVE container parse that
-dispatches between PCM16 / µ-law / IMA ADPCM by the fmt chunk's format
-tag (stdlib ``wave`` only handles tag 1, so the container here is our
-own RIFF writer/reader).
+"""Compressed-WAV audio codecs — IMA ADPCM (4:1) and both G.711
+companding laws, µ-law and A-law (2:1) — implemented from scratch, plus
+the RIFF/WAVE container parse that dispatches between PCM16 / A-law /
+µ-law / IMA ADPCM by the fmt chunk's format tag (stdlib ``wave`` only
+handles tag 1, so the container here is our own RIFF writer/reader).
 
 IMA/DVI ADPCM (WAVE format tag 0x11): block-structured 4-bit differential
 coding — each mono block opens with a 4-byte state header (int16
@@ -14,7 +14,10 @@ and {-1,-1,-1,-1,2,4,6,8} index adaptation are the standard IMA tables.
 G.711 µ-law (WAVE format tag 7): 8-bit companded telephony PCM — sign /
 3-bit exponent / 4-bit mantissa with bias 0x84, ones-complemented.
 ``mulaw_encode(mulaw_decode(u)) == u`` holds for all 256 codes (pinned in
-tests), so decode is verified by exact equality.
+tests), so decode is verified by exact equality. G.711 A-law (tag 6):
+the 13-bit/7-segment variant with the 0x55 even-bit inversion mask;
+``alaw_encode(alaw_decode(a)) == a`` holds for ALL 256 codes (A-law has
+no ±0 ambiguity).
 
 Both run inside Arrow-batched ``mapInPandas`` decode stages
 (operators/multimodal.py) — payloads never touch the driver.

@@ -122,3 +122,25 @@ def test_compressed_audio_in_fixture_rotation(spark):
 def test_adpcm_in_compressed_container():
     inner = M.encode_adpcm_payload(5, 90)
     assert M._decode(M.encode_gzip_payload(inner)) == M._decode(inner)
+
+
+def test_alaw_code_identity():
+    """A-law: encode(decode(a)) == a for ALL 256 codes — unlike µ-law,
+    A-law has no ±0 ambiguity (code 0x55 decodes to -8, not 0)."""
+    for a in range(256):
+        assert A.alaw_encode(A.alaw_decode(a)) == a
+
+
+def test_alaw_quantization_bound():
+    rng = random.Random(9)
+    samples = [rng.randrange(-32768, 32768) for _ in range(2000)]
+    dec, rate = A.decode_wav_any(A.encode_wav_alaw(samples, 8000))
+    assert rate == 8000 and len(dec) == len(samples)
+    for a, b in zip(samples, dec):
+        assert abs(a - b) <= max(8, abs(a) * 0.04) + 512 * (abs(a) > 16384)
+
+
+def test_alaw_in_fixture_rotation():
+    p, fmt = M._audio_payload(15, 100)
+    assert fmt == "ALAW" and p[:4] == b"RIFF"
+    assert len(M._decode(p)) == 100
