@@ -55,9 +55,14 @@ def main():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         dt_cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        dt_warm = time.perf_counter() - t0
+        # warm = best of two steady-state runs: a single warm sample is
+        # vulnerable to one GC pause / box hiccup, which round-over-round
+        # comparisons then misread as a regression
+        dt_warm = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt_warm = min(dt_warm, time.perf_counter() - t0)
         cold[name] = round(dt_cold, 4)
         warm[name] = round(dt_warm, 4)
         total_cold += dt_cold
