@@ -126,97 +126,16 @@ def gen_embeddings(spark: SparkSession, out_dir: str, n_vecs: int,
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
-def _media_decode_run(spark: SparkSession, n: int) -> int:
-    """Distributed JPEG encode (mapInPandas) → decode_media → total luma
-    count; returns the decoded-value count (the throughput denominator)."""
+def _codec_media(spark: SparkSession, n: int, kind: str, payload_fn):
+    """Executor-side encode of n payloads, MATERIALIZED (localCheckpoint)
+    so the timed pass measures DECODE throughput only — the stable,
+    attributable number (encode-stage timing swings with Python-worker
+    pool state and was the dominant term; the AVI family already
+    materialized for the same reason)."""
     import pandas as pd
 
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
-        MEDIA_SCHEMA, decode_media, encode_jpeg_payload,
-    )
-
-    def encode_batches(batches):
-        for pdf in batches:
-            ids = pdf["id"]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "kind": "image",
-                # odd ids: always BASELINE JPEG (progressive rotation
-                # fires on id % 8 == 0) so this family's throughput is
-                # attributable to the baseline codec alone
-                "payload": [encode_jpeg_payload(2 * int(i) + 1,
-                                                16 + int(i) % 17,
-                                                8 + int(i) % 9)
-                            for i in ids],
-                "meta": [None] * len(ids),
-            })
-
-    media = spark.range(n).repartition(32).mapInPandas(
-        encode_batches, schema=MEDIA_SCHEMA)
-    return decode_media(media).agg(F.sum("n_values")).first()[0]
-
-
-def _progressive_decode_run(spark: SparkSession, n: int) -> int:
-    """Progressive (SOF2) JPEG encode+decode throughput, attributed
-    separately from baseline: the multi-scan entropy path costs more per
-    pixel on both sides by design."""
-    import pandas as pd
-
-    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
-        MEDIA_SCHEMA, decode_media, encode_jpeg_payload,
-    )
-
-    def encode_batches(batches):
-        for pdf in batches:
-            ids = pdf["id"]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "kind": "image",
-                "payload": [encode_jpeg_payload(8 * int(i),   # always SOF2
-                                                16 + int(i) % 17,
-                                                8 + int(i) % 9)
-                            for i in ids],
-                "meta": [None] * len(ids),
-            })
-
-    media = spark.range(n).repartition(32).mapInPandas(
-        encode_batches, schema=MEDIA_SCHEMA)
-    return decode_media(media).agg(F.sum("n_values")).first()[0]
-
-
-def _flac_decode_run(spark: SparkSession, n: int) -> int:
-    """Distributed FLAC encode (Rice-coded, executor-side) → decode_media
-    → total sample count."""
-    import pandas as pd
-
-    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
-        MEDIA_SCHEMA, decode_media, encode_flac_payload,
-    )
-
-    def encode_batches(batches):
-        for pdf in batches:
-            ids = pdf["id"]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "kind": "audio",
-                "payload": [encode_flac_payload(int(i), 800 + int(i) % 400)
-                            for i in ids],
-                "meta": [None] * len(ids),
-            })
-
-    media = spark.range(n).repartition(32).mapInPandas(
-        encode_batches, schema=MEDIA_SCHEMA)
-    return decode_media(media).agg(F.sum("n_values")).first()[0]
-
-
-def _codec_decode_run(spark: SparkSession, n: int, kind: str,
-                      payload_fn) -> int:
-    """Generic executor-side encode → decode_media → value count, for
-    per-codec throughput attribution (GIF LZW, ADPCM, µ-law…)."""
-    import pandas as pd
-
-    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
-        MEDIA_SCHEMA, decode_media,
+        MEDIA_SCHEMA,
     )
 
     def encode_batches(batches):
@@ -229,8 +148,15 @@ def _codec_decode_run(spark: SparkSession, n: int, kind: str,
                 "meta": [None] * len(ids),
             })
 
-    media = spark.range(n).repartition(32).mapInPandas(
-        encode_batches, schema=MEDIA_SCHEMA)
+    return spark.range(n).repartition(32).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA).localCheckpoint()
+
+
+def _decode_values(media) -> int:
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        decode_media,
+    )
+
     return decode_media(media).agg(F.sum("n_values")).first()[0]
 
 
@@ -365,46 +291,42 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         .orderBy(F.desc("cosine"), "vec_id").limit(10).collect())
     report["ann_bruteforce"] = {"sec": secs, "topk": len(rows)}
 
-    # --- multimodal decode throughput (entropy-coded JPEG, Arrow path) ----
-    # payloads are ENCODED in executors too (mapInPandas), so neither side
-    # of the codec ever runs on the driver
-    n_media = 20_000 if scale_tag == "full" else 6_000
-    secs, stats = timed(lambda: _media_decode_run(spark, n_media))
-    report["media_decode"] = {
-        "sec": secs, "jpegs": n_media, "values": int(stats),
-        "values_per_sec": int(stats / max(secs, 1e-9)),
-    }
-    n_prog = 3_000 if scale_tag == "full" else 1_000
-    secs, stats = timed(lambda: _progressive_decode_run(spark, n_prog))
-    report["progressive_jpeg"] = {
-        "sec": secs, "jpegs": n_prog, "values": int(stats),
-        "values_per_sec": int(stats / max(secs, 1e-9)),
-    }
-    n_flac = 12_000 if scale_tag == "full" else 4_000
-    secs, stats = timed(lambda: _flac_decode_run(spark, n_flac))
-    report["flac_decode"] = {
-        "sec": secs, "clips": n_flac, "samples": int(stats),
-        "samples_per_sec": int(stats / max(secs, 1e-9)),
-    }
+    # --- multimodal decode throughput (per-codec attribution) ------------
+    # payloads are ENCODED in executors (mapInPandas) and MATERIALIZED
+    # (localCheckpoint) before the timed pass, so every number below is
+    # DECODE throughput only — stable across Python-worker pool states
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
-        encode_adpcm_payload, encode_gif_payload,
+        encode_adpcm_payload, encode_flac_payload, encode_gif_payload,
+        encode_jpeg_payload,
     )
-    n_gif = 12_000 if scale_tag == "full" else 4_000
-    secs, stats = timed(lambda: _codec_decode_run(
-        spark, n_gif, "image",
-        lambda i: encode_gif_payload(i, 16 + i % 17, 8 + i % 9)))
-    report["gif_decode"] = {
-        "sec": secs, "images": n_gif, "values": int(stats),
-        "values_per_sec": int(stats / max(secs, 1e-9)),
-    }
-    n_adpcm = 12_000 if scale_tag == "full" else 4_000
-    secs, stats = timed(lambda: _codec_decode_run(
-        spark, n_adpcm, "audio",
-        lambda i: encode_adpcm_payload(i, 800 + i % 400)))
-    report["adpcm_decode"] = {
-        "sec": secs, "clips": n_adpcm, "samples": int(stats),
-        "samples_per_sec": int(stats / max(secs, 1e-9)),
-    }
+    codec_runs = [
+        # (report key, count key, n at full/third, kind, payload fn, unit)
+        ("media_decode", "jpegs", (20_000, 6_000), "image",
+         lambda i: encode_jpeg_payload(2 * i + 1, 16 + i % 17, 8 + i % 9),
+         "values_per_sec"),          # odd ids: always baseline JPEG
+        ("progressive_jpeg", "jpegs", (3_000, 1_000), "image",
+         lambda i: encode_jpeg_payload(8 * i, 16 + i % 17, 8 + i % 9),
+         "values_per_sec"),          # ids % 8 == 0: always SOF2
+        ("flac_decode", "clips", (12_000, 4_000), "audio",
+         lambda i: encode_flac_payload(i, 800 + i % 400),
+         "samples_per_sec"),
+        ("gif_decode", "images", (12_000, 4_000), "image",
+         lambda i: encode_gif_payload(i, 16 + i % 17, 8 + i % 9),
+         "values_per_sec"),
+        ("adpcm_decode", "clips", (12_000, 4_000), "audio",
+         lambda i: encode_adpcm_payload(i, 800 + i % 400),
+         "samples_per_sec"),
+    ]
+    for key, count_key, (n_full, n_third), kind, payload_fn, unit in codec_runs:
+        n = n_full if scale_tag == "full" else n_third
+        media = _codec_media(spark, n, kind, payload_fn)
+        secs, stats = timed(lambda: _decode_values(media))
+        report[key] = {
+            "sec": secs, count_key: n,
+            "values": int(stats),
+            unit: int(stats / max(secs, 1e-9)),
+        }
+        media.unpersist()
     # AVI demux-level frame sampling: decode all frames vs 1-in-4, over
     # PRE-MATERIALIZED clips (localCheckpoint) so the passes time
     # demux+decode only — the sampled pass must cost ~1/4, proving
