@@ -202,7 +202,7 @@ def test_png_media_decodes_distributed(spark):
     media = M.synthetic_media_real(spark, 16)
     fmts = {r["meta"]["format"] for r in media.select("meta").collect()}
     assert fmts == {"PPM", "PNG", "JPEG", "GIF", "WAV", "FLAC", "ADPCM",
-                    "MULAW", "AVI"}
+                    "MULAW", "ALAW", "AVI"}
     dec = M.decode_media(media)
     rows = {r["media_id"]: r for r in dec.collect()}
     # media_id 2 is PNG ((i//2) % 4 == 1): luma count == width*height
