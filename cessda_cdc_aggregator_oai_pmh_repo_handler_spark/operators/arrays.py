@@ -132,6 +132,29 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward fill (last observation carried forward) — the classic
+    sensor/time-series gap repair: readings exist only on every third
+    event (synthesized deterministically from event_id); the window
+    carries the latest non-null reading forward per user. One exchange on
+    user_id; ``last(ignorenulls=True)`` stays inside the JVM window
+    operator — this is the Spark idiom that replaces per-key imperative
+    fill loops. Leading gaps (before any reading) fill 0.0."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    reading = F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.last(reading, ignorenulls=True).over(w),
+                           F.lit(0.0)), 2).alias("filled"),
+        (F.col("event_id") % 3 != 0).cast("int").alias("was_gap"),
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns (explicit value list so
     the plan is a single aggregation, no distinct-values pre-pass)."""
@@ -507,6 +530,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "pivot_events": q_pivot_events,
     "gapfill_hourly": q_gapfill_hourly,
+    "locf_fill": q_locf_fill,
     "asof_last_signup": q_asof_last_signup,
     "debounce_events": q_debounce_events,
     "time_weighted_avg": q_time_weighted_avg,
@@ -754,6 +778,17 @@ ORACLES = {
         FROM embeddings
         WHERE vec_id < 100
         ORDER BY vec_id
+    """,
+    "locf_fill": """
+        SELECT user_id, event_id,
+               round(coalesce(last_value(CASE WHEN event_id % 3 = 0
+                                              THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW),
+                     0.0), 2) AS filled,
+               CAST(event_id % 3 <> 0 AS INT) AS was_gap
+        FROM events WHERE user_id < 20
     """,
     "json_extract": """
         SELECT event_type, count(*) AS cnt,

@@ -154,6 +154,8 @@ _WINDOW_SUBS = (
         (("session_start", "ts"), ("user_id", "str")), ("cnt", "sum_value")),
     Sub("gapfill_hourly", arrays.q_gapfill_hourly, arrays.ORACLES["gapfill_hourly"],
         (("event_type", "str"), ("hour", "ts")), ("cnt", "sum_value")),
+    Sub("locf_fill", arrays.q_locf_fill, arrays.ORACLES["locf_fill"],
+        (("user_id", "str"), ("event_id", "str")), ("filled", "was_gap")),
     Sub("funnel_steps", arrays.q_funnel_steps, arrays.ORACLES["funnel_steps"],
         (), ("step_view", "step_click", "step_purchase", "conversion_pct")),
     Sub("cohort_retention", arrays.q_cohort_retention,
