@@ -344,6 +344,57 @@ def streaming_signup_purchase_join(spark: SparkSession, source_dir: str,
         spark.readStream.schema(schema).parquet(source_dir))
 
 
+def signup_purchase_join_outer(events: DataFrame, max_gap_days: int = 7,
+                               watermark: str = "1 day") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits — with
+    its in-window signups when they exist, or ONCE with a null signup_ts
+    after the watermark passes the join horizon (attribution pipelines
+    need the unconverted rows too, not just the matches).
+
+    Spark only allows outer stream-stream joins under exactly these
+    conditions (watermarks on both sides + an event-time range in the
+    join condition), because a null result is a *negative* claim — "no
+    signup arrived in the window" — which is only safe to emit once the
+    watermark proves the window closed. Unmatched rows therefore
+    materialize with watermark delay, not immediately; in batch the same
+    plan degenerates to a plain left outer join (watermarks are no-ops),
+    which is the equivalence the test uses."""
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("signup_ts") + F.expr(f"interval {max_gap_days} days")),
+        "leftOuter",
+    ).select("event_id", "user_id", "purchase_ts", "signup_ts")
+
+
+def streaming_signup_purchase_join_outer(spark: SparkSession, source_dir: str,
+                                         schema: T.StructType,
+                                         max_files_per_trigger: int = 1
+                                         ) -> DataFrame:
+    """File-source form of the outer join. ``maxFilesPerTrigger=1`` gives
+    one microbatch per file so the watermark actually ADVANCES between
+    batches — outer nulls only emit when a later batch's watermark closes
+    the earlier batch's windows (a single mega-batch would end the query
+    with all unmatched state still pending)."""
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    return signup_purchase_join_outer(reader)
+
+
 def streaming_event_window_counts(spark: SparkSession, source_dir: str,
                                   schema: T.StructType, watermark: str = "1 day"):
     """§2.8 windowed-aggregation demo: the exact batch plan of

@@ -250,3 +250,44 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
     want = {tuple(r) for r in I.signup_purchase_join(events).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
+        spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched purchases emit normally;
+    purchases with no in-window signup emit ONCE with a null signup_ts —
+    but only after the watermark passes their window. Far-future sentinel
+    rows on BOTH sides (the global watermark is the min across inputs)
+    arrive as a second microbatch (maxFilesPerTrigger=1) to close every
+    real window; the result must equal the batch left outer join."""
+    import datetime
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "events_outer_stream")
+    events.coalesce(1).write.parquet(src)
+    far = datetime.datetime(2030, 1, 1)
+    sentinel = spark.createDataFrame(
+        [(-1, far, -1, "signup", 0.0, "{}"),
+         (-2, far, -1, "purchase", 0.0, "{}")],
+        schema=events.schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = I.streaming_signup_purchase_join_outer(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("ss_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT * FROM ss_outer WHERE user_id >= 0").collect()}
+    want = {tuple(r)
+            for r in I.signup_purchase_join_outer(events).collect()}
+    assert got == want and len(want) > 0
+    # the outer join really added unmatched purchases next to the matches
+    unmatched = {r for r in want if r[3] is None}
+    matched = {r for r in want if r[3] is not None}
+    assert unmatched and matched
+    assert matched == {tuple(r)
+                       for r in I.signup_purchase_join(events).collect()}
