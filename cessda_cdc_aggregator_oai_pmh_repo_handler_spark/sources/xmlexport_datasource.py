@@ -42,6 +42,7 @@ from xml.sax.saxutils import escape
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -131,6 +132,65 @@ class _XMLShardWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class _XMLShardStreamWriter(DataSourceStreamWriter):
+    """Streaming form of the sink: tasks render EPOCH-AGNOSTIC temp
+    shards (executors are never told the batch id); ``commit(messages,
+    batchId)`` — driver-side, once per epoch — moves them into
+    ``epoch=N/`` and writes that epoch's manifest last. A replayed epoch (restart, at-least-once
+    upstream) re-renders fresh temps and re-renames over the SAME final
+    names, so replay is idempotent: the epoch directory is only ever one
+    complete rendering of that microbatch."""
+
+    def __init__(self, options: dict, schema):
+        path = options.get("path")
+        if not path:
+            raise ValueError("xmlexport requires .option('path', <dir>)")
+        self.path = path
+        self.root = options.get("root", "records")
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> ShardCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp_path = os.path.join(
+            self.path, f".stream-part-{pid:05d}.{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp_path, "w", encoding="utf-8") as f:
+            f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+            f.write(f"<{self.root}>\n")
+            for row in iterator:
+                f.write(_render_row(row, self.columns))
+                f.write("\n")
+                n += 1
+            f.write(f"</{self.root}>\n")
+        return ShardCommit(tmp_path, f"part-{pid:05d}.xml", n)
+
+    def commit(self, messages, batchId: int) -> None:
+        epoch_dir = os.path.join(self.path, f"epoch={batchId}")
+        os.makedirs(epoch_dir, exist_ok=True)
+        shards = []
+        for m in messages:
+            os.replace(m.tmp_path, os.path.join(epoch_dir, m.final_name))
+            shards.append({"shard": m.final_name, "records": m.n_records})
+        manifest = {
+            "epoch": batchId,
+            "shards": sorted(shards, key=lambda s: s["shard"]),
+            "total_records": sum(s["records"] for s in shards),
+            "columns": self.columns,
+        }
+        tmp = os.path.join(epoch_dir, f".{MANIFEST}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(epoch_dir, MANIFEST))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class XMLExportDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -138,3 +198,6 @@ class XMLExportDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> _XMLShardWriter:
         return _XMLShardWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> _XMLShardStreamWriter:
+        return _XMLShardStreamWriter(self.options, schema)

@@ -102,3 +102,44 @@ def test_overwrite_replaces_previous_export(registered, tmp_path):
 def test_missing_path_option_fails_fast(registered):
     with pytest.raises(Exception):
         _df(registered, 4, 1).write.format("xmlexport").mode("append").save()
+
+
+def test_stream_writer_commits_per_epoch(registered, tmp_path):
+    """writeStream.format('xmlexport'): each microbatch lands as its own
+    epoch=N directory (shards + manifest), temps cleaned, and the union
+    of all epochs' records equals the input exactly."""
+    spark = registered
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    df1 = _df(spark, n=8, parts=1)
+    df2 = (spark.range(8, 14).repartition(1)
+           .select(F.col("id"),
+                   F.concat(F.lit("study "), F.col("id")).alias("title"),
+                   F.lit("en").alias("lang")))
+    df1.write.parquet(src)
+    df2.write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(df1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.format("xmlexport")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    epochs = sorted(d for d in os.listdir(out) if d.startswith("epoch="))
+    assert len(epochs) == 2
+    total, ids = 0, []
+    for ep in epochs:
+        edir = os.path.join(out, ep)
+        files = os.listdir(edir)
+        assert MANIFEST in files
+        assert not [f for f in files if f.endswith(".tmp")]
+        manifest = json.load(open(os.path.join(edir, MANIFEST)))
+        total += manifest["total_records"]
+        for shard in (f for f in files if f.endswith(".xml")):
+            root = ET.parse(os.path.join(edir, shard)).getroot()
+            ids += [int(r.find("field[@name='id']").text)
+                    for r in root.findall("record")]
+    assert total == 14 and sorted(ids) == list(range(14))
