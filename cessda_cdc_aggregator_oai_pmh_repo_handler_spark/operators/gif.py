@@ -170,34 +170,54 @@ def _interlace_rows(height: int) -> list[int]:
     return out
 
 
+def _padded_table(palette: bytes) -> tuple[bytes, int]:
+    """Pad a packed-RGB palette to the spec's 2^(s+1) table size; returns
+    (table bytes, size_bits)."""
+    n_colors = len(palette) // 3
+    if not 2 <= n_colors <= 256:
+        raise ValueError("GIF palette must have 2..256 RGB entries")
+    size_bits = max((n_colors - 1).bit_length(), 1)
+    table = palette + b"\x00" * (3 * ((1 << size_bits) - n_colors))
+    return table, size_bits
+
+
 def encode_gif(frames: list[bytes], palette: bytes, width: int, height: int,
-               delay_cs: int = 10, interlace: bool = False) -> bytes:
+               delay_cs: int = 10, interlace: bool = False,
+               local_palettes: list[bytes | None] | None = None) -> bytes:
     """Encode indexed frames (each ``width*height`` palette indices) into a
     GIF. One frame → plain GIF89a image; several frames → animated GIF
     with a Graphic Control Extension (``delay_cs`` hundredths of a second)
     before each frame. ``palette`` is packed RGB, 2..256 entries.
     ``interlace`` stores rows in the spec's 4-pass order (flag 0x40 in the
-    image descriptor); decode restores raster order."""
-    n_colors = len(palette) // 3
-    if not 2 <= n_colors <= 256:
-        raise ValueError("GIF palette must have 2..256 RGB entries")
-    size_bits = max((n_colors - 1).bit_length(), 1)
-    table_entries = 1 << size_bits
-    gct = palette + b"\x00" * (3 * (table_entries - n_colors))
-    min_code_size = max(size_bits, 2)
+    image descriptor); decode restores raster order. ``local_palettes``
+    (aligned with ``frames``; None entries fall back to the global table)
+    writes a Local Color Table per frame — the real-world animated-GIF
+    shape where each frame re-quantizes its own 256 colors."""
+    gct, g_bits = _padded_table(palette)
+    if local_palettes is not None and len(local_palettes) != len(frames):
+        raise ValueError("local_palettes must align with frames")
 
     out = bytearray(b"GIF89a")
-    packed = 0x80 | ((size_bits - 1) << 4) | (size_bits - 1)
+    packed = 0x80 | ((g_bits - 1) << 4) | (g_bits - 1)
     out += struct.pack("<HHBBB", width, height, packed, 0, 0)
     out += gct
-    for frame in frames:
+    for fi, frame in enumerate(frames):
         if len(frame) != width * height:
             raise ValueError("frame size does not match dimensions")
+        local = local_palettes[fi] if local_palettes else None
         if len(frames) > 1:
             out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04,
                                delay_cs, 0, 0)
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
-                           0x40 if interlace else 0)
+        fpacked = 0x40 if interlace else 0
+        if local is not None:
+            lct, l_bits = _padded_table(local)
+            fpacked |= 0x80 | (l_bits - 1)
+            min_code_size = max(l_bits, 2)
+        else:
+            lct = b""
+            min_code_size = max(g_bits, 2)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, fpacked)
+        out += lct
         out.append(min_code_size)
         if interlace:
             frame = b"".join(frame[r * width:(r + 1) * width]
@@ -230,22 +250,25 @@ def _gather_sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def decode_gif(payload: bytes, every_n: int = 1
-               ) -> tuple[list[bytearray], bytes, int, int]:
-    """Decode a GIF into (frames, palette, width, height); each frame is
-    raw palette indices. ``every_n`` keeps every n-th frame, and the
-    sampled-out frames' LZW streams are never decompressed (their
-    sub-blocks are skipped byte-wise)."""
+               ) -> tuple[list[bytearray], list[bytes], int, int]:
+    """Decode a GIF into (frames, palettes, width, height); each frame is
+    raw palette indices and ``palettes[i]`` is ITS effective color table
+    (the Local Color Table when the frame carries one, else the global
+    table). ``every_n`` keeps every n-th frame, and the sampled-out
+    frames' LZW streams are never decompressed (their sub-blocks are
+    skipped byte-wise)."""
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF payload")
     width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB",
                                                              payload, 6)
     pos = 13
-    palette = b""
+    global_palette = b""
     if packed & 0x80:
         entries = 2 << (packed & 0x07)
-        palette = payload[pos:pos + 3 * entries]
+        global_palette = payload[pos:pos + 3 * entries]
         pos += 3 * entries
     frames: list[bytearray] = []
+    palettes: list[bytes] = []
     frame_idx = 0
     while pos < len(payload):
         marker = payload[pos]
@@ -260,8 +283,11 @@ def decode_gif(payload: bytes, every_n: int = 1
             raise ValueError(f"unexpected GIF block marker {marker:#x}")
         _l, _t, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if fpacked & 0x80:  # local color table (our encoder never writes one)
-            pos += 3 * (2 << (fpacked & 0x07))
+        palette = global_palette
+        if fpacked & 0x80:  # local color table overrides for this frame
+            entries = 2 << (fpacked & 0x07)
+            palette = payload[pos:pos + 3 * entries]
+            pos += 3 * entries
         min_code_size = payload[pos]
         pos += 1
         if frame_idx % every_n == 0:
@@ -276,17 +302,19 @@ def decode_gif(payload: bytes, every_n: int = 1
                         frame[stored * fw:(stored + 1) * fw]
                 frame = raster
             frames.append(frame)
+            palettes.append(palette)
         else:
             pos = _skip_sub_blocks(payload, pos)
         frame_idx += 1
-    return frames, palette, width, height
+    return frames, palettes, width, height
 
 
 def decode_gif_rgb(payload: bytes, every_n: int = 1) -> list[list[int]]:
-    """Decode to per-frame flat RGB lists via the global palette."""
-    frames, palette, _w, _h = decode_gif(payload, every_n)
+    """Decode to per-frame flat RGB lists via each frame's effective
+    palette (local table when present, else global)."""
+    frames, palettes, _w, _h = decode_gif(payload, every_n)
     out = []
-    for frame in frames:
+    for frame, palette in zip(frames, palettes):
         rgb: list[int] = []
         for idx in frame:
             base = 3 * idx

@@ -444,12 +444,22 @@ def encode_gif_payload(media_id: int, width: int, height: int) -> bytes:
 def encode_animated_gif_payload(media_id: int, width: int, height: int,
                                 n_frames: int) -> bytes:
     """Real animated GIF bytes: one Graphic Control Extension + LZW image
-    per frame — the second video container next to MJPEG AVI."""
+    per frame — the second video container next to MJPEG AVI. Odd frames
+    carry their own Local Color Table (the real-world shape where each
+    frame re-quantizes), so the LCT decode path rides the gate fixture."""
     from .gif import encode_gif
 
     palette, frames = _gif_fixture(f"agif:{media_id}", width, height,
                                    n_frames)
-    return encode_gif(frames, palette, width, height, delay_cs=10)
+    local_palettes: list[bytes | None] = []
+    for fi in range(n_frames):
+        if fi % 2 == 0:
+            local_palettes.append(None)
+        else:
+            seed = hashlib.md5(f"agif:{media_id}:lpal:{fi}".encode()).digest()
+            local_palettes.append((seed * (64 * 3 // len(seed) + 1))[:64 * 3])
+    return encode_gif(frames, palette, width, height, delay_cs=10,
+                      local_palettes=local_palettes)
 
 
 def _decode_gif(payload: bytes, every_n: int = 1) -> list[float]:
@@ -463,12 +473,17 @@ def _decode_gif(payload: bytes, every_n: int = 1) -> list[float]:
 
     from .gif import decode_gif
 
-    frames, palette, _w, _h = decode_gif(payload, every_n)
-    pal = np.frombuffer(palette, dtype=np.uint8).astype(np.float64)
-    pal = pal.reshape(-1, 3)
-    lut = (0.299 * pal[:, 0] + 0.587 * pal[:, 1] + 0.114 * pal[:, 2]) / 255
+    frames, palettes, _w, _h = decode_gif(payload, every_n)
+    luts: dict[bytes, object] = {}
     out: list[float] = []
-    for f in frames:
+    for f, palette in zip(frames, palettes):
+        lut = luts.get(palette)
+        if lut is None:
+            pal = np.frombuffer(palette, dtype=np.uint8).astype(np.float64)
+            pal = pal.reshape(-1, 3)
+            lut = (0.299 * pal[:, 0] + 0.587 * pal[:, 1]
+                   + 0.114 * pal[:, 2]) / 255
+            luts[palette] = lut
         out.extend(lut[np.frombuffer(bytes(f), dtype=np.uint8)].tolist())
     return out
 

@@ -28,9 +28,9 @@ def test_static_roundtrip_exact_256_colors():
     palette = _palette(rng, 256)
     frame = bytes(rng.randrange(256) for _ in range(w * h))
     payload = G.encode_gif([frame], palette, w, h)
-    frames, pal, gw, gh = G.decode_gif(payload)
+    frames, pals, gw, gh = G.decode_gif(payload)
     assert (gw, gh) == (w, h)
-    assert pal == palette
+    assert pals[0] == palette
     assert bytes(frames[0]) == frame
 
 
@@ -192,3 +192,31 @@ def test_gif_fixture_rotation_includes_interlace():
         assert p[pos] == 0x2C
         return p[pos + 9] & 0x40
     assert interlace_bit(p_inter) and not interlace_bit(p_plain)
+
+
+def test_local_color_tables_per_frame():
+    """Frames with Local Color Tables decode through THEIR palette, not
+    the global one — the real-world animated-GIF shape where every frame
+    re-quantizes its own colors."""
+    rng = random.Random(17)
+    w, h = 10, 6
+    global_pal = _palette(rng, 8)
+    local_pal = _palette(rng, 32)
+    f0 = bytes(rng.randrange(8) for _ in range(w * h))    # global palette
+    f1 = bytes(rng.randrange(32) for _ in range(w * h))   # local palette
+    payload = G.encode_gif([f0, f1], global_pal, w, h,
+                           local_palettes=[None, local_pal])
+    frames, pals, _w, _h = G.decode_gif(payload)
+    assert bytes(frames[0]) == f0 and pals[0] == global_pal
+    assert bytes(frames[1]) == f1 and pals[1] == local_pal
+    rgb = G.decode_gif_rgb(payload)
+    assert rgb[1][:3] == list(local_pal[3 * f1[0]:3 * f1[0] + 3])
+    # sampling still skips LCT frames byte-exactly
+    sampled, spals, *_ = G.decode_gif(payload, every_n=2)
+    assert [bytes(f) for f in sampled] == [f0] and spals == [global_pal]
+
+
+def test_local_palette_alignment_enforced():
+    with pytest.raises(ValueError):
+        G.encode_gif([b"\x00" * 4], b"\x00" * 6, 2, 2,
+                     local_palettes=[None, None])
