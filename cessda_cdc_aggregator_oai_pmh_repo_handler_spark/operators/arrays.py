@@ -132,6 +132,25 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` ingests the semi-structured
+    props column ONCE into the binary variant encoding, then
+    ``variant_get`` path-extracts with a typed cast — the open-format
+    answer to schema-on-read JSON columns (vs ``get_json_object``'s
+    per-call string re-parse; at 100 TB the variant column is parsed at
+    ingest and every downstream extraction is a binary offset walk)."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("k").cast("long").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
 def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF forward fill (last observation carried forward) — the classic
     sensor/time-series gap repair: readings exist only on every third
@@ -531,6 +550,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "gapfill_hourly": q_gapfill_hourly,
     "locf_fill": q_locf_fill,
+    "variant_extract": q_variant_extract,
     "asof_last_signup": q_asof_last_signup,
     "debounce_events": q_debounce_events,
     "time_weighted_avg": q_time_weighted_avg,
@@ -778,6 +798,15 @@ ORACLES = {
         FROM embeddings
         WHERE vec_id < 100
         ORDER BY vec_id
+    """,
+    "variant_extract": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS BIGINT) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
     """,
     "locf_fill": """
         SELECT user_id, event_id,

@@ -156,6 +156,9 @@ _WINDOW_SUBS = (
         (("event_type", "str"), ("hour", "ts")), ("cnt", "sum_value")),
     Sub("locf_fill", arrays.q_locf_fill, arrays.ORACLES["locf_fill"],
         (("user_id", "str"), ("event_id", "str")), ("filled", "was_gap")),
+    Sub("variant_extract", arrays.q_variant_extract,
+        arrays.ORACLES["variant_extract"],
+        (("event_type", "str"),), ("cnt", "sum_k", "min_k", "max_k")),
     Sub("funnel_steps", arrays.q_funnel_steps, arrays.ORACLES["funnel_steps"],
         (), ("step_view", "step_click", "step_purchase", "conversion_pct")),
     Sub("cohort_retention", arrays.q_cohort_retention,
@@ -267,6 +270,9 @@ _CORPUS_SUBS = (
     Sub("approx_quantiles", text_analysis.q_approx_quantiles,
         text_analysis.ORACLES["approx_quantiles"],
         (), ("p50_exact", "p95_exact", "approx_p50_ok", "approx_p95_ok")),
+    Sub("hll_union", text_analysis.q_hll_union,
+        text_analysis.ORACLES["hll_union"],
+        (), ("n_shards", "exact_parts", "union_ok")),
     Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
         text_analysis.ORACLES["cms_heavy_hitters"],
         (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),

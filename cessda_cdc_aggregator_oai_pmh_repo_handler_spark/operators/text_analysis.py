@@ -543,6 +543,43 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality sketches (Apache DataSketches HLL via Spark's
+    ``hll_sketch_agg``/``hll_union_agg``): one sketch per shard
+    (l_returnflag partition), unioned into a global estimate WITHOUT
+    touching rows again — the exact pattern a 100 TB pipeline uses to
+    keep per-partition stats that roll up to corpus totals (each parquet
+    partition stores its binary sketch; corpus cardinality is a
+    sketch-sized union, not a re-scan). approx_count_distinct cannot do
+    this: its HLL++ buffer never leaves the aggregate. Verified-sketch
+    form: shard count and exact distinct hash-verify; the union estimate
+    verifies as a within-10% indicator (default lgConfigK=12 → ~1.6%
+    rsd, so 10% is a many-sigma bound the oracle claims outright)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sketches = (li.groupBy("l_returnflag")
+                .agg(F.expr("hll_sketch_agg(l_partkey)").alias("sk")))
+    merged = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("ep"))
+    return merged.crossJoin(exact).select(
+        F.col("n_shards").cast("long").alias("n_shards"),
+        F.col("ep").alias("exact_parts"),
+        F.when(F.abs(F.col("est") - F.col("ep")) <= 0.1 * F.col("ep"),
+               1.0).otherwise(0.0).alias("union_ok"),
+    )
+
+
+ORACLE_HLL_UNION = """
+    SELECT CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem)
+                AS BIGINT) AS n_shards,
+           CAST((SELECT count(DISTINCT l_partkey) FROM lineitem)
+                AS BIGINT) AS exact_parts,
+           CAST(1.0 AS DOUBLE) AS union_ok
+"""
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna via ``percentile_approx``) checked
     against the exact percentiles, the same verified-sketch pattern as
@@ -1054,6 +1091,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "split_leakage": q_split_leakage,
     "approx_quantiles": q_approx_quantiles,
+    "hll_union": q_hll_union,
     "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
     "gopher_repetition": q_gopher_repetition,
@@ -1177,6 +1215,7 @@ ORACLES = {
             ORDER BY exact_cnt DESC, l_suppkey LIMIT {CMS_TOP}
         ) t
     """,
+    "hll_union": ORACLE_HLL_UNION,
     "approx_quantiles": """
         SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
                round(quantile_cont(l_extendedprice, 0.95), 3) AS p95_exact,
