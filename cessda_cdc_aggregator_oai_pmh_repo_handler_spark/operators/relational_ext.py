@@ -464,6 +464,15 @@ SQL_TEXTS = {
         GROUP BY GROUPING SETS ((l_returnflag),
                                 (l_returnflag, l_linestatus), ())
     """,
+    # Lateral column aliases: a SELECT item referencing the alias defined
+    # just before it, chained — both engines resolve left-to-right
+    "sql_text_lateral_alias": """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               round(price * 0.1, 2) AS tithe,
+               round(tithe + 1.0, 2) AS tithe_plus
+        FROM orders WHERE o_custkey < 50
+    """,
     # GROUP BY ALL / ORDER BY ALL (the modern shorthand both engines
     # accept: every non-aggregate select item groups, every column sorts)
     "sql_text_group_order_all": """
@@ -642,6 +651,48 @@ SQL_TEXTS = {
         GROUP BY segment, quartile
     """,
 }
+
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (Spark 4 ``CREATE FUNCTION … RETURN expr``)
+    — the §2.9 plugin surface in pure SQL: the function body is inlined
+    by the analyzer into the plan (no Python worker, no JVM UDF object),
+    so a SQL UDF costs exactly what its expression costs and pushdown /
+    codegen still apply. The oracle runs the same query with the bodies
+    textually inlined — equality proves the inlining semantics."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'high'
+                                   WHEN p >= 50000 THEN 'mid'
+                                   ELSE 'low' END
+    """)
+    return spark.sql("""
+        SELECT price_band(o_totalprice) AS band,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(round(sum(CAST(disc_price(o_totalprice, 0.1)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS discounted
+        FROM orders GROUP BY price_band(o_totalprice)
+    """)
+
+
+ORACLE_SQL_UDF = """
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END AS band,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(CAST(o_totalprice * (1.0 - 0.1)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS discounted
+    FROM orders GROUP BY 1
+"""
 
 
 def _make_text_query(sql: str):
@@ -1398,6 +1449,7 @@ ORACLES = {
     """,
     "column_histogram": _histogram_oracle(),
     "sql_text_parity": SQL_TEXT_PARITY,
+    "sql_udf": ORACLE_SQL_UDF,
     **SQL_TEXTS,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count

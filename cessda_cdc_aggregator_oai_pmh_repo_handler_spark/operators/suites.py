@@ -450,6 +450,13 @@ _SQL_SURFACE_SUBS = (
         relational_ext.SQL_TEXTS["sql_text_grouping_sets"],
         (("rf", "str"), ("ls", "str"), ("g_rf", "str"), ("g_ls", "str")),
         ("cnt", "sum_qty")),
+    Sub("sql_udf", relational_ext.q_sql_udf,
+        relational_ext.ORACLES["sql_udf"],
+        (("band", "str"),), ("cnt", "discounted")),
+    Sub("sql_text_lateral_alias",
+        relational_ext.TEXT_QUERIES["sql_text_lateral_alias"],
+        relational_ext.SQL_TEXTS["sql_text_lateral_alias"],
+        (("o_orderkey", "str"),), ("price", "tithe", "tithe_plus")),
     Sub("sql_text_group_order_all",
         relational_ext.TEXT_QUERIES["sql_text_group_order_all"],
         relational_ext.SQL_TEXTS["sql_text_group_order_all"],

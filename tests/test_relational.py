@@ -145,3 +145,25 @@ def test_debounce_and_twap_invariants(spark, sf_dir):
         lo, hi = bounds[r["event_type"]]
         assert lo - 1e-9 <= r["twap"] <= hi + 1e-9
         assert r["total_weight_us"] > 0
+
+
+def test_sql_udf_inlines_into_the_plan(spark):
+    """SQL UDFs are analyzer-inlined: the plan must contain no Python
+    worker stage (BatchEvalPython) and no JVM UDF call — a SQL UDF costs
+    exactly its expression. A table-valued SQL function works too."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext import (
+        q_sql_udf,
+    )
+
+    df = q_sql_udf(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
+    assert df.count() > 0
+
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION three_rows(n INT)
+        RETURNS TABLE(i INT)
+        RETURN SELECT i FROM VALUES (0), (1), (2) AS t(i) WHERE i < n
+    """)
+    assert [r["i"] for r in spark.sql(
+        "SELECT i FROM three_rows(2) ORDER BY i").collect()] == [0, 1]
