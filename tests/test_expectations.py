@@ -3,6 +3,8 @@ probe that provably counts real violations."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import expectations as E
@@ -190,3 +192,36 @@ def test_erasure_audit_invariants(spark, sf_dir):
     again = {r["relation"]: r for r in q_erasure_audit(spark, sf_dir).collect()}
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()}
+
+
+def test_gated_write_single_pass_publish(spark, tmp_path):
+    """gated_write: clean data publishes with zero-violation metrics from
+    the SAME job that wrote the files; dirty data rolls the output back
+    and raises with the counters."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.expectations import (
+        PublishGateError, gated_write,
+    )
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    o = load_table(spark, "orders", "/root/testdata/sf0.001")
+    checks = [
+        ("null_keys", F.col("o_orderkey").isNull()),
+        ("nonpositive_price", ~(F.col("o_totalprice") > 0)),
+    ]
+    out = str(tmp_path / "published")
+    metrics = gated_write(o, checks, out)
+    assert metrics == {"null_keys": 0, "nonpositive_price": 0}
+    assert spark.read.parquet(out).count() == o.count()
+
+    bad_out = str(tmp_path / "rolled_back")
+    bad_checks = checks + [("too_tight_probe", F.col("o_totalprice") > 10)]
+    with pytest.raises(PublishGateError) as ei:
+        gated_write(o, bad_checks, bad_out)
+    assert ei.value.metrics["too_tight_probe"] > 0
+    assert not os.path.exists(bad_out), "failed publish must roll back"

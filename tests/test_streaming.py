@@ -291,3 +291,54 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
     assert unmatched and matched
     assert matched == {tuple(r)
                        for r in I.signup_purchase_join(events).collect()}
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The PRODUCTION state backend: the same cross-batch dedup runs with
+    RocksDB as the state store provider (bundled rocksdbjni; state spills
+    to local disk instead of living on the JVM heap — the backend a
+    100 TB streaming job actually uses), with changelog checkpointing on.
+    State survives across restarts exactly as with the default provider."""
+    import datetime as dt
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.dedup_stream import (
+        DOC_STREAM_SCHEMA, dedup_document_stream,
+    )
+
+    provider = ("org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+    before = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                            None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    try:
+        src = str(tmp_path / "rdb_in")
+        ckpt = str(tmp_path / "rdb_ckpt")
+        out = str(tmp_path / "rdb_out")
+        ts = dt.datetime(2024, 1, 1)
+
+        def run_wave(rows):
+            spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q = (dedup_document_stream(spark, src)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_wave([(1, "one two", "en", "s0", ts),
+                  (2, "three four", "en", "s0", ts)])
+        run_wave([(3, "one two", "en", "s1", ts),      # dup across restart
+                  (4, "five six", "en", "s0", ts)])
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert {r["text"] for r in got.collect()} == \
+            {"one two", "three four", "five six"}
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", before)
