@@ -695,6 +695,42 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+def decode_media_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` variant of :func:`decode_media`: the UDF consumes
+    and produces ``pyarrow.RecordBatch`` directly, skipping the
+    Arrow→pandas→Arrow conversion ``mapInPandas`` pays on every batch.
+    For a binary-payload table the pandas leg is pure overhead — payloads
+    become Python ``bytes`` either way, but pandas wraps every column in
+    Series/block structures first. Same rows, same schema, same plan
+    shape (one partition-preserving Python stage); pinned equal to
+    decode_media in tests, throughput compared in the stress harness."""
+    import pyarrow as pa
+
+    target = pa.schema([
+        pa.field("media_id", pa.int64(), False),
+        pa.field("kind", pa.string(), False),
+        pa.field("n_values", pa.int32()),
+        pa.field("mean_value", pa.float64()),
+        pa.field("feature", pa.list_(pa.float32())),
+    ])
+
+    def decode_batches(batches: "Iterator[pa.RecordBatch]"):
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            values = [_decode(p.as_py()) for p in payloads]
+            yield pa.RecordBatch.from_arrays([
+                batch.column(batch.schema.get_field_index("media_id")),
+                batch.column(batch.schema.get_field_index("kind")),
+                pa.array([len(v) for v in values], pa.int32()),
+                pa.array([sum(v) / len(v) if v else None for v in values],
+                         pa.float64()),
+                pa.array([_feature(v) for v in values],
+                         pa.list_(pa.float32())),
+            ], schema=target)
+
+    return media.mapInArrow(decode_batches, schema=DECODED_SCHEMA)
+
+
 def resize_images_2d(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL 2-D bilinear image resize: decode → (h, w) luma plane →
     bilinear sample onto an (out_h, out_w) grid → flatten. numpy-vectorized

@@ -281,3 +281,18 @@ def test_bz2_and_xz_containers():
     png = M.encode_png_payload(5, 6, 4)
     assert M._decode(bz2.compress(wav)) == M._decode(wav)
     assert M._decode(lzma.compress(png)) == M._decode(png)
+
+
+def test_decode_media_arrow_equals_pandas_path(spark):
+    """mapInArrow decode produces EXACTLY the rows of the mapInPandas
+    path — same codecs, no pandas conversion layer."""
+    media = M.synthetic_media_real(spark, 32)
+    via_pandas = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    via_arrow = {r["media_id"]: r
+                 for r in M.decode_media_arrow(media).collect()}
+    assert set(via_pandas) == set(via_arrow)
+    for mid, rp in via_pandas.items():
+        ra = via_arrow[mid]
+        assert (rp["kind"], rp["n_values"]) == (ra["kind"], ra["n_values"])
+        assert rp["mean_value"] == ra["mean_value"]
+        assert rp["feature"] == ra["feature"]

@@ -326,6 +326,20 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
             "values": int(stats),
             unit: int(stats / max(secs, 1e-9)),
         }
+        if key == "media_decode":
+            # mapInArrow vs mapInPandas over the SAME materialized
+            # payloads: the delta is pure pandas-conversion overhead
+            from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+                decode_media_arrow,
+            )
+            a_secs, a_stats = timed(
+                lambda: decode_media_arrow(media)
+                .agg(F.sum("n_values")).first()[0])
+            report["media_decode_arrow"] = {
+                "sec": a_secs, count_key: n, "values": int(a_stats),
+                unit: int(a_stats / max(a_secs, 1e-9)),
+                "vs_pandas_ratio": round(a_secs / max(secs, 1e-9), 3),
+            }
         media.unpersist()
     # AVI demux-level frame sampling: decode all frames vs 1-in-4, over
     # PRE-MATERIALIZED clips (localCheckpoint) so the passes time
