@@ -1375,6 +1375,7 @@ def q_mongo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "supplier_stats": q_supplier_stats,
+    "sql_udf": q_sql_udf,
     "mongo_filter": q_mongo_filter,
     "grouping_sets": q_grouping_sets,
     "analytic_extras": q_analytic_extras,

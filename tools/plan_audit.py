@@ -82,6 +82,10 @@ HEADLINERS = {
     "sql_text_lateral": "Correlated LATERAL aggregate: decorrelated to one grouped orders aggregate + broadcast joins — no per-row subquery re-execution.",
     "containment_pairs": "Asymmetric containment: rare-first probe prefix equi-joined to the FULL inverted shingle index; verify join computes exact |A∩B|/|A| — no all-pairs product.",
     "similarity_join": "Cross-table similarity join: sign-block equi-join with the probe relation broadcast; norms folded pre-join; threshold filter, not top-k.",
+    "locf_fill": "LOCF forward fill: last(ignorenulls) running window — ONE user_id exchange, no per-key imperative loop, no Python.",
+    "hll_union": "Mergeable cardinality: per-shard hll_sketch_agg (two-phase partials), then hll_union_agg over SKETCH-sized rows — the global estimate never re-scans data.",
+    "variant_extract": "VARIANT extraction: parse_json once per row in the scan projection, variant_get as a codegen'd path walk; ordinary grouped aggregate above.",
+    "sql_udf": "SQL UDFs: bodies analyzer-inlined into the aggregate — the plan shows plain expressions, no Python stage, no JVM UDF node.",
 }
 
 
