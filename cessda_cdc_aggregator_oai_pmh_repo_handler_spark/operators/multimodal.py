@@ -801,16 +801,16 @@ def resize_images(media: DataFrame, width: int) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: decode a media table of REAL encoded bytes — binary PPM
-    images, zlib-compressed RGB PNG images, entropy-coded baseline JPEG
-    images (own T.81 Huffman+IDCT decoder), and PCM16 WAV audio, decoded
-    by the actual codecs above inside
-    Arrow-batched mapInPandas (payloads never touch the driver) — and roll
-    the extracted features up per kind. The oracle is a literal-VALUES
-    table computed by running the same codecs in plain Python (the media
-    table is built in-memory, so DuckDB can't scan it — but its expected
-    output is exact)."""
-    dec = decode_media(synthetic_media_real(spark, 64))
+    """Gate query: decode a media table of REAL encoded bytes — PPM / PNG
+    / JPEG (baseline + progressive) / GIF images, WAV / FLAC / ADPCM /
+    G.711 audio, AVI + animated-GIF video — by the actual codecs above,
+    inside the Arrow-native ``mapInArrow`` stage (the measured-fastest
+    decode path: no pandas conversion, payloads never touch the driver)
+    — and roll the extracted features up per kind. The oracle is a
+    literal-VALUES table computed by running the same codecs in plain
+    Python (the media table is built in-memory, so DuckDB can't scan it —
+    but its expected output is exact)."""
+    dec = decode_media_arrow(synthetic_media_real(spark, 64))
     feat_sum = F.aggregate("feature", F.lit(0.0),
                            lambda acc, v: acc + v.cast("double"))
     return (
