@@ -304,6 +304,96 @@ def streaming_user_running_totals(spark: SparkSession, source_dir: str,
     )
 
 
+SESSION_GAP_MINUTES = 30
+
+
+def streaming_session_finalizer(spark: SparkSession, source_dir: str,
+                                schema: T.StructType,
+                                gap_minutes: int = SESSION_GAP_MINUTES,
+                                watermark: str = "1 hour"):
+    """Idle-session finalizer — ``applyInPandasWithState`` with an
+    EVENT-TIME TIMEOUT: per-user sessions carrying custom payloads
+    (event count, value sum, first/last timestamps) that
+    ``F.session_window`` cannot express, emitted EXACTLY ONCE per closed
+    session. A session closes two ways, both handled:
+
+    - a later event from the same user arrives past the gap → the old
+      session emits immediately and a new one opens (split-on-arrival);
+    - no event ever arrives → the registered timeout fires when the
+      WATERMARK passes last_ts + gap (``state.hasTimedOut``), so idle
+      users' sessions still finalize — the case arrival-driven logic
+      alone can never close.
+
+    State is one fixed-width row per user; the timeout registration is
+    re-armed on every update, so state size is user-count-bounded and
+    the store never accumulates dead sessions. This is the canonical
+    shape for sessionization at 100 TB where the built-in session_window
+    suffices only for count/sum payloads."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ])
+
+    def _row(user, s):
+        return pd.DataFrame({
+            "user_id": [user],
+            "session_start": [pd.Timestamp(s[0], unit="us")],
+            "session_end": [pd.Timestamp(s[1], unit="us")],
+            "events": [s[2]],
+            "value_sum": [round(s[3], 2)],
+        })
+
+    def update(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                yield _row(user, state.get)
+            state.remove()
+            return
+        cur = list(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if cur is None:
+                    cur = [us, us, 0, 0.0]
+                elif us - cur[1] > gap_us:
+                    yield _row(user, cur)          # split-on-arrival
+                    cur = [us, us, 0, 0.0]
+                cur[1] = max(cur[1], us)
+                cur[2] += 1
+                cur[3] += float(value)
+        if cur is not None:
+            state.update(tuple(cur))
+            # finalize via watermark if the user goes idle
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60_000)
+
+    return (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def signup_purchase_join(events: DataFrame, max_gap_days: int = 7,
                          watermark: str = "1 day") -> DataFrame:
     """Stream-stream interval join: each purchase joined to the signups of

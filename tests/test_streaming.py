@@ -342,3 +342,55 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", before)
+
+
+def test_session_finalizer_timeout_and_split(spark, tmp_path):
+    """Idle-session finalizer: sessions close by split-on-arrival (later
+    event past the gap) AND by event-time timeout (watermark passes
+    last_ts + gap with no further events) — every closed session emits
+    exactly once with its custom payload."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    m = dt.timedelta(minutes=1)
+    src = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+
+    # user 1: two sessions split by a 2h gap; user 2: one session
+    wave1 = [(1, base, 1, 1.0), (2, base + 5 * m, 1, 2.0),
+             (3, base + 125 * m, 1, 4.0),
+             (4, base + 10 * m, 2, 8.0)]
+    # sentinel advances the watermark far past everything
+    wave2 = [(9, dt.datetime(2030, 1, 1), -1, 0.0)]
+
+    def run_wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = (I.streaming_session_finalizer(spark, src, schema)
+             .writeStream.format("memory").queryName("sessions")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_wave(wave1)
+    run_wave(wave2)
+
+    got = {(r["user_id"], r["events"], r["value_sum"])
+           for r in spark.sql(
+               "SELECT * FROM sessions WHERE user_id >= 0").collect()}
+    # user 1 session A: events 1,2 (sum 3.0); session B: event 3 (4.0)
+    # user 2: one session (8.0) — closed by timeout, not by any arrival
+    assert got == {(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)}
+    spans = {(r["user_id"], r["events"]): (r["session_start"], r["session_end"])
+             for r in spark.sql(
+                 "SELECT * FROM sessions WHERE user_id >= 0").collect()}
+    assert spans[(1, 2)] == (base, base + 5 * m)
+    assert spans[(1, 1)] == (base + 125 * m, base + 125 * m)
