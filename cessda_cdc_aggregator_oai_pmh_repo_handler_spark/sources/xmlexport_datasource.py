@@ -1,6 +1,8 @@
-"""`xmlexport` — a PySpark Python Data Source WRITER (Spark 4
-``pyspark.sql.datasource`` sink protocol) that exports any DataFrame as
-sharded XML with two-phase commit.
+"""`xmlexport` — a full PySpark Python Data Source (Spark 4
+``pyspark.sql.datasource``): batch + streaming WRITER exporting any
+DataFrame as sharded XML with two-phase commit, and a manifest-driven
+READER that loads a committed export back as a table (one input
+partition per shard).
 
 The reference serves OAI-PMH XML per request (cdcagg_oai/serve.py
 renders one response at a time); the batch-export counterpart here is a
@@ -42,8 +44,10 @@ from xml.sax.saxutils import escape
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -191,6 +195,47 @@ class _XMLShardStreamWriter(DataSourceStreamWriter):
                 os.remove(m.tmp_path)
 
 
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _XMLShardReader(DataSourceReader):
+    """Read an export back as a table: the MANIFEST is the source of
+    truth (schema + shard list — a half-committed export is invisible
+    because the manifest lands last), one input partition per shard, so
+    read parallelism equals write parallelism. All columns come back as
+    strings (the export stringifies; omitted null fields return NULL)."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("xmlexport requires .option('path', <dir>)")
+        manifest_path = os.path.join(path, MANIFEST)
+        if not os.path.exists(manifest_path):
+            raise ValueError(f"no {MANIFEST} in {path!r}: nothing committed")
+        with open(manifest_path, encoding="utf-8") as f:
+            self.manifest = json.load(f)
+        self.path = path
+
+    def schema(self) -> str:
+        return ", ".join(f"`{c}` string" for c in self.manifest["columns"])
+
+    def partitions(self):
+        return [_ShardPartition(os.path.join(self.path, s["shard"]))
+                for s in self.manifest["shards"]]
+
+    def read(self, partition: _ShardPartition):
+        import xml.etree.ElementTree as ET
+
+        columns = self.manifest["columns"]
+        root = ET.parse(partition.path).getroot()
+        for rec in root.findall("record"):
+            fields = {f.get("name"): f.text or ""
+                      for f in rec.findall("field")}
+            yield tuple(fields.get(c) for c in columns)
+
+
 class XMLExportDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -201,3 +246,9 @@ class XMLExportDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> _XMLShardStreamWriter:
         return _XMLShardStreamWriter(self.options, schema)
+
+    def schema(self) -> str:
+        return _XMLShardReader(self.options).schema()
+
+    def reader(self, schema) -> _XMLShardReader:
+        return _XMLShardReader(self.options)

@@ -143,3 +143,31 @@ def test_stream_writer_commits_per_epoch(registered, tmp_path):
             ids += [int(r.find("field[@name='id']").text)
                     for r in root.findall("record")]
     assert total == 14 and sorted(ids) == list(range(14))
+
+
+def test_read_back_roundtrip(registered, tmp_path):
+    """The same data source READS an export back: manifest-driven schema
+    (all strings), one input partition per shard; every exported row
+    returns, nulls stay null."""
+    spark = registered
+    out = str(tmp_path / "roundtrip")
+    _df(spark).write.format("xmlexport").option("path", out) \
+        .mode("append").save()
+
+    back = spark.read.format("xmlexport").option("path", out).load()
+    assert back.columns == ["id", "title", "lang"]
+    assert back.schema["id"].dataType.simpleString() == "string"
+    assert back.rdd.getNumPartitions() == 3  # one per shard
+    rows = {int(r["id"]): r for r in back.collect()}
+    assert sorted(rows) == list(range(20))
+    for i, r in rows.items():
+        assert r["title"] == f"study {i}"
+        assert (r["lang"] is None) == (i % 5 == 0)
+
+
+def test_read_uncommitted_export_fails(registered, tmp_path):
+    out = str(tmp_path / "nothing")
+    import os
+    os.makedirs(out)
+    with pytest.raises(Exception):
+        registered.read.format("xmlexport").option("path", out).load().collect()
