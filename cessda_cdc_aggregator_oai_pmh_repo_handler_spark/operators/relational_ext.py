@@ -683,6 +683,64 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf`` user-defined TABLE function),
+    registered via ``spark.udtf.register`` and invoked from SQL with the
+    ``FROM t, LATERAL fn(t.col)`` correlation — the table-valued member
+    of the §2.9 plugin surface next to q_sql_udf's scalar one. One input
+    row fans out to N output rows with multiple typed columns, something
+    no scalar UDF can express; Spark plans it as a Generate over a
+    single Python worker stage (batch-pickled rows, NOT per-row RPC).
+    The word split is ``text.split(' ')`` with empties skipped but
+    POSITIONS preserved, so the DuckDB mirror (list indexing over
+    ``string_split``) reproduces positions exactly. Hot-path note: for
+    pure splitting the built-in posexplode(split()) stays JVM-side and
+    is what the corpus operators use; the UDTF form is the extension
+    point for expansions with real Python logic in them."""
+    from pyspark.sql.functions import udtf
+
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+
+    @udtf(returnType="pos: int, word: string")
+    class WordPositions:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                if w:
+                    yield (i, w)
+
+    spark.udtf.register("word_positions", WordPositions)
+    return spark.sql("""
+        SELECT w.word AS word,
+               CAST(count(*) AS BIGINT) AS occurrences,
+               CAST(count(DISTINCT d.doc_id) AS BIGINT) AS docs,
+               CAST(min(w.pos) AS BIGINT) AS min_pos
+        FROM documents d, LATERAL word_positions(d.text) w
+        WHERE d.doc_id < 200
+        GROUP BY w.word
+    """)
+
+
+ORACLE_PYTHON_UDTF = """
+    SELECT t.word AS word,
+           CAST(count(*) AS BIGINT) AS occurrences,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS docs,
+           CAST(min(t.pos) AS BIGINT) AS min_pos
+    FROM (
+        -- DuckDB zips parallel unnests in one SELECT, pairing each word
+        -- with its 0-based index (range(len)), no LATERAL needed
+        SELECT e.doc_id, e.pos, e.word
+        FROM (SELECT doc_id,
+                     unnest(range(len(string_split(text, ' ')))) AS pos,
+                     unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id < 200) e
+        WHERE e.word <> ''
+    ) t
+    GROUP BY t.word
+"""
+
+
 ORACLE_SQL_UDF = """
     SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
                 WHEN o_totalprice >= 50000 THEN 'mid'
@@ -1376,6 +1434,7 @@ def q_mongo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "sql_udf": q_sql_udf,
+    "python_udtf": q_python_udtf,
     "mongo_filter": q_mongo_filter,
     "grouping_sets": q_grouping_sets,
     "analytic_extras": q_analytic_extras,
@@ -1451,6 +1510,7 @@ ORACLES = {
     "column_histogram": _histogram_oracle(),
     "sql_text_parity": SQL_TEXT_PARITY,
     "sql_udf": ORACLE_SQL_UDF,
+    "python_udtf": ORACLE_PYTHON_UDTF,
     **SQL_TEXTS,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count

@@ -273,6 +273,9 @@ _CORPUS_SUBS = (
     Sub("hll_union", text_analysis.q_hll_union,
         text_analysis.ORACLES["hll_union"],
         (), ("n_shards", "exact_parts", "union_ok")),
+    Sub("quantile_merge", text_analysis.q_quantile_merge,
+        text_analysis.ORACLES["quantile_merge"],
+        (), ("n_shards", "total_rows", "p50_rank_ok", "p95_rank_ok")),
     Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
         text_analysis.ORACLES["cms_heavy_hitters"],
         (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),
@@ -453,6 +456,9 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_udf", relational_ext.q_sql_udf,
         relational_ext.ORACLES["sql_udf"],
         (("band", "str"),), ("cnt", "discounted")),
+    Sub("python_udtf", relational_ext.q_python_udtf,
+        relational_ext.ORACLES["python_udtf"],
+        (("word", "str"),), ("occurrences", "docs", "min_pos")),
     Sub("sql_text_lateral_alias",
         relational_ext.TEXT_QUERIES["sql_text_lateral_alias"],
         relational_ext.SQL_TEXTS["sql_text_lateral_alias"],

@@ -617,6 +617,78 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSK_K = 256          # order statistics kept per shard quantile summary
+
+
+def q_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile summaries — the per-partition-stats pattern for
+    percentiles, next to q_hll_union's cardinality form. Each shard
+    (l_returnflag group) reduces to QSK_K equal-weight order statistics
+    (the classic equi-depth summary, one ``percentile(col, array)``
+    aggregate buffer per shard); the global p50/p95 come from the
+    weighted merge of the 3·QSK_K summary rows ALONE — lineitem is never
+    re-scanned for the estimate. At 100 TB each parquet partition stores
+    its K-row summary next to its HLL sketch; corpus percentiles are a
+    summary-sized weighted sort, not a re-scan (``percentile_approx``
+    cannot do this: its GK buffer never leaves the aggregate).
+
+    Error bound: one shard's K-point summary mis-ranks any value by at
+    most n_s/(2K); merged, at most Σ n_s/(2K) = n/(2K) ≈ 0.2% of rank
+    at K=256. Verified-sketch form: shard count and total hash-verify;
+    the estimates verify as within-1%-of-rank indicators (a 5× margin,
+    deterministically 1.0 — the oracle claims exactly that)."""
+    from pyspark.sql import Window
+
+    li = (load_table(spark, "lineitem", sf_dir)
+          .select("l_returnflag", "l_extendedprice"))
+    qs = F.array(*[F.lit((i + 0.5) / QSK_K) for i in range(QSK_K)])
+    summaries = (li.groupBy("l_returnflag")
+                 .agg(F.percentile("l_extendedprice", qs).alias("qv"),
+                      F.count(F.lit(1)).alias("n")))
+    rows = summaries.select(
+        F.explode("qv").alias("v"),
+        (F.col("n").cast("double") / QSK_K).alias("w"),
+    )
+    totals = li.agg(F.count(F.lit(1)).alias("n_total"),
+                    F.countDistinct("l_returnflag").alias("n_shards"))
+    # single-partition window is fine: 3·QSK_K summary rows, not data rows
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    est = (rows.select("v", F.sum("w").over(cum).alias("cw"))
+           .crossJoin(F.broadcast(totals))
+           .agg(F.min(F.when(F.col("cw") >= 0.5 * F.col("n_total"),
+                             F.col("v"))).alias("e50"),
+                F.min(F.when(F.col("cw") >= 0.95 * F.col("n_total"),
+                             F.col("v"))).alias("e95")))
+    # ground-truth rank of each estimate (local-scale verification pass
+    # only — production ships the summaries without it)
+    ranks = li.crossJoin(F.broadcast(est)).agg(
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("e50"), 1)
+              .otherwise(0)).alias("r50"),
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("e95"), 1)
+              .otherwise(0)).alias("r95"),
+    )
+
+    def rank_ok(r, q):
+        frac = F.col(r).cast("double") / F.col("n_total")
+        return F.when(F.abs(frac - q) <= 0.01, 1.0).otherwise(0.0)
+
+    return ranks.crossJoin(F.broadcast(totals)).select(
+        F.col("n_shards").cast("long").alias("n_shards"),
+        F.col("n_total").cast("long").alias("total_rows"),
+        rank_ok("r50", 0.5).alias("p50_rank_ok"),
+        rank_ok("r95", 0.95).alias("p95_rank_ok"),
+    )
+
+
+ORACLE_QUANTILE_MERGE = """
+    SELECT CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem)
+                AS BIGINT) AS n_shards,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS total_rows,
+           CAST(1.0 AS DOUBLE) AS p50_rank_ok,
+           CAST(1.0 AS DOUBLE) AS p95_rank_ok
+"""
+
+
 CMS_EPS = 0.001      # over-estimate bound: est <= exact + eps * N
 CMS_CONFIDENCE = 0.99
 CMS_TOP = 10
@@ -1092,6 +1164,7 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "approx_quantiles": q_approx_quantiles,
     "hll_union": q_hll_union,
+    "quantile_merge": q_quantile_merge,
     "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
     "gopher_repetition": q_gopher_repetition,
@@ -1216,6 +1289,7 @@ ORACLES = {
         ) t
     """,
     "hll_union": ORACLE_HLL_UNION,
+    "quantile_merge": ORACLE_QUANTILE_MERGE,
     "approx_quantiles": """
         SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
                round(quantile_cont(l_extendedprice, 0.95), 3) AS p95_exact,
