@@ -233,6 +233,141 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regr_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 linear-regression aggregates (``regr_slope/intercept/r2/
+    avgx/avgy/count``) per group — value-for-value vs DuckDB's identical
+    aggregate vocabulary. Single-pass moment sketches like stats_agg;
+    var_x/cov_xy are the sxx/sxy forms normalized by count so round(4)
+    absorbs partial-merge summation-order ulps at any scale (raw sxx
+    grows with n, so a fixed decimal rounding would stop absorbing them
+    at 100 TB; the per-row normalization keeps the magnitude flat)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    n = F.regr_count(y, x)
+    return li.groupBy("l_returnflag").agg(
+        n.cast("long").alias("regr_n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("icpt"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+        F.round(F.regr_sxx(y, x) / n, 4).alias("var_x"),
+        (F.round(F.regr_sxy(y, x) / n, 4) + F.lit(0.0)).alias("cov_xy"),
+    )
+
+
+ORACLE_REGR_CONFORMANCE = """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS regr_n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icpt,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y,
+           round(regr_sxx(l_extendedprice, l_quantity)
+                 / regr_count(l_extendedprice, l_quantity), 4) AS var_x,
+           round(regr_sxy(l_extendedprice, l_quantity)
+                 / regr_count(l_extendedprice, l_quantity), 4) + 0.0 AS cov_xy
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+RIDGE_LAMBDA = 1.0   # L2 penalty on the non-intercept coefficients
+
+
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ridge regression via NORMAL EQUATIONS — the
+    sufficient-statistics pattern for linear-model training: one
+    whole-stage-codegen aggregation pass reduces the table to the 15
+    entries of (XᵀX, Xᵀy, yᵀy) for features [1, l_quantity, l_discount,
+    l_tax] → y = l_extendedprice; the driver solves the 4×4 ridge system
+    (XᵀX + λD)β = Xᵀy (numpy, D sparing the intercept) from that one
+    row. At 100 TB the data pass is embarrassingly parallel with
+    map-side partial sums and the driver work stays p², independent of
+    n — the exact-solve sibling of the gradient-descent loop, with no
+    iterations at all.
+
+    Exactness scheme: the 2-dp source columns are integer-scaled
+    (price→cents, discount/tax→percent points), products stay in BIGINT
+    (≤3e13, codegen-friendly) and only the sums widen to DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB's automatic BIGINT-sum type) — width-18
+    decimal multiplies overflow DuckDB's int64 fast path. The
+    hash-checked outputs are the RAW integer sums cast to double: the
+    same exact integer rounds to the same nearest double on both
+    engines, so no decimal-rounding convention is ever invoked; the
+    driver divides the scale factors back out before solving, so β
+    lands in original units. The solve verifies through a
+    gradient-residual indicator ‖(XᵀX+λD)β − Xᵀy‖/‖Xᵀy‖ < 1e-8 and an
+    R² ∈ [0,1] indicator (both deterministically 1.0 — the oracle
+    claims exactly that)."""
+    import numpy as np
+
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def ints(c, s):
+        return F.round(F.col(c) * s).cast("long") if s != 1 \
+            else F.round(F.col(c)).cast("long")
+
+    xs = [F.lit(1).cast("long"), ints("l_quantity", 1),
+          ints("l_discount", 100), ints("l_tax", 100)]
+    scale = [1.0, 1.0, 100.0, 100.0]
+    yv, ys = ints("l_extendedprice", 100), 100.0
+    aggs = [F.count(F.lit(1)).alias("n")]
+    p = len(xs)
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum((xs[i] * xs[j]).cast("decimal(38,0)"))
+                        .alias(f"a{i}{j}"))
+        aggs.append(F.sum((xs[i] * yv).cast("decimal(38,0)"))
+                    .alias(f"b{i}"))
+    aggs.append(F.sum((yv * yv).cast("decimal(38,0)")).alias("syy"))
+    stats = li.agg(*aggs).collect()[0]  # ONE row of p(p+3)/2+2 sums
+
+    A = np.empty((p, p))
+    b = np.array([float(stats[f"b{i}"]) / (scale[i] * ys)
+                  for i in range(p)])
+    for i in range(p):
+        for j in range(i, p):
+            A[i, j] = A[j, i] = (float(stats[f"a{i}{j}"])
+                                 / (scale[i] * scale[j]))
+    D = np.eye(p)
+    D[0, 0] = 0.0  # never penalize the intercept
+    beta = np.linalg.solve(A + RIDGE_LAMBDA * D, b)
+    grad = (A + RIDGE_LAMBDA * D) @ beta - b
+    grad_ok = float(np.linalg.norm(grad) / np.linalg.norm(b) < 1e-8)
+    n = float(stats["n"])
+    syy = float(stats["syy"]) / (ys * ys)
+    sse = syy - 2.0 * beta @ b + beta @ A @ beta
+    sst = syy - b[0] ** 2 / n
+    r2_ok = float(0.0 <= 1.0 - sse / sst <= 1.0)
+
+    return spark.range(1).select(
+        F.lit(int(stats["n"])).cast("long").alias("n_rows"),
+        F.lit(float(stats["b0"])).cast("double").alias("sum_y_cents"),
+        F.lit(float(stats["b1"])).cast("double").alias("sum_qy_cents"),
+        F.lit(float(stats["syy"])).cast("double").alias("syy_cents2"),
+        F.lit(grad_ok).cast("double").alias("grad_ok"),
+        F.lit(r2_ok).cast("double").alias("r2_ok"),
+    )
+
+
+ORACLE_RIDGE_REGRESSION = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) AS sum_y_cents,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) AS sum_qy_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) AS syy_cents2,
+           CAST(1.0 AS DOUBLE) AS grad_ok,
+           CAST(1.0 AS DOUBLE) AS r2_ok
+    FROM lineitem
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting revenue change: pure scan + predicate + global
     aggregate. The whole query should collapse to one WholeStageCodegen
@@ -1459,6 +1594,8 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "window_functions": q_window_functions,
     "stats_agg": q_stats_agg,
+    "regr_conformance": q_regr_conformance,
+    "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
@@ -1511,6 +1648,8 @@ ORACLES = {
     "sql_text_parity": SQL_TEXT_PARITY,
     "sql_udf": ORACLE_SQL_UDF,
     "python_udtf": ORACLE_PYTHON_UDTF,
+    "regr_conformance": ORACLE_REGR_CONFORMANCE,
+    "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count

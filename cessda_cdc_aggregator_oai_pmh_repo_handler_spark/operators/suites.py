@@ -276,6 +276,10 @@ _CORPUS_SUBS = (
     Sub("quantile_merge", text_analysis.q_quantile_merge,
         text_analysis.ORACLES["quantile_merge"],
         (), ("n_shards", "total_rows", "p50_rank_ok", "p95_rank_ok")),
+    Sub("ridge_regression", relational_ext.q_ridge_regression,
+        relational_ext.ORACLES["ridge_regression"],
+        (), ("n_rows", "sum_y_cents", "sum_qy_cents", "syy_cents2",
+             "grad_ok", "r2_ok")),
     Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
         text_analysis.ORACLES["cms_heavy_hitters"],
         (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),
@@ -456,6 +460,11 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_udf", relational_ext.q_sql_udf,
         relational_ext.ORACLES["sql_udf"],
         (("band", "str"),), ("cnt", "discounted")),
+    Sub("regr_conformance", relational_ext.q_regr_conformance,
+        relational_ext.ORACLES["regr_conformance"],
+        (("l_returnflag", "str"),),
+        ("regr_n", "slope", "icpt", "r2", "avg_x", "avg_y",
+         "var_x", "cov_xy")),
     Sub("python_udtf", relational_ext.q_python_udtf,
         relational_ext.ORACLES["python_udtf"],
         (("word", "str"),), ("occurrences", "docs", "min_pos")),
