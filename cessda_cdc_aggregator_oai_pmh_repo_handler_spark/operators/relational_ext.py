@@ -233,6 +233,43 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_listagg_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg(col, delim) WITHIN GROUP (ORDER BY …)`` — the
+    ordered string-concatenation aggregate (ISO/IEC 9075:2016), checked
+    value-for-value against DuckDB's ``string_agg(col, sep ORDER BY …)``
+    spelling of the same aggregate. The concatenated string itself is a
+    result column (the suite carries it in the key slot; deterministic
+    because the within-group order is total). Nation names per region —
+    a broadcast-dim-sized group by design: at scale listagg output grows
+    with group size, so it belongs on bounded dimensions, not facts."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    n.createOrReplaceTempView("nation_la")
+    r.createOrReplaceTempView("region_la")
+    return spark.sql("""
+        SELECT r.r_name AS r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(length(listagg(n.n_name, ',')
+                    WITHIN GROUP (ORDER BY n.n_name)) AS BIGINT) AS total_len
+        FROM nation_la n JOIN region_la r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """)
+
+
+ORACLE_LISTAGG_CONFORMANCE = """
+    SELECT r.r_name AS r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(length(string_agg(n.n_name, ',' ORDER BY n.n_name))
+                AS BIGINT) AS total_len
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+
+
 def q_regr_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL:2003 linear-regression aggregates (``regr_slope/intercept/r2/
     avgx/avgy/count``) per group — value-for-value vs DuckDB's identical
@@ -1594,6 +1631,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "window_functions": q_window_functions,
     "stats_agg": q_stats_agg,
+    "listagg_conformance": q_listagg_conformance,
     "regr_conformance": q_regr_conformance,
     "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
@@ -1648,6 +1686,7 @@ ORACLES = {
     "sql_text_parity": SQL_TEXT_PARITY,
     "sql_udf": ORACLE_SQL_UDF,
     "python_udtf": ORACLE_PYTHON_UDTF,
+    "listagg_conformance": ORACLE_LISTAGG_CONFORMANCE,
     "regr_conformance": ORACLE_REGR_CONFORMANCE,
     "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,

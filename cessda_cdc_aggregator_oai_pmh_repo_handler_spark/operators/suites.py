@@ -280,6 +280,16 @@ _CORPUS_SUBS = (
         relational_ext.ORACLES["ridge_regression"],
         (), ("n_rows", "sum_y_cents", "sum_qy_cents", "syy_cents2",
              "grad_ok", "r2_ok")),
+    Sub("kll_quantiles", text_analysis.q_kll_quantiles,
+        text_analysis.ORACLES["kll_quantiles"],
+        (), ("n_total", "p50_rank_ok", "p95_rank_ok")),
+    Sub("theta_sketch_ops", text_analysis.q_theta_sketch_ops,
+        text_analysis.ORACLES["theta_sketch_ops"],
+        (), ("n_shards", "exact_union", "exact_inter", "exact_diff",
+             "union_ok", "inter_ok", "diff_ok")),
+    Sub("bitmap_distinct", text_analysis.q_bitmap_distinct,
+        text_analysis.ORACLES["bitmap_distinct"],
+        (("slice", "str"),), ("exact_distinct",)),
     Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
         text_analysis.ORACLES["cms_heavy_hitters"],
         (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),
@@ -460,6 +470,10 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_udf", relational_ext.q_sql_udf,
         relational_ext.ORACLES["sql_udf"],
         (("band", "str"),), ("cnt", "discounted")),
+    Sub("listagg_conformance", relational_ext.q_listagg_conformance,
+        relational_ext.ORACLES["listagg_conformance"],
+        (("r_name", "str"), ("nations", "str")),
+        ("n_nations", "total_len")),
     Sub("regr_conformance", relational_ext.q_regr_conformance,
         relational_ext.ORACLES["regr_conformance"],
         (("l_returnflag", "str"),),

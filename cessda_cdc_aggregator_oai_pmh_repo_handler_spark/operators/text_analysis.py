@@ -696,6 +696,186 @@ ORACLE_QUANTILE_MERGE = """
 """
 
 
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches KLL quantile sketch with an EXPLICIT merge stage —
+    the library sibling of q_quantile_merge's hand-built equi-depth
+    summary: one ``kll_sketch_agg_double`` per l_returnflag shard, then
+    the binary ``kll_sketch_merge_double`` folded over the shard
+    sketches with the ``aggregate`` higher-order function (Spark ships
+    the pairwise merge only; the fold turns it into an N-way one).
+    Global p50/p95 come from the merged sketch alone. At 100 TB the
+    per-shard sketches are kilobytes and the fold is driver-free.
+
+    Verified-sketch form: ``kll_sketch_get_n`` is an exact row count
+    (hash-checked); the quantile estimates verify as within-5%-of-rank
+    indicators via one ground-truth re-scan (KLL k=200 ⇒ ~1.7%
+    normalized rank error at 99% confidence; the sketch is randomized,
+    so the margin is 3× the bound to keep the indicator deterministic
+    in practice — the oracle claims 1.0)."""
+    li = (load_table(spark, "lineitem", sf_dir)
+          .select("l_returnflag", F.col("l_extendedprice").alias("v")))
+    sketches = (li.groupBy("l_returnflag")
+                .agg(F.kll_sketch_agg_double("v").alias("sk")))
+    merged = (sketches.agg(F.collect_list("sk").alias("sks"))
+              .select(F.aggregate(
+                  F.slice("sks", 2, 1 << 30),
+                  F.element_at("sks", 1),
+                  lambda acc, x: F.kll_sketch_merge_double(acc, x),
+              ).alias("m")))
+    est = merged.select(
+        F.kll_sketch_get_n_double("m").alias("n_total"),
+        F.kll_sketch_get_quantile_double("m", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("m", F.lit(0.95)).alias("e95"),
+    )
+    ranks = li.crossJoin(F.broadcast(est)).agg(
+        F.first("n_total").alias("n_total"),
+        F.sum(F.when(F.col("v") <= F.col("e50"), 1).otherwise(0)).alias("r50"),
+        F.sum(F.when(F.col("v") <= F.col("e95"), 1).otherwise(0)).alias("r95"),
+    )
+
+    def rank_ok(r, q):
+        frac = F.col(r).cast("double") / F.col("n_total")
+        return F.when(F.abs(frac - q) <= 0.05, 1.0).otherwise(0.0)
+
+    return ranks.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        rank_ok("r50", 0.5).alias("p50_rank_ok"),
+        rank_ok("r95", 0.95).alias("p95_rank_ok"),
+    )
+
+
+ORACLE_KLL_QUANTILES = """
+    SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_total,
+           CAST(1.0 AS DOUBLE) AS p50_rank_ok,
+           CAST(1.0 AS DOUBLE) AS p95_rank_ok
+"""
+
+
+def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches THETA sketches — the distinct-count sketch family
+    that supports set ALGEBRA, which HLL cannot: union via
+    ``theta_union_agg``, intersection via ``theta_intersection_agg``,
+    difference via the binary ``theta_difference``. One sketch per
+    l_returnflag shard over l_suppkey, then R∪A∪N, R∩A and R∖A are
+    computed from the SKETCHES alone — no re-scan. At 100 TB this is
+    how per-partition audience/membership sketches answer overlap
+    questions (shared users between two corpus slices) at merge time.
+
+    Verified-sketch form: the exact union/intersection/difference
+    cardinalities (one flag-census pass: max-per-suppkey booleans) are
+    hash-checked; the theta estimates verify as within-2% indicators —
+    below the default k=4096 distinct values a theta sketch is in exact
+    mode, so at gate/bench scale the estimates are exactly equal and
+    the indicator is deterministic (the oracle claims 1.0)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sk = (li.groupBy("l_returnflag")
+          .agg(F.theta_sketch_agg("l_suppkey").alias("sk")))
+    union_est = sk.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("u_est"))
+    ra = sk.filter(F.col("l_returnflag").isin("R", "A"))
+    inter_est = ra.agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("i_est"))
+    diff_est = (ra.agg(
+        F.first(F.when(F.col("l_returnflag") == "R", F.col("sk")),
+                ignorenulls=True).alias("skr"),
+        F.first(F.when(F.col("l_returnflag") == "A", F.col("sk")),
+                ignorenulls=True).alias("ska"))
+        .select(F.theta_sketch_estimate(
+            F.theta_difference("skr", "ska")).alias("d_est")))
+    census = (li.groupBy("l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+        F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("a"))
+        .agg(F.count(F.lit(1)).alias("exact_union"),
+             F.sum(F.col("r") * F.col("a")).alias("exact_inter"),
+             F.sum(F.col("r") * (1 - F.col("a"))).alias("exact_diff")))
+
+    def ok(est, exact):
+        return (F.when(F.abs(F.col(est) - F.col(exact))
+                       <= 0.02 * F.greatest(F.col(exact), F.lit(1)), 1.0)
+                .otherwise(0.0))
+
+    return (union_est.crossJoin(inter_est).crossJoin(diff_est)
+            .crossJoin(census).select(
+                F.col("n_shards").cast("long").alias("n_shards"),
+                F.col("exact_union").cast("long").alias("exact_union"),
+                F.col("exact_inter").cast("long").alias("exact_inter"),
+                F.col("exact_diff").cast("long").alias("exact_diff"),
+                ok("u_est", "exact_union").alias("union_ok"),
+                ok("i_est", "exact_inter").alias("inter_ok"),
+                ok("d_est", "exact_diff").alias("diff_ok")))
+
+
+ORACLE_THETA_SKETCH_OPS = """
+    SELECT CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem)
+                AS BIGINT) AS n_shards,
+           CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem)
+                AS BIGINT) AS exact_union,
+           CAST((SELECT count(*) FROM
+                 (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+                  INTERSECT
+                  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') t)
+                AS BIGINT) AS exact_inter,
+           CAST((SELECT count(*) FROM
+                 (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+                  EXCEPT
+                  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') t)
+                AS BIGINT) AS exact_diff,
+           CAST(1.0 AS DOUBLE) AS union_ok,
+           CAST(1.0 AS DOUBLE) AS inter_ok,
+           CAST(1.0 AS DOUBLE) AS diff_ok
+"""
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates — the
+    roaring-bitmap-style pattern for integer keys: bucket each key
+    (``bitmap_bucket_number``), set its bit (``bitmap_bit_position`` →
+    ``bitmap_construct_agg``) per (slice, bucket, input partition), OR
+    the partials per bucket (``bitmap_or_agg`` — the mergeability
+    proof), and sum ``bitmap_count`` per slice. Unlike HLL/theta this
+    is exact at every scale, at the cost of bitmap size ∝ key range /
+    2^15 buckets; unlike count(DISTINCT) the per-bucket bitmaps are
+    storable partition stats that merge without a re-scan. The AND
+    form (``bitmap_and_agg`` over buckets present in BOTH slices)
+    yields the exact slice intersection the same way."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lvl1 = (li.select("l_returnflag",
+                      F.bitmap_bucket_number("l_suppkey").alias("bkt"),
+                      F.bitmap_bit_position("l_suppkey").alias("pos"),
+                      F.spark_partition_id().alias("pid"))
+            .groupBy("l_returnflag", "bkt", "pid")
+            .agg(F.bitmap_construct_agg("pos").alias("bm")))
+    lvl2 = (lvl1.groupBy("l_returnflag", "bkt")
+            .agg(F.bitmap_or_agg("bm").alias("bm")))
+    per_flag = (lvl2.groupBy("l_returnflag")
+                .agg(F.sum(F.bitmap_count("bm")).alias("exact_distinct"))
+                .select(F.col("l_returnflag").alias("slice"),
+                        F.col("exact_distinct").cast("long")
+                        .alias("exact_distinct")))
+    inter = (lvl2.filter(F.col("l_returnflag").isin("R", "A"))
+             .groupBy("bkt")
+             .agg(F.bitmap_and_agg("bm").alias("ab"),
+                  F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.when(F.col("c") == 2, F.bitmap_count("ab"))
+                        .otherwise(F.lit(0))).alias("n"))
+             .select(F.lit("R&A").alias("slice"),
+                     F.col("n").cast("long").alias("exact_distinct")))
+    return per_flag.unionByName(inter)
+
+
+ORACLE_BITMAP_DISTINCT = """
+    SELECT l_returnflag AS slice,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'R&A' AS slice, CAST(count(*) AS BIGINT) AS exact_distinct
+    FROM (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+          INTERSECT
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') t
+"""
+
+
 CMS_EPS = 0.001      # over-estimate bound: est <= exact + eps * N
 CMS_CONFIDENCE = 0.99
 CMS_TOP = 10
@@ -1172,6 +1352,9 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "hll_union": q_hll_union,
     "quantile_merge": q_quantile_merge,
+    "kll_quantiles": q_kll_quantiles,
+    "theta_sketch_ops": q_theta_sketch_ops,
+    "bitmap_distinct": q_bitmap_distinct,
     "winnow_pairs": q_winnow_pairs,
     "duplicate_spans": q_duplicate_spans,
     "gopher_repetition": q_gopher_repetition,
@@ -1297,6 +1480,9 @@ ORACLES = {
     """,
     "hll_union": ORACLE_HLL_UNION,
     "quantile_merge": ORACLE_QUANTILE_MERGE,
+    "kll_quantiles": ORACLE_KLL_QUANTILES,
+    "theta_sketch_ops": ORACLE_THETA_SKETCH_OPS,
+    "bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "approx_quantiles": """
         SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
                round(quantile_cont(l_extendedprice, 0.95), 3) AS p95_exact,
