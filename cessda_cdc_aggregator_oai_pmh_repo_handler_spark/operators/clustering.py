@@ -294,5 +294,91 @@ def _kmeans_oracle_sql(k: int = K, dim: int = GATE_DIM,
     """
 
 
-QUERIES = {"kmeans_clusters": q_kmeans_clusters}
-ORACLES = {"kmeans_clusters": _kmeans_oracle_sql()}
+def covariance_partials(vectors: DataFrame) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """Distributed (n, mean, covariance) over an ``embedding`` column via
+    the sufficient-statistics pattern: each partition reduces to one row
+    of (count, Σx, Σxxᵀ flattened) in an Arrow-batched mapInPandas pass
+    (BLAS ``XᵀX`` per batch), the driver merges the P partial rows —
+    collect size is partitions × (1+d+d²) doubles, independent of n."""
+
+    def part(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += len(X)
+            s = X.sum(0) if s is None else s + X.sum(0)
+            gram = X.T @ X
+            g = gram if g is None else g + gram
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s], "g": [g.ravel()]})
+
+    rows = (vectors.select("embedding")
+            .mapInPandas(part, "n long, s array<double>, g array<double>")
+            .collect())
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = len(s)
+    G = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    return n, mu, G / n - np.outer(mu, mu)
+
+
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding column via covariance sufficient statistics
+    — the closed-form sibling of the k-means loop: ONE distributed pass
+    reduces the corpus to (n, Σx, Σxxᵀ) partials (covariance_partials,
+    mapInPandas + BLAS), the driver eigendecomposes the d×d covariance
+    (d=64: trivially driver-sized, like the K-row k-means collects), and
+    a SECOND distributed pass validates the decomposition end-to-end:
+    the population variance of the projection x·v₁ (built-in zip_with /
+    aggregate fold — JVM-side dot product) must equal λ₁.
+
+    At 100 TB the data passes are embarrassingly parallel and the
+    driver work stays d², independent of n. Verified-sketch form:
+    n_vecs/dims hash-check; eigh verifies as deterministic indicators —
+    Σλ = trace(C), λ ≥ 0 (PSD), top-8 variance share ∈ (0,1], and the
+    projection-variance match (the oracle claims 1.0 for each)."""
+    vecs = load_table(spark, "embeddings", sf_dir)
+    n, mu, C = covariance_partials(vecs)
+    evals, evecs = np.linalg.eigh(C)
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    tr = float(np.trace(C))
+    trace_ok = float(abs(float(evals.sum()) - tr) <= 1e-8 * max(tr, 1e-12))
+    psd_ok = float(float(evals.min()) >= -1e-8 * max(float(evals.max()), 1e-12))
+    ve8 = float(evals[:8].sum() / evals.sum())
+    ve8_ok = float(0.0 < ve8 <= 1.0)
+
+    v1 = F.array(*[F.lit(float(x)) for x in evecs[:, 0]])
+    proj = vecs.select(
+        F.aggregate(
+            F.zip_with("embedding", v1, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x).alias("p"))
+    pv = float(proj.agg(F.var_pop("p")).collect()[0][0])
+    proj_ok = float(abs(pv - float(evals[0]))
+                    <= 1e-6 * max(float(evals[0]), 1e-12))
+
+    return spark.range(1).select(
+        F.lit(int(n)).cast("long").alias("n_vecs"),
+        F.lit(len(mu)).cast("long").alias("dims"),
+        F.lit(trace_ok).cast("double").alias("trace_ok"),
+        F.lit(psd_ok).cast("double").alias("psd_ok"),
+        F.lit(ve8_ok).cast("double").alias("top8_share_ok"),
+        F.lit(proj_ok).cast("double").alias("proj_var_ok"),
+    )
+
+
+ORACLE_PCA_EMBEDDINGS = """
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           CAST((SELECT len(embedding) FROM embeddings LIMIT 1)
+                AS BIGINT) AS dims,
+           CAST(1.0 AS DOUBLE) AS trace_ok,
+           CAST(1.0 AS DOUBLE) AS psd_ok,
+           CAST(1.0 AS DOUBLE) AS top8_share_ok,
+           CAST(1.0 AS DOUBLE) AS proj_var_ok
+"""
+
+
+QUERIES = {"kmeans_clusters": q_kmeans_clusters,
+           "pca_embeddings": q_pca_embeddings}
+ORACLES = {"kmeans_clusters": _kmeans_oracle_sql(),
+           "pca_embeddings": ORACLE_PCA_EMBEDDINGS}

@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import (ann, arrays, assembly, bpe, dedup, expectations, pii,
-               relational, relational_ext, text_analysis)
+from . import (ann, arrays, assembly, bpe, clustering, dedup, expectations,
+               pii, relational, relational_ext, text_analysis)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -290,6 +290,10 @@ _CORPUS_SUBS = (
     Sub("bitmap_distinct", text_analysis.q_bitmap_distinct,
         text_analysis.ORACLES["bitmap_distinct"],
         (("slice", "str"),), ("exact_distinct",)),
+    Sub("pca_embeddings", clustering.q_pca_embeddings,
+        clustering.ORACLES["pca_embeddings"],
+        (), ("n_vecs", "dims", "trace_ok", "psd_ok", "top8_share_ok",
+             "proj_var_ok")),
     Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
         text_analysis.ORACLES["cms_heavy_hitters"],
         (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),

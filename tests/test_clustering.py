@@ -56,3 +56,27 @@ def test_kmeans_beats_single_cluster_inertia(spark, vectors):
     # 64-d near-isotropic data: k=10 buys ~8% on this corpus; require a
     # strict, non-trivial improvement
     assert inertia_k10 < 0.95 * inertia_k1
+
+
+def test_pca_covariance_matches_numpy(spark, vectors, sf_dir):
+    import numpy as np
+
+    n, mu, C = KM.covariance_partials(vectors)
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64)
+                   for r in vectors.select("embedding").collect()])
+    assert n == len(X)
+    assert np.allclose(mu, X.mean(0), rtol=0, atol=1e-9)
+    C_ref = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(C, C_ref, rtol=1e-9, atol=1e-9)
+    # symmetric PSD, eigh round-trips
+    evals, evecs = np.linalg.eigh(C)
+    assert np.allclose(C, C.T)
+    assert evals.min() >= -1e-10 * max(evals.max(), 1e-12)
+    assert np.allclose(evecs.T @ evecs, np.eye(len(mu)), atol=1e-9)
+
+
+def test_pca_indicators_all_green(spark, sf_dir):
+    row = KM.q_pca_embeddings(spark, sf_dir).collect()[0]
+    assert row["dims"] == 64
+    assert row["trace_ok"] == row["psd_ok"] == 1.0
+    assert row["top8_share_ok"] == row["proj_var_ok"] == 1.0
