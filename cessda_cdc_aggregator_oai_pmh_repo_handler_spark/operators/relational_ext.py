@@ -233,6 +233,42 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML value round-trip: ``to_xml(struct(...))`` renders each order as
+    an XML document, ``xpath_long``/``xpath_string`` re-extract the
+    fields, and the per-priority aggregates of the EXTRACTED values must
+    equal the direct relational aggregates (the oracle computes those
+    directly — exact equality proves encode→parse is lossless). XML is
+    this engine's serving format (SURVEY §2.1 S4, oai/render.py), so the
+    built-in XML path belongs in the conformance set alongside the
+    renderer's ElementTree path. Per-row XML render + 3 xpath parses is
+    deliberately the slow path — the row keeps a 1/97 key-modulo slice
+    (pushed to the scan; same arithmetic in the oracle) so the
+    conformance check stays O(table/97) at any scale."""
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderkey") % 97 == 0))
+    x = o.select(F.to_xml(F.struct(
+        "o_orderkey", "o_totalprice", "o_orderpriority")).alias("xml"))
+    ext = x.select(
+        F.xpath_long("xml", F.lit("/ROW/o_orderkey")).alias("k"),
+        F.xpath_string("xml", F.lit("/ROW/o_totalprice")).alias("p"),
+        F.xpath_string("xml", F.lit("/ROW/o_orderpriority")).alias("pr"))
+    return ext.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("k").alias("sum_key"),
+        F.round(F.sum(F.col("p").cast("double")), 2).alias("sum_price"))
+
+
+ORACLE_XML_ROUNDTRIP = """
+    SELECT o_orderpriority AS pr,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+"""
+
+
 def q_listagg_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``listagg(col, delim) WITHIN GROUP (ORDER BY …)`` — the
     ordered string-concatenation aggregate (ISO/IEC 9075:2016), checked
@@ -1632,6 +1668,7 @@ QUERIES = {
     "window_functions": q_window_functions,
     "stats_agg": q_stats_agg,
     "listagg_conformance": q_listagg_conformance,
+    "xml_roundtrip": q_xml_roundtrip,
     "regr_conformance": q_regr_conformance,
     "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
@@ -1687,6 +1724,7 @@ ORACLES = {
     "sql_udf": ORACLE_SQL_UDF,
     "python_udtf": ORACLE_PYTHON_UDTF,
     "listagg_conformance": ORACLE_LISTAGG_CONFORMANCE,
+    "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
     "regr_conformance": ORACLE_REGR_CONFORMANCE,
     "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,

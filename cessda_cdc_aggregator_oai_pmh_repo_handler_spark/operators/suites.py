@@ -474,6 +474,9 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_udf", relational_ext.q_sql_udf,
         relational_ext.ORACLES["sql_udf"],
         (("band", "str"),), ("cnt", "discounted")),
+    Sub("xml_roundtrip", relational_ext.q_xml_roundtrip,
+        relational_ext.ORACLES["xml_roundtrip"],
+        (("pr", "str"),), ("cnt", "sum_key", "sum_price")),
     Sub("listagg_conformance", relational_ext.q_listagg_conformance,
         relational_ext.ORACLES["listagg_conformance"],
         (("r_name", "str"), ("nations", "str")),
