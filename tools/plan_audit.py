@@ -86,6 +86,13 @@ HEADLINERS = {
     "hll_union": "Mergeable cardinality: per-shard hll_sketch_agg (two-phase partials), then hll_union_agg over SKETCH-sized rows — the global estimate never re-scans data.",
     "variant_extract": "VARIANT extraction: parse_json once per row in the scan projection, variant_get as a codegen'd path walk; ordinary grouped aggregate above.",
     "sql_udf": "SQL UDFs: bodies analyzer-inlined into the aggregate — the plan shows plain expressions, no Python stage, no JVM UDF node.",
+    "python_udtf": "Python UDTF: one batch-pickled Generate/ArrowEvalPython stage feeding an ordinary grouped aggregate — the per-row fan-out never leaves the executor.",
+    "quantile_merge": "Mergeable equi-depth quantile summaries: per-(shard × input-partition) ntile window sort → K (max, count) buckets; the global p50/p95 read summary-sized rows, the re-scan is the verification pass only.",
+    "kll_quantiles": "KLL sketch percentiles: per-shard kll_sketch_agg (two-phase partials), binary merge folded via the aggregate HOF over sketch-sized rows — no data re-scan for the estimate.",
+    "theta_sketch_ops": "Theta set algebra: union/intersection/difference computed on SKETCHES; the exact census is one groupBy(l_suppkey) pass with map-side partials.",
+    "bitmap_distinct": "Exact mergeable distinct: bitmap_construct_agg per (slice, bucket, partition), bitmap_or_agg merge, counts summed from bucket bitmaps — distinct-sized state, no count(DISTINCT) expand.",
+    "regr_conformance": "SQL:2003 regression aggregates: single-pass moment sketches with map-side partial merge, one exchange on the group key.",
+    "xml_roundtrip": "to_xml/xpath round-trip conformance: 1/97 key-modulo slice pushed to the scan bounds the deliberately-slow per-row XML parse at any scale.",
 }
 
 
