@@ -304,6 +304,55 @@ def streaming_user_running_totals(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_user_topk(spark: SparkSession, source_dir: str,
+                        schema: T.StructType, k: int = 3):
+    """§2.8 stateful operator with BOUNDED ORDERED state: per-user top-k
+    event values maintained across microbatches via
+    ``applyInPandasWithState``. Unlike running totals (a fold) or
+    sessions (a gap rule), top-k needs an ordered multi-value state no
+    built-in streaming aggregate expresses — and it shows the
+    bounded-state discipline for 100 TB streams: the state row is
+    EXACTLY k doubles per key however many events arrive, because the
+    merge truncates inside the update function (state size is a design
+    constant, not data-dependent). Emitted every update; the last
+    emission per key equals the batch top-k."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_tracked", T.LongType()),
+        T.StructField("topk", T.ArrayType(T.DoubleType())),
+    ])
+    state_schema = T.StructType([
+        T.StructField("topk", T.ArrayType(T.DoubleType())),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        best = list(state.get[0]) if state.exists else []
+        n = 0
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            n += len(vals)
+            best.extend(float(v) for v in vals)
+            best.sort(reverse=True)
+            del best[k:]  # truncate per batch: state never exceeds k
+        state.update((best,))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_tracked": [len(best)],
+                            "topk": [best]})
+
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 

@@ -140,6 +140,37 @@ def test_streaming_stateful_running_totals(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_stateful_topk_across_batches(spark, tmp_path):
+    """Per-user top-3 maintained across ≥2 microbatches equals batch top-3
+    (maxFilesPerTrigger=1 over two parquet files forces the cross-batch
+    state merge; a value landing in batch 2 must displace batch 1's)."""
+    from pyspark.sql import functions as SF
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    src = str(tmp_path / "events_topk")
+    events.repartition(2).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/part-*")) >= 2
+
+    stream = I.streaming_user_topk(spark, src, events.schema, k=3)
+    q = (stream.writeStream.format("memory").queryName("user_topk")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("SELECT * FROM user_topk").collect():
+        got[r["user_id"]] = [round(v, 6) for v in r["topk"]]
+    want = {
+        r["user_id"]: [round(v, 6) for v in r["topk"]]
+        for r in events.groupBy("user_id")
+        .agg(SF.slice(SF.sort_array(SF.collect_list("value"), asc=False),
+                      1, 3).alias("topk"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_synthetic_harvest_source_end_to_end(spark, tmp_path):
     """Continuous synthetic source → watermarked merge: ids wrap (upserts),
     every 10th event deletes, corpus stays bounded by the id space."""
