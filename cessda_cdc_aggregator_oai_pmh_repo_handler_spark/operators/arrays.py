@@ -174,6 +174,85 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation gap fill — LOCF's higher-order sibling: a
+    missing reading is reconstructed on the line between the previous
+    and next known readings, weighted by event-time distance
+    (pv + (nv−pv)·(t−pt)/(nt−pt)). Gaps are synthesized
+    deterministically (readings survive on every fifth event_id); four
+    ignorenulls window edges (prev/next value and timestamp) ride ONE
+    exchange on user_id — no self-join, no per-key loop. Leading gaps
+    backfill from the next reading, trailing gaps carry the last one
+    (the interpolation identity needs both ends). Timestamp arithmetic
+    is integer epoch-micros on both engines (unix_micros / epoch_us),
+    the division is the only float step, and each filled value rounds
+    to 6 dp before the per-type census so the engines agree
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("tus")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = w.rowsBetween(1, Window.unboundedFollowing)
+    pv = F.last("v", ignorenulls=True).over(prev)
+    pt = F.last(F.when(F.col("v").isNotNull(), F.col("tus")),
+                ignorenulls=True).over(prev)
+    nv = F.first("v", ignorenulls=True).over(nxt)
+    nt = F.first(F.when(F.col("v").isNotNull(), F.col("tus")),
+                 ignorenulls=True).over(nxt)
+    interp = pv + (nv - pv) * ((F.col("tus") - pt).cast("double")
+                               / (nt - pt).cast("double"))
+    filled = F.coalesce(
+        F.col("v"),
+        F.when(pv.isNotNull() & nv.isNotNull(), interp),
+        pv, nv)
+    return (e.withColumn("filled", F.round(filled, 6))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("v").isNull()
+                              & F.col("filled").isNotNull(), 1)
+                       .otherwise(0)).alias("n_filled"),
+                 F.round(F.sum("filled"), 2).alias("sum_filled")))
+
+
+ORACLE_LINEAR_INTERP = """
+    WITH g AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus,
+             CASE WHEN event_id % 5 = 0 THEN value END AS v
+      FROM events),
+    w AS (
+      SELECT event_type, v, tus,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY tus
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY tus
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM g),
+    f AS (
+      SELECT event_type, v,
+        round(coalesce(v,
+          CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * CAST(tus - pt AS DOUBLE)
+                                     / CAST(nt - pt AS DOUBLE) END,
+          pv, nv), 6) AS filled
+      FROM w)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           round(sum(filled), 2) AS sum_filled
+    FROM f GROUP BY event_type
+"""
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns (explicit value list so
     the plan is a single aggregation, no distinct-values pre-pass)."""
@@ -550,6 +629,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "gapfill_hourly": q_gapfill_hourly,
     "locf_fill": q_locf_fill,
+    "linear_interp": q_linear_interp,
     "variant_extract": q_variant_extract,
     "asof_last_signup": q_asof_last_signup,
     "debounce_events": q_debounce_events,
@@ -819,6 +899,7 @@ ORACLES = {
                CAST(event_id % 3 <> 0 AS INT) AS was_gap
         FROM events WHERE user_id < 20
     """,
+    "linear_interp": ORACLE_LINEAR_INTERP,
     "json_extract": """
         SELECT event_type, count(*) AS cnt,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

@@ -233,6 +233,34 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION support: ``collate(col, 'UTF8_LCASE')`` makes
+    comparison/grouping case-insensitive AT THE TYPE LEVEL — distinct,
+    joins and group-bys honor it with no lower() rewrite, and unlike the
+    rewrite the original strings survive for display. Case diversity is
+    synthesized deterministically (even keys upper, odd lower) so the
+    case-sensitive distinct count is exactly 2× the case-insensitive
+    one; the DuckDB mirror spells the same semantics as count(DISTINCT
+    lower(x)) — the rewrite collation replaces."""
+    o = load_table(spark, "orders", sf_dir)
+    mixed = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority"))
+        .otherwise(F.lower("o_orderpriority")).alias("p"))
+    return mixed.agg(
+        F.countDistinct("p").alias("case_sensitive"),
+        F.countDistinct(F.collate("p", "UTF8_LCASE"))
+        .alias("case_insensitive"))
+
+
+ORACLE_COLLATION_DISTINCT = """
+    SELECT CAST(count(DISTINCT p) AS BIGINT) AS case_sensitive,
+           CAST(count(DISTINCT lower(p)) AS BIGINT) AS case_insensitive
+    FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                      ELSE lower(o_orderpriority) END AS p
+          FROM orders) t
+"""
+
+
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML value round-trip: ``to_xml(struct(...))`` renders each order as
     an XML document, ``xpath_long``/``xpath_string`` re-extract the
@@ -1669,6 +1697,7 @@ QUERIES = {
     "stats_agg": q_stats_agg,
     "listagg_conformance": q_listagg_conformance,
     "xml_roundtrip": q_xml_roundtrip,
+    "collation_distinct": q_collation_distinct,
     "regr_conformance": q_regr_conformance,
     "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
@@ -1725,6 +1754,7 @@ ORACLES = {
     "python_udtf": ORACLE_PYTHON_UDTF,
     "listagg_conformance": ORACLE_LISTAGG_CONFORMANCE,
     "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
+    "collation_distinct": ORACLE_COLLATION_DISTINCT,
     "regr_conformance": ORACLE_REGR_CONFORMANCE,
     "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,

@@ -156,6 +156,9 @@ _WINDOW_SUBS = (
         (("event_type", "str"), ("hour", "ts")), ("cnt", "sum_value")),
     Sub("locf_fill", arrays.q_locf_fill, arrays.ORACLES["locf_fill"],
         (("user_id", "str"), ("event_id", "str")), ("filled", "was_gap")),
+    Sub("linear_interp", arrays.q_linear_interp,
+        arrays.ORACLES["linear_interp"],
+        (("event_type", "str"),), ("n_rows", "n_filled", "sum_filled")),
     Sub("variant_extract", arrays.q_variant_extract,
         arrays.ORACLES["variant_extract"],
         (("event_type", "str"),), ("cnt", "sum_k", "min_k", "max_k")),
@@ -474,6 +477,9 @@ _SQL_SURFACE_SUBS = (
     Sub("sql_udf", relational_ext.q_sql_udf,
         relational_ext.ORACLES["sql_udf"],
         (("band", "str"),), ("cnt", "discounted")),
+    Sub("collation_distinct", relational_ext.q_collation_distinct,
+        relational_ext.ORACLES["collation_distinct"],
+        (), ("case_sensitive", "case_insensitive")),
     Sub("xml_roundtrip", relational_ext.q_xml_roundtrip,
         relational_ext.ORACLES["xml_roundtrip"],
         (("pr", "str"),), ("cnt", "sum_key", "sum_price")),
