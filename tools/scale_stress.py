@@ -432,6 +432,61 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     report["skewed_join"] = {"sec": secs, "rows": int(n)}
 
+    # --- mergeable per-partition statistics family (SCALING.md section) ---
+    # the same constructs as the gate rows (quantile_merge / kll_quantiles /
+    # theta_sketch_ops / bitmap_distinct / pca_embeddings), re-aimed at the
+    # stress corpus so their data passes are measured at 3M docs / 1M vecs.
+    from pyspark.sql import Window
+
+    vals = d.select("source", F.col("n_chars").cast("double").alias("v"))
+    K = 256
+
+    def quantile_summary():
+        unit = Window.partitionBy("source", "pid").orderBy("v")
+        rows_ = (vals.withColumn("pid", F.spark_partition_id())
+                 .withColumn("b", F.ntile(K).over(unit))
+                 .groupBy("source", "pid", "b")
+                 .agg(F.max("v").alias("v"),
+                      F.count(F.lit(1)).cast("double").alias("w"))
+                 .select("v", "w"))
+        cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return (rows_.select("v", F.sum("w").over(cum).alias("cw"))
+                .agg(F.count(F.lit(1)).alias("summary_rows")).first())
+    secs, st = timed(quantile_summary)
+    report["quantile_summary"] = {"sec": secs,
+                                  "summary_rows": int(st["summary_rows"])}
+
+    secs, p50 = timed(lambda: (
+        vals.groupBy("source").agg(F.kll_sketch_agg_double("v").alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(F.kll_sketch_get_quantile_double(
+            F.aggregate(F.slice("sks", 2, 1 << 30), F.element_at("sks", 1),
+                        lambda a, x: F.kll_sketch_merge_double(a, x)),
+            F.lit(0.5)).alias("p50")).first()["p50"]))
+    report["kll_merge"] = {"sec": secs, "p50": float(p50)}
+
+    secs, u = timed(lambda: (
+        d.groupBy("source").agg(F.theta_sketch_agg("doc_id").alias("sk"))
+        .agg(F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("u"))
+        .first()["u"]))
+    report["theta_union"] = {"sec": secs, "union_est": int(u)}
+
+    secs, bd = timed(lambda: (
+        d.select("source", F.bitmap_bucket_number("doc_id").alias("bkt"),
+                 F.bitmap_bit_position("doc_id").alias("pos"))
+        .groupBy("source", "bkt").agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("source").agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .agg(F.sum("n")).first()[0]))
+    report["bitmap_distinct"] = {"sec": secs, "total_distinct": int(bd)}
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.clustering import (
+        covariance_partials,
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    secs, (n_v, _mu, C) = timed(lambda: covariance_partials(emb))
+    report["pca_covariance"] = {"sec": secs, "n_vecs": int(n_v),
+                                "dim": int(C.shape[0])}
+
     report["scale"] = scale_tag
     return report
 
