@@ -522,14 +522,12 @@ def main() -> None:
             report["runs"].append(run)
             print(json.dumps(run), file=sys.stderr)
         third, full = report["runs"]
+        # every timed family: any report key whose value carries a "sec"
         report["time_ratio_full_over_third"] = {
             k: round(full[k]["sec"] / max(third[k]["sec"], 1e-9), 2)
-            for k in ("minhash_lsh", "cc_distributed", "triangle_stats",
-                      "hop_distance", "fuzzy_edit", "semantic_dedup",
-                      "media_decode", "progressive_jpeg", "flac_decode",
-                      "gif_decode", "adpcm_decode",
-                      "ann_bruteforce", "skewed_join", "recursive_spine",
-                      "recursive_walk", "lateral_decorrelated")
+            for k, v in full.items()
+            if isinstance(v, dict) and "sec" in v
+            and isinstance(third.get(k), dict) and "sec" in third[k]
         }
         print(json.dumps(report))
         if args.json:
