@@ -377,31 +377,11 @@ ORACLE_REGR_CONFORMANCE = """
 RIDGE_LAMBDA = 1.0   # L2 penalty on the non-intercept coefficients
 
 
-def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed ridge regression via NORMAL EQUATIONS — the
-    sufficient-statistics pattern for linear-model training: one
-    whole-stage-codegen aggregation pass reduces the table to the 15
-    entries of (XᵀX, Xᵀy, yᵀy) for features [1, l_quantity, l_discount,
-    l_tax] → y = l_extendedprice; the driver solves the 4×4 ridge system
-    (XᵀX + λD)β = Xᵀy (numpy, D sparing the intercept) from that one
-    row. At 100 TB the data pass is embarrassingly parallel with
-    map-side partial sums and the driver work stays p², independent of
-    n — the exact-solve sibling of the gradient-descent loop, with no
-    iterations at all.
-
-    Exactness scheme: the 2-dp source columns are integer-scaled
-    (price→cents, discount/tax→percent points), products stay in BIGINT
-    (≤3e13, codegen-friendly) and only the sums widen to DECIMAL(38,0)
-    (Spark) / HUGEINT (DuckDB's automatic BIGINT-sum type) — width-18
-    decimal multiplies overflow DuckDB's int64 fast path. The
-    hash-checked outputs are the RAW integer sums cast to double: the
-    same exact integer rounds to the same nearest double on both
-    engines, so no decimal-rounding convention is ever invoked; the
-    driver divides the scale factors back out before solving, so β
-    lands in original units. The solve verifies through a
-    gradient-residual indicator ‖(XᵀX+λD)β − Xᵀy‖/‖Xᵀy‖ < 1e-8 and an
-    R² ∈ [0,1] indicator (both deterministically 1.0 — the oracle
-    claims exactly that)."""
+def ridge_fit(spark: SparkSession, sf_dir: str) -> dict:
+    """The data pass + solve behind q_ridge_regression, exposed so tests
+    can compare β against a driver-side closed form. Returns the raw
+    integer sufficient statistics row plus β (original units), R², and
+    the verification indicators."""
     import numpy as np
 
     li = load_table(spark, "lineitem", sf_dir)
@@ -441,8 +421,38 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = float(stats["syy"]) / (ys * ys)
     sse = syy - 2.0 * beta @ b + beta @ A @ beta
     sst = syy - b[0] ** 2 / n
-    r2_ok = float(0.0 <= 1.0 - sse / sst <= 1.0)
+    r2 = 1.0 - sse / sst
+    return {"stats": stats, "beta": beta, "r2": r2,
+            "grad_ok": grad_ok, "r2_ok": float(0.0 <= r2 <= 1.0)}
 
+
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ridge regression via NORMAL EQUATIONS — the
+    sufficient-statistics pattern for linear-model training: one
+    whole-stage-codegen aggregation pass reduces the table to the 15
+    entries of (XᵀX, Xᵀy, yᵀy) for features [1, l_quantity, l_discount,
+    l_tax] → y = l_extendedprice; the driver solves the 4×4 ridge system
+    (XᵀX + λD)β = Xᵀy (numpy, D sparing the intercept) from that one
+    row. At 100 TB the data pass is embarrassingly parallel with
+    map-side partial sums and the driver work stays p², independent of
+    n — the exact-solve sibling of the gradient-descent loop, with no
+    iterations at all.
+
+    Exactness scheme: the 2-dp source columns are integer-scaled
+    (price→cents, discount/tax→percent points), products stay in BIGINT
+    (≤3e13, codegen-friendly) and only the sums widen to DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB's automatic BIGINT-sum type) — width-18
+    decimal multiplies overflow DuckDB's int64 fast path. The
+    hash-checked outputs are the RAW integer sums cast to double: the
+    same exact integer rounds to the same nearest double on both
+    engines, so no decimal-rounding convention is ever invoked; the
+    driver divides the scale factors back out before solving, so β
+    lands in original units. The solve verifies through a
+    gradient-residual indicator ‖(XᵀX+λD)β − Xᵀy‖/‖Xᵀy‖ < 1e-8 and an
+    R² ∈ [0,1] indicator (both deterministically 1.0 — the oracle
+    claims exactly that)."""
+    fit = ridge_fit(spark, sf_dir)
+    stats, grad_ok, r2_ok = fit["stats"], fit["grad_ok"], fit["r2_ok"]
     return spark.range(1).select(
         F.lit(int(stats["n"])).cast("long").alias("n_rows"),
         F.lit(float(stats["b0"])).cast("double").alias("sum_y_cents"),

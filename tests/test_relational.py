@@ -167,3 +167,61 @@ def test_sql_udf_inlines_into_the_plan(spark):
     """)
     assert [r["i"] for r in spark.sql(
         "SELECT i FROM three_rows(2) ORDER BY i").collect()] == [0, 1]
+
+
+def test_ridge_fit_matches_driver_closed_form(spark, sf_dir):
+    """ridge_fit's distributed sufficient statistics reproduce the exact
+    driver-side normal-equations solve on collected rows (same integer
+    scaling, same lambda), and the fit explains variance (R2 in (0,1])."""
+    import numpy as np
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import relational_ext as RX
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    fit = RX.ridge_fit(spark, sf_dir)
+    rows = load_table(spark, "lineitem", sf_dir).select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice").collect()
+    q = np.array([round(r["l_quantity"]) for r in rows], dtype=np.int64)
+    d = np.array([round(r["l_discount"] * 100) for r in rows], dtype=np.int64)
+    t = np.array([round(r["l_tax"] * 100) for r in rows], dtype=np.int64)
+    y = np.array([round(r["l_extendedprice"] * 100) for r in rows],
+                 dtype=np.int64)
+    X = np.column_stack([np.ones(len(q)), q, d / 100.0, t / 100.0])
+    yy = y / 100.0
+    D = np.eye(4)
+    D[0, 0] = 0.0
+    beta_ref = np.linalg.solve(X.T @ X + RX.RIDGE_LAMBDA * D, X.T @ yy)
+    assert np.allclose(fit["beta"], beta_ref, rtol=1e-8, atol=1e-8)
+    assert fit["grad_ok"] == 1.0 and fit["r2_ok"] == 1.0
+    assert 0.0 < fit["r2"] <= 1.0
+
+
+def test_python_udtf_single_python_stage(spark):
+    """The UDTF plan fans out rows in ONE Python-worker Generate stage
+    (batch-pickled) feeding a JVM aggregate — and agrees with the pure-JVM
+    posexplode(split()) formulation value-for-value."""
+    from pyspark.sql import functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext import (
+        q_python_udtf,
+    )
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    df = q_python_udtf(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PythonUDTF") >= 1
+    got = {r["word"]: (r["occurrences"], r["docs"], r["min_pos"])
+           for r in df.collect()}
+
+    d = load_table(spark, "documents", sf).filter(F.col("doc_id") < 200)
+    jvm = (d.select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "word"))
+           .filter(F.col("word") != "")
+           .groupBy("word")
+           .agg(F.count(F.lit(1)).alias("occurrences"),
+                F.countDistinct("doc_id").alias("docs"),
+                F.min("pos").alias("min_pos")))
+    want = {r["word"]: (r["occurrences"], r["docs"], r["min_pos"])
+            for r in jvm.collect()}
+    assert got == want
