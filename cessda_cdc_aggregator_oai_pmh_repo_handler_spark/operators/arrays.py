@@ -77,7 +77,10 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per event_type: rank-over-partition — the
     partitioned cousin of the O1 pagination window (shuffles once on the
-    group key; no global sort)."""
+    group key; no global sort). The rank<=k filter triggers Catalyst's
+    WindowGroupLimit pushdown with a PARTIAL phase before the exchange,
+    so the shuffle carries at most k rows per (input partition, group)
+    — pinned in test_plans."""
     ev = load_table(spark, "events", sf_dir)
     from pyspark.sql import Window
 

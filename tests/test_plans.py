@@ -434,3 +434,14 @@ def test_tpch_self_reference_queries_scan_fact_once(spark):
     plan17 = plan_of(relational_ext.q_tpch_q17(spark, SF))
     assert plan17.count("lineitem.parquet") == 1
     assert plan17.count("part.parquet") == 1
+
+
+def test_topk_per_group_window_group_limit(spark):
+    """rank<=k filters over a row_number window must trigger Spark's
+    WindowGroupLimit pushdown in BOTH phases: a Partial per-partition
+    top-k BEFORE the shuffle (the map-side combine of windowed top-k) and
+    a Final one after — at scale the exchange carries at most k rows per
+    (partition, group), not the group's full row set."""
+    plan = plan_of(arrays.q_topk_per_group(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
