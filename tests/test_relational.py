@@ -225,3 +225,37 @@ def test_python_udtf_single_python_stage(spark):
     want = {r["word"]: (r["occurrences"], r["docs"], r["min_pos"])
             for r in jvm.collect()}
     assert got == want
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """Spark 4 polymorphic UDTF: a static analyze() computes the output
+    schema FROM the call's constant argument at plan time — the schema is
+    per-call, not per-registration (the §2.9 plugin surface's
+    table-function form at full power)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split(",")
+            yield tuple(parts[i] if i < len(parts) else None
+                        for i in range(n))
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    three = spark.sql("""SELECT t.* FROM VALUES ('a,b,c'), ('x,y') AS v(s),
+                         LATERAL split_fixed(v.s, 3) t""")
+    assert three.schema.simpleString() == "struct<c0:string,c1:string,c2:string>"
+    assert sorted(map(tuple, three.collect())) == [("a", "b", "c"),
+                                                   ("x", "y", None)]
+    two = spark.sql("""SELECT t.* FROM VALUES ('a,b,c') AS v(s),
+                       LATERAL split_fixed(v.s, 2) t""")
+    assert two.columns == ["c0", "c1"]  # same function, narrower schema
