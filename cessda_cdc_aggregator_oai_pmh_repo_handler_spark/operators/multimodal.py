@@ -207,6 +207,20 @@ def encode_ppm_payload(media_id: int, width: int, height: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + body
 
 
+def encode_bmp_payload(media_id: int, width: int, height: int) -> bytes:
+    """Real 24-bit BMP bytes (bottom-up BGR rows, 4-byte row padding) with
+    the SAME md5-seeded RGB recipe as the PPM fixture."""
+    from .bmp import encode_bmp_rgb
+
+    seed = hashlib.md5(f"bmp:{media_id}".encode()).digest()
+    n = 3 * width * height
+    body = (seed * (n // len(seed) + 1))[:n]
+    rows = [[(body[3 * (y * width + x)], body[3 * (y * width + x) + 1],
+              body[3 * (y * width + x) + 2]) for x in range(width)]
+            for y in range(height)]
+    return encode_bmp_rgb(rows)
+
+
 def _decode_ppm(payload: bytes) -> list[float]:
     """Binary PPM (P6) → per-pixel luma floats in [0, 1] (BT.601 weights)."""
     if not payload.startswith(b"P6"):
@@ -525,6 +539,10 @@ def _decode(payload: bytes) -> list[float]:
         return _decode_gif(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        from .bmp import decode_bmp_luma
+
+        return decode_bmp_luma(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -571,11 +589,15 @@ def _audio_payload(i: int, n_samples: int) -> tuple[bytes, str]:
 
 
 def _image_payload(i: int, width: int, height: int) -> tuple[bytes, str]:
-    """Image fixture codec rotation: PPM / PNG / baseline-or-progressive
-    JPEG / GIF by (i//2)%4. One helper shared by the Spark fixture and the
-    driver-side oracle mirror so the two can never drift."""
+    """Image fixture codec rotation: PPM-or-BMP / PNG /
+    baseline-or-progressive JPEG / GIF by (i//2)%4 (the uncompressed slot
+    alternates PPM and BMP by i//8). One helper shared by the Spark
+    fixture and the driver-side oracle mirror so the two can never
+    drift."""
     slot = (i // 2) % 4
     if slot == 0:
+        if (i // 8) % 2 == 1:
+            return encode_bmp_payload(i, width, height), "BMP"
         return encode_ppm_payload(i, width, height), "PPM"
     if slot == 1:
         return encode_png_payload(i, width, height), "PNG"

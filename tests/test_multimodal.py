@@ -201,8 +201,8 @@ def test_png_media_decodes_distributed(spark):
     stages as PPM/WAV — the gate fixture now carries them natively."""
     media = M.synthetic_media_real(spark, 16)
     fmts = {r["meta"]["format"] for r in media.select("meta").collect()}
-    assert fmts == {"PPM", "PNG", "JPEG", "GIF", "WAV", "FLAC", "ADPCM",
-                    "MULAW", "ALAW", "AVI"}
+    assert fmts == {"PPM", "BMP", "PNG", "JPEG", "GIF", "WAV", "FLAC",
+                    "ADPCM", "MULAW", "ALAW", "AVI"}
     dec = M.decode_media(media)
     rows = {r["media_id"]: r for r in dec.collect()}
     # media_id 2 is PNG ((i//2) % 4 == 1): luma count == width*height
@@ -296,3 +296,45 @@ def test_decode_media_arrow_equals_pandas_path(spark):
         assert (rp["kind"], rp["n_values"]) == (ra["kind"], ra["n_values"])
         assert rp["mean_value"] == ra["mean_value"]
         assert rp["feature"] == ra["feature"]
+
+
+def test_bmp_round_trip_exact():
+    """24-bit BMP encode/decode is exact (uncompressed), including BGR
+    channel order, bottom-up row storage, and 4-byte row padding (width 5
+    -> stride 16)."""
+    import hashlib
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.bmp import (
+        decode_bmp, decode_bmp_luma, encode_bmp_rgb,
+    )
+
+    w, h = 5, 3  # 3*5=15 -> one pad byte per row
+    seed = hashlib.md5(b"bmp-test").digest()
+    flat = (seed * (3 * w * h // len(seed) + 1))[: 3 * w * h]
+    rows = [[(flat[3 * (y * w + x)], flat[3 * (y * w + x) + 1],
+              flat[3 * (y * w + x) + 2]) for x in range(w)]
+            for y in range(h)]
+    payload = encode_bmp_rgb(rows)
+    assert payload[:2] == b"BM"
+    dw, dh, pixels = decode_bmp(payload)
+    assert (dw, dh) == (w, h)
+    assert pixels == [px for row in rows for px in row]  # top-down exact
+    luma = decode_bmp_luma(payload)
+    want = [(0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            for row in rows for (r, g, b) in row]
+    assert luma == want
+
+
+def test_bmp_in_fixture_rotation(spark):
+    """BMP ids appear in the gate fixture rotation and decode through the
+    shared dispatch."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import multimodal as MM
+
+    fmts = {MM._fixture_row(i)[3]["format"] for i in range(64)}
+    assert "BMP" in fmts and "PPM" in fmts
+    bmp_ids = [i for i in range(64)
+               if MM._fixture_row(i)[3]["format"] == "BMP"]
+    row = MM._fixture_row(bmp_ids[0])
+    vals = MM._decode(row[2])
+    assert len(vals) == row[3]["width"] * row[3]["height"]
+    assert all(0.0 <= v <= 1.0 for v in vals)
