@@ -210,6 +210,7 @@ def alaw_decode(code: int) -> int:
 # --- RIFF/WAVE container (fmt tags 1 / 6 / 7 / 0x11) --------------------------
 
 WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_IMA_ADPCM = 0x0011
@@ -254,9 +255,32 @@ def encode_wav_alaw(samples: list[int], sample_rate: int = 16000) -> bytes:
     return _riff([(b"fmt ", fmt), (b"fact", fact), (b"data", data)])
 
 
+def encode_wav_pcm8(samples: list[int], sample_rate: int = 16000) -> bytes:
+    """Mono unsigned 8-bit PCM WAV (format tag 1, bits=8): int16 samples
+    quantized to the 256-step lattice (offset-128 unsigned storage, the
+    WAV spec's 8-bit convention)."""
+    data = bytes((((s >> 8) + 128) & 0xFF) for s in samples)
+    fmt = struct.pack("<HHIIHH", WAVE_FORMAT_PCM, 1, sample_rate,
+                      sample_rate, 1, 8)
+    return _riff([(b"fmt ", fmt), (b"data", data)])
+
+
+def encode_wav_float32(samples: list[int], sample_rate: int = 16000) -> bytes:
+    """Mono IEEE float32 WAV (format tag 3): int16 samples stored as
+    s/32768.0 — exactly representable in float32, so the round-trip back
+    to int16 is EXACT (unlike 8-bit PCM's lattice)."""
+    data = struct.pack("<%df" % len(samples),
+                       *[s / 32768.0 for s in samples])
+    fmt = struct.pack("<HHIIHHH", WAVE_FORMAT_IEEE_FLOAT, 1, sample_rate,
+                      sample_rate * 4, 4, 32, 0)
+    fact = struct.pack("<I", len(samples))
+    return _riff([(b"fmt ", fmt), (b"fact", fact), (b"data", data)])
+
+
 def decode_wav_any(payload: bytes) -> tuple[list[int], int]:
-    """Parse a RIFF/WAVE payload and decode by format tag: PCM16 (1),
-    µ-law (7), IMA ADPCM (0x11). Returns (int16 samples, sample_rate)."""
+    """Parse a RIFF/WAVE payload and decode by format tag: PCM16/PCM8 (1),
+    IEEE float32 (3), µ-law (7), A-law (6), IMA ADPCM (0x11). Returns
+    (int16 samples, sample_rate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAVE payload")
     pos = 12
@@ -278,10 +302,22 @@ def decode_wav_any(payload: bytes) -> tuple[list[int], int]:
     if nch != 1 and fmt_tag != WAVE_FORMAT_PCM:
         raise NotImplementedError("compressed WAV decode is mono-only here")
     if fmt_tag == WAVE_FORMAT_PCM:
+        if bits == 8:
+            return [(b - 128) << 8 for b in data], sample_rate
         if bits != 16:
-            raise NotImplementedError("only PCM16 WAV is decoded here")
+            raise NotImplementedError("only PCM8/PCM16 WAV is decoded here")
         n = len(data) // 2
         return list(struct.unpack("<%dh" % n, data[:2 * n])), sample_rate
+    if fmt_tag == WAVE_FORMAT_IEEE_FLOAT:
+        if bits != 32:
+            raise NotImplementedError("only float32 IEEE WAV is decoded here")
+        n = len(data) // 4
+        floats = struct.unpack("<%df" % n, data[:4 * n])
+        samples = [max(-32768, min(32767, int(round(f * 32768.0))))
+                   for f in floats]
+        if n_samples >= 0:
+            samples = samples[:n_samples]
+        return samples, sample_rate
     if fmt_tag == WAVE_FORMAT_MULAW:
         global _MULAW_LUT
         if _MULAW_LUT is None:

@@ -179,6 +179,17 @@ def encode_adpcm_payload(media_id: int, n_samples: int,
                                 sample_rate)
 
 
+def encode_wav_float32_payload(media_id: int, n_samples: int,
+                               sample_rate: int = 16000) -> bytes:
+    """Real IEEE float32 mono WAV bytes (fmt tag 3) carrying the SAME
+    md5-seeded samples — int16/32768.0 is float32-exact, so the decode
+    round-trip equals the PCM16 one bit-for-bit."""
+    from .audio_codecs import encode_wav_float32
+
+    return encode_wav_float32(_seeded_samples(media_id, n_samples),
+                              sample_rate)
+
+
 def encode_mulaw_payload(media_id: int, n_samples: int,
                          sample_rate: int = 16000) -> bytes:
     """Real G.711 µ-law WAV bytes (operators/audio_codecs.py) over the
@@ -570,12 +581,13 @@ _MEDIA_REAL_CACHE: dict = {}
 
 
 def _audio_payload(i: int, n_samples: int) -> tuple[bytes, str]:
-    """Audio fixture codec rotation by i%8: PCM16 WAV (1), lossless FLAC
-    (3), IMA ADPCM (5), G.711 µ-law/A-law (7, split by i%16). All encode
-    the SAME md5-seeded samples (WAV/FLAC losslessly; ADPCM/G.711 through
-    their deterministic quantizers). One helper shared by the Spark
-    fixture and the driver-side oracle mirror so the two can never
-    drift."""
+    """Audio fixture codec rotation by i%8: PCM16-or-float32 WAV (1,
+    split by i%16 — both carry identical samples, float32 storage is
+    int16-exact), lossless FLAC (3), IMA ADPCM (5), G.711 µ-law/A-law
+    (7, split by i%16). All encode the SAME md5-seeded samples (WAV/FLAC
+    losslessly; ADPCM/G.711 through their deterministic quantizers). One
+    helper shared by the Spark fixture and the driver-side oracle mirror
+    so the two can never drift."""
     slot = i % 8
     if slot == 3:
         return encode_flac_payload(i, n_samples), "FLAC"
@@ -585,6 +597,8 @@ def _audio_payload(i: int, n_samples: int) -> tuple[bytes, str]:
         if i % 16 == 15:
             return encode_alaw_payload(i, n_samples), "ALAW"
         return encode_mulaw_payload(i, n_samples), "MULAW"
+    if i % 16 == 9:
+        return encode_wav_float32_payload(i, n_samples), "WAV"
     return encode_wav_payload(i, n_samples), "WAV"
 
 

@@ -144,3 +144,49 @@ def test_alaw_in_fixture_rotation():
     p, fmt = M._audio_payload(15, 100)
     assert fmt == "ALAW" and p[:4] == b"RIFF"
     assert len(M._decode(p)) == 100
+
+
+def test_float32_wav_round_trip_exact():
+    """IEEE float32 WAV (fmt tag 3): int16/32768.0 is float32-exact, so
+    decode returns the original samples bit-for-bit."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.audio_codecs import (
+        decode_wav_any, encode_wav_float32,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -9876]
+    payload = encode_wav_float32(samples, 8000)
+    got, rate = decode_wav_any(payload)
+    assert got == samples and rate == 8000
+
+
+def test_pcm8_wav_lattice_round_trip():
+    """8-bit PCM quantizes to the 256-step lattice; decode(encode(x)) is
+    idempotent on lattice points and within one step elsewhere."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.audio_codecs import (
+        decode_wav_any, encode_wav_pcm8,
+    )
+
+    samples = [0, 256, -256, 32512, -32768, 12345]
+    got, rate = decode_wav_any(encode_wav_pcm8(samples, 16000))
+    assert rate == 16000
+    for s, g in zip(samples, got):
+        assert abs(g - s) < 256 and g % 256 == 0
+    # idempotent on the lattice
+    again, _ = decode_wav_any(encode_wav_pcm8(got, 16000))
+    assert again == got
+
+
+def test_float32_fixture_variant_matches_pcm16_decode(spark):
+    """The float32 rotation slot (i%16==9) decodes to the SAME samples as
+    the PCM16 encoding of the same id."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import multimodal as MM
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.audio_codecs import (
+        decode_wav_any,
+    )
+
+    i, n = 9, 64 + (9 * 17) % 192
+    f32, fmt = MM._audio_payload(i, n)
+    assert fmt == "WAV"
+    s_f32, _ = decode_wav_any(f32)
+    s_pcm, _ = decode_wav_any(MM.encode_wav_payload(i, n))
+    assert s_f32 == s_pcm
