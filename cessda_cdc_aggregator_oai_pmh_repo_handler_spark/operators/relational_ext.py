@@ -719,6 +719,30 @@ SQL_TEXTS = {
                round(tithe + 1.0, 2) AS tithe_plus
         FROM orders WHERE o_custkey < 50
     """,
+    # Explicit NULLS FIRST/LAST ordering under LIMIT — the classic engine
+    # divergence (Spark defaults NULLS FIRST for ASC, DuckDB NULLS LAST):
+    # only the explicit spelling is portable, and the LIMIT makes the
+    # null placement change WHICH rows survive, so the hash proves both
+    # engines agreed row-for-row
+    "sql_text_nulls_order": """
+        WITH src AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(o_totalprice AS DOUBLE) END AS p
+            FROM orders WHERE o_custkey < 60
+        ),
+        a AS (SELECT 'asc_nulls_first' AS probe, o_orderkey, p FROM src
+              ORDER BY p ASC NULLS FIRST, o_orderkey LIMIT 40),
+        b AS (SELECT 'desc_nulls_last' AS probe, o_orderkey, p FROM src
+              ORDER BY p DESC NULLS LAST, o_orderkey LIMIT 40)
+        SELECT probe,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(p) AS BIGINT) AS non_null,
+               CAST(round(sum(CAST(coalesce(p, 0) AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_p
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t
+        GROUP BY probe
+    """,
     # GROUP BY ALL / ORDER BY ALL (the modern shorthand both engines
     # accept: every non-aggregate select item groups, every column sorts)
     "sql_text_group_order_all": """

@@ -499,6 +499,10 @@ _SQL_SURFACE_SUBS = (
         relational_ext.TEXT_QUERIES["sql_text_lateral_alias"],
         relational_ext.SQL_TEXTS["sql_text_lateral_alias"],
         (("o_orderkey", "str"),), ("price", "tithe", "tithe_plus")),
+    Sub("sql_text_nulls_order",
+        relational_ext.TEXT_QUERIES["sql_text_nulls_order"],
+        relational_ext.SQL_TEXTS["sql_text_nulls_order"],
+        (("probe", "str"),), ("n", "non_null", "sum_p")),
     Sub("sql_text_group_order_all",
         relational_ext.TEXT_QUERIES["sql_text_group_order_all"],
         relational_ext.SQL_TEXTS["sql_text_group_order_all"],
