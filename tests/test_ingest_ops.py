@@ -154,3 +154,31 @@ def test_bucketed_merge_quarantine_and_epoch(spark, tmp_path):
             I.harvest_event_schema()),
         target, epoch_id=1)
     assert I.read_bucketed_corpus(spark, target).count() == 2
+
+
+def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
+    """Epoch directories written under an EVOLVING schema read back as one
+    unified relation with mergeSchema: the new column is NULL for old
+    epochs, old columns survive unchanged — the append-only landing-zone
+    contract when a harvester starts emitting a new field mid-stream."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "landing")
+    spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("v1").alias("body"),
+    ).write.parquet(base + "/epoch=0")
+    spark.range(3, 5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("v2").alias("body"),
+        F.lit("en").alias("lang"),  # NEW column from epoch 1 on
+    ).write.parquet(base + "/epoch=1")
+
+    unified = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(unified.columns) == {"doc_id", "body", "lang", "epoch"}
+    assert unified.count() == 5
+    by_epoch = {r["epoch"]: r for r in unified.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("lang").alias("lang_set")).collect()}
+    assert by_epoch[0]["lang_set"] == 0      # old epochs: NULL-filled
+    assert by_epoch[1]["lang_set"] == by_epoch[1]["n"] == 2
