@@ -588,25 +588,61 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch runs (mergeable, bounded memory); the exact percentile here is
     the local-scale ground truth.
 
-    Cost shape: BOTH percentiles ride one aggregate buffer via the
-    array-percentages form (four separate aggregates each rebuilt the
-    value buffer — measured 3.9 s → 1.3 s), and the single pruned column
-    repartitions across cores first: the exact-percentile partial is the
-    rare aggregate whose per-partition cost is sort-like, so a 3-partition
-    scan leaves 29 cores idle exactly where the work is."""
-    li = (load_table(spark, "lineitem", sf_dir)
-          .select("l_extendedprice")
-          .repartition(spark.sparkContext.defaultParallelism))
-    pcts = F.array(F.lit(0.5), F.lit(0.95))
-    ex = li.agg(
-        F.percentile("l_extendedprice", pcts).alias("pex"),
-        F.percentile_approx("l_extendedprice", pcts, F.lit(10000)).alias("pap"),
-    ).select(
-        F.round(F.element_at("pex", 1), 3).alias("p50_exact"),
-        F.round(F.element_at("pex", 2), 3).alias("p95_exact"),
-        F.element_at("pap", 1).alias("a50"),
-        F.element_at("pap", 2).alias("a95"),
+    Cost shape: the exact side is DISTRIBUTED TWO-PASS SELECTION, not the
+    ``percentile(col, array)`` aggregate (that exact aggregate is an
+    interpreted per-row ObjectAgg — it cost 2.8 s here and 26 s in
+    quantile_merge's 256-point form at sf0.1): pass 1 gets count + a
+    high-accuracy sketch pivot per quantile, pass 2 counts each pivot's
+    EXACT rank with conditional sums, then the true order statistics are
+    plucked from a rank-error-BOUNDED TakeOrdered around the pivot
+    (≤ n/accuracy rows, ~60 at sf0.1) and interpolated driver-side —
+    every stage whole-stage-codegen, memory bounded by the sketch, and
+    the same algorithm selects exact quantiles from 100 TB."""
+    import math
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").alias("v"))
+    qs = [0.5, 0.95]
+    first = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("v", F.array(*[F.lit(q) for q in qs]),
+                            F.lit(10000)).alias("a")).collect()[0]
+    n, approx = int(first["n"]), [float(x) for x in first["a"]]
+    ranks = li.agg(*[
+        F.sum(F.when(F.col("v") <= approx[j], 1).otherwise(0)).alias(f"r{j}")
+        for j in range(len(qs))]).collect()[0]
+
+    exact = []
+    for j, q in enumerate(qs):
+        k = 1.0 + (n - 1) * q
+        lo, hi = math.floor(k), math.ceil(k)
+        a, r_a = approx[j], int(ranks[f"r{j}"])
+        vals: dict[int, float] = {}
+        below = [m for m in (lo, hi) if m <= r_a]
+        above = [m for m in (lo, hi) if m > r_a]
+        if below:
+            cnt = r_a - min(below) + 1  # bounded by the sketch rank error
+            top = [r["v"] for r in li.filter(F.col("v") <= a)
+                   .orderBy(F.col("v").desc()).limit(cnt).collect()]
+            for m in below:
+                vals[m] = top[r_a - m]
+        if above:
+            cnt = max(above) - r_a
+            bot = [r["v"] for r in li.filter(F.col("v") > a)
+                   .orderBy(F.col("v").asc()).limit(cnt).collect()]
+            for m in above:
+                vals[m] = bot[m - r_a - 1]
+        exact.append(vals[lo] + (k - lo) * (vals[hi] - vals[lo]))
+
+    # Spark-side round (HALF_UP, matching DuckDB round) — never Python's
+    # banker's rounding
+    ex = spark.range(1).select(
+        F.round(F.lit(exact[0]), 3).alias("p50_exact"),
+        F.round(F.lit(exact[1]), 3).alias("p95_exact"),
+        F.lit(approx[0]).alias("a50"),
+        F.lit(approx[1]).alias("a95"),
     )
+
     def ok(a, e):
         return (F.when(F.abs(F.col(a) - F.col(e)) <= 0.02 * F.col(e), 1.0)
                 .otherwise(0.0))
