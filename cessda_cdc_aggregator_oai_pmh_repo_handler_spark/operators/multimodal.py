@@ -572,6 +572,17 @@ def _decode(payload: bytes) -> list[float]:
         import lzma
 
         return _decode(lzma.decompress(payload))
+    if payload[:4] == b"PK\x03\x04":
+        # ZIP container (stdlib): decode the archive's FIRST entry by its
+        # own magic — the media-in-archive landing format
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = zf.namelist()
+            if not names:
+                raise NotImplementedError("empty ZIP media payload")
+            return _decode(zf.read(names[0]))
     # entropy-coded image/audio formats need PIL/librosa/ffmpeg — absent
     # in this container
     return _decode_fake(payload)  # raises the canonical NotImplementedError

@@ -338,3 +338,20 @@ def test_bmp_in_fixture_rotation(spark):
     vals = MM._decode(row[2])
     assert len(vals) == row[3]["width"] * row[3]["height"]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_zip_container_codec_roundtrip():
+    """ZIP-wrapped payloads decode to EXACTLY the inner codec's output
+    (first archive entry, dispatched by its own magic)."""
+    import io
+    import zipfile
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _decode, encode_ppm_payload, encode_wav_payload,
+    )
+
+    for inner in (encode_wav_payload(3, 64), encode_ppm_payload(4, 6, 4)):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("media.bin", inner)
+        assert _decode(buf.getvalue()) == _decode(inner)
