@@ -583,6 +583,16 @@ def _decode(payload: bytes) -> list[float]:
             if not names:
                 raise NotImplementedError("empty ZIP media payload")
             return _decode(zf.read(names[0]))
+    if payload[257:262] == b"ustar":
+        # POSIX tar container (stdlib): first regular member, re-dispatch
+        import io
+        import tarfile
+
+        with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+            for m in tf:
+                if m.isfile():
+                    return _decode(tf.extractfile(m).read())
+        raise NotImplementedError("tar payload carries no regular file")
     # entropy-coded image/audio formats need PIL/librosa/ffmpeg — absent
     # in this container
     return _decode_fake(payload)  # raises the canonical NotImplementedError

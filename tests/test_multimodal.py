@@ -355,3 +355,21 @@ def test_zip_container_codec_roundtrip():
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
             zf.writestr("media.bin", inner)
         assert _decode(buf.getvalue()) == _decode(inner)
+
+
+def test_tar_container_codec_roundtrip():
+    """tar-wrapped payloads decode to the first regular member's output."""
+    import io
+    import tarfile
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _decode, encode_wav_payload,
+    )
+
+    inner = encode_wav_payload(5, 80)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("media.wav")
+        info.size = len(inner)
+        tf.addfile(info, io.BytesIO(inner))
+    assert _decode(buf.getvalue()) == _decode(inner)
