@@ -1,0 +1,73 @@
+"""Versioned-table invariants: snapshot isolation, time travel, optimistic
+concurrency, crash invisibility, vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources import versioned_table as VT
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df0 = spark.range(5).select(F.col("id"), F.lit("v0").alias("tag"))
+    assert VT.create(df0, path) == 0
+    return path
+
+
+def test_append_time_travel_and_overwrite(spark, table):
+    assert VT.append(spark.range(5, 8).select(
+        F.col("id"), F.lit("v1").alias("tag")), table) == 1
+    assert VT.read(spark, table).count() == 8
+    assert VT.read(spark, table, version=0).count() == 5
+    assert {r["tag"] for r in VT.read(spark, table, version=0).collect()} \
+        == {"v0"}
+    assert VT.overwrite(spark.range(2).select(
+        F.col("id"), F.lit("v2").alias("tag")), table) == 2
+    assert VT.read(spark, table).count() == 2
+    assert VT.read(spark, table, version=1).count() == 8  # still readable
+    assert VT.versions(table) == [0, 1, 2]
+
+
+def test_snapshot_isolation_under_concurrent_publish(spark, table):
+    """A reader plan resolved at v0 is unaffected by a later append: the
+    manifest pins the file list."""
+    snapshot = VT.read(spark, table, version=0)
+    VT.append(spark.range(100, 200).select(
+        F.col("id"), F.lit("v1").alias("tag")), table)
+    assert snapshot.count() == 5  # re-executed AFTER the append: still v0
+
+
+def test_optimistic_concurrency_conflict(spark, table):
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("tag"))
+    VT.append(df, table)  # table moves to v1
+    with pytest.raises(VT.ConcurrentWriteError):
+        VT.append(df, table, expected_version=0)  # lost the race
+    assert VT.current_version(table) == 1
+    assert VT.versions(table) == [0, 1]  # loser's manifest rolled back
+
+
+def test_half_staged_commit_is_invisible(spark, table):
+    """Files staged without a published manifest are never read."""
+    VT._stage(spark.range(50).select(
+        F.col("id"), F.lit("crash").alias("tag")), table, 99)
+    assert VT.read(spark, table).count() == 5
+    assert VT.current_version(table) == 0
+
+
+def test_vacuum_keeps_current_drops_old(spark, table):
+    VT.append(spark.range(5, 8).select(
+        F.col("id"), F.lit("v1").alias("tag")), table)
+    VT.overwrite(spark.range(4).select(
+        F.col("id"), F.lit("v2").alias("tag")), table)
+    dead = VT.vacuum(table, keep_last=1)
+    assert dead  # v0's files are unreferenced by v2 and got removed
+    assert all(not os.path.exists(f) for f in dead)
+    assert VT.versions(table) == [2]
+    assert VT.read(spark, table).count() == 4
+    with pytest.raises(FileNotFoundError):
+        VT.read_manifest(table, 0)
