@@ -130,6 +130,45 @@ def read(spark: SparkSession, path: str,
     return spark.read.parquet(*read_manifest(path, v)["files"])
 
 
+def append_batch_exactly_once(batch: DataFrame, path: str,
+                              epoch: int) -> int | None:
+    """foreachBatch-shaped append: the microbatch epoch rides the
+    manifest, so an at-least-once redelivery finds its epoch already
+    committed in the manifest chain and becomes a no-op — streaming
+    exactly-once ON TOP of the snapshot table, with no side channel.
+    Returns the published version, or None for a skipped replay."""
+    head = current_version(path)
+    v, m = head, read_manifest(path, head)
+    while True:
+        if m.get("epoch") == epoch:
+            return None  # replayed epoch: already in the chain
+        if m.get("parent") is None:
+            break
+        v = m["parent"]
+        m = read_manifest(path, v)
+    version = head + 1
+    files = _stage(batch, path, version)
+    prev = read_manifest(path, head)
+    return _publish(path, {"version": version, "parent": head,
+                           "op": "append", "epoch": epoch,
+                           "files": prev["files"] + files},
+                    expected_parent=head)
+
+
+def start_append_stream(spark: SparkSession, source_dir: str, schema,
+                        path: str, checkpoint: str):
+    """Continuously append a parquet-landing stream to the versioned
+    table, one snapshot per microbatch."""
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(source_dir))
+    return (stream.writeStream
+            .foreachBatch(lambda b, eid: append_batch_exactly_once(
+                b, path, int(eid)))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests (and their now-unreferenced data files) older than
     the last ``keep_last`` versions. Returns the deleted file paths."""

@@ -71,3 +71,25 @@ def test_vacuum_keeps_current_drops_old(spark, table):
     assert VT.read(spark, table).count() == 4
     with pytest.raises(FileNotFoundError):
         VT.read_manifest(table, 0)
+
+
+def test_streaming_append_exactly_once(spark, tmp_path):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    src = str(tmp_path / "landing")
+    events.repartition(2).write.parquet(src)
+
+    path = str(tmp_path / "tbl")
+    VT.create(events.limit(0), path)  # empty v0, schema-bearing
+    q = VT.start_append_stream(spark, src, events.schema, path,
+                               str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert VT.current_version(path) >= 2       # one snapshot per microbatch
+    assert VT.read(spark, path).count() == events.count()
+
+    # redelivered epoch is a no-op (manifest chain carries the epoch)
+    v_before = VT.current_version(path)
+    assert VT.append_batch_exactly_once(events.limit(3), path, epoch=0) is None
+    assert VT.current_version(path) == v_before
+    assert VT.read(spark, path).count() == events.count()
