@@ -69,6 +69,45 @@ def _stage(df: DataFrame, path: str, version: int) -> list[str]:
         if n.startswith("part-") and n.endswith(".parquet"))
 
 
+def _file_stats(files: list[str]) -> dict:
+    """Per-file column min/max ZONE MAPS read from the parquet FOOTERS
+    (pyarrow metadata — no data pages touched): the manifest-level
+    statistics `read_pruned` skips files with. Strings/ints/floats only;
+    a column missing stats in any row group is omitted for that file."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        cols: dict = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max:
+                    cols[name] = None
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        cols[name] = None
+                        continue
+                if not isinstance(mn, (int, float, str)):
+                    cols[name] = None
+                    continue
+                prev = cols.get(name)
+                if prev is None and name in cols:
+                    continue
+                cols[name] = ([min(prev[0], mn), max(prev[1], mx)]
+                              if prev else [mn, mx])
+        out[f] = {k: v for k, v in cols.items() if v is not None}
+    return out
+
+
 def _publish(path: str, manifest: dict, expected_parent: int) -> int:
     """Write the immutable manifest, then atomically swing the pointer —
     refusing if another writer advanced it first."""
@@ -97,7 +136,8 @@ def create(df: DataFrame, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     files = _stage(df, path, 0)
     return _publish(path, {"version": 0, "parent": None, "op": "create",
-                           "files": files}, expected_parent=0)
+                           "files": files, "stats": _file_stats(files)},
+                    expected_parent=0)
 
 
 def append(df: DataFrame, path: str,
@@ -108,7 +148,9 @@ def append(df: DataFrame, path: str,
     files = _stage(df, path, version)
     prev = read_manifest(path, parent)
     return _publish(path, {"version": version, "parent": parent,
-                           "op": "append", "files": prev["files"] + files},
+                           "op": "append", "files": prev["files"] + files,
+                           "stats": {**prev.get("stats", {}),
+                                     **_file_stats(files)}},
                     expected_parent=parent)
 
 
@@ -119,7 +161,8 @@ def overwrite(df: DataFrame, path: str,
     version = parent + 1
     files = _stage(df, path, version)
     return _publish(path, {"version": version, "parent": parent,
-                           "op": "overwrite", "files": files},
+                           "op": "overwrite", "files": files,
+                           "stats": _file_stats(files)},
                     expected_parent=parent)
 
 
@@ -151,7 +194,9 @@ def append_batch_exactly_once(batch: DataFrame, path: str,
     prev = read_manifest(path, head)
     return _publish(path, {"version": version, "parent": head,
                            "op": "append", "epoch": epoch,
-                           "files": prev["files"] + files},
+                           "files": prev["files"] + files,
+                           "stats": {**prev.get("stats", {}),
+                                     **_file_stats(files)}},
                     expected_parent=head)
 
 
@@ -167,6 +212,54 @@ def start_append_stream(spark: SparkSession, source_dir: str, schema,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def read_pruned(spark: SparkSession, path: str, column: str,
+                lo, hi, version: int | None = None
+                ) -> tuple[DataFrame, int, int]:
+    """Manifest-level DATA SKIPPING: drop files whose zone map proves no
+    row of ``column`` lies in [lo, hi] BEFORE Spark ever lists or opens
+    them, then apply the residual filter. Returns (df, total_files,
+    files_read) so callers (and tests) can see the skipping happen. At
+    100 TB this is the planner-independent skipping tier: the manifest
+    is driver-local metadata, so a selective predicate touches a handful
+    of footers instead of the table."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    m = read_manifest(path, v)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        zone = stats.get(f, {}).get(column)
+        if zone is None or (zone[1] >= lo and zone[0] <= hi):
+            keep.append(f)  # keep on overlap OR missing stats (safe side)
+    pred = F.col(column).between(lo, hi)
+    if not keep:
+        return (spark.read.parquet(*m["files"]).filter(F.lit(False)),
+                len(m["files"]), 0)
+    return (spark.read.parquet(*keep).filter(pred),
+            len(m["files"]), len(keep))
+
+
+def merge(spark: SparkSession, updates: DataFrame, path: str, key: str,
+          max_retries: int = 3) -> int:
+    """Transactional UPSERT: read the head snapshot, keep every current
+    row whose key is not updated (left anti), union the updates, publish
+    as an overwrite AGAINST THE SNAPSHOT VERSION — a lost race re-reads
+    and retries, so concurrent mergers serialize instead of clobbering."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        head = current_version(path)
+        cur = read(spark, path, head)
+        merged = (cur.join(updates.select(key).distinct(), on=key,
+                           how="left_anti")
+                  .unionByName(updates))
+        try:
+            return overwrite(merged, path, expected_version=head)
+        except ConcurrentWriteError as e:
+            last = e
+    raise last
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

@@ -93,3 +93,37 @@ def test_streaming_append_exactly_once(spark, tmp_path):
     assert VT.append_batch_exactly_once(events.limit(3), path, epoch=0) is None
     assert VT.current_version(path) == v_before
     assert VT.read(spark, path).count() == events.count()
+
+
+def test_zone_map_pruning_skips_files_and_matches_full_scan(spark, tmp_path):
+    """read_pruned drops files whose footer min/max exclude the range and
+    still returns exactly the rows a full scan + filter would."""
+    path = str(tmp_path / "tbl")
+    lo = spark.range(0, 100).select(F.col("id"), F.lit("lo").alias("tag"))
+    hi = spark.range(1000, 1100).select(F.col("id"), F.lit("hi").alias("tag"))
+    VT.create(lo.coalesce(1), path)
+    VT.append(hi.coalesce(1), path)
+
+    df, total, kept = VT.read_pruned(spark, path, "id", 1000, 1049)
+    assert total == 2 and kept == 1          # the lo file never opened
+    assert df.count() == 50
+    full = VT.read(spark, path).filter(F.col("id").between(1000, 1049))
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full.collect()))
+
+    none_df, total2, kept2 = VT.read_pruned(spark, path, "id", 5000, 6000)
+    assert kept2 == 0 and none_df.count() == 0
+
+
+def test_transactional_merge_upserts(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.range(5).select(F.col("id"), F.lit("old").alias("tag"))
+    VT.create(base, path)
+    updates = spark.createDataFrame(
+        [(3, "new"), (4, "new"), (99, "new")], "id LONG, tag STRING")
+    VT.merge(spark, updates, path, key="id")
+    got = {r["id"]: r["tag"] for r in VT.read(spark, path).collect()}
+    assert got == {0: "old", 1: "old", 2: "old",
+                   3: "new", 4: "new", 99: "new"}
+    # old snapshot still shows pre-merge state
+    assert {r["tag"] for r in VT.read(spark, path, version=0).collect()} \
+        == {"old"}
