@@ -233,6 +233,59 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-lite versioned table exercised end-to-end inside one gate
+    row: create from the first 10 nations, append the rest, transactional
+    MERGE renaming nation 3, then answer every question from SNAPSHOTS —
+    v0/v1 time-travel counts, the current merged state, and zone-map file
+    pruning (files skipped by footer min/max without being opened). The
+    oracle states the arithmetic the snapshots must preserve; the table
+    lives in a throwaway temp dir (kilobytes — nation-sized by design)."""
+    import shutil
+    import tempfile
+
+    from ..sources import versioned_table as VT
+
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    path = tempfile.mkdtemp(prefix="vt_gate_")
+    try:
+        VT.create(n.filter(F.col("n_nationkey") < 10).coalesce(1), path)
+        VT.append(n.filter(F.col("n_nationkey") >= 10).coalesce(1), path)
+        upd = spark.createDataFrame([(3, "RENAMED")],
+                                    "n_nationkey INT, n_name STRING")
+        VT.merge(spark, upd.select(
+            F.col("n_nationkey").cast(dict(n.dtypes)["n_nationkey"]),
+            "n_name"), path, key="n_nationkey")
+        v0 = VT.read(spark, path, version=0).count()
+        v1 = VT.read(spark, path, version=1).count()
+        cur = VT.read(spark, path)
+        renamed = cur.filter(F.col("n_name") == "RENAMED").count()
+        total = cur.count()
+        _pruned, n_files, n_kept = VT.read_pruned(
+            spark, path, "n_nationkey", 0, 9, version=1)
+        return spark.range(1).select(
+            F.lit(int(v0)).cast("long").alias("v0_rows"),
+            F.lit(int(v1)).cast("long").alias("v1_rows"),
+            F.lit(int(total)).cast("long").alias("merged_rows"),
+            F.lit(int(renamed)).cast("long").alias("renamed_rows"),
+            F.lit(int(n_files)).cast("long").alias("files_total"),
+            F.lit(int(n_kept)).cast("long").alias("files_read"),
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+ORACLE_VERSIONED_TABLE = """
+    SELECT CAST((SELECT count(*) FROM nation WHERE n_nationkey < 10)
+                AS BIGINT) AS v0_rows,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS v1_rows,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS merged_rows,
+           CAST(1 AS BIGINT) AS renamed_rows,
+           CAST(2 AS BIGINT) AS files_total,
+           CAST(1 AS BIGINT) AS files_read
+"""
+
+
 def q_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 COLLATION support: ``collate(col, 'UTF8_LCASE')`` makes
     comparison/grouping case-insensitive AT THE TYPE LEVEL — distinct,
@@ -1732,6 +1785,7 @@ QUERIES = {
     "listagg_conformance": q_listagg_conformance,
     "xml_roundtrip": q_xml_roundtrip,
     "collation_distinct": q_collation_distinct,
+    "versioned_table": q_versioned_table,
     "regr_conformance": q_regr_conformance,
     "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
@@ -1789,6 +1843,7 @@ ORACLES = {
     "listagg_conformance": ORACLE_LISTAGG_CONFORMANCE,
     "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
     "collation_distinct": ORACLE_COLLATION_DISTINCT,
+    "versioned_table": ORACLE_VERSIONED_TABLE,
     "regr_conformance": ORACLE_REGR_CONFORMANCE,
     "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,

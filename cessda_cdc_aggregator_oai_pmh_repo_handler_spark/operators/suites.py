@@ -480,6 +480,10 @@ _SQL_SURFACE_SUBS = (
     Sub("collation_distinct", relational_ext.q_collation_distinct,
         relational_ext.ORACLES["collation_distinct"],
         (), ("case_sensitive", "case_insensitive")),
+    Sub("versioned_table", relational_ext.q_versioned_table,
+        relational_ext.ORACLES["versioned_table"],
+        (), ("v0_rows", "v1_rows", "merged_rows", "renamed_rows",
+             "files_total", "files_read")),
     Sub("xml_roundtrip", relational_ext.q_xml_roundtrip,
         relational_ext.ORACLES["xml_roundtrip"],
         (("pr", "str"),), ("cnt", "sum_key", "sum_price")),
