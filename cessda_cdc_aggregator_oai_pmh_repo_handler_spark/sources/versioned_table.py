@@ -108,6 +108,78 @@ def _file_stats(files: list[str]) -> dict:
     return out
 
 
+BLOOM_BITS = 8192      # per (file, column) filter size
+BLOOM_HASHES = 5
+
+
+def build_blooms(spark: SparkSession, path: str, version: int,
+                 column: str) -> int:
+    """Attach a per-file BLOOM FILTER on ``column`` to an existing
+    manifest version (zone maps' complement: they skip on RANGES of
+    clustered keys, blooms skip POINT lookups on keys with no layout at
+    all). Distributed build: per (file, bit-position) rows reduce to one
+    bitset per file — executors never ship values, only set bits. The
+    manifest is rewritten in place (bloom metadata is additive; the file
+    list and pointer are untouched, so this is not a new version)."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(path, version)
+    blooms: dict[str, str] = {}
+    for f in m["files"]:
+        rows = (spark.read.parquet(f).select(
+            F.col(column).cast("string").alias("v")).distinct())
+        bits = bytearray(BLOOM_BITS // 8)
+        pos = (rows.select(F.explode(F.array(*[
+            (F.crc32(F.concat(F.lit(f"{k}|"), F.col("v")))
+             % F.lit(BLOOM_BITS)) for k in range(BLOOM_HASHES)
+        ])).alias("p")).distinct().collect())
+        for r in pos:
+            p = int(r["p"])
+            bits[p // 8] |= 1 << (p % 8)
+        import base64
+
+        blooms[f] = base64.b64encode(bytes(bits)).decode()
+    m.setdefault("blooms", {})[column] = blooms
+    with open(_manifest_path(path, version), "w") as f:
+        json.dump(m, f)
+    return len(blooms)
+
+
+def read_point(spark: SparkSession, path: str, column: str, value,
+               version: int | None = None) -> tuple[DataFrame, int, int]:
+    """Point lookup through the manifest blooms: skip every file whose
+    filter proves the key absent; files without a bloom stay (safe
+    side). Returns (df, total_files, files_read)."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    m = read_manifest(path, v)
+    blooms = m.get("blooms", {}).get(column, {})
+    keep = []
+    for f in m["files"]:
+        b64 = blooms.get(f)
+        if b64 is None:
+            keep.append(f)
+            continue
+        bits = base64.b64decode(b64)
+        import zlib
+
+        hits = all(
+            bits[(zlib.crc32(f"{k}|{value}".encode()) % BLOOM_BITS) // 8]
+            >> ((zlib.crc32(f"{k}|{value}".encode()) % BLOOM_BITS) % 8) & 1
+            for k in range(BLOOM_HASHES))
+        if hits:
+            keep.append(f)
+    pred = F.col(column).cast("string") == str(value)
+    if not keep:
+        return (spark.read.parquet(*m["files"]).filter(F.lit(False)),
+                len(m["files"]), 0)
+    return (spark.read.parquet(*keep).filter(pred),
+            len(m["files"]), len(keep))
+
+
 def _publish(path: str, manifest: dict, expected_parent: int) -> int:
     """Write the immutable manifest, then atomically swing the pointer —
     refusing if another writer advanced it first."""
@@ -150,7 +222,8 @@ def append(df: DataFrame, path: str,
     return _publish(path, {"version": version, "parent": parent,
                            "op": "append", "files": prev["files"] + files,
                            "stats": {**prev.get("stats", {}),
-                                     **_file_stats(files)}},
+                                     **_file_stats(files)},
+                           "blooms": prev.get("blooms", {})},
                     expected_parent=parent)
 
 
@@ -196,7 +269,8 @@ def append_batch_exactly_once(batch: DataFrame, path: str,
                            "op": "append", "epoch": epoch,
                            "files": prev["files"] + files,
                            "stats": {**prev.get("stats", {}),
-                                     **_file_stats(files)}},
+                                     **_file_stats(files)},
+                           "blooms": prev.get("blooms", {})},
                     expected_parent=head)
 
 

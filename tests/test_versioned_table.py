@@ -127,3 +127,31 @@ def test_transactional_merge_upserts(spark, tmp_path):
     # old snapshot still shows pre-merge state
     assert {r["tag"] for r in VT.read(spark, path, version=0).collect()} \
         == {"old"}
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Manifest blooms skip files that cannot contain the key; a present
+    key still reads its file and returns the row."""
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(0, 100).select(
+        F.col("id"), F.lit("a").alias("tag")).coalesce(1), path)
+    VT.append(spark.range(1000, 1100).select(
+        F.col("id"), F.lit("b").alias("tag")).coalesce(1), path)
+    v = VT.current_version(path)
+    assert VT.build_blooms(spark, path, v, "id") == 2
+
+    df, total, kept = VT.read_point(spark, path, "id", 1042)
+    assert total == 2 and kept == 1
+    assert [r["tag"] for r in df.collect()] == ["b"]
+
+    # absent key: typically every file is skipped (false-positive rate
+    # at 200 keys / 8192 bits is ~0); at minimum the result is empty
+    miss, _, kept_miss = VT.read_point(spark, path, "id", 555)
+    assert miss.count() == 0 and kept_miss <= 1
+
+    # files without blooms are kept (safe side)
+    VT.append(spark.range(7, 9).select(
+        F.col("id"), F.lit("c").alias("tag")).coalesce(1), path)
+    df2, total2, kept2 = VT.read_point(spark, path, "id", 7)
+    assert total2 == 3 and kept2 == 2  # bloomed old file + unbloomed new
+    assert {r["tag"] for r in df2.collect()} == {"a", "c"}
