@@ -233,6 +233,56 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate PANDAS UDAF (`@pandas_udf` over `groupBy.agg`) —
+    the custom-aggregate member of the §2.9 UDF surface next to the
+    scalar SQL UDF and the table-valued UDTF: each group's column arrives
+    as ONE Arrow batch and numpy reduces it vectorized. The reduction
+    here is deliberately one whose built-in form is the interpreted
+    ObjectAgg `percentile` (measured 26 s in 256-point form):
+    `np.percentile(..., 'linear')` computes the same 1+(n-1)q
+    interpolation DuckDB's quantile_cont defines, so the oracle is exact.
+    Memory note: a grouped-agg UDAF materializes the whole group per
+    call — bounded-cardinality group keys only (3 returnflags here); the
+    two-pass selection in q_approx_quantiles is the unbounded-group
+    form."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit GROUPED_AGG (this module's `from __future__ import
+    # annotations` stringifies type hints, so the hint-inferred form
+    # cannot resolve)
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def np_p50(v):
+        return float(np.percentile(v.to_numpy(), 50))
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def np_p95(v):
+        return float(np.percentile(v.to_numpy(), 95))
+
+    # Spark refuses to mix grouped-agg pandas UDFs with built-in
+    # aggregates in one agg — the count is a UDAF too
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def np_cnt(v):
+        return len(v)
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy("l_returnflag")
+            .agg(np_cnt("l_extendedprice").alias("cnt"),
+                 F.round(np_p50("l_extendedprice"), 3).alias("p50"),
+                 F.round(np_p95("l_extendedprice"), 3).alias("p95")))
+
+
+ORACLE_PANDAS_UDAF = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 3) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
 def q_versioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse-lite versioned table exercised end-to-end inside one gate
     row: create from the first 10 nations, append the rest, transactional
@@ -1786,6 +1836,7 @@ QUERIES = {
     "xml_roundtrip": q_xml_roundtrip,
     "collation_distinct": q_collation_distinct,
     "versioned_table": q_versioned_table,
+    "pandas_udaf": q_pandas_udaf,
     "regr_conformance": q_regr_conformance,
     "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
@@ -1844,6 +1895,7 @@ ORACLES = {
     "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
     "collation_distinct": ORACLE_COLLATION_DISTINCT,
     "versioned_table": ORACLE_VERSIONED_TABLE,
+    "pandas_udaf": ORACLE_PANDAS_UDAF,
     "regr_conformance": ORACLE_REGR_CONFORMANCE,
     "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,

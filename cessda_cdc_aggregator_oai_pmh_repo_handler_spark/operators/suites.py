@@ -496,6 +496,9 @@ _SQL_SURFACE_SUBS = (
         (("l_returnflag", "str"),),
         ("regr_n", "slope", "icpt", "r2", "avg_x", "avg_y",
          "var_x", "cov_xy")),
+    Sub("pandas_udaf", relational_ext.q_pandas_udaf,
+        relational_ext.ORACLES["pandas_udaf"],
+        (("l_returnflag", "str"),), ("cnt", "p50", "p95")),
     Sub("python_udtf", relational_ext.q_python_udtf,
         relational_ext.ORACLES["python_udtf"],
         (("word", "str"),), ("occurrences", "docs", "min_pos")),
