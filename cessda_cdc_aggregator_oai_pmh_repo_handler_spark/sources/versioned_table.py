@@ -336,6 +336,24 @@ def merge(spark: SparkSession, updates: DataFrame, path: str, key: str,
     raise last
 
 
+def table_changes(spark: SparkSession, path: str, v_from: int,
+                  v_to: int) -> DataFrame:
+    """CHANGE DATA FEED between two retained snapshots: every row of the
+    table diff tagged ``_change = 'insert' | 'delete'`` (an update under
+    merge semantics shows as delete+insert of the key's old/new rows).
+    Multiset semantics via ``exceptAll`` — duplicate rows count. Because
+    snapshots are immutable manifests, the feed is reproducible for as
+    long as both versions are retained; downstream consumers get CDC
+    without the writer ever logging changes."""
+    from pyspark.sql import functions as F
+
+    old = read(spark, path, v_from)
+    new = read(spark, path, v_to)
+    return (new.exceptAll(old).withColumn("_change", F.lit("insert"))
+            .unionByName(
+                old.exceptAll(new).withColumn("_change", F.lit("delete"))))
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests (and their now-unreferenced data files) older than
     the last ``keep_last`` versions. Returns the deleted file paths."""

@@ -155,3 +155,18 @@ def test_bloom_point_lookup_skips_files(spark, tmp_path):
     df2, total2, kept2 = VT.read_point(spark, path, "id", 7)
     assert total2 == 3 and kept2 == 2  # bloomed old file + unbloomed new
     assert {r["tag"] for r in df2.collect()} == {"a", "c"}
+
+
+def test_table_changes_between_snapshots(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(5).select(
+        F.col("id"), F.lit("old").alias("tag")), path)
+    VT.merge(spark, spark.createDataFrame(
+        [(3, "new"), (99, "new")], "id LONG, tag STRING"), path, key="id")
+    feed = {(r["id"], r["tag"], r["_change"])
+            for r in VT.table_changes(spark, path, 0,
+                                      VT.current_version(path)).collect()}
+    assert feed == {(3, "old", "delete"), (3, "new", "insert"),
+                    (99, "new", "insert")}
+    # identical snapshots -> empty feed
+    assert VT.table_changes(spark, path, 0, 0).count() == 0
