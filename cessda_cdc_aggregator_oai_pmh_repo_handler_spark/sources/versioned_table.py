@@ -336,6 +336,30 @@ def merge(spark: SparkSession, updates: DataFrame, path: str, key: str,
     raise last
 
 
+def compact(spark: SparkSession, path: str, target_files: int = 1,
+            cluster_by: str | None = None) -> int:
+    """OPTIMIZE: rewrite the current snapshot into ``target_files`` files
+    — optionally RANGE-CLUSTERED on a column (repartitionByRange + sort
+    within partitions), which is what makes the manifest zone maps
+    selective: after clustering, each file owns a disjoint key range, so
+    `read_pruned` touches ~1 file per range probe instead of all of
+    them. Publishes as a new version (time travel across the rewrite
+    keeps working; the old layout stays until vacuum)."""
+    head = current_version(path)
+    df = read(spark, path, head)
+    if cluster_by is not None:
+        df = (df.repartitionByRange(target_files, cluster_by)
+              .sortWithinPartitions(cluster_by))
+    else:
+        df = df.coalesce(target_files)
+    version = head + 1
+    files = _stage(df, path, version)
+    return _publish(path, {"version": version, "parent": head,
+                           "op": "compact", "cluster_by": cluster_by,
+                           "files": files, "stats": _file_stats(files)},
+                    expected_parent=head)
+
+
 def table_changes(spark: SparkSession, path: str, v_from: int,
                   v_to: int) -> DataFrame:
     """CHANGE DATA FEED between two retained snapshots: every row of the

@@ -170,3 +170,25 @@ def test_table_changes_between_snapshots(spark, tmp_path):
                     (99, "new", "insert")}
     # identical snapshots -> empty feed
     assert VT.table_changes(spark, path, 0, 0).count() == 0
+
+
+def test_compact_clustered_rewrite_sharpens_pruning(spark, tmp_path):
+    """Clustered compaction gives each file a disjoint key range, so a
+    range probe reads ~1 file; row content is unchanged and the
+    pre-compaction snapshot stays readable."""
+    path = str(tmp_path / "tbl")
+    # interleaved appends: every file spans the whole key range
+    VT.create(spark.range(0, 1000, 2).select(
+        F.col("id"), (F.col("id") % 7).alias("v")).coalesce(1), path)
+    VT.append(spark.range(1, 1000, 2).select(
+        F.col("id"), (F.col("id") % 7).alias("v")).coalesce(1), path)
+    _, total0, kept0 = VT.read_pruned(spark, path, "id", 100, 149)
+    assert total0 == kept0 == 2            # zone maps useless: full overlap
+
+    v = VT.compact(spark, path, target_files=4, cluster_by="id")
+    df, total1, kept1 = VT.read_pruned(spark, path, "id", 100, 149)
+    assert total1 == 4 and kept1 == 1      # disjoint ranges after rewrite
+    assert df.count() == 50
+    assert VT.read(spark, path, v).count() == 1000
+    assert VT.read(spark, path, v - 1).count() == 1000  # old layout lives
+    assert VT.read_manifest(path, v)["op"] == "compact"
