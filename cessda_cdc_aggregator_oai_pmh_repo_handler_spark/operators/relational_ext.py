@@ -233,6 +233,60 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNICODE_FIXTURES = [
+    (0, "e" + chr(0x0301)),            # decomposed é → composes
+    (1, chr(0x00E9)),                  # composed é → unchanged
+    (2, "a" + chr(0x0308) + "b"),      # decomposed ä mid-string
+    (3, "plain ascii"),                # unchanged
+    (4, chr(0x212B)),                  # Å (ANGSTROM SIGN) → U+00C5
+    (5, "o" + chr(0x0302) + chr(0x0323)),  # two combining marks reorder
+]
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the corpus-cleaning step that makes
+    'é' == 'é' regardless of whether a source emitted the composed
+    codepoint or base+combining-mark (the classic dedup/join divergence
+    in multi-source text): Python ``unicodedata.normalize('NFC')`` in an
+    Arrow-batched pandas UDF, checked value-for-value against DuckDB's
+    ``nfc_normalize`` over the same codepoint fixtures (both implement
+    UAX #15, so equality is exact — including the singleton U+212B→U+00C5
+    and combining-mark canonical reordering)."""
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    @F.pandas_udf("string", PandasUDFType.SCALAR)
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    schema = StructType([StructField("i", IntegerType()),
+                         StructField("raw", StringType())])
+    df = spark.createDataFrame(UNICODE_FIXTURES, schema)
+    return df.select(
+        "i",
+        nfc("raw").alias("normalized"),
+        (nfc("raw") != F.col("raw")).cast("int").alias("changed"),
+        F.length("raw").cast("long").alias("chars_before"),
+        F.length(nfc("raw")).cast("long").alias("chars_after"))
+
+
+def _unicode_oracle() -> str:
+    rows = ", ".join(
+        "({}, {})".format(i, " || ".join(f"chr({ord(c)})" for c in s))
+        for i, s in UNICODE_FIXTURES)
+    return f"""
+        SELECT i,
+               nfc_normalize(raw) AS normalized,
+               CAST(nfc_normalize(raw) <> raw AS INT) AS changed,
+               CAST(length(raw) AS BIGINT) AS chars_before,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS chars_after
+        FROM (VALUES {rows}) AS t(i, raw)
+    """
+
+
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate PANDAS UDAF (`@pandas_udf` over `groupBy.agg`) —
     the custom-aggregate member of the §2.9 UDF surface next to the
@@ -1837,6 +1891,7 @@ QUERIES = {
     "collation_distinct": q_collation_distinct,
     "versioned_table": q_versioned_table,
     "pandas_udaf": q_pandas_udaf,
+    "unicode_normalize": q_unicode_normalize,
     "regr_conformance": q_regr_conformance,
     "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
@@ -1896,6 +1951,7 @@ ORACLES = {
     "collation_distinct": ORACLE_COLLATION_DISTINCT,
     "versioned_table": ORACLE_VERSIONED_TABLE,
     "pandas_udaf": ORACLE_PANDAS_UDAF,
+    "unicode_normalize": _unicode_oracle(),
     "regr_conformance": ORACLE_REGR_CONFORMANCE,
     "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,

@@ -496,6 +496,10 @@ _SQL_SURFACE_SUBS = (
         (("l_returnflag", "str"),),
         ("regr_n", "slope", "icpt", "r2", "avg_x", "avg_y",
          "var_x", "cov_xy")),
+    Sub("unicode_normalize", relational_ext.q_unicode_normalize,
+        relational_ext.ORACLES["unicode_normalize"],
+        (("i", "str"), ("normalized", "str")),
+        ("changed", "chars_before", "chars_after")),
     Sub("pandas_udaf", relational_ext.q_pandas_udaf,
         relational_ext.ORACLES["pandas_udaf"],
         (("l_returnflag", "str"),), ("cnt", "p50", "p95")),
