@@ -356,6 +356,50 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the other merge_asof direction): for every
+    purchase, the user's first error event at-or-after it — the
+    "did the purchase precede a failure" probe. Same one-exchange window
+    form as the backward join, with first(ignorenulls) over the
+    following frame; NULL next_error marks purchases with no later
+    error (kept: the asymmetry is the point)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    next_error = F.first(
+        F.when(F.col("event_type") == "error", F.col("ts")),
+        ignorenulls=True).over(w)
+    return (
+        ev.withColumn("next_error_ts", next_error)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_error_ts",
+            (F.col("next_error_ts").cast("timestamp").cast("double")
+             - F.col("ts").cast("timestamp").cast("double"))
+            .cast("long").alias("gap_seconds"),
+        )
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+    SELECT event_id, user_id, ts AS purchase_ts, next_error_ts,
+           CAST(floor(epoch(next_error_ts) - epoch(ts)) AS BIGINT)
+               AS gap_seconds
+    FROM (
+        SELECT *, first_value(CASE WHEN event_type = 'error' THEN ts END
+                              IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_error_ts
+        FROM events
+    ) WHERE event_type = 'purchase'
+"""
+
+
 def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range self-join: pairs of events by the same user within 10
     minutes. The time-bucket band turns an O(n²) theta join into an
@@ -635,6 +679,7 @@ QUERIES = {
     "linear_interp": q_linear_interp,
     "variant_extract": q_variant_extract,
     "asof_last_signup": q_asof_last_signup,
+    "asof_forward": q_asof_forward,
     "debounce_events": q_debounce_events,
     "time_weighted_avg": q_time_weighted_avg,
     "range_join_pairs": q_range_join_pairs,
@@ -858,6 +903,7 @@ ORACLES = {
             FROM events
         ) WHERE event_type = 'purchase'
     """,
+    "asof_forward": ORACLE_ASOF_FORWARD,
     "range_join_pairs": """
         SELECT a.user_id, a.event_id, b.event_id AS event_b,
                CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS gap_seconds

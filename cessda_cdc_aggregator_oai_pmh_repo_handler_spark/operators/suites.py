@@ -194,6 +194,11 @@ _TEMPORAL_SUBS = (
     Sub("asof_last_signup", arrays.q_asof_last_signup, arrays.ORACLES["asof_last_signup"],
         (("event_id", "str"), ("user_id", "str"), ("purchase_ts", "ts"),
          ("last_signup_ts", "ts")), ("gap_seconds",)),
+    Sub("asof_forward", arrays.q_asof_forward,
+        arrays.ORACLES["asof_forward"],
+        (("event_id", "str"), ("user_id", "str"),
+         ("purchase_ts", "ts"), ("next_error_ts", "ts")),
+        ("gap_seconds",)),
     Sub("range_join_pairs", arrays.q_range_join_pairs, arrays.ORACLES["range_join_pairs"],
         (("user_id", "str"), ("event_id", "str"), ("event_b", "str")),
         ("gap_seconds",)),
