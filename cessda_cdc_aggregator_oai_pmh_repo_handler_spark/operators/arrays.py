@@ -154,6 +154,52 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_fn_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type conformance — the one SQL type family arrays/variant rows
+    don't cover: per returnflag a linestatus→count map is built with
+    ``map_from_entries`` over SORTED entries (map iteration order is the
+    classic engine divergence; sorting the entry list first makes key
+    order deterministic on both), then scalar lookups (``element_at`` /
+    DuckDB's ``m[k][1]`` list-unwrap), ``map_keys``, cardinality, and a
+    fold over ``map_values`` must agree value-for-value."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    m = F.map_from_entries(F.sort_array(F.collect_list(
+        F.struct(F.col("l_linestatus").alias("k"),
+                 F.col("cnt").alias("v")))))
+    agg = per.groupBy("l_returnflag").agg(m.alias("m"))
+    return agg.select(
+        "l_returnflag",
+        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+        F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        F.coalesce(F.element_at("m", F.lit("F")), F.lit(0))
+        .cast("long").alias("cnt_f"),
+        F.coalesce(F.element_at("m", F.lit("O")), F.lit(0))
+        .cast("long").alias("cnt_o"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_values"))
+
+
+ORACLE_MAP_FN_CONFORMANCE = """
+    SELECT l_returnflag,
+           array_to_string(map_keys(m), ',') AS keys_csv,
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
+           CAST(coalesce(m['F'][1], 0) AS BIGINT) AS cnt_f,
+           CAST(coalesce(m['O'][1], 0) AS BIGINT) AS cnt_o,
+           CAST(list_aggregate(map_values(m), 'sum') AS BIGINT)
+               AS sum_values
+    FROM (
+        SELECT l_returnflag,
+               map_from_entries(list_sort(list(
+                   {'k': l_linestatus, 'v': cnt}))) AS m
+        FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        GROUP BY l_returnflag
+    )
+"""
+
+
 def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF forward fill (last observation carried forward) — the classic
     sensor/time-series gap repair: readings exist only on every third
@@ -676,6 +722,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "gapfill_hourly": q_gapfill_hourly,
     "locf_fill": q_locf_fill,
+    "map_fn_conformance": q_map_fn_conformance,
     "linear_interp": q_linear_interp,
     "variant_extract": q_variant_extract,
     "asof_last_signup": q_asof_last_signup,
@@ -949,6 +996,7 @@ ORACLES = {
         FROM events WHERE user_id < 20
     """,
     "linear_interp": ORACLE_LINEAR_INTERP,
+    "map_fn_conformance": ORACLE_MAP_FN_CONFORMANCE,
     "json_extract": """
         SELECT event_type, count(*) AS cnt,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

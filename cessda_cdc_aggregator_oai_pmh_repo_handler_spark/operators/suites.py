@@ -159,6 +159,10 @@ _WINDOW_SUBS = (
     Sub("linear_interp", arrays.q_linear_interp,
         arrays.ORACLES["linear_interp"],
         (("event_type", "str"),), ("n_rows", "n_filled", "sum_filled")),
+    Sub("map_fn_conformance", arrays.q_map_fn_conformance,
+        arrays.ORACLES["map_fn_conformance"],
+        (("l_returnflag", "str"), ("keys_csv", "str")),
+        ("n_keys", "cnt_f", "cnt_o", "sum_values")),
     Sub("variant_extract", arrays.q_variant_extract,
         arrays.ORACLES["variant_extract"],
         (("event_type", "str"),), ("cnt", "sum_k", "min_k", "max_k")),
