@@ -154,6 +154,74 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TS_W = 16       # subsequence window length
+TS_K = 20       # matches returned
+TS_QUERY_USER = 7
+
+
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TIME-SERIES SUBSEQUENCE SIMILARITY SEARCH (the
+    EDBT'19 streaming-similarity problem shape): a W-point query pattern
+    (user 7's series head, derived identically on both engines) against
+    every sliding window of every user's value series; top-K by
+    Euclidean distance. Execution: per-user series assemble in ONE
+    groupBy (sorted collect_list — series are per-key sized), windows
+    posexplode WITHOUT materializing: each candidate is a slice() view
+    costing W multiply-adds in a codegen zip_with fold; the broadcast
+    query + TakeOrdered top-K means no global sort and no pair
+    materialization. Ordering is total ((rounded dist, user, offset)) so
+    the K rows are engine-identical — the self-match at distance 0
+    deliberately stays as the sanity anchor. Scale path beyond
+    brute-force windows: PAA/SAX bucketing as a pre-filter, same shape
+    as the LSH families."""
+    ev = load_table(spark, "events", sf_dir)
+    series = (ev.groupBy("user_id")
+              .agg(F.transform(F.sort_array(F.collect_list(F.struct(
+                  F.col("ts").alias("t"), F.col("event_id").alias("e"),
+                  F.col("value").alias("v")))), lambda x: x["v"])
+                  .alias("s")))
+    qrow = (series.filter(F.col("user_id") == TS_QUERY_USER)
+            .select(F.slice("s", 1, TS_W).alias("q")).collect()[0])
+    q = F.array(*[F.lit(float(x)) for x in qrow["q"]])
+    win = (series.select(
+        "user_id", "s",
+        F.posexplode(F.sequence(F.lit(0), F.size("s") - TS_W)))
+        .withColumnRenamed("pos", "off")
+        .select("user_id", "off",
+                F.slice("s", F.col("off") + 1, TS_W).alias("w")))
+    dist = F.aggregate(F.zip_with("w", q, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return (win.select("user_id", "off", F.round(dist, 6).alias("dist"))
+            .orderBy("dist", "user_id", "off").limit(TS_K))
+
+
+ORACLE_TS_SIMILARITY = f"""
+    WITH series AS (
+      SELECT user_id,
+             list_transform(list(struct_pack(t := ts, e := event_id,
+                                             v := value)
+                                 ORDER BY ts, event_id), x -> x.v) AS s
+      FROM events GROUP BY user_id
+    ),
+    q AS (SELECT s[1:{TS_W}] AS q FROM series
+          WHERE user_id = {TS_QUERY_USER}),
+    wins AS (
+      SELECT user_id, unnest(range(len(s) - {TS_W} + 1)) AS off, s
+      FROM series
+    ),
+    d AS (
+      SELECT w.user_id, w.off,
+             round(list_aggregate(list_transform(range({TS_W}),
+                   i -> (w.s[w.off + i + 1] - q.q[i + 1])
+                        * (w.s[w.off + i + 1] - q.q[i + 1])),
+                   'sum'), 6) AS dist
+      FROM wins w, q
+    )
+    SELECT user_id, CAST(off AS BIGINT) AS off, dist FROM d
+    ORDER BY dist, user_id, off LIMIT {TS_K}
+"""
+
+
 def q_map_fn_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-type conformance — the one SQL type family arrays/variant rows
     don't cover: per returnflag a linestatus→count map is built with
@@ -723,6 +791,7 @@ QUERIES = {
     "gapfill_hourly": q_gapfill_hourly,
     "locf_fill": q_locf_fill,
     "map_fn_conformance": q_map_fn_conformance,
+    "ts_similarity": q_ts_similarity,
     "linear_interp": q_linear_interp,
     "variant_extract": q_variant_extract,
     "asof_last_signup": q_asof_last_signup,
@@ -997,6 +1066,7 @@ ORACLES = {
     """,
     "linear_interp": ORACLE_LINEAR_INTERP,
     "map_fn_conformance": ORACLE_MAP_FN_CONFORMANCE,
+    "ts_similarity": ORACLE_TS_SIMILARITY,
     "json_extract": """
         SELECT event_type, count(*) AS cnt,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

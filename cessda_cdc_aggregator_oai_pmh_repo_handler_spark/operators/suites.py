@@ -198,6 +198,9 @@ _TEMPORAL_SUBS = (
     Sub("asof_last_signup", arrays.q_asof_last_signup, arrays.ORACLES["asof_last_signup"],
         (("event_id", "str"), ("user_id", "str"), ("purchase_ts", "ts"),
          ("last_signup_ts", "ts")), ("gap_seconds",)),
+    Sub("ts_similarity", arrays.q_ts_similarity,
+        arrays.ORACLES["ts_similarity"],
+        (("user_id", "str"), ("off", "str")), ("dist",)),
     Sub("asof_forward", arrays.q_asof_forward,
         arrays.ORACLES["asof_forward"],
         (("event_id", "str"), ("user_id", "str"),
