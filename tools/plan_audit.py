@@ -93,6 +93,10 @@ HEADLINERS = {
     "bitmap_distinct": "Exact mergeable distinct: bitmap_construct_agg per (slice, bucket, partition), bitmap_or_agg merge, counts summed from bucket bitmaps — distinct-sized state, no count(DISTINCT) expand.",
     "regr_conformance": "SQL:2003 regression aggregates: single-pass moment sketches with map-side partial merge, one exchange on the group key.",
     "xml_roundtrip": "to_xml/xpath round-trip conformance: 1/97 key-modulo slice pushed to the scan bounds the deliberately-slow per-row XML parse at any scale.",
+    "ts_similarity": "Time-series subsequence search: per-user series in one groupBy, slice()-view windows in a codegen zip_with fold, broadcast query, TakeOrdered top-K — no global sort, no pair materialization.",
+    "asof_forward": "Forward as-of join: first(ignorenulls) over the following frame, one exchange on the key — merge_asof's other direction with no range-join machinery.",
+    "linear_interp": "Linear interpolation gap fill: four ignorenulls window edges ride ONE exchange on user_id; integer epoch-µs arithmetic, the division is the only float step.",
+    "map_fn_conformance": "MAP type: sorted map_from_entries for deterministic key order; lookups and value folds above one grouped aggregate.",
 }
 
 
