@@ -378,6 +378,54 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
                 old.exceptAll(new).withColumn("_change", F.lit("delete"))))
 
 
+def refresh_aggregate(spark: SparkSession, path: str, agg_state: dict,
+                      group_col: str, sum_col: str) -> dict:
+    """INCREMENTAL VIEW MAINTENANCE: a materialized per-group
+    (count, sum) aggregate maintained from the CDC feed instead of
+    recomputed — inserts add (+1, +x), deletes subtract, groups reaching
+    count 0 drop out. count/sum are self-maintainable under
+    insert+delete (no rescan ever needed; min/max are NOT — they need a
+    rescan on delete, which is why this maintains the algebraic pair).
+    ``agg_state`` is {'version': v, 'rows': {group: [count, sum]}} — at
+    100 TB the state is group-cardinality-sized and the work per refresh
+    is CHANGE-sized, not table-sized."""
+    from pyspark.sql import functions as F
+
+    head = current_version(path)
+    if head == agg_state["version"]:
+        return agg_state
+    feed = table_changes(spark, path, agg_state["version"], head)
+    sign = F.when(F.col("_change") == "insert", 1).otherwise(-1)
+    deltas = (feed.groupBy(group_col)
+              .agg(F.sum(sign).alias("dn"),
+                   F.sum(sign * F.col(sum_col)).alias("ds")).collect())
+    rows = {k: list(v) for k, v in agg_state["rows"].items()}
+    for r in deltas:
+        key = r[group_col]
+        n0, s0 = rows.get(key, (0, 0.0))
+        n1, s1 = n0 + r["dn"], s0 + float(r["ds"] or 0.0)
+        if n1 <= 0:
+            rows.pop(key, None)
+        else:
+            rows[key] = [n1, s1]
+    return {"version": head, "rows": rows}
+
+
+def bootstrap_aggregate(spark: SparkSession, path: str, group_col: str,
+                        sum_col: str) -> dict:
+    """Full-scan initialization of the maintained aggregate at the
+    current version (the one table-sized pass; every later refresh is
+    change-sized)."""
+    from pyspark.sql import functions as F
+
+    head = current_version(path)
+    rows = {r[group_col]: [r["n"], float(r["s"])]
+            for r in read(spark, path, head).groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(sum_col).alias("s")).collect()}
+    return {"version": head, "rows": rows}
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests (and their now-unreferenced data files) older than
     the last ``keep_last`` versions. Returns the deleted file paths."""

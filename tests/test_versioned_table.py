@@ -192,3 +192,32 @@ def test_compact_clustered_rewrite_sharpens_pruning(spark, tmp_path):
     assert VT.read(spark, path, v).count() == 1000
     assert VT.read(spark, path, v - 1).count() == 1000  # old layout lives
     assert VT.read_manifest(path, v)["op"] == "compact"
+
+
+def test_incremental_aggregate_matches_recompute(spark, tmp_path):
+    """The CDC-maintained (count, sum) aggregate equals a fresh recompute
+    after appends AND a merge (update = delete+insert), and a no-change
+    refresh is a no-op."""
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(10).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("x")),
+        path)
+    state = VT.bootstrap_aggregate(spark, path, "g", "x")
+
+    VT.append(spark.range(10, 16).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("x")),
+        path)
+    VT.merge(spark, spark.range(3).select(
+        (F.lit(0)).cast("long").alias("g"),
+        F.lit(500.0).alias("x")), path, key="g")  # replaces ALL g=0 rows
+    state = VT.refresh_aggregate(spark, path, state, "g", "x")
+
+    want = {r["g"]: [r["n"], float(r["s"])]
+            for r in VT.read(spark, path).groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()}
+    assert state["rows"] == want
+    assert state["version"] == VT.current_version(path)
+    # idempotent when nothing changed
+    again = VT.refresh_aggregate(spark, path, state, "g", "x")
+    assert again == state
