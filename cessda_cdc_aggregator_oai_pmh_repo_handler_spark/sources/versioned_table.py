@@ -223,7 +223,9 @@ def append(df: DataFrame, path: str,
                            "op": "append", "files": prev["files"] + files,
                            "stats": {**prev.get("stats", {}),
                                      **_file_stats(files)},
-                           "blooms": prev.get("blooms", {})},
+                           "blooms": prev.get("blooms", {}),
+                           **({"delete_vectors": prev["delete_vectors"]}
+                              if prev.get("delete_vectors") else {})},
                     expected_parent=parent)
 
 
@@ -241,9 +243,48 @@ def overwrite(df: DataFrame, path: str,
 
 def read(spark: SparkSession, path: str,
          version: int | None = None) -> DataFrame:
-    """Snapshot read: exactly the manifest's files, any retained version."""
+    """Snapshot read: exactly the manifest's files, any retained version;
+    MERGE-ON-READ deletes (delete_keys) apply as a broadcast anti-join
+    against the snapshot's delete files."""
+    from pyspark.sql import functions as F
+
     v = current_version(path) if version is None else version
-    return spark.read.parquet(*read_manifest(path, v)["files"])
+    m = read_manifest(path, v)
+    df = spark.read.parquet(*m["files"])
+    dv = m.get("delete_vectors")
+    if dv:
+        dead = spark.read.parquet(*dv["files"]).select(
+            F.col("k").alias(dv["key"])).distinct()
+        df = df.join(F.broadcast(dead), on=dv["key"], how="left_anti")
+    return df
+
+
+def delete_keys(spark: SparkSession, path: str, key_col: str,
+                keys: DataFrame) -> int:
+    """MERGE-ON-READ delete: record the doomed keys in a tiny delete
+    file instead of rewriting data (publish cost ∝ deletes, not table);
+    every read of this and later snapshots anti-joins them out.
+    Accumulates across calls; ``compact`` MATERIALIZES the deletions
+    (rewrites survivors) and clears the vectors — the write-amplification
+    trade made explicit. One key column per table (the common case);
+    time travel before this version still shows the rows."""
+    head = current_version(path)
+    prev = read_manifest(path, head)
+    pdv = prev.get("delete_vectors")
+    if pdv and pdv["key"] != key_col:
+        raise ValueError(f"existing delete vectors use key {pdv['key']}")
+    version = head + 1
+    from pyspark.sql import functions as F
+
+    dfiles = _stage(keys.select(F.col(key_col).alias("k")).distinct(),
+                    path, version)
+    return _publish(path, {
+        "version": version, "parent": head, "op": "delete",
+        "files": prev["files"], "stats": prev.get("stats", {}),
+        "blooms": prev.get("blooms", {}),
+        "delete_vectors": {"key": key_col,
+                           "files": (pdv["files"] if pdv else []) + dfiles},
+    }, expected_parent=head)
 
 
 def append_batch_exactly_once(batch: DataFrame, path: str,
@@ -270,7 +311,9 @@ def append_batch_exactly_once(batch: DataFrame, path: str,
                            "files": prev["files"] + files,
                            "stats": {**prev.get("stats", {}),
                                      **_file_stats(files)},
-                           "blooms": prev.get("blooms", {})},
+                           "blooms": prev.get("blooms", {}),
+                           **({"delete_vectors": prev["delete_vectors"]}
+                              if prev.get("delete_vectors") else {})},
                     expected_parent=head)
 
 
@@ -429,12 +472,15 @@ def bootstrap_aggregate(spark: SparkSession, path: str, group_col: str,
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests (and their now-unreferenced data files) older than
     the last ``keep_last`` versions. Returns the deleted file paths."""
+    def all_files(m: dict) -> list[str]:
+        return m["files"] + m.get("delete_vectors", {}).get("files", [])
+
     vs = versions(path)
     keep, drop = vs[-keep_last:], vs[:-keep_last]
-    live = {f for v in keep for f in read_manifest(path, v)["files"]}
+    live = {f for v in keep for f in all_files(read_manifest(path, v))}
     dead: list[str] = []
     for v in drop:
-        for f in read_manifest(path, v)["files"]:
+        for f in all_files(read_manifest(path, v)):
             if f not in live and os.path.exists(f):
                 os.remove(f)
                 dead.append(f)

@@ -221,3 +221,33 @@ def test_incremental_aggregate_matches_recompute(spark, tmp_path):
     # idempotent when nothing changed
     again = VT.refresh_aggregate(spark, path, state, "g", "x")
     assert again == state
+
+
+def test_merge_on_read_delete_vectors(spark, tmp_path):
+    """delete_keys hides rows at read without rewriting data; time travel
+    still shows them; appends keep the deletes in effect; compaction
+    materializes survivors and clears the vectors."""
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(10).select(
+        F.col("id"), F.lit("a").alias("tag")).coalesce(1), path)
+    data_before = VT.read_manifest(path, 0)["files"]
+
+    v1 = VT.delete_keys(spark, path, "id",
+                        spark.createDataFrame([(3,), (7,)], "id LONG"))
+    assert VT.read_manifest(path, v1)["files"] == data_before  # no rewrite
+    assert {r["id"] for r in VT.read(spark, path).collect()} \
+        == set(range(10)) - {3, 7}
+    assert VT.read(spark, path, version=0).count() == 10  # time travel
+
+    VT.append(spark.range(20, 23).select(
+        F.col("id"), F.lit("b").alias("tag")), path)
+    got = {r["id"] for r in VT.read(spark, path).collect()}
+    assert got == (set(range(10)) - {3, 7}) | {20, 21, 22}
+
+    v3 = VT.compact(spark, path, target_files=1)
+    assert "delete_vectors" not in VT.read_manifest(path, v3)
+    assert {r["id"] for r in VT.read(spark, path).collect()} == got
+
+    dead = VT.vacuum(path, keep_last=1)
+    assert VT.read(spark, path).count() == len(got)
+    assert dead  # pre-compaction data AND delete files collected
