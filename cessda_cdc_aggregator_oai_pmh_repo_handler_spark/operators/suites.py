@@ -309,6 +309,9 @@ _CORPUS_SUBS = (
         clustering.ORACLES["pca_embeddings"],
         (), ("n_vecs", "dims", "trace_ok", "psd_ok", "top8_share_ok",
              "proj_var_ok")),
+    Sub("token_pmi", text_analysis.q_token_pmi,
+        text_analysis.ORACLES["token_pmi"],
+        (("wa", "str"), ("wb", "str")), ("cab", "pmi")),
     Sub("cms_heavy_hitters", text_analysis.q_cms_heavy_hitters,
         text_analysis.ORACLES["cms_heavy_hitters"],
         (("l_suppkey", "str"),), ("exact_cnt", "cms_ok")),

@@ -912,6 +912,80 @@ ORACLE_BITMAP_DISTINCT = """
 """
 
 
+PMI_CAP = 12      # distinct tokens kept per doc (first occurrence order)
+PMI_MIN_C = 5     # minimum pair support
+PMI_TOP = 20
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION EXTRACTION — top pointwise-mutual-information token
+    pairs over per-document co-occurrence (the classic corpus-statistics
+    op behind phrase mining and compound-term vocab induction):
+    PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over document-level counts. The
+    quadratic step is BOUNDED BY DESIGN: each document contributes only
+    its first PMI_CAP distinct tokens (first-occurrence order — a
+    deterministic, content-based cap), so the within-doc self-join emits
+    ≤ CAP² rows per doc and the shuffle is corpus-linear; a support
+    floor kills the hapax tail before the stats join. Total ordering
+    (rounded PMI desc, pair) makes the top-K engine-identical."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split("text", " ")).alias("pos", "w"))
+            .filter(F.col("w") != "")
+            .groupBy("doc_id", "w").agg(F.min("pos").alias("fp")))
+    win = Window.partitionBy("doc_id").orderBy("fp", "w")
+    capped = (toks.withColumn("rk", F.row_number().over(win))
+              .filter(F.col("rk") <= PMI_CAP).select("doc_id", "w"))
+    n_docs = capped.select("doc_id").distinct().count()
+    uni = capped.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    a = capped.select("doc_id", F.col("w").alias("wa"))
+    b = capped.select("doc_id", F.col("w").alias("wb"))
+    pairs = (a.join(b, "doc_id").filter(F.col("wa") < F.col("wb"))
+             .groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cab"))
+             .filter(F.col("cab") >= PMI_MIN_C))
+    ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
+    return (pairs.join(ua, "wa").join(ub, "wb")
+            .select("wa", "wb", "cab",
+                    F.round(F.log((F.col("cab").cast("double") * n_docs)
+                                  / (F.col("ca") * F.col("cb"))), 6)
+                    .alias("pmi"))
+            .orderBy(F.desc("pmi"), "wa", "wb").limit(PMI_TOP))
+
+
+ORACLE_TOKEN_PMI = f"""
+    WITH toks AS (
+      SELECT doc_id, word AS w, min(pos) AS fp FROM (
+        SELECT doc_id,
+               unnest(range(len(string_split(text, ' ')))) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents) t
+      WHERE w <> '' GROUP BY doc_id, w
+    ),
+    capped AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY fp, w) AS rk
+        FROM toks) WHERE rk <= {PMI_CAP}
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM capped),
+    uni AS (SELECT w, count(*) AS cw FROM capped GROUP BY w),
+    pairs AS (
+      SELECT a.w AS wa, b.w AS wb, count(*) AS cab
+      FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w HAVING count(*) >= {PMI_MIN_C}
+    )
+    SELECT wa, wb, CAST(cab AS BIGINT) AS cab,
+           round(ln(CAST(cab AS DOUBLE) * nd.n_docs / (ua.cw * ub.cw)), 6)
+               AS pmi
+    FROM pairs JOIN uni ua ON pairs.wa = ua.w
+               JOIN uni ub ON pairs.wb = ub.w, nd
+    ORDER BY pmi DESC, wa, wb LIMIT {PMI_TOP}
+"""
+
+
 CMS_EPS = 0.001      # over-estimate bound: est <= exact + eps * N
 CMS_CONFIDENCE = 0.99
 CMS_TOP = 10
@@ -1388,6 +1462,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "hll_union": q_hll_union,
     "quantile_merge": q_quantile_merge,
+    "token_pmi": q_token_pmi,
     "kll_quantiles": q_kll_quantiles,
     "theta_sketch_ops": q_theta_sketch_ops,
     "bitmap_distinct": q_bitmap_distinct,
@@ -1516,6 +1591,7 @@ ORACLES = {
     """,
     "hll_union": ORACLE_HLL_UNION,
     "quantile_merge": ORACLE_QUANTILE_MERGE,
+    "token_pmi": ORACLE_TOKEN_PMI,
     "kll_quantiles": ORACLE_KLL_QUANTILES,
     "theta_sketch_ops": ORACLE_THETA_SKETCH_OPS,
     "bitmap_distinct": ORACLE_BITMAP_DISTINCT,
