@@ -79,7 +79,7 @@ def _file_stats(files: list[str]) -> dict:
     out = {}
     for f in files:
         meta = pq.ParquetFile(f).metadata
-        cols: dict = {}
+        cols: dict = {"__rows__": [meta.num_rows, meta.num_rows]}
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for c in range(g.num_columns):
@@ -239,6 +239,26 @@ def overwrite(df: DataFrame, path: str,
                            "op": "overwrite", "files": files,
                            "stats": _file_stats(files)},
                     expected_parent=parent)
+
+
+def count_rows(path: str, version: int | None = None) -> int | None:
+    """Snapshot row count from MANIFEST footer statistics alone — zero
+    Spark jobs (the `__rows__` zone-map slot carries each file's
+    parquet-footer num_rows). None if any file lacks stats or the
+    snapshot has merge-on-read deletes pending (those subtract at read
+    time, so only a data read can count them)."""
+    v = current_version(path) if version is None else version
+    m = read_manifest(path, v)
+    if m.get("delete_vectors"):
+        return None
+    stats = m.get("stats", {})
+    total = 0
+    for f in m["files"]:
+        r = stats.get(f, {}).get("__rows__")
+        if r is None:
+            return None
+        total += int(r[0])
+    return total
 
 
 def read(spark: SparkSession, path: str,

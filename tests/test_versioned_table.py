@@ -251,3 +251,20 @@ def test_merge_on_read_delete_vectors(spark, tmp_path):
     dead = VT.vacuum(path, keep_last=1)
     assert VT.read(spark, path).count() == len(got)
     assert dead  # pre-compaction data AND delete files collected
+
+
+def test_manifest_row_counts_zero_jobs(spark, tmp_path):
+    """count_rows answers from footer stats in the manifest; pending
+    delete vectors disable it (only a data read can subtract them)."""
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(7).select(
+        F.col("id"), F.lit("a").alias("tag")), path)
+    VT.append(spark.range(7, 12).select(
+        F.col("id"), F.lit("b").alias("tag")), path)
+    assert VT.count_rows(path, 0) == 7
+    assert VT.count_rows(path) == 12 == VT.read(spark, path).count()
+    VT.delete_keys(spark, path, "id", spark.createDataFrame([(1,)], "id LONG"))
+    assert VT.count_rows(path) is None            # MOR deletes pending
+    assert VT.read(spark, path).count() == 11
+    VT.compact(spark, path)
+    assert VT.count_rows(path) == 11              # materialized again
