@@ -499,6 +499,49 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED-MAP form of the backward as-of join —
+    ``groupBy().cogroup(...).applyInPandas``: purchases and signups
+    arrive as two per-user pandas frames in one Arrow exchange and
+    ``pd.merge_asof`` joins them imperatively. Semantically identical to
+    q_asof_last_signup's window form (pinned in tests against that
+    oracle-checked query); exists because cogrouped-map is the right
+    escape hatch when the per-key logic ISN'T expressible as a window —
+    bidirectional nearest, tolerance bands, per-key model scoring — and
+    this pairing documents the API against a verifiable baseline.
+    Scale shape: one co-partitioned exchange on user_id; each task sees
+    only its keys' two frames."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id",
+                         F.col("ts").cast("timestamp").alias("ts")))
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                       "event_id"))
+
+    def join_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"])
+        sign = (right[["ts"]].rename(columns={"ts": "signup_ts"})
+                .sort_values("signup_ts"))
+        out = pd.merge_asof(left, sign, left_on="ts", right_on="signup_ts",
+                            direction="backward")
+        return pd.DataFrame({
+            "event_id": out["event_id"],
+            "user_id": out["user_id"],
+            "purchase_ts": out["ts"],
+            "last_signup_ts": out["signup_ts"],
+        })
+
+    return (purchases.groupBy("user_id")
+            .cogroup(signups.groupBy("user_id"))
+            .applyInPandas(
+                lambda left, right: join_asof(left, right),
+                "event_id long, user_id long, purchase_ts timestamp, "
+                "last_signup_ts timestamp"))
+
+
 ORACLE_ASOF_FORWARD = """
     SELECT event_id, user_id, ts AS purchase_ts, next_error_ts,
            CAST(floor(epoch(next_error_ts) - epoch(ts)) AS BIGINT)

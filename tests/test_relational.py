@@ -259,3 +259,28 @@ def test_polymorphic_udtf_analyze_schema(spark):
     two = spark.sql("""SELECT t.* FROM VALUES ('a,b,c') AS v(s),
                        LATERAL split_fixed(v.s, 2) t""")
     assert two.columns == ["c0", "c1"]  # same function, narrower schema
+
+
+def test_cogroup_asof_matches_window_form(spark):
+    """The cogrouped-map merge_asof reproduces the window-based as-of join
+    (which is DuckDB-oracle-checked) row for row."""
+    from pyspark.sql import functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays as A
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["event_id"], r["user_id"]):
+           (r["purchase_ts"], r["last_signup_ts"])
+           for r in A.asof_cogroup(spark, sf).collect()}
+    want = {(r["event_id"], r["user_id"]):
+            (r["purchase_ts"], r["last_signup_ts"])
+            for r in A.q_asof_last_signup(spark, sf)
+            .select("event_id", "user_id",
+                    F.col("purchase_ts").cast("timestamp").alias("purchase_ts"),
+                    F.col("last_signup_ts").cast("timestamp")
+                    .alias("last_signup_ts")).collect()}
+    assert got == want and len(got) > 0
+    # the plan really is the cogrouped Arrow exchange
+    plan = (A.asof_cogroup(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapCoGroupsInPandas" in plan
