@@ -487,6 +487,14 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
     report["pca_covariance"] = {"sec": secs, "n_vecs": int(n_v),
                                 "dim": int(C.shape[0])}
 
+    # PMI collocation at corpus volume: the CAP-bounded within-doc pair
+    # join must stay corpus-linear (3M docs × ≤CAP² pair rows)
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis import (
+        q_token_pmi,
+    )
+    secs, top = timed(lambda: q_token_pmi(spark, sf_dir).collect())
+    report["token_pmi"] = {"sec": secs, "top_pairs": len(top)}
+
     report["scale"] = scale_tag
     return report
 
