@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, memo_put
 from .clustering import sq_dists
-from .dedup import (BLOCK_BITS, _DOT_SQL, _SIGN_SIG_SQL, _cosine_sql,
+from .dedup import (BLOCK_BITS, _SIGN_SIG_SQL, _cosine_sql,
                     dot_cols, norm_col, sign_signature)
 
 QUERY_VEC_ID = 0

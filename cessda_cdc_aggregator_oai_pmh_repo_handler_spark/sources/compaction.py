@@ -17,7 +17,6 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def _dir_size_mb(path: str) -> float:
