@@ -399,6 +399,41 @@ def merge(spark: SparkSession, updates: DataFrame, path: str, key: str,
     raise last
 
 
+def compact_zorder(spark: SparkSession, path: str, col_a: str, col_b: str,
+                   target_files: int = 8, bits: int = 8) -> int:
+    """Z-ORDER clustered compaction: rewrite the current snapshot
+    range-partitioned on the Morton interleave of TWO integer columns
+    (``sources.zorder_layout.zvalue`` — pure codegen bit math), so the
+    manifest zone maps become selective on BOTH dimensions at once — a
+    range probe on either column prunes files, the property 1-D
+    clustering gives only its sort key. Columns are rank-normalized to
+    ``bits`` quantiles first (ntile), so skew in either key cannot
+    collapse the curve. Same snapshot semantics as ``compact``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .zorder_layout import zvalue
+
+    head = current_version(path)
+    df = read(spark, path, head)
+    buckets = 1 << bits
+    na = F.ntile(buckets).over(Window.orderBy(col_a)) - 1
+    nb = F.ntile(buckets).over(Window.orderBy(col_b)) - 1
+    clustered = (df.withColumn("__z",
+                               zvalue(na.cast("long"), nb.cast("long"),
+                                      bits))
+                 .repartitionByRange(target_files, "__z")
+                 .sortWithinPartitions("__z")
+                 .drop("__z"))
+    version = head + 1
+    files = _stage(clustered, path, version)
+    return _publish(path, {"version": version, "parent": head,
+                           "op": "compact",
+                           "cluster_by": f"zorder({col_a},{col_b})",
+                           "files": files, "stats": _file_stats(files)},
+                    expected_parent=head)
+
+
 def compact(spark: SparkSession, path: str, target_files: int = 1,
             cluster_by: str | None = None) -> int:
     """OPTIMIZE: rewrite the current snapshot into ``target_files`` files

@@ -268,3 +268,23 @@ def test_manifest_row_counts_zero_jobs(spark, tmp_path):
     assert VT.read(spark, path).count() == 11
     VT.compact(spark, path)
     assert VT.count_rows(path) == 11              # materialized again
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """After Z-order compaction, a selective range probe on EITHER column
+    skips files; 1-D clustering would only prune its own sort key."""
+    path = str(tmp_path / "tbl")
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % n).alias("b"))  # decorrelated dims
+    VT.create(df, path)
+    VT.compact_zorder(spark, path, "a", "b", target_files=16, bits=8)
+
+    da, ta, ka = VT.read_pruned(spark, path, "a", 0, n // 16 - 1)
+    db, tb, kb = VT.read_pruned(spark, path, "b", 0, n // 16 - 1)
+    assert ta == tb == 16
+    assert ka <= 8 and kb <= 8          # both dimensions prune
+    # correctness: pruned results equal full-scan filters
+    assert da.count() == df.filter(F.col("a") < n // 16).count()
+    assert db.count() == df.filter(F.col("b") < n // 16).count()
