@@ -288,3 +288,22 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     # correctness: pruned results equal full-scan filters
     assert da.count() == df.filter(F.col("a") < n // 16).count()
     assert db.count() == df.filter(F.col("b") < n // 16).count()
+
+
+def test_integrity_audit_detects_corruption(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(100).select(
+        F.col("id"), F.lit("a").alias("tag")), path)
+    VT.append(spark.range(100, 120).select(
+        F.col("id"), F.lit("b").alias("tag")), path)
+    rep = VT.verify_integrity(path)
+    assert rep["corrupt"] == [] and rep["unchecked"] == []
+    assert len(rep["ok"]) == len(VT.read_manifest(
+        path, VT.current_version(path))["files"])
+    # flip one byte mid-file: the audit must flag exactly that file
+    victim = rep["ok"][0]
+    data = bytearray(open(victim, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    rep2 = VT.verify_integrity(path)
+    assert rep2["corrupt"] == [victim]
