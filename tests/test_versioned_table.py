@@ -307,3 +307,42 @@ def test_integrity_audit_detects_corruption(spark, tmp_path):
     open(victim, "wb").write(bytes(data))
     rep2 = VT.verify_integrity(path)
     assert rep2["corrupt"] == [victim]
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: random append/merge/delete/compact sequences
+    must keep read() equal to a driver-side dict model at every step
+    (hypothesis-seeded sequences, deterministic replay)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"tbl{seed}")
+        model = {i: "base" for i in range(8)}
+        VT.create(spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id LONG, tag STRING"), path)
+        next_id = 100
+        for step in range(6):
+            op = rng.choice(["append", "merge", "delete", "compact"])
+            if op == "append":
+                rows = [(next_id + j, f"s{step}") for j in range(rng.randint(1, 3))]
+                next_id += 10
+                VT.append(spark.createDataFrame(rows, "id LONG, tag STRING"), path)
+                model.update(dict(rows))
+            elif op == "merge":
+                keys = rng.sample(sorted(model), k=min(2, len(model)))
+                rows = [(k, f"m{step}") for k in keys]
+                VT.merge(spark, spark.createDataFrame(
+                    rows, "id LONG, tag STRING"), path, key="id")
+                model.update(dict(rows))
+            elif op == "delete" and model:
+                keys = rng.sample(sorted(model), k=min(2, len(model)))
+                VT.delete_keys(spark, path, "id", spark.createDataFrame(
+                    [(k,) for k in keys], "id LONG"))
+                for k in keys:
+                    model.pop(k)
+            else:
+                VT.compact(spark, path, target_files=2)
+            got = {r["id"]: r["tag"] for r in VT.read(spark, path).collect()}
+            assert got == model, f"seed {seed} step {step} op {op}"
+        assert VT.verify_integrity(path)["corrupt"] == []
