@@ -104,18 +104,34 @@ def main():
             suites._q_approx_distinct_long(spark, sf_dir).collect()
             ops["approx_distinct"] = round(time.perf_counter() - t0, 4)
         suite_op_sec[suite_name] = ops
-    print(json.dumps({
-        "metric": "total_query_wall_sec",
-        "value": round(total_warm, 4),
-        "unit": "sec",
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Detail first (big maps on their own line / sidecar), compact
+    # headline LAST: the driver tail-captures stdout and must always see
+    # the {"metric",...} line intact (round-5 lesson: one giant line got
+    # front-truncated and the round's wall-time went unrecorded).
+    detail = {
+        "detail": "per_query_and_per_subop_seconds",
         "runs_per_query": 2,
         "isolation": "cold-then-warm per query (memo caches cleared before the cold run)",
-        "queries": warm,
         "queries_cold": cold,
         "cold_total_sec": round(total_cold, 4),
         "suite_subs": suite_subs,
         "suite_op_sec": suite_op_sec,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": round(total_warm, 4),
+        "unit": "sec",
+        "queries": warm,
+        "sf": sf_val,
     }))
     spark.stop()
 

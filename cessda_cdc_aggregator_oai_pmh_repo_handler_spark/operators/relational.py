@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import exact_sum, money, rate
 from ..sources.tables import load_table
 
 # Frozen "request time" used as the snapshot bound (P7/O2). The reference
@@ -97,7 +98,8 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .agg(F.count("*").alias("cnt"),
+             exact_sum(money("o_totalprice")).alias("sum_price"))
     )
 
 
@@ -114,7 +116,7 @@ def q_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            exact_sum(money("l_extendedprice") * (1 - rate("l_discount"))).alias("revenue"),
         )
     )
 
@@ -179,7 +181,8 @@ def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.count("*").alias("customers"), F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+        .agg(F.count("*").alias("customers"),
+             exact_sum(money("c_acctbal")).alias("acctbal"))
     )
 
 
@@ -193,7 +196,8 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(members), o.o_custkey == members.c_custkey, "left_semi")
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .agg(F.count("*").alias("cnt"),
+             exact_sum(money("o_totalprice")).alias("sum_price"))
     )
 
 
@@ -209,7 +213,7 @@ def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("lineitems"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            exact_sum(money("l_extendedprice") * (1 - rate("l_discount"))).alias("revenue"),
         )
     )
 
@@ -297,7 +301,8 @@ ORACLES = {
     """,
     "range_filter": """
         SELECT o_orderpriority, count(*) AS cnt,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_price
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -305,7 +310,9 @@ ORACLES = {
     """,
     "conjunction": """
         SELECT l_linestatus, count(*) AS cnt,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_returnflag = 'R' AND l_discount >= 0.05
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -329,7 +336,9 @@ ORACLES = {
     "distinct_language": "SELECT DISTINCT lang FROM documents ORDER BY lang",
     "lookup_join": """
         SELECT r_name AS region, n_name AS nation,
-               count(*) AS customers, round(sum(c_acctbal), 2) AS acctbal
+               count(*) AS customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -337,14 +346,17 @@ ORACLES = {
     """,
     "semi_join": """
         SELECT o_orderstatus, count(*) AS cnt,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_price
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderstatus
     """,
     "fact_join": """
         SELECT o_orderpriority, count(*) AS lineitems,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY o_orderpriority
