@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["money", "rate", "exact_sum", "exact_wsum", "money_sql", "rate_sql"]
+__all__ = ["money", "rate", "exact_sum", "exact_wsum", "exact_avg",
+           "money_sql", "rate_sql", "exact_sum_sql", "exact_avg_sql"]
 
 
 def _col(c) -> Column:
@@ -59,6 +60,17 @@ def exact_wsum(expr: Column, w, round_to: int = 2) -> Column:
     return F.round(F.sum(expr).over(w), round_to).cast("double")
 
 
+def exact_avg(expr: Column, round_to: int = 4) -> Column:
+    """Deterministic AVG: exact decimal SUM cast to double, divided by the
+    non-null count. IEEE double division of two exact operands is correctly
+    rounded, so the pre-round value is identical in Spark and DuckDB and
+    across runs — unlike AVG(double), whose accumulated sum carries
+    merge-order ulps."""
+    return F.round(
+        F.sum(expr).cast("double") / F.count(expr), round_to
+    ).cast("double")
+
+
 def money_sql(col: str) -> str:
     """DuckDB-side twin of ``money``."""
     return f"CAST({col} AS DECIMAL(12,2))"
@@ -67,3 +79,15 @@ def money_sql(col: str) -> str:
 def rate_sql(col: str) -> str:
     """DuckDB-side twin of ``rate``."""
     return f"CAST({col} AS DECIMAL(4,2))"
+
+
+def exact_sum_sql(expr: str, round_to: int = 2) -> str:
+    """DuckDB-side twin of ``exact_sum`` — ``expr`` must already be a
+    decimal expression (compose from ``money_sql``/``rate_sql``)."""
+    return f"CAST(round(sum({expr}), {round_to}) AS DOUBLE)"
+
+
+def exact_avg_sql(expr: str, count_col: str, round_to: int = 4) -> str:
+    """DuckDB-side twin of ``exact_avg``."""
+    return (f"CAST(round(CAST(sum({expr}) AS DOUBLE) / count({count_col}), "
+            f"{round_to}) AS DOUBLE)")

@@ -69,7 +69,11 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        # value is an exact 2-decimal double; DECIMAL accumulation keeps the
+        # hashed sum merge-order-independent (VERDICT r5 de-flake sweep)
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+             .cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
 
@@ -107,7 +111,8 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     panes = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"))
         .select(F.col("w.start").alias("pane"), "event_type", "cnt", "sv")
     )
     two = panes.select(
@@ -118,7 +123,8 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         two.groupBy("window_start", "event_type")
-        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 2).alias("sum_value"))
+        .agg(F.sum("cnt").alias("cnt"),
+             F.round(F.sum("sv"), 2).cast("double").alias("sum_value"))
     )
 
 
@@ -130,7 +136,9 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+             .cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("session_start"), "user_id", "cnt", "sum_value")
     )
 
@@ -332,7 +340,10 @@ def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("v").isNull()
                               & F.col("filled").isNotNull(), 1)
                        .otherwise(0)).alias("n_filled"),
-                 F.round(F.sum("filled"), 2).alias("sum_filled")))
+                 # filled is round(x, 6) — a decimal(18,6) per-row lift is
+                 # lossless, making the hashed sum order-independent
+                 F.round(F.sum(F.col("filled").cast("decimal(18,6)")), 2)
+                 .cast("double").alias("sum_filled")))
 
 
 ORACLE_LINEAR_INTERP = """
@@ -365,7 +376,8 @@ ORACLE_LINEAR_INTERP = """
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
-           round(sum(filled), 2) AS sum_filled
+           CAST(round(sum(CAST(filled AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS sum_filled
     FROM f GROUP BY event_type
 """
 
@@ -614,7 +626,8 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("ts") < F.lit(GAPFILL_NEXT_DAY).cast("timestamp_ntz")))
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+             .cast("double").alias("sum_value"))
     )
     # grid LEFT JOIN broadcast(hourly): for LeftOuter the build side must be
     # the non-preserved (right) side, so broadcasting the aggregated hourly
@@ -1031,7 +1044,9 @@ ORACLES = {
         ),
         hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,
-                   count(*) AS cnt, round(sum(value), 2) AS sum_value
+                   count(*) AS cnt,
+                   CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_value
             FROM events
             WHERE ts >= TIMESTAMP '{GAPFILL_DAY} 00:00:00'
               AND ts < TIMESTAMP '{GAPFILL_NEXT_DAY} 00:00:00'
@@ -1118,7 +1133,9 @@ ORACLES = {
     """,
     "event_window": """
         SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
-               count(*) AS cnt, round(sum(value), 2) AS sum_value
+               count(*) AS cnt,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "topk_per_group": """
@@ -1131,7 +1148,8 @@ ORACLES = {
     """,
     "sliding_window": """
         SELECT window_start, event_type, count(*) AS cnt,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_value
         FROM (
             SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type, value
             FROM events
@@ -1155,7 +1173,8 @@ ORACLES = {
             FROM marked
         )
         SELECT min(ts) AS session_start, user_id, count(*) AS cnt,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, sess_id
     """,
 }

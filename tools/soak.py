@@ -1,0 +1,108 @@
+"""Flake soak: run the full 50-query battery N times in ONE Spark session
+(driver conditions — shared session, memo caches, AQE state) and diff the
+per-query value hashes across runs. A query whose hash varies run-to-run
+is a nondeterminism bug even if every individual run matches the oracle
+(the round-5 sql_surface_suite flake class: merge-order ulps under
+``round(SUM(double), 2)``).
+
+Also computes each query's DuckDB oracle hash once, so one artifact
+answers both "is it stable?" and "is it right?".
+
+Usage: python tools/soak.py [n_runs] [sf_dir] [query ...]
+Writes SOAK.json at the repo root and exits nonzero on any instability
+or oracle mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[3:])
+
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tools.hashing import value_hash  # noqa: E402
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.session import (  # noqa: E402
+    build_session,
+)
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (  # noqa: E402
+    TABLES,
+)
+
+
+def main():
+    spark = build_session("soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = [n for n in qs if not ONLY or n in ONLY]
+
+    oracle_hash: dict[str, str | None] = {}
+    for name in names:
+        if name not in oracles:
+            oracle_hash[name] = None
+            continue
+        res = con.execute(oracles[name])
+        oracle_hash[name] = value_hash(
+            [d[0] for d in res.description], res.fetchall())
+
+    hashes: dict[str, list[str]] = {n: [] for n in names}
+    t0 = time.time()
+    for run in range(N):
+        for name in names:
+            sdf = qs[name](spark, SF_DIR)
+            hashes[name].append(
+                value_hash(sdf.columns, [tuple(r) for r in sdf.collect()]))
+        done = sum(1 for n in names if len(set(hashes[n])) == 1)
+        print(f"run {run + 1}/{N}: {done}/{len(names)} stable so far "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    report, bad = {}, []
+    for name in names:
+        distinct = sorted(set(hashes[name]))
+        ok_stable = len(distinct) == 1
+        ok_oracle = (oracle_hash[name] is None
+                     or distinct == [oracle_hash[name]])
+        report[name] = {
+            "runs": N,
+            "distinct_hashes": len(distinct),
+            "stable": ok_stable,
+            "matches_oracle": ok_oracle if oracle_hash[name] else None,
+        }
+        if not (ok_stable and ok_oracle):
+            bad.append(name)
+            report[name]["hashes"] = distinct
+            report[name]["oracle_hash"] = oracle_hash[name]
+
+    out = {
+        "n_runs": N,
+        "sf_dir": SF_DIR,
+        "queries": len(names),
+        "unstable_or_wrong": bad,
+        "wall_sec": round(time.time() - t0, 1),
+        "detail": report,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SOAK.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("n_runs", "queries", "unstable_or_wrong", "wall_sec")}))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

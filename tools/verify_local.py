@@ -7,7 +7,6 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
@@ -21,37 +20,9 @@ if len(sys.argv) > 1:
 import duckdb
 
 import __spark_entry__ as entrymod
+from tools.hashing import norm_cell, value_hash
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.session import build_session
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import TABLES
-
-
-def norm_cell(v):
-    import datetime
-    import math
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def value_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\n")
-    return h.hexdigest()
 
 
 def main():
