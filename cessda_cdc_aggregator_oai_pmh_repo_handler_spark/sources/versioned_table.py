@@ -357,14 +357,16 @@ def append(df: DataFrame, path: str,
 
 
 def overwrite(df: DataFrame, path: str,
-              expected_version: int | None = None) -> int:
+              expected_version: int | None = None,
+              epoch: int | None = None) -> int:
     parent = current_version(path) if expected_version is None \
         else expected_version
     version = parent + 1
     files = _stage(df, path, version)
     return _publish(path, {"version": version, "parent": parent,
                            "op": "overwrite", "files": files,
-                           "stats": _file_stats(files)},
+                           "stats": _file_stats(files),
+                           **({"epoch": epoch} if epoch is not None else {})},
                     expected_parent=parent)
 
 
@@ -532,6 +534,83 @@ def merge(spark: SparkSession, updates: DataFrame, path: str, key: str,
                   .unionByName(updates))
         try:
             return overwrite(merged, path, expected_version=head)
+        except ConcurrentWriteError as e:
+            last = e
+    raise last
+
+
+def epoch_committed(path: str, epoch: int) -> bool:
+    """True iff ``epoch`` is in the head manifest's bounded recent-epoch
+    set — the O(1) exactly-once replay probe (no chain walk)."""
+    m = read_manifest(path, current_version(path))
+    return epoch in m.get("recent_epochs", []) or m.get("epoch") == epoch
+
+
+def merge_keys(spark: SparkSession, updates: DataFrame, path: str,
+               key: str, epoch: int | None = None,
+               max_retries: int = 3) -> int | None:
+    """File-granular COPY-ON-WRITE upsert — the Delta ``MERGE INTO``
+    shape: only files that can contain an updated key are rewritten
+    (survivors anti-joined, then unioned with the updates); every other
+    file carries over by reference. Candidate files are chosen from the
+    manifest zone maps on ``key`` against the batch's key range — after a
+    key-clustered ``compact``, a batch touches ~the files its key range
+    covers, so merge I/O is batch-sized against a corpus-sized table
+    (``merge``, by contrast, rewrites the whole snapshot every time).
+
+    Pending merge-on-read delete vectors are materialized into the
+    rewritten files and carried for the untouched ones. ``epoch`` rides
+    the manifest for exactly-once under foreachBatch replays (returns
+    None for a skipped replay). Lost optimistic races retry."""
+    from pyspark.sql import functions as F
+
+    last: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        head = current_version(path)
+        if epoch is not None and epoch_committed(path, epoch):
+            return None
+        m = read_manifest(path, head)
+        stats = m.get("stats", {})
+        bounds = updates.agg(
+            F.min(F.col(key)).alias("lo"),
+            F.max(F.col(key)).alias("hi")).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        touched, untouched = [], []
+        for f in m["files"]:
+            zone = stats.get(f, {}).get(key)
+            if lo is None or zone is None or (zone[1] >= lo
+                                              and zone[0] <= hi):
+                touched.append(f)  # overlap or no stats: must rewrite
+            else:
+                untouched.append(f)
+        if m.get("delete_vectors"):
+            # pending deletes apply globally on read — a carried vector
+            # would also hit re-upserted keys in the new files, so a merge
+            # over pending deletes materializes them everywhere
+            touched, untouched = list(m["files"]), []
+        keys_df = updates.select(key).distinct()
+        if touched:
+            cur = spark.read.parquet(*touched)
+            dv = m.get("delete_vectors")
+            if dv:  # materialize pending deletes into the rewrite
+                dead = spark.read.parquet(*dv["files"]).select(
+                    F.col("k").alias(key)).distinct()
+                cur = cur.join(F.broadcast(dead), on=key, how="left_anti")
+            survivors = cur.join(keys_df, on=key, how="left_anti")
+            out = survivors.unionByName(updates)
+        else:
+            out = updates
+        version = head + 1
+        new_files = _stage(out, path, version)
+        manifest = {
+            "version": version, "parent": head, "op": "merge",
+            "files": untouched + new_files,
+            "stats": {**{f: s for f, s in stats.items() if f in untouched},
+                      **_file_stats(new_files)},
+            **({"epoch": epoch} if epoch is not None else {}),
+        }
+        try:
+            return _publish(path, manifest, expected_parent=head)
         except ConcurrentWriteError as e:
             last = e
     raise last
