@@ -117,11 +117,25 @@ class OAIQueryPlanner:
 
     def __init__(self, studies: DataFrame, source_defs: list[dict] | None = None,
                  configurable_path: str | None = None, page_size: int = 100,
-                 page_sizes: dict[str, int] | None = None):
+                 page_sizes: dict[str, int] | None = None,
+                 vt_path: str | None = None, vt_version: int | None = None):
         self.studies = studies
         self.source_defs = source_defs or []
         self.configurable_path = configurable_path
         self.page_size = page_size
+        # versioned-table-backed corpus: point lookups (GetRecord, the
+        # existence probe) go through the manifest's bloom/zone-map file
+        # skipping instead of scanning every file — after a key-clustered
+        # compact + build_blooms a GetRecord opens ~1 data file out of the
+        # whole corpus. The serving version is PINNED at planner birth
+        # (snapshot-stable: concurrent merges can't shear a reader).
+        self.vt_path = vt_path
+        if vt_path is not None and vt_version is None:
+            from ..sources import versioned_table as VT
+
+            vt_version = VT.current_version(vt_path)
+        self.vt_version = vt_version
+        self.last_point_files: tuple[int, int] | None = None  # (total, read)
         # per-format overrides, mirroring the reference's
         # --oai-pmh-list-size-{oai-dc,oai-ddi25,oai-datacite} flags
         # (/root/reference/cdcagg_oai/metadataformats.py:506-529)
@@ -238,12 +252,28 @@ class OAIQueryPlanner:
 
     # --- verbs -------------------------------------------------------------
 
+    def _point_relation(self, identifier: str) -> DataFrame:
+        """The one-record relation behind GetRecord/the existence probe.
+        VT-backed corpora prune at the MANIFEST (bloom + zone map → file
+        list) before Spark ever lists the directory; otherwise the pushed
+        EqualTo predicate prunes at the parquet row-group tier."""
+        if self.vt_path is not None:
+            from ..sources import versioned_table as VT
+
+            df, total, read = VT.read_point(
+                self.studies.sparkSession, self.vt_path,
+                "aggregator_identifier", identifier, version=self.vt_version)
+            self.last_point_files = (total, read)
+            return df
+        return self.studies.filter(
+            F.col("aggregator_identifier") == identifier)
+
     def get_record(self, identifier: str, metadata_prefix: str) -> DataFrame:
         """GetRecord: point lookup + per-format projection (P1/P2,
         /root/reference/cdcagg_oai/metadataformats.py:477-478)."""
         fields = fields_for(metadata_prefix)
         return (
-            self.studies.filter(F.col("aggregator_identifier") == identifier)
+            self._point_relation(identifier)
             .withColumn("setSpec", self.set_spec_column(metadata_prefix))
             .withColumn("datestamp", P.record_datestamp())
             .withColumn("deleted", P.is_deleted())
@@ -253,9 +283,10 @@ class OAIQueryPlanner:
     def get_record_exists(self, identifier: str) -> bool:
         """Existence probe for ListMetadataFormats' identifier argument:
         pushed-down point predicate + limit(1) — the scan stops at the
-        first matching row-group."""
+        first matching row-group (or, VT-backed, at the bloom-surviving
+        file subset)."""
         return bool(
-            self.studies.filter(F.col("aggregator_identifier") == identifier)
+            self._point_relation(identifier)
             .select("aggregator_identifier").limit(1).take(1)
         )
 

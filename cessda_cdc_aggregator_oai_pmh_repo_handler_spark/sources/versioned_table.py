@@ -259,10 +259,19 @@ def read_point(spark: SparkSession, path: str, column: str, value,
         if hits:
             keep.append(f)
     pred = F.col(column).cast("string") == probe
+
+    def _with_deletes(df: DataFrame) -> DataFrame:
+        dv = m.get("delete_vectors")
+        if dv:  # same merge-on-read semantics as read()
+            dead = spark.read.parquet(*dv["files"]).select(
+                F.col("k").alias(dv["key"])).distinct()
+            df = df.join(F.broadcast(dead), on=dv["key"], how="left_anti")
+        return df
+
     if not keep:
         return (spark.read.parquet(*m["files"]).filter(F.lit(False)),
                 len(m["files"]), 0)
-    return (spark.read.parquet(*keep).filter(pred),
+    return (_with_deletes(spark.read.parquet(*keep).filter(pred)),
             len(m["files"]), len(keep))
 
 
@@ -515,8 +524,13 @@ def read_pruned(spark: SparkSession, path: str, column: str,
     if not keep:
         return (spark.read.parquet(*m["files"]).filter(F.lit(False)),
                 len(m["files"]), 0)
-    return (spark.read.parquet(*keep).filter(pred),
-            len(m["files"]), len(keep))
+    df = spark.read.parquet(*keep).filter(pred)
+    dv = m.get("delete_vectors")
+    if dv:  # same merge-on-read semantics as read()
+        dead = spark.read.parquet(*dv["files"]).select(
+            F.col("k").alias(dv["key"])).distinct()
+        df = df.join(F.broadcast(dead), on=dv["key"], how="left_anti")
+    return df, len(m["files"]), len(keep)
 
 
 def merge(spark: SparkSession, updates: DataFrame, path: str, key: str,
