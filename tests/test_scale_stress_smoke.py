@@ -50,3 +50,9 @@ def test_stress_harness_smoke(spark, tmp_path):
     # the guard really bounds the blowup: a 2k viral cluster uncapped would
     # be ~2M LSH pairs; capped output stays orders below
     assert report["minhash_lsh"]["pairs"] < 100_000
+    # VT copy-on-write merge: the clustered table carries most files
+    # through the merge by reference (batch-sized I/O, round 6)
+    vt = report["vt_merge"]
+    assert vt["files_carried"] + vt["files_rewritten"] >= vt["total_files"] - 1
+    assert vt["files_rewritten"] < vt["total_files"] / 4
+    assert vt["files_carried"] > vt["total_files"] / 2

@@ -495,6 +495,38 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
     secs, top = timed(lambda: q_token_pmi(spark, sf_dir).collect())
     report["token_pmi"] = {"sec": secs, "top_pairs": len(top)}
 
+    # --- versioned-table copy-on-write MERGE at volume --------------------
+    # the round-6 merge sink claim: after a key-clustered compact, a merge
+    # whose key range covers ~1/32 of the table rewrites ~1 file of 32 —
+    # batch-sized I/O against the corpus-sized table, proven by the
+    # manifest file-carryover census (not a plan read).
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources import (
+        versioned_table as VT,
+    )
+
+    vt_path = os.path.join(sf_dir, "vt_docs")
+    base = d.select("doc_id", "text", "source", "n_chars")
+    t0 = time.perf_counter()
+    VT.create(base.repartition(8), vt_path)
+    VT.compact(spark, vt_path, target_files=32, cluster_by="doc_id")
+    build_sec = round(time.perf_counter() - t0, 2)
+    head = VT.current_version(vt_path)
+    before = set(VT.read_manifest(vt_path, head)["files"])
+    n_rows = base.count()
+    span = max(n_rows // 64, 1)  # ~half a file's key range
+    updates = (base.filter((F.col("doc_id") >= 10) &
+                           (F.col("doc_id") < 10 + span))
+               .withColumn("text", F.lit("updated-by-stress")))
+    secs, ver = timed(lambda: VT.merge_keys(spark, updates, vt_path,
+                                            key="doc_id"))
+    after = set(VT.read_manifest(vt_path, ver)["files"])
+    report["vt_merge"] = {
+        "sec": secs, "build_sec": build_sec, "table_rows": int(n_rows),
+        "batch_rows": int(span), "total_files": len(before),
+        "files_carried": len(before & after),
+        "files_rewritten": len(before - after),
+    }
+
     report["scale"] = scale_tag
     return report
 
