@@ -511,6 +511,79 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_native_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-RELATION left as-of join, verified against DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` (the single-stream when()-window trick of
+    q_asof_last_signup only works when both streams live in one table).
+    General composition: tag each side, union, one window over
+    (user_id, ts) with signups ordered BEFORE purchases at equal ts —
+    DuckDB's ``p.ts >= s.ts`` is inclusive, so a same-instant signup
+    must be visible — and ``last(ignorenulls)`` carries the latest
+    signup struct forward. Right side deduped to one row per
+    (user_id, ts) first (as-of is ill-defined under timestamp ties).
+
+    Scale: one shuffle on user_id for the window plus the dedup's
+    (user_id, ts) exchange; no range-join machinery, no row explosion —
+    the same one-pass shape Flink's temporal join and Pandas merge_asof
+    use. Unmatched purchases keep NULL signup columns (LEFT semantics).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts", F.lit(1).alias("is_p"), "event_id",
+                 F.lit(None).cast("long").alias("signup_id")))
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("signup_id"))
+         .select("user_id", "ts", F.lit(0).alias("is_p"),
+                 F.lit(None).cast("long").alias("event_id"), "signup_id"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_p")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_signup = F.last(
+        F.when(F.col("is_p") == 0,
+               F.struct(F.col("ts").alias("sts"),
+                        F.col("signup_id").alias("sid"))),
+        ignorenulls=True).over(w)
+    return (
+        p.unionByName(s)
+        .withColumn("ls", last_signup)
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id", "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("ls.sts").alias("signup_ts"),
+            F.col("ls.sid").alias("signup_id"),
+            (F.col("ts").cast("timestamp").cast("double")
+             - F.col("ls.sts").cast("timestamp").cast("double"))
+            .cast("long").alias("gap_seconds"),
+        )
+    )
+
+
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — Spark's window aggregates
+    reject DISTINCT outright, so the idiomatic composition is
+    ``size(collect_set(x) OVER w)``; DuckDB runs the real
+    ``count(DISTINCT ...) OVER w`` as the oracle, proving the
+    composition exact (including the expanding-frame semantics).
+
+    Scale: one shuffle on user_id; collect_set state is bounded by the
+    DISTINCT cardinality of the tracked column (5 event types here), NOT
+    the frame length — the composition is safe whenever the distinct
+    domain is small, which is exactly when you'd want the statistic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("distinct_types"),
+        F.count(F.lit(1)).over(w).alias("events_so_far"),
+    )
+
+
 def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COGROUPED-MAP form of the backward as-of join —
     ``groupBy().cogroup(...).applyInPandas``: purchases and signups
@@ -852,6 +925,8 @@ QUERIES = {
     "variant_extract": q_variant_extract,
     "asof_last_signup": q_asof_last_signup,
     "asof_forward": q_asof_forward,
+    "asof_native_parity": q_asof_native_parity,
+    "window_count_distinct": q_window_count_distinct,
     "debounce_events": q_debounce_events,
     "time_weighted_avg": q_time_weighted_avg,
     "range_join_pairs": q_range_join_pairs,
@@ -1078,6 +1153,33 @@ ORACLES = {
         ) WHERE event_type = 'purchase'
     """,
     "asof_forward": ORACLE_ASOF_FORWARD,
+    # DuckDB's NATIVE ASOF LEFT JOIN — the composition in
+    # q_asof_native_parity must reproduce it exactly, ties included.
+    "asof_native_parity": """
+        WITH p AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT user_id, ts, max(event_id) AS signup_id
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               s.ts AS signup_ts, s.signup_id,
+               CAST(floor(epoch(p.ts) - epoch(s.ts)) AS BIGINT) AS gap_seconds
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "window_count_distinct": """
+        SELECT event_id, user_id,
+               CAST(count(DISTINCT event_type) OVER w AS INT)
+                   AS distinct_types,
+               count(*) OVER w AS events_so_far
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
     "range_join_pairs": """
         SELECT a.user_id, a.event_id, b.event_id AS event_b,
                CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS gap_seconds

@@ -1873,8 +1873,50 @@ def q_mongo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FI_CAP = 32      # per-basket distinct-item cap (lexicographic, like PMI)
+FI_MINSUP = 2    # minimum pair support emitted
+
+
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT-ITEMSET PAIR MINING (the A-Priori L2 step / market-basket
+    co-occurrence): parts ordered together, pair support ≥ FI_MINSUP.
+
+    Same shuffle-free candidate generation as token_pmi
+    (text_analysis.py): baskets are capped sorted DISTINCT item arrays
+    (``slice(array_sort(collect_set(..)), 1, CAP)``) and the ≤
+    CAP·(CAP−1)/2 candidate pairs per basket come from IN-ARRAY indexed
+    combinations — no per-order self-join, so a viral basket can never
+    quadratically explode the exchange. The only heavy shuffle is the
+    pair groupBy, which IS the co-occurrence matrix build. TPC-H baskets
+    hold ≤ 7 items so the cap never binds here; at 100 TB it is the
+    stated (and logged-by-construction) coverage bound, exactly as in
+    the PMI op. The oracle mirrors the cap with DuckDB list functions
+    and counts pairs via the classic per-order self-join, proving the
+    in-array combination form equivalent."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.slice(F.array_sort(F.collect_set("l_partkey")), 1, FI_CAP)
+             .alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    pair_arr = F.flatten(F.transform(
+        "items",
+        lambda x, i: F.transform(
+            F.slice("items", i + 2, FI_CAP),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    return (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= FI_MINSUP)
+    )
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
+    "frequent_itemsets": q_frequent_itemsets,
     "sql_udf": q_sql_udf,
     "python_udtf": q_python_udtf,
     "mongo_filter": q_mongo_filter,
@@ -1944,6 +1986,23 @@ _STATS_ORACLE_PARTS = [
 
 ORACLES = {
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
+    "frequent_itemsets": f"""
+        WITH b AS (
+            SELECT l_orderkey, unnest(items) AS pk
+            FROM (
+                SELECT l_orderkey,
+                       list_sort(list_distinct(list(l_partkey)))[1:{FI_CAP}]
+                           AS items
+                FROM lineitem GROUP BY l_orderkey
+            ) WHERE len(items) >= 2
+        )
+        SELECT x.pk AS pa, y.pk AS pb,
+               CAST(count(*) AS BIGINT) AS support
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
+        GROUP BY x.pk, y.pk
+        HAVING count(*) >= {FI_MINSUP}
+    """,
     "mongo_filter": """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,

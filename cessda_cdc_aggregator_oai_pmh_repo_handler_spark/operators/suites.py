@@ -152,6 +152,10 @@ _WINDOW_SUBS = (
         (("window_start", "ts"), ("event_type", "str")), ("cnt", "sum_value")),
     Sub("session_window", arrays.q_session_window, arrays.ORACLES["session_window"],
         (("session_start", "ts"), ("user_id", "str")), ("cnt", "sum_value")),
+    Sub("window_count_distinct", arrays.q_window_count_distinct,
+        arrays.ORACLES["window_count_distinct"],
+        (("event_id", "str"), ("user_id", "str")),
+        ("distinct_types", "events_so_far")),
     Sub("gapfill_hourly", arrays.q_gapfill_hourly, arrays.ORACLES["gapfill_hourly"],
         (("event_type", "str"), ("hour", "ts")), ("cnt", "sum_value")),
     Sub("locf_fill", arrays.q_locf_fill, arrays.ORACLES["locf_fill"],
@@ -209,6 +213,11 @@ _TEMPORAL_SUBS = (
     Sub("range_join_pairs", arrays.q_range_join_pairs, arrays.ORACLES["range_join_pairs"],
         (("user_id", "str"), ("event_id", "str"), ("event_b", "str")),
         ("gap_seconds",)),
+    Sub("asof_native_parity", arrays.q_asof_native_parity,
+        arrays.ORACLES["asof_native_parity"],
+        (("event_id", "str"), ("user_id", "str"),
+         ("purchase_ts", "ts"), ("signup_ts", "ts")),
+        ("signup_id", "gap_seconds")),
 )
 
 _CORPUS_SUBS = (
@@ -268,6 +277,9 @@ _CORPUS_SUBS = (
     Sub("quality_model", text_analysis.q_quality_model,
         text_analysis.ORACLES["quality_model"],
         (("source", "str"),), ("docs", "kept", "avg_score")),
+    Sub("decile_calibration", text_analysis.q_decile_calibration,
+        text_analysis.ORACLES["decile_calibration"],
+        (("bucket", "str"),), ("docs", "en_docs", "sum_s", "en_rate")),
     Sub("bigram_lm_score", text_analysis.q_bigram_lm_score,
         text_analysis.ORACLES["bigram_lm_score"],
         (("source", "str"),), ("docs", "avg_logprob", "low_docs")),
@@ -420,6 +432,9 @@ _SQL_SURFACE_SUBS = (
     Sub("supplier_stats", relational_ext.q_supplier_stats,
         relational_ext.ORACLES["supplier_stats"],
         (("n_name", "str"),), ("suppliers", "total_balance", "median_balance")),
+    Sub("frequent_itemsets", relational_ext.q_frequent_itemsets,
+        relational_ext.ORACLES["frequent_itemsets"],
+        (("pa", "str"), ("pb", "str")), ("support",)),
     Sub("fact_join", relational.q_fact_join, relational.ORACLES["fact_join"],
         (("o_orderpriority", "str"),), ("lineitems", "revenue")),
     Sub("outer_join", relational_ext.q_outer_join, relational_ext.ORACLES["outer_join"],

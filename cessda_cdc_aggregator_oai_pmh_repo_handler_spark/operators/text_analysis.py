@@ -198,6 +198,36 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION TABLE — the eval-side twin of q_quality_model:
+    bucket the quality score into fixed-width deciles and report, per
+    bucket, document count, positive-label count (lang = 'en' stands in
+    for the labeled dimension) and the label rate. Fixed-width buckets
+    (``floor(s*10)``) rather than NTILE: NTILE needs a TOTAL ORDER over
+    the corpus (a global sort at 100 TB); width buckets are a
+    shuffle-free projection and the groupBy is 10 keys. The score is the
+    shared algebraic-sigmoid expression, bit-identical across engines,
+    so bucket edges can't flip; the score sum accumulates in
+    DECIMAL(18,6) (the de-flake discipline) and the label rate is a
+    single integer division — no merge-order-sensitive double math
+    anywhere."""
+    d = _tokenized_docs(spark, sf_dir)
+    s = quality_score_col(F.col("words"), F.col("n_chars"))
+    bucket = F.least(F.floor(s * 10).cast("int"), F.lit(9))
+    return (
+        d.select(bucket.alias("bucket"), "lang",
+                 s.cast("decimal(18,6)").alias("s6"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+             .alias("en_docs"),
+             F.sum("s6").cast("double").alias("sum_s"))
+        .withColumn("en_rate",
+                    F.round(F.col("en_docs").cast("double")
+                            / F.col("docs").cast("double"), 4))
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: per-language hit counts, highest
     wins (ties by language name) — compared against the dataset's own
@@ -1464,6 +1494,7 @@ QUERIES = {
     "bigram_lm_score": q_bigram_lm_score,
     "dsir_importance": q_dsir_importance,
     "quality_model": q_quality_model,
+    "decile_calibration": q_decile_calibration,
     "stratified_sample": q_stratified_sample,
     "split_leakage": q_split_leakage,
     "approx_quantiles": q_approx_quantiles,
@@ -1616,6 +1647,22 @@ ORACLES = {
                CAST(sum(CASE WHEN s >= {QM_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
                round(avg(s), 4) AS avg_score
         FROM sc GROUP BY source
+    """,
+    "decile_calibration": f"""
+        WITH q AS (SELECT doc_id, s FROM ({quality_score_sql()})),
+        j AS (
+          SELECT least(CAST(floor(q.s * 10) AS INT), 9) AS bucket,
+                 d.lang, CAST(q.s AS DECIMAL(18,6)) AS s6
+          FROM q JOIN documents d USING (doc_id)
+        )
+        SELECT bucket, count(*) AS docs,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS en_docs,
+               CAST(sum(s6) AS DOUBLE) AS sum_s,
+               round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+                   AS en_rate
+        FROM j GROUP BY bucket
     """,
     "winnow_pairs": f"""
         WITH toks AS (

@@ -1,0 +1,95 @@
+"""Invariant tests for the round-6 operator additions (the oracle gate
+verifies values; these pin the semantic properties the gate can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+    arrays, relational_ext, text_analysis,
+)
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_asof_native_parity_invariants(spark, sf_dir):
+    out = arrays.q_asof_native_parity(spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    # LEFT semantics: every purchase survives, exactly once
+    assert out.count() == n_purch
+    assert out.select("event_id").distinct().count() == n_purch
+    bad = out.filter(
+        F.col("signup_ts").isNotNull()
+        & ((F.col("signup_ts") > F.col("purchase_ts"))
+           | (F.col("gap_seconds") < 0))).count()
+    assert bad == 0
+    # matched rows carry both signup columns; unmatched carry neither
+    half = out.filter(
+        F.col("signup_ts").isNull() != F.col("signup_id").isNull()).count()
+    assert half == 0
+
+
+def test_asof_native_parity_matches_single_stream_form(spark, sf_dir):
+    """Where the single-stream when()-window form (asof_last_signup) has a
+    signup, the two-relation form must agree on the as-of timestamp."""
+    two = arrays.q_asof_native_parity(spark, sf_dir).select(
+        "event_id", F.col("signup_ts").alias("ts2"))
+    one = arrays.q_asof_last_signup(spark, sf_dir).select(
+        "event_id", F.col("last_signup_ts").alias("ts1"))
+    diff = (two.join(one, "event_id")
+            .filter(F.col("ts1").isNotNull()
+                    & (~F.col("ts1").eqNullSafe(F.col("ts2")))).count())
+    assert diff == 0
+
+
+def test_window_count_distinct_invariants(spark, sf_dir):
+    out = arrays.q_window_count_distinct(spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    assert out.count() == ev.count()
+    # running distinct is bounded by rows seen and never exceeds the domain
+    assert out.filter((F.col("distinct_types") > F.col("events_so_far"))
+                      | (F.col("distinct_types") < 1)).count() == 0
+    # each user's final row equals their exact overall distinct count
+    final = (out.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("events_so_far"))))
+        .filter(F.col("rn") == 1).select("user_id", "distinct_types"))
+    exact = (ev.groupBy("user_id")
+             .agg(F.count_distinct("event_type").alias("exact")))
+    assert (final.join(exact, "user_id")
+            .filter(F.col("distinct_types") != F.col("exact")).count()) == 0
+
+
+def test_frequent_itemsets_invariants(spark, sf_dir):
+    out = relational_ext.q_frequent_itemsets(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["pa"] < r["pb"] for r in rows)
+    assert all(r["support"] >= relational_ext.FI_MINSUP for r in rows)
+    # spot-check one pair's support against a direct count
+    if rows:
+        r0 = rows[0]
+        li = load_table(spark, "lineitem", sf_dir)
+        b = li.select("l_orderkey", "l_partkey").distinct()
+        direct = (b.filter(F.col("l_partkey") == r0["pa"])
+                  .join(b.filter(F.col("l_partkey") == r0["pb"]),
+                        "l_orderkey").count())
+        assert direct == r0["support"]
+
+
+def test_decile_calibration_partitions_corpus(spark, sf_dir):
+    out = text_analysis.q_decile_calibration(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    assert sum(r["docs"] for r in out) == docs.count()
+    assert sum(r["en_docs"] for r in out) == docs.filter(
+        F.col("lang") == "en").count()
+    for r in out:
+        assert 0 <= r["bucket"] <= 9
+        assert 0 <= r["en_docs"] <= r["docs"]
+        # bucket b holds scores in [b/10, (b+1)/10): the decimal-exact sum
+        # must sit inside the bucket's bounds
+        assert r["bucket"] / 10 * r["docs"] <= r["sum_s"] + 1e-6
+        if r["bucket"] < 9:
+            assert r["sum_s"] <= (r["bucket"] + 1) / 10 * r["docs"] + 1e-6

@@ -97,6 +97,10 @@ HEADLINERS = {
     "asof_forward": "Forward as-of join: first(ignorenulls) over the following frame, one exchange on the key — merge_asof's other direction with no range-join machinery.",
     "linear_interp": "Linear interpolation gap fill: four ignorenulls window edges ride ONE exchange on user_id; integer epoch-µs arithmetic, the division is the only float step.",
     "map_fn_conformance": "MAP type: sorted map_from_entries for deterministic key order; lookups and value folds above one grouped aggregate.",
+    "frequent_itemsets": "A-Priori L2 market-basket pairs: capped sorted collect_set baskets + IN-ARRAY indexed combinations (no per-order self-join, viral baskets can't explode); the pair groupBy is the only heavy exchange.",
+    "asof_native_parity": "Two-relation left as-of join: tagged union + last(ignorenulls) struct window riding ONE user_id exchange; semantics pinned to DuckDB's native ASOF LEFT JOIN, ties included.",
+    "window_count_distinct": "Running COUNT(DISTINCT) composition: size(collect_set) over the expanding frame — one exchange, window state bounded by the distinct domain, not the frame length.",
+    "decile_calibration": "Model calibration: fixed-width score buckets (floor(s*10), no NTILE global sort), DECIMAL-exact score sums, 10-key groupBy above a shuffle-free scoring projection.",
 }
 
 
