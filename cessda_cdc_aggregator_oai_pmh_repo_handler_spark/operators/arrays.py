@@ -584,6 +584,43 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLEX-EVENT-PROCESSING pattern match (the MATCH_RECOGNIZE /
+    Flink CEP stand-in — neither Spark nor DuckDB parses
+    MATCH_RECOGNIZE): each user's event history becomes an ORDERED
+    single-letter string (v=view, c=click, p=purchase, s=signup,
+    e=error; ``array_sort`` over (ts, event_id, type) structs pins the
+    order), and sequence patterns run as string/regex scans over it —
+    `vp` adjacency counts via length arithmetic, view→purchase
+    conversions with any clicks/signups/errors between as a
+    non-overlapping regex count. The full sequence string is part of the
+    verified key, so the oracle certifies the ORDERED aggregation
+    itself, not just the counts.
+
+    Scale: one exchange on user_id; per-key state is the key's own
+    event count (the same bound any per-entity CEP engine carries), and
+    the regex scan is linear in it. A 100 TB run would bound sequence
+    length per key (slice the sorted array) exactly like the PMI cap."""
+    ev = load_table(spark, "events", sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))),
+            lambda x: F.substring(x["event_type"], 1, 1)), "")
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id", "seq",
+            F.length("seq").alias("seq_len"),
+            ((F.length("seq")
+              - F.length(F.replace(F.col("seq"), F.lit("vp"), F.lit(""))))
+             / 2).cast("int").alias("direct_vp"),
+            F.regexp_count("seq", F.lit("v[cse]*p")).alias("conversions"),
+        )
+    )
+
+
 def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COGROUPED-MAP form of the backward as-of join —
     ``groupBy().cogroup(...).applyInPandas``: purchases and signups
@@ -927,6 +964,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "asof_native_parity": q_asof_native_parity,
     "window_count_distinct": q_window_count_distinct,
+    "event_pattern_match": q_event_pattern_match,
     "debounce_events": q_debounce_events,
     "time_weighted_avg": q_time_weighted_avg,
     "range_join_pairs": q_range_join_pairs,
@@ -1170,6 +1208,24 @@ ORACLES = {
                CAST(floor(epoch(p.ts) - epoch(s.ts)) AS BIGINT) AS gap_seconds
         FROM p ASOF LEFT JOIN s
           ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    # the ordered per-user event string is itself part of the verified
+    # key: string_agg(... ORDER BY) must equal Spark's sorted-struct
+    # array_join exactly, certifying the ordered aggregation
+    "event_pattern_match": """
+        WITH s AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, seq,
+               CAST(length(seq) AS INT) AS seq_len,
+               CAST((length(seq) - length(replace(seq, 'vp', ''))) / 2
+                    AS INT) AS direct_vp,
+               CAST(len(regexp_extract_all(seq, 'v[cse]*p')) AS INT)
+                   AS conversions
+        FROM s
     """,
     "window_count_distinct": """
         SELECT event_id, user_id,

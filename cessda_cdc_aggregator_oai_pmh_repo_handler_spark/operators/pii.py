@@ -135,5 +135,48 @@ def _oracle_sql() -> str:
     """
 
 
-QUERIES = {"pii_scrub": q_pii_scrub}
-ORACLES = {"pii_scrub": _oracle_sql()}
+K_ANON = 5   # minimum group size before a quasi-identifier group is safe
+L_DIV = 2    # minimum distinct sensitive values per group
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY AUDIT — k-anonymity / l-diversity census over a
+    quasi-identifier combination (the release-gate check an anonymized
+    training-data export runs before publication): customers grouped by
+    (nation, market segment); per group its size (k), the number of
+    distinct sensitive values (l; account-balance sign stands in for the
+    sensitive attribute), and pass flags against the K_ANON / L_DIV
+    floors. Rows in under-k groups are exactly the re-identifiable
+    population.
+
+    Scale: one exchange on the quasi-identifier key with map-side
+    partials; the distinct-count is per-group (count_distinct inside the
+    aggregate, domain-bounded at 3 signs), never a global expand."""
+    from ..sources.tables import load_table
+
+    c = load_table(spark, "customer", sf_dir)
+    sens = F.signum("c_acctbal").cast("int")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k"),
+             F.count_distinct(sens).alias("l"))
+        .select(
+            "c_nationkey", "c_mktsegment", "k", "l",
+            (F.col("k") >= K_ANON).cast("int").alias("k_ok"),
+            (F.col("l") >= L_DIV).cast("int").alias("l_ok"),
+        )
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT CAST(sign(c_acctbal) AS INT)) AS BIGINT) AS l,
+           CAST(count(*) >= {K_ANON} AS INT) AS k_ok,
+           CAST(count(DISTINCT CAST(sign(c_acctbal) AS INT)) >= {L_DIV}
+                AS INT) AS l_ok
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+QUERIES = {"pii_scrub": q_pii_scrub, "k_anonymity": q_k_anonymity}
+ORACLES = {"pii_scrub": _oracle_sql(), "k_anonymity": ORACLE_K_ANONYMITY}

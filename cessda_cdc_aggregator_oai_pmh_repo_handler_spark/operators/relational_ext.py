@@ -1914,9 +1914,76 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+# Benford first-digit expectations as shared literals: both engines get
+# the SAME rounded constants, so no cross-engine log10 bit differences
+BENFORD_EXP = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-FORENSICS first-digit (Benford's law) audit over order
+    totals — the anomaly screen fraud/quality pipelines run on money
+    columns: per leading digit the observed count, observed rate,
+    Benford-expected rate, and the chi-square contribution. All float
+    math is single-shot (one division, one squared deviation over
+    ALREADY-ROUNDED rates) so there is no merge-order-sensitive
+    accumulation; the 9-row total comes from a window over the grouped
+    counts (integer sum), not a second scan.
+
+    Scale: one groupBy on 9 keys with map-side partials — the scan is
+    the whole cost; everything above it is 9 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1)
+    exp_rate = F.element_at(
+        F.create_map(*[F.lit(x) for d, e in sorted(BENFORD_EXP.items())
+                       for x in (str(d), e)]),
+        F.col("digit"))
+    counts = (o.groupBy(digit.alias("digit"))
+              .agg(F.count(F.lit(1)).alias("obs")))
+    total = F.sum("obs").over(Window.partitionBy(F.lit(1)))
+    return (
+        counts
+        .withColumn("obs_rate",
+                    F.round(F.col("obs").cast("double")
+                            / total.cast("double"), 6))
+        .withColumn("exp_rate", exp_rate)
+        .withColumn("chi_term",
+                    F.round(F.pow(F.col("obs_rate") - F.col("exp_rate"), 2)
+                            / F.col("exp_rate"), 6))
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN '{d}' THEN {e}" for d, e in sorted(BENFORD_EXP.items()))
+
+ORACLE_BENFORD = f"""
+    WITH c AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT digit, obs,
+               round(CAST(obs AS DOUBLE)
+                     / CAST(sum(obs) OVER () AS DOUBLE), 6) AS obs_rate,
+               CASE digit {_BENFORD_CASE} END AS exp_rate
+        FROM c
+    )
+    SELECT digit, obs, obs_rate, exp_rate,
+           round(pow(obs_rate - exp_rate, 2) / exp_rate, 6) AS chi_term
+    FROM r
+"""
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "frequent_itemsets": q_frequent_itemsets,
+    "benford_digits": q_benford_digits,
     "sql_udf": q_sql_udf,
     "python_udtf": q_python_udtf,
     "mongo_filter": q_mongo_filter,
@@ -1986,6 +2053,7 @@ _STATS_ORACLE_PARTS = [
 
 ORACLES = {
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
+    "benford_digits": ORACLE_BENFORD,
     "frequent_itemsets": f"""
         WITH b AS (
             SELECT l_orderkey, unnest(items) AS pk

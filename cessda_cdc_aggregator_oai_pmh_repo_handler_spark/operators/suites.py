@@ -218,6 +218,10 @@ _TEMPORAL_SUBS = (
         (("event_id", "str"), ("user_id", "str"),
          ("purchase_ts", "ts"), ("signup_ts", "ts")),
         ("signup_id", "gap_seconds")),
+    Sub("event_pattern_match", arrays.q_event_pattern_match,
+        arrays.ORACLES["event_pattern_match"],
+        (("user_id", "str"), ("seq", "str")),
+        ("seq_len", "direct_vp", "conversions")),
 )
 
 _CORPUS_SUBS = (
@@ -435,6 +439,12 @@ _SQL_SURFACE_SUBS = (
     Sub("frequent_itemsets", relational_ext.q_frequent_itemsets,
         relational_ext.ORACLES["frequent_itemsets"],
         (("pa", "str"), ("pb", "str")), ("support",)),
+    Sub("benford_digits", relational_ext.q_benford_digits,
+        relational_ext.ORACLES["benford_digits"],
+        (("digit", "str"),), ("obs", "obs_rate", "exp_rate", "chi_term")),
+    Sub("k_anonymity", pii.q_k_anonymity, pii.ORACLES["k_anonymity"],
+        (("c_nationkey", "str"), ("c_mktsegment", "str")),
+        ("k", "l", "k_ok", "l_ok")),
     Sub("fact_join", relational.q_fact_join, relational.ORACLES["fact_join"],
         (("o_orderpriority", "str"),), ("lineitems", "revenue")),
     Sub("outer_join", relational_ext.q_outer_join, relational_ext.ORACLES["outer_join"],

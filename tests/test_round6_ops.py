@@ -79,6 +79,44 @@ def test_frequent_itemsets_invariants(spark, sf_dir):
         assert direct == r0["support"]
 
 
+def test_event_pattern_match_invariants(spark, sf_dir):
+    out = arrays.q_event_pattern_match(spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    rows = out.collect()
+    # sequences partition the event log, letters stay in-alphabet
+    assert sum(r["seq_len"] for r in rows) == ev.count()
+    assert len(rows) == ev.select("user_id").distinct().count()
+    assert all(set(r["seq"]) <= set("vcpse") for r in rows)
+    for r in rows:
+        # direct vp adjacencies are a subset of regex conversions
+        assert 0 <= r["direct_vp"] <= r["conversions"]
+        # python re is a third engine agreeing with Spark and DuckDB
+        import re
+        assert r["conversions"] == len(re.findall("v[cse]*p", r["seq"]))
+        assert r["direct_vp"] == r["seq"].count("vp")
+
+
+def test_k_anonymity_census(spark, sf_dir):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import pii
+    out = pii.q_k_anonymity(spark, sf_dir).collect()
+    c = load_table(spark, "customer", sf_dir)
+    assert sum(r["k"] for r in out) == c.count()
+    for r in out:
+        assert 1 <= r["l"] <= min(r["k"], 3)  # sign domain is {-1, 0, 1}
+        assert r["k_ok"] == int(r["k"] >= pii.K_ANON)
+        assert r["l_ok"] == int(r["l"] >= pii.L_DIV)
+
+
+def test_benford_digits_is_a_distribution(spark, sf_dir):
+    out = relational_ext.q_benford_digits(spark, sf_dir).collect()
+    assert {r["digit"] for r in out} <= set("123456789")
+    o = load_table(spark, "orders", sf_dir)
+    assert sum(r["obs"] for r in out) == o.count()
+    assert abs(sum(r["obs_rate"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(relational_ext.BENFORD_EXP.values()) - 1.0) < 1e-4
+    assert all(r["chi_term"] >= 0 for r in out)
+
+
 def test_decile_calibration_partitions_corpus(spark, sf_dir):
     out = text_analysis.q_decile_calibration(spark, sf_dir).collect()
     docs = load_table(spark, "documents", sf_dir)

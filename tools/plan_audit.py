@@ -101,6 +101,9 @@ HEADLINERS = {
     "asof_native_parity": "Two-relation left as-of join: tagged union + last(ignorenulls) struct window riding ONE user_id exchange; semantics pinned to DuckDB's native ASOF LEFT JOIN, ties included.",
     "window_count_distinct": "Running COUNT(DISTINCT) composition: size(collect_set) over the expanding frame — one exchange, window state bounded by the distinct domain, not the frame length.",
     "decile_calibration": "Model calibration: fixed-width score buckets (floor(s*10), no NTILE global sort), DECIMAL-exact score sums, 10-key groupBy above a shuffle-free scoring projection.",
+    "event_pattern_match": "CEP / MATCH_RECOGNIZE stand-in: sorted-struct collect per key on ONE exchange, then linear regex scans over the per-key sequence string — no self-join, state = per-key event count.",
+    "k_anonymity": "Privacy census: one exchange on the quasi-identifier key, per-group count_distinct over a domain-bounded sensitive value — no global distinct expand.",
+    "benford_digits": "Benford audit: 9-key groupBy with map-side partials; the window total and chi terms run over 9 rows — scan-bound by construction.",
 }
 
 
