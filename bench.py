@@ -35,6 +35,43 @@ from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
 )
 
 
+# The round-5-final sub-operator roster (git d27b23d). The headline warm
+# total grows every round BECAUSE the verified surface grows; this frozen
+# cohort gives a like-for-like wall number across rounds — same 134 suite
+# sub-ops + the (unchanged) singleton slots, whatever else got added since.
+FROZEN_COHORT_R5 = frozenset("""
+analytic_extras ann_batch_topk ann_multiprobe_lsh anti_join
+approx_quantiles array_fn_conformance asof_forward asof_last_signup
+bigram_lm_score bitmap_distinct bm25_topk bpe_compression bpe_merges
+canonical_selection cms_heavy_hitters cohort_retention collation_distinct
+column_histogram containment_pairs contamination_check corpus_shards
+cube_rollup data_expectations dataset_mixture debounce_events doc_chunks
+dsir_importance duplicate_spans embedding_quantize erasure_audit
+event_transitions event_window fact_join funnel_steps fuzzy_edit_pairs
+gapfill_hourly gopher_repetition grouping_sets hll_union hybrid_rrf
+intersect_except ivf_pq_ann kll_quantiles length_histogram linear_interp
+listagg_conformance locf_fill map_fn_conformance max_concurrency
+mongo_filter neardup_hop_distance neardup_safe_split null_semantics
+outer_join pagerank_neardup pandas_udaf pca_embeddings percentile_stats
+pii_scrub pq_ann python_udtf quality_model quantile_merge range_join_pairs
+regr_conformance rfm_segments ridge_regression salted_skew_agg
+scalar_fn_conformance scalar_subquery semantic_dedup sequence_packing
+session_window similarity_join sliding_window split_leakage sql_text_cte
+sql_text_exists sql_text_group_order_all sql_text_grouping_sets
+sql_text_interval_frame sql_text_lateral sql_text_lateral_alias
+sql_text_nulls_order sql_text_parity sql_text_pivot
+sql_text_recursive_spine sql_text_recursive_walk sql_text_setops
+sql_text_trycast sql_text_unpivot sql_text_window sql_udf stats_agg
+stratified_sample supplier_stats table_stats theta_sketch_ops
+time_weighted_avg token_entropy token_pmi tpch_q1 tpch_q10 tpch_q11
+tpch_q12 tpch_q13 tpch_q14 tpch_q15 tpch_q16 tpch_q17 tpch_q18 tpch_q19
+tpch_q2 tpch_q20 tpch_q21 tpch_q22 tpch_q3 tpch_q4 tpch_q5 tpch_q6 tpch_q7
+tpch_q8 tpch_q9 triangle_stats ts_similarity unicode_normalize union_dedup
+variant_extract versioned_table weighted_sample window_functions
+winnow_pairs xml_roundtrip zscore_normalize approx_distinct
+""".split())
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -109,8 +146,17 @@ def main():
     # headline LAST: the driver tail-captures stdout and must always see
     # the {"metric",...} line intact (round-5 lesson: one giant line got
     # front-truncated and the round's wall-time went unrecorded).
+    # like-for-like cross-round wall: warm singletons (slot set unchanged
+    # since r5) + per-op warm seconds of ONLY the r5-roster suite sub-ops
+    suite_names = set(suite_sub_lists)
+    frozen_cohort_sec = round(
+        sum(t for n, t in warm.items() if n not in suite_names)
+        + sum(t for ops in suite_op_sec.values()
+              for n, t in ops.items() if n in FROZEN_COHORT_R5), 4)
     detail = {
         "detail": "per_query_and_per_subop_seconds",
+        "frozen_cohort_sec": frozen_cohort_sec,
+        "frozen_cohort": "r5 roster (134 suite sub-ops + singletons)",
         "runs_per_query": 2,
         "isolation": "cold-then-warm per query (memo caches cleared before the cold run)",
         "queries_cold": cold,

@@ -374,13 +374,36 @@ def q_versioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = VT.count_rows(path)
         _pruned, n_files, n_kept = VT.read_pruned(
             spark, path, "n_nationkey", 0, 9, version=1)
+        # SCHEMA EVOLUTION (round 6): add a column without rewriting any
+        # file (pre-evolution rows read NULL), then a metadata-only drop
+        n_total = int(total)
+        extra = spark.createDataFrame(
+            [(100 + i, f"NEW{i}", 1) for i in range(5)],
+            "n_nationkey INT, n_name STRING, is_new INT").select(
+            F.col("n_nationkey").cast(dict(n.dtypes)["n_nationkey"]),
+            "n_name", "is_new")
+        pre_files = set(VT.read_manifest(path, VT.current_version(path))
+                        ["files"])
+        ev = VT.append_evolve(extra, path)
+        ev_manifest = VT.read_manifest(path, ev)
+        carried = int(pre_files <= set(ev_manifest["files"]))
+        evolved = VT.read(spark, path)
+        ev_nulls = evolved.filter(F.col("is_new").isNull()).count()
+        dv = VT.drop_column(path, "n_name")
+        drop_meta_only = int(
+            VT.read_manifest(path, dv)["files"] == ev_manifest["files"])
+        post_cols = len(VT.read(spark, path).columns)
         return spark.range(1).select(
             F.lit(int(v0)).cast("long").alias("v0_rows"),
             F.lit(int(v1)).cast("long").alias("v1_rows"),
-            F.lit(int(total)).cast("long").alias("merged_rows"),
+            F.lit(n_total).cast("long").alias("merged_rows"),
             F.lit(int(renamed)).cast("long").alias("renamed_rows"),
             F.lit(int(n_files)).cast("long").alias("files_total"),
             F.lit(int(n_kept)).cast("long").alias("files_read"),
+            F.lit(int(carried)).cast("long").alias("evolve_carried_files"),
+            F.lit(int(ev_nulls)).cast("long").alias("evolve_null_rows"),
+            F.lit(int(drop_meta_only)).cast("long").alias("drop_meta_only"),
+            F.lit(int(post_cols)).cast("long").alias("post_drop_cols"),
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -393,7 +416,12 @@ ORACLE_VERSIONED_TABLE = """
            CAST((SELECT count(*) FROM nation) AS BIGINT) AS merged_rows,
            CAST(1 AS BIGINT) AS renamed_rows,
            CAST(2 AS BIGINT) AS files_total,
-           CAST(1 AS BIGINT) AS files_read
+           CAST(1 AS BIGINT) AS files_read,
+           CAST(1 AS BIGINT) AS evolve_carried_files,
+           CAST((SELECT count(*) FROM nation) AS BIGINT)
+               AS evolve_null_rows,
+           CAST(1 AS BIGINT) AS drop_meta_only,
+           CAST(2 AS BIGINT) AS post_drop_cols
 """
 
 

@@ -523,7 +523,8 @@ _SQL_SURFACE_SUBS = (
     Sub("versioned_table", relational_ext.q_versioned_table,
         relational_ext.ORACLES["versioned_table"],
         (), ("v0_rows", "v1_rows", "merged_rows", "renamed_rows",
-             "files_total", "files_read")),
+             "files_total", "files_read", "evolve_carried_files",
+             "evolve_null_rows", "drop_meta_only", "post_drop_cols")),
     Sub("xml_roundtrip", relational_ext.q_xml_roundtrip,
         relational_ext.ORACLES["xml_roundtrip"],
         (("pr", "str"),), ("cnt", "sum_key", "sum_price")),

@@ -37,6 +37,11 @@ class ConcurrentWriteError(RuntimeError):
     """The table advanced past the writer's expected version."""
 
 
+class SchemaEvolutionError(RuntimeError):
+    """Incompatible schema change (type conflict, undeclared drift, or
+    re-adding a dropped column — the field-ID-less limitation)."""
+
+
 def _pointer_path(path: str) -> str:
     return os.path.join(path, "_VERSION")
 
@@ -194,7 +199,9 @@ def build_blooms(spark: SparkSession, path: str, version: int,
     m = read_manifest(path, version)
     blooms: dict[str, str] = {}
     for f in m["files"]:
-        rows = (spark.read.parquet(f).select(
+        # schema-aware per-file read: a file written before `column` was
+        # added to an evolved schema yields NULLs, not an analysis error
+        rows = (_read_files(spark, m, [f]).select(
             F.col(column).cast("string").alias("v")).distinct())
         bits = bytearray(BLOOM_BITS // 8)
         pos = (rows.select(F.explode(F.array(*[
@@ -217,6 +224,20 @@ def build_blooms(spark: SparkSession, path: str, version: int,
         json.dump(m, f)
     os.replace(mtmp, mpath)
     return len(blooms)
+
+
+def _read_files(spark: SparkSession, m: dict, files: list[str]):
+    """Read a manifest file subset under the snapshot's DECLARED schema
+    (evolution contract: pre-add files yield NULLs, dropped physical
+    columns are pruned); raw parquet read for pre-schema-tracking
+    tables."""
+    raw = m.get("schema")
+    if raw:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(raw))).parquet(*files)
+    return spark.read.parquet(*files)
 
 
 def read_point(spark: SparkSession, path: str, column: str, value,
@@ -269,9 +290,9 @@ def read_point(spark: SparkSession, path: str, column: str, value,
         return df
 
     if not keep:
-        return (spark.read.parquet(*m["files"]).filter(F.lit(False)),
+        return (_read_files(spark, m, m["files"]).filter(F.lit(False)),
                 len(m["files"]), 0)
-    return (_with_deletes(spark.read.parquet(*keep).filter(pred)),
+    return (_with_deletes(_read_files(spark, m, keep).filter(pred)),
             len(m["files"]), len(keep))
 
 
@@ -302,8 +323,8 @@ def _publish(path: str, manifest: dict, expected_parent: int) -> int:
     # anything not covered (delete files staged before this change, old
     # tables) falls back to the driver loop.
     parent = manifest.get("parent")
-    prior = (read_manifest(path, parent).get("checksums", {})
-             if parent is not None else {})
+    pm = read_manifest(path, parent) if parent is not None else {}
+    prior = pm.get("checksums", {})
     listed = manifest["files"] + manifest.get("delete_vectors",
                                               {}).get("files", [])
     manifest["checksums"] = {
@@ -316,12 +337,15 @@ def _publish(path: str, manifest: dict, expected_parent: int) -> int:
     # bounded recent-epoch set rides every manifest so exactly-once replay
     # detection reads ONLY the head manifest (no parent-chain walk — which
     # vacuum would sever and which is O(versions) per batch; ADVICE r5)
-    if parent is not None:
-        inherited = read_manifest(path, parent).get("recent_epochs", [])
-    else:
-        inherited = []
+    inherited = pm.get("recent_epochs", [])
     own = [manifest["epoch"]] if "epoch" in manifest else []
     manifest["recent_epochs"] = (inherited + own)[-EPOCH_MEMORY:]
+    # schema tracking rides every manifest: ops that don't change it
+    # (append/merge/compact/delete) inherit the parent's declaration, so
+    # readers always find the snapshot's schema in ONE manifest read
+    for meta_key in ("schema", "dropped_columns"):
+        if meta_key not in manifest and meta_key in pm:
+            manifest[meta_key] = pm[meta_key]
     manifest["commit_id"] = uuid.uuid4().hex
     mpath = _manifest_path(path, version)
     mtmp = mpath + f".{uuid.uuid4().hex}.tmp"
@@ -344,8 +368,47 @@ def create(df: DataFrame, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     files = _stage(df, path, 0)
     return _publish(path, {"version": 0, "parent": None, "op": "create",
-                           "files": files, "stats": _file_stats(files)},
+                           "files": files, "stats": _file_stats(files),
+                           "schema": df.schema.json()},
                     expected_parent=0)
+
+
+def table_schema(path: str, version: int | None = None):
+    """The snapshot's declared schema (StructType), or None for tables
+    created before schema tracking."""
+    from pyspark.sql.types import StructType
+
+    v = current_version(path) if version is None else version
+    raw = read_manifest(path, v).get("schema")
+    return StructType.fromJson(json.loads(raw)) if raw else None
+
+
+def _schema_fields(manifest_or_schema) -> dict:
+    """{name: dataType-json} from a manifest's schema declaration."""
+    if manifest_or_schema is None:
+        return {}
+    raw = (manifest_or_schema.get("schema")
+           if isinstance(manifest_or_schema, dict) else manifest_or_schema)
+    if not raw:
+        return {}
+    return {f["name"]: json.dumps(f["type"], sort_keys=True)
+            for f in json.loads(raw)["fields"]}
+
+
+def _check_append_schema(df: DataFrame, prev: dict) -> None:
+    declared = _schema_fields(prev)
+    if not declared:
+        return  # pre-schema-tracking table: legacy behavior
+    incoming = _schema_fields(df.schema.json())
+    if incoming != declared:
+        extra = sorted(set(incoming) - set(declared))
+        missing = sorted(set(declared) - set(incoming))
+        changed = sorted(n for n in set(incoming) & set(declared)
+                         if incoming[n] != declared[n])
+        raise SchemaEvolutionError(
+            f"append schema drift (extra={extra}, missing={missing}, "
+            f"type-changed={changed}); use append_evolve for declared "
+            "evolution")
 
 
 def append(df: DataFrame, path: str,
@@ -353,8 +416,9 @@ def append(df: DataFrame, path: str,
     parent = current_version(path) if expected_version is None \
         else expected_version
     version = parent + 1
-    files = _stage(df, path, version)
     prev = read_manifest(path, parent)
+    _check_append_schema(df, prev)
+    files = _stage(df, path, version)
     return _publish(path, {"version": version, "parent": parent,
                            "op": "append", "files": prev["files"] + files,
                            "stats": {**prev.get("stats", {}),
@@ -365,6 +429,90 @@ def append(df: DataFrame, path: str,
                     expected_parent=parent)
 
 
+def append_evolve(df: DataFrame, path: str,
+                  expected_version: int | None = None) -> int:
+    """SCHEMA-EVOLVING append (the Delta `mergeSchema` / Iceberg
+    add-column idiom): new columns in ``df`` extend the table schema;
+    columns ``df`` omits stay declared and read as NULL from the new
+    files; shared columns must keep their exact type (no silent
+    widening). Existing data files are NEVER rewritten — evolution is a
+    manifest-only schema change plus an ordinary file append, O(batch)
+    at any table size. Re-adding a previously dropped column name is
+    refused: without Iceberg-style field IDs, parquet files written
+    before the drop still carry the old values under that name and a
+    re-add would resurrect them (the documented limitation field IDs
+    exist to solve)."""
+    parent = current_version(path) if expected_version is None \
+        else expected_version
+    version = parent + 1
+    prev = read_manifest(path, parent)
+    declared = _schema_fields(prev)
+    incoming = _schema_fields(df.schema.json())
+    dropped = set(prev.get("dropped_columns", []))
+    conflicts = sorted(n for n in incoming
+                       if n in declared and incoming[n] != declared[n])
+    if conflicts:
+        raise SchemaEvolutionError(
+            f"type conflict on {conflicts}: evolution may add columns, "
+            "never retype them")
+    resurrected = sorted((set(incoming) - set(declared)) & dropped)
+    if resurrected:
+        raise SchemaEvolutionError(
+            f"column(s) {resurrected} were dropped; re-adding would "
+            "resurrect pre-drop values from old files (no field IDs)")
+    import pyspark.sql.types as T
+
+    base = (T.StructType.fromJson(json.loads(prev["schema"])).fields
+            if prev.get("schema") else [])
+    evolved = T.StructType(
+        list(base) + [f for f in df.schema.fields
+                      if f.name not in declared])
+    files = _stage(df, path, version)
+    return _publish(path, {"version": version, "parent": parent,
+                           "op": "append_evolve",
+                           "files": prev["files"] + files,
+                           "stats": {**prev.get("stats", {}),
+                                     **_file_stats(files)},
+                           "blooms": prev.get("blooms", {}),
+                           "schema": evolved.json(),
+                           **({"delete_vectors": prev["delete_vectors"]}
+                              if prev.get("delete_vectors") else {})},
+                    expected_parent=parent)
+
+
+def drop_column(path: str, column: str,
+                expected_version: int | None = None) -> int:
+    """METADATA-ONLY column drop: a new snapshot declaring the schema
+    without ``column`` — zero data files touched (readers' explicit
+    schema simply stops projecting it; parquet column pruning means the
+    bytes are never even scanned). The name goes on the table's
+    ``dropped_columns`` tombstone list so a later re-add can't resurrect
+    old values. Commit cost: one manifest write, at 100 TB exactly like
+    at 100 KB."""
+    import pyspark.sql.types as T
+
+    parent = current_version(path) if expected_version is None \
+        else expected_version
+    prev = read_manifest(path, parent)
+    if not prev.get("schema"):
+        raise SchemaEvolutionError("table has no schema declaration")
+    base = T.StructType.fromJson(json.loads(prev["schema"]))
+    if column not in base.names:
+        raise SchemaEvolutionError(f"no column {column!r} in schema")
+    evolved = T.StructType([f for f in base.fields if f.name != column])
+    return _publish(
+        path,
+        {"version": parent + 1, "parent": parent, "op": "drop_column",
+         "files": prev["files"], "stats": prev.get("stats", {}),
+         "blooms": prev.get("blooms", {}),
+         "schema": evolved.json(),
+         "dropped_columns": sorted(
+             set(prev.get("dropped_columns", [])) | {column}),
+         **({"delete_vectors": prev["delete_vectors"]}
+            if prev.get("delete_vectors") else {})},
+        expected_parent=parent)
+
+
 def overwrite(df: DataFrame, path: str,
               expected_version: int | None = None,
               epoch: int | None = None) -> int:
@@ -372,9 +520,13 @@ def overwrite(df: DataFrame, path: str,
         else expected_version
     version = parent + 1
     files = _stage(df, path, version)
+    # a full overwrite replaces every data file, so it declares its own
+    # schema and clears drop tombstones (no pre-drop file can resurrect)
     return _publish(path, {"version": version, "parent": parent,
                            "op": "overwrite", "files": files,
                            "stats": _file_stats(files),
+                           "schema": df.schema.json(),
+                           "dropped_columns": [],
                            **({"epoch": epoch} if epoch is not None else {})},
                     expected_parent=parent)
 
@@ -408,7 +560,7 @@ def read(spark: SparkSession, path: str,
 
     v = current_version(path) if version is None else version
     m = read_manifest(path, v)
-    df = spark.read.parquet(*m["files"])
+    df = _read_files(spark, m, m["files"])
     dv = m.get("delete_vectors")
     if dv:
         dead = spark.read.parquet(*dv["files"]).select(
@@ -522,9 +674,9 @@ def read_pruned(spark: SparkSession, path: str, column: str,
             keep.append(f)  # keep on overlap OR missing stats (safe side)
     pred = F.col(column).between(lo, hi)
     if not keep:
-        return (spark.read.parquet(*m["files"]).filter(F.lit(False)),
+        return (_read_files(spark, m, m["files"]).filter(F.lit(False)),
                 len(m["files"]), 0)
-    df = spark.read.parquet(*keep).filter(pred)
+    df = _read_files(spark, m, keep).filter(pred)
     dv = m.get("delete_vectors")
     if dv:  # same merge-on-read semantics as read()
         dead = spark.read.parquet(*dv["files"]).select(
@@ -604,7 +756,7 @@ def merge_keys(spark: SparkSession, updates: DataFrame, path: str,
             touched, untouched = list(m["files"]), []
         keys_df = updates.select(key).distinct()
         if touched:
-            cur = spark.read.parquet(*touched)
+            cur = _read_files(spark, m, touched)
             dv = m.get("delete_vectors")
             if dv:  # materialize pending deletes into the rewrite
                 dead = spark.read.parquet(*dv["files"]).select(

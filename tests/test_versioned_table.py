@@ -470,3 +470,83 @@ def test_commit_checksums_computed_in_cluster(spark, tmp_path, monkeypatch):
     assert len(m["checksums"]) == 10
     rep = VT.verify_integrity(path, spark=spark)  # distributed audit mode
     assert rep["corrupt"] == [] and rep["unchecked"] == []
+
+
+def test_schema_evolution_add_column(spark, table):
+    """append_evolve adds a column without rewriting any existing file;
+    pre-evolution rows read as NULL, time travel keeps the old schema."""
+    m0_files = set(VT.read_manifest(table, 0)["files"])
+    newer = spark.range(5, 8).select(
+        F.col("id"), F.lit("v1").alias("tag"), F.lit(7).alias("score"))
+    v = VT.append_evolve(newer, table)
+    m1 = VT.read_manifest(table, v)
+    assert m0_files <= set(m1["files"])  # every original file carried
+    cur = VT.read(spark, table)
+    assert cur.columns == ["id", "tag", "score"]
+    assert cur.filter(F.col("score").isNull()).count() == 5
+    assert cur.filter(F.col("score") == 7).count() == 3
+    # time travel: version 0 still reads with its original schema
+    assert VT.read(spark, table, version=0).columns == ["id", "tag"]
+    assert VT.table_schema(table, 0).names == ["id", "tag"]
+    assert VT.table_schema(table).names == ["id", "tag", "score"]
+
+
+def test_schema_evolution_guards(spark, table):
+    # undeclared drift through plain append is refused
+    with pytest.raises(VT.SchemaEvolutionError, match="drift"):
+        VT.append(spark.range(3).select(
+            F.col("id"), F.lit("x").alias("tag"),
+            F.lit(1).alias("sneaky")), table)
+    # retyping an existing column is refused
+    with pytest.raises(VT.SchemaEvolutionError, match="type conflict"):
+        VT.append_evolve(spark.range(3).select(
+            F.col("id").cast("string"), F.lit("x").alias("tag")), table)
+
+
+def test_schema_evolution_drop_is_metadata_only(spark, table):
+    m_before = VT.read_manifest(table, 0)
+    v = VT.drop_column(table, "tag")
+    m_after = VT.read_manifest(table, v)
+    assert m_after["files"] == m_before["files"]  # zero data I/O
+    assert VT.read(spark, table).columns == ["id"]
+    # the dropped name is tombstoned: re-adding can't resurrect old values
+    with pytest.raises(VT.SchemaEvolutionError, match="resurrect"):
+        VT.append_evolve(spark.range(3).select(
+            F.col("id"), F.lit("zombie").alias("tag")), table)
+    # appends under the narrowed schema must not carry the column either
+    with pytest.raises(VT.SchemaEvolutionError, match="drift"):
+        VT.append(spark.range(3).select(
+            F.col("id"), F.lit("x").alias("tag")), table)
+    assert VT.append(spark.range(10, 12).select("id"), table) == v + 1
+    assert VT.read(spark, table).count() == 7
+    # time travel still sees the pre-drop world
+    assert VT.read(spark, table, version=0).columns == ["id", "tag"]
+
+
+def test_schema_evolution_survives_merge_and_compact(spark, table):
+    VT.append_evolve(spark.range(5, 8).select(
+        F.col("id"), F.lit("v1").alias("tag"),
+        F.lit(7).alias("score")), table)
+    upd = spark.range(2, 4).select(
+        F.col("id"), F.lit("merged").alias("tag"),
+        F.lit(99).alias("score"))
+    VT.merge_keys(spark, upd, table, key="id")
+    cur = VT.read(spark, table)
+    assert cur.count() == 8
+    assert cur.filter(F.col("score") == 99).count() == 2
+    # compact materializes the evolved schema and keeps the declaration
+    VT.compact(spark, table, target_files=1)
+    cur2 = VT.read(spark, table)
+    assert cur2.columns == ["id", "tag", "score"]
+    assert cur2.count() == 8
+    assert cur2.filter(F.col("score").isNull()).count() == 3  # 5 - 2 merged
+
+
+def test_overwrite_clears_drop_tombstones(spark, table):
+    VT.drop_column(table, "tag")
+    VT.overwrite(spark.range(4).select(
+        F.col("id"), F.lit("fresh").alias("tag")), table)
+    # no pre-drop file survives an overwrite, so the name is reusable
+    cur = VT.read(spark, table)
+    assert cur.columns == ["id", "tag"]
+    assert {r["tag"] for r in cur.collect()} == {"fresh"}
