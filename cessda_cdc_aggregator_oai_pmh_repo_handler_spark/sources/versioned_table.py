@@ -347,6 +347,9 @@ def _publish(path: str, manifest: dict, expected_parent: int) -> int:
         if meta_key not in manifest and meta_key in pm:
             manifest[meta_key] = pm[meta_key]
     manifest["commit_id"] = uuid.uuid4().hex
+    import time as _time
+
+    manifest["committed_at"] = _time.time()  # TIMESTAMP AS OF resolution
     mpath = _manifest_path(path, version)
     mtmp = mpath + f".{uuid.uuid4().hex}.tmp"
     with open(mtmp, "w") as f:
@@ -371,6 +374,23 @@ def create(df: DataFrame, path: str) -> int:
                            "files": files, "stats": _file_stats(files),
                            "schema": df.schema.json()},
                     expected_parent=0)
+
+
+def version_asof(path: str, ts: float) -> int:
+    """Delta's ``TIMESTAMP AS OF``: the newest RETAINED version whose
+    commit time is ≤ ``ts`` (manifests record ``committed_at`` at
+    publish). Raises if every retained commit is newer — the caller
+    asked for history that vacuum already dropped (or a pre-table time).
+    Scan cost: one manifest read per retained version, driver-local."""
+    best = None
+    for v in versions(path):
+        at = read_manifest(path, v).get("committed_at")
+        if at is not None and at <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version committed at or before {ts}")
+    return best
 
 
 def table_schema(path: str, version: int | None = None):
@@ -877,12 +897,17 @@ def refresh_aggregate(spark: SparkSession, path: str, agg_state: dict,
         return agg_state
     feed = table_changes(spark, path, agg_state["version"], head)
     sign = F.when(F.col("_change") == "insert", 1).otherwise(-1)
-    deltas = (feed.groupBy(group_col)
+    # group_col / sum_col accept any SQL expression (a bare column name
+    # is one), so views over DERIVED dimensions and measures — e.g. the
+    # /metrics live-record flag — stay self-maintainable too
+    deltas = (feed.select(F.expr(group_col).alias("__g"), "_change",
+                          F.expr(sum_col).alias("__s"))
+              .groupBy("__g")
               .agg(F.sum(sign).alias("dn"),
-                   F.sum(sign * F.col(sum_col)).alias("ds")).collect())
+                   F.sum(sign * F.col("__s")).alias("ds")).collect())
     rows = {k: list(v) for k, v in agg_state["rows"].items()}
     for r in deltas:
-        key = r[group_col]
+        key = r["__g"]
         n0, s0 = rows.get(key, (0, 0.0))
         n1, s1 = n0 + r["dn"], s0 + float(r["ds"] or 0.0)
         if n1 <= 0:
@@ -900,10 +925,13 @@ def bootstrap_aggregate(spark: SparkSession, path: str, group_col: str,
     from pyspark.sql import functions as F
 
     head = current_version(path)
-    rows = {r[group_col]: [r["n"], float(r["s"])]
-            for r in read(spark, path, head).groupBy(group_col)
+    rows = {r["__g"]: [r["n"], float(r["s"])]
+            for r in read(spark, path, head)
+            .select(F.expr(group_col).alias("__g"),
+                    F.expr(sum_col).alias("__s"))
+            .groupBy("__g")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(sum_col).alias("s")).collect()}
+                 F.sum("__s").alias("s")).collect()}
     return {"version": head, "rows": rows}
 
 

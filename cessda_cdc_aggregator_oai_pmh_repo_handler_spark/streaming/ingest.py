@@ -267,16 +267,89 @@ def merge_batch_versioned(batch: DataFrame, table_path: str,
         incoming.unpersist()
 
 
+# /metrics live-record flag as a self-maintainable measure: the pair
+# (count, sum(LIVE)) per publisher IS (records_total,
+# records_without_deleted) — the two counters the reference's Prometheus
+# endpoint recomputes with 2 + 2·N store round-trips per scrape
+# (/root/reference/cdcagg_oai/metrics.py:170-198)
+METRICS_VIEW_GROUP = "direct_base_url"
+# null-keeping ≠ 'deleted' — the same F9/P3 semantics metrics_rollup's
+# not_deleted() predicate uses (a NULL status counts as live)
+METRICS_VIEW_MEASURE = ("CASE WHEN metadata.status IS NULL "
+                        "OR metadata.status <> 'deleted' "
+                        "THEN 1 ELSE 0 END")
+
+
+def refresh_metrics_view(spark: SparkSession, table_path: str,
+                         state: dict | None = None) -> dict:
+    """Maintained per-publisher /metrics counters over the versioned
+    corpus: change-sized IVM refresh from the table's own CDC feed —
+    a scrape reads driver-held state, zero store round-trips, and the
+    numbers are exact as of a NAMED snapshot version (state['version']),
+    which a recompute-per-scrape can never claim under concurrent
+    ingest."""
+    from ..sources import versioned_table as VT
+
+    if state is None:
+        state = {"version": 0, "rows": {}}
+    return VT.refresh_aggregate(spark, table_path, state,
+                                METRICS_VIEW_GROUP, METRICS_VIEW_MEASURE)
+
+
+def metrics_view_counts(state: dict) -> dict:
+    """State → the reference's /metrics shape: per-publisher totals and
+    without-deleted counts (metrics.py's collect_metrics contract)."""
+    return {
+        "version": state["version"],
+        "publishers_counts": {k: int(n) for k, (n, _s) in
+                              state["rows"].items()},
+        "publishers_counts_without_deleted": {
+            k: int(s) for k, (_n, s) in state["rows"].items()},
+    }
+
+
+def _load_view_state(path: str) -> dict | None:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _store_view_state(path: str, state: dict) -> None:
+    import json
+
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)  # same atomic-publish discipline as the table
+
+
 def start_ingest_versioned(spark: SparkSession, source_dir: str,
                            table_path: str, checkpoint_dir: str,
                            watermark: str = "1 hour",
-                           available_now: bool = True):
+                           available_now: bool = True,
+                           metrics_view_path: str | None = None):
     """``start_ingest`` with the versioned table as the corpus store.
-    Initializes an empty v0 snapshot if the table doesn't exist yet."""
+    Initializes an empty v0 snapshot if the table doesn't exist yet.
+    With ``metrics_view_path`` set, every microbatch also advances the
+    maintained /metrics view (atomic JSON state next to the table);
+    the refresh is version-gated so a replayed epoch is a no-op."""
     from ..sources import versioned_table as VT
 
     if not os.path.exists(os.path.join(table_path, "_VERSION")):
         VT.create(spark.createDataFrame([], studies_schema()), table_path)
+
+    def _sink(df: DataFrame, epoch) -> None:
+        merge_batch_versioned(df, table_path, epoch_id=int(epoch))
+        if metrics_view_path is not None:
+            state = (_load_view_state(metrics_view_path)
+                     or {"version": 0, "rows": {}})
+            _store_view_state(metrics_view_path,
+                              refresh_metrics_view(spark, table_path, state))
+
     stream = (
         spark.readStream.schema(harvest_event_schema())
         .option("maxFilesPerTrigger", 16)
@@ -285,9 +358,7 @@ def start_ingest_versioned(spark: SparkSession, source_dir: str,
         .dropDuplicates(["aggregator_identifier", "harvest_ts"])
     )
     writer = (
-        stream.writeStream.foreachBatch(
-            lambda df, epoch: merge_batch_versioned(
-                df, table_path, epoch_id=int(epoch)))
+        stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -202,9 +202,13 @@ def test_lifecycle_on_versioned_table_with_time_travel(spark, tmp_path):
             spark, events_dir, harvest_ts=T1) == 8
     finally:
         src.stop()
-    start_ingest_versioned(spark, events_dir, table_path,
-                           ckpt).awaitTermination()
+    view_path = str(tmp_path / "metrics_view.json")
+    start_ingest_versioned(spark, events_dir, table_path, ckpt,
+                           metrics_view_path=view_path).awaitTermination()
     v1 = VT.current_version(table_path)
+    import time as _time
+
+    t_between_sweeps = _time.time()
     rows = {r["aggregator_identifier"]: r
             for r in VT.read(spark, table_path).collect()}
     assert len(rows) == 8
@@ -220,8 +224,8 @@ def test_lifecycle_on_versioned_table_with_time_travel(spark, tmp_path):
             spark, events_dir, harvest_ts=T2) == 8
     finally:
         src2.stop()
-    start_ingest_versioned(spark, events_dir, table_path,
-                           ckpt).awaitTermination()
+    start_ingest_versioned(spark, events_dir, table_path, ckpt,
+                           metrics_view_path=view_path).awaitTermination()
 
     corpus = VT.read(spark, table_path)
     rows = {r["aggregator_identifier"]: r for r in corpus.collect()}
@@ -277,3 +281,28 @@ def test_lifecycle_on_versioned_table_with_time_travel(spark, tmp_path):
         spark.createDataFrame([], schema=harvest_event_schema()),
         table_path, epoch_id=0)
     assert VT.current_version(table_path) == v_before
+
+    # TIMESTAMP AS OF: a wall-clock taken between the sweeps resolves to
+    # the sweep-1 snapshot (manifests record committed_at at publish)
+    assert VT.version_asof(table_path, t_between_sweeps) == v1
+    assert VT.version_asof(table_path, _time.time()) == v_before
+
+    # the maintained /metrics view advanced with each microbatch and must
+    # equal a from-scratch recompute over the corpus — including the
+    # deleted agg_id_1 (counted in totals, excluded from without-deleted)
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.metrics import (
+        compute_metrics,
+    )
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.streaming.ingest import (
+        _load_view_state, metrics_view_counts,
+    )
+    view = metrics_view_counts(_load_view_state(view_path))
+    direct = compute_metrics(corpus)
+    assert view["version"] == v_before
+    assert view["publishers_counts"] == direct["publishers_counts"]
+    assert (view["publishers_counts_without_deleted"]
+            == direct["publishers_counts_without_deleted"])
+    # 8 records total; the fixture corpus ships one deleted record and
+    # sweep 2 deleted agg_id_1 → 6 live
+    assert sum(view["publishers_counts"].values()) == 8
+    assert sum(view["publishers_counts_without_deleted"].values()) == 6
