@@ -491,6 +491,72 @@ def streaming_user_topk(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_pattern_counts(spark: SparkSession, source_dir: str,
+                             schema: T.StructType):
+    """STREAMING CEP — the ``applyInPandasWithState`` twin of the batch
+    ``arrays.q_event_pattern_match`` (which the gate verifies against
+    DuckDB): per-user view→purchase pattern counts maintained
+    incrementally. The non-overlapping regex ``v[cse]*p`` compiles to a
+    TWO-STATE AUTOMATON (pending view flag) — on 'v' arm, on 'p'
+    fire-and-reset, 'c'/'s'/'e' carry — so per-key state is FOUR scalars
+    (last char, pending, counters) however long the history: the
+    bounded-state discipline a 100 TB stream requires, where the batch
+    form's per-key sequence string would grow without limit. Adjacency
+    (``direct_vp``) needs exactly the previous character, also carried.
+
+    Ordering contract: rows are processed in (ts, event_id) order within
+    each batch, and batches must arrive in event-time order per key (the
+    file source's list order; a production deployment fronts this with
+    the watermarked dedup stage like start_ingest does). The test pins
+    stream-final counts to the oracle-checked batch operator."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq_len", T.LongType()),
+        T.StructField("direct_vp", T.LongType()),
+        T.StructField("conversions", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_char", T.StringType()),
+        T.StructField("pending", T.LongType()),
+        T.StructField("seq_len", T.LongType()),
+        T.StructField("direct_vp", T.LongType()),
+        T.StructField("conversions", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        last, pending, n, vp, conv = (
+            state.get if state.exists else ("", 0, 0, 0, 0))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for c in batch["event_type"].str[0]:
+            n += 1
+            if last == "v" and c == "p":
+                vp += 1
+            if c == "v":
+                pending = 1
+            elif c == "p" and pending:
+                conv += 1
+                pending = 0
+            last = c
+        state.update((last, pending, n, vp, conv))
+        yield pd.DataFrame({"user_id": [key[0]], "seq_len": [n],
+                            "direct_vp": [vp], "conversions": [conv]})
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 

@@ -425,3 +425,41 @@ def test_session_finalizer_timeout_and_split(spark, tmp_path):
                  "SELECT * FROM sessions WHERE user_id >= 0").collect()}
     assert spans[(1, 2)] == (base, base + 5 * m)
     assert spans[(1, 1)] == (base + 125 * m, base + 125 * m)
+
+
+def test_streaming_cep_matches_batch_pattern_op(spark, tmp_path):
+    """Streaming CEP automaton across ≥2 in-order microbatches converges to
+    the oracle-checked batch q_event_pattern_match counts — bounded state
+    (4 scalars/key) vs the batch form's full sequence string."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "events_cep")
+    os.makedirs(src)
+    # two files in event-time order; maxFilesPerTrigger=1 → 2 microbatches
+    # with the automaton state carrying last_char/pending across them
+    ordered_ts = [r["ts"] for r in
+                  events.select("ts").orderBy("ts").collect()]
+    mid = ordered_ts[len(ordered_ts) // 2]
+    early = events.filter(F.col("ts") <= F.lit(mid))
+    late = events.filter(F.col("ts") > F.lit(mid))
+    assert early.count() > 0 and late.count() > 0
+    early.coalesce(1).write.parquet(src + "/batch=0")
+    late.coalesce(1).write.parquet(src + "/batch=1")
+
+    stream = I.streaming_pattern_counts(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("cep_counts")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("SELECT * FROM cep_counts").collect():
+        got[r["user_id"]] = (r["seq_len"], r["direct_vp"], r["conversions"])
+    want = {
+        int(r["user_id"]): (r["seq_len"], r["direct_vp"], r["conversions"])
+        for r in arrays.q_event_pattern_match(spark, sf_dir).collect()
+    }
+    assert {int(k): v for k, v in got.items()} == want
