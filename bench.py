@@ -156,7 +156,10 @@ def main():
     detail = {
         "detail": "per_query_and_per_subop_seconds",
         "frozen_cohort_sec": frozen_cohort_sec,
-        "frozen_cohort": "r5 roster (134 suite sub-ops + singletons)",
+        "frozen_cohort": ("r5 roster (134 suite sub-ops + singletons); "
+                          "sum of PER-OP isolated warm timings — compare "
+                          "against other rounds' frozen_cohort_sec, not "
+                          "against the suite-folded warm total"),
         "runs_per_query": 2,
         "isolation": "cold-then-warm per query (memo caches cleared before the cold run)",
         "queries_cold": cold,
