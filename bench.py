@@ -149,13 +149,18 @@ def main():
     # like-for-like cross-round wall: warm singletons (slot set unchanged
     # since r5) + per-op warm seconds of ONLY the r5-roster suite sub-ops
     suite_names = set(suite_sub_lists)
+    measured_subs = {n for ops in suite_op_sec.values() for n in ops}
     frozen_cohort_sec = round(
         sum(t for n, t in warm.items() if n not in suite_names)
         + sum(t for ops in suite_op_sec.values()
               for n, t in ops.items() if n in FROZEN_COHORT_R5), 4)
+    # a renamed/removed roster op must be visible, not silently shrink the
+    # cohort sum into a fake speedup
+    cohort_missing = sorted(FROZEN_COHORT_R5 - measured_subs)
     detail = {
         "detail": "per_query_and_per_subop_seconds",
         "frozen_cohort_sec": frozen_cohort_sec,
+        "frozen_cohort_missing": cohort_missing,
         "frozen_cohort": ("r5 roster (134 suite sub-ops + singletons); "
                           "sum of PER-OP isolated warm timings — compare "
                           "against other rounds' frozen_cohort_sec, not "

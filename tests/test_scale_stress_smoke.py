@@ -56,3 +56,11 @@ def test_stress_harness_smoke(spark, tmp_path):
     assert vt["files_carried"] + vt["files_rewritten"] >= vt["total_files"] - 1
     assert vt["files_rewritten"] < vt["total_files"] / 4
     assert vt["files_carried"] > vt["total_files"] / 2
+    # schema evolution: append_evolve carries every pre-evolve file, the
+    # drop is metadata-only, and old rows backfill NULL for the new column
+    evo = report["vt_evolve"]
+    assert evo["files_added"] >= 1
+    assert evo["null_backfilled_rows"] == 20_000
+    assert evo["post_drop_cols"] == 4  # doc_id, text, n_chars, is_new
+    # CEP at volume completes with a real conversion count
+    assert report["cep_pattern"]["conversions"] > 0

@@ -527,6 +527,64 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
         "files_rewritten": len(before - after),
     }
 
+    # --- schema evolution on the corpus-sized table -----------------------
+    # round-6 claim: append_evolve is batch-sized (no rewrite of the 32
+    # clustered files) and drop_column is METADATA-ONLY (one JSON write,
+    # corpus size irrelevant) — both proven by the manifest census and by
+    # near-constant wall time across the 3x volume step.
+    tbl_types = {f.name: f.dataType.simpleString()
+                 for f in VT.table_schema(vt_path).fields}
+    ev_batch = (spark.range(n_rows + 1000, n_rows + 1000 + span)
+                .select(F.col("id").cast(tbl_types["doc_id"])
+                        .alias("doc_id"),
+                        F.lit("evolved").alias("text"),
+                        F.lit("stress").alias("source"),
+                        F.lit(7).cast(tbl_types["n_chars"])
+                        .alias("n_chars"),
+                        F.lit(1).cast("int").alias("is_new")))
+    pre_files = set(VT.read_manifest(vt_path,
+                                     VT.current_version(vt_path))["files"])
+    secs_ev, ev_ver = timed(lambda: VT.append_evolve(ev_batch, vt_path))
+    ev_files = set(VT.read_manifest(vt_path, ev_ver)["files"])
+    secs_drop, _ = timed(lambda: VT.drop_column(vt_path, "source"))
+    post = VT.read(spark, vt_path)
+    secs_scan, n_nulls = timed(
+        lambda: post.filter(F.col("is_new").isNull()).count())
+    report["vt_evolve"] = {
+        "sec": secs_ev, "drop_sec": secs_drop, "null_scan_sec": secs_scan,
+        "files_carried": len(pre_files & ev_files),
+        "files_added": len(ev_files - pre_files),
+        "null_backfilled_rows": int(n_nulls),
+        "post_drop_cols": len(post.columns),
+    }
+
+    # --- streaming-shape CEP at event volume ------------------------------
+    # the event_pattern_match shuffle shape (one user_id exchange + linear
+    # per-key string scan) at n_docs events over 50k users — the per-key
+    # sequence is ~60 chars at full volume, so wall time tracks the
+    # exchange, not the regex
+    n_cep_users = max(int(n_rows) // 60, 1)  # ~60-event histories per key
+    ev = (spark.range(n_rows)
+          .select((F.col("id") % n_cep_users).alias("user_id"),
+                  F.col("id").alias("ts"),
+                  F.col("id").alias("event_id"),
+                  F.element_at(
+                      F.array(*[F.lit(c) for c in
+                                ("view", "click", "purchase", "signup",
+                                 "error")]),
+                      ((F.xxhash64("id") % 5 + 5) % 5 + 1).cast("int"))
+                  .alias("event_type")))
+    seq = F.array_join(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))),
+            lambda x: F.substring(x["event_type"], 1, 1)), "")
+    secs_cep, rows_cep = timed(lambda: (
+        ev.groupBy("user_id").agg(seq.alias("seq"))
+        .select(F.regexp_count("seq", F.lit("v[cse]*p")).alias("c"))
+        .agg(F.sum("c")).collect()))
+    report["cep_pattern"] = {"sec": secs_cep,
+                             "conversions": int(rows_cep[0][0])}
+
     report["scale"] = scale_tag
     return report
 
