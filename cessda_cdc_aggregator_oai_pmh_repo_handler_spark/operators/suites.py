@@ -284,6 +284,13 @@ _CORPUS_SUBS = (
     Sub("decile_calibration", text_analysis.q_decile_calibration,
         text_analysis.ORACLES["decile_calibration"],
         (("bucket", "str"),), ("docs", "en_docs", "sum_s", "en_rate")),
+    Sub("score_drift_psi", text_analysis.q_score_drift_psi,
+        text_analysis.ORACLES["score_drift_psi"],
+        (("bucket", "str"),), ("ref_n", "cur_n", "psi_term")),
+    Sub("chi_square_independence", text_analysis.q_chi_square_independence,
+        text_analysis.ORACLES["chi_square_independence"],
+        (("lang", "str"), ("source", "str")),
+        ("obs", "expected", "chi_term")),
     Sub("bigram_lm_score", text_analysis.q_bigram_lm_score,
         text_analysis.ORACLES["bigram_lm_score"],
         (("source", "str"),), ("docs", "avg_logprob", "low_docs")),

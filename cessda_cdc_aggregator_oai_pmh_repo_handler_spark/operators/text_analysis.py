@@ -228,6 +228,68 @@ def q_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIFT MONITORING — Population Stability Index between a
+    reference and a current corpus slice (the model-monitoring check a
+    production scoring pipeline runs per batch): quality-score decile
+    histograms of the two slices (even/odd doc_id stands in for
+    yesterday/today), Laplace-smoothed rates, per-bucket PSI
+    contribution (p−q)·ln(p/q). Per-bucket terms are emitted as ROWS
+    (the verified artifact) rather than pre-folded into one scalar — no
+    merge-order float accumulation anywhere; each term is single-shot
+    arithmetic on integer counts. Scale: one scan, a 20-key groupBy,
+    window totals over 10 rows."""
+    from pyspark.sql import Window
+
+    d = _tokenized_docs(spark, sf_dir)
+    s = quality_score_col(F.col("words"), F.col("n_chars"))
+    bucket = F.least(F.floor(s * 10).cast("int"), F.lit(9))
+    side = (F.col("doc_id") % 2 == 0)
+    per = (d.select(bucket.alias("bucket"), side.alias("is_ref"))
+           .groupBy("bucket")
+           .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                .alias("ref_n"),
+                F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+                .alias("cur_n")))
+    w = Window.partitionBy(F.lit(1))
+    p = ((F.col("ref_n") + 1).cast("double")
+         / (F.sum("ref_n").over(w) + 10).cast("double"))
+    q = ((F.col("cur_n") + 1).cast("double")
+         / (F.sum("cur_n").over(w) + 10).cast("double"))
+    return per.select(
+        "bucket", "ref_n", "cur_n",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL ASSOCIATION TEST — chi-square independence of
+    lang × source (the EDA/data-quality check for 'is the language mix
+    uniform across crawls'): per-cell observed count, expected count
+    under independence (row·col/total), and the chi contribution
+    ((obs−exp)²/exp on the ROUNDED expected, so both engines square the
+    same value). All inputs are integer counts; every float step is a
+    single division or product — nothing merge-order-sensitive. One
+    scan, one (lang, source) groupBy, window marginals over cell-sized
+    rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    cells = (d.groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("obs")))
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    w_all = Window.partitionBy(F.lit(1))
+    expected = F.round(
+        (F.sum("obs").over(w_l) * F.sum("obs").over(w_s)).cast("double")
+        / F.sum("obs").over(w_all).cast("double"), 6)
+    return (cells
+            .withColumn("expected", expected)
+            .withColumn("chi_term",
+                        F.round(F.pow(F.col("obs") - F.col("expected"), 2)
+                                / F.col("expected"), 6)))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: per-language hit counts, highest
     wins (ties by language name) — compared against the dataset's own
@@ -1495,6 +1557,8 @@ QUERIES = {
     "dsir_importance": q_dsir_importance,
     "quality_model": q_quality_model,
     "decile_calibration": q_decile_calibration,
+    "score_drift_psi": q_score_drift_psi,
+    "chi_square_independence": q_chi_square_independence,
     "stratified_sample": q_stratified_sample,
     "split_leakage": q_split_leakage,
     "approx_quantiles": q_approx_quantiles,
@@ -1647,6 +1711,44 @@ ORACLES = {
                CAST(sum(CASE WHEN s >= {QM_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
                round(avg(s), 4) AS avg_score
         FROM sc GROUP BY source
+    """,
+    "score_drift_psi": f"""
+        WITH q AS (SELECT doc_id, s FROM ({quality_score_sql()})),
+        per AS (
+          SELECT least(CAST(floor(s * 10) AS INT), 9) AS bucket,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ref_n,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+                      AS BIGINT) AS cur_n
+          FROM q GROUP BY 1
+        )
+        SELECT bucket, ref_n, cur_n,
+               round((p - qq) * ln(p / qq), 6) AS psi_term
+        FROM (
+          SELECT bucket, ref_n, cur_n,
+                 CAST(ref_n + 1 AS DOUBLE)
+                     / CAST(sum(ref_n) OVER () + 10 AS DOUBLE) AS p,
+                 CAST(cur_n + 1 AS DOUBLE)
+                     / CAST(sum(cur_n) OVER () + 10 AS DOUBLE) AS qq
+          FROM per
+        )
+    """,
+    "chi_square_independence": """
+        WITH cells AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+          FROM documents GROUP BY lang, source
+        ),
+        e AS (
+          SELECT lang, source, obs,
+                 round(CAST(sum(obs) OVER (PARTITION BY lang)
+                            * sum(obs) OVER (PARTITION BY source)
+                            AS DOUBLE)
+                       / CAST(sum(obs) OVER () AS DOUBLE), 6) AS expected
+          FROM cells
+        )
+        SELECT lang, source, obs, expected,
+               round(pow(obs - expected, 2) / expected, 6) AS chi_term
+        FROM e
     """,
     "decile_calibration": f"""
         WITH q AS (SELECT doc_id, s FROM ({quality_score_sql()})),

@@ -131,3 +131,31 @@ def test_decile_calibration_partitions_corpus(spark, sf_dir):
         assert r["bucket"] / 10 * r["docs"] <= r["sum_s"] + 1e-6
         if r["bucket"] < 9:
             assert r["sum_s"] <= (r["bucket"] + 1) / 10 * r["docs"] + 1e-6
+
+
+def test_score_drift_psi_properties(spark, sf_dir):
+    out = text_analysis.q_score_drift_psi(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    assert sum(r["ref_n"] + r["cur_n"] for r in out) == docs.count()
+    # each term (p-q)*ln(p/q) is nonnegative: both factors share a sign
+    assert all(r["psi_term"] >= 0 for r in out)
+    # even/odd doc_id halves of a uniform synthetic corpus barely drift
+    assert sum(r["psi_term"] for r in out) < 0.1
+
+
+def test_chi_square_independence_marginals(spark, sf_dir):
+    out = text_analysis.q_chi_square_independence(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    assert sum(r["obs"] for r in out) == n
+    # per-cell expected reproduces row_total*col_total/n from the observed
+    # marginals (absent zero-count cells mean expecteds need not sum to n)
+    row_t: dict = {}
+    col_t: dict = {}
+    for r in out:
+        row_t[r["lang"]] = row_t.get(r["lang"], 0) + r["obs"]
+        col_t[r["source"]] = col_t.get(r["source"], 0) + r["obs"]
+    for r in out:
+        want = round(row_t[r["lang"]] * col_t[r["source"]] / n, 6)
+        assert abs(r["expected"] - want) < 1e-9
+        assert r["chi_term"] >= 0

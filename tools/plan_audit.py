@@ -104,6 +104,8 @@ HEADLINERS = {
     "event_pattern_match": "CEP / MATCH_RECOGNIZE stand-in: sorted-struct collect per key on ONE exchange, then linear regex scans over the per-key sequence string — no self-join, state = per-key event count.",
     "k_anonymity": "Privacy census: one exchange on the quasi-identifier key, per-group count_distinct over a domain-bounded sensitive value — no global distinct expand.",
     "benford_digits": "Benford audit: 9-key groupBy with map-side partials; the window total and chi terms run over 9 rows — scan-bound by construction.",
+    "score_drift_psi": "PSI drift monitor: one scan, 20-key groupBy, window totals over 10 rows; per-bucket terms emitted as rows — no float fold anywhere.",
+    "chi_square_independence": "Chi-square independence: one (lang, source) groupBy; marginals via windows over CELL-sized rows, never a second scan.",
 }
 
 
