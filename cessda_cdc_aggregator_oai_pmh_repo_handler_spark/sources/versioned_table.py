@@ -403,15 +403,37 @@ def table_schema(path: str, version: int | None = None):
     return StructType.fromJson(json.loads(raw)) if raw else None
 
 
+def _strip_nullability(t):
+    """Type-JSON normalized for compatibility checks: nullability markers
+    removed at every depth (parquet round-trips and builders legitimately
+    disagree on nullable flags — a required field fits a nullable slot),
+    timestamp_ntz folded into timestamp (this engine pins the session
+    timezone to UTC, making the two representations value-identical; a
+    parquet round-trip freely flips between them), and per-field
+    "metadata" annotations dropped (e.g. the watermark's
+    spark.watermarkDelayMs tag — annotations, not types)."""
+    if isinstance(t, dict):
+        return {k: _strip_nullability(v) for k, v in t.items()
+                if k not in ("nullable", "containsNull",
+                             "valueContainsNull", "metadata")}
+    if isinstance(t, list):
+        return [_strip_nullability(x) for x in t]
+    if t == "timestamp_ntz":
+        return "timestamp"
+    return t
+
+
 def _schema_fields(manifest_or_schema) -> dict:
-    """{name: dataType-json} from a manifest's schema declaration."""
+    """{name: nullability-normalized dataType-json} from a manifest's
+    schema declaration."""
     if manifest_or_schema is None:
         return {}
     raw = (manifest_or_schema.get("schema")
            if isinstance(manifest_or_schema, dict) else manifest_or_schema)
     if not raw:
         return {}
-    return {f["name"]: json.dumps(f["type"], sort_keys=True)
+    return {f["name"]: json.dumps(_strip_nullability(f["type"]),
+                                  sort_keys=True)
             for f in json.loads(raw)["fields"]}
 
 
@@ -425,10 +447,13 @@ def _check_append_schema(df: DataFrame, prev: dict) -> None:
         missing = sorted(set(declared) - set(incoming))
         changed = sorted(n for n in set(incoming) & set(declared)
                          if incoming[n] != declared[n])
+        details = "; ".join(
+            f"{n}: table={declared[n]} incoming={incoming[n]}"
+            for n in changed)
         raise SchemaEvolutionError(
             f"append schema drift (extra={extra}, missing={missing}, "
             f"type-changed={changed}); use append_evolve for declared "
-            "evolution")
+            f"evolution{'; ' + details if details else ''}")
 
 
 def append(df: DataFrame, path: str,
@@ -756,6 +781,9 @@ def merge_keys(spark: SparkSession, updates: DataFrame, path: str,
         if epoch is not None and epoch_committed(path, epoch):
             return None
         m = read_manifest(path, head)
+        # fail loudly on schema drift instead of a deep unionByName error;
+        # evolution goes through append_evolve, never a merge side door
+        _check_append_schema(updates, m)
         stats = m.get("stats", {})
         bounds = updates.agg(
             F.min(F.col(key)).alias("lo"),

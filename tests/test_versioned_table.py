@@ -550,3 +550,10 @@ def test_overwrite_clears_drop_tombstones(spark, table):
     cur = VT.read(spark, table)
     assert cur.columns == ["id", "tag"]
     assert {r["tag"] for r in cur.collect()} == {"fresh"}
+
+
+def test_merge_keys_rejects_schema_drift(spark, table):
+    with pytest.raises(VT.SchemaEvolutionError, match="drift"):
+        VT.merge_keys(spark, spark.range(2).select(
+            F.col("id"), F.lit("x").alias("tag"),
+            F.lit(1).alias("sneaky")), table, key="id")
