@@ -180,12 +180,22 @@ def main():
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
+    try:
+        load1 = round(os.getloadavg()[0], 1)  # box contention context for
+        #                                       cross-round comparisons
+    except OSError:
+        load1 = None
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": round(total_warm, 4),
         "unit": "sec",
         "queries": warm,
         "sf": sf_val,
+        # like-for-like across rounds: per-op warm sum over the r5 roster
+        # (the headline `value` grows with every verified op added)
+        "frozen_cohort_sec": frozen_cohort_sec,
+        "verified_subops": sum(suite_subs.values()),
+        "loadavg_at_exit": load1,
     }))
     spark.stop()
 
