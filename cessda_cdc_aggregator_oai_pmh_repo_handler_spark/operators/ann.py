@@ -152,6 +152,52 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY EVALUATION — recall@k of the IVF cell probe
+    against exact search, per query in the batch (the measurement that
+    decides whether an approximate index is shippable; without it "we
+    built IVF" is a claim, not a number). Exact and IVF top-k are ranked
+    by the raw cosine (the bit-identical fold both engines share, as in
+    ann_batch_topk) with vec_id tie-breaks; recall is the integer
+    intersection size over k — one division, nothing merge-order
+    sensitive.
+
+    Scale: the exact arm is the one corpus-wide pass (|batch| ranked
+    windows over broadcast-joined rows — the ground-truth cost you pay
+    once per evaluation set, not per serve); the IVF arm prunes to the
+    query's cell exactly like production. At 100 TB the eval set is a
+    sample and this is a scheduled quality job, not a serving path."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        norm_col("embedding").alias("qnorm"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "qlabel", "label",
+                _cosine_to_query().alias("cos_exact"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_exact").desc(),
+                                          F.col("vec_id"))
+    exact = (pairs.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= TOP_K).select("qid", "vec_id"))
+    ivf = (pairs.filter(F.col("label") == F.col("qlabel"))
+           .withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= TOP_K).select("qid", "vec_id"))
+    return (
+        exact.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid").agg(F.count(F.lit(1)).alias("hits"))
+        .join(q.select("qid"), "qid", "right")
+        .select("qid", F.coalesce("hits", F.lit(0)).alias("hits"))
+        .withColumn("recall_at_k",
+                    F.round(F.col("hits").cast("double") / TOP_K, 4))
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the standard
     4× storage compression before an ANN index is built at scale (float32
@@ -787,6 +833,7 @@ QUERIES = {
     "ann_lsh_probe": q_ann_lsh_probe,
     "ann_pandas": q_ann_pandas,
     "ann_batch_topk": q_ann_batch_topk,
+    "ann_recall_eval": q_ann_recall_eval,
     "embedding_quantize": q_embedding_quantize,
     "hybrid_rrf": q_hybrid_rrf,
     "label_centroids": q_label_centroids,
@@ -845,6 +892,41 @@ ORACLES = {
         WHERE e.vec_id <> {QUERY_VEC_ID}
         ORDER BY cosine DESC, e.vec_id
         LIMIT {TOP_K}
+    """,
+    "ann_recall_eval": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qemb, label AS qlabel
+            FROM embeddings WHERE vec_id < {BATCH_QUERIES}
+        ),
+        pairs AS (
+            SELECT q.qid, e.vec_id, q.qlabel, e.label,
+                   {_cosine_sql("e.embedding", "q.qemb")} AS cos_exact
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid
+        ),
+        exact AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos_exact DESC, vec_id)
+                           AS rk
+                FROM pairs) WHERE rk <= {TOP_K}
+        ),
+        ivf AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos_exact DESC, vec_id)
+                           AS rk
+                FROM pairs WHERE label = qlabel) WHERE rk <= {TOP_K}
+        ),
+        h AS (
+            SELECT exact.qid, count(*) AS hits
+            FROM exact JOIN ivf USING (qid, vec_id) GROUP BY exact.qid
+        )
+        SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+               round(CAST(coalesce(h.hits, 0) AS DOUBLE) / {TOP_K}, 4)
+                   AS recall_at_k
+        FROM q LEFT JOIN h ON q.qid = h.qid
     """,
     "ann_batch_topk": f"""
         SELECT qid, vec_id, label, round(cos_exact, 4) AS cosine, rk

@@ -348,6 +348,9 @@ _CORPUS_SUBS = (
         ann.ORACLES["ann_batch_topk"],
         (("qid", "str"), ("vec_id", "str"), ("label", "str")),
         ("cosine", "rk")),
+    Sub("ann_recall_eval", ann.q_ann_recall_eval,
+        ann.ORACLES["ann_recall_eval"],
+        (("qid", "str"),), ("hits", "recall_at_k")),
     Sub("embedding_quantize", ann.q_embedding_quantize,
         ann.ORACLES["embedding_quantize"],
         (("label", "str"),), ("n", "sum_q", "saturated")),

@@ -159,3 +159,14 @@ def test_chi_square_independence_marginals(spark, sf_dir):
         want = round(row_t[r["lang"]] * col_t[r["source"]] / n, 6)
         assert abs(r["expected"] - want) < 1e-9
         assert r["chi_term"] >= 0
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import ann
+    out = ann.q_ann_recall_eval(spark, sf_dir).collect()
+    assert len(out) == ann.BATCH_QUERIES
+    for r in out:
+        assert 0 <= r["hits"] <= ann.TOP_K
+        assert abs(r["recall_at_k"] - r["hits"] / ann.TOP_K) < 1e-9
+    # the IVF cell contains SOME true neighbors on clustered synthetic data
+    assert sum(r["hits"] for r in out) > 0

@@ -106,6 +106,7 @@ HEADLINERS = {
     "benford_digits": "Benford audit: 9-key groupBy with map-side partials; the window total and chi terms run over 9 rows — scan-bound by construction.",
     "score_drift_psi": "PSI drift monitor: one scan, 20-key groupBy, window totals over 10 rows; per-bucket terms emitted as rows — no float fold anywhere.",
     "chi_square_independence": "Chi-square independence: one (lang, source) groupBy; marginals via windows over CELL-sized rows, never a second scan.",
+    "ann_recall_eval": "Recall@k evaluation: the exact arm is ONE broadcast-joined corpus pass with per-query ranked windows (the ground-truth cost, paid per eval not per serve); the IVF arm prunes to the cell like production; hit counting is an equi-join of k-sized lists.",
 }
 
 
