@@ -491,6 +491,13 @@ def append_evolve(df: DataFrame, path: str,
         else expected_version
     version = parent + 1
     prev = read_manifest(path, parent)
+    if not prev.get("schema"):
+        # a legacy (pre-schema-tracking) table: evolving against an
+        # UNKNOWN declaration would silently narrow reads to this batch's
+        # columns — establish a declaration first (overwrite/compact)
+        raise SchemaEvolutionError(
+            "table has no schema declaration; overwrite or compact it "
+            "once to establish one before evolving")
     declared = _schema_fields(prev)
     incoming = _schema_fields(df.schema.json())
     dropped = set(prev.get("dropped_columns", []))
@@ -883,9 +890,16 @@ def compact(spark: SparkSession, path: str, target_files: int = 1,
         df = df.coalesce(target_files)
     version = head + 1
     files = _stage(df, path, version)
+    # a compaction materializes the whole snapshot, so (like overwrite) it
+    # DECLARES the schema — this is also how a legacy table gains a
+    # declaration — and clears drop tombstones: the rewrite read under the
+    # declared schema, so no surviving file carries a dropped column and
+    # the name becomes safely reusable
     return _publish(path, {"version": version, "parent": head,
                            "op": "compact", "cluster_by": cluster_by,
-                           "files": files, "stats": _file_stats(files)},
+                           "files": files, "stats": _file_stats(files),
+                           "schema": df.schema.json(),
+                           "dropped_columns": []},
                     expected_parent=head)
 
 

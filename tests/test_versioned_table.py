@@ -557,3 +557,32 @@ def test_merge_keys_rejects_schema_drift(spark, table):
         VT.merge_keys(spark, spark.range(2).select(
             F.col("id"), F.lit("x").alias("tag"),
             F.lit(1).alias("sneaky")), table, key="id")
+
+
+def test_compact_establishes_schema_and_frees_dropped_names(spark, table):
+    VT.drop_column(table, "tag")
+    VT.compact(spark, table, target_files=1)
+    # the rewrite physically removed the column, so the name is reusable
+    v = VT.append_evolve(spark.range(10, 12).select(
+        F.col("id"), F.lit("reborn").alias("tag")), table)
+    cur = VT.read(spark, table)
+    assert cur.columns == ["id", "tag"]
+    assert cur.filter(F.col("tag") == "reborn").count() == 2
+    # pre-compaction rows never leak old tag values through the re-add
+    assert cur.filter(F.col("tag").isNotNull()).count() == 2
+    assert VT.read_manifest(table, v)["dropped_columns"] == []
+
+
+def test_append_evolve_refuses_legacy_tables(spark, tmp_path):
+    """A pre-schema-tracking manifest must not be silently narrowed."""
+    path = str(tmp_path / "legacy")
+    VT.create(spark.range(3).select("id"), path)
+    # simulate a legacy manifest: strip the schema declaration
+    import json as _json
+    mp = VT._manifest_path(path, 0)
+    m = _json.load(open(mp))
+    m.pop("schema", None)
+    _json.dump(m, open(mp, "w"))
+    with pytest.raises(VT.SchemaEvolutionError, match="no schema"):
+        VT.append_evolve(spark.range(3).select(
+            "id", F.lit(1).alias("extra")), path)
