@@ -946,9 +946,167 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VALUE_SCALE = 10_000  # value → exact integer micro-units: floor(value·1e4)
+
+
+def _value_int(col: str = "value"):
+    """events.value as an exact integer: ``floor(value·1e4)``. The float
+    multiply and floor are single-shot IEEE ops (bit-identical on both
+    engines); everything downstream is integer/DECIMAL arithmetic, so the
+    hashed statistics are merge-order-free (the de-flake discipline)."""
+    return F.floor(F.col(col) * VALUE_SCALE)
+
+
+def q_acf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1..3 per event-type series — the
+    time-series diagnostic behind seasonality / AR-order selection. Each
+    observation pairs with its k-step successor via ``lead`` (one window
+    exchange on the series key, shared by all three lags), the lags unpivot
+    through ``stack`` so the series is sequenced once, and Pearson r comes
+    from DECIMAL-exact sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    with one single-shot double evaluation at the end. At 100 TB the
+    partition key is the series id (here 5 event types — a local[32] demo;
+    real telemetry has millions of series, which is exactly what the
+    per-key window wants)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = e.select(
+        "event_type", "ts", "event_id",
+        _value_int().cast("decimal(19,0)").alias("x"),
+    )
+    d = d.select(
+        "event_type", "x",
+        F.lead("x", 1).over(w).alias("y1"),
+        F.lead("x", 2).over(w).alias("y2"),
+        F.lead("x", 3).over(w).alias("y3"),
+    )
+    pairs = d.selectExpr(
+        "event_type", "x",
+        "stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)",
+    ).filter(F.col("y").isNotNull())
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    num = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+    den = F.sqrt((nd * dbl("sxx") - dbl("sx") * dbl("sx"))
+                 * (nd * dbl("syy") - dbl("sy") * dbl("sy")))
+    return agg.select("event_type", "lag", "n",
+                      F.round(num / den, 6).alias("acf"))
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event-type series: the split point
+    maximizing |n·prefix_t − t·total| — the scaled running deviation from
+    a constant-mean fit (classic offline CUSUM statistic, kept in exact
+    integer form so no float fold exists: the argmax is decided by DECIMAL
+    comparisons). One window exchange sequences each series (row_number +
+    running sum share the sort); the argmax is a second window over the
+    same key. Per-series sequential scan is inherent to the statistic —
+    scale comes from the number of series, not within one."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wall = Window.partitionBy("event_type")
+    d = (
+        e.select("event_type", "ts", "event_id",
+                 _value_int().cast("decimal(19,0)").alias("x"))
+        .withColumn("t", F.row_number().over(w))
+        .withColumn("prefix", F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", F.sum("x").over(wall))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    s = (F.col("n").cast("decimal(12,0)") * F.col("prefix")
+         - F.col("t").cast("decimal(12,0)") * F.col("total"))
+    d = d.withColumn("s_abs", F.abs(s))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("s_abs"), F.asc("t"))
+    return (
+        d.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("t").alias("best_t"), "n",
+                F.col("s_abs").cast("double").alias("max_abs_s"))
+    )
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality index per event type: mean(hour bucket) /
+    mean(overall), the profile a forecasting pipeline divides out before
+    modeling the trend. One groupBy to (type, hour) — integer-exact count
+    and Σfloor(value·1e4) — then the overall totals come from a window over
+    the already-aggregated 5×24 relation (no second scan), and the index is
+    one single-shot double division of exact integers."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    agg = (
+        e.select("event_type", F.hour("ts").alias("hod"),
+                 _value_int().alias("x"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("x").alias("sum_x"))
+    )
+    wall = Window.partitionBy("event_type")
+    idx = ((F.col("sum_x").cast("double")
+            * F.sum("cnt").over(wall).cast("double"))
+           / (F.col("cnt").cast("double")
+              * F.sum("sum_x").over(wall).cast("double")))
+    return agg.select("event_type", "hod", "cnt",
+                      F.round(idx, 6).alias("seasonal_index"))
+
+
+def q_anomaly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-sigma anomaly census per event type with ZERO float math in
+    the flag: (n·x − Σ)² > 9·(n·Σx² − Σ²) compares exact integers (Spark
+    DECIMAL(38,0), oracle HUGEINT), so the anomaly set is bit-deterministic
+    — no σ is ever materialized as a double. Two-pass shape that survives
+    skew: the 3-row stats relation aggregates first and broadcast-joins
+    back onto the fact scan (no whole-partition window over 5 fat keys)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id", _value_int().alias("x"))
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)")
+              * F.col("x").cast("decimal(19,0)")).alias("sxx"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    diff = (F.col("n").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+            - F.col("sx").cast("decimal(19,0)")).cast("decimal(19,0)")
+    lhs = diff * diff
+    rhs = ((F.col("n") * 9).cast("decimal(13,0)") * F.col("sxx")
+           - (F.col("sx") * 3).cast("decimal(19,0)")
+           * (F.col("sx") * 3).cast("decimal(19,0)"))
+    flag = lhs > rhs
+    return (
+        j.select("event_type", "event_id", "n", flag.alias("flag"))
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"),
+             F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("anomalies"),
+             F.sum(F.when(F.col("flag"), F.col("event_id"))
+                   .otherwise(0)).alias("anomaly_id_sum"))
+    )
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
+    "acf_lag": q_acf_lag,
+    "cusum_changepoint": q_cusum_changepoint,
+    "seasonal_profile": q_seasonal_profile,
+    "anomaly_census": q_anomaly_census,
     "max_concurrency": q_max_concurrency,
     "array_fn_conformance": q_array_fn_conformance,
     "cohort_retention": q_cohort_retention,
@@ -978,6 +1136,110 @@ QUERIES = {
 }
 
 ORACLES = {
+    "acf_lag": """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(floor(value * 10000) AS DECIMAL(19,0)) AS x,
+                   lead(CAST(floor(value * 10000) AS DECIMAL(19,0)), 1)
+                       OVER w AS y1,
+                   lead(CAST(floor(value * 10000) AS DECIMAL(19,0)), 2)
+                       OVER w AS y2,
+                   lead(CAST(floor(value * 10000) AS DECIMAL(19,0)), 3)
+                       OVER w AS y3
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        pairs AS (
+            SELECT event_type, 1 AS lag, x, y1 AS y FROM base
+            WHERE y1 IS NOT NULL
+            UNION ALL
+            SELECT event_type, 2, x, y2 FROM base WHERE y2 IS NOT NULL
+            UNION ALL
+            SELECT event_type, 3, x, y3 FROM base WHERE y3 IS NOT NULL
+        ),
+        agg AS (
+            SELECT event_type, lag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT event_type, lag, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS acf
+        FROM agg
+    """,
+    "cusum_changepoint": """
+        WITH seq AS (
+            SELECT event_type,
+                   row_number() OVER w AS t,
+                   sum(CAST(floor(value * 10000) AS HUGEINT)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS prefix,
+                   sum(CAST(floor(value * 10000) AS HUGEINT)) OVER (
+                       PARTITION BY event_type) AS total,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        scored AS (
+            SELECT event_type, t, n,
+                   abs(n * prefix - t * total) AS s_abs
+            FROM seq
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY s_abs DESC, t) AS rn
+            FROM scored
+        )
+        SELECT event_type, CAST(t AS BIGINT) AS best_t,
+               CAST(n AS BIGINT) AS n, CAST(s_abs AS DOUBLE) AS max_abs_s
+        FROM ranked WHERE rn = 1
+    """,
+    "seasonal_profile": """
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS INT) AS hod,
+                   count(*) AS cnt,
+                   sum(CAST(floor(value * 10000) AS BIGINT)) AS sum_x
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hod, cnt,
+               round((CAST(sum_x AS DOUBLE)
+                      * CAST(sum(cnt) OVER w AS DOUBLE))
+                     / (CAST(cnt AS DOUBLE)
+                        * CAST(sum(sum_x) OVER w AS DOUBLE)), 6)
+                   AS seasonal_index
+        FROM agg WINDOW w AS (PARTITION BY event_type)
+    """,
+    "anomaly_census": """
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 10000) AS HUGEINT) AS x
+            FROM events
+        ),
+        st AS (
+            SELECT event_type, count(*) AS n, sum(x) AS sx,
+                   sum(x * x) AS sxx
+            FROM base GROUP BY 1
+        ),
+        j AS (
+            SELECT b.event_type, b.event_id, st.n, st.sx, st.sxx,
+                   (st.n * b.x - st.sx) AS diff
+            FROM base b JOIN st USING (event_type)
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN diff * diff > 9 * n * sxx - 9 * sx * sx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS anomalies,
+               CAST(sum(CASE WHEN diff * diff > 9 * n * sxx - 9 * sx * sx
+                             THEN event_id ELSE 0 END) AS BIGINT)
+                   AS anomaly_id_sum
+        FROM j GROUP BY event_type
+    """,
     "debounce_events": f"""
         WITH g AS (
             SELECT event_type,

@@ -222,6 +222,18 @@ _TEMPORAL_SUBS = (
         arrays.ORACLES["event_pattern_match"],
         (("user_id", "str"), ("seq", "str")),
         ("seq_len", "direct_vp", "conversions")),
+    Sub("acf_lag", arrays.q_acf_lag, arrays.ORACLES["acf_lag"],
+        (("event_type", "str"), ("lag", "str")), ("n", "acf")),
+    Sub("cusum_changepoint", arrays.q_cusum_changepoint,
+        arrays.ORACLES["cusum_changepoint"],
+        (("event_type", "str"),), ("best_t", "n", "max_abs_s")),
+    Sub("seasonal_profile", arrays.q_seasonal_profile,
+        arrays.ORACLES["seasonal_profile"],
+        (("event_type", "str"), ("hod", "str")),
+        ("cnt", "seasonal_index")),
+    Sub("anomaly_census", arrays.q_anomaly_census,
+        arrays.ORACLES["anomaly_census"],
+        (("event_type", "str"),), ("n", "anomalies", "anomaly_id_sum")),
 )
 
 _CORPUS_SUBS = (

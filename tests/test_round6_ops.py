@@ -170,3 +170,91 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
         assert abs(r["recall_at_k"] - r["hits"] / ann.TOP_K) < 1e-9
     # the IVF cell contains SOME true neighbors on clustered synthetic data
     assert sum(r["hits"] for r in out) > 0
+
+
+def test_acf_lag_bounds_and_roster(spark, sf_dir):
+    out = arrays.q_acf_lag(spark, sf_dir).collect()
+    types = {r["event_type"] for r in out}
+    assert {r["lag"] for r in out} == {1, 2, 3}
+    # one row per (type, lag); r is a correlation: |r| <= 1
+    assert len(out) == 3 * len(types)
+    for r in out:
+        assert -1.0 <= r["acf"] <= 1.0
+        # lag-k series loses exactly k pairs vs the full series length
+        assert r["n"] >= 1
+
+
+def test_acf_lag_pair_counts(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    per_type = dict(ev.groupBy("event_type").count().collect())
+    out = arrays.q_acf_lag(spark, sf_dir).collect()
+    for r in out:
+        assert r["n"] == per_type[r["event_type"]] - r["lag"]
+
+
+def test_cusum_changepoint_invariants(spark, sf_dir):
+    out = arrays.q_cusum_changepoint(spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir)
+    per_type = dict(ev.groupBy("event_type").count().collect())
+    assert {r["event_type"] for r in out} == set(per_type)
+    for r in out:
+        assert r["n"] == per_type[r["event_type"]]
+        assert 1 <= r["best_t"] <= r["n"]
+        assert r["max_abs_s"] >= 0
+
+
+def test_cusum_changepoint_matches_python(spark, sf_dir):
+    """Exact mirror on one series: argmax_t |n·prefix_t − t·total|."""
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("event_type") == "purchase")
+          .orderBy("ts", "event_id")
+          .select(F.floor(F.col("value") * 10000).alias("x")).collect())
+    xs = [r["x"] for r in ev]
+    n, total, prefix, best = len(xs), sum(xs), 0, (-1, None)
+    for t, x in enumerate(xs, start=1):
+        prefix += x
+        s = abs(n * prefix - t * total)
+        if s > best[0]:
+            best = (s, t)
+    out = {r["event_type"]: r
+           for r in arrays.q_cusum_changepoint(spark, sf_dir).collect()}
+    got = out["purchase"]
+    assert got["best_t"] == best[1]
+    assert got["max_abs_s"] == float(best[0])
+
+
+def test_seasonal_profile_partition_and_mean(spark, sf_dir):
+    out = arrays.q_seasonal_profile(spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir)
+    assert sum(r["cnt"] for r in out) == ev.count()
+    # count-weighted mean of the seasonal index is 1 per event type
+    # (Σ_h cnt_h · idx_h = Σ_h cnt_h · (mean_h / mean_all) = tot_cnt)
+    by_type: dict = {}
+    for r in out:
+        a, b = by_type.get(r["event_type"], (0.0, 0))
+        by_type[r["event_type"]] = (a + r["cnt"] * r["seasonal_index"],
+                                    b + r["cnt"])
+    for wsum, cnt in by_type.values():
+        assert abs(wsum / cnt - 1.0) < 1e-4
+
+
+def test_anomaly_census_matches_python(spark, sf_dir):
+    """Flag census vs an exact-integer Python mirror per event type."""
+    rows = (load_table(spark, "events", sf_dir)
+            .select("event_type", "event_id",
+                    F.floor(F.col("value") * 10000).alias("x")).collect())
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["x"]))
+    want = {}
+    for t, pairs in by_type.items():
+        xs = [x for _, x in pairs]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        flags = [(eid, (n * x - sx) ** 2 > 9 * n * sxx - 9 * sx * sx)
+                 for eid, x in pairs]
+        want[t] = (n, sum(1 for _, f in flags if f),
+                   sum(eid for eid, f in flags if f))
+    out = arrays.q_anomaly_census(spark, sf_dir).collect()
+    got = {r["event_type"]: (r["n"], r["anomalies"], r["anomaly_id_sum"])
+           for r in out}
+    assert got == want
