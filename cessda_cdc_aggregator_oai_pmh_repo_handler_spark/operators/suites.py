@@ -293,6 +293,10 @@ _CORPUS_SUBS = (
     Sub("quality_model", text_analysis.q_quality_model,
         text_analysis.ORACLES["quality_model"],
         (("source", "str"),), ("docs", "kept", "avg_score")),
+    Sub("naive_bayes_lang", text_analysis.q_naive_bayes_lang,
+        text_analysis.ORACLES["naive_bayes_lang"],
+        (("true_lang", "str"), ("pred_lang", "str")),
+        ("docs", "sum_score")),
     Sub("decile_calibration", text_analysis.q_decile_calibration,
         text_analysis.ORACLES["decile_calibration"],
         (("bucket", "str"),), ("docs", "en_docs", "sum_s", "en_rate")),

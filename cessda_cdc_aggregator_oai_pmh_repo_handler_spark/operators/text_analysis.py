@@ -1552,7 +1552,75 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NB_TEST_MOD = 5  # doc_id % 5 == 0 → held-out test split
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    entirely relationally — the classic model-based labeling pass a
+    training-data pipeline runs when no external classifier is allowed.
+    Train split (doc_id % 5 != 0) produces Laplace-smoothed per-(lang,
+    token) counts; the held-out split scores every document against all 5
+    classes and the confusion matrix (true lang × predicted lang) is the
+    verified output.
+
+    Determinism discipline: each token's log-likelihood
+    ln((cnt+1)/(tot_c+V)) is a single-shot double rounded to 6 decimals
+    and cast to DECIMAL(18,6) BEFORE summing, so per-(doc, class) scores
+    are exact decimal sums (merge-order-free) and the argmax — ties broken
+    by lang order — is bit-deterministic. Shapes: the (lang, token) count
+    table shuffle-joins on the token (vocabulary-sized, never collected);
+    class totals, priors, and V are 5-row/scalar broadcasts."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("w"))
+    train = toks.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    counts = train.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("c").agg(F.sum("cnt").alias("tot"))
+    vocab = counts.select("w").distinct().agg(
+        F.count(F.lit(1)).alias("v"))
+    class_docs = (
+        d.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cdocs"))
+    )
+    tr_docs = class_docs.agg(F.sum("cdocs").alias("tdocs"))
+    classes = (class_docs.join(F.broadcast(tr_docs))
+               .join(F.broadcast(totals), "c")
+               .join(F.broadcast(vocab)))
+    test = toks.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    # every test token × every class; unseen (w, c) pairs keep cnt = 0
+    scored = (
+        test.join(F.broadcast(classes))
+        .join(counts, ["c", "w"], "left")
+        .na.fill({"cnt": 0})
+    )
+    loglik = F.round(
+        F.log((F.col("cnt") + 1.0).cast("double")
+              / (F.col("tot") + F.col("v")).cast("double")), 6
+    ).cast("decimal(18,6)")
+    prior = F.round(
+        F.log(F.col("cdocs").cast("double") / F.col("tdocs").cast("double")),
+        6).cast("decimal(18,6)")
+    per_class = (
+        scored.groupBy("doc_id", "lang", "c")
+        .agg((F.sum(loglik) + F.first(prior)).alias("score"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
+    best = (per_class.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1))
+    return best.groupBy(
+        F.col("lang").alias("true_lang"), F.col("c").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("docs"),
+          F.round(F.sum("score").cast("double"), 4).alias("sum_score"))
+
+
 QUERIES = {
+    "naive_bayes_lang": q_naive_bayes_lang,
     "bigram_lm_score": q_bigram_lm_score,
     "dsir_importance": q_dsir_importance,
     "quality_model": q_quality_model,
@@ -1592,6 +1660,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "naive_bayes_lang": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ),
+        train AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} <> 0),
+        counts AS (
+            SELECT lang AS c, w, count(*) AS cnt FROM train GROUP BY 1, 2
+        ),
+        totals AS (SELECT c, sum(cnt) AS tot FROM counts GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM counts),
+        class_docs AS (
+            SELECT lang AS c, count(*) AS cdocs FROM documents
+            WHERE doc_id % {NB_TEST_MOD} <> 0 GROUP BY 1
+        ),
+        tr AS (SELECT sum(cdocs) AS tdocs FROM class_docs),
+        classes AS (
+            SELECT c, cdocs, tdocs, tot, v
+            FROM class_docs CROSS JOIN tr CROSS JOIN vocab
+            JOIN totals USING (c)
+        ),
+        test AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} = 0),
+        scored AS (
+            SELECT t.doc_id, t.lang, cl.c,
+                   CAST(round(ln((coalesce(k.cnt, 0) + 1.0)
+                                 / CAST(cl.tot + cl.v AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS loglik,
+                   CAST(round(ln(CAST(cl.cdocs AS DOUBLE)
+                                 / CAST(cl.tdocs AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS prior
+            FROM test t CROSS JOIN classes cl
+            LEFT JOIN counts k ON k.c = cl.c AND k.w = t.w
+        ),
+        per_class AS (
+            SELECT doc_id, lang, c, sum(loglik) + min(prior) AS score
+            FROM scored GROUP BY 1, 2, 3
+        ),
+        best AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, c) AS rn
+            FROM per_class
+        )
+        SELECT lang AS true_lang, c AS pred_lang, count(*) AS docs,
+               round(CAST(sum(score) AS DOUBLE), 4) AS sum_score
+        FROM best WHERE rn = 1 GROUP BY 1, 2
+    """,
     "bigram_lm_score": f"""
         WITH toks AS (
             SELECT doc_id, source, string_split(lower(text), ' ') AS w

@@ -258,3 +258,22 @@ def test_anomaly_census_matches_python(spark, sf_dir):
     got = {r["event_type"]: (r["n"], r["anomalies"], r["anomaly_id_sum"])
            for r in out}
     assert got == want
+
+
+def test_naive_bayes_confusion_invariants(spark, sf_dir):
+    out = text_analysis.q_naive_bayes_lang(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    n_test = (docs.filter(
+        (F.col("doc_id") % text_analysis.NB_TEST_MOD == 0)
+        & (F.size(F.filter(F.split(F.lower("text"), " "),
+                           lambda x: x != "")) > 0)).count())
+    # every scoreable test doc lands in exactly one confusion cell
+    assert sum(r["docs"] for r in out) == n_test
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    for r in out:
+        assert r["true_lang"] in langs and r["pred_lang"] in langs
+        assert r["sum_score"] < 0  # log-probabilities
+    # better than chance on the synthetic corpus: diagonal beats 1/5
+    correct = sum(r["docs"] for r in out
+                  if r["true_lang"] == r["pred_lang"])
+    assert correct / n_test > 1.0 / len(langs)
