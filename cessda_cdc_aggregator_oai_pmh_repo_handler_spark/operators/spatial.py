@@ -1,0 +1,125 @@
+"""Spatial join operators — grid-bucketed radius search.
+
+The geo twin of the LSH band join: a radius join NEVER materializes the
+customer × supplier cross product. Each point maps to an integer grid
+cell sized to the search radius; the smaller relation replicates into its
+3×3 cell neighborhood (a 9× fan-out, constant), the probe side keeps one
+row per point, and candidates meet in a plain equi-join on the cell key —
+then an exact distance predicate keeps true matches. At 100 TB both sides
+shuffle on the cell key; skewed cells (urban hot spots) behave like any
+skewed join key (AQE skew split / salting), and the fan-out factor stays
+9 regardless of data volume.
+
+Coordinates are synthesized deterministically from the TPC-H keys with
+multiplicative integer hashing (seedless — the md5-order discipline used
+by the sampling ops, in integer form), and the distance test is SQUARED
+planar distance in integer micro-degree units, so membership decisions
+are bit-exact integer comparisons on both engines: no trig, no float
+fold, no boundary flake. A spherical (haversine) refinement would slot in
+as a post-filter on the same candidate set.
+
+The DuckDB oracle runs the brute-force cross join with the identical
+integer predicate — proving the grid join finds exactly the pairs the
+cross product finds (the 3×3 neighborhood is lossless because cell size
+equals the radius).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+LAT_MULT = 2654435761  # Knuth multiplicative hashes — exact in BIGINT
+LON_MULT = 2246822519
+LAT_SPAN = 1_000_000   # raw coordinate domains (micro-degree-ish units)
+LON_SPAN = 2_000_000
+GRID = 100_000         # cell edge == search radius
+RADIUS2 = GRID * GRID  # squared planar threshold, exact integer
+
+
+def _with_coords(df: DataFrame, key: str) -> DataFrame:
+    lat = (F.col(key) * F.lit(LAT_MULT)) % LAT_SPAN
+    lon = (F.col(key) * F.lit(LON_MULT)) % LON_SPAN
+    return df.select(F.col(key), lat.alias("lat"), lon.alias("lon"))
+
+
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every customer, the suppliers within GRID units: count, squared
+    distance to the nearest, and the nearest supplier id (ties broken by
+    suppkey). Suppliers (the smaller side) replicate into their 3×3 cell
+    neighborhood; customers join on their own cell, so every true pair
+    meets exactly once."""
+    cust = _with_coords(load_table(spark, "customer", sf_dir), "c_custkey")
+    supp = _with_coords(load_table(spark, "supplier", sf_dir), "s_suppkey")
+
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    s_cells = (
+        supp.withColumn("dlat", off).withColumn("dlon", off)
+        .select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon"),
+            (F.expr(f"lat div {GRID}") + F.col("dlat")).alias("cell_lat"),
+            (F.expr(f"lon div {GRID}") + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    c_cells = cust.select(
+        "c_custkey", "lat", "lon",
+        F.expr(f"lat div {GRID}").alias("cell_lat"),
+        F.expr(f"lon div {GRID}").alias("cell_lon"),
+    )
+    d2 = ((F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat"))
+          + (F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon")))
+    pairs = (
+        c_cells.join(s_cells, ["cell_lat", "cell_lon"])
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= RADIUS2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_custkey")
+    pick = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        pairs.withColumn("n_within", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "n_within",
+                F.col("dist2").alias("min_dist2"),
+                F.col("s_suppkey").alias("nearest_suppkey"))
+    )
+
+
+ORACLES = {
+    "spatial_radius_join": f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   (c_custkey * {LAT_MULT}) % {LAT_SPAN} AS lat,
+                   (c_custkey * {LON_MULT}) % {LON_SPAN} AS lon
+            FROM customer
+        ),
+        s AS (
+            SELECT s_suppkey,
+                   (s_suppkey * {LAT_MULT}) % {LAT_SPAN} AS s_lat,
+                   (s_suppkey * {LON_MULT}) % {LON_SPAN} AS s_lon
+            FROM supplier
+        ),
+        pairs AS (
+            SELECT c.c_custkey, s.s_suppkey,
+                   (lat - s_lat) * (lat - s_lat)
+                   + (lon - s_lon) * (lon - s_lon) AS dist2
+            FROM c CROSS JOIN s
+            WHERE (lat - s_lat) * (lat - s_lat)
+                  + (lon - s_lon) * (lon - s_lon) <= {RADIUS2}
+        ),
+        ranked AS (
+            SELECT *, count(*) OVER (PARTITION BY c_custkey) AS n_within,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY dist2, s_suppkey) AS rn
+            FROM pairs
+        )
+        SELECT c_custkey, n_within, dist2 AS min_dist2,
+               s_suppkey AS nearest_suppkey
+        FROM ranked WHERE rn = 1
+    """,
+}

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from . import (ann, arrays, assembly, bpe, clustering, dedup, expectations,
-               pii, relational, relational_ext, text_analysis)
+               pii, relational, relational_ext, spatial, text_analysis)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -234,6 +234,10 @@ _TEMPORAL_SUBS = (
     Sub("anomaly_census", arrays.q_anomaly_census,
         arrays.ORACLES["anomaly_census"],
         (("event_type", "str"),), ("n", "anomalies", "anomaly_id_sum")),
+    Sub("spatial_radius_join", spatial.q_spatial_radius_join,
+        spatial.ORACLES["spatial_radius_join"],
+        (("c_custkey", "str"),),
+        ("n_within", "min_dist2", "nearest_suppkey")),
 )
 
 _CORPUS_SUBS = (

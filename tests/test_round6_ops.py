@@ -277,3 +277,49 @@ def test_naive_bayes_confusion_invariants(spark, sf_dir):
     correct = sum(r["docs"] for r in out
                   if r["true_lang"] == r["pred_lang"])
     assert correct / n_test > 1.0 / len(langs)
+
+
+def test_spatial_radius_join_matches_bruteforce(spark, sf_dir):
+    """The grid join finds EXACTLY the pairs the cross product finds."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        spatial,
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey")
+    c = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * spatial.LAT_MULT)
+         % spatial.LAT_SPAN).alias("lat"),
+        ((F.col("c_custkey") * spatial.LON_MULT)
+         % spatial.LON_SPAN).alias("lon"))
+    s = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * spatial.LAT_MULT)
+         % spatial.LAT_SPAN).alias("s_lat"),
+        ((F.col("s_suppkey") * spatial.LON_MULT)
+         % spatial.LON_SPAN).alias("s_lon"))
+    d2 = ((F.col("lat") - F.col("s_lat")) ** 2
+          + (F.col("lon") - F.col("s_lon")) ** 2)
+    brute = (c.crossJoin(s).withColumn("dist2", d2)
+             .filter(F.col("dist2") <= spatial.RADIUS2)
+             .groupBy("c_custkey")
+             .agg(F.count(F.lit(1)).alias("n_within"),
+                  F.min("dist2").alias("min_dist2")))
+    want = {r["c_custkey"]: (r["n_within"], r["min_dist2"])
+            for r in brute.collect()}
+    out = spatial.q_spatial_radius_join(spark, sf_dir).collect()
+    got = {r["c_custkey"]: (r["n_within"], r["min_dist2"]) for r in out}
+    assert got == want
+    # nearest supplier really is at min_dist2
+    for r in out:
+        assert r["min_dist2"] <= spatial.RADIUS2
+
+
+def test_spatial_radius_join_plan_no_cartesian(spark, sf_dir):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        spatial,
+    )
+    plan = (spatial.q_spatial_radius_join(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
