@@ -1663,6 +1663,50 @@ def q_scalar_fn_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tz_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA timezone conversion conformance — UTC instants rendered as
+    wall-clock time in DST-observing and non-whole-hour zones, verified
+    string-for-string against DuckDB's ICU implementation. The January
+    fixture covers standard time; the same instants shifted +182 days
+    land in July, so Europe/Berlin flips +1h→+2h and America/New_York
+    −5h→−4h across the two columns (the DST transition is the part
+    engines get wrong); Asia/Kathmandu pins the +05:45 fractional
+    offset. A to_utc ∘ from_utc round trip must be the identity (safe
+    here: no fixture instant lands in a fall-back overlap). Offsets are
+    re-derived as integer minute deltas of the wall renderings — pure
+    projection, zero exchanges beyond the pushed key filter."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 400)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    # parquet timestamps read as TIMESTAMP_NTZ; with the session tz pinned
+    # to UTC the cast makes them the UTC instants the fixture means
+    ts = F.col("ts").cast("timestamp")
+    jul = ts + F.expr("INTERVAL 182 DAYS")
+
+    def wall(src, zone):
+        return F.from_utc_timestamp(src, zone)
+
+    off_min = lambda w, src: ((F.unix_micros(w) - F.unix_micros(src))
+                              / F.lit(60_000_000)).cast("long")
+    b_jan, b_jul = wall(ts, "Europe/Berlin"), wall(jul, "Europe/Berlin")
+    ny_jul = wall(jul, "America/New_York")
+    ktm = wall(ts, "Asia/Kathmandu")
+    roundtrip = F.to_utc_timestamp(b_jan, "Europe/Berlin") == ts
+    return e.select(
+        "event_id",
+        F.date_format(b_jan, fmt).alias("berlin_jan"),
+        F.date_format(b_jul, fmt).alias("berlin_jul"),
+        F.date_format(wall(ts, "America/New_York"), fmt)
+        .alias("ny_jan"),
+        F.date_format(ny_jul, fmt).alias("ny_jul"),
+        F.date_format(ktm, fmt).alias("kathmandu"),
+        roundtrip.cast("int").alias("roundtrip_ok"),
+        off_min(b_jan, ts).alias("off_berlin_jan_min"),
+        off_min(b_jul, jul).alias("off_berlin_jul_min"),
+        off_min(ny_jul, jul).alias("off_ny_jul_min"),
+        off_min(ktm, ts).alias("off_ktm_min"),
+    )
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-semantics conformance row set — the corner cases engines
     quietly disagree on, verified against DuckDB: grouping BY a nullable
@@ -2293,6 +2337,40 @@ ORACLES = {
             SELECT avg(l2.l_quantity) FROM lineitem l2
             WHERE l2.l_partkey = l1.l_partkey
         )
+    """,
+    "tz_conformance": """
+        WITH base AS (
+            SELECT event_id, ts, ts + INTERVAL 182 DAY AS jul
+            FROM events WHERE event_id < 400
+        ),
+        conv AS (
+            SELECT event_id, ts, jul,
+                   timezone('Europe/Berlin', timezone('UTC', ts)) AS b_jan,
+                   timezone('Europe/Berlin', timezone('UTC', jul)) AS b_jul,
+                   timezone('America/New_York', timezone('UTC', ts))
+                       AS ny_jan,
+                   timezone('America/New_York', timezone('UTC', jul))
+                       AS ny_jul,
+                   timezone('Asia/Kathmandu', timezone('UTC', ts)) AS ktm
+            FROM base
+        )
+        SELECT event_id,
+               strftime(b_jan, '%Y-%m-%d %H:%M:%S') AS berlin_jan,
+               strftime(b_jul, '%Y-%m-%d %H:%M:%S') AS berlin_jul,
+               strftime(ny_jan, '%Y-%m-%d %H:%M:%S') AS ny_jan,
+               strftime(ny_jul, '%Y-%m-%d %H:%M:%S') AS ny_jul,
+               strftime(ktm, '%Y-%m-%d %H:%M:%S') AS kathmandu,
+               CAST(timezone('UTC', timezone('Europe/Berlin', b_jan)) = ts
+                    AS INT) AS roundtrip_ok,
+               CAST((epoch_us(b_jan) - epoch_us(ts)) / 60000000 AS BIGINT)
+                   AS off_berlin_jan_min,
+               CAST((epoch_us(b_jul) - epoch_us(jul)) / 60000000 AS BIGINT)
+                   AS off_berlin_jul_min,
+               CAST((epoch_us(ny_jul) - epoch_us(jul)) / 60000000 AS BIGINT)
+                   AS off_ny_jul_min,
+               CAST((epoch_us(ktm) - epoch_us(ts)) / 60000000 AS BIGINT)
+                   AS off_ktm_min
+        FROM conv
     """,
     "scalar_fn_conformance": """
         SELECT o_orderkey,

@@ -631,6 +631,12 @@ _SQL_SURFACE_SUBS = (
          ("pri_translated", "str"), ("pri_padded", "str"),
          ("pri_rev3", "str"), ("pri_rep", "str")),
         ("weekday_mon0", "pos_mod", "floor_100k", "key_pow15")),
+    Sub("tz_conformance", relational_ext.q_tz_conformance,
+        relational_ext.ORACLES["tz_conformance"],
+        (("event_id", "str"), ("berlin_jan", "str"), ("berlin_jul", "str"),
+         ("ny_jan", "str"), ("ny_jul", "str"), ("kathmandu", "str")),
+        ("roundtrip_ok", "off_berlin_jan_min", "off_berlin_jul_min",
+         "off_ny_jul_min", "off_ktm_min")),
 )
 
 _SET_OPS_SUBS = (

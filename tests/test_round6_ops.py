@@ -323,3 +323,14 @@ def test_spatial_radius_join_plan_no_cartesian(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tz_conformance_dst_semantics(spark, sf_dir):
+    out = relational_ext.q_tz_conformance(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["roundtrip_ok"] == 1
+        assert r["off_berlin_jan_min"] == 60     # CET
+        assert r["off_berlin_jul_min"] == 120    # CEST (DST)
+        assert r["off_ny_jul_min"] == -240       # EDT
+        assert r["off_ktm_min"] == 345           # +05:45 fractional zone
