@@ -977,14 +977,75 @@ def bootstrap_aggregate(spark: SparkSession, path: str, group_col: str,
     return {"version": head, "rows": rows}
 
 
+def _refs_path(path: str) -> str:
+    return os.path.join(path, "_refs.json")
+
+
+def _read_refs(path: str) -> dict:
+    try:
+        with open(_refs_path(path)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _write_refs(path: str, refs: dict) -> None:
+    # same crash-invisibility discipline as the pointer: temp + os.replace
+    tmp = _refs_path(path) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, _refs_path(path))
+
+
+def tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin a named ref (Iceberg-style tag) to a snapshot version — the
+    'release-2026-08' handle a training run records so the exact corpus
+    snapshot stays addressable after the table moves on. Tags protect
+    their manifest (and its data files) from vacuum. Defaults to the
+    current version; re-tagging an existing name moves it."""
+    v = current_version(path) if version is None else version
+    if not os.path.exists(_manifest_path(path, v)):
+        raise ValueError(f"cannot tag version {v}: no such manifest")
+    refs = _read_refs(path)
+    refs[name] = v
+    _write_refs(path, refs)
+    return v
+
+
+def delete_tag(path: str, name: str) -> None:
+    refs = _read_refs(path)
+    refs.pop(name, None)
+    _write_refs(path, refs)
+
+
+def list_tags(path: str) -> dict:
+    """name → version, sorted by name."""
+    return dict(sorted(_read_refs(path).items()))
+
+
+def version_for_tag(path: str, name: str) -> int:
+    refs = _read_refs(path)
+    if name not in refs:
+        raise ValueError(f"unknown tag {name!r}; have {sorted(refs)}")
+    return refs[name]
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot read by named ref: ``read(..., version_for_tag(...))``."""
+    return read(spark, path, version=version_for_tag(path, name))
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests (and their now-unreferenced data files) older than
-    the last ``keep_last`` versions. Returns the deleted file paths."""
+    the last ``keep_last`` versions. Tagged versions are always retained
+    (and their files stay live). Returns the deleted file paths."""
     def all_files(m: dict) -> list[str]:
         return m["files"] + m.get("delete_vectors", {}).get("files", [])
 
     vs = versions(path)
-    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    tagged = set(_read_refs(path).values())
+    keep = sorted(set(vs[-keep_last:]) | (tagged & set(vs)))
+    drop = [v for v in vs if v not in keep]
     live = {f for v in keep for f in all_files(read_manifest(path, v))}
     dead: list[str] = []
     for v in drop:

@@ -586,3 +586,35 @@ def test_append_evolve_refuses_legacy_tables(spark, tmp_path):
     with pytest.raises(VT.SchemaEvolutionError, match="no schema"):
         VT.append_evolve(spark.range(3).select(
             "id", F.lit(1).alias("extra")), path)
+
+
+def test_tags_pin_snapshots_and_survive_vacuum(spark, table):
+    VT.tag(table, "baseline")                       # → v0
+    VT.append(spark.range(5, 8).select(
+        F.col("id"), F.lit("v1").alias("tag")), table)
+    VT.overwrite(spark.range(4).select(
+        F.col("id"), F.lit("v2").alias("tag")), table)
+    assert VT.list_tags(table) == {"baseline": 0}
+    assert VT.read_tag(spark, table, "baseline").count() == 5
+    # vacuum keeps the tagged v0 (and its files) while dropping v1
+    VT.vacuum(table, keep_last=1)
+    assert VT.versions(table) == [0, 2]
+    assert VT.read_tag(spark, table, "baseline").count() == 5
+    rep = VT.verify_integrity(table, 0)
+    assert rep["corrupt"] == [] and rep["ok"]
+    # delete the tag; the next vacuum reclaims v0
+    VT.delete_tag(table, "baseline")
+    VT.vacuum(table, keep_last=1)
+    assert VT.versions(table) == [2]
+
+
+def test_tag_moves_and_rejects_unknown(spark, table):
+    VT.append(spark.range(5, 6).select(
+        F.col("id"), F.lit("v1").alias("tag")), table)
+    VT.tag(table, "release", version=0)
+    VT.tag(table, "release")                        # re-tag → current (1)
+    assert VT.version_for_tag(table, "release") == 1
+    with pytest.raises(ValueError):
+        VT.tag(table, "nope", version=99)
+    with pytest.raises(ValueError):
+        VT.version_for_tag(table, "absent")
