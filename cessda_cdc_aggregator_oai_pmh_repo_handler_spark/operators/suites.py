@@ -301,6 +301,9 @@ _CORPUS_SUBS = (
         text_analysis.ORACLES["naive_bayes_lang"],
         (("true_lang", "str"), ("pred_lang", "str")),
         ("docs", "sum_score")),
+    Sub("textrank_keywords", text_analysis.q_textrank_keywords,
+        text_analysis.ORACLES["textrank_keywords"],
+        (("word", "str"),), ("wdeg", "rank_micro")),
     Sub("decile_calibration", text_analysis.q_decile_calibration,
         text_analysis.ORACLES["decile_calibration"],
         (("bucket", "str"),), ("docs", "en_docs", "sum_s", "en_rate")),

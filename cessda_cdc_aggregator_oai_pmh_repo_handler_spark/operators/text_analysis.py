@@ -1552,6 +1552,118 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TR_CAP = 60          # content tokens per doc entering the graph
+TR_MIN_LEN = 4       # "content word" floor (stopword dodge)
+TR_MIN_W = 2         # minimum co-occurrence weight for an edge
+TR_ITERS = 4         # fixed power iterations (TextRank converges fast)
+TR_ONE = 10 ** 12    # fixed-point unit: ranks are BIGINT micro-ranks
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau '04) — PageRank over
+    the token co-occurrence graph: adjacent content words (≥4 chars,
+    first TR_CAP per doc) form weighted undirected edges, and 4 power
+    iterations at damping 0.85 rank every word by graph centrality.
+
+    The whole iteration runs in FIXED-POINT INTEGER arithmetic: ranks are
+    BIGINT micro-ranks (1e12 = mass 1), per-edge contributions are
+    ``(pr · w) div wdeg`` and the damping mix is ``(15·1e12) div (100·n)
+    + (85·Σ) div 100`` — floor division end to end, so every iteration is
+    bit-exact on both engines and the hash gate verifies the EXACT
+    integer ranks. No float ever folds (the pagerank_neardup
+    quantization discipline taken to its limit). Per iteration: one
+    edge-sized join + one aggregation; the corpus is tokenized once
+    (the symmetrized edge list is checkpointed so iterations never
+    re-scan the documents)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.slice(
+        F.filter(_words(), lambda x: F.length(x) >= TR_MIN_LEN),
+        1, TR_CAP).alias("toks"))
+    adj = (
+        toks.select(F.explode(F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) "
+            "ELSE array() END")).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        adj.select(F.least("w1", "w2").alias("a"),
+                   F.greatest("w1", "w2").alias("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TR_MIN_W)
+    )
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w") \
+        .unionByName(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"), "w")) \
+        .localCheckpoint()
+    wdeg = sym.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    nrow = wdeg.agg(F.count(F.lit(1)).alias("n"))
+    pr = (wdeg.crossJoin(F.broadcast(nrow))
+          .select(F.col("src").alias("word"), "wdeg", "n",
+                  F.expr(f"{TR_ONE} div n").alias("pr")))
+    for _ in range(TR_ITERS):
+        contrib = (
+            sym.join(pr.select(F.col("word").alias("src"),
+                               F.col("wdeg").alias("sdeg"), "pr"), "src")
+            .groupBy(F.col("dst").alias("word"))
+            .agg(F.sum(F.expr("(pr * w) div sdeg")).alias("c"))
+        )
+        pr = (wdeg.crossJoin(F.broadcast(nrow))
+              .select(F.col("src").alias("word"), "wdeg", "n")
+              .join(contrib, "word", "left")
+              .select("word", "wdeg", "n", F.expr(
+                  f"(15 * {TR_ONE}) div (100 * n)"
+                  " + (85 * coalesce(c, 0L)) div 100").alias("pr")))
+    return pr.select("word", "wdeg", F.col("pr").alias("rank_micro"))
+
+
+def _textrank_oracle(iters: int = TR_ITERS) -> str:
+    """The same fixed-point power iteration unrolled as chained CTEs —
+    DuckDB ``//`` floor division mirrors Spark ``div`` exactly on the
+    positive BIGINT operands."""
+    parts = [f"""
+        toks AS (
+            SELECT (list_filter(string_split(lower(text), ' '),
+                                x -> len(x) >= {TR_MIN_LEN}))[1:{TR_CAP}]
+                       AS w
+            FROM documents
+        ),
+        adj AS (
+            SELECT w[i] AS w1, w[i + 1] AS w2
+            FROM toks, unnest(range(1, len(w))) AS t(i)
+            WHERE w[i] <> w[i + 1]
+        ),
+        edges AS (
+            SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+                   count(*) AS wt
+            FROM adj GROUP BY 1, 2 HAVING count(*) >= {TR_MIN_W}
+        ),
+        sym AS (SELECT a AS src, b AS dst, wt FROM edges
+                UNION ALL SELECT b, a, wt FROM edges),
+        wdeg AS (SELECT src, sum(wt) AS wdeg FROM sym GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM wdeg),
+        pr0 AS (SELECT src AS word, wdeg, {TR_ONE} // nn.n AS pr
+                FROM wdeg, nn)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        c{t} AS (SELECT s.dst AS word,
+                        sum((p.pr * s.wt) // p.wdeg) AS c
+                 FROM sym s JOIN pr{t - 1} p ON p.word = s.src
+                 GROUP BY 1),
+        pr{t} AS (SELECT w.src AS word, w.wdeg,
+                         (15 * {TR_ONE}) // (100 * nn.n)
+                         + (85 * coalesce(c{t}.c, 0)) // 100 AS pr
+                  FROM wdeg w CROSS JOIN nn
+                  LEFT JOIN c{t} ON c{t}.word = w.src)""")
+    ctes = ",".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT word, wdeg, pr AS rank_micro FROM pr{iters}
+    """
+
+
 NB_TEST_MOD = 5  # doc_id % 5 == 0 → held-out test split
 
 
@@ -1621,6 +1733,7 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
+    "textrank_keywords": q_textrank_keywords,
     "bigram_lm_score": q_bigram_lm_score,
     "dsir_importance": q_dsir_importance,
     "quality_model": q_quality_model,
@@ -1660,6 +1773,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "textrank_keywords": _textrank_oracle(),
     "naive_bayes_lang": f"""
         WITH toks AS (
             SELECT doc_id, lang,

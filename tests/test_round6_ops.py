@@ -334,3 +334,28 @@ def test_tz_conformance_dst_semantics(spark, sf_dir):
         assert r["off_berlin_jul_min"] == 120    # CEST (DST)
         assert r["off_ny_jul_min"] == -240       # EDT
         assert r["off_ktm_min"] == 345           # +05:45 fractional zone
+
+
+def test_textrank_fixed_point_invariants(spark, sf_dir):
+    out = text_analysis.q_textrank_keywords(spark, sf_dir).collect()
+    assert out
+    n = len(out)
+    base = (15 * text_analysis.TR_ONE) // (100 * n)
+    for r in out:
+        assert r["wdeg"] >= text_analysis.TR_MIN_W
+        assert r["rank_micro"] >= base  # damping floor
+        assert len(r["word"]) >= text_analysis.TR_MIN_LEN
+    # fixed-point mass: floor divisions only ever LOSE micro-units, so
+    # total rank mass never exceeds one unit (and stays close to it)
+    total = sum(r["rank_micro"] for r in out)
+    assert total <= text_analysis.TR_ONE
+    assert total >= int(0.90 * text_analysis.TR_ONE)
+
+
+def test_textrank_rank_orders_hubs_first(spark, sf_dir):
+    """The highest-ranked word has at least median weighted degree —
+    centrality correlates with connectivity on a co-occurrence graph."""
+    out = sorted(text_analysis.q_textrank_keywords(spark, sf_dir).collect(),
+                 key=lambda r: -r["rank_micro"])
+    degs = sorted(r["wdeg"] for r in out)
+    assert out[0]["wdeg"] >= degs[len(degs) // 2]
