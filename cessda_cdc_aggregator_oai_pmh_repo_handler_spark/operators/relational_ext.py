@@ -1986,6 +1986,73 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CF_ITEM_SLICE = 500  # fixed part-key slice keeps the output bounded
+CF_CAP = 24          # per-user basket cap (mirrors FI_CAP's discipline)
+CF_MIN_CO = 2        # minimum co-purchase count for a candidate pair
+CF_TOP = 3           # recommendations kept per item
+
+
+def q_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING — the classic 'customers who
+    bought X also bought Y' recommender build (Linden et al., Amazon
+    item-to-item CF): per-item top-CF_TOP neighbors by co-purchase
+    cosine co(a,b)/√(n_a·n_b) over per-CUSTOMER baskets.
+
+    Candidate generation reuses the frequent_itemsets discipline: capped
+    sorted distinct per-user item arrays and IN-ARRAY indexed
+    combinations — no per-user self-join, so a power buyer can never
+    quadratically explode the exchange; the only heavy shuffle is the
+    pair groupBy (the co-occurrence matrix build itself). Cosine is one
+    single-shot double over integer counts and the ranking tie-breaks
+    (cosine desc, co desc, item asc) are total, so the top-N set is
+    deterministic. The oracle rebuilds the matrix with the classic
+    exploded self-join, proving the in-array form equivalent."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey").filter(F.col("l_partkey") < CF_ITEM_SLICE)
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    baskets = inter.groupBy("u").agg(
+        F.slice(F.array_sort(F.collect_set("item")), 1, CF_CAP).alias("items"))
+    singles = (baskets.select(F.explode("items").alias("item"))
+               .groupBy("item").agg(F.count(F.lit(1)).alias("n")))
+    pair_arr = F.flatten(F.transform(
+        "items",
+        lambda x, i: F.transform(
+            F.slice("items", i + 2, CF_CAP),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    co = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= CF_MIN_CO)
+    )
+    sym = co.select(F.col("pa").alias("a"), F.col("pb").alias("b"), "co") \
+        .unionByName(co.select(F.col("pb").alias("a"),
+                               F.col("pa").alias("b"), "co"))
+    scored = (
+        sym.join(singles.select(F.col("item").alias("a"),
+                                F.col("n").alias("n_a")), "a")
+        .join(singles.select(F.col("item").alias("b"),
+                             F.col("n").alias("n_b")), "b")
+        .withColumn("cos", F.col("co")
+                    / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")))
+    )
+    pick = Window.partitionBy("a").orderBy(
+        F.desc("cos"), F.desc("co"), F.asc("b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= CF_TOP)
+        .select(F.col("a").alias("item"), "rn", F.col("b").alias("rec"),
+                "co", "n_a", "n_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
 import math as _math
 
 # Benford first-digit expectations as shared literals: both engines get
@@ -2337,6 +2404,42 @@ ORACLES = {
             SELECT avg(l2.l_quantity) FROM lineitem l2
             WHERE l2.l_partkey = l1.l_partkey
         )
+    """,
+    "itemcf_recommend": f"""
+        WITH inter AS (
+            SELECT DISTINCT o_custkey AS u, l_partkey AS item
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_partkey < {CF_ITEM_SLICE}
+        ),
+        baskets AS (
+            SELECT u, (list_sort(list(item)))[1:{CF_CAP}] AS items
+            FROM inter GROUP BY u
+        ),
+        ex AS (SELECT u, unnest(items) AS item FROM baskets),
+        singles AS (SELECT item, count(*) AS n FROM ex GROUP BY 1),
+        co AS (
+            SELECT x.item AS pa, y.item AS pb, count(*) AS co
+            FROM ex x JOIN ex y ON x.u = y.u AND x.item < y.item
+            GROUP BY 1, 2 HAVING count(*) >= {CF_MIN_CO}
+        ),
+        sym AS (SELECT pa AS a, pb AS b, co FROM co
+                UNION ALL SELECT pb, pa, co FROM co),
+        scored AS (
+            SELECT s.a, s.b, s.co, na.n AS n_a, nb.n AS n_b,
+                   s.co / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cos
+            FROM sym s
+            JOIN singles na ON na.item = s.a
+            JOIN singles nb ON nb.item = s.b
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY a
+                                         ORDER BY cos DESC, co DESC, b)
+                          AS rn
+            FROM scored
+        )
+        SELECT a AS item, rn, b AS rec, co, n_a, n_b,
+               round(cos, 6) AS cosine
+        FROM ranked WHERE rn <= {CF_TOP}
     """,
     "tz_conformance": """
         WITH base AS (

@@ -634,6 +634,10 @@ _SQL_SURFACE_SUBS = (
          ("pri_translated", "str"), ("pri_padded", "str"),
          ("pri_rev3", "str"), ("pri_rep", "str")),
         ("weekday_mon0", "pos_mod", "floor_100k", "key_pow15")),
+    Sub("itemcf_recommend", relational_ext.q_itemcf_recommend,
+        relational_ext.ORACLES["itemcf_recommend"],
+        (("item", "str"), ("rn", "str"), ("rec", "str")),
+        ("co", "n_a", "n_b", "cosine")),
     Sub("tz_conformance", relational_ext.q_tz_conformance,
         relational_ext.ORACLES["tz_conformance"],
         (("event_id", "str"), ("berlin_jan", "str"), ("berlin_jul", "str"),

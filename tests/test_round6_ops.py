@@ -359,3 +359,23 @@ def test_textrank_rank_orders_hubs_first(spark, sf_dir):
                  key=lambda r: -r["rank_micro"])
     degs = sorted(r["wdeg"] for r in out)
     assert out[0]["wdeg"] >= degs[len(degs) // 2]
+
+
+def test_itemcf_recommend_invariants(spark, sf_dir):
+    out = relational_ext.q_itemcf_recommend(spark, sf_dir).collect()
+    assert out
+    per_item: dict = {}
+    for r in out:
+        assert 1 <= r["rn"] <= relational_ext.CF_TOP
+        assert r["co"] >= relational_ext.CF_MIN_CO
+        assert r["co"] <= min(r["n_a"], r["n_b"])  # co-occurrence bound
+        assert 0 < r["cosine"] <= 1.0
+        assert r["item"] != r["rec"]
+        assert r["item"] < relational_ext.CF_ITEM_SLICE
+        per_item.setdefault(r["item"], []).append(r)
+    # ranks are dense from 1 and ordered by score within each item
+    for rows in per_item.values():
+        rows.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["cosine"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
