@@ -1100,9 +1100,47 @@ def q_anomaly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_A = 0.2   # smoothing weight α — the SAME literal lands in both
+EWMA_B = 0.8   # engines' expressions, so every fold step is the identical
+#                pair of IEEE ops (no 1-α re-derivation on either side)
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user series — the
+    inherently SEQUENTIAL per-key recursion (s_t = α·x_t + (1−α)·s_{t−1})
+    that no window frame expresses: window sums can't reweight history
+    multiplicatively, so this is the canonical applyInPandas stateful
+    fold. Each series arrives as one Arrow batch, the fold runs in plain
+    float64 with the exact literal coefficients, and only the final
+    smoothed level + series length come back (grouped-map output is
+    per-key, not per-row). Cross-engine verification runs the SAME
+    recursion as a DuckDB WITH RECURSIVE walk joining rn → rn+1 —
+    identical IEEE ops in identical order, so the doubles agree bit for
+    bit before the final rounding. Scale = number of series; each series
+    folds sequentially by nature (the Kalman/EWMA family), and state is
+    one scalar per key."""
+    import pandas as pd
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value")
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        for x in pdf["value"].to_numpy():
+            s = float(x) if s is None else EWMA_A * float(x) + EWMA_B * s
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "n": [len(pdf)], "ewma": [s]})
+
+    out = e.groupBy("user_id").applyInPandas(
+        fold, "user_id bigint, n bigint, ewma double")
+    return out.select("user_id", "n", F.round("ewma", 6).alias("ewma"))
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
+    "ewma_smooth": q_ewma_smooth,
     "acf_lag": q_acf_lag,
     "cusum_changepoint": q_cusum_changepoint,
     "seasonal_profile": q_seasonal_profile,
@@ -1136,6 +1174,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ewma_smooth": f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        walk AS (
+            SELECT user_id, rn, n, value AS s FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT q.user_id, q.rn, q.n,
+                   {EWMA_A} * q.value + {EWMA_B} * w.s
+            FROM walk w JOIN seq q
+                 ON q.user_id = w.user_id AND q.rn = w.rn + 1
+        )
+        SELECT user_id, n, round(s, 6) AS ewma
+        FROM walk WHERE rn = n
+    """,
     "acf_lag": """
         WITH base AS (
             SELECT event_type,

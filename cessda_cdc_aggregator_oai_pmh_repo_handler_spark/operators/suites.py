@@ -234,6 +234,9 @@ _TEMPORAL_SUBS = (
     Sub("anomaly_census", arrays.q_anomaly_census,
         arrays.ORACLES["anomaly_census"],
         (("event_type", "str"),), ("n", "anomalies", "anomaly_id_sum")),
+    Sub("ewma_smooth", arrays.q_ewma_smooth,
+        arrays.ORACLES["ewma_smooth"],
+        (("user_id", "str"),), ("n", "ewma")),
     Sub("spatial_radius_join", spatial.q_spatial_radius_join,
         spatial.ORACLES["spatial_radius_join"],
         (("c_custkey", "str"),),

@@ -379,3 +379,29 @@ def test_itemcf_recommend_invariants(spark, sf_dir):
         assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["cosine"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ewma_smooth_matches_python_mirror(spark, sf_dir):
+    rows = (load_table(spark, "events", sf_dir)
+            .select("user_id", "ts", "event_id", "value").collect())
+    series: dict = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    want = {}
+    for u, xs in series.items():
+        s = None
+        for x in xs:
+            s = x if s is None else arrays.EWMA_A * x + arrays.EWMA_B * s
+        want[u] = (len(xs), round(s, 6))
+    out = arrays.q_ewma_smooth(spark, sf_dir).collect()
+    got = {r["user_id"]: (r["n"], r["ewma"]) for r in out}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-9
+
+
+def test_ewma_smooth_plan_is_grouped_map(spark, sf_dir):
+    plan = (arrays.q_ewma_smooth(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in plan
