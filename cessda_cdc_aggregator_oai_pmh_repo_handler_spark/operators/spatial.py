@@ -45,27 +45,25 @@ def _with_coords(df: DataFrame, key: str) -> DataFrame:
     return df.select(F.col(key), lat.alias("lat"), lon.alias("lon"))
 
 
-def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For every customer, the suppliers within GRID units: count, squared
-    distance to the nearest, and the nearest supplier id (ties broken by
-    suppkey). Suppliers (the smaller side) replicate into their 3×3 cell
-    neighborhood; customers join on their own cell, so every true pair
-    meets exactly once."""
-    cust = _with_coords(load_table(spark, "customer", sf_dir), "c_custkey")
-    supp = _with_coords(load_table(spark, "supplier", sf_dir), "s_suppkey")
-
+def grid_radius_join(probe: DataFrame, build: DataFrame) -> DataFrame:
+    """Core grid join: ``probe``/``build`` carry (key, lat, lon) with the
+    key as their first column. The build side replicates into its 3×3
+    cell neighborhood; the probe side joins on its own cell, so every
+    true pair meets exactly once. Returns per-probe-key matches within
+    GRID units: count, min squared distance, nearest build key."""
+    pkey, bkey = probe.columns[0], build.columns[0]
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     s_cells = (
-        supp.withColumn("dlat", off).withColumn("dlon", off)
+        build.withColumn("dlat", off).withColumn("dlon", off)
         .select(
-            "s_suppkey",
+            bkey,
             F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon"),
             (F.expr(f"lat div {GRID}") + F.col("dlat")).alias("cell_lat"),
             (F.expr(f"lon div {GRID}") + F.col("dlon")).alias("cell_lon"),
         )
     )
-    c_cells = cust.select(
-        "c_custkey", "lat", "lon",
+    c_cells = probe.select(
+        pkey, "lat", "lon",
         F.expr(f"lat div {GRID}").alias("cell_lat"),
         F.expr(f"lon div {GRID}").alias("cell_lon"),
     )
@@ -78,16 +76,25 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("c_custkey")
-    pick = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    w = Window.partitionBy(pkey)
+    pick = Window.partitionBy(pkey).orderBy("dist2", bkey)
     return (
         pairs.withColumn("n_within", F.count(F.lit(1)).over(w))
         .withColumn("rn", F.row_number().over(pick))
         .filter(F.col("rn") == 1)
-        .select("c_custkey", "n_within",
+        .select(pkey, "n_within",
                 F.col("dist2").alias("min_dist2"),
-                F.col("s_suppkey").alias("nearest_suppkey"))
+                F.col(bkey).alias("nearest_suppkey"))
     )
+
+
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every customer, the suppliers within GRID units: count, squared
+    distance to the nearest, and the nearest supplier id (ties broken by
+    suppkey)."""
+    cust = _with_coords(load_table(spark, "customer", sf_dir), "c_custkey")
+    supp = _with_coords(load_table(spark, "supplier", sf_dir), "s_suppkey")
+    return grid_radius_join(cust, supp)
 
 
 ORACLES = {

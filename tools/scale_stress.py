@@ -585,6 +585,52 @@ def stress_once(spark: SparkSession, sf_dir: str, scale_tag: str) -> dict:
     report["cep_pattern"] = {"sec": secs_cep,
                              "conversions": int(rows_cep[0][0])}
 
+    # --- grid-bucketed spatial radius join at point volume -----------------
+    # n_rows probe points vs n_rows/10 build points. The module's demo GRID
+    # (cell == 1e5 units over a 1e6×2e6 domain) is tuned for TPC-H supplier
+    # density; at millions of points that coarse grid would pack thousands
+    # of builds per cell, so the stress overrides cell size the way a real
+    # deployment tunes it to point density — candidates stay ~O(probe).
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        spatial, text_analysis)
+    saved_grid, saved_r2 = spatial.GRID, spatial.RADIUS2
+    spatial.GRID = 1_000
+    spatial.RADIUS2 = spatial.GRID * spatial.GRID
+    try:
+        probe = spark.range(1, int(n_rows) + 1).select(
+            F.col("id").alias("p_key"),
+            ((F.col("id") * spatial.LAT_MULT) % spatial.LAT_SPAN)
+            .alias("lat"),
+            ((F.col("id") * spatial.LON_MULT) % spatial.LON_SPAN)
+            .alias("lon"))
+        build = spark.range(1, int(n_rows) // 10 + 1).select(
+            (F.col("id") * 7 + 3).alias("b_key"),
+            (((F.col("id") * 7 + 3) * spatial.LON_MULT) % spatial.LAT_SPAN)
+            .alias("lat"),
+            (((F.col("id") * 7 + 3) * spatial.LAT_MULT) % spatial.LON_SPAN)
+            .alias("lon"))
+        secs, n_matched = timed(
+            lambda: spatial.grid_radius_join(probe, build).count())
+        report["spatial_grid_join"] = {
+            "sec": secs, "matched_probes": int(n_matched),
+            "probe_points": int(n_rows), "build_points": int(n_rows) // 10,
+            "cell_units": spatial.GRID,
+        }
+    finally:
+        spatial.GRID, spatial.RADIUS2 = saved_grid, saved_r2
+
+    # --- TextRank over the stress corpus -----------------------------------
+    # fixed-point power iteration: work per iteration is the EDGE relation
+    # (vocab-pair-bounded), never docs², so full/third wall should track
+    # the tokenize+edge-build pass, not quadratic pair growth
+    secs, stats = timed(lambda: text_analysis
+                        .q_textrank_keywords(spark, sf_dir)
+                        .agg(F.count("*").alias("nodes"),
+                             F.sum("rank_micro").alias("mass")).first())
+    report["textrank"] = {"sec": secs, "nodes": int(stats["nodes"]),
+                          "mass_micro": int(stats["mass"]),
+                          "iters": text_analysis.TR_ITERS}
+
     report["scale"] = scale_tag
     return report
 
