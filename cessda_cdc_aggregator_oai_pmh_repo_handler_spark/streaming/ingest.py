@@ -557,6 +557,54 @@ def streaming_pattern_counts(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_ewma(spark: SparkSession, source_dir: str,
+                   schema: T.StructType):
+    """STREAMING EWMA — the ``applyInPandasWithState`` twin of the batch
+    ``arrays.q_ewma_smooth`` (gate-verified against a DuckDB recursive
+    CTE): per-user exponential smoothing maintained incrementally with
+    TWO scalars of state (current level, count) however many events
+    arrive — the canonical online-feature shape (fraud scores, rate
+    estimates) where the batch recursion becomes a per-event O(1) update.
+    Identical literal coefficients as the batch op, so stream-final
+    levels match the batch fold bit for bit under in-order delivery
+    (same ordering contract as streaming_pattern_counts)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.arrays import EWMA_A, EWMA_B
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("s", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        s, n = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for x in batch["value"].to_numpy():
+            s = float(x) if n == 0 else EWMA_A * float(x) + EWMA_B * s
+            n += 1
+        state.update((s, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [s]})
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 

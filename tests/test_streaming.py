@@ -463,3 +463,34 @@ def test_streaming_cep_matches_batch_pattern_op(spark, tmp_path):
         for r in arrays.q_event_pattern_match(spark, sf_dir).collect()
     }
     assert {int(k): v for k, v in got.items()} == want
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """Stream-final EWMA levels across 2 in-order microbatches equal the
+    oracle-checked batch fold bit for bit — 2 scalars of state per key."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "events_ewma")
+    os.makedirs(src)
+    ordered_ts = [r["ts"] for r in
+                  events.select("ts").orderBy("ts").collect()]
+    mid = ordered_ts[len(ordered_ts) // 2]
+    events.filter(F.col("ts") <= F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=0")
+    events.filter(F.col("ts") > F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=1")
+
+    stream = I.streaming_ewma(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("ewma_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {int(r["user_id"]): (r["n"], round(r["ewma"], 6))
+           for r in spark.sql("SELECT * FROM ewma_stream").collect()}
+    want = {int(r["user_id"]): (r["n"], r["ewma"])
+            for r in arrays.q_ewma_smooth(spark, sf_dir).collect()}
+    assert got == want
