@@ -2122,6 +2122,8 @@ ORACLE_BENFORD = f"""
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "frequent_itemsets": q_frequent_itemsets,
+    "itemcf_recommend": q_itemcf_recommend,
+    "tz_conformance": q_tz_conformance,
     "benford_digits": q_benford_digits,
     "sql_udf": q_sql_udf,
     "python_udtf": q_python_udtf,

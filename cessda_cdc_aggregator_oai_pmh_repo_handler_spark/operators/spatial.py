@@ -97,6 +97,10 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_join(cust, supp)
 
 
+QUERIES = {
+    "spatial_radius_join": q_spatial_radius_join,
+}
+
 ORACLES = {
     "spatial_radius_join": f"""
         WITH c AS (

@@ -107,6 +107,16 @@ HEADLINERS = {
     "score_drift_psi": "PSI drift monitor: one scan, 20-key groupBy, window totals over 10 rows; per-bucket terms emitted as rows — no float fold anywhere.",
     "chi_square_independence": "Chi-square independence: one (lang, source) groupBy; marginals via windows over CELL-sized rows, never a second scan.",
     "ann_recall_eval": "Recall@k evaluation: the exact arm is ONE broadcast-joined corpus pass with per-query ranked windows (the ground-truth cost, paid per eval not per serve); the IVF arm prunes to the cell like production; hit counting is an equi-join of k-sized lists.",
+    "spatial_radius_join": "Grid radius join: build side 9x-replicated into its 3x3 cell neighborhood, probe joins its OWN cell — plain equi-join on the cell key, integer distance filter; no cartesian/BNL node anywhere.",
+    "acf_lag": "Lag-k autocorrelation: ONE lead() window per series serves all three lags (stack unpivot); DECIMAL-exact sufficient stats in a single grouped aggregate.",
+    "anomaly_census": "3-sigma census: per-type stats aggregate FIRST then broadcast-join back onto the fact scan — no whole-partition window over 5 fat keys.",
+    "seasonal_profile": "Seasonality index: groupBy to (type, hour) with map-side partials; totals window over the 5x24 AGGREGATE rows, never the event stream.",
+    "cusum_changepoint": "CUSUM: row_number + running sum share one series sort; the argmax is a second window on the same exchange.",
+    "ewma_smooth": "EWMA: FlatMapGroupsInPandas — one Arrow batch per series, per-key output rows only; the sequential fold is the operator's semantics, not a plan accident.",
+    "naive_bayes_lang": "Naive Bayes: (lang, token) count table shuffle-joins on the token; classes/totals/vocab are 5-row/scalar broadcasts; DECIMAL score sums in one grouped aggregate.",
+    "textrank_keywords": "TextRank: fixed-point power iterations over the CHECKPOINTED edge list (docs tokenize once); per-iteration cost is one edge join + one aggregation; vocab-sized pr relation broadcasts.",
+    "itemcf_recommend": "Item-CF: capped in-array basket combinations (no per-user self-join); pair groupBy is the co-occurrence build; top-N per item via one ranked window.",
+    "tz_conformance": "Timezone conformance: pure projection over the pushed event_id slice — zero exchanges, zero Python.",
 }
 
 
@@ -117,7 +127,7 @@ def main() -> None:
     import __spark_entry__ as entry
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
         ann, arrays, assembly, bpe, dedup, expectations, pii, relational,
-        relational_ext, text_analysis,
+        relational_ext, spatial, text_analysis,
     )
 
     spark = build_session("plan-audit")
@@ -125,7 +135,7 @@ def main() -> None:
     # suite-folded operators keep their standalone fns; audit those plans
     qs = dict(entry.queries())
     for mod in (ann, arrays, assembly, bpe, dedup, expectations, pii,
-                relational, relational_ext, text_analysis):
+                relational, relational_ext, spatial, text_analysis):
         for name, fn in mod.QUERIES.items():
             qs.setdefault(name, fn)
     # memoized wrappers return checkpoint scans; audit the raw plans
