@@ -1100,6 +1100,42 @@ def q_anomaly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per event type — median / quartiles / IQR /
+    MAD (median absolute deviation), the outlier-resistant siblings of
+    the moment-based anomaly_census. Everything is an EXACT ORDER
+    STATISTIC on integer micro-units: ``percentile_disc`` (ANSI —
+    smallest value with cume_dist ≥ p) picks real data values, never an
+    interpolated double, so all seven hashed numbers are exact integers
+    on both engines (the column_histogram discipline, per group). Two
+    bounded passes: quartiles in one sorted aggregate buffer (array of
+    fractions — one sort serves all three), then MAD re-scans against
+    the 5-row broadcast medians. At 100 TB pass 1 swaps to
+    percentile_approx; MAD keeps the same broadcast-join shape."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", _value_int().alias("x"))
+    st = (
+        e.groupBy("event_type")
+        .agg(F.expr("percentile_disc(array(0.25, 0.5, 0.75)) "
+                    "WITHIN GROUP (ORDER BY x)").alias("qs"))
+        .select("event_type",
+                F.element_at("qs", 1).alias("q1"),
+                F.element_at("qs", 2).alias("med"),
+                F.element_at("qs", 3).alias("q3"))
+    )
+    ad = (
+        e.join(F.broadcast(st.select("event_type", "med")), "event_type")
+        .select("event_type", F.abs(F.col("x") - F.col("med")).alias("ad"))
+    )
+    madt = ad.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+        .alias("mad"))
+    return (st.join(madt, "event_type")
+            .select("event_type", "n", "med", "q1", "q3",
+                    (F.col("q3") - F.col("q1")).alias("iqr"), "mad"))
+
+
 EWMA_A = 0.2   # smoothing weight α — the SAME literal lands in both
 EWMA_B = 0.8   # engines' expressions, so every fold step is the identical
 #                pair of IEEE ops (no 1-α re-derivation on either side)
@@ -1141,6 +1177,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
+    "robust_stats": q_robust_stats,
     "acf_lag": q_acf_lag,
     "cusum_changepoint": q_cusum_changepoint,
     "seasonal_profile": q_seasonal_profile,
@@ -1174,6 +1211,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "robust_stats": """
+        WITH base AS (
+            SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS x
+            FROM events
+        ),
+        r1 AS (
+            SELECT event_type, x,
+                   cume_dist() OVER (PARTITION BY event_type ORDER BY x)
+                       AS cd
+            FROM base
+        ),
+        st AS (
+            SELECT event_type,
+                   min(CASE WHEN cd >= 0.25 THEN x END) AS q1,
+                   min(CASE WHEN cd >= 0.5 THEN x END) AS med,
+                   min(CASE WHEN cd >= 0.75 THEN x END) AS q3
+            FROM r1 GROUP BY 1
+        ),
+        j AS (
+            SELECT b.event_type, abs(b.x - st.med) AS ad
+            FROM base b JOIN st USING (event_type)
+        ),
+        r2 AS (
+            SELECT event_type, ad,
+                   cume_dist() OVER (PARTITION BY event_type ORDER BY ad)
+                       AS cd
+            FROM j
+        ),
+        madt AS (
+            SELECT event_type, count(*) AS n,
+                   min(CASE WHEN cd >= 0.5 THEN ad END) AS mad
+            FROM r2 GROUP BY 1
+        )
+        SELECT st.event_type, n, med, q1, q3, (q3 - q1) AS iqr, mad
+        FROM st JOIN madt USING (event_type)
+    """,
     "ewma_smooth": f"""
         WITH RECURSIVE seq AS (
             SELECT user_id, value,

@@ -2053,6 +2053,69 @@ def q_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the diagnostic a 100 TB planner runs BEFORE
+    shuffling on a key: per candidate key, distinct-key count, total
+    rows, the heaviest key's share, and the Gini coefficient of the key
+    frequency distribution (0 = uniform, →1 = one mega-key). Gini comes
+    from the exact rank formula Σ(2i−n−1)·xᵢ / (n·Σx) computed as
+    integer aggregates (2Σi·xᵢ and Σx fold exactly; the subtraction and
+    the two divisions are single-shot), so the hashed numbers carry no
+    float-fold noise. The rank sort runs over the KEY-sized frequency
+    relation, never the fact table — the same bounded-global-sort shape
+    as RFM. Audits events.user_id and orders.o_custkey."""
+    from pyspark.sql import Window
+
+    def profile(df: DataFrame, key: str, rel: str) -> DataFrame:
+        counts = (df.groupBy(key)
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .select(F.col(key).cast("long").alias("k"), "c"))
+        ranked = counts.withColumn(
+            "i", F.row_number().over(Window.orderBy("c", "k")))
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("total"),
+            F.max("c").alias("max_c"),
+            F.sum(F.col("i").cast("decimal(19,0)")
+                  * F.col("c").cast("decimal(19,0)")).alias("six"),
+        )
+        gnum = (F.lit(2).cast("decimal(2,0)") * F.col("six")
+                - (F.col("n_keys") + 1).cast("decimal(19,0)")
+                * F.col("total").cast("decimal(19,0)"))
+        return agg.select(
+            F.lit(rel).alias("rel"), "n_keys", "total", "max_c",
+            F.round(F.col("max_c").cast("double")
+                    / F.col("total").cast("double"), 6).alias("top1_share"),
+            F.round(gnum.cast("double")
+                    / (F.col("n_keys").cast("double")
+                       * F.col("total").cast("double")), 6).alias("gini"),
+        )
+
+    ev = load_table(spark, "events", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return profile(ev, "user_id", "events.user_id").unionByName(
+        profile(o, "o_custkey", "orders.o_custkey"))
+
+
+_SKEW_PROFILE_SQL = """
+    SELECT '{rel}' AS rel, n_keys, total, max_c,
+           round(CAST(max_c AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS top1_share,
+           round(CAST(2 * six - (n_keys + 1) * total AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+               AS gini
+    FROM (
+        SELECT count(*) AS n_keys, sum(c) AS total, max(c) AS max_c,
+               sum(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS six
+        FROM (
+            SELECT c, row_number() OVER (ORDER BY c, k) AS i
+            FROM (SELECT CAST({key} AS BIGINT) AS k, count(*) AS c
+                  FROM {table} GROUP BY 1) f
+        ) r
+    ) a
+"""
+
+
 import math as _math
 
 # Benford first-digit expectations as shared literals: both engines get
@@ -2123,6 +2186,7 @@ QUERIES = {
     "supplier_stats": q_supplier_stats,
     "frequent_itemsets": q_frequent_itemsets,
     "itemcf_recommend": q_itemcf_recommend,
+    "key_skew_audit": q_key_skew_audit,
     "tz_conformance": q_tz_conformance,
     "benford_digits": q_benford_digits,
     "sql_udf": q_sql_udf,
@@ -2407,6 +2471,12 @@ ORACLES = {
             WHERE l2.l_partkey = l1.l_partkey
         )
     """,
+    "key_skew_audit": (
+        _SKEW_PROFILE_SQL.format(rel="events.user_id", key="user_id",
+                                 table="events")
+        + "\nUNION ALL\n"
+        + _SKEW_PROFILE_SQL.format(rel="orders.o_custkey", key="o_custkey",
+                                   table="orders")),
     "itemcf_recommend": f"""
         WITH inter AS (
             SELECT DISTINCT o_custkey AS u, l_partkey AS item

@@ -189,6 +189,10 @@ _WINDOW_SUBS = (
     Sub("rfm_segments", arrays.q_rfm_segments, arrays.ORACLES["rfm_segments"],
         (("r", "str"), ("f", "str"), ("m", "str")),
         ("users", "purchases", "monetary")),
+    Sub("robust_stats", arrays.q_robust_stats,
+        arrays.ORACLES["robust_stats"],
+        (("event_type", "str"),),
+        ("n", "med", "q1", "q3", "iqr", "mad")),
 )
 
 _TEMPORAL_SUBS = (
@@ -637,6 +641,10 @@ _SQL_SURFACE_SUBS = (
          ("pri_translated", "str"), ("pri_padded", "str"),
          ("pri_rev3", "str"), ("pri_rep", "str")),
         ("weekday_mon0", "pos_mod", "floor_100k", "key_pow15")),
+    Sub("key_skew_audit", relational_ext.q_key_skew_audit,
+        relational_ext.ORACLES["key_skew_audit"],
+        (("rel", "str"),),
+        ("n_keys", "total", "max_c", "top1_share", "gini")),
     Sub("itemcf_recommend", relational_ext.q_itemcf_recommend,
         relational_ext.ORACLES["itemcf_recommend"],
         (("item", "str"), ("rn", "str"), ("rec", "str")),

@@ -405,3 +405,49 @@ def test_ewma_smooth_plan_is_grouped_map(spark, sf_dir):
     plan = (arrays.q_ewma_smooth(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_robust_stats_matches_python_order_stats(spark, sf_dir):
+    """percentile_disc picks exact data values: mirror with sorted lists."""
+    import math
+
+    rows = (load_table(spark, "events", sf_dir)
+            .select("event_type", F.floor(F.col("value") * 10000)
+                    .alias("x")).collect())
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r["x"])
+
+    def disc(xs, p):  # ANSI: smallest value with cume_dist >= p
+        xs = sorted(xs)
+        return xs[math.ceil(p * len(xs)) - 1]
+
+    out = arrays.q_robust_stats(spark, sf_dir).collect()
+    assert {r["event_type"] for r in out} == set(series)
+    for r in out:
+        xs = series[r["event_type"]]
+        med = disc(xs, 0.5)
+        assert r["n"] == len(xs)
+        assert r["med"] == med
+        assert r["q1"] == disc(xs, 0.25)
+        assert r["q3"] == disc(xs, 0.75)
+        assert r["iqr"] == r["q3"] - r["q1"]
+        assert r["mad"] == disc([abs(x - med) for x in xs], 0.5)
+
+
+def test_key_skew_audit_gini_bounds_and_mirror(spark, sf_dir):
+    out = {r["rel"]: r for r in
+           relational_ext.q_key_skew_audit(spark, sf_dir).collect()}
+    assert set(out) == {"events.user_id", "orders.o_custkey"}
+    ev = load_table(spark, "events", sf_dir)
+    counts = sorted(c for _, c in ev.groupBy("user_id").count().collect())
+    n, tot = len(counts), sum(counts)
+    gini = sum((2 * i - n - 1) * c
+               for i, c in enumerate(counts, start=1)) / (n * tot)
+    r = out["events.user_id"]
+    assert r["n_keys"] == n and r["total"] == tot
+    assert r["max_c"] == counts[-1]
+    assert abs(r["gini"] - round(gini, 6)) < 1e-9
+    for r in out.values():
+        assert 0.0 <= r["gini"] < 1.0
+        assert 0.0 < r["top1_share"] <= 1.0
