@@ -232,6 +232,29 @@ def encode_bmp_payload(media_id: int, width: int, height: int) -> bytes:
     return encode_bmp_rgb(rows)
 
 
+def encode_tiff_payload(media_id: int, width: int, height: int) -> bytes:
+    """Real baseline TIFF bytes (operators/tiff.py) over the SAME
+    md5-seeded RGB recipe as the PPM/BMP fixtures. The codec variants
+    rotate by id: PackBits vs uncompressed, MM vs II byte order, and a
+    2-row multi-strip layout — every branch of the IFD walk gets gate
+    coverage."""
+    from .tiff import COMP_NONE, COMP_PACKBITS, encode_tiff_rgb
+
+    seed = hashlib.md5(f"tiff:{media_id}".encode()).digest()
+    n = 3 * width * height
+    body = (seed * (n // len(seed) + 1))[:n]
+    rows = [[(body[3 * (y * width + x)], body[3 * (y * width + x) + 1],
+              body[3 * (y * width + x) + 2]) for x in range(width)]
+            for y in range(height)]
+    k = (media_id // 24) % 4
+    return encode_tiff_rgb(
+        rows,
+        compression=COMP_PACKBITS if k in (1, 3) else COMP_NONE,
+        byteorder=">" if k in (2, 3) else "<",
+        rows_per_strip=2 if k == 3 else None,
+    )
+
+
 def _decode_ppm(payload: bytes) -> list[float]:
     """Binary PPM (P6) → per-pixel luma floats in [0, 1] (BT.601 weights)."""
     if not payload.startswith(b"P6"):
@@ -554,6 +577,10 @@ def _decode(payload: bytes) -> list[float]:
         from .bmp import decode_bmp_luma
 
         return decode_bmp_luma(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff_luma
+
+        return decode_tiff_luma(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -624,15 +651,18 @@ def _audio_payload(i: int, n_samples: int) -> tuple[bytes, str]:
 
 
 def _image_payload(i: int, width: int, height: int) -> tuple[bytes, str]:
-    """Image fixture codec rotation: PPM-or-BMP / PNG /
-    baseline-or-progressive JPEG / GIF by (i//2)%4 (the uncompressed slot
-    alternates PPM and BMP by i//8). One helper shared by the Spark
-    fixture and the driver-side oracle mirror so the two can never
+    """Image fixture codec rotation: PPM-or-BMP-or-TIFF / PNG /
+    baseline-or-progressive JPEG / GIF by (i//2)%4 (the simple-container
+    slot rotates PPM, BMP and TIFF by i//8). One helper shared by the
+    Spark fixture and the driver-side oracle mirror so the two can never
     drift."""
     slot = (i // 2) % 4
     if slot == 0:
-        if (i // 8) % 2 == 1:
+        k = (i // 8) % 3
+        if k == 1:
             return encode_bmp_payload(i, width, height), "BMP"
+        if k == 2:
+            return encode_tiff_payload(i, width, height), "TIFF"
         return encode_ppm_payload(i, width, height), "PPM"
     if slot == 1:
         return encode_png_payload(i, width, height), "PNG"
