@@ -1035,6 +1035,43 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
     return read(spark, path, version=version_for_tag(path, name))
 
 
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """Metadata table — the ``DESCRIBE HISTORY`` twin (Delta/Iceberg
+    parity): one row per retained version with its operation, commit
+    time, parent, and file counts. Reads only manifests (never data), so
+    cost is O(retained versions) regardless of table size."""
+    rows = []
+    for v in versions(path):
+        m = read_manifest(path, v)
+        rows.append((v, m.get("parent"), m.get("op"),
+                     float(m.get("committed_at") or 0.0),
+                     len(m.get("files", [])),
+                     len(m.get("delete_vectors", {}).get("files", [])),
+                     m.get("commit_id"),
+                     m.get("epoch")))
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, op string, committed_at double, "
+        "n_files int, n_delete_files int, commit_id string, epoch long")
+
+
+def files_table(spark: SparkSession, path: str,
+                version: int | None = None) -> DataFrame:
+    """Metadata table — the ``table.files`` twin: one row per data file
+    in a snapshot, with size, recorded checksum, and the zone-map
+    min/max per column (JSON) the pruners read. Manifest-only, no data
+    scan."""
+    v = current_version(path) if version is None else version
+    m = read_manifest(path, v)
+    stats, sums = m.get("stats", {}), m.get("checksums", {})
+    rows = []
+    for f in m["files"]:
+        size = os.path.getsize(f) if os.path.exists(f) else None
+        rows.append((f, size, sums.get(f), json.dumps(stats.get(f, {}))))
+    return spark.createDataFrame(
+        rows, "file string, bytes long, md5 string, zone_maps string")
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests (and their now-unreferenced data files) older than
     the last ``keep_last`` versions. Tagged versions are always retained

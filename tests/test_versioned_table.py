@@ -618,3 +618,23 @@ def test_tag_moves_and_rejects_unknown(spark, table):
         VT.tag(table, "nope", version=99)
     with pytest.raises(ValueError):
         VT.version_for_tag(table, "absent")
+
+
+def test_history_and_files_metadata_tables(spark, table):
+    VT.append(spark.range(5, 8).select(
+        F.col("id"), F.lit("v1").alias("tag")), table)
+    VT.delete_keys(spark, table, "id",
+                   spark.range(1).select(F.col("id")))
+    h = {r["version"]: r for r in VT.history(spark, table).collect()}
+    assert [h[v]["op"] for v in sorted(h)] == ["create", "append", "delete"]
+    assert h[1]["parent"] == 0 and h[2]["parent"] == 1
+    assert all(r["commit_id"] for r in h.values())
+    # commit times are monotone over the chain
+    times = [h[v]["committed_at"] for v in sorted(h)]
+    assert times == sorted(times)
+    f = VT.files_table(spark, table).collect()
+    assert len(f) == h[2]["n_files"]
+    for r in f:
+        assert r["bytes"] and r["bytes"] > 0
+        assert r["md5"] and len(r["md5"]) == 32
+        assert r["zone_maps"] is not None
