@@ -1100,6 +1100,39 @@ def q_anomaly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE-function conformance over a nullable series —
+    first_value / last_value / nth_value(2) all with IGNORE NULLS, lag
+    with a default, plus a COMPOSED moving median: Spark rejects
+    ``median() OVER`` outright (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC),
+    so the portable form is ``array_sort(collect_list())`` over the frame
+    indexed at ceil(n/2) — the lower-middle DISCRETE median, exact on
+    integer micro-units (DuckDB mirrors with list() OVER + list_sort).
+    Every value is an exact integer; nulls are planted deterministically
+    (event_id % 7). One exchange on user_id serves every function."""
+    from pyspark.sql import Window
+
+    e = (load_table(spark, "events", sf_dir)
+         .filter(F.col("user_id") < 100)
+         .select("user_id", "ts", "event_id",
+                 F.when(F.col("event_id") % 7 != 0, _value_int())
+                 .alias("v")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, Window.currentRow)
+    mm_list = F.array_sort(F.collect_list("v").over(frame))
+    mm_n = F.count("v").over(frame)
+    return e.select(
+        "user_id", "event_id",
+        F.first("v", ignorenulls=True).over(frame).alias("fv"),
+        F.last("v", ignorenulls=True).over(frame).alias("lv"),
+        F.nth_value("v", 2, ignoreNulls=True).over(frame).alias("n2"),
+        F.lag("v", 2, -1).over(w).alias("lg"),
+        F.when(mm_n > 0, F.element_at(
+            mm_list, F.floor((mm_n + 1) / 2).cast("int"))).alias("mm"),
+        mm_n.alias("cnt"),
+    )
+
+
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust statistics per event type — median / quartiles / IQR /
     MAD (median absolute deviation), the outlier-resistant siblings of
@@ -1178,6 +1211,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
     "robust_stats": q_robust_stats,
+    "window_value_fns": q_window_value_fns,
     "acf_lag": q_acf_lag,
     "cusum_changepoint": q_cusum_changepoint,
     "seasonal_profile": q_seasonal_profile,
@@ -1211,6 +1245,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_value_fns": """
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_id % 7 <> 0
+                        THEN CAST(floor(value * 10000) AS BIGINT) END AS v
+            FROM events WHERE user_id < 100
+        )
+        SELECT user_id, event_id,
+               first_value(v IGNORE NULLS) OVER frame AS fv,
+               last_value(v IGNORE NULLS) OVER frame AS lv,
+               nth_value(v, 2 IGNORE NULLS) OVER frame AS n2,
+               lag(v, 2, -1) OVER w AS lg,
+               CASE WHEN count(v) OVER frame > 0 THEN
+                   list_sort(list(v) OVER frame)[
+                       (count(v) OVER frame + 1) // 2]
+               END AS mm,
+               count(v) OVER frame AS cnt
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               frame AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
     "robust_stats": """
         WITH base AS (
             SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS x

@@ -193,6 +193,10 @@ _WINDOW_SUBS = (
         arrays.ORACLES["robust_stats"],
         (("event_type", "str"),),
         ("n", "med", "q1", "q3", "iqr", "mad")),
+    Sub("window_value_fns", arrays.q_window_value_fns,
+        arrays.ORACLES["window_value_fns"],
+        (("user_id", "str"), ("event_id", "str")),
+        ("fv", "lv", "n2", "lg", "mm", "cnt")),
 )
 
 _TEMPORAL_SUBS = (

@@ -451,3 +451,20 @@ def test_key_skew_audit_gini_bounds_and_mirror(spark, sf_dir):
     for r in out.values():
         assert 0.0 <= r["gini"] < 1.0
         assert 0.0 < r["top1_share"] <= 1.0
+
+
+def test_window_value_fns_invariants(spark, sf_dir):
+    out = arrays.q_window_value_fns(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["cnt"] <= 5
+        if r["cnt"] > 0:
+            assert r["mm"] is not None
+            # the discrete median of the frame lies within [fv-range]
+            assert r["fv"] is not None and r["lv"] is not None
+        else:
+            assert r["mm"] is None and r["n2"] is None
+    # lag default fires on each user's first two rows
+    firsts = [r for r in out if r["lg"] == -1]
+    users = {r["user_id"] for r in out}
+    assert len(firsts) == 2 * len(users)
