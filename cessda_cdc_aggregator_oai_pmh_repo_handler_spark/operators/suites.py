@@ -315,6 +315,10 @@ _CORPUS_SUBS = (
     Sub("textrank_keywords", text_analysis.q_textrank_keywords,
         text_analysis.ORACLES["textrank_keywords"],
         (("word", "str"),), ("wdeg", "rank_micro")),
+    Sub("quantile_normalize", text_analysis.q_quantile_normalize,
+        text_analysis.ORACLES["quantile_normalize"],
+        (("source", "str"),),
+        ("docs", "sum_mapped", "min_mapped", "max_mapped")),
     Sub("decile_calibration", text_analysis.q_decile_calibration,
         text_analysis.ORACLES["decile_calibration"],
         (("bucket", "str"),), ("docs", "en_docs", "sum_s", "en_rate")),

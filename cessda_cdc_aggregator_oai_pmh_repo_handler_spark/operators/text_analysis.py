@@ -1664,6 +1664,45 @@ def _textrank_oracle(iters: int = TR_ITERS) -> str:
     """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION (the batch-effect correction
+    genomics/recsys pipelines run before mixing sources): every document's
+    length feature maps to the GLOBAL value at its within-source quantile,
+    so all sources end up with identical feature distributions. Exact
+    integer form — within-source rank rₙ of n_chars, target index
+    ⌈rₙ·N/n_s⌉ by integer ceiling division, one equi-join into the
+    globally ranked relation — no float appears anywhere, so the per-
+    source rollup hashes exact integers. The global row_number is a
+    corpus-wide sort: the honest cost of exact quantile mapping (the
+    100 TB path swaps in mergeable quantile summaries, quantile_merge's
+    machinery, trading exactness for scale). Verified per source: doc
+    count, Σ mapped value, min/max mapped."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (d.withColumn("rn", F.row_number().over(w_src))
+              .withColumn("n_s", F.count(F.lit(1)).over(
+                  Window.partitionBy("source"))))
+    g = d.select(
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gi"),
+        F.col("n_chars").alias("gval"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    mapped = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("gi", F.expr("CAST((rn * n_total + n_s - 1) "
+                                 "div n_s AS INT)"))
+        .join(g, "gi")
+    )
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("gval").alias("sum_mapped"),
+        F.min("gval").alias("min_mapped"),
+        F.max("gval").alias("max_mapped"),
+    )
+
+
 NB_TEST_MOD = 5  # doc_id % 5 == 0 → held-out test split
 
 
@@ -1733,6 +1772,7 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
+    "quantile_normalize": q_quantile_normalize,
     "textrank_keywords": q_textrank_keywords,
     "bigram_lm_score": q_bigram_lm_score,
     "dsir_importance": q_dsir_importance,
@@ -1774,6 +1814,29 @@ QUERIES = {
 
 ORACLES = {
     "textrank_keywords": _textrank_oracle(),
+    "quantile_normalize": """
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n_s
+            FROM documents
+        ),
+        g AS (
+            SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS gi,
+                   n_chars AS gval
+            FROM documents
+        ),
+        tot AS (SELECT count(*) AS n_total FROM documents),
+        mapped AS (
+            SELECT r.source, g.gval
+            FROM ranked r CROSS JOIN tot
+            JOIN g ON g.gi = (r.rn * tot.n_total + r.n_s - 1) // r.n_s
+        )
+        SELECT source, count(*) AS docs, sum(gval) AS sum_mapped,
+               min(gval) AS min_mapped, max(gval) AS max_mapped
+        FROM mapped GROUP BY source
+    """,
     "naive_bayes_lang": f"""
         WITH toks AS (
             SELECT doc_id, lang,

@@ -468,3 +468,18 @@ def test_window_value_fns_invariants(spark, sf_dir):
     firsts = [r for r in out if r["lg"] == -1]
     users = {r["user_id"] for r in out}
     assert len(firsts) == 2 * len(users)
+
+
+def test_quantile_normalize_equalizes_distributions(spark, sf_dir):
+    """After mapping, every source draws from the SAME global value set;
+    each source's mapped max ends at (or near) the global max."""
+    out = text_analysis.q_quantile_normalize(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    gmax = docs.agg(F.max("n_chars")).first()[0]
+    per_src = dict(docs.groupBy("source").count().collect())
+    assert {r["source"] for r in out} == set(per_src)
+    for r in out:
+        assert r["docs"] == per_src[r["source"]]
+        # rank n_s maps to index ceil(n_s*N/n_s) = N -> the global max
+        assert r["max_mapped"] == gmax
+        assert r["min_mapped"] >= docs.agg(F.min("n_chars")).first()[0]
