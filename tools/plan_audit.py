@@ -117,6 +117,10 @@ HEADLINERS = {
     "textrank_keywords": "TextRank: fixed-point power iterations over the CHECKPOINTED edge list (docs tokenize once); per-iteration cost is one edge join + one aggregation; vocab-sized pr relation broadcasts.",
     "itemcf_recommend": "Item-CF: capped in-array basket combinations (no per-user self-join); pair groupBy is the co-occurrence build; top-N per item via one ranked window.",
     "tz_conformance": "Timezone conformance: pure projection over the pushed event_id slice — zero exchanges, zero Python.",
+    "robust_stats": "Robust stats: quartiles in ONE percentile_disc sorted buffer per group; MAD re-scan joins 5-row broadcast medians.",
+    "key_skew_audit": "Key-skew audit: rank sort over the KEY-sized frequency relation, never the fact table; Gini from integer aggregates.",
+    "window_value_fns": "Window value functions: all six expressions (ignore-nulls edges, lag, composed moving median) ride ONE user_id exchange.",
+    "quantile_normalize": "Quantile normalization: one within-source window + one global rank window + an integer-index equi-join — the global sort is the operator's honest exact-mapping cost.",
 }
 
 
