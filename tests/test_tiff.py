@@ -77,3 +77,40 @@ def test_multimodal_dispatch_and_fixture_variants():
     kinds = {mm._image_payload(i, 6, 4)[1]
              for i in range(0, 48) if (i // 2) % 4 == 0}
     assert kinds == {"PPM", "BMP", "TIFF"}
+
+
+def test_packbits_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=600))
+    def check(row):
+        enc = tiff.packbits_encode(row)
+        assert tiff.packbits_decode(enc, len(row)) == row
+        # worst case: literal packets add 1 control byte per 128
+        assert len(enc) <= len(row) + (len(row) // 128 + 1)
+
+    check()
+
+
+def test_tiff_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    px = st.tuples(st.integers(0, 255), st.integers(0, 255),
+                   st.integers(0, 255))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.data())
+    def check(w, h, data):
+        img = [[data.draw(px) for _ in range(w)] for _ in range(h)]
+        comp = data.draw(st.sampled_from(
+            [tiff.COMP_NONE, tiff.COMP_PACKBITS]))
+        bo = data.draw(st.sampled_from(["<", ">"]))
+        rps = data.draw(st.sampled_from([None, 1, 2, 3]))
+        out = tiff.encode_tiff_rgb(img, compression=comp, byteorder=bo,
+                                   rows_per_strip=rps)
+        got_w, got_h, pix = tiff.decode_tiff(out)
+        assert (got_w, got_h) == (w, h)
+        assert pix == [p for row in img for p in row]
+
+    check()
