@@ -45,12 +45,11 @@ def _with_coords(df: DataFrame, key: str) -> DataFrame:
     return df.select(F.col(key), lat.alias("lat"), lon.alias("lon"))
 
 
-def grid_radius_join(probe: DataFrame, build: DataFrame) -> DataFrame:
-    """Core grid join: ``probe``/``build`` carry (key, lat, lon) with the
-    key as their first column. The build side replicates into its 3×3
-    cell neighborhood; the probe side joins on its own cell, so every
-    true pair meets exactly once. Returns per-probe-key matches within
-    GRID units: count, min squared distance, nearest build key."""
+def grid_radius_pairs(probe: DataFrame, build: DataFrame) -> DataFrame:
+    """Candidate-pair core: (probe key, build key, dist2) for every pair
+    within GRID units. The build side replicates into its 3×3 cell
+    neighborhood; the probe side joins on its own cell, so every true
+    pair meets exactly once."""
     pkey, bkey = probe.columns[0], build.columns[0]
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     s_cells = (
@@ -69,11 +68,19 @@ def grid_radius_join(probe: DataFrame, build: DataFrame) -> DataFrame:
     )
     d2 = ((F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat"))
           + (F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon")))
-    pairs = (
+    return (
         c_cells.join(s_cells, ["cell_lat", "cell_lon"])
         .withColumn("dist2", d2)
         .filter(F.col("dist2") <= RADIUS2)
+        .select(pkey, bkey, "dist2")
     )
+
+
+def grid_radius_join(probe: DataFrame, build: DataFrame) -> DataFrame:
+    """Per-probe-key rollup of ``grid_radius_pairs``: matches within GRID
+    units — count, min squared distance, nearest build key."""
+    pkey, bkey = probe.columns[0], build.columns[0]
+    pairs = grid_radius_pairs(probe, build)
     from pyspark.sql import Window
 
     w = Window.partitionBy(pkey)
@@ -97,11 +104,86 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_join(cust, supp)
 
 
+SSSP_SOURCE = 1   # c_custkey of the source node (exists at every SF)
+SSSP_ROUNDS = 4   # Bellman-Ford relaxations — paths up to 4 edges settle
+
+
+def q_spatial_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford, SSSP_ROUNDS
+    unrolled relaxations) over the customer proximity graph — the
+    weighted sibling of the BFS hop-distance operator: edges are
+    customer pairs within GRID units of each other (the grid join run as
+    a SELF-join, both directions found by construction), weights are the
+    exact integer squared distances, and each round is one edge-sized
+    join + a min-aggregate. Everything is BIGINT min/plus arithmetic, so
+    distances are bit-exact on both engines; the oracle unrolls the same
+    recursion as chained CTEs over the brute-force pair relation.
+    Returns every node settled within SSSP_ROUNDS edges and its
+    distance. At 100 TB: rounds are bounded, relations are edge-sized,
+    and the frontier never re-reads the point table."""
+    cust = _with_coords(load_table(spark, "customer", sf_dir), "c_custkey")
+    build = cust.select(F.col("c_custkey").alias("c_custkey2"),
+                        "lat", "lon")
+    edges = (
+        grid_radius_pairs(cust, build)
+        .filter(F.col("c_custkey") != F.col("c_custkey2"))
+        .select(F.col("c_custkey").alias("u"),
+                F.col("c_custkey2").alias("v"),
+                F.col("dist2").alias("w"))
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(SSSP_SOURCE, 0)], "node long, d long")
+    for _ in range(SSSP_ROUNDS):
+        cand = (edges.join(dist.select(F.col("node").alias("u"), "d"), "u")
+                .select(F.col("v").alias("node"),
+                        (F.col("d") + F.col("w")).alias("d")))
+        dist = (dist.unionByName(cand)
+                .groupBy("node").agg(F.min("d").alias("d")))
+    return dist
+
+
 QUERIES = {
     "spatial_radius_join": q_spatial_radius_join,
+    "spatial_sssp": q_spatial_sssp,
 }
 
+def _sssp_oracle(rounds: int = SSSP_ROUNDS) -> str:
+    parts = [f"""
+        c AS (
+            SELECT c_custkey,
+                   (c_custkey * {LAT_MULT}) % {LAT_SPAN} AS lat,
+                   (c_custkey * {LON_MULT}) % {LON_SPAN} AS lon
+            FROM customer
+        ),
+        e AS (
+            SELECT a.c_custkey AS u, b.c_custkey AS v,
+                   (a.lat - b.lat) * (a.lat - b.lat)
+                   + (a.lon - b.lon) * (a.lon - b.lon) AS w
+            FROM c a CROSS JOIN c b
+            WHERE a.c_custkey <> b.c_custkey
+              AND (a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon) <= {RADIUS2}
+        ),
+        d0 AS (SELECT CAST({SSSP_SOURCE} AS BIGINT) AS node,
+                      CAST(0 AS BIGINT) AS d)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+        d{t} AS (
+            SELECT node, min(d) AS d FROM (
+                SELECT node, d FROM d{t - 1}
+                UNION ALL
+                SELECT e.v AS node, p.d + e.w AS d
+                FROM d{t - 1} p JOIN e ON e.u = p.node
+            ) x GROUP BY node
+        )""")
+    return f"""
+        WITH {','.join(parts)}
+        SELECT node, d FROM d{rounds}
+    """
+
+
 ORACLES = {
+    "spatial_sssp": _sssp_oracle(),
     "spatial_radius_join": f"""
         WITH c AS (
             SELECT c_custkey,

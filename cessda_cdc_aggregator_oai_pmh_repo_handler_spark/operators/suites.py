@@ -249,6 +249,9 @@ _TEMPORAL_SUBS = (
         spatial.ORACLES["spatial_radius_join"],
         (("c_custkey", "str"),),
         ("n_within", "min_dist2", "nearest_suppkey")),
+    Sub("spatial_sssp", spatial.q_spatial_sssp,
+        spatial.ORACLES["spatial_sssp"],
+        (("node", "str"),), ("d",)),
 )
 
 _CORPUS_SUBS = (

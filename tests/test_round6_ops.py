@@ -483,3 +483,25 @@ def test_quantile_normalize_equalizes_distributions(spark, sf_dir):
         # rank n_s maps to index ceil(n_s*N/n_s) = N -> the global max
         assert r["max_mapped"] == gmax
         assert r["min_mapped"] >= docs.agg(F.min("n_chars")).first()[0]
+
+
+def test_spatial_sssp_invariants(spark, sf_dir):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        spatial,
+    )
+    out = {r["node"]: r["d"]
+           for r in spatial.q_spatial_sssp(spark, sf_dir).collect()}
+    assert out[spatial.SSSP_SOURCE] == 0
+    assert all(d >= 0 for d in out.values())
+    # triangle inequality against the direct-edge relation: for every
+    # settled node with a direct edge from the source, d <= that edge
+    cust = spatial._with_coords(
+        load_table(spark, "customer", sf_dir), "c_custkey")
+    build = cust.select(F.col("c_custkey").alias("c2"), "lat", "lon")
+    direct = {r["c2"]: r["dist2"] for r in spatial.grid_radius_pairs(
+        cust.filter(F.col("c_custkey") == spatial.SSSP_SOURCE), build)
+        .filter(F.col("c2") != spatial.SSSP_SOURCE).collect()}
+    for v, w in direct.items():
+        assert v in out and out[v] <= w
+    # settled set grows beyond the 1-hop neighborhood on a dense graph
+    assert len(out) > len(direct) + 1
