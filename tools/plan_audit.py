@@ -121,6 +121,7 @@ HEADLINERS = {
     "key_skew_audit": "Key-skew audit: rank sort over the KEY-sized frequency relation, never the fact table; Gini from integer aggregates.",
     "window_value_fns": "Window value functions: all six expressions (ignore-nulls edges, lag, composed moving median) ride ONE user_id exchange.",
     "quantile_normalize": "Quantile normalization: one within-source window + one global rank window + an integer-index equi-join — the global sort is the operator's honest exact-mapping cost.",
+    "spatial_sssp": "Weighted SSSP: 4 Bellman-Ford relaxations, each ONE edge-sized join + min-aggregate over the checkpointed proximity edges; the point table never re-enters.",
 }
 
 
