@@ -1100,6 +1100,56 @@ def q_anomaly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_Z_CRIT = 1.96   # two-sided 95% significance threshold
+AB_CONV_MIN = 14   # 'converted' = at least this many purchases
+
+
+def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the two-proportion z-test an
+    experimentation pipeline runs per metric: users assign to arms by
+    ``user_id % 2`` (the deterministic hash-split every platform uses),
+    conversion = the user logged at least AB_CONV_MIN purchases (the
+    fixture is dense — every user buys once, so the interesting metric is
+    heavy purchasing), and the z statistic
+    for the rate difference under the pooled-variance null. All counts
+    are exact integers from ONE user-level aggregate; the z / rates /
+    lift are single-shot float expressions written identically on both
+    engines, so the hashed values can't drift. Emits one row per arm
+    carrying the shared test statistics (long-format friendly)."""
+    e = load_table(spark, "events", sf_dir)
+    per_user = (
+        e.groupBy("user_id")
+        .agg((F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)) >= AB_CONV_MIN)
+             .cast("int").alias("converted"))
+        .select((F.col("user_id") % 2).alias("arm"), "converted")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("converted").alias("conversions"))
+    # pivot the 2-row relation wide to compute the shared statistics once
+    wide = arms.groupBy().pivot("arm", [0, 1]).agg(
+        F.first("users").alias("n"), F.first("conversions").alias("c"))
+    n0, c0 = F.col("0_n").cast("double"), F.col("0_c").cast("double")
+    n1, c1 = F.col("1_n").cast("double"), F.col("1_c").cast("double")
+    pooled = (c0 + c1) / (n0 + n1)
+    z = ((c1 / n1 - c0 / n0)
+         / F.sqrt(pooled * (1.0 - pooled) * (1.0 / n0 + 1.0 / n1)))
+    stats = wide.select(
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > AB_Z_CRIT).cast("int").alias("significant"),
+        F.round((c1 / n1) / (c0 / n0), 6).alias("lift"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(stats))
+        .select("arm", "users", "conversions",
+                F.round(F.col("conversions").cast("double")
+                        / F.col("users").cast("double"), 6)
+                .alias("conv_rate"),
+                "z", "significant", "lift")
+    )
+
+
 def q_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window VALUE-function conformance over a nullable series —
     first_value / last_value / nth_value(2) all with IGNORE NULLS, lag
@@ -1212,6 +1262,7 @@ QUERIES = {
     "ewma_smooth": q_ewma_smooth,
     "robust_stats": q_robust_stats,
     "window_value_fns": q_window_value_fns,
+    "ab_test_analysis": q_ab_test_analysis,
     "acf_lag": q_acf_lag,
     "cusum_changepoint": q_cusum_changepoint,
     "seasonal_profile": q_seasonal_profile,
@@ -1245,6 +1296,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ab_test_analysis": """
+        WITH per_user AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= 14 AS INT) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, count(*) AS users, sum(converted) AS conversions
+            FROM per_user GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                CAST(max(CASE WHEN arm = 0 THEN users END) AS DOUBLE) AS n0,
+                CAST(max(CASE WHEN arm = 0 THEN conversions END) AS DOUBLE)
+                    AS c0,
+                CAST(max(CASE WHEN arm = 1 THEN users END) AS DOUBLE) AS n1,
+                CAST(max(CASE WHEN arm = 1 THEN conversions END) AS DOUBLE)
+                    AS c1
+            FROM arms
+        ),
+        stats AS (
+            SELECT
+                round((c1 / n1 - c0 / n0)
+                      / sqrt(((c0 + c1) / (n0 + n1))
+                             * (1.0 - (c0 + c1) / (n0 + n1))
+                             * (1.0 / n0 + 1.0 / n1)), 6) AS z,
+                CAST(abs((c1 / n1 - c0 / n0)
+                         / sqrt(((c0 + c1) / (n0 + n1))
+                                * (1.0 - (c0 + c1) / (n0 + n1))
+                                * (1.0 / n0 + 1.0 / n1))) > 1.96 AS INT)
+                    AS significant,
+                round((c1 / n1) / (c0 / n0), 6) AS lift
+            FROM wide
+        )
+        SELECT arm, users, conversions,
+               round(CAST(conversions AS DOUBLE)
+                     / CAST(users AS DOUBLE), 6) AS conv_rate,
+               z, significant, lift
+        FROM arms CROSS JOIN stats
+    """,
     "window_value_fns": """
         WITH base AS (
             SELECT user_id, ts, event_id,

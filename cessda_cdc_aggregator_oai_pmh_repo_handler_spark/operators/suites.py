@@ -197,6 +197,10 @@ _WINDOW_SUBS = (
         arrays.ORACLES["window_value_fns"],
         (("user_id", "str"), ("event_id", "str")),
         ("fv", "lv", "n2", "lg", "mm", "cnt")),
+    Sub("ab_test_analysis", arrays.q_ab_test_analysis,
+        arrays.ORACLES["ab_test_analysis"],
+        (("arm", "str"),),
+        ("users", "conversions", "conv_rate", "z", "significant", "lift")),
 )
 
 _TEMPORAL_SUBS = (

@@ -505,3 +505,25 @@ def test_spatial_sssp_invariants(spark, sf_dir):
         assert v in out and out[v] <= w
     # settled set grows beyond the 1-hop neighborhood on a dense graph
     assert len(out) > len(direct) + 1
+
+
+def test_ab_test_analysis_invariants(spark, sf_dir):
+    import math
+
+    out = {r["arm"]: r
+           for r in arrays.q_ab_test_analysis(spark, sf_dir).collect()}
+    assert set(out) == {0, 1}
+    ev = load_table(spark, "events", sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    assert out[0]["users"] + out[1]["users"] == n_users
+    for r in out.values():
+        assert 0 <= r["conversions"] <= r["users"]
+        assert abs(r["conv_rate"]
+                   - round(r["conversions"] / r["users"], 6)) < 1e-9
+    # z reproduces from the emitted integer counts
+    n0, c0 = out[0]["users"], out[0]["conversions"]
+    n1, c1 = out[1]["users"], out[1]["conversions"]
+    p = (c0 + c1) / (n0 + n1)
+    z = (c1 / n1 - c0 / n0) / math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    assert abs(out[0]["z"] - round(z, 6)) < 1e-9
+    assert out[0]["significant"] == (1 if abs(z) > 1.96 else 0)
