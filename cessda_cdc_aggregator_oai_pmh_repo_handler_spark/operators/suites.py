@@ -326,6 +326,9 @@ _CORPUS_SUBS = (
         text_analysis.ORACLES["quantile_normalize"],
         (("source", "str"),),
         ("docs", "sum_mapped", "min_mapped", "max_mapped")),
+    Sub("bootstrap_resample", text_analysis.q_bootstrap_resample,
+        text_analysis.ORACLES["bootstrap_resample"],
+        (("b", "str"),), ("draws", "sum_chars", "mean_chars")),
     Sub("decile_calibration", text_analysis.q_decile_calibration,
         text_analysis.ORACLES["decile_calibration"],
         (("bucket", "str"),), ("docs", "en_docs", "sum_s", "en_rate")),

@@ -1703,6 +1703,52 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 24                 # bootstrap resamples
+BOOT_MULT_A = 2654435761    # Knuth multiplicative hashes: draw index =
+BOOT_MULT_B = 2246822519    # (b·A + i·B) mod n — seedless, exact BIGINT
+
+
+def q_bootstrap_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BOOTSTRAP over the corpus length statistic — the
+    uncertainty quantification a data-quality report attaches to its
+    means, made hash-verifiable: draws-with-replacement come from a
+    multiplicative integer hash of (resample b, position i) instead of a
+    RNG (the md5-order sampling discipline in closed-form integer math),
+    so both engines materialize the IDENTICAL BOOT_B resamples. Each
+    resample's Σ n_chars is an exact BIGINT; the mean is one single-shot
+    division. Shape: one global rank window defines positions, the draw
+    relation fans out B× and equi-joins back on the drawn index — at
+    100 TB the fan-out is per-partition (positions within shards) and
+    the rank window swaps to the mergeable-summary mapping, same as
+    quantile_normalize's scale path."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    ranked = d.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
+        "n_chars")
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        ranked.select(F.col("rn").alias("i"))
+        .crossJoin(F.broadcast(n))
+        .select("i", "n", F.explode(
+            F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"))
+        .select("b", ((F.col("b") * BOOT_MULT_A
+                       + F.col("i") * BOOT_MULT_B) % F.col("n"))
+                .alias("rn"))
+    )
+    return (
+        draws.join(ranked, "rn")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("draws"),
+             F.sum("n_chars").alias("sum_chars"))
+        .select("b", "draws", "sum_chars",
+                F.round(F.col("sum_chars").cast("double")
+                        / F.col("draws").cast("double"), 4)
+                .alias("mean_chars"))
+    )
+
+
 NB_TEST_MOD = 5  # doc_id % 5 == 0 → held-out test split
 
 
@@ -1773,6 +1819,7 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "quantile_normalize": q_quantile_normalize,
+    "bootstrap_resample": q_bootstrap_resample,
     "textrank_keywords": q_textrank_keywords,
     "bigram_lm_score": q_bigram_lm_score,
     "dsir_importance": q_dsir_importance,
@@ -1814,6 +1861,26 @@ QUERIES = {
 
 ORACLES = {
     "textrank_keywords": _textrank_oracle(),
+    "bootstrap_resample": f"""
+        WITH ranked AS (
+            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn, n_chars
+            FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM documents),
+        draws AS (
+            SELECT b.b,
+                   (b.b * {BOOT_MULT_A} + r.rn * {BOOT_MULT_B}) % tot.n
+                       AS rn
+            FROM ranked r
+            CROSS JOIN tot
+            CROSS JOIN (SELECT unnest(range(1, {BOOT_B} + 1)) AS b) b
+        )
+        SELECT d.b, count(*) AS draws, sum(r.n_chars) AS sum_chars,
+               round(CAST(sum(r.n_chars) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS mean_chars
+        FROM draws d JOIN ranked r USING (rn)
+        GROUP BY d.b
+    """,
     "quantile_normalize": """
         WITH ranked AS (
             SELECT doc_id, source, n_chars,

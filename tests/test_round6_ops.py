@@ -527,3 +527,24 @@ def test_ab_test_analysis_invariants(spark, sf_dir):
     z = (c1 / n1 - c0 / n0) / math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
     assert abs(out[0]["z"] - round(z, 6)) < 1e-9
     assert out[0]["significant"] == (1 if abs(z) > 1.96 else 0)
+
+
+def test_bootstrap_resample_matches_python_mirror(spark, sf_dir):
+    docs = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in load_table(spark, "documents", sf_dir)
+        .select("doc_id", "n_chars").collect())
+    chars = [c for _, c in docs]
+    n = len(chars)
+    want = {}
+    for b in range(1, text_analysis.BOOT_B + 1):
+        s = sum(chars[(b * text_analysis.BOOT_MULT_A
+                       + i * text_analysis.BOOT_MULT_B) % n]
+                for i in range(n))
+        want[b] = (n, s, round(s / n, 4))
+    out = {r["b"]: (r["draws"], r["sum_chars"], r["mean_chars"])
+           for r in text_analysis.q_bootstrap_resample(spark, sf_dir)
+           .collect()}
+    assert out == want
+    # the resample means actually vary (the hash draws differ per b)
+    assert len({v[1] for v in out.values()}) > 1
