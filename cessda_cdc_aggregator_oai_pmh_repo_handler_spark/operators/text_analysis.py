@@ -1704,16 +1704,21 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BOOT_B = 24                 # bootstrap resamples
-BOOT_MULT_A = 2654435761    # Knuth multiplicative hashes: draw index =
-BOOT_MULT_B = 2246822519    # (b·A + i·B) mod n — seedless, exact BIGINT
+BOOT_MULT_A = 2654435761    # draw index = (b·A + i·B + (i² mod n)·C) mod n
+BOOT_MULT_B = 2246822519    # — the quadratic term makes the map NON-affine
+BOOT_MULT_C = 40503         # (an affine map mod n is a bijection: every
+#                             'resample' would be a permutation of the
+#                             corpus, never a draw WITH replacement)
 
 
 def q_bootstrap_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic BOOTSTRAP over the corpus length statistic — the
     uncertainty quantification a data-quality report attaches to its
     means, made hash-verifiable: draws-with-replacement come from a
-    multiplicative integer hash of (resample b, position i) instead of a
-    RNG (the md5-order sampling discipline in closed-form integer math),
+    quadratic integer hash of (resample b, position i) instead of a RNG
+    (the md5-order sampling discipline in closed-form integer math; the
+    quadratic term is what creates collisions — true draws WITH
+    replacement — where a purely affine map mod n would be a bijection),
     so both engines materialize the IDENTICAL BOOT_B resamples. Each
     resample's Σ n_chars is an exact BIGINT; the mean is one single-shot
     division. Shape: one global rank window defines positions, the draw
@@ -1734,7 +1739,9 @@ def q_bootstrap_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "n", F.explode(
             F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"))
         .select("b", ((F.col("b") * BOOT_MULT_A
-                       + F.col("i") * BOOT_MULT_B) % F.col("n"))
+                       + F.col("i") * BOOT_MULT_B
+                       + ((F.col("i") * F.col("i")) % F.col("n"))
+                       * BOOT_MULT_C) % F.col("n"))
                 .alias("rn"))
     )
     return (
@@ -1869,7 +1876,8 @@ ORACLES = {
         tot AS (SELECT count(*) AS n FROM documents),
         draws AS (
             SELECT b.b,
-                   (b.b * {BOOT_MULT_A} + r.rn * {BOOT_MULT_B}) % tot.n
+                   (b.b * {BOOT_MULT_A} + r.rn * {BOOT_MULT_B}
+                    + ((r.rn * r.rn) % tot.n) * {BOOT_MULT_C}) % tot.n
                        AS rn
             FROM ranked r
             CROSS JOIN tot

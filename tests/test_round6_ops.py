@@ -539,7 +539,8 @@ def test_bootstrap_resample_matches_python_mirror(spark, sf_dir):
     want = {}
     for b in range(1, text_analysis.BOOT_B + 1):
         s = sum(chars[(b * text_analysis.BOOT_MULT_A
-                       + i * text_analysis.BOOT_MULT_B) % n]
+                       + i * text_analysis.BOOT_MULT_B
+                       + ((i * i) % n) * text_analysis.BOOT_MULT_C) % n]
                 for i in range(n))
         want[b] = (n, s, round(s / n, 4))
     out = {r["b"]: (r["draws"], r["sum_chars"], r["mean_chars"])
