@@ -122,6 +122,8 @@ HEADLINERS = {
     "window_value_fns": "Window value functions: all six expressions (ignore-nulls edges, lag, composed moving median) ride ONE user_id exchange.",
     "quantile_normalize": "Quantile normalization: one within-source window + one global rank window + an integer-index equi-join — the global sort is the operator's honest exact-mapping cost.",
     "spatial_sssp": "Weighted SSSP: 4 Bellman-Ford relaxations, each ONE edge-sized join + min-aggregate over the checkpointed proximity edges; the point table never re-enters.",
+    "ab_test_analysis": "A/B readout: one user-level aggregate → 2-row arm relation; the z/lift statistics compute on a 1-row pivot and broadcast back.",
+    "bootstrap_resample": "Bootstrap: one global rank window, a B-fold draw fan-out (constant factor), one equi-join back on the drawn index, exact integer sums per resample.",
 }
 
 
