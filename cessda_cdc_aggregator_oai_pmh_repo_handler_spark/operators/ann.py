@@ -681,6 +681,16 @@ def bm25_score_expr() -> F.Column:
     return idf * norm
 
 
+def bm25_sum_expr() -> F.Column:
+    """Merge-order-free per-doc BM25 total: each (doc, term) contribution
+    floors to integer micro-units (a single-shot IEEE op) and the sum is
+    exact DECIMAL — shared by the batch operator and the streaming index
+    probe so the de-flake discipline cannot drift between them."""
+    return (F.sum(F.floor(bm25_score_expr() * F.lit(1000000.0))
+                  .cast("decimal(38,0)")).cast("double")
+            / F.lit(1000000.0))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval through a real INVERTED INDEX — the lexical half of
     hybrid retrieval done the way a search engine does it at scale: build
@@ -726,7 +736,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != BM25_QUERY_DOC)
         .join(dl, "doc_id")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(bm25_score_expr()), 4).alias("bm25"),
+        # per-(doc, term) score → exact integer micro-units BEFORE the sum
+        # (floor(score·1e6) is single-shot IEEE; the DECIMAL sum is
+        # merge-order-free — round(sum(double)) can flip with shuffle
+        # arrival order, the r5/r6 gate flake class)
+        .agg(bm25_sum_expr().alias("bm25"),
              F.count(F.lit(1)).alias("matched_terms"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP)
@@ -752,10 +766,13 @@ _BM25_SQL = f"""
         WHERE doc_id = {BM25_QUERY_DOC}
     )
     SELECT doc_id,
-           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                     * tf * ({BM25_K1} + 1)
-                     / (tf + {BM25_K1} * (1 - {BM25_B}
-                         + {BM25_B} * dl / avgdl))), 4) AS bm25,
+           CAST(sum(CAST(floor(
+                    ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                    * (tf * ({BM25_K1} + 1)
+                       / (tf + {BM25_K1} * (1 - {BM25_B}
+                           + {BM25_B} * dl / avgdl)))
+                    * 1000000.0) AS HUGEINT)) AS DOUBLE)
+           / 1000000.0 AS bm25,
            count(*) AS matched_terms
     FROM tf
     JOIN qterms USING (term)

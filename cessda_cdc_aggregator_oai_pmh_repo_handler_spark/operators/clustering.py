@@ -216,7 +216,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             assigned.groupBy("cluster")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("dist_sq"), 2).alias("inertia"))
+                 # per-vector dist_sq → exact integer centi-units BEFORE the
+                 # sum: floor(d·100) is a single-shot IEEE op per vector and
+                 # the DECIMAL sum is merge-order-free, so the hashed inertia
+                 # can't flip with shuffle arrival order the way
+                 # round(sum(double), 2) can (the r5/r6 gate flake class).
+                 # Cross-engine the per-vector doubles differ by ~1e-12
+                 # relative (BLAS expansion vs sequential Σ(a-b)²), far
+                 # inside the 0.01 bucket width, so floor agrees.
+                 (F.sum(F.floor(F.col("dist_sq") * 100)
+                        .cast("decimal(38,0)")).cast("double")
+                  / F.lit(100.0)).alias("inertia"))
             .orderBy("cluster")
             .localCheckpoint()  # materialize before the unpersist below
         )
@@ -237,8 +247,10 @@ def _kmeans_oracle_sql(k: int = K, dim: int = GATE_DIM,
     previous centroid via LEFT JOIN + coalesce. Everything is cast to
     DOUBLE before arithmetic, mirroring the float64 numpy path. Float
     summation order differs between the engines (BLAS expansion vs
-    sequential (a-b)^2), so agreement to the rounded cent is a genuine
-    cross-engine verification, not a shared-code tautology."""
+    sequential (a-b)^2), so per-vector floor-to-cent agreement is a
+    genuine cross-engine verification, not a shared-code tautology —
+    and the exact HUGEINT/DECIMAL sum of those cents is merge-order-free
+    on both sides."""
 
     def dist(pt: str, ct: str) -> str:
         return (f"list_sum(list_transform(range(1, {dim + 1}), "
@@ -289,7 +301,9 @@ def _kmeans_oracle_sql(k: int = K, dim: int = GATE_DIM,
     ctes = ",".join(parts)
     return f"""
         WITH {ctes}
-        SELECT cluster, count(*) AS n, round(sum(dist), 2) AS inertia
+        SELECT cluster, count(*) AS n,
+               CAST(sum(CAST(floor(dist * 100) AS HUGEINT)) AS DOUBLE)
+               / 100.0 AS inertia
         FROM fin GROUP BY cluster ORDER BY cluster
     """
 

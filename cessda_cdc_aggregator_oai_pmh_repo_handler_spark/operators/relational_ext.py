@@ -223,19 +223,62 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents(col: str):
+    """Column as exact integer cents: ``floor(col·100)`` — the float
+    multiply and floor are single-shot IEEE ops, bit-identical on both
+    engines; DECIMAL(19,0) so downstream products/sums stay exact."""
+    return F.floor(F.col(col) * 100).cast("decimal(19,0)")
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (sample stddev, Pearson correlation, sample
-    covariance) per group — single-pass moment sketches with map-side
-    partial merge; round(4) absorbs partial-merge summation-order ulps."""
+    covariance) per group — from EXACT integer sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy² over floor(col·100) cents, summed in
+    DECIMAL(38,0)) with ONE single-shot double evaluation at the end,
+    so the hashed values are merge-order-free at any parallelism. The
+    built-in stddev_samp/corr/covar_samp moment sketches merge partials
+    in shuffle-arrival order, and round(4) only *usually* absorbs the
+    resulting ulps — the r5/r6 gate flake. Same per-group shuffle shape
+    as the naive form: map-side partial DECIMAL sums, K rows exchanged."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("cnt"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    d = li.select(
+        "l_returnflag",
+        _cents("l_quantity").alias("q"),
+        _cents("l_extendedprice").alias("p"),
+        _cents("l_discount").alias("dc"),
+        _cents("l_tax").alias("tx"),
+    )
+    agg = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum("dc").alias("sd"),
+        F.sum("tx").alias("st"),
+        F.sum(F.col("dc") * F.col("tx")).alias("sdt"),
+    )
+    n = F.col("cnt").cast("double")
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    den_q = n * dbl("sqq") - dbl("sq") * dbl("sq")
+    den_p = n * dbl("spp") - dbl("sp") * dbl("sp")
+    sd_qty = F.sqrt(den_q / (n * (n - F.lit(1.0)))) / F.lit(100.0)
+    corr = ((n * dbl("sqp") - dbl("sq") * dbl("sp"))
+            / F.sqrt(den_q * den_p))
+    cov = ((n * dbl("sdt") - dbl("sd") * dbl("st"))
+           / (n * (n - F.lit(1.0))) / F.lit(10000.0))
+    return agg.select(
+        "l_returnflag",
+        F.col("cnt"),
+        F.round(sd_qty, 4).alias("sd_qty"),
+        F.round(corr, 4).alias("corr_qty_price"),
         # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a tiny negative covariance
         # rounds to -0 on one engine and 0 on the other otherwise)
-        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0))
-        .alias("cov_disc_tax"),
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov_disc_tax"),
     )
 
 
@@ -531,42 +574,87 @@ ORACLE_LISTAGG_CONFORMANCE = """
 
 
 def q_regr_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL:2003 linear-regression aggregates (``regr_slope/intercept/r2/
-    avgx/avgy/count``) per group — value-for-value vs DuckDB's identical
-    aggregate vocabulary. Single-pass moment sketches like stats_agg;
-    var_x/cov_xy are the sxx/sxy forms normalized by count so round(4)
-    absorbs partial-merge summation-order ulps at any scale (raw sxx
-    grows with n, so a fixed decimal rounding would stop absorbing them
-    at 100 TB; the per-row normalization keeps the magnitude flat)."""
+    """SQL:2003 linear-regression aggregate family (slope/intercept/r2/
+    avgx/avgy/count plus count-normalized var_x/cov_xy) per group —
+    computed from EXACT integer sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy² over floor(col·100) cents in DECIMAL(38,0)) with one single-shot
+    double evaluation per output, the acf_lag/ridge discipline: the
+    built-in regr_* moment sketches merge partials in shuffle-arrival
+    order and their float ulps flipped round(4) at the r5/r6 gate. The
+    ×100 scale cancels in slope/r2 (both axes scaled alike); avg/icpt/
+    var/cov divide it back out. Shuffle shape unchanged: map-side
+    partial DECIMAL sums, K group rows exchanged."""
     li = load_table(spark, "lineitem", sf_dir)
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    n = F.regr_count(y, x)
-    return li.groupBy("l_returnflag").agg(
-        n.cast("long").alias("regr_n"),
-        F.round(F.regr_slope(y, x), 4).alias("slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("icpt"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
-        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
-        F.round(F.regr_sxx(y, x) / n, 4).alias("var_x"),
-        (F.round(F.regr_sxy(y, x) / n, 4) + F.lit(0.0)).alias("cov_xy"),
+    d = li.select(
+        "l_returnflag",
+        _cents("l_quantity").alias("x"),
+        _cents("l_extendedprice").alias("y"),
+    )
+    agg = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("cnt").cast("double")
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    num = n * dbl("sxy") - dbl("sx") * dbl("sy")
+    denx = n * dbl("sxx") - dbl("sx") * dbl("sx")
+    deny = n * dbl("syy") - dbl("sy") * dbl("sy")
+    return agg.select(
+        "l_returnflag",
+        F.col("cnt").cast("long").alias("regr_n"),
+        F.round(num / denx, 4).alias("slope"),
+        F.round((dbl("sy") / n - (num / denx) * (dbl("sx") / n))
+                / F.lit(100.0), 4).alias("icpt"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+        F.round(dbl("sx") / n / F.lit(100.0), 4).alias("avg_x"),
+        F.round(dbl("sy") / n / F.lit(100.0), 4).alias("avg_y"),
+        F.round(denx / (n * n) / F.lit(10000.0), 4).alias("var_x"),
+        (F.round(num / (n * n) / F.lit(10000.0), 4) + F.lit(0.0))
+        .alias("cov_xy"),
     )
 
 
 ORACLE_REGR_CONFORMANCE = """
+    WITH s AS (
+        SELECT l_returnflag, count(*) AS cnt,
+               sum(CAST(floor(l_quantity * 100) AS HUGEINT)) AS sx,
+               sum(CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS sy,
+               sum(CAST(floor(l_quantity * 100) AS HUGEINT)
+                   * CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+               sum(CAST(floor(l_quantity * 100) AS HUGEINT)
+                   * CAST(floor(l_quantity * 100) AS HUGEINT)) AS sxx,
+               sum(CAST(floor(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+        SELECT l_returnflag, cnt,
+               CAST(cnt AS DOUBLE) AS n,
+               CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+               CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        FROM s
+    )
     SELECT l_returnflag,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS regr_n,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icpt,
-           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
-           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y,
-           round(regr_sxx(l_extendedprice, l_quantity)
-                 / regr_count(l_extendedprice, l_quantity), 4) AS var_x,
-           round(regr_sxy(l_extendedprice, l_quantity)
-                 / regr_count(l_extendedprice, l_quantity), 4) + 0.0 AS cov_xy
-    FROM lineitem
-    GROUP BY l_returnflag
+           CAST(cnt AS BIGINT) AS regr_n,
+           round(num / denx, 4) AS slope,
+           round((dsy / n - (num / denx) * (dsx / n)) / 100.0, 4) AS icpt,
+           round(num * num / (denx * deny), 6) AS r2,
+           round(dsx / n / 100.0, 4) AS avg_x,
+           round(dsy / n / 100.0, 4) AS avg_y,
+           round(denx / (n * n) / 10000.0, 4) AS var_x,
+           round(num / (n * n) / 10000.0, 4) + 0.0 AS cov_xy
+    FROM m
 """
 
 
@@ -2732,12 +2820,40 @@ ORACLES = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "stats_agg": """
-        SELECT l_returnflag, count(*) AS cnt,
-               round(stddev_samp(l_quantity), 4) AS sd_qty,
-               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-               round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax
-        FROM lineitem
-        GROUP BY l_returnflag
+        WITH s AS (
+            SELECT l_returnflag, count(*) AS cnt,
+                   sum(CAST(floor(l_quantity * 100) AS HUGEINT)) AS sq,
+                   sum(CAST(floor(l_quantity * 100) AS HUGEINT)
+                       * CAST(floor(l_quantity * 100) AS HUGEINT)) AS sqq,
+                   sum(CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS sp,
+                   sum(CAST(floor(l_extendedprice * 100) AS HUGEINT)
+                       * CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS spp,
+                   sum(CAST(floor(l_quantity * 100) AS HUGEINT)
+                       * CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS sqp,
+                   sum(CAST(floor(l_discount * 100) AS HUGEINT)) AS sd,
+                   sum(CAST(floor(l_tax * 100) AS HUGEINT)) AS st,
+                   sum(CAST(floor(l_discount * 100) AS HUGEINT)
+                       * CAST(floor(l_tax * 100) AS HUGEINT)) AS sdt
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, cnt,
+               round(sqrt((CAST(cnt AS DOUBLE) * CAST(sqq AS DOUBLE)
+                           - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                          / (CAST(cnt AS DOUBLE)
+                             * (CAST(cnt AS DOUBLE) - 1.0)))
+                     / 100.0, 4) AS sd_qty,
+               round((CAST(cnt AS DOUBLE) * CAST(sqp AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                     / sqrt((CAST(cnt AS DOUBLE) * CAST(sqq AS DOUBLE)
+                             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                            * (CAST(cnt AS DOUBLE) * CAST(spp AS DOUBLE)
+                               - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+                     4) AS corr_qty_price,
+               round((CAST(cnt AS DOUBLE) * CAST(sdt AS DOUBLE)
+                      - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+                     / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0))
+                     / 10000.0, 6) + 0.0 AS cov_disc_tax
+        FROM s
     """,
     "tpch_q6": """
         SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))

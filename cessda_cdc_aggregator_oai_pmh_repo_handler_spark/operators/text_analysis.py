@@ -593,8 +593,17 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     w = Window.partitionBy("source")
-    z = ((F.col("n_chars") - F.avg("n_chars").over(w))
-         / F.stddev_samp("n_chars").over(w))
+    # exact integer sufficient statistics over the window frame (n, Σx,
+    # Σx² in DECIMAL) + single-shot double math — a windowed
+    # stddev_samp(double) folds moments in row-arrival order within the
+    # frame, the same merge-order flake class the r5/r6 gate hit
+    x = F.col("n_chars").cast("decimal(19,0)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sxx = F.sum(x * x).over(w).cast("double")
+    xd = F.col("n_chars").cast("double")
+    z = ((xd - sx / n)
+         / F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))))
     return (
         d.select("doc_id", "source", F.round(z, 3).alias("z"))
         .filter(F.col("doc_id") < 100)
@@ -2344,11 +2353,20 @@ ORACLES = {
     # implementation-specific); the driver records the weaker rows-only check
     "zscore_normalize": """
         SELECT doc_id, source,
-               round((n_chars - avg(n_chars) OVER w)
-                     / stddev_samp(n_chars) OVER w, 3) AS z
-        FROM documents
-        WINDOW w AS (PARTITION BY source)
-        QUALIFY doc_id < 100
+               round((CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                     / sqrt((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            / (n * (n - 1.0))), 3) AS z
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(count(*) OVER w AS DOUBLE) AS n,
+                   sum(CAST(n_chars AS HUGEINT)) OVER w AS sx,
+                   sum(CAST(n_chars AS HUGEINT)
+                       * CAST(n_chars AS HUGEINT)) OVER w AS sxx
+            FROM documents
+            WINDOW w AS (PARTITION BY source)
+        )
+        WHERE doc_id < 100
     """,
     "quality_filter_pipeline": f"""
         SELECT source,

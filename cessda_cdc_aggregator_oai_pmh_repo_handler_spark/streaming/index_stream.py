@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import BM25_MAX_DF_FRAC, bm25_score_expr
+from ..operators.ann import BM25_MAX_DF_FRAC, bm25_sum_expr
 
 POSTINGS = "postings"
 DOCLENS = "doclens"
@@ -164,7 +164,7 @@ def bm25_query(spark: SparkSession, index_path: str, query_terms,
         probed
         .join(doclens, "doc_id")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(bm25_score_expr()), 4).alias("bm25"),
+        .agg(bm25_sum_expr().alias("bm25"),
              F.count(F.lit(1)).alias("matched_terms"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(top_k)

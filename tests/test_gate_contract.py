@@ -77,6 +77,67 @@ def test_lazy_oracle_is_memoized_and_matches_gate_key():
     assert "VALUES" in first["multimodal_features"]
 
 
+_BANNED_MOMENT_FNS = {
+    # double moment sketches whose partial merges are shuffle-order
+    # dependent: round(·, k) only *usually* absorbs the ulps — the r5/r6
+    # sql_surface_suite gate flake. Hashed statistics must come from exact
+    # integer/DECIMAL sufficient statistics with single-shot float at the
+    # end (the acf_lag / ridge_regression pattern).
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp",
+    "corr", "covar_samp", "covar_pop", "skewness", "kurtosis",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_avgx", "regr_avgy",
+    "regr_sxx", "regr_sxy", "regr_syy", "regr_count",
+}
+
+# (module, fn): moment calls that do NOT feed a hashed metric
+_MOMENT_ALLOWLIST = {
+    # pca: var_pop feeds a 1e-6-tolerance boolean indicator, not a raw
+    # hashed value
+    ("clustering.py", "var_pop"),
+}
+
+
+def test_no_merge_order_sensitive_moments_in_operators():
+    """The exactness-sweep contract (r6 verdict #1): no operator module may
+    call a double moment-sketch aggregate — AST walk, so docstrings and
+    comments don't false-positive."""
+    import ast
+    import pathlib
+
+    opdir = pathlib.Path(
+        "/root/repo/cessda_cdc_aggregator_oai_pmh_repo_handler_spark/operators")
+    offenders = []
+    for path in sorted(opdir.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and (
+                    node.attr in _BANNED_MOMENT_FNS
+                    or node.attr == "var_pop"):
+                if (path.name, node.attr) in _MOMENT_ALLOWLIST:
+                    continue
+                offenders.append(f"{path.name}:{node.lineno} F.{node.attr}")
+    assert not offenders, offenders
+
+
+def test_no_float_sum_in_hashed_inertia_or_oracles():
+    """Companion source asserts: the kmeans inertia and the stats/regr
+    oracles must accumulate exactly (floor-to-integer before the sum, or
+    HUGEINT/DECIMAL sums), never round(sum(double))."""
+    import pathlib
+
+    base = pathlib.Path(
+        "/root/repo/cessda_cdc_aggregator_oai_pmh_repo_handler_spark/operators")
+    clustering = (base / "clustering.py").read_text()
+    assert 'F.round(F.sum("dist_sq"' not in clustering
+    assert "round(sum(dist)" not in clustering
+    rel = (base / "relational_ext.py").read_text()
+    for banned in ("round(stddev_samp", "round(corr(", "round(covar_samp",
+                   "round(regr_"):
+        assert banned not in rel, banned
+    ta = (base / "text_analysis.py").read_text()
+    assert "stddev_samp(n_chars) OVER" not in ta
+
+
 def test_entry_smoke_runs_flagship(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
