@@ -138,6 +138,40 @@ def test_no_float_sum_in_hashed_inertia_or_oracles():
     assert "stddev_samp(n_chars) OVER" not in ta
 
 
+def test_suite_roster_is_canonical_and_complete():
+    """r6 verdict #2: the per-sub-op hash sidecar must see every sub-op a
+    suite ships. SUITE_SUBS is the single structure both the suite queries
+    and tools/suite_hashes.py derive from; ops must be globally unique and
+    the once-invisible approx_distinct must be in the roster."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import suites
+
+    assert set(suites.QUERIES) == set(suites.SUITE_SUBS)
+    assert set(suites.ORACLES) == set(suites.SUITE_SUBS)
+    all_ops = [s.op for subs in suites.SUITE_SUBS.values() for s in subs]
+    assert len(all_ops) == len(set(all_ops)), "duplicate sub-op names"
+    corpus_ops = {s.op for s in suites.SUITE_SUBS["corpus_stats_suite"]}
+    assert "approx_distinct" in corpus_ops
+
+    import tools.suite_hashes as sh
+    assert sh.SUITES is suites.SUITE_SUBS
+
+
+def test_pre_long_sub_emits_long_schema(spark):
+    """A pre_long Sub's fn must already produce the (op, k, metric, value)
+    long format, and its op tags must all equal its roster name — the
+    invariant that lets _spark_long/_oracle_long pass it through."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import suites
+
+    pre = [s for subs in suites.SUITE_SUBS.values() for s in subs if s.pre_long]
+    assert pre, "approx_distinct should be a pre_long Sub"
+    for s in pre:
+        df = suites._spark_long(s.fn(spark, "/root/testdata/sf0.001"), s)
+        assert df.columns == ["op", "k", "metric", "value"]
+        rows = df.collect()
+        assert rows and all(r["op"] == s.op for r in rows)
+        assert {r["metric"] for r in rows} == set(s.values)
+
+
 def test_entry_smoke_runs_flagship(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
