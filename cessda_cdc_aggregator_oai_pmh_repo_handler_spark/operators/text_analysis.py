@@ -1673,6 +1673,54 @@ def _textrank_oracle(iters: int = TR_ITERS) -> str:
     """
 
 
+GLOBAL_RANK_BUCKETS = 4096
+
+
+def bucketed_global_rank(df: DataFrame, value_col: str,
+                         tiebreak_cols: tuple[str, ...],
+                         out_col: str) -> DataFrame:
+    """Global 1-based position by (value_col, *tiebreak_cols) WITHOUT a
+    corpus-wide sort — the mergeable-summary scale path (r6 verdict #3)
+    replacing ``row_number() OVER (ORDER BY …)``, whose plan is an
+    Exchange SinglePartition at any size:
+
+    - range-bucket the integer value into ≤GLOBAL_RANK_BUCKETS buckets
+      (bucketing is monotone in the value, so bucket order == value
+      order and ties always share a bucket),
+    - row_number WITHIN each bucket in parallel (one hash exchange),
+    - add each bucket's starting offset — an exclusive prefix sum over
+      the ≤4096-row bucket-count relation, folded on the driver (a K-row
+      manifest op like the k-means partial merge, never corpus-sized).
+
+    Positions are bit-identical to the global window's, so swapping this
+    in changes no hashes. Two tiny eager jobs (bounds + bucket counts)
+    run at build time; both reduce before they collect."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    bounds = df.agg(F.min(value_col).alias("lo"),
+                    F.max(value_col).alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo + GLOBAL_RANK_BUCKETS) // GLOBAL_RANK_BUCKETS)
+    d2 = df.withColumn("_grk_bkt", F.expr(
+        f"CAST((`{value_col}` - {lo}) div {width} AS BIGINT)"))
+    counts = sorted(
+        (r["_grk_bkt"], r["c"])
+        for r in d2.groupBy("_grk_bkt")
+                   .agg(F.count(F.lit(1)).alias("c")).collect())
+    offs, acc = [], 0
+    for b, c in counts:
+        offs.append((b, acc))
+        acc += c
+    off_df = spark.createDataFrame(offs, "_grk_bkt bigint, _grk_off bigint")
+    w = Window.partitionBy("_grk_bkt").orderBy(value_col, *tiebreak_cols)
+    return (d2.join(F.broadcast(off_df), "_grk_bkt")
+            .withColumn(out_col, F.row_number().over(w) + F.col("_grk_off"))
+            .drop("_grk_bkt", "_grk_off"))
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source QUANTILE NORMALIZATION (the batch-effect correction
     genomics/recsys pipelines run before mixing sources): every document's
@@ -1681,11 +1729,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer form — within-source rank rₙ of n_chars, target index
     ⌈rₙ·N/n_s⌉ by integer ceiling division, one equi-join into the
     globally ranked relation — no float appears anywhere, so the per-
-    source rollup hashes exact integers. The global row_number is a
-    corpus-wide sort: the honest cost of exact quantile mapping (the
-    100 TB path swaps in mergeable quantile summaries, quantile_merge's
-    machinery, trading exactness for scale). Verified per source: doc
-    count, Σ mapped value, min/max mapped."""
+    source rollup hashes exact integers. The global positions come from
+    ``bucketed_global_rank`` (range buckets + parallel within-bucket
+    windows + driver-folded K-row offsets), so no corpus-wide sort and
+    no Exchange SinglePartition appears in the plan (asserted in
+    test_plans). Verified per source: doc count, Σ mapped value, min/max
+    mapped."""
     from pyspark.sql import Window
 
     d = load_table(spark, "documents", sf_dir).select(
@@ -1694,9 +1743,9 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (d.withColumn("rn", F.row_number().over(w_src))
               .withColumn("n_s", F.count(F.lit(1)).over(
                   Window.partitionBy("source"))))
-    g = d.select(
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gi"),
-        F.col("n_chars").alias("gval"))
+    g = bucketed_global_rank(
+        d.select("n_chars", "doc_id"), "n_chars", ("doc_id",), "gi"
+    ).select("gi", F.col("n_chars").alias("gval"))
     total = d.agg(F.count(F.lit(1)).alias("n_total"))
     mapped = (
         ranked.crossJoin(F.broadcast(total))
@@ -1730,17 +1779,14 @@ def q_bootstrap_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement — where a purely affine map mod n would be a bijection),
     so both engines materialize the IDENTICAL BOOT_B resamples. Each
     resample's Σ n_chars is an exact BIGINT; the mean is one single-shot
-    division. Shape: one global rank window defines positions, the draw
-    relation fans out B× and equi-joins back on the drawn index — at
-    100 TB the fan-out is per-partition (positions within shards) and
-    the rank window swaps to the mergeable-summary mapping, same as
-    quantile_normalize's scale path."""
-    from pyspark.sql import Window
-
+    division. Shape: ``bucketed_global_rank`` defines the 0-based draw
+    positions without a corpus-wide sort (range buckets + parallel
+    within-bucket windows + driver-folded K-row offsets — no Exchange
+    SinglePartition in the plan, asserted in test_plans); the draw
+    relation fans out B× and equi-joins back on the drawn index."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
-    ranked = d.select(
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
-        "n_chars")
+    ranked = bucketed_global_rank(d, "doc_id", (), "_pos").select(
+        (F.col("_pos") - 1).alias("rn"), "n_chars")
     n = d.agg(F.count(F.lit(1)).alias("n"))
     draws = (
         ranked.select(F.col("rn").alias("i"))

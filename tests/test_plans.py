@@ -445,3 +445,49 @@ def test_topk_per_group_window_group_limit(spark):
     plan = plan_of(arrays.q_topk_per_group(spark, SF))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window nodes whose spec has an ORDER BY but no PARTITION BY — an
+    Exchange SinglePartition at any scale. Physical text shows partitioned
+    windows as `Window [exprs], [parts], [order]` (two `], [` separators)
+    and global ordered ones as `Window [exprs], [order]` (one)."""
+    return [ln for ln in plan.splitlines()
+            if "Window [" in ln and ("ASC" in ln or "DESC" in ln)
+            and ln.count("], [") < 2]
+
+
+def test_global_rank_ops_have_no_single_partition_window(spark):
+    """r6 verdict #3: bootstrap_resample / quantile_normalize ranked the
+    corpus with an unpartitioned row_number/rank — a single-task sort at
+    100 TB. Both now go through bucketed_global_rank (range buckets +
+    parallel within-bucket windows + driver-folded K-row offsets); their
+    plans must contain no globally-ordered Window node."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        text_analysis as TA,
+    )
+
+    for q in (TA.q_bootstrap_resample, TA.q_quantile_normalize):
+        bad = _global_windows(plan_of(q(spark, SF)))
+        assert not bad, (q.__name__, bad)
+
+
+def test_bucketed_global_rank_matches_global_window(spark):
+    """Positions from the mergeable path must be bit-identical to
+    row_number() OVER (ORDER BY value, tiebreak) — including duplicate
+    values crossing bucket boundaries."""
+    from pyspark.sql import Window, functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis import (
+        bucketed_global_rank,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37).alias("v"))  # heavy ties across bucket edges
+    got = {(r["doc_id"], r["pos"]) for r in
+           bucketed_global_rank(df, "v", ("doc_id",), "pos").collect()}
+    want = {(r["doc_id"], r["pos"]) for r in df.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy("v", "doc_id")).alias("pos")).collect()}
+    assert got == want

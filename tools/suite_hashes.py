@@ -18,10 +18,18 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+SF_DIR = "/root/testdata/sf0.01"
+ONLY: set[str] = set()
 
-os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+# argv/env handling only under __main__ so importing this module (tests,
+# the auto-drill) has no side effects; the env export must precede the
+# entry-module import chain because corpus-dependent literal oracles
+# (e.g. the BPE merge table) are built at import time for that sf_dir.
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        SF_DIR = sys.argv[1]
+    ONLY = set(sys.argv[2:])
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 import duckdb  # noqa: E402
 

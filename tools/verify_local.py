@@ -20,7 +20,9 @@ if len(sys.argv) > 1:
 import duckdb
 
 import __spark_entry__ as entrymod
+from tools.drill import drill_suite
 from tools.hashing import norm_cell, value_hash
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.suites import SUITE_SUBS
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.session import build_session
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import TABLES
 
@@ -70,6 +72,16 @@ def main():
                 problems.append(f"  spark-only: {x}")
             for x in list(dset - sset)[:3]:
                 problems.append(f"  duck-only:  {x}")
+            # auto-drill: a suite row folds many sub-ops — re-hash each in
+            # THIS session so the failure names the culprit sub-op(s)
+            culprits = drill_suite(spark, con, name, sf_dir)
+            if culprits:
+                problems.append("  culprit sub-ops: " + ", ".join(
+                    c["op"] for c in culprits))
+            elif name in SUITE_SUBS:
+                problems.append(
+                    "  drill: every sub-op re-matched individually "
+                    "(flake signature — mismatch not reproducible in-session)")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
