@@ -1002,8 +1002,12 @@ def q_acf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = nd * dbl("sxy") - dbl("sx") * dbl("sy")
     den = F.sqrt((nd * dbl("sxx") - dbl("sx") * dbl("sx"))
                  * (nd * dbl("syy") - dbl("sy") * dbl("sy")))
+    # zero-den guard: on a constant series Spark's Divide yields NULL but
+    # DuckDB double division can yield Inf/NaN (ieee_floating_point_ops) —
+    # pin NULL explicitly on both engines (oracle mirrors NULLIF(den, 0))
     return agg.select("event_type", "lag", "n",
-                      F.round(num / den, 6).alias("acf"))
+                      F.when(den != F.lit(0.0), F.round(num / den, 6))
+                      .alias("acf"))
 
 
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,8 +1033,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.sum("x").over(wall))
         .withColumn("n", F.count(F.lit(1)).over(wall))
     )
-    s = (F.col("n").cast("decimal(12,0)") * F.col("prefix")
-         - F.col("t").cast("decimal(12,0)") * F.col("total"))
+    # DECIMAL(38,0) multipliers — a narrower cast silently nulls on
+    # overflow under non-ANSI Spark while the HUGEINT oracle stays exact
+    s = (F.col("n").cast("decimal(38,0)") * F.col("prefix")
+         - F.col("t").cast("decimal(38,0)") * F.col("total"))
     d = d.withColumn("s_abs", F.abs(s))
     pick = Window.partitionBy("event_type").orderBy(
         F.desc("s_abs"), F.asc("t"))
@@ -1083,12 +1089,16 @@ def q_anomaly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
               * F.col("x").cast("decimal(19,0)")).alias("sxx"),
     )
     j = e.join(F.broadcast(stats), "event_type")
-    diff = (F.col("n").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
-            - F.col("sx").cast("decimal(19,0)")).cast("decimal(19,0)")
+    # DECIMAL(38,0) intermediates: under non-ANSI Spark a narrower DECIMAL
+    # would overflow to NULL silently (flag reads 'not anomalous') while
+    # the HUGEINT oracle stays exact — |diff| < 1e19 keeps diff² inside
+    # 38 digits at any realistic corpus
+    diff = (F.col("n").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            - F.col("sx").cast("decimal(38,0)"))
     lhs = diff * diff
-    rhs = ((F.col("n") * 9).cast("decimal(13,0)") * F.col("sxx")
-           - (F.col("sx") * 3).cast("decimal(19,0)")
-           * (F.col("sx") * 3).cast("decimal(19,0)"))
+    rhs = ((F.col("n") * 9).cast("decimal(38,0)") * F.col("sxx")
+           - (F.col("sx").cast("decimal(38,0)") * 3)
+           * (F.col("sx").cast("decimal(38,0)") * 3))
     flag = lhs > rhs
     return (
         j.select("event_type", "event_id", "n", flag.alias("flag"))
@@ -1349,8 +1359,12 @@ ORACLES = {
                last_value(v IGNORE NULLS) OVER frame AS lv,
                nth_value(v, 2 IGNORE NULLS) OVER frame AS n2,
                lag(v, 2, -1) OVER w AS lg,
+               -- explicit 'NULLS LAST': DuckDB's list() OVER keeps NULLs
+               -- (Spark's collect_list drops them) and indexing past the
+               -- non-null count is only safe if nulls sort AFTER values —
+               -- pin it rather than inherit default_null_order
                CASE WHEN count(v) OVER frame > 0 THEN
-                   list_sort(list(v) OVER frame)[
+                   list_sort(list(v) OVER frame, 'ASC', 'NULLS LAST')[
                        (count(v) OVER frame + 1) // 2]
                END AS mm,
                count(v) OVER frame AS cnt
@@ -1444,11 +1458,11 @@ ORACLES = {
         SELECT event_type, lag, n,
                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                     6) AS acf
+                            0), 6) AS acf
         FROM agg
     """,
     "cusum_changepoint": """

@@ -59,18 +59,27 @@ def packbits_encode(row: bytes) -> bytes:
 
 
 def packbits_decode(data: bytes, expect: int) -> bytes:
-    """Inverse of packbits_encode; stops after ``expect`` output bytes."""
+    """Inverse of packbits_encode; stops after ``expect`` output bytes.
+    Truncated/corrupt input raises NotImplementedError — the decode
+    path's uniform error contract — never a bare IndexError."""
     out = bytearray()
     i = 0
+    n = len(data)
     while len(out) < expect:
+        if i >= n:
+            raise NotImplementedError("PackBits stream truncated")
         c = data[i]
         i += 1
         if c == 128:  # no-op
             continue
         if c < 128:
+            if i + c + 1 > n:
+                raise NotImplementedError("PackBits stream truncated")
             out += data[i:i + c + 1]
             i += c + 1
         else:
+            if i >= n:
+                raise NotImplementedError("PackBits stream truncated")
             out += bytes((data[i],)) * (257 - c)
             i += 1
     if len(out) != expect:

@@ -114,3 +114,14 @@ def test_tiff_roundtrip_property():
         assert pix == [p for row in img for p in row]
 
     check()
+
+
+def test_packbits_truncated_stream_raises_contract_error():
+    """Corrupt/truncated PackBits input must raise the decode path's
+    uniform NotImplementedError, never a bare IndexError."""
+    import pytest
+
+    full = tiff.packbits_encode(b"abcabcabc" + b"x" * 20)
+    for cut in (0, 1, len(full) // 2, len(full) - 1):
+        with pytest.raises(NotImplementedError, match="truncated"):
+            tiff.packbits_decode(full[:cut], 29)
