@@ -290,16 +290,31 @@ class OAIQueryPlanner:
             .select("aggregator_identifier").limit(1).take(1)
         )
 
+    def _list_relation(self, vt_version: int | None) -> DataFrame:
+        """The corpus relation a list walk reads. VT-backed corpora
+        time-travel to the version pinned in the resumption token (the
+        'VERSION AS OF' idiom, SURVEY §2.5 O2): concurrent merges publish
+        NEW manifest versions and never mutate the pinned one's files, so
+        page N+1 provably reads the same snapshot page 1 did — stronger
+        than the timestamp bound alone, under which an updated record
+        silently drifts out of the open list."""
+        if self.vt_path is not None and vt_version is not None:
+            from ..sources import versioned_table as VT
+
+            return VT.read(self.studies.sparkSession, self.vt_path,
+                           version=vt_version)
+        return self.studies
+
     def _list_base(self, metadata_prefix: str, set_spec: str | None,
                    from_ts: str | None, until_ts: str | None,
-                   snapshot_ts: str) -> DataFrame:
+                   snapshot_ts: str, vt_version: int | None = None) -> DataFrame:
         cond = (
             P.snapshot_bound(snapshot_ts)
             & self.set_filter(set_spec)
             & self.validity_filter(metadata_prefix)
             & P.datestamp_range(from_ts, until_ts)
         )
-        return self.studies.filter(cond)
+        return self._list_relation(vt_version).filter(cond)
 
     def list_page(self, metadata_prefix: str | None = None,
                   set_spec: str | None = None,
@@ -315,16 +330,20 @@ class OAIQueryPlanner:
                 tok.metadata_prefix, tok.set_spec, tok.from_ts, tok.until_ts)
             snapshot_ts, cursor, total, last_key = (
                 tok.snapshot_ts, tok.cursor, tok.complete_list_size, tok.last_key)
+            vt_version = tok.vt_version
         else:
             if request_ts is None:
                 raise ValueError("request_ts required for the first page")
             if metadata_prefix is None:
                 raise ValueError("metadata_prefix required for the first page")
             snapshot_ts, cursor, total, last_key = request_ts, 0, -1, None
+            # pin the VT snapshot at token birth (planner-birth version):
+            # every subsequent page time-travels to it
+            vt_version = self.vt_version if self.vt_path is not None else None
         qh = query_hash(metadata_prefix, set_spec, from_ts, until_ts)
 
         base = self._list_base(metadata_prefix, set_spec, from_ts, until_ts,
-                               snapshot_ts)
+                               snapshot_ts, vt_version)
         if total < 0:
             total = base.count()
         page = base
@@ -348,6 +367,7 @@ class OAIQueryPlanner:
             set_spec=set_spec, from_ts=from_ts, until_ts=until_ts,
             last_key="\x00",  # placeholder; facade fills the real last key
             # from the collected page rows
+            vt_version=vt_version,
         ) if more else None
         return Page(df=page, token=next_token, complete_list_size=total, cursor=cursor)
 

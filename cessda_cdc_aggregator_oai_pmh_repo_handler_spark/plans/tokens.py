@@ -38,12 +38,18 @@ class ResumptionToken:
     last_key: str | None = None  # keyset-pagination watermark (scale path):
                                  # next page = WHERE key > last_key, a pushed-down
                                  # range scan instead of a global window
+    vt_version: int | None = None  # versioned-table snapshot pinned at token
+                                   # birth (the 'VERSION AS OF' idiom): resumed
+                                   # pages time-travel to THIS version, so a
+                                   # concurrent merge between pages cannot
+                                   # shear the walk
 
     def encode(self) -> str:
         payload = json.dumps(
             {"q": self.query_hash, "c": self.cursor, "n": self.complete_list_size,
              "t": self.snapshot_ts, "p": self.metadata_prefix, "s": self.set_spec,
-             "f": self.from_ts, "u": self.until_ts, "k": self.last_key},
+             "f": self.from_ts, "u": self.until_ts, "k": self.last_key,
+             "v": self.vt_version},
             separators=(",", ":"), sort_keys=True,
         )
         return base64.urlsafe_b64encode(payload.encode()).decode()
@@ -52,11 +58,13 @@ class ResumptionToken:
     def decode(cls, token: str) -> "ResumptionToken":
         try:
             payload = json.loads(base64.urlsafe_b64decode(token.encode()))
+            vt_v = payload.get("v")
             tok = cls(query_hash=payload["q"], cursor=int(payload["c"]),
                       complete_list_size=int(payload["n"]), snapshot_ts=payload["t"],
                       metadata_prefix=payload["p"], set_spec=payload.get("s"),
                       from_ts=payload.get("f"), until_ts=payload.get("u"),
-                      last_key=payload.get("k"))
+                      last_key=payload.get("k"),
+                      vt_version=int(vt_v) if vt_v is not None else None)
         except (binascii.Error, json.JSONDecodeError, KeyError, ValueError, TypeError) as exc:
             raise BadResumptionToken(f"cannot decode token: {token!r}") from exc
         if tok.query_hash != query_hash(tok.metadata_prefix, tok.set_spec,
