@@ -1266,10 +1266,51 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n", F.round("ewma", 6).alias("ewma"))
 
 
+HW_A, HW_B = 0.3, 0.7   # level smoothing α / 1−α — literal on both engines
+HW_G, HW_D = 0.1, 0.9   # trend smoothing γ / 1−γ
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + linear trend) per user
+    series — the trend-aware big sibling of ewma_smooth and the same
+    canonical applyInPandas stateful fold: level_t = α·x_t +
+    (1−α)·(level+trend), trend_t = γ·(level_t − level_{t−1}) + (1−γ)·trend.
+    Init: level = x₁, trend = 0. The DuckDB oracle replays the identical
+    recursion as a WITH RECURSIVE walk with the same literal coefficients
+    and expression shapes, so the doubles agree bit for bit before the
+    final rounding; the one-step forecast rounds the unrounded level+trend
+    on both engines. Scale = number of series, state = two scalars/key."""
+    import pandas as pd
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value")
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy()
+        lvl, tr = float(xs[0]), 0.0
+        for x in xs[1:]:
+            prev = lvl
+            lvl = HW_A * float(x) + HW_B * (lvl + tr)
+            tr = HW_G * (lvl - prev) + HW_D * tr
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "n": [len(pdf)], "level": [lvl],
+                             "trend": [tr], "fcst": [lvl + tr]})
+
+    out = e.groupBy("user_id").applyInPandas(
+        fold, "user_id bigint, n bigint, level double, trend double, "
+              "fcst double")
+    return out.select("user_id", "n",
+                      F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"),
+                      F.round("fcst", 6).alias("fcst"))
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
+    "holt_winters": q_holt_winters,
     "robust_stats": q_robust_stats,
     "window_value_fns": q_window_value_fns,
     "ab_test_analysis": q_ab_test_analysis,
@@ -1426,6 +1467,29 @@ ORACLES = {
                  ON q.user_id = w.user_id AND q.rn = w.rn + 1
         )
         SELECT user_id, n, round(s, 6) AS ewma
+        FROM walk WHERE rn = n
+    """,
+    "holt_winters": f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        walk AS (
+            SELECT user_id, rn, n, value AS lvl, CAST(0.0 AS DOUBLE) AS tr
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT q.user_id, q.rn, q.n,
+                   {HW_A} * q.value + {HW_B} * (w.lvl + w.tr),
+                   {HW_G} * (({HW_A} * q.value + {HW_B} * (w.lvl + w.tr))
+                             - w.lvl) + {HW_D} * w.tr
+            FROM walk w JOIN seq q
+                 ON q.user_id = w.user_id AND q.rn = w.rn + 1
+        )
+        SELECT user_id, n, round(lvl, 6) AS level, round(tr, 6) AS trend,
+               round(lvl + tr, 6) AS fcst
         FROM walk WHERE rn = n
     """,
     "acf_lag": """

@@ -658,6 +658,140 @@ ORACLE_REGR_CONFORMANCE = """
 """
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group — the outlier-robust sibling
+    of regr/stats_agg's Pearson: midranks within (l_returnflag) for each
+    variable, then Pearson on the ranks. Exactness discipline throughout:
+    the DOUBLED midrank 2R = 2·rank + ties − 1 is an integer (rank() =
+    min rank, count() over (group, value) = ties), sums fold in
+    DECIMAL(38,0), and the correlation is one single-shot double. Ranks
+    come from value-deterministic window functions (rank/count), never
+    row_number, so arrival order cannot leak in. Windows partition on the
+    GROUP key; at 100 TB a per-group bucketed_global_rank (text_analysis)
+    replaces them — same integers, no fat-key sort."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    d = li.select(
+        "l_returnflag",
+        _cents("l_quantity").alias("q"),
+        _cents("l_extendedprice").alias("p"),
+    )
+
+    def r2(col: str):
+        wr = Window.partitionBy("l_returnflag").orderBy(col)
+        wt = Window.partitionBy("l_returnflag", col)
+        return (F.lit(2) * F.rank().over(wr)
+                + F.count(F.lit(1)).over(wt) - 1).cast("decimal(19,0)")
+
+    d = d.withColumn("rq", r2("q")).withColumn("rp", r2("p"))
+    agg = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq").alias("sq"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sqq"),
+        F.sum("rp").alias("sp"),
+        F.sum(F.col("rp") * F.col("rp")).alias("spp"),
+        F.sum(F.col("rq") * F.col("rp")).alias("sqp"),
+    )
+    nd = F.col("n").cast("double")
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    corr = ((nd * dbl("sqp") - dbl("sq") * dbl("sp"))
+            / F.sqrt((nd * dbl("sqq") - dbl("sq") * dbl("sq"))
+                     * (nd * dbl("spp") - dbl("sp") * dbl("sp"))))
+    return agg.select("l_returnflag", F.col("n").cast("long").alias("n"),
+                      F.round(corr, 4).alias("spearman"))
+
+
+ORACLE_SPEARMAN_CORR = """
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag,
+               2 * rank() OVER (PARTITION BY l_returnflag ORDER BY q)
+                   + count(*) OVER (PARTITION BY l_returnflag, q) - 1 AS rq,
+               2 * rank() OVER (PARTITION BY l_returnflag ORDER BY p)
+                   + count(*) OVER (PARTITION BY l_returnflag, p) - 1 AS rp
+        FROM d
+    ),
+    agg AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(rq AS HUGEINT)) AS sq,
+               sum(CAST(rq AS HUGEINT) * rq) AS sqq,
+               sum(CAST(rp AS HUGEINT)) AS sp,
+               sum(CAST(rp AS HUGEINT) * rp) AS spp,
+               sum(CAST(rq AS HUGEINT) * rp) AS sqp
+        FROM r GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+                 4) AS spearman
+    FROM agg
+"""
+
+
+EDIT_PREFIX_CHARS = 24
+EDIT_CAP = 10
+
+
+def q_edit_distance_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in Levenshtein conformance over real corpus text: each
+    document's leading EDIT_PREFIX_CHARS chars against its successor's
+    within the source (one partitioned lead window), verified
+    value-for-value against DuckDB's levenshtein — both are the classic
+    unit-cost edit distance, so every output is an exact integer. The
+    capped variant mirrors Spark's threshold form (distance > cap → −1),
+    the cheap screen a fuzzy-dedup pass runs before the full DP."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source",
+        F.substring("text", 1, EDIT_PREFIX_CHARS).alias("s24"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = (d.withColumn("nxt", F.lead("s24").over(w))
+         .filter(F.col("nxt").isNotNull()))
+    lev = F.levenshtein("s24", "nxt")
+    return d.select(
+        "doc_id", "source",
+        lev.cast("long").alias("lev"),
+        F.when(lev <= EDIT_CAP, lev).otherwise(F.lit(-1))
+        .cast("long").alias("lev_capped"),
+        F.length("s24").cast("long").alias("len_a"),
+    )
+
+
+ORACLE_EDIT_DISTANCE = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               substring(text, 1, {EDIT_PREFIX_CHARS}) AS s24
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, source, s24,
+               lead(s24) OVER (PARTITION BY source ORDER BY doc_id) AS nxt
+        FROM d
+    )
+    SELECT doc_id, source,
+           CAST(levenshtein(s24, nxt) AS BIGINT) AS lev,
+           CAST(CASE WHEN levenshtein(s24, nxt) <= {EDIT_CAP}
+                     THEN levenshtein(s24, nxt) ELSE -1 END
+                AS BIGINT) AS lev_capped,
+           CAST(length(s24) AS BIGINT) AS len_a
+    FROM x WHERE nxt IS NOT NULL
+"""
+
+
 RIDGE_LAMBDA = 1.0   # L2 penalty on the non-intercept coefficients
 
 
@@ -2388,6 +2522,8 @@ ORACLES = {
     "pandas_udaf": ORACLE_PANDAS_UDAF,
     "unicode_normalize": _unicode_oracle(),
     "regr_conformance": ORACLE_REGR_CONFORMANCE,
+    "spearman_corr": ORACLE_SPEARMAN_CORR,
+    "edit_distance_conformance": ORACLE_EDIT_DISTANCE,
     "ridge_regression": ORACLE_RIDGE_REGRESSION,
     **SQL_TEXTS,
     "tpch_q4": """

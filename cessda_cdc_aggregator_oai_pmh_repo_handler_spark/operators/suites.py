@@ -266,6 +266,9 @@ _TEMPORAL_SUBS = (
     Sub("spatial_sssp", spatial.q_spatial_sssp,
         spatial.ORACLES["spatial_sssp"],
         (("node", "str"),), ("d",)),
+    Sub("holt_winters", arrays.q_holt_winters,
+        arrays.ORACLES["holt_winters"],
+        (("user_id", "str"),), ("n", "level", "trend", "fcst")),
 )
 
 _CORPUS_SUBS = (
@@ -445,6 +448,18 @@ _CORPUS_SUBS = (
     Sub("approx_distinct", _q_approx_distinct_long, _APPROX_DISTINCT_SQL,
         (), ("exact_parts", "exact_orders", "approx_parts_ok",
              "approx_orders_ok"), pre_long=True),
+    Sub("bootstrap_ci", text_analysis.q_bootstrap_ci,
+        text_analysis.ORACLES["bootstrap_ci"],
+        (), ("b_count", "total_draws", "grand_mean", "se", "ci_lo", "ci_hi")),
+    Sub("welch_ttest", text_analysis.q_welch_ttest,
+        text_analysis.ORACLES["welch_ttest"],
+        (("src_a", "str"), ("src_b", "str")), ("n_a", "n_b", "t", "df")),
+    Sub("mann_whitney", text_analysis.q_mann_whitney,
+        text_analysis.ORACLES["mann_whitney"],
+        (), ("n_a", "n_b", "u2_a", "u2_b", "u_sum_ok", "z")),
+    Sub("gmean_hmean", text_analysis.q_gmean_hmean,
+        text_analysis.ORACLES["gmean_hmean"],
+        (("source", "str"),), ("docs", "gmean", "hmean")),
 )
 
 _TPCH_SUBS = (
@@ -680,6 +695,13 @@ _SQL_SURFACE_SUBS = (
         relational_ext.ORACLES["itemcf_recommend"],
         (("item", "str"), ("rn", "str"), ("rec", "str")),
         ("co", "n_a", "n_b", "cosine")),
+    Sub("spearman_corr", relational_ext.q_spearman_corr,
+        relational_ext.ORACLES["spearman_corr"],
+        (("l_returnflag", "str"),), ("n", "spearman")),
+    Sub("edit_distance_conformance", relational_ext.q_edit_distance_conformance,
+        relational_ext.ORACLES["edit_distance_conformance"],
+        (("doc_id", "str"), ("source", "str")),
+        ("lev", "lev_capped", "len_a")),
     Sub("tz_conformance", relational_ext.q_tz_conformance,
         relational_ext.ORACLES["tz_conformance"],
         (("event_id", "str"), ("berlin_jan", "str"), ("berlin_jul", "str"),

@@ -1811,6 +1811,191 @@ def q_bootstrap_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap STANDARD ERROR + normal-approximation CI over the corpus
+    mean length — what a data-quality report prints next to its point
+    estimate. Reuses the deterministic quadratic-hash resamples of
+    q_bootstrap_resample; each resample total S_b is an exact integer, so
+    the spread statistics fold exactly: SE of the resample means =
+    sqrt((B·ΣS² − (ΣS)²)/(B·(B−1)))/n from DECIMAL sums with one
+    single-shot double at the end (the de-flake discipline — no float
+    is ever summed). One row: B, grand mean, SE, CI bounds."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    ranked = bucketed_global_rank(d, "doc_id", (), "_pos").select(
+        (F.col("_pos") - 1).alias("rn"), "n_chars")
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        ranked.select(F.col("rn").alias("i"))
+        .crossJoin(F.broadcast(n))
+        .select("i", "n", F.explode(
+            F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"))
+        .select("b", "n", ((F.col("b") * BOOT_MULT_A
+                            + F.col("i") * BOOT_MULT_B
+                            + ((F.col("i") * F.col("i")) % F.col("n"))
+                            * BOOT_MULT_C) % F.col("n"))
+                .alias("rn"))
+    )
+    sums = (
+        draws.join(ranked, "rn")
+        .groupBy("b")
+        .agg(F.max("n").alias("n"),
+             F.sum(F.col("n_chars").cast("decimal(19,0)")).alias("s"))
+    )
+    agg = sums.agg(
+        F.count(F.lit(1)).alias("b_count"),
+        F.max("n").alias("n"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+    )
+    bd = F.col("b_count").cast("double")
+    nd = F.col("n").cast("double")
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    gm = dbl("ss") / bd / nd
+    se = (F.sqrt((bd * dbl("sss") - dbl("ss") * dbl("ss"))
+                 / (bd * (bd - F.lit(1.0)))) / nd)
+    return agg.select(
+        F.col("b_count").cast("long").alias("b_count"),
+        F.col("n").cast("long").alias("total_draws"),
+        F.round(gm, 4).alias("grand_mean"),
+        F.round(se, 6).alias("se"),
+        F.round(gm - F.lit(1.96) * se, 4).alias("ci_lo"),
+        F.round(gm + F.lit(1.96) * se, 4).alias("ci_hi"),
+    )
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between EVERY source pair's document
+    lengths — the significance readout behind "did source X drift from
+    source Y". Per-source sufficient statistics (n, Σx, Σx² in DECIMAL)
+    reduce the corpus to K rows; the K·(K−1)/2 pairs come from a broadcast
+    self-join of that tiny relation (never a corpus-side join); t and the
+    Welch–Satterthwaite df are single-shot doubles from the exact integer
+    sums, written shape-identically in the DuckDB oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    x = F.col("n_chars").cast("decimal(19,0)")
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    a = st.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"),
+                  F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa"))
+    b = st.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"),
+                  F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb"))
+    j = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    va = (na * dbl("sxxa") - dbl("sxa") * dbl("sxa")) / (na * (na - F.lit(1.0)))
+    vb = (nb * dbl("sxxb") - dbl("sxb") * dbl("sxb")) / (nb * (nb - F.lit(1.0)))
+    sea = va / na
+    seb = vb / nb
+    t = (dbl("sxa") / na - dbl("sxb") / nb) / F.sqrt(sea + seb)
+    df = ((sea + seb) * (sea + seb)
+          / (sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))))
+    return j.select(
+        "src_a", "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(t, 4).alias("t"),
+        F.round(df, 2).alias("df"),
+    )
+
+
+MW_SRC_A, MW_SRC_B = "src0", "src1"  # the designated Mann-Whitney pair
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two sources' document
+    lengths — the nonparametric sibling of welch_ttest, fully exact until
+    the final z: midranks are kept DOUBLED (2R = 2·before + ties + 1, an
+    integer), built from the value-histogram relation (distinct n_chars —
+    bounded by physics, never corpus-sized) via a tiny self-join prefix
+    sum, so U·2 for both sides is an exact BIGINT and U₂ₐ + U₂ᵦ = 2nₐnᵦ
+    is asserted as a hashed indicator. The tie-corrected normal z is one
+    single-shot double from integer (nₐ, nᵦ, U₂ₐ, Σ(t³−t)). No window at
+    all — two groupBys and two broadcast joins."""
+    d = (load_table(spark, "documents", sf_dir)
+         .filter(F.col("source").isin(MW_SRC_A, MW_SRC_B))
+         .select("source", "n_chars"))
+    vals = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    before = (
+        vals.alias("v1")
+        .join(F.broadcast(vals.alias("v2")),
+              F.col("v2.n_chars") < F.col("v1.n_chars"), "left")
+        .groupBy(F.col("v1.n_chars").alias("n_chars"),
+                 F.col("v1.c").alias("c"))
+        .agg(F.coalesce(F.sum("v2.c"), F.lit(0)).alias("before"))
+        .select("n_chars", "c",
+                (F.lit(2) * F.col("before") + F.col("c") + 1).alias("r2"))
+    )
+    per_src = (
+        d.join(F.broadcast(before.select("n_chars", "r2")), "n_chars")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("r2").cast("decimal(19,0)")).alias("r2sum"))
+    )
+    ties = vals.agg(F.sum(
+        F.col("c").cast("decimal(19,0)") * F.col("c") * F.col("c")
+        - F.col("c")).alias("tt"))
+    a = per_src.filter(F.col("source") == MW_SRC_A).select(
+        F.col("n").alias("n_a"), F.col("r2sum").alias("r2a"))
+    b = per_src.filter(F.col("source") == MW_SRC_B).select(
+        F.col("n").alias("n_b"), F.col("r2sum").alias("r2b"))
+    j = (a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(ties))
+         .withColumn("u2_a", F.col("r2a")
+                     - F.col("n_a").cast("decimal(19,0)") * (F.col("n_a") + 1))
+         .withColumn("u2_b", F.col("r2b")
+                     - F.col("n_b").cast("decimal(19,0)") * (F.col("n_b") + 1)))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nt = na + nb
+    var_u = (na * nb / F.lit(12.0)
+             * ((nt + F.lit(1.0))
+                - F.col("tt").cast("double") / (nt * (nt - F.lit(1.0)))))
+    z = ((F.col("u2_a").cast("double") / F.lit(2.0) - na * nb / F.lit(2.0))
+         / F.sqrt(var_u))
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("u2_a").cast("long").alias("u2_a"),
+        F.col("u2_b").cast("long").alias("u2_b"),
+        (F.col("u2_a") + F.col("u2_b")
+         == F.lit(2) * F.col("n_a").cast("decimal(19,0)") * F.col("n_b"))
+        .cast("int").alias("u_sum_ok"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+def q_gmean_hmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic mean of document length per source — the
+    multiplicative/rate-style averages a mixture report uses where the
+    arithmetic mean misleads. Merge-order-free by the naive-bayes
+    discipline: the per-row transform (ln x, 1/x) is a single-shot IEEE
+    op rounded to a fixed decimal and cast to DECIMAL before summing, so
+    the aggregate is exact; exp/division run once on the exact sum."""
+    d = load_table(spark, "documents", sf_dir)
+    lg = F.round(F.log(F.col("n_chars").cast("double")), 6) \
+        .cast("decimal(18,6)")
+    inv = F.round(F.lit(1.0) / F.col("n_chars").cast("double"), 12) \
+        .cast("decimal(14,12)")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(lg).alias("slg"),
+        F.sum(inv).alias("sinv"),
+    )
+    nd = F.col("docs").cast("double")
+    return agg.select(
+        "source", "docs",
+        F.round(F.exp(F.col("slg").cast("double") / nd), 4).alias("gmean"),
+        F.round(nd / F.col("sinv").cast("double"), 4).alias("hmean"),
+    )
+
+
 NB_TEST_MOD = 5  # doc_id % 5 == 0 → held-out test split
 
 
@@ -1943,6 +2128,144 @@ ORACLES = {
                      / CAST(count(*) AS DOUBLE), 4) AS mean_chars
         FROM draws d JOIN ranked r USING (rn)
         GROUP BY d.b
+    """,
+    "bootstrap_ci": f"""
+        WITH ranked AS (
+            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn, n_chars
+            FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM documents),
+        draws AS (
+            SELECT b.b,
+                   (b.b * {BOOT_MULT_A} + r.rn * {BOOT_MULT_B}
+                    + ((r.rn * r.rn) % tot.n) * {BOOT_MULT_C}) % tot.n
+                       AS rn
+            FROM ranked r
+            CROSS JOIN tot
+            CROSS JOIN (SELECT unnest(range(1, {BOOT_B} + 1)) AS b) b
+        ),
+        sums AS (
+            SELECT d.b, max(t2.n) AS n,
+                   sum(CAST(r.n_chars AS HUGEINT)) AS s
+            FROM draws d JOIN ranked r USING (rn) CROSS JOIN tot t2
+            GROUP BY d.b
+        ),
+        agg AS (
+            SELECT count(*) AS b_count, max(n) AS n,
+                   sum(s) AS ss, sum(s * s) AS sss
+            FROM sums
+        ),
+        m AS (
+            SELECT b_count, n,
+                   CAST(ss AS DOUBLE) / CAST(b_count AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS gm,
+                   sqrt((CAST(b_count AS DOUBLE) * CAST(sss AS DOUBLE)
+                         - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                        / (CAST(b_count AS DOUBLE)
+                           * (CAST(b_count AS DOUBLE) - 1.0)))
+                   / CAST(n AS DOUBLE) AS se
+            FROM agg
+        )
+        SELECT CAST(b_count AS BIGINT) AS b_count,
+               CAST(n AS BIGINT) AS total_draws,
+               round(gm, 4) AS grand_mean,
+               round(se, 6) AS se,
+               round(gm - 1.96 * se, 4) AS ci_lo,
+               round(gm + 1.96 * se, 4) AS ci_hi
+        FROM m
+    """,
+    "welch_ttest": """
+        WITH st AS (
+            SELECT source, count(*) AS n,
+                   sum(CAST(n_chars AS HUGEINT)) AS sx,
+                   sum(CAST(n_chars AS HUGEINT)
+                       * CAST(n_chars AS HUGEINT)) AS sxx
+            FROM documents GROUP BY source
+        ),
+        m AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   a.n AS n_a, b.n AS n_b,
+                   CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+                   CAST(a.sx AS DOUBLE) AS sxa, CAST(b.sx AS DOUBLE) AS sxb,
+                   CAST(a.sxx AS DOUBLE) AS sxxa,
+                   CAST(b.sxx AS DOUBLE) AS sxxb
+            FROM st a JOIN st b ON a.source < b.source
+        ),
+        e AS (
+            SELECT src_a, src_b, n_a, n_b, na, nb, sxa, sxb,
+                   (na * sxxa - sxa * sxa) / (na * (na - 1.0)) / na AS sea,
+                   (nb * sxxb - sxb * sxb) / (nb * (nb - 1.0)) / nb AS seb
+            FROM m
+        )
+        SELECT src_a, src_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round((sxa / na - sxb / nb) / sqrt(sea + seb), 4) AS t,
+               round((sea + seb) * (sea + seb)
+                     / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)),
+                     2) AS df
+        FROM e
+    """,
+    "mann_whitney": f"""
+        WITH d AS (
+            SELECT source, n_chars FROM documents
+            WHERE source IN ('{MW_SRC_A}', '{MW_SRC_B}')
+        ),
+        vals AS (SELECT n_chars, count(*) AS c FROM d GROUP BY n_chars),
+        r AS (
+            SELECT n_chars, c,
+                   2 * COALESCE(sum(c) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + c + 1 AS r2
+            FROM vals
+        ),
+        per AS (
+            SELECT source, count(*) AS n,
+                   sum(CAST(r.r2 AS HUGEINT)) AS r2sum
+            FROM d JOIN r USING (n_chars) GROUP BY source
+        ),
+        tt AS (
+            SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tt FROM vals
+        ),
+        w AS (
+            SELECT max(CASE WHEN source = '{MW_SRC_A}' THEN n END) AS n_a,
+                   max(CASE WHEN source = '{MW_SRC_A}' THEN r2sum END) AS r2a,
+                   max(CASE WHEN source = '{MW_SRC_B}' THEN n END) AS n_b,
+                   max(CASE WHEN source = '{MW_SRC_B}' THEN r2sum END) AS r2b
+            FROM per
+        ),
+        u AS (
+            SELECT n_a, n_b, tt.tt,
+                   r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2_a,
+                   r2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS u2_b
+            FROM w CROSS JOIN tt
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(u2_a AS BIGINT) AS u2_a, CAST(u2_b AS BIGINT) AS u2_b,
+               CAST(u2_a + u2_b = 2 * CAST(n_a AS HUGEINT) * n_b AS INT)
+                   AS u_sum_ok,
+               round((CAST(u2_a AS DOUBLE) / 2.0
+                      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                            * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                                + 1.0)
+                               - CAST(tt AS DOUBLE)
+                               / ((CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE))
+                                  * (CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE) - 1.0)))),
+                     4) AS z
+        FROM u
+    """,
+    "gmean_hmean": """
+        SELECT source, count(*) AS docs,
+               round(exp(CAST(sum(CAST(round(ln(CAST(n_chars AS DOUBLE)), 6)
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)), 4) AS gmean,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(sum(CAST(round(1.0 / CAST(n_chars AS DOUBLE), 12)
+                                     AS DECIMAL(14,12))) AS DOUBLE),
+                     4) AS hmean
+        FROM documents GROUP BY source
     """,
     "quantile_normalize": """
         WITH ranked AS (
