@@ -460,6 +460,15 @@ _CORPUS_SUBS = (
     Sub("gmean_hmean", text_analysis.q_gmean_hmean,
         text_analysis.ORACLES["gmean_hmean"],
         (("source", "str"),), ("docs", "gmean", "hmean")),
+    Sub("ks_test", text_analysis.q_ks_test,
+        text_analysis.ORACLES["ks_test"],
+        (), ("n_a", "n_b", "d_num", "d", "ks_lambda")),
+    Sub("cohens_kappa", text_analysis.q_cohens_kappa,
+        text_analysis.ORACLES["cohens_kappa"],
+        (), ("n", "agree", "po", "pe", "kappa")),
+    Sub("js_divergence", text_analysis.q_js_divergence,
+        text_analysis.ORACLES["js_divergence"],
+        (("source", "str"),), ("vocab_words", "js")),
 )
 
 _TPCH_SUBS = (

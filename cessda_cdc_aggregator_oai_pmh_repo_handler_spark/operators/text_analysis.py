@@ -1971,6 +1971,128 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov over the designated source pair's
+    length distributions — the distribution-shift detector next to
+    mann_whitney's location test. FULLY exact until the last division:
+    with the ECDF difference scaled by nₐ·nᵦ, the per-value statistic
+    |cumA·nᵦ − cumB·nₐ| is an integer, and max() over integers is
+    merge-order-free (no float is ever summed OR maxed). Cumulatives come
+    from the bounded value-histogram via a tiny ≤-self-join — no window,
+    no corpus sort. D and the asymptotic λ = D·√(nₐnᵦ/(nₐ+nᵦ)) are
+    single-shot doubles from the exact integer maximum."""
+    d = (load_table(spark, "documents", sf_dir)
+         .filter(F.col("source").isin(MW_SRC_A, MW_SRC_B))
+         .select("source", "n_chars"))
+    per = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == MW_SRC_A, 1).otherwise(0))
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == MW_SRC_B, 1).otherwise(0))
+        .alias("cb"),
+    )
+    cum = (
+        per.alias("v1")
+        .join(F.broadcast(per.alias("v2")),
+              F.col("v2.n_chars") <= F.col("v1.n_chars"))
+        .groupBy(F.col("v1.n_chars").alias("v"))
+        .agg(F.sum("v2.ca").alias("cuma"), F.sum("v2.cb").alias("cumb"))
+    )
+    tot = d.agg(
+        F.sum(F.when(F.col("source") == MW_SRC_A, 1).otherwise(0))
+        .alias("n_a"),
+        F.sum(F.when(F.col("source") == MW_SRC_B, 1).otherwise(0))
+        .alias("n_b"),
+    )
+    dnum = F.abs(F.col("cuma").cast("decimal(19,0)") * F.col("n_b")
+                 - F.col("cumb").cast("decimal(19,0)") * F.col("n_a"))
+    agg = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.max(dnum).alias("d_num")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    dstat = F.col("d_num").cast("double") / (na * nb)
+    lam = dstat * F.sqrt(na * nb / (na + nb))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.round(dstat, 6).alias("d"),
+        F.round(lam, 4).alias("ks_lambda"),
+    )
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the Naive Bayes language classifier against the
+    true labels — chance-corrected agreement over the SAME confusion
+    matrix q_naive_bayes_lang hashes, so the two ops can never drift.
+    The matrix cells are exact integers; observed agreement pₒ, expected
+    agreement pₑ = Σ row·col / n², and κ = (pₒ−pₑ)/(1−pₑ) are single-shot
+    doubles from them (one K²-row relation — driver never sees data)."""
+    conf = q_naive_bayes_lang(spark, sf_dir).select(
+        "true_lang", "pred_lang", "docs")
+    rows = conf.groupBy("true_lang").agg(F.sum("docs").alias("rn"))
+    cols = conf.groupBy("pred_lang").agg(F.sum("docs").alias("cn"))
+    diag = conf.filter(F.col("true_lang") == F.col("pred_lang")).agg(
+        F.sum("docs").alias("agree"))
+    tot = conf.agg(F.sum("docs").alias("n"))
+    rc = (rows.join(cols, rows["true_lang"] == cols["pred_lang"])
+          .agg(F.sum(F.col("rn").cast("decimal(19,0)") * F.col("cn"))
+               .alias("rcsum")))
+    j = (tot.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(rc))
+         .withColumn("agree", F.coalesce(F.col("agree"), F.lit(0))))
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = F.col("rcsum").cast("double") / (nd * nd)
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("agree").cast("long").alias("agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 4).alias("kappa"),
+    )
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus-wide distribution — the mixture-drift readout a
+    pretraining pipeline tracks per slice (bounded ∈ [0, ln 2], symmetric,
+    defined even where a source is missing words). Shapes: (source, word)
+    and global word counts are two map-side-combining groupBys; the dense
+    (vocab × sources) term grid is vocab crossJoin the K-row source
+    totals — vocabulary-sized, never corpus-sized. Per-term P·ln(P/M)
+    doubles round to DECIMAL(16,12) BEFORE summing (the naive-bayes
+    merge-order-free discipline); the final 0.5·Σ is single-shot."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "source", F.explode(F.filter(_words(), lambda x: x != "")).alias("w"))
+    csw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("csw"))
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tots = toks.groupBy("source").agg(F.count(F.lit(1)).alias("tot_s"))
+    tot = toks.agg(F.count(F.lit(1)).alias("tot"))
+    grid = (cw.crossJoin(F.broadcast(tots))
+            .join(csw, ["source", "w"], "left")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("csw", F.coalesce(F.col("csw"), F.lit(0))))
+    p = F.col("csw").cast("double") / F.col("tot_s").cast("double")
+    q = F.col("cw").cast("double") / F.col("tot").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(F.col("csw") > 0,
+                    F.round(p * F.log(p / m), 12)).otherwise(F.lit(0.0)) \
+        .cast("decimal(16,12)")
+    term_q = F.round(q * F.log(q / m), 12).cast("decimal(16,12)")
+    agg = grid.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_words"),
+        F.sum(term_p).alias("sp"),
+        F.sum(term_q).alias("sq"),
+    )
+    js = (F.lit(0.5) * F.col("sp").cast("double")
+          + F.lit(0.5) * F.col("sq").cast("double"))
+    return agg.select(
+        "source",
+        F.col("vocab_words").cast("long").alias("vocab_words"),
+        F.round(js, 6).alias("js"),
+    )
+
+
 def q_gmean_hmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric and harmonic mean of document length per source — the
     multiplicative/rate-style averages a mixture report uses where the
@@ -2757,3 +2879,112 @@ ORACLES = {
         FROM documents GROUP BY source
     """,
 }
+
+# round-7 statistical tests — appended after the literal dict so
+# cohens_kappa can reuse the naive_bayes confusion SQL verbatim (the two
+# ops share one matrix by construction on the Spark side too)
+ORACLES["ks_test"] = f"""
+    WITH d AS (
+        SELECT source, n_chars FROM documents
+        WHERE source IN ('{MW_SRC_A}', '{MW_SRC_B}')
+    ),
+    per AS (
+        SELECT n_chars,
+               sum(CASE WHEN source = '{MW_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN source = '{MW_SRC_B}' THEN 1 ELSE 0 END) AS cb
+        FROM d GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT v1.n_chars AS v, sum(v2.ca) AS cuma, sum(v2.cb) AS cumb
+        FROM per v1 JOIN per v2 ON v2.n_chars <= v1.n_chars
+        GROUP BY v1.n_chars
+    ),
+    tot AS (
+        SELECT sum(CASE WHEN source = '{MW_SRC_A}' THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN source = '{MW_SRC_B}' THEN 1 ELSE 0 END) AS n_b
+        FROM d
+    ),
+    agg AS (
+        SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+               max(abs(CAST(cuma AS HUGEINT) * n_b
+                       - CAST(cumb AS HUGEINT) * n_a)) AS d_num
+        FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS d_num,
+           round(CAST(d_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+           round(CAST(d_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))),
+                 4) AS ks_lambda
+    FROM agg
+"""
+
+ORACLES["cohens_kappa"] = f"""
+    WITH conf AS ({ORACLES["naive_bayes_lang"]}),
+    rowsum AS (SELECT true_lang, sum(docs) AS rn FROM conf GROUP BY 1),
+    colsum AS (SELECT pred_lang, sum(docs) AS cn FROM conf GROUP BY 1),
+    diag AS (
+        SELECT coalesce(sum(docs), 0) AS agree FROM conf
+        WHERE true_lang = pred_lang
+    ),
+    tot AS (SELECT sum(docs) AS n FROM conf),
+    rc AS (
+        SELECT sum(CAST(rn AS HUGEINT) * cn) AS rcsum
+        FROM rowsum r JOIN colsum c ON r.true_lang = c.pred_lang
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+           round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           round(CAST(rcsum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(rcsum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(rcsum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 4) AS kappa
+    FROM tot CROSS JOIN diag CROSS JOIN rc
+"""
+
+ORACLES["js_divergence"] = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    csw AS (SELECT source, w, count(*) AS csw FROM toks GROUP BY 1, 2),
+    cw AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+    tots AS (SELECT source, count(*) AS tot_s FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS tot FROM toks),
+    grid AS (
+        SELECT t.source, c.w, c.cw, t.tot_s, g.tot,
+               coalesce(s.csw, 0) AS csw
+        FROM cw c CROSS JOIN tots t CROSS JOIN tot g
+        LEFT JOIN csw s ON s.source = t.source AND s.w = c.w
+    ),
+    terms AS (
+        SELECT source,
+               CAST(CASE WHEN csw > 0 THEN
+                    round((CAST(csw AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                          * ln((CAST(csw AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                               / ((CAST(csw AS DOUBLE)
+                                   / CAST(tot_s AS DOUBLE)
+                                   + CAST(cw AS DOUBLE) / CAST(tot AS DOUBLE))
+                                  / 2.0)), 12)
+               ELSE 0.0 END AS DECIMAL(16,12)) AS term_p,
+               CAST(round((CAST(cw AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * ln((CAST(cw AS DOUBLE) / CAST(tot AS DOUBLE))
+                               / ((CAST(csw AS DOUBLE)
+                                   / CAST(tot_s AS DOUBLE)
+                                   + CAST(cw AS DOUBLE) / CAST(tot AS DOUBLE))
+                                  / 2.0)), 12)
+                    AS DECIMAL(16,12)) AS term_q
+        FROM grid
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS vocab_words,
+           round(0.5 * CAST(sum(term_p) AS DOUBLE)
+                 + 0.5 * CAST(sum(term_q) AS DOUBLE), 6) AS js
+    FROM terms GROUP BY source
+"""

@@ -112,3 +112,34 @@ def test_holt_winters_constant_series_and_parity(spark):
         assert r["n"] == ewma[uid]["n"]    # same series lengths
         assert abs(r["fcst"] - (r["level"] + r["trend"])) < 1e-5
     assert out.count() == 1
+
+
+def test_ks_statistic_bounds(spark):
+    r = TA.q_ks_test(spark, SF).collect()[0]
+    assert 0.0 <= r["d"] <= 1.0
+    assert r["d_num"] <= r["n_a"] * r["n_b"]
+    assert r["ks_lambda"] >= 0.0
+    # scaled-integer identity: d == d_num/(n_a*n_b) to rounding
+    assert abs(r["d"] - r["d_num"] / (r["n_a"] * r["n_b"])) < 1e-6
+
+
+def test_cohens_kappa_bounds_and_matrix_consistency(spark):
+    r = TA.q_cohens_kappa(spark, SF).collect()[0]
+    assert 0 <= r["agree"] <= r["n"]
+    assert 0.0 <= r["po"] <= 1.0 and 0.0 < r["pe"] < 1.0
+    assert -1.0 <= r["kappa"] <= 1.0
+    conf = TA.q_naive_bayes_lang(spark, SF).collect()
+    assert r["n"] == sum(c["docs"] for c in conf)
+    assert r["agree"] == sum(c["docs"] for c in conf
+                             if c["true_lang"] == c["pred_lang"])
+
+
+def test_js_divergence_bounds(spark):
+    import math
+
+    rows = TA.q_js_divergence(spark, SF).collect()
+    assert rows
+    vocab = {r["vocab_words"] for r in rows}
+    assert len(vocab) == 1  # every source scored over the SAME full vocab
+    for r in rows:
+        assert 0.0 <= r["js"] <= math.log(2) + 1e-9
