@@ -2444,6 +2444,8 @@ QUERIES = {
     "pandas_udaf": q_pandas_udaf,
     "unicode_normalize": q_unicode_normalize,
     "regr_conformance": q_regr_conformance,
+    "spearman_corr": q_spearman_corr,
+    "edit_distance_conformance": q_edit_distance_conformance,
     "ridge_regression": q_ridge_regression,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,

@@ -2189,6 +2189,13 @@ QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "quantile_normalize": q_quantile_normalize,
     "bootstrap_resample": q_bootstrap_resample,
+    "bootstrap_ci": q_bootstrap_ci,
+    "welch_ttest": q_welch_ttest,
+    "mann_whitney": q_mann_whitney,
+    "gmean_hmean": q_gmean_hmean,
+    "ks_test": q_ks_test,
+    "cohens_kappa": q_cohens_kappa,
+    "js_divergence": q_js_divergence,
     "textrank_keywords": q_textrank_keywords,
     "bigram_lm_score": q_bigram_lm_score,
     "dsir_importance": q_dsir_importance,

@@ -91,7 +91,17 @@ HEADLINERS = {
     "kll_quantiles": "KLL sketch percentiles: per-shard kll_sketch_agg (two-phase partials), binary merge folded via the aggregate HOF over sketch-sized rows — no data re-scan for the estimate.",
     "theta_sketch_ops": "Theta set algebra: union/intersection/difference computed on SKETCHES; the exact census is one groupBy(l_suppkey) pass with map-side partials.",
     "bitmap_distinct": "Exact mergeable distinct: bitmap_construct_agg per (slice, bucket, partition), bitmap_or_agg merge, counts summed from bucket bitmaps — distinct-sized state, no count(DISTINCT) expand.",
-    "regr_conformance": "SQL:2003 regression aggregates: single-pass moment sketches with map-side partial merge, one exchange on the group key.",
+    "regr_conformance": "SQL:2003 regression family: exact DECIMAL sufficient-statistic sums with map-side partial merge (no double moment sketches), one exchange on the group key, single-shot float math above K rows.",
+    "spearman_corr": "Spearman: value-deterministic rank()+count() windows on the GROUP key build doubled integer midranks; Pearson-on-ranks from exact DECIMAL sums in one grouped aggregate.",
+    "edit_distance_conformance": "Levenshtein conformance: one partitioned lead() window pairs successor prefixes; the DP runs as a codegen'd expression — no join, no Python.",
+    "welch_ttest": "Welch t-test: corpus reduces to K source rows of exact DECIMAL sufficient stats; the K^2/2 pairs are a broadcast self-join of that tiny relation.",
+    "mann_whitney": "Mann-Whitney U: doubled integer midranks from the BOUNDED value-histogram via a broadcast <=-self-join prefix sum — no window, no corpus sort; U and the tie term are exact integers.",
+    "ks_test": "Kolmogorov-Smirnov: ECDF gap kept as the exact integer |cumA*nb - cumB*na| over histogram rows; max() is merge-order-free, no corpus sort.",
+    "gmean_hmean": "Geometric/harmonic means: per-row ln x and 1/x rounded to DECIMAL before ONE map-side-combining groupBy — zero float folds.",
+    "cohens_kappa": "Cohen's kappa: row/col/diagonal sums over the K^2-cell NB confusion relation; every statistic single-shot above integer cells.",
+    "js_divergence": "JS divergence: vocab x K-source term grid (vocabulary-sized), per-term DECIMAL-rounded contributions, one grouped aggregate per source.",
+    "holt_winters": "Holt double exponential smoothing: FlatMapGroupsInPandas — one Arrow batch per series, two scalars of state, per-key output rows only.",
+    "bootstrap_ci": "Bootstrap CI: resample totals are exact integers; SE/CI from DECIMAL sums of B totals — the only exchanges are the draw equi-join and a B-row aggregate.",
     "xml_roundtrip": "to_xml/xpath round-trip conformance: 1/97 key-modulo slice pushed to the scan bounds the deliberately-slow per-row XML parse at any scale.",
     "ts_similarity": "Time-series subsequence search: per-user series in one groupBy, slice()-view windows in a codegen zip_with fold, broadcast query, TakeOrdered top-K — no global sort, no pair materialization.",
     "asof_forward": "Forward as-of join: first(ignorenulls) over the following frame, one exchange on the key — merge_asof's other direction with no range-join machinery.",
@@ -120,10 +130,10 @@ HEADLINERS = {
     "robust_stats": "Robust stats: quartiles in ONE percentile_disc sorted buffer per group; MAD re-scan joins 5-row broadcast medians.",
     "key_skew_audit": "Key-skew audit: rank sort over the KEY-sized frequency relation, never the fact table; Gini from integer aggregates.",
     "window_value_fns": "Window value functions: all six expressions (ignore-nulls edges, lag, composed moving median) ride ONE user_id exchange.",
-    "quantile_normalize": "Quantile normalization: one within-source window + one global rank window + an integer-index equi-join — the global sort is the operator's honest exact-mapping cost.",
+    "quantile_normalize": "Quantile normalization: within-source window + bucketed_global_rank (range buckets, parallel within-bucket windows, driver-folded K-row offsets) + an integer-index equi-join — no Exchange SinglePartition anywhere.",
     "spatial_sssp": "Weighted SSSP: 4 Bellman-Ford relaxations, each ONE edge-sized join + min-aggregate over the checkpointed proximity edges; the point table never re-enters.",
     "ab_test_analysis": "A/B readout: one user-level aggregate → 2-row arm relation; the z/lift statistics compute on a 1-row pivot and broadcast back.",
-    "bootstrap_resample": "Bootstrap: one global rank window, a B-fold draw fan-out (constant factor), one equi-join back on the drawn index, exact integer sums per resample.",
+    "bootstrap_resample": "Bootstrap: bucketed_global_rank positions (no global window), a B-fold draw fan-out (constant factor), one equi-join back on the drawn index, exact integer sums per resample.",
 }
 
 
