@@ -107,16 +107,8 @@ def main():
     # suite slots fold many verified sub-operators into one timing; report
     # the fold factor so cross-round per-slot comparisons stay meaningful
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import suites
-    suite_sub_lists = {
-        "window_suite": suites._WINDOW_SUBS,
-        "temporal_join_suite": suites._TEMPORAL_SUBS,
-        "corpus_stats_suite": suites._CORPUS_SUBS,
-        "tpch_suite": suites._TPCH_SUBS,
-        "sql_surface_suite": suites._SQL_SURFACE_SUBS,
-        "set_ops": suites._SET_OPS_SUBS,
-    }
+    suite_sub_lists = suites.SUITE_SUBS  # the canonical roster (r7)
     suite_subs = {name: len(subs) for name, subs in suite_sub_lists.items()}
-    suite_subs["corpus_stats_suite"] += 1  # + approx_distinct
 
     # Per-sub-op attribution (the only bench lines that move round-over-
     # round are suite rows; a growth vs regression question must be
@@ -136,10 +128,6 @@ def main():
             t0 = time.perf_counter()
             suites._spark_long(s.fn(spark, sf_dir), s).collect()
             ops[s.op] = round(time.perf_counter() - t0, 4)
-        if suite_name == "corpus_stats_suite":
-            t0 = time.perf_counter()
-            suites._q_approx_distinct_long(spark, sf_dir).collect()
-            ops["approx_distinct"] = round(time.perf_counter() - t0, 4)
         suite_op_sec[suite_name] = ops
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Detail first (big maps on their own line / sidecar), compact
