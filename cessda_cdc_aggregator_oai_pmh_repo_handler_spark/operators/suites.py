@@ -469,6 +469,9 @@ _CORPUS_SUBS = (
     Sub("js_divergence", text_analysis.q_js_divergence,
         text_analysis.ORACLES["js_divergence"],
         (("source", "str"),), ("vocab_words", "js")),
+    Sub("isotonic_calibration", text_analysis.q_isotonic_calibration,
+        text_analysis.ORACLES["isotonic_calibration"],
+        (("bucket", "str"),), ("docs", "en_docs", "raw_rate", "iso_rate")),
 )
 
 _TPCH_SUBS = (

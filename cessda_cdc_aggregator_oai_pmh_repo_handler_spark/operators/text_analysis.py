@@ -228,6 +228,54 @@ def q_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (pool-adjacent-violators) of the quality-score
+    → label-rate curve, expressed RELATIONALLY via the minimax identity
+    iso[i] = max_{j≤i} min_{k≥i} avg(y[j..k]): after ONE corpus groupBy to
+    the ≤10-row bucket relation, the 'iterative' PAVA fit is two range
+    joins over K-row relations (K³ ≤ 1000 tuples) — no driver loop, no
+    corpus re-entry, and the shape is identical at 100 TB because K is
+    the bucket count, not the data. Range averages are exact integer
+    ratios (Σen, Σdocs over [j..k]); min/max over the resulting doubles
+    is merge-order-free, so the fit hashes deterministically. The output
+    is the calibration table a scoring pipeline ships: raw vs isotonic
+    (monotone) rate per bucket."""
+    d = _tokenized_docs(spark, sf_dir)
+    s = quality_score_col(F.col("words"), F.col("n_chars"))
+    bucket = F.least(F.floor(s * 10).cast("int"), F.lit(9))
+    b = (d.select(bucket.alias("bucket"), "lang")
+         .groupBy("bucket")
+         .agg(F.count(F.lit(1)).alias("docs"),
+              F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+              .alias("en")))
+    jj = b.select(F.col("bucket").alias("j"))
+    kk = b.select(F.col("bucket").alias("k"))
+    mm = b.select(F.col("bucket").alias("mb"),
+                  F.col("docs").alias("mdocs"), F.col("en").alias("men"))
+    ranges = (jj.crossJoin(kk).filter(F.col("j") <= F.col("k"))
+              .join(mm, (F.col("mb") >= F.col("j"))
+                    & (F.col("mb") <= F.col("k")))
+              .groupBy("j", "k")
+              .agg(F.sum("mdocs").alias("rdocs"),
+                   F.sum("men").alias("ren")))
+    ravg = F.col("ren").cast("double") / F.col("rdocs").cast("double")
+    ii = b.select(F.col("bucket").alias("i"),
+                  F.col("docs").alias("idocs"), F.col("en").alias("ien"))
+    inner = (ii.join(ranges, (F.col("j") <= F.col("i"))
+                     & (F.col("k") >= F.col("i")))
+             .groupBy("i", "idocs", "ien", "j")
+             .agg(F.min(ravg).alias("mn")))
+    iso = inner.groupBy("i", "idocs", "ien").agg(F.max("mn").alias("iso"))
+    return iso.select(
+        F.col("i").alias("bucket"),
+        F.col("idocs").cast("long").alias("docs"),
+        F.col("ien").cast("long").alias("en_docs"),
+        F.round(F.col("ien").cast("double") / F.col("idocs").cast("double"),
+                6).alias("raw_rate"),
+        F.round(F.col("iso"), 6).alias("iso_rate"),
+    )
+
+
 def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATA-DRIFT MONITORING — Population Stability Index between a
     reference and a current corpus slice (the model-monitoring check a
@@ -2196,6 +2244,7 @@ QUERIES = {
     "ks_test": q_ks_test,
     "cohens_kappa": q_cohens_kappa,
     "js_divergence": q_js_divergence,
+    "isotonic_calibration": q_isotonic_calibration,
     "textrank_keywords": q_textrank_keywords,
     "bigram_lm_score": q_bigram_lm_score,
     "dsir_importance": q_dsir_importance,
@@ -2994,4 +3043,37 @@ ORACLES["js_divergence"] = """
            round(0.5 * CAST(sum(term_p) AS DOUBLE)
                  + 0.5 * CAST(sum(term_q) AS DOUBLE), 6) AS js
     FROM terms GROUP BY source
+"""
+
+ORACLES["isotonic_calibration"] = f"""
+    WITH q AS (SELECT doc_id, s FROM ({quality_score_sql()})),
+    b AS (
+        SELECT least(CAST(floor(q.s * 10) AS INT), 9) AS bucket,
+               count(*) AS docs,
+               sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS en
+        FROM q JOIN documents d USING (doc_id)
+        GROUP BY 1
+    ),
+    ranges AS (
+        SELECT j.bucket AS j, k.bucket AS k,
+               sum(m.docs) AS rdocs, sum(m.en) AS ren
+        FROM b j JOIN b k ON j.bucket <= k.bucket
+        JOIN b m ON m.bucket >= j.bucket AND m.bucket <= k.bucket
+        GROUP BY 1, 2
+    ),
+    inner_min AS (
+        SELECT i.bucket AS i, i.docs AS idocs, i.en AS ien, r.j,
+               min(CAST(r.ren AS DOUBLE) / CAST(r.rdocs AS DOUBLE)) AS mn
+        FROM b i JOIN ranges r ON r.j <= i.bucket AND r.k >= i.bucket
+        GROUP BY 1, 2, 3, 4
+    ),
+    iso AS (
+        SELECT i, idocs, ien, max(mn) AS iso
+        FROM inner_min GROUP BY 1, 2, 3
+    )
+    SELECT i AS bucket, CAST(idocs AS BIGINT) AS docs,
+           CAST(ien AS BIGINT) AS en_docs,
+           round(CAST(ien AS DOUBLE) / CAST(idocs AS DOUBLE), 6) AS raw_rate,
+           round(iso, 6) AS iso_rate
+    FROM iso
 """

@@ -143,3 +143,17 @@ def test_js_divergence_bounds(spark):
     assert len(vocab) == 1  # every source scored over the SAME full vocab
     for r in rows:
         assert 0.0 <= r["js"] <= math.log(2) + 1e-9
+
+
+def test_isotonic_calibration_monotone_and_mass_preserving(spark):
+    rows = sorted(TA.q_isotonic_calibration(spark, SF).collect(),
+                  key=lambda r: r["bucket"])
+    assert rows
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)  # PAVA output is monotone non-decreasing
+    for r in rows:
+        assert 0.0 <= r["iso_rate"] <= 1.0
+    # PAVA preserves the weighted mean: sum(docs*iso) == total positives
+    tot_en = sum(r["en_docs"] for r in rows)
+    fitted = sum(r["docs"] * r["iso_rate"] for r in rows)
+    assert abs(fitted - tot_en) < 0.01 * max(tot_en, 1)
