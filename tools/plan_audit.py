@@ -101,6 +101,7 @@ HEADLINERS = {
     "cohens_kappa": "Cohen's kappa: row/col/diagonal sums over the K^2-cell NB confusion relation; every statistic single-shot above integer cells.",
     "js_divergence": "JS divergence: vocab x K-source term grid (vocabulary-sized), per-term DECIMAL-rounded contributions, one grouped aggregate per source.",
     "holt_winters": "Holt double exponential smoothing: FlatMapGroupsInPandas — one Arrow batch per series, two scalars of state, per-key output rows only.",
+    "isotonic_calibration": "Isotonic calibration: one corpus groupBy to K buckets, then PAVA as two range joins over K-row relations (minimax identity) — no driver loop, no corpus re-entry.",
     "bootstrap_ci": "Bootstrap CI: resample totals are exact integers; SE/CI from DECIMAL sums of B totals — the only exchanges are the draw equi-join and a B-row aggregate.",
     "xml_roundtrip": "to_xml/xpath round-trip conformance: 1/97 key-modulo slice pushed to the scan bounds the deliberately-slow per-row XML parse at any scale.",
     "ts_similarity": "Time-series subsequence search: per-user series in one groupBy, slice()-view windows in a codegen zip_with fold, broadcast query, TakeOrdered top-K — no global sort, no pair materialization.",
