@@ -605,6 +605,60 @@ def streaming_ewma(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_holt_winters(spark: SparkSession, source_dir: str,
+                           schema: T.StructType):
+    """STREAMING Holt double exponential smoothing — the
+    ``applyInPandasWithState`` twin of the batch ``arrays.q_holt_winters``
+    (gate-verified against a DuckDB recursive CTE): per-user level+trend
+    maintained incrementally with THREE scalars of state (level, trend,
+    count). Identical literal coefficients and update order as the batch
+    fold, so stream-final levels/trends match it bit for bit under
+    in-order delivery (the streaming_ewma contract, one more scalar)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.arrays import HW_A, HW_B, HW_D, HW_G
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("lvl", T.DoubleType()),
+        T.StructField("tr", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        lvl, tr, n = state.get if state.exists else (None, 0.0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for x in batch["value"].to_numpy():
+            if n == 0:
+                lvl, tr = float(x), 0.0
+            else:
+                prev = lvl
+                lvl = HW_A * float(x) + HW_B * (lvl + tr)
+                tr = HW_G * (lvl - prev) + HW_D * tr
+            n += 1
+        state.update((lvl, tr, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n],
+                            "level": [lvl], "trend": [tr]})
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 

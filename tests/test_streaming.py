@@ -494,3 +494,38 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     want = {int(r["user_id"]): (r["n"], r["ewma"])
             for r in arrays.q_ewma_smooth(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_holt_winters_matches_batch_fold(spark, tmp_path):
+    """Stream-final Holt level+trend across 2 in-order microbatches equal
+    the oracle-checked batch fold bit for bit — 3 scalars of state."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "events_hw")
+    os.makedirs(src)
+    ordered_ts = [r["ts"] for r in
+                  events.select("ts").orderBy("ts").collect()]
+    mid = ordered_ts[len(ordered_ts) // 2]
+    events.filter(F.col("ts") <= F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=0")
+    events.filter(F.col("ts") > F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=1")
+
+    stream = I.streaming_holt_winters(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("hw_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals = {}
+    for r in spark.sql("SELECT * FROM hw_stream").collect():
+        uid = int(r["user_id"])
+        if uid not in finals or r["n"] > finals[uid][0]:
+            finals[uid] = (r["n"], round(r["level"], 6),
+                           round(r["trend"], 6))
+    want = {int(r["user_id"]): (r["n"], r["level"], r["trend"])
+            for r in arrays.q_holt_winters(spark, sf_dir).collect()}
+    assert finals == want
