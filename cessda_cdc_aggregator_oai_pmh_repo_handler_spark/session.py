@@ -47,6 +47,12 @@ def build_session(app_name: str = "cdcagg-spark", master: str | None = None,
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode localCheckpoint ships partition blocks through the
+        # task-result path; at stress volumes (10M docs) the edge-list
+        # checkpoints exceed the 1g default and abort. On a real cluster
+        # checkpoint blocks live on executors and never hit this limit.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_MAX_RESULT_SIZE", "8g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
