@@ -1306,6 +1306,117 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("fcst", 6).alias("fcst"))
 
 
+INTERVAL_HOLD_S = 300  # each event opens a 5-minute activity interval
+MK_USER_CAP = 12       # Mann-Kendall bounded-series user slice
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coverage: each event opens a fixed
+    [ts, ts+300s) activity interval; overlapping intervals per user merge
+    into islands and we report the island count plus total covered seconds.
+    The classic SQL shape — a cumulative MAX(end) window *partitioned by
+    user* (one hash exchange, no global sort) marks island starts, a
+    running SUM numbers them, and two keyed groupBys fold island extents.
+    Everything is integer epoch-seconds, so the hash is merge-order-free
+    by construction. At 100 TB the per-user partitions are the unit of
+    parallelism; skewed mega-users would be range-split by day first."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 60)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"),
+                 (s + INTERVAL_HOLD_S).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0))
+    d = d.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl = d.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("cov"))
+    return (isl.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum("cov").alias("covered_s"))
+            .select("user_id", "n_islands",
+                    F.col("covered_s").cast("long").alias("covered_s")))
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: per user, ordered
+    by (ts, event_id), every event_type change opens a new version; LEAD
+    over the change rows closes the previous one. Reports per user the
+    version count, the total dwell seconds of CLOSED versions, and the
+    epoch of the last change — all exact integers. Both windows partition
+    on user_id (one exchange, reused by AQE across the two sorts); the
+    final groupBy is the same key, so no further shuffle. This is the
+    standard warehouse SCD2 shape and it scales with users, not rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 80)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    lag_t = F.lag("event_type").over(w)
+    chg = (d.withColumn("is_chg",
+                        (lag_t.isNull()
+                         | (F.col("event_type") != lag_t)).cast("int"))
+           .filter(F.col("is_chg") == 1))
+    nxt = F.lead("s").over(w)
+    vers = chg.withColumn("dwell", nxt - F.col("s"))
+    return (vers.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_versions"),
+                 F.sum(F.coalesce(F.col("dwell"), F.lit(0)))
+                 .cast("long").alias("closed_dwell_s"),
+                 F.max("s").cast("long").alias("last_change_s")))
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per user series: S = Σ_{i<j} sign(v_j − v_i)
+    as an exact BIGINT from a bounded within-user pair join (series are
+    capped by the user slice; the 100 TB path is the O(n log n)
+    merge-count inside applyInPandas, noted not needed at this series
+    length), tie-corrected 18·Var(S) kept integer, and the
+    continuity-corrected z as ONE single-shot double. Sign comparisons are
+    exact double comparisons written as identical CASE chains on both
+    engines — no float accumulates anywhere."""
+    d = (load_table(spark, "events", sf_dir)
+         .filter(F.col("user_id") < MK_USER_CAP)
+         .select("user_id", "event_id",
+                 F.unix_timestamp("ts").cast("long").alias("s"), "value"))
+    a = d.select(F.col("user_id").alias("u"), F.col("s").alias("s1"),
+                 F.col("event_id").alias("i1"), F.col("value").alias("v1"))
+    b = d.select(F.col("user_id").alias("u"), F.col("s").alias("s2"),
+                 F.col("event_id").alias("i2"), F.col("value").alias("v2"))
+    pairs = a.join(b, ["u"]).filter(
+        (F.col("s1") < F.col("s2"))
+        | ((F.col("s1") == F.col("s2")) & (F.col("i1") < F.col("i2"))))
+    sgn = (F.when(F.col("v2") > F.col("v1"), 1)
+           .when(F.col("v2") < F.col("v1"), -1).otherwise(0))
+    s_stat = pairs.groupBy("u").agg(
+        F.sum(sgn).cast("long").alias("s_stat"))
+    n_per = d.groupBy(F.col("user_id").alias("u")).agg(
+        F.count(F.lit(1)).alias("n"))
+    ties = (d.groupBy("user_id", "value")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy(F.col("user_id").alias("u"))
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tie_term")))
+    j = (n_per.join(s_stat, "u").join(ties, "u")
+         .withColumn("var18",
+                     (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                      - F.col("tie_term")).cast("long")))
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (F.when(F.col("var18") <= 0, F.lit(None).cast("double"))
+         .when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+         .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+         .otherwise(F.lit(0.0)))
+    return j.select(F.col("u").alias("user_id"), "n", "s_stat", "var18",
+                    F.round(z, 4).alias("z"))
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
@@ -1344,6 +1455,9 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    "interval_coverage": q_interval_coverage,
+    "scd2_build": q_scd2_build,
+    "mann_kendall": q_mann_kendall,
 }
 
 ORACLES = {
@@ -1952,5 +2066,111 @@ ORACLES = {
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
                     AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, sess_id
+    """,
+    "interval_coverage": f"""
+        WITH d AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_HOLD_S} AS e
+            FROM events WHERE user_id < 60
+        ),
+        marked AS (
+            SELECT user_id, s, e,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island,
+                   event_id
+            FROM d
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+            FROM marked
+        ),
+        ext AS (
+            SELECT user_id, island, max(e) - min(s) AS cov
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id, count(*) AS n_islands,
+               CAST(sum(cov) AS BIGINT) AS covered_s
+        FROM ext GROUP BY user_id
+    """,
+    "scd2_build": """
+        WITH d AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+            FROM events WHERE user_id < 80
+        ),
+        lagged AS (
+            SELECT user_id, event_id, s, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id) AS prev_t
+            FROM d
+        ),
+        chg AS (
+            SELECT user_id, event_id, s, event_type
+            FROM lagged
+            WHERE prev_t IS NULL OR event_type <> prev_t
+        ),
+        vers AS (
+            SELECT user_id, s,
+                   lead(s) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id) - s
+                   AS dwell
+            FROM chg
+        )
+        SELECT user_id, count(*) AS n_versions,
+               CAST(sum(COALESCE(dwell, 0)) AS BIGINT) AS closed_dwell_s,
+               CAST(max(s) AS BIGINT) AS last_change_s
+        FROM vers GROUP BY user_id
+    """,
+    "mann_kendall": f"""
+        WITH d AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+            FROM events WHERE user_id < {MK_USER_CAP}
+        ),
+        s_stat AS (
+            SELECT a.user_id AS u,
+                   sum(CASE WHEN b.value > a.value THEN 1
+                            WHEN b.value < a.value THEN -1
+                            ELSE 0 END) AS s_stat
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id
+             AND (a.s < b.s OR (a.s = b.s AND a.event_id < b.event_id))
+            GROUP BY a.user_id
+        ),
+        n_per AS (SELECT user_id AS u, count(*) AS n FROM d GROUP BY user_id),
+        ties AS (
+            SELECT user_id AS u,
+                   sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+            FROM (SELECT user_id, value, count(*) AS t
+                  FROM d GROUP BY user_id, value)
+            GROUP BY user_id
+        ),
+        j AS (
+            SELECT n_per.u, n, s_stat,
+                   CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+                   AS var18
+            FROM n_per JOIN s_stat USING (u) JOIN ties USING (u)
+        )
+        SELECT u AS user_id, n, CAST(s_stat AS BIGINT) AS s_stat, var18,
+               round(CASE
+                   WHEN var18 <= 0 THEN NULL
+                   WHEN s_stat > 0 THEN (s_stat - 1)
+                        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   WHEN s_stat < 0 THEN (s_stat + 1)
+                        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   ELSE 0.0 END, 4) AS z
+        FROM j
     """,
 }

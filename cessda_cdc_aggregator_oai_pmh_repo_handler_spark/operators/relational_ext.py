@@ -2404,8 +2404,71 @@ ORACLE_BENFORD = f"""
 """
 
 
+TE_SMOOTHING = 10  # pseudo-observations pulled toward the global mean
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding — the classic leak-safe categorical
+    feature for tabular ML: enc(g) = (Σy_g + m·ȳ)/(n_g + m) with m=10
+    pseudo-observations of the global mean. One groupBy produces exact
+    per-group (n, Σcents); the global sums are a second fold of that tiny
+    relation, broadcast back; the encoded value is computed as
+    (Σy_g·N + m·ΣY) / ((n_g+m)·N) — ONE single-shot double from four
+    exact integers, no float partials anywhere. Scales as a plain
+    map-side-combined aggregation regardless of fact size."""
+    o = load_table(spark, "orders", sf_dir)
+    grp = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents("o_totalprice")).alias("sc"),
+    )
+    tot = grp.agg(F.sum("n").alias("n_g"), F.sum("sc").alias("s_g"))
+    j = grp.crossJoin(F.broadcast(tot))
+    enc = ((F.col("sc").cast("double") * F.col("n_g").cast("double")
+            + F.lit(float(TE_SMOOTHING)) * F.col("s_g").cast("double"))
+           / ((F.col("n").cast("double") + F.lit(float(TE_SMOOTHING)))
+              * F.col("n_g").cast("double"))
+           / F.lit(100.0))
+    return j.select(
+        "o_orderpriority", "n",
+        F.col("sc").cast("long").alias("sum_cents"),
+        F.round(enc, 4).alias("enc"),
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep over the orders table: per column, row count,
+    null count, exact distinct count, min and max — the ingest-time
+    quality census every pipeline runs before training. Each column is
+    its own single-column aggregate (column pruning keeps each scan to
+    one column; at 100 TB these run as independent map-side-combined
+    passes over the same files) unioned into a long relation. All five
+    metrics are exact integers; money is profiled in cents, timestamps
+    as epoch seconds."""
+    o = load_table(spark, "orders", sf_dir)
+    cols = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_totalprice_cents": _cents("o_totalprice").cast("long"),
+        "o_orderdate_epoch": F.unix_timestamp("o_orderdate").cast("long"),
+    }
+    out = None
+    for name, expr in cols.items():
+        prof = o.select(expr.alias("v")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+            F.count_distinct(F.col("v")).alias("n_distinct"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        ).select(F.lit(name).alias("col_name"), "n_rows", "n_null",
+                 "n_distinct", "min_v", "max_v")
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
+    "target_encoding": q_target_encoding,
+    "column_profile": q_column_profile,
     "frequent_itemsets": q_frequent_itemsets,
     "itemcf_recommend": q_itemcf_recommend,
     "key_skew_audit": q_key_skew_audit,
@@ -3122,5 +3185,49 @@ ORACLES = {
         SELECT l_returnflag, count(*) AS cnt,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "target_encoding": f"""
+        WITH grp AS (
+            SELECT o_orderpriority, count(*) AS n,
+                   sum(CAST(floor(o_totalprice * 100) AS HUGEINT)) AS sc
+            FROM orders GROUP BY o_orderpriority
+        ),
+        tot AS (SELECT sum(n) AS n_g, sum(sc) AS s_g FROM grp)
+        SELECT o_orderpriority, n, CAST(sc AS BIGINT) AS sum_cents,
+               round((CAST(sc AS DOUBLE) * CAST(n_g AS DOUBLE)
+                      + {float(TE_SMOOTHING)} * CAST(s_g AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) + {float(TE_SMOOTHING)})
+                        * CAST(n_g AS DOUBLE))
+                     / 100.0, 4) AS enc
+        FROM grp CROSS JOIN tot
+    """,
+    "column_profile": """
+        SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS BIGINT) AS min_v,
+               CAST(max(o_orderkey) AS BIGINT) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS BIGINT),
+               CAST(max(o_custkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_cents', count(*),
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT floor(o_totalprice * 100)),
+               CAST(min(floor(o_totalprice * 100)) AS BIGINT),
+               CAST(max(floor(o_totalprice * 100)) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate_epoch', count(*),
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT epoch(o_orderdate)),
+               CAST(min(epoch(o_orderdate)) AS BIGINT),
+               CAST(max(epoch(o_orderdate)) AS BIGINT)
+        FROM orders
     """,
 }

@@ -269,6 +269,16 @@ _TEMPORAL_SUBS = (
     Sub("holt_winters", arrays.q_holt_winters,
         arrays.ORACLES["holt_winters"],
         (("user_id", "str"),), ("n", "level", "trend", "fcst")),
+    Sub("interval_coverage", arrays.q_interval_coverage,
+        arrays.ORACLES["interval_coverage"],
+        (("user_id", "str"),), ("n_islands", "covered_s")),
+    Sub("scd2_build", arrays.q_scd2_build,
+        arrays.ORACLES["scd2_build"],
+        (("user_id", "str"),),
+        ("n_versions", "closed_dwell_s", "last_change_s")),
+    Sub("mann_kendall", arrays.q_mann_kendall,
+        arrays.ORACLES["mann_kendall"],
+        (("user_id", "str"),), ("n", "s_stat", "var18", "z")),
 )
 
 _CORPUS_SUBS = (
@@ -472,6 +482,17 @@ _CORPUS_SUBS = (
     Sub("isotonic_calibration", text_analysis.q_isotonic_calibration,
         text_analysis.ORACLES["isotonic_calibration"],
         (("bucket", "str"),), ("docs", "en_docs", "raw_rate", "iso_rate")),
+    Sub("mi_contingency", text_analysis.q_mi_contingency,
+        text_analysis.ORACLES["mi_contingency"],
+        (("lang", "str"), ("source", "str")),
+        ("c", "row_total", "col_total", "pmi", "chi2_term")),
+    Sub("model_eval_auc", text_analysis.q_model_eval_auc,
+        text_analysis.ORACLES["model_eval_auc"],
+        (), ("n1", "n0", "auc", "tp", "fp", "fn", "tn",
+             "precision", "recall", "f1")),
+    Sub("decision_stump", text_analysis.q_decision_stump,
+        text_analysis.ORACLES["decision_stump"],
+        (), ("thr", "w_imp", "n_l", "pos_l", "n_r", "pos_r")),
 )
 
 _TPCH_SUBS = (
@@ -534,6 +555,13 @@ _SQL_SURFACE_SUBS = (
     Sub("supplier_stats", relational_ext.q_supplier_stats,
         relational_ext.ORACLES["supplier_stats"],
         (("n_name", "str"),), ("suppliers", "total_balance", "median_balance")),
+    Sub("target_encoding", relational_ext.q_target_encoding,
+        relational_ext.ORACLES["target_encoding"],
+        (("o_orderpriority", "str"),), ("n", "sum_cents", "enc")),
+    Sub("column_profile", relational_ext.q_column_profile,
+        relational_ext.ORACLES["column_profile"],
+        (("col_name", "str"),),
+        ("n_rows", "n_null", "n_distinct", "min_v", "max_v")),
     Sub("frequent_itemsets", relational_ext.q_frequent_itemsets,
         relational_ext.ORACLES["frequent_itemsets"],
         (("pa", "str"), ("pb", "str")), ("support",)),

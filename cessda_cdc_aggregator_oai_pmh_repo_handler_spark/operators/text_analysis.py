@@ -2233,8 +2233,144 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
           F.round(F.sum("score").cast("double"), 4).alias("sum_score"))
 
 
+def q_mi_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information + chi-square contribution for every
+    (lang, source) contingency cell — feature-association profiling for a
+    training corpus. The contingency table is ONE groupBy over the corpus
+    (K×M tiny rows); marginals come from two further folds of that tiny
+    relation, broadcast back. Each cell's pmi = ln(c·N / (r·s)) and
+    chi² term = (c−e)²/e is a single-shot double from exact BIGINT counts
+    — per-cell rows instead of a float-summed scalar total, so nothing
+    merge-order-sensitive is hashed (house rule since the r5/r6 flake)."""
+    d = load_table(spark, "documents", sf_dir)
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    rl = cells.groupBy("lang").agg(F.sum("c").alias("r"))
+    cs = cells.groupBy("source").agg(F.sum("c").alias("s"))
+    n = cells.agg(F.sum("c").alias("n"))
+    j = (cells.join(F.broadcast(rl), "lang")
+         .join(F.broadcast(cs), "source")
+         .crossJoin(F.broadcast(n)))
+    cD, rD = F.col("c").cast("double"), F.col("r").cast("double")
+    sD, nD = F.col("s").cast("double"), F.col("n").cast("double")
+    e = rD * sD / nD
+    return j.select(
+        "lang", "source", "c",
+        F.col("r").alias("row_total"), F.col("s").alias("col_total"),
+        F.round(F.log(cD * nD / (rD * sD)), 6).alias("pmi"),
+        F.round((cD - e) * (cD - e) / e, 6).alias("chi2_term"),
+    )
+
+
+EVAL_THRESHOLD = 300  # chars: fixed decision threshold for the confusion row
+
+
+def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation readout: exact AUC via the rank-sum
+    identity (score = n_chars, label = lang='en') plus the confusion
+    matrix / precision / recall / F1 at a fixed threshold. Doubled
+    midranks (2R, integers) come from the value-histogram relation —
+    distinct n_chars, bounded by physics — via the broadcast prefix
+    self-join proven in mann_whitney; ΣR over positives stays DECIMAL, so
+    AUC = (2ΣR₊ − 2·n₊(n₊+1)/2) / (2·n₊·n₋) is ONE single-shot double.
+    Confusion counts are plain integer conditional sums of the histogram.
+    No window, no corpus self-join, nothing float-accumulated."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y"))
+    vals = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cpos"))
+    before = (
+        vals.alias("v1")
+        .join(F.broadcast(vals.alias("v2")),
+              F.col("v2.n_chars") < F.col("v1.n_chars"), "left")
+        .groupBy(F.col("v1.n_chars").alias("n_chars"),
+                 F.col("v1.c").alias("c"), F.col("v1.cpos").alias("cpos"))
+        .agg(F.coalesce(F.sum("v2.c"), F.lit(0)).alias("b"))
+        .select("n_chars", "c", "cpos",
+                (F.lit(2) * F.col("b") + F.col("c") + 1).alias("r2"))
+    )
+    agg = before.agg(
+        F.sum("cpos").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("cpos")).cast("long").alias("n0"),
+        F.sum(F.col("cpos").cast("decimal(19,0)") * F.col("r2"))
+        .alias("r2pos"),
+        F.sum(F.when(F.col("n_chars") >= EVAL_THRESHOLD, F.col("cpos"))
+              .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("n_chars") >= EVAL_THRESHOLD,
+                     F.col("c") - F.col("cpos"))
+              .otherwise(0)).cast("long").alias("fp"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    auc = ((F.col("r2pos").cast("double")
+            - n1d * (n1d + F.lit(1.0)))
+           / (F.lit(2.0) * n1d * n0d))
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn = n1d - tp
+    prec = tp / (tp + fp)
+    rec = tp / n1d
+    return agg.select(
+        "n1", "n0", F.round(auc, 6).alias("auc"),
+        "tp", "fp",
+        (F.col("n1") - F.col("tp")).alias("fn"),
+        (F.col("n0") - F.col("fp")).alias("tn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.lit(2.0) * prec * rec / (prec + rec), 6).alias("f1"),
+    )
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level decision-tree training, fully relational: pick the
+    n_chars threshold minimizing weighted Gini impurity for the lang='en'
+    label. Candidate splits are the value histogram (distinct n_chars);
+    inclusive prefix counts come from the broadcast histogram self-join
+    (no window), the weighted impurity
+    (nL²−posL²−negL²)/nL + (nR²−posR²−negR²)/nR is a single-shot double
+    per candidate from exact integers, and the argmin is min(struct(imp,
+    thr, …)) — commutative, merge-order-free, ties broken by threshold.
+    One corpus pass + one tiny-relation reduction: the shape survives any
+    scale where distinct feature values stay bounded (bucket first when
+    they don't)."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y"))
+    vals = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cpos"))
+    pref = (
+        vals.alias("v1")
+        .join(F.broadcast(vals.alias("v2")),
+              F.col("v2.n_chars") <= F.col("v1.n_chars"))
+        .groupBy(F.col("v1.n_chars").alias("thr"))
+        .agg(F.sum("v2.c").alias("n_l"), F.sum("v2.cpos").alias("pos_l"))
+    )
+    tot = vals.agg(F.sum("c").alias("n_t"), F.sum("cpos").alias("pos_t"))
+    cand = (pref.crossJoin(F.broadcast(tot))
+            .withColumn("n_r", F.col("n_t") - F.col("n_l"))
+            .withColumn("pos_r", F.col("pos_t") - F.col("pos_l"))
+            .filter(F.col("n_r") > 0))
+
+    def imp(n: str, pos: str):
+        nD = F.col(n).cast("double")
+        pD = F.col(pos).cast("double")
+        qD = nD - pD
+        return (nD * nD - pD * pD - qD * qD) / nD
+
+    cand = cand.withColumn("w_imp", imp("n_l", "pos_l") + imp("n_r", "pos_r"))
+    best = cand.agg(F.min(F.struct(
+        "w_imp", "thr", "n_l", "pos_l", "n_r", "pos_r")).alias("b"))
+    return best.select(
+        F.col("b.thr").alias("thr"),
+        F.round(F.col("b.w_imp"), 6).alias("w_imp"),
+        F.col("b.n_l").cast("long").alias("n_l"),
+        F.col("b.pos_l").cast("long").alias("pos_l"),
+        F.col("b.n_r").cast("long").alias("n_r"),
+        F.col("b.pos_r").cast("long").alias("pos_r"),
+    )
+
+
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
+    "mi_contingency": q_mi_contingency,
+    "model_eval_auc": q_model_eval_auc,
+    "decision_stump": q_decision_stump,
     "quantile_normalize": q_quantile_normalize,
     "bootstrap_resample": q_bootstrap_resample,
     "bootstrap_ci": q_bootstrap_ci,
@@ -3076,4 +3212,115 @@ ORACLES["isotonic_calibration"] = f"""
            round(CAST(ien AS DOUBLE) / CAST(idocs AS DOUBLE), 6) AS raw_rate,
            round(iso, 6) AS iso_rate
     FROM iso
+"""
+
+ORACLES["mi_contingency"] = """
+    WITH cells AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    rl AS (SELECT lang, sum(c) AS r FROM cells GROUP BY lang),
+    cs AS (SELECT source, sum(c) AS s FROM cells GROUP BY source),
+    n AS (SELECT sum(c) AS n FROM cells)
+    SELECT cells.lang, cells.source, c,
+           r AS row_total, s AS col_total,
+           round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS pmi,
+           round((CAST(c AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(c AS DOUBLE)
+                    - CAST(r AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+                 6) AS chi2_term
+    FROM cells
+    JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN n
+"""
+
+ORACLES["model_eval_auc"] = f"""
+    WITH d AS (
+        SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    vals AS (
+        SELECT n_chars, count(*) AS c, sum(y) AS cpos
+        FROM d GROUP BY n_chars
+    ),
+    r AS (
+        SELECT n_chars, c, cpos,
+               2 * COALESCE(sum(c) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) + c + 1 AS r2
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(sum(cpos) AS BIGINT) AS n1,
+               CAST(sum(c - cpos) AS BIGINT) AS n0,
+               sum(CAST(cpos AS HUGEINT) * r2) AS r2pos,
+               CAST(sum(CASE WHEN n_chars >= {EVAL_THRESHOLD}
+                        THEN cpos ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN n_chars >= {EVAL_THRESHOLD}
+                        THEN c - cpos ELSE 0 END) AS BIGINT) AS fp
+        FROM r
+    ),
+    m AS (
+        SELECT n1, n0, r2pos, tp, fp,
+               CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+               AS prec,
+               CAST(tp AS DOUBLE) / CAST(n1 AS DOUBLE) AS rec
+        FROM agg
+    )
+    SELECT n1, n0,
+           round((CAST(r2pos AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)
+           AS auc,
+           tp, fp, n1 - tp AS fn, n0 - fp AS tn,
+           round(prec, 6) AS "precision", round(rec, 6) AS recall,
+           round(2.0 * prec * rec / (prec + rec), 6) AS f1
+    FROM m
+"""
+
+ORACLES["decision_stump"] = """
+    WITH d AS (
+        SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    vals AS (
+        SELECT n_chars, count(*) AS c, sum(y) AS cpos
+        FROM d GROUP BY n_chars
+    ),
+    pref AS (
+        SELECT v1.n_chars AS thr,
+               sum(v2.c) AS n_l, sum(v2.cpos) AS pos_l
+        FROM vals v1 JOIN vals v2 ON v2.n_chars <= v1.n_chars
+        GROUP BY v1.n_chars
+    ),
+    tot AS (SELECT sum(c) AS n_t, sum(cpos) AS pos_t FROM vals),
+    cand AS (
+        SELECT thr, n_l, pos_l,
+               n_t - n_l AS n_r, pos_t - pos_l AS pos_r
+        FROM pref CROSS JOIN tot
+        WHERE n_t - n_l > 0
+    ),
+    scored AS (
+        SELECT thr, n_l, pos_l, n_r, pos_r,
+               (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)
+                - CAST(pos_l AS DOUBLE) * CAST(pos_l AS DOUBLE)
+                - (CAST(n_l AS DOUBLE) - CAST(pos_l AS DOUBLE))
+                  * (CAST(n_l AS DOUBLE) - CAST(pos_l AS DOUBLE)))
+               / CAST(n_l AS DOUBLE)
+               + (CAST(n_r AS DOUBLE) * CAST(n_r AS DOUBLE)
+                  - CAST(pos_r AS DOUBLE) * CAST(pos_r AS DOUBLE)
+                  - (CAST(n_r AS DOUBLE) - CAST(pos_r AS DOUBLE))
+                    * (CAST(n_r AS DOUBLE) - CAST(pos_r AS DOUBLE)))
+                 / CAST(n_r AS DOUBLE) AS w_imp
+        FROM cand
+    )
+    SELECT thr, round(w_imp, 6) AS w_imp,
+           CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+           CAST(n_r AS BIGINT) AS n_r, CAST(pos_r AS BIGINT) AS pos_r
+    FROM scored
+    ORDER BY w_imp, thr
+    LIMIT 1
 """

@@ -1,0 +1,112 @@
+"""Invariant tests for the round-7 continuation operators (cross-engine
+value equality is the hash gate's job; these pin the mathematical
+contracts each operator must satisfy on any input)."""
+
+from __future__ import annotations
+
+from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+    arrays as AR,
+    relational_ext as RE,
+    text_analysis as TA,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_coverage_bounds(spark):
+    rows = AR.q_interval_coverage(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_islands"] >= 1
+        # every island covers at least one full hold interval, and total
+        # coverage can't exceed islands * (span) but must be >= islands*hold
+        assert r["covered_s"] >= r["n_islands"] * AR.INTERVAL_HOLD_S
+
+
+def test_scd2_versions_and_dwell(spark):
+    rows = AR.q_scd2_build(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_versions"] >= 1
+        assert r["closed_dwell_s"] >= 0
+        assert r["last_change_s"] > 0
+    # closed dwell of a single-version user is 0 (no LEAD row)
+    ones = [r for r in rows if r["n_versions"] == 1]
+    for r in ones:
+        assert r["closed_dwell_s"] == 0
+
+
+def test_mann_kendall_s_bounds_and_var(spark):
+    rows = AR.q_mann_kendall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        max_pairs = r["n"] * (r["n"] - 1) // 2
+        assert -max_pairs <= r["s_stat"] <= max_pairs
+        assert r["var18"] >= 0
+        # var18 <= n(n-1)(2n+5) (tie term only subtracts)
+        assert r["var18"] <= r["n"] * (r["n"] - 1) * (2 * r["n"] + 5)
+
+
+def test_mi_contingency_marginals(spark):
+    rows = TA.q_mi_contingency(spark, SF).collect()
+    assert rows
+    n = sum(r["c"] for r in rows)
+    # row totals: cells of one lang sum to that lang's row_total
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], [0, r["row_total"]])
+        by_lang[r["lang"]][0] += r["c"]
+    for got, want in by_lang.values():
+        assert got == want
+    for r in rows:
+        assert r["chi2_term"] >= 0
+        assert r["c"] <= min(r["row_total"], r["col_total"]) <= n
+
+
+def test_model_eval_auc_identities(spark):
+    r = TA.q_model_eval_auc(spark, SF).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["tp"] + r["fn"] == r["n1"]
+    assert r["fp"] + r["tn"] == r["n0"]
+    assert 0.0 <= r["precision"] <= 1.0
+    assert 0.0 <= r["recall"] <= 1.0
+    if r["precision"] and r["recall"]:
+        assert min(r["precision"], r["recall"]) - 1e-9 <= r["f1"] \
+            <= max(r["precision"], r["recall"]) + 1e-9
+
+
+def test_decision_stump_partition_and_impurity(spark):
+    r = TA.q_decision_stump(spark, SF).collect()[0]
+    assert r["n_l"] >= 1 and r["n_r"] >= 1
+    assert 0 <= r["pos_l"] <= r["n_l"]
+    assert 0 <= r["pos_r"] <= r["n_r"]
+    # weighted impurity numerator form is within [0, n/2 + n/2]
+    assert 0.0 <= r["w_imp"] <= (r["n_l"] + r["n_r"])
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    rows = RE.q_target_encoding(spark, SF).collect()
+    assert len(rows) >= 2
+    n_g = sum(r["n"] for r in rows)
+    s_g = sum(r["sum_cents"] for r in rows)
+    gmean = s_g / n_g / 100.0
+    for r in rows:
+        raw = r["sum_cents"] / r["n"] / 100.0
+        # smoothed encoding lies strictly between raw group mean and the
+        # global mean (or equals both when they coincide)
+        lo, hi = min(raw, gmean), max(raw, gmean)
+        assert lo - 1e-6 <= r["enc"] <= hi + 1e-6
+
+
+def test_column_profile_sanity(spark):
+    rows = {r["col_name"]: r for r in RE.q_column_profile(spark, SF).collect()}
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_totalprice_cents",
+                         "o_orderdate_epoch"}
+    n = rows["o_orderkey"]["n_rows"]
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_null"] <= n
+        assert 1 <= r["n_distinct"] <= n
+        assert r["min_v"] <= r["max_v"]
+    # orderkey is the PK: fully distinct
+    assert rows["o_orderkey"]["n_distinct"] == n
