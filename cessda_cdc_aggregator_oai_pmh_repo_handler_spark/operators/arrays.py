@@ -1417,6 +1417,114 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(z, 4).alias("z"))
 
 
+MARKOV_SCALE = 10 ** 12  # fixed-point mass for the stationary iteration
+MARKOV_ITERS = 20
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase converts the
+    user's most recent preceding non-purchase event; report conversions
+    and total time-to-convert per attributed channel. One window
+    partitioned by user (LAST_VALUE … IGNORE NULLS over the preceding
+    frame carries the open touch), then a small keyed groupBy — exact
+    integer counts and epoch-second gaps, nothing global, one exchange."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
+    w = (Window.partitionBy("user_id").orderBy("s", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase",
+               F.struct(F.col("s").alias("ts_s"),
+                        F.col("event_type").alias("tt"))),
+        ignorenulls=True).over(w)
+    conv = (d.withColumn("touch", touch)
+            .filter((F.col("event_type") == "purchase")
+                    & F.col("touch").isNotNull()))
+    return (conv.groupBy(F.col("touch.tt").alias("channel"))
+            .agg(F.count(F.lit(1)).alias("conversions"),
+                 F.sum(F.col("s") - F.col("touch.ts_s"))
+                 .cast("long").alias("total_gap_s")))
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain in exact
+    fixed-point arithmetic: consecutive (prev→next) pairs per user build
+    the K×K transition-count matrix (ONE corpus pass + one partitioned
+    lag window); the power iteration then runs entirely on that K-row
+    relation — 20 unrolled join+groupBy steps of
+    mass'_j = Σ_i (mass_i · c_ij) DIV n_i in BIGINT (floor division,
+    bit-exact, merge-order-free; the textrank_keywords discipline). The
+    oracle replays the identical integer recursion as 20 generated CTE
+    blocks. Iteration cost is K²-row joins — independent of corpus size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pairs = (d.withColumn("prev_t", F.lag("event_type").over(w))
+             .filter(F.col("prev_t").isNotNull()))
+    m = pairs.groupBy(F.col("prev_t").alias("i"),
+                      F.col("event_type").alias("j")).agg(
+        F.count(F.lit(1)).alias("c"))
+    n = m.groupBy("i").agg(F.sum("c").alias("n_i"))
+    mat = m.join(F.broadcast(n), "i")
+    states = m.select(F.col("i").alias("state")).distinct()
+    k = states.count()  # K is tiny (event-type vocabulary), driver-known
+    v = states.select("state",
+                      F.lit(MARKOV_SCALE // k).cast("long").alias("mass"))
+    for _ in range(MARKOV_ITERS):
+        v = (mat.join(F.broadcast(v), mat.i == v.state)
+             .select(F.col("j").alias("state"),
+                     F.expr("mass * c DIV n_i").alias("contrib"))
+             .groupBy("state")
+             .agg(F.sum("contrib").cast("long").alias("mass")))
+    return v.select("state", "mass")
+
+
+def _markov_oracle() -> str:
+    """Generate the 20 unrolled fixed-point iterations as CTE blocks —
+    the same BIGINT floor-division recursion the Spark side runs."""
+    blocks = ["""
+        WITH d AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id) AS prev_t
+            FROM d
+        ),
+        m AS (
+            SELECT prev_t AS i, event_type AS j, count(*) AS c
+            FROM pairs WHERE prev_t IS NOT NULL GROUP BY prev_t, event_type
+        ),
+        n AS (SELECT i, sum(c) AS n_i FROM m GROUP BY i),
+        mat AS (SELECT m.i, m.j, m.c, n.n_i FROM m JOIN n USING (i)),
+        k AS (SELECT count(DISTINCT i) AS k FROM m),
+        v0 AS (
+            SELECT DISTINCT i AS state,
+                   CAST({scale} // k AS BIGINT) AS mass
+            FROM m CROSS JOIN k
+        )""".format(scale=MARKOV_SCALE)]
+    for t in range(MARKOV_ITERS):
+        blocks.append("""
+        v{nxt} AS (
+            SELECT mat.j AS state,
+                   CAST(sum(v{cur}.mass * mat.c // mat.n_i) AS BIGINT)
+                   AS mass
+            FROM mat JOIN v{cur} ON mat.i = v{cur}.state
+            GROUP BY mat.j
+        )""".format(cur=t, nxt=t + 1))
+    return (",".join(blocks)
+            + f"\n        SELECT state, mass FROM v{MARKOV_ITERS}")
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
@@ -1458,6 +1566,8 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "scd2_build": q_scd2_build,
     "mann_kendall": q_mann_kendall,
+    "attribution_last_touch": q_attribution_last_touch,
+    "markov_stationary": q_markov_stationary,
 }
 
 ORACLES = {
@@ -2173,4 +2283,31 @@ ORACLES = {
                    ELSE 0.0 END, 4) AS z
         FROM j
     """,
+    "attribution_last_touch": """
+        WITH d AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+            FROM events
+        ),
+        carried AS (
+            SELECT user_id, event_id, s, event_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN s END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_s,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_t
+            FROM d
+        )
+        SELECT touch_t AS channel, count(*) AS conversions,
+               CAST(sum(s - touch_s) AS BIGINT) AS total_gap_s
+        FROM carried
+        WHERE event_type = 'purchase' AND touch_t IS NOT NULL
+        GROUP BY touch_t
+    """,
+    "markov_stationary": _markov_oracle(),
 }

@@ -279,6 +279,12 @@ _TEMPORAL_SUBS = (
     Sub("mann_kendall", arrays.q_mann_kendall,
         arrays.ORACLES["mann_kendall"],
         (("user_id", "str"),), ("n", "s_stat", "var18", "z")),
+    Sub("attribution_last_touch", arrays.q_attribution_last_touch,
+        arrays.ORACLES["attribution_last_touch"],
+        (("channel", "str"),), ("conversions", "total_gap_s")),
+    Sub("markov_stationary", arrays.q_markov_stationary,
+        arrays.ORACLES["markov_stationary"],
+        (("state", "str"),), ("mass",)),
 )
 
 _CORPUS_SUBS = (
@@ -493,6 +499,15 @@ _CORPUS_SUBS = (
     Sub("decision_stump", text_analysis.q_decision_stump,
         text_analysis.ORACLES["decision_stump"],
         (), ("thr", "w_imp", "n_l", "pos_l", "n_r", "pos_r")),
+    Sub("readability_census", text_analysis.q_readability_census,
+        text_analysis.ORACLES["readability_census"],
+        (("source", "str"),), ("n_docs", "w", "s", "v", "flesch")),
+    Sub("simpson_diversity", text_analysis.q_simpson_diversity,
+        text_analysis.ORACLES["simpson_diversity"],
+        (("source", "str"),), ("n_docs", "n_langs", "simpson")),
+    Sub("zipf_slope", text_analysis.q_zipf_slope,
+        text_analysis.ORACLES["zipf_slope"],
+        (), ("n_tokens", "slope", "intercept")),
 )
 
 _TPCH_SUBS = (

@@ -2366,11 +2366,117 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability census per source: words (house
+    tokenization), sentence marks ([.!?] occurrences counted as
+    length-delta after a global regexp_replace) and vowel-group syllable
+    proxies ([aeiouAEIOU]+ matches) are EXACT per-doc integers summed in
+    BIGINT; the Flesch score 206.835 − 1.015·(W/S) − 84.6·(V/W) is ONE
+    single-shot double per source from those exact sums. Regexes are
+    character-class-only so Java and DuckDB RE semantics coincide.
+    Shape: one corpus pass, K-row output."""
+    d = _tokenized_docs(spark, sf_dir)
+    words = F.size("words")
+    sents = F.length("text") - F.length(F.regexp_replace("text", "[.!?]", ""))
+    vgrp = F.size(F.expr("regexp_extract_all(text, '[aeiouAEIOU]+', 0)"))
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(words).cast("long").alias("w"),
+        F.sum(sents).cast("long").alias("s"),
+        F.sum(vgrp).cast("long").alias("v"),
+    )
+    wD = F.col("w").cast("double")
+    sD = F.nullif(F.col("s"), F.lit(0)).cast("double")
+    flesch = (F.lit(206.835) - F.lit(1.015) * (wD / sD)
+              - F.lit(84.6) * (F.col("v").cast("double") / wD))
+    return agg.select("source", "n_docs", "w", "s", "v",
+                      F.round(flesch, 4).alias("flesch"))
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity index of the language mix per source:
+    D = 1 − Σ nᵢ(nᵢ−1) / (N(N−1)) — the Σ is an exact BIGINT over the
+    tiny (source, lang) contingency, the division is single-shot.
+    The corpus-composition readout a data-mixture pipeline monitors."""
+    d = load_table(spark, "documents", sf_dir)
+    cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    agg = cell.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("pair_sum"),
+    )
+    nD = F.col("n_docs").cast("double")
+    simpson = (F.lit(1.0) - F.col("pair_sum").cast("double")
+               / (nD * (nD - F.lit(1.0))))
+    return agg.select("source", "n_docs", "n_langs",
+                      F.round(simpson, 6).alias("simpson"))
+
+
+ZIPF_MIN_FREQ = 5  # tokens below this frequency are noise for the fit
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) for tokens with freq ≥ 5. Ranks are DOUBLED
+    integer midranks per frequency GROUP (ties share a midrank) built
+    from the frequency histogram — a relation of distinct frequency
+    VALUES, far smaller than the vocabulary — via the broadcast prefix
+    self-join; no window, no vocabulary self-join. Each group's OLS terms
+    (t·x, t·y, t·x², t·xy with x = ln(r2/2), y = ln f) are single-shot
+    doubles rounded to DECIMAL(20,12) BEFORE the sum (the js_divergence
+    discipline), so the fold is merge-order-free; slope and intercept are
+    single-shot at the end."""
+    d = _tokenized_docs(spark, sf_dir)
+    tok = (d.select(F.explode("words").alias("w"))
+           .filter(F.length("w") > 0)
+           .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+           .filter(F.col("f") >= ZIPF_MIN_FREQ))
+    hist = tok.groupBy("f").agg(F.count(F.lit(1)).alias("t"))
+    pref = (
+        hist.alias("h1")
+        .join(F.broadcast(hist.alias("h2")), F.col("h2.f") > F.col("h1.f"),
+              "left")
+        .groupBy(F.col("h1.f").alias("f"), F.col("h1.t").alias("t"))
+        .agg(F.coalesce(F.sum("h2.t"), F.lit(0)).alias("b"))
+        .select("f", "t", (F.lit(2) * F.col("b") + F.col("t") + 1)
+                .alias("r2"))
+    )
+    x = F.log(F.col("r2").cast("double") / F.lit(2.0))
+    y = F.log(F.col("f").cast("double"))
+    tD = F.col("t").cast("double")
+
+    def fx(e):
+        return F.round(e, 12).cast("decimal(20,12)")
+
+    terms = pref.select(
+        F.col("t"), fx(tD * x).alias("sx"), fx(tD * y).alias("sy"),
+        fx(tD * x * x).alias("sxx"), fx(tD * x * y).alias("sxy"))
+    agg = terms.agg(
+        F.sum("t").cast("long").alias("n_tokens"),
+        F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"), F.sum("sxy").alias("sxy"))
+    nD = F.col("n_tokens").cast("double")
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    slope = ((nD * dbl("sxy") - dbl("sx") * dbl("sy"))
+             / (nD * dbl("sxx") - dbl("sx") * dbl("sx")))
+    intercept = (dbl("sy") - slope * dbl("sx")) / nD
+    return agg.select(
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"))
+
+
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "mi_contingency": q_mi_contingency,
     "model_eval_auc": q_model_eval_auc,
     "decision_stump": q_decision_stump,
+    "readability_census": q_readability_census,
+    "simpson_diversity": q_simpson_diversity,
+    "zipf_slope": q_zipf_slope,
     "quantile_normalize": q_quantile_normalize,
     "bootstrap_resample": q_bootstrap_resample,
     "bootstrap_ci": q_bootstrap_ci,
@@ -3323,4 +3429,96 @@ ORACLES["decision_stump"] = """
     FROM scored
     ORDER BY w_imp, thr
     LIMIT 1
+"""
+
+ORACLES["readability_census"] = """
+    WITH d AS (
+        SELECT source,
+               len(string_split(lower(text), ' ')) AS words,
+               length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+               AS sents,
+               len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS vgrp
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(words) AS BIGINT) AS w,
+               CAST(sum(sents) AS BIGINT) AS s,
+               CAST(sum(vgrp) AS BIGINT) AS v
+        FROM d GROUP BY source
+    )
+    SELECT source, n_docs, w, s, v,
+           round(206.835
+                 - 1.015 * (CAST(w AS DOUBLE)
+                            / CAST(NULLIF(s, 0) AS DOUBLE))
+                 - 84.6 * (CAST(v AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+           AS flesch
+    FROM agg
+"""
+
+ORACLES["simpson_diversity"] = """
+    WITH cell AS (
+        SELECT source, lang, count(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               count(*) AS n_langs,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS pair_sum
+        FROM cell GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           round(1.0 - CAST(pair_sum AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE)
+                    * (CAST(n_docs AS DOUBLE) - 1.0)), 6) AS simpson
+    FROM agg
+"""
+
+ORACLES["zipf_slope"] = f"""
+    WITH tok AS (
+        SELECT w, count(*) AS f FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w HAVING count(*) >= {ZIPF_MIN_FREQ}
+    ),
+    hist AS (SELECT f, count(*) AS t FROM tok GROUP BY f),
+    pref AS (
+        SELECT h1.f, h1.t,
+               2 * COALESCE(sum(h2.t), 0) + h1.t + 1 AS r2
+        FROM hist h1 LEFT JOIN hist h2 ON h2.f > h1.f
+        GROUP BY h1.f, h1.t
+    ),
+    terms AS (
+        SELECT t,
+               CAST(round(CAST(t AS DOUBLE)
+                    * ln(CAST(r2 AS DOUBLE) / 2.0), 12)
+                    AS DECIMAL(20,12)) AS sx,
+               CAST(round(CAST(t AS DOUBLE)
+                    * ln(CAST(f AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS sy,
+               CAST(round(CAST(t AS DOUBLE)
+                    * ln(CAST(r2 AS DOUBLE) / 2.0)
+                    * ln(CAST(r2 AS DOUBLE) / 2.0), 12)
+                    AS DECIMAL(20,12)) AS sxx,
+               CAST(round(CAST(t AS DOUBLE)
+                    * ln(CAST(r2 AS DOUBLE) / 2.0)
+                    * ln(CAST(f AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS sxy
+        FROM pref
+    ),
+    agg AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n_tokens,
+               CAST(sum(sx) AS DOUBLE) AS sx, CAST(sum(sy) AS DOUBLE) AS sy,
+               CAST(sum(sxx) AS DOUBLE) AS sxx,
+               CAST(sum(sxy) AS DOUBLE) AS sxy
+        FROM terms
+    )
+    SELECT n_tokens,
+           round((CAST(n_tokens AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_tokens AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           round((sy - (CAST(n_tokens AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n_tokens AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(n_tokens AS DOUBLE), 6) AS intercept
+    FROM agg
 """

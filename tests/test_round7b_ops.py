@@ -110,3 +110,54 @@ def test_column_profile_sanity(spark):
         assert r["min_v"] <= r["max_v"]
     # orderkey is the PK: fully distinct
     assert rows["o_orderkey"]["n_distinct"] == n
+
+
+def test_attribution_conversions_bounded_by_purchases(spark):
+    rows = AR.q_attribution_last_touch(spark, SF).collect()
+    assert rows
+    total_conv = sum(r["conversions"] for r in rows)
+    purchases = (spark.read.parquet(f"{SF}/events.parquet")
+                 .filter("event_type = 'purchase'").count())
+    assert 0 < total_conv <= purchases
+    for r in rows:
+        assert r["channel"] != "purchase"
+        assert r["total_gap_s"] >= r["conversions"]  # gaps are >= 1s each
+
+
+def test_markov_stationary_mass_and_states(spark):
+    rows = AR.q_markov_stationary(spark, SF).collect()
+    states = {r["state"] for r in rows}
+    assert states == {"click", "error", "purchase", "signup", "view"}
+    total = sum(r["mass"] for r in rows)
+    # floor division leaks at most (K rows x K iterations) units of mass
+    assert AR.MARKOV_SCALE * 0.99 <= total <= AR.MARKOV_SCALE
+    for r in rows:
+        assert r["mass"] > 0
+
+
+def test_readability_census_identities(spark):
+    rows = TA.q_readability_census(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] >= 1
+        assert r["w"] >= r["n_docs"]          # every doc has >= 1 token
+        assert 0 <= r["v"]
+        if r["s"] and r["w"]:
+            assert r["flesch"] is not None
+
+
+def test_simpson_diversity_bounds(spark):
+    rows = TA.q_simpson_diversity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_langs"] <= 5
+        assert 0.0 <= r["simpson"] <= 1.0
+        if r["n_langs"] == 1:
+            assert r["simpson"] == 0.0
+
+
+def test_zipf_slope_negative_and_token_floor(spark):
+    r = TA.q_zipf_slope(spark, SF).collect()[0]
+    # Zipf: frequency decays with rank, slope must be negative
+    assert r["slope"] < 0
+    assert r["n_tokens"] > 10
