@@ -1525,6 +1525,29 @@ def _markov_oracle() -> str:
             + f"\n        SELECT state, mass FROM v{MARKOV_ITERS}")
 
 
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of hourly event counts per
+    event type — the burstiness readout separating Poisson-ish traffic
+    (F≈1) from bursty streams. Hourly counts are exact integers; per-type
+    variance comes from Σc, Σc² in BIGINT/DECIMAL over the bounded hour
+    relation; Fano = ((H·Σc² − (Σc)²)/(H·(H−1))) / (Σc/H) single-shot."""
+    e = load_table(spark, "events", sf_dir)
+    hour = (F.unix_timestamp("ts").cast("long") / F.lit(3600)) \
+        .cast("long")
+    cnt = (e.select("event_type", hour.alias("h"))
+           .groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c")))
+    agg = cnt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("hours"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("cc"))
+    hD = F.col("hours").cast("double")
+    var = ((hD * F.col("cc").cast("double")
+            - F.col("n").cast("double") * F.col("n").cast("double"))
+           / (hD * (hD - F.lit(1.0))))
+    fano = var / (F.col("n").cast("double") / hD)
+    return agg.select("event_type", "hours", "n",
+                      F.round(fano, 6).alias("fano"))
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
@@ -1568,6 +1591,7 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "attribution_last_touch": q_attribution_last_touch,
     "markov_stationary": q_markov_stationary,
+    "fano_burstiness": q_fano_burstiness,
 }
 
 ORACLES = {
@@ -2310,4 +2334,24 @@ ORACLES = {
         GROUP BY touch_t
     """,
     "markov_stationary": _markov_oracle(),
+    "fano_burstiness": """
+    WITH cnt AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               count(*) AS c
+        FROM events GROUP BY event_type, h
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS hours,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * c) AS BIGINT) AS cc
+        FROM cnt GROUP BY event_type
+    )
+    SELECT event_type, hours, n,
+           round(((CAST(hours AS DOUBLE) * CAST(cc AS DOUBLE)
+                   - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                  / (CAST(hours AS DOUBLE) * (CAST(hours AS DOUBLE) - 1.0)))
+                 / (CAST(n AS DOUBLE) / CAST(hours AS DOUBLE)), 6) AS fano
+    FROM agg
+""",
 }

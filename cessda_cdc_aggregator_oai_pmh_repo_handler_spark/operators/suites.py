@@ -285,6 +285,9 @@ _TEMPORAL_SUBS = (
     Sub("markov_stationary", arrays.q_markov_stationary,
         arrays.ORACLES["markov_stationary"],
         (("state", "str"),), ("mass",)),
+    Sub("fano_burstiness", arrays.q_fano_burstiness,
+        arrays.ORACLES["fano_burstiness"],
+        (("event_type", "str"),), ("hours", "n", "fano")),
 )
 
 _CORPUS_SUBS = (
@@ -508,6 +511,12 @@ _CORPUS_SUBS = (
     Sub("zipf_slope", text_analysis.q_zipf_slope,
         text_analysis.ORACLES["zipf_slope"],
         (), ("n_tokens", "slope", "intercept")),
+    Sub("prefix_filter_jaccard", text_analysis.q_prefix_filter_jaccard,
+        text_analysis.ORACLES["prefix_filter_jaccard"],
+        (("id_a", "str"), ("id_b", "str")), ("inter", "uni", "jaccard")),
+    Sub("heaps_law", text_analysis.q_heaps_law,
+        text_analysis.ORACLES["heaps_law"],
+        (), ("n_sources", "beta", "ln_k")),
 )
 
 _TPCH_SUBS = (

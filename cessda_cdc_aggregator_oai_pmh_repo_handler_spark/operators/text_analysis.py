@@ -2469,6 +2469,113 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"))
 
 
+PFJ_THRESHOLD = 0.6   # Jaccard threshold for the prefix-filtered join
+PFJ_CAP = 30          # per-doc distinct-token cap (deterministic prefix)
+
+
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PPJoin-style PREFIX FILTERING — the
+    third candidate-generation discipline after LSH banding and pigeonhole
+    blocking: under any fixed global token order, two sets with
+    Jaccard ≥ t MUST share an element in their first |s| − ⌈t·|s|⌉ + 1
+    elements, so only docs sharing a prefix element are ever paired. Sets
+    are each doc's `PFJ_CAP` rarest distinct word-TRIGRAM shingles (the
+    single-token vocabulary is too small for set identity) under the
+    global ascending-document-frequency order — the PPJoin order, so the
+    candidate join fans out on rare shingles, never on boilerplate;
+    candidates come from ONE equi-join on the exploded prefix;
+    verification is exact integer ∩/∪ over the bounded arrays, never a
+    similarity scan. The hashed jaccard is an exact rational rounded
+    once. At 100 TB prefix shingles are further length-bucketed; the
+    shuffle stays proportional to candidate pairs."""
+    d = _tokenized_docs(spark, sf_dir)
+    ws = F.filter("words", lambda w: F.length(w) > 0)
+    # guard BEFORE building the index sequence: Spark's sequence(1, n)
+    # descends when n < 1, which would index element 0 (an error)
+    wsd = (d.select("doc_id", ws.alias("ws"))
+           .filter(F.size("ws") >= 3))
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", i), F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2))))
+    dt = wsd.select("doc_id", F.explode(shingles).alias("w"))
+    df_tbl = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # PPJoin order: ascending document frequency (ties by shingle) —
+    # prefixes then hold the RAREST shingles. The (df, w) sort key is
+    # encoded as one zero-padded string so array_sort and DuckDB
+    # list_sort agree.
+    keyed = (dt.join(df_tbl, "w")
+             .select("doc_id",
+                     F.concat(F.lpad(F.col("df").cast("string"), 12, "0"),
+                              F.lit("|"), F.col("w")).alias("kw")))
+    base = (keyed.groupBy("doc_id")
+            .agg(F.slice(F.array_sort(F.collect_list("kw")), 1, PFJ_CAP)
+                 .alias("toks"))
+            .filter(F.size("toks") > 0))
+    pref_len = (F.size("toks")
+                - F.ceil(F.size("toks") * F.lit(PFJ_THRESHOLD)).cast("int")
+                + 1)
+    pref = base.select(
+        "doc_id", "toks",
+        F.explode(F.slice("toks", 1, pref_len)).alias("ptok"))
+    a = pref.select(F.col("doc_id").alias("id_a"),
+                    F.col("toks").alias("toks_a"), "ptok")
+    b = pref.select(F.col("doc_id").alias("id_b"),
+                    F.col("toks").alias("toks_b"), "ptok")
+    cand = (a.join(b, "ptok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "toks_a", "toks_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = (F.size("toks_a") + F.size("toks_b") - inter)
+    out = (cand.withColumn("inter", inter)
+           .withColumn("uni", union)
+           .filter(F.col("inter").cast("double")
+                   >= F.lit(PFJ_THRESHOLD) * F.col("uni")))
+    return out.select(
+        "id_a", "id_b", "inter", "uni",
+        F.round(F.col("inter").cast("double")
+                / F.col("uni").cast("double"), 6).alias("jaccard"))
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: per source, corpus size N
+    (total tokens) and vocabulary V (exact distinct tokens) give K points;
+    OLS of ln V on ln N yields the growth exponent β. N and V are exact
+    BIGINTs from two aggregations; each source's OLS terms are single-shot
+    doubles rounded to DECIMAL(20,12) BEFORE the K-row sum (the zipf_slope
+    discipline), β and ln k single-shot at the end."""
+    d = _tokenized_docs(spark, sf_dir)
+    tok = (d.select("source", F.explode("words").alias("w"))
+           .filter(F.length("w") > 0))
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct("w").alias("v"))
+    x = F.log(F.col("n_tok").cast("double"))
+    y = F.log(F.col("v").cast("double"))
+
+    def fx(e):
+        return F.round(e, 12).cast("decimal(20,12)")
+
+    terms = per_src.select(fx(x).alias("sx"), fx(y).alias("sy"),
+                           fx(x * x).alias("sxx"), fx(x * y).alias("sxy"))
+    agg = terms.agg(F.count(F.lit(1)).alias("k"),
+                    F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+                    F.sum("sxx").alias("sxx"), F.sum("sxy").alias("sxy"))
+    kD = F.col("k").cast("double")
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    beta = ((kD * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (kD * dbl("sxx") - dbl("sx") * dbl("sx")))
+    lnk = (dbl("sy") - beta * dbl("sx")) / kD
+    return agg.select(F.col("k").cast("long").alias("n_sources"),
+                      F.round(beta, 6).alias("beta"),
+                      F.round(lnk, 6).alias("ln_k"))
+
+
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "mi_contingency": q_mi_contingency,
@@ -2477,6 +2584,8 @@ QUERIES = {
     "readability_census": q_readability_census,
     "simpson_diversity": q_simpson_diversity,
     "zipf_slope": q_zipf_slope,
+    "prefix_filter_jaccard": q_prefix_filter_jaccard,
+    "heaps_law": q_heaps_law,
     "quantile_normalize": q_quantile_normalize,
     "bootstrap_resample": q_bootstrap_resample,
     "bootstrap_ci": q_bootstrap_ci,
@@ -3522,3 +3631,92 @@ ORACLES["zipf_slope"] = f"""
                  / CAST(n_tokens AS DOUBLE), 6) AS intercept
     FROM agg
 """
+
+ORACLES["prefix_filter_jaccard"] = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    dt AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
+               AS w
+        FROM toks WHERE len(ws) >= 3
+    ),
+    dfp AS (SELECT w, count(*) AS df FROM dt GROUP BY w),
+    keyed AS (
+        SELECT doc_id,
+               lpad(CAST(df AS VARCHAR), 12, '0') || '|' || w AS kw
+        FROM dt JOIN dfp USING (w)
+    ),
+    base AS (
+        SELECT doc_id, list_sort(list(kw))[1:{PFJ_CAP}] AS toks
+        FROM keyed GROUP BY doc_id
+        HAVING len(list(kw)) > 0
+    ),
+    pref AS (
+        SELECT doc_id, toks,
+               unnest(toks[1:CAST(len(toks)
+                   - ceil(len(toks) * {PFJ_THRESHOLD}) + 1 AS BIGINT)])
+               AS ptok
+        FROM base
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.toks AS toks_a, b.toks AS toks_b
+        FROM pref a JOIN pref b ON a.ptok = b.ptok
+        WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               len(list_intersect(toks_a, toks_b)) AS inter,
+               len(toks_a) + len(toks_b)
+               - len(list_intersect(toks_a, toks_b)) AS uni
+        FROM cand
+    )
+    SELECT id_a, id_b, inter, uni,
+           round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+    FROM scored
+    WHERE CAST(inter AS DOUBLE) >= {PFJ_THRESHOLD} * uni
+"""
+
+ORACLES["heaps_law"] = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, count(*) AS n_tok, count(DISTINCT w) AS v
+        FROM tok WHERE w <> '' GROUP BY source
+    ),
+    terms AS (
+        SELECT CAST(round(ln(CAST(n_tok AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS sx,
+               CAST(round(ln(CAST(v AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS sy,
+               CAST(round(ln(CAST(n_tok AS DOUBLE))
+                          * ln(CAST(n_tok AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS sxx,
+               CAST(round(ln(CAST(n_tok AS DOUBLE))
+                          * ln(CAST(v AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS sxy
+        FROM per_src
+    ),
+    agg AS (
+        SELECT count(*) AS k,
+               CAST(sum(sx) AS DOUBLE) AS sx, CAST(sum(sy) AS DOUBLE) AS sy,
+               CAST(sum(sxx) AS DOUBLE) AS sxx,
+               CAST(sum(sxy) AS DOUBLE) AS sxy
+        FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS n_sources,
+           round((CAST(k AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS beta,
+           round((sy - (CAST(k AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(k AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(k AS DOUBLE), 6) AS ln_k
+    FROM agg
+"""
+

@@ -161,3 +161,57 @@ def test_zipf_slope_negative_and_token_floor(spark):
     # Zipf: frequency decays with rank, slope must be negative
     assert r["slope"] < 0
     assert r["n_tokens"] > 10
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the pairs a brute-force
+    all-pairs Jaccard scan finds (on the same capped rarest-token sets)."""
+    rows = TA.q_prefix_filter_jaccard(spark, SF).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    for r in rows:
+        assert r["jaccard"] >= TA.PFJ_THRESHOLD - 1e-9
+        assert r["inter"] <= r["uni"]
+    # brute force over the same rarest-shingle sets
+    from pyspark.sql import functions as F2
+    d = TA._tokenized_docs(spark, SF)
+    ws = F2.filter("words", lambda w: F2.length(w) > 0)
+    wsd = d.select("doc_id", ws.alias("ws")).filter(F2.size("ws") >= 3)
+    shingles = F2.array_distinct(F2.transform(
+        F2.sequence(F2.lit(1), F2.size("ws") - 2),
+        lambda i: F2.concat_ws(
+            " ", F2.element_at("ws", i), F2.element_at("ws", i + 1),
+            F2.element_at("ws", i + 2))))
+    dt = wsd.select("doc_id", F2.explode(shingles).alias("w"))
+    dfq = dt.groupBy("w").agg(F2.count(F2.lit(1)).alias("df"))
+    keyed = dt.join(dfq, "w").select(
+        "doc_id", F2.concat(F2.lpad(F2.col("df").cast("string"), 12, "0"),
+                            F2.lit("|"), F2.col("w")).alias("kw"))
+    base = keyed.groupBy("doc_id").agg(
+        F2.slice(F2.array_sort(F2.collect_list("kw")), 1, TA.PFJ_CAP)
+        .alias("toks"))
+    toks = {r["doc_id"]: set(r["toks"]) for r in base.collect()}
+    ids = sorted(toks)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(toks[a] & toks[b])
+            uni = len(toks[a] | toks[b])
+            if uni and inter / uni >= TA.PFJ_THRESHOLD:
+                brute[(a, b)] = round(inter / uni, 6)
+    assert got == brute
+
+
+def test_heaps_law_sublinear_growth(spark):
+    r = TA.q_heaps_law(spark, SF).collect()[0]
+    assert r["n_sources"] >= 2
+    # Heaps' exponent for natural-ish text lies in (0, 1]
+    assert 0.0 < r["beta"] <= 1.2
+
+
+def test_fano_burstiness_positive(spark):
+    rows = AR.q_fano_burstiness(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["hours"] > 1
+        assert r["n"] >= r["hours"]  # every counted hour has >= 1 event
+        assert r["fano"] > 0
