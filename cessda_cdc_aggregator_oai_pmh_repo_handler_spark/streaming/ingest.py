@@ -659,6 +659,75 @@ def streaming_holt_winters(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_interval_coverage(spark: SparkSession, source_dir: str,
+                                schema: T.StructType):
+    """STREAMING gaps-and-islands — the ``applyInPandasWithState`` twin of
+    the batch ``arrays.q_interval_coverage`` (gate-verified vs DuckDB):
+    each event opens a [ts, ts+300s) activity interval; overlapping
+    intervals merge into islands online with FOUR integers of state per
+    user (open-island start, open-island max end, closed-island count,
+    closed covered seconds). Every emission reports the totals AS IF the
+    stream ended now (open island included), so the stream-final row
+    equals the batch answer exactly under in-order delivery — the
+    streaming_ewma contract. State is O(1) per user forever; this is the
+    online uptime/activity-coverage meter."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.arrays import INTERVAL_HOLD_S
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_islands", T.LongType()),
+        T.StructField("covered_s", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start", T.LongType()),
+        T.StructField("max_e", T.LongType()),
+        T.StructField("closed", T.LongType()),
+        T.StructField("cov", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        start, max_e, closed, cov = (
+            state.get if state.exists else (None, None, 0, 0))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        # normalize to ns first: Arrow may hand the batch datetime64[us],
+        # whose int64 view is microseconds, not nanoseconds
+        secs = (batch["ts"].astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000).to_numpy()
+        for s in secs:
+            s = int(s)
+            e = s + INTERVAL_HOLD_S
+            if start is None:
+                start, max_e = s, e
+            elif s > max_e:
+                closed += 1
+                cov += max_e - start
+                start, max_e = s, e
+            else:
+                max_e = max(max_e, e)
+        state.update((start, max_e, closed, cov))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_islands": [closed + (1 if start is not None else 0)],
+            "covered_s": [cov + ((max_e - start) if start is not None
+                                 else 0)],
+        })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 

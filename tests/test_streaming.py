@@ -529,3 +529,40 @@ def test_streaming_holt_winters_matches_batch_fold(spark, tmp_path):
     want = {int(r["user_id"]): (r["n"], r["level"], r["trend"])
             for r in arrays.q_holt_winters(spark, sf_dir).collect()}
     assert finals == want
+
+
+def test_streaming_interval_coverage_matches_batch(spark, tmp_path):
+    """Stream-final islands/coverage across 2 in-order microbatches equal
+    the gate-verified batch gaps-and-islands answer — 4 integers of
+    state per user, O(1) forever."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 60)
+    src = str(tmp_path / "events_ic")
+    os.makedirs(src)
+    ordered_ts = [r["ts"] for r in
+                  events.select("ts").orderBy("ts").collect()]
+    mid = ordered_ts[len(ordered_ts) // 2]
+    events.filter(F.col("ts") <= F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=0")
+    events.filter(F.col("ts") > F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=1")
+
+    stream = I.streaming_interval_coverage(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("ic_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals = {}
+    for r in spark.sql("SELECT * FROM ic_stream").collect():
+        uid = int(r["user_id"])
+        cur = (r["n_islands"], r["covered_s"])
+        # later emissions dominate: coverage is monotone nondecreasing
+        if uid not in finals or cur[1] >= finals[uid][1]:
+            finals[uid] = cur
+    want = {int(r["user_id"]): (r["n_islands"], r["covered_s"])
+            for r in arrays.q_interval_coverage(spark, sf_dir).collect()}
+    assert finals == want
