@@ -1548,6 +1548,31 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "hours", "n",
                       F.round(fano, 6).alias("fano"))
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars per event type — the
+    classic tick→bar reduction every market/metrics pipeline runs. ONE
+    groupBy: open/close via min_by/max_by on a composite integer
+    (epoch·10⁸ + event_id, unique and order-exact), high/low/volume as
+    plain min/max/count. Values are hashed in exact cents
+    (floor(value·100)); no window, no sort, map-side combinable — the
+    shape is a single exchange on (type, hour) at any scale."""
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    d = e.select(
+        "event_type",
+        (s / F.lit(3600)).cast("long").alias("h"),
+        (s * F.lit(100000000) + F.col("event_id")).alias("ord"),
+        cents.alias("v"))
+    return (d.groupBy("event_type", "h")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min_by("v", "ord").alias("open_c"),
+                 F.max_by("v", "ord").alias("close_c"),
+                 F.max("v").alias("high_c"),
+                 F.min("v").alias("low_c"))
+            .filter(F.col("n") >= 3))
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
@@ -1592,6 +1617,7 @@ QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "markov_stationary": q_markov_stationary,
     "fano_burstiness": q_fano_burstiness,
+    "ohlc_bars": q_ohlc_bars,
 }
 
 ORACLES = {
@@ -2334,6 +2360,22 @@ ORACLES = {
         GROUP BY touch_t
     """,
     "markov_stationary": _markov_oracle(),
+    "ohlc_bars": """
+        WITH d AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 100000000
+                       + event_id AS ord,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events
+        )
+        SELECT event_type, h, count(*) AS n,
+               arg_min(v, ord) AS open_c,
+               arg_max(v, ord) AS close_c,
+               max(v) AS high_c, min(v) AS low_c
+        FROM d GROUP BY event_type, h
+        HAVING count(*) >= 3
+    """,
     "fano_burstiness": """
     WITH cnt AS (
         SELECT event_type,

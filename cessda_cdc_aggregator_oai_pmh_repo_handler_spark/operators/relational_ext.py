@@ -2480,10 +2480,53 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+FP_MOD = 10 ** 15  # per-row hash modulus: 6e5 rows × 1e15 fits DECIMAL(38)
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints — the anti-entropy checksum a
+    replication/backup pipeline compares across copies without sorting
+    either side: per table, SUM over rows of (md5 of the canonicalized
+    row) mod 10¹⁵, accumulated in DECIMAL(38,0) (commutative, exact, no
+    wraparound), plus the row count. One map-side-combined pass per
+    table; any single-row difference shifts the sum with probability
+    1 − 10⁻¹⁵. Canonicalization: money in cents, timestamps as epoch
+    seconds, pipe-joined with explicit NULL sentinels."""
+    fps = []
+    specs = {
+        "orders": [F.col("o_orderkey").cast("string"),
+                   F.col("o_custkey").cast("string"),
+                   F.col("o_orderstatus"),
+                   F.floor(F.col("o_totalprice") * 100).cast("string"),
+                   F.unix_timestamp("o_orderdate").cast("string"),
+                   F.col("o_orderpriority")],
+        "customer": [F.col("c_custkey").cast("string"),
+                     F.col("c_name"), F.col("c_nationkey").cast("string"),
+                     F.col("c_mktsegment"),
+                     F.floor(F.col("c_acctbal") * 100).cast("string")],
+        "nation": [F.col("n_nationkey").cast("string"), F.col("n_name"),
+                   F.col("n_regionkey").cast("string")],
+    }
+    out = None
+    for tbl, cols in specs.items():
+        t = load_table(spark, tbl, sf_dir)
+        canon = F.concat_ws("|", *[F.coalesce(c, F.lit("~NULL~"))
+                                   for c in cols])
+        h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10) \
+            .cast("decimal(19,0)")
+        fp = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(h) % F.lit(FP_MOD)).cast("long").alias("fp_mod"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "fp_mod")
+        out = fp if out is None else out.unionByName(fp)
+    return out
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "target_encoding": q_target_encoding,
     "column_profile": q_column_profile,
+    "table_fingerprint": q_table_fingerprint,
     "frequent_itemsets": q_frequent_itemsets,
     "itemcf_recommend": q_itemcf_recommend,
     "key_skew_audit": q_key_skew_audit,
@@ -3215,6 +3258,49 @@ ORACLES = {
                         * CAST(n_g AS DOUBLE))
                      / 100.0, 4) AS enc
         FROM grp CROSS JOIN tot
+    """,
+    "table_fingerprint": f"""
+        WITH o AS (
+            SELECT count(*) AS n_rows,
+                   sum(CAST(CAST('0x' || substring(md5(concat_ws('|',
+                       COALESCE(CAST(o_orderkey AS VARCHAR), '~NULL~'),
+                       COALESCE(CAST(o_custkey AS VARCHAR), '~NULL~'),
+                       COALESCE(o_orderstatus, '~NULL~'),
+                       COALESCE(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), '~NULL~'),
+                       COALESCE(CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                                AS VARCHAR), '~NULL~'),
+                       COALESCE(o_orderpriority, '~NULL~'))), 1, 12)
+                       AS BIGINT) AS HUGEINT)) % {FP_MOD} AS fp_mod
+            FROM orders
+        ),
+        c AS (
+            SELECT count(*) AS n_rows,
+                   sum(CAST(CAST('0x' || substring(md5(concat_ws('|',
+                       COALESCE(CAST(c_custkey AS VARCHAR), '~NULL~'),
+                       COALESCE(c_name, '~NULL~'),
+                       COALESCE(CAST(c_nationkey AS VARCHAR), '~NULL~'),
+                       COALESCE(c_mktsegment, '~NULL~'),
+                       COALESCE(CAST(CAST(floor(c_acctbal * 100) AS BIGINT)
+                                AS VARCHAR), '~NULL~'))), 1, 12)
+                       AS BIGINT) AS HUGEINT)) % {FP_MOD} AS fp_mod
+            FROM customer
+        ),
+        n AS (
+            SELECT count(*) AS n_rows,
+                   sum(CAST(CAST('0x' || substring(md5(concat_ws('|',
+                       COALESCE(CAST(n_nationkey AS VARCHAR), '~NULL~'),
+                       COALESCE(n_name, '~NULL~'),
+                       COALESCE(CAST(n_regionkey AS VARCHAR), '~NULL~'))),
+                       1, 12) AS BIGINT) AS HUGEINT)) % {FP_MOD} AS fp_mod
+            FROM nation
+        )
+        SELECT 'orders' AS tbl, n_rows, CAST(fp_mod AS BIGINT) AS fp_mod
+        FROM o
+        UNION ALL
+        SELECT 'customer', n_rows, CAST(fp_mod AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'nation', n_rows, CAST(fp_mod AS BIGINT) FROM n
     """,
     "column_profile": """
         SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,

@@ -288,6 +288,10 @@ _TEMPORAL_SUBS = (
     Sub("fano_burstiness", arrays.q_fano_burstiness,
         arrays.ORACLES["fano_burstiness"],
         (("event_type", "str"),), ("hours", "n", "fano")),
+    Sub("ohlc_bars", arrays.q_ohlc_bars,
+        arrays.ORACLES["ohlc_bars"],
+        (("event_type", "str"), ("h", "str")),
+        ("n", "open_c", "close_c", "high_c", "low_c")),
 )
 
 _CORPUS_SUBS = (
@@ -586,6 +590,9 @@ _SQL_SURFACE_SUBS = (
         relational_ext.ORACLES["column_profile"],
         (("col_name", "str"),),
         ("n_rows", "n_null", "n_distinct", "min_v", "max_v")),
+    Sub("table_fingerprint", relational_ext.q_table_fingerprint,
+        relational_ext.ORACLES["table_fingerprint"],
+        (("tbl", "str"),), ("n_rows", "fp_mod")),
     Sub("frequent_itemsets", relational_ext.q_frequent_itemsets,
         relational_ext.ORACLES["frequent_itemsets"],
         (("pa", "str"), ("pb", "str")), ("support",)),

@@ -215,3 +215,37 @@ def test_fano_burstiness_positive(spark):
         assert r["hours"] > 1
         assert r["n"] >= r["hours"]  # every counted hour has >= 1 event
         assert r["fano"] > 0
+
+
+def test_ohlc_bars_invariants(spark):
+    rows = AR.q_ohlc_bars(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] >= 3
+        assert r["low_c"] <= min(r["open_c"], r["close_c"])
+        assert r["high_c"] >= max(r["open_c"], r["close_c"])
+
+
+def test_table_fingerprint_detects_any_row_change(spark):
+    rows = {r["tbl"]: r for r in RE.q_table_fingerprint(spark, SF).collect()}
+    assert set(rows) == {"orders", "customer", "nation"}
+    for r in rows.values():
+        assert 0 <= r["fp_mod"] < RE.FP_MOD
+        assert r["n_rows"] > 0
+    # the same fingerprint formula over orders minus one row must differ
+    from pyspark.sql import functions as F2
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    canon = F2.concat_ws("|", *[
+        F2.coalesce(c, F2.lit("~NULL~")) for c in [
+            F2.col("o_orderkey").cast("string"),
+            F2.col("o_custkey").cast("string"),
+            F2.col("o_orderstatus"),
+            F2.floor(F2.col("o_totalprice") * 100).cast("string"),
+            F2.unix_timestamp("o_orderdate").cast("string"),
+            F2.col("o_orderpriority")]])
+    h = F2.conv(F2.substring(F2.md5(canon), 1, 12), 16, 10) \
+        .cast("decimal(19,0)")
+    first = o.select("o_orderkey").orderBy("o_orderkey").first()[0]
+    fp2 = (o.filter(F2.col("o_orderkey") != first)
+           .agg((F2.sum(h) % F2.lit(RE.FP_MOD)).cast("long")).first()[0])
+    assert fp2 != rows["orders"]["fp_mod"]
