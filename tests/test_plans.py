@@ -491,3 +491,28 @@ def test_bucketed_global_rank_matches_global_window(spark):
         "doc_id", F.row_number().over(
             Window.orderBy("v", "doc_id")).alias("pos")).collect()}
     assert got == want
+
+
+def test_round7_new_ops_no_cartesian_or_global_sort(spark):
+    """The round-7 continuation operators must keep the house plan
+    contract: no CartesianProduct, no single-partition Exchange (tiny
+    K-row final aggregates excepted — those appear as SinglePartition
+    on <=K-row relations; the check here is on the heavy ops whose
+    inputs are corpus-sized)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        arrays as AR,
+        relational_ext as RE,
+        text_analysis as TA,
+    )
+
+    heavy = [TA.q_prefix_filter_jaccard, AR.q_interval_coverage,
+             AR.q_scd2_build, AR.q_ohlc_bars, AR.q_attribution_last_touch,
+             RE.q_table_fingerprint, AR.q_markov_stationary]
+    for q in heavy:
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+    # window ops must partition their windows (no global sort)
+    for q in (AR.q_interval_coverage, AR.q_scd2_build,
+              AR.q_attribution_last_touch):
+        bad = _global_windows(plan_of(q(spark, SF)))
+        assert not bad, (q.__name__, bad)

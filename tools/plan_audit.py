@@ -102,6 +102,12 @@ HEADLINERS = {
     "js_divergence": "JS divergence: vocab x K-source term grid (vocabulary-sized), per-term DECIMAL-rounded contributions, one grouped aggregate per source.",
     "holt_winters": "Holt double exponential smoothing: FlatMapGroupsInPandas — one Arrow batch per series, two scalars of state, per-key output rows only.",
     "isotonic_calibration": "Isotonic calibration: one corpus groupBy to K buckets, then PAVA as two range joins over K-row relations (minimax identity) — no driver loop, no corpus re-entry.",
+    "prefix_filter_jaccard": "PPJoin set-similarity self-join: shingle df order via one vocab join, candidates from ONE equi-join on the exploded prefix — no cartesian, no all-pairs; verify is in-array intersect over bounded arrays.",
+    "markov_stationary": "Markov stationary: transition counts from one partitioned lag window; 20 fixed-point BIGINT iterations each a K-row broadcast join — corpus scanned once, iterations corpus-size-independent.",
+    "interval_coverage": "Gaps-and-islands: cumulative-MAX window PARTITIONED BY user (one hash exchange, no global sort), island groupBys reuse the same key.",
+    "ohlc_bars": "OHLC downsampling: single hash aggregate with min_by/max_by on a unique composite integer — map-side combinable, no window, no sort.",
+    "table_fingerprint": "Anti-entropy fingerprints: per-table single-pass agg of md5-derived ints in DECIMAL — no sort, no join, no collect.",
+    "model_eval_auc": "Exact AUC: value-histogram groupBy + broadcast prefix self-join (bounded relation) — the corpus is scanned once, no window, no global sort.",
     "bootstrap_ci": "Bootstrap CI: resample totals are exact integers; SE/CI from DECIMAL sums of B totals — the only exchanges are the draw equi-join and a B-row aggregate.",
     "xml_roundtrip": "to_xml/xpath round-trip conformance: 1/97 key-modulo slice pushed to the scan bounds the deliberately-slow per-row XML parse at any scale.",
     "ts_similarity": "Time-series subsequence search: per-user series in one groupBy, slice()-view windows in a codegen zip_with fold, broadcast query, TakeOrdered top-K — no global sort, no pair materialization.",
