@@ -2522,11 +2522,56 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SKY_BUCKET_CENTS = 100000  # $1000 price buckets for the two-level prefix
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of urgent orders — minimize price,
+    maximize recency — WITHOUT the textbook O(n²) NOT-EXISTS or a global
+    sort: prices bucket into $1000 cells; the strictly-cheaper dominator
+    test decomposes into (a) a prefix-MAX of order dates over strictly
+    lower buckets (a broadcast self-join on the K-row bucket relation)
+    and (b) a RANGE-frame running MAX *partitioned by bucket* for the
+    strictly-cheaper-within-bucket part; equal-price domination is one
+    more bucket-partitioned window. All comparisons are exact integers
+    (cents / epoch seconds). The DuckDB oracle is the textbook NOT
+    EXISTS, proving the decomposition exact. Scale: one hash exchange on
+    bucket + a K-row broadcast — no n² anywhere."""
+    from pyspark.sql import Window
+
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    d = o.select(
+        "o_orderkey",
+        _cents_long("o_totalprice").alias("cents"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("ep"))
+    d = d.withColumn("b", F.expr(f"cents DIV {SKY_BUCKET_CENTS}"))
+    bmax = d.groupBy("b").agg(F.max("ep").alias("bmax"))
+    pre = (bmax.alias("x")
+           .join(F.broadcast(bmax.alias("y")), F.col("y.b") < F.col("x.b"),
+                 "left")
+           .groupBy(F.col("x.b").alias("b"))
+           .agg(F.max("y.bmax").alias("pre_max")))
+    w_in = (Window.partitionBy("b").orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = Window.partitionBy("b", "cents")
+    scored = (d.join(F.broadcast(pre), "b")
+              .withColumn("in_max", F.max("ep").over(w_in))
+              .withColumn("eq_max", F.max("ep").over(w_eq)))
+    cheaper_max = F.greatest(F.coalesce(F.col("pre_max"), F.lit(-1)),
+                             F.coalesce(F.col("in_max"), F.lit(-1)))
+    dominated = ((cheaper_max >= F.col("ep"))
+                 | (F.col("eq_max") > F.col("ep")))
+    return (scored.filter(~dominated)
+            .select("o_orderkey", "cents", "ep"))
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "target_encoding": q_target_encoding,
     "column_profile": q_column_profile,
     "table_fingerprint": q_table_fingerprint,
+    "skyline_orders": q_skyline_orders,
     "frequent_itemsets": q_frequent_itemsets,
     "itemcf_recommend": q_itemcf_recommend,
     "key_skew_audit": q_key_skew_audit,
@@ -3258,6 +3303,21 @@ ORACLES = {
                         * CAST(n_g AS DOUBLE))
                      / 100.0, 4) AS enc
         FROM grp CROSS JOIN tot
+    """,
+    "skyline_orders": """
+        WITH d AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ep
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT o_orderkey, cents, ep
+        FROM d a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM d b
+            WHERE b.cents <= a.cents AND b.ep >= a.ep
+              AND (b.cents < a.cents OR b.ep > a.ep)
+        )
     """,
     "table_fingerprint": f"""
         WITH o AS (

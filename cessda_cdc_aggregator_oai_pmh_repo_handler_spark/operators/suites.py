@@ -593,6 +593,9 @@ _SQL_SURFACE_SUBS = (
     Sub("table_fingerprint", relational_ext.q_table_fingerprint,
         relational_ext.ORACLES["table_fingerprint"],
         (("tbl", "str"),), ("n_rows", "fp_mod")),
+    Sub("skyline_orders", relational_ext.q_skyline_orders,
+        relational_ext.ORACLES["skyline_orders"],
+        (("o_orderkey", "str"),), ("cents", "ep")),
     Sub("frequent_itemsets", relational_ext.q_frequent_itemsets,
         relational_ext.ORACLES["frequent_itemsets"],
         (("pa", "str"), ("pb", "str")), ("support",)),

@@ -249,3 +249,22 @@ def test_table_fingerprint_detects_any_row_change(spark):
     fp2 = (o.filter(F2.col("o_orderkey") != first)
            .agg((F2.sum(h) % F2.lit(RE.FP_MOD)).cast("long")).first()[0])
     assert fp2 != rows["orders"]["fp_mod"]
+
+
+def test_skyline_is_pareto_frontier(spark):
+    rows = RE.q_skyline_orders(spark, SF).collect()
+    assert rows
+    pts = [(r["cents"], r["ep"]) for r in rows]
+    # no skyline point dominates another (mutual non-domination)
+    for i, (c1, e1) in enumerate(pts):
+        for j, (c2, e2) in enumerate(pts):
+            if i != j:
+                dominates = (c1 <= c2 and e1 >= e2
+                             and (c1 < c2 or e1 > e2))
+                assert not dominates
+    # the global cheapest and the global most-recent are on the frontier
+    o = spark.read.parquet(f"{SF}/orders.parquet") \
+        .filter("o_orderpriority = '1-URGENT'")
+    from pyspark.sql import functions as F2
+    cmin = o.agg(F2.min(F2.floor(F2.col("o_totalprice") * 100))).first()[0]
+    assert any(c == cmin for c, _ in pts)
