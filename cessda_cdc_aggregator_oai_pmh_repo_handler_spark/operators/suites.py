@@ -521,6 +521,9 @@ _CORPUS_SUBS = (
     Sub("heaps_law", text_analysis.q_heaps_law,
         text_analysis.ORACLES["heaps_law"],
         (), ("n_sources", "beta", "ln_k")),
+    Sub("salsa_scores", text_analysis.q_salsa_scores,
+        text_analysis.ORACLES["salsa_scores"],
+        (("word", "str"),), ("hub", "auth")),
 )
 
 _TPCH_SUBS = (

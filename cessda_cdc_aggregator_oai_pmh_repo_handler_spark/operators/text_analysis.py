@@ -2576,6 +2576,115 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(lnk, 6).alias("ln_k"))
 
 
+SALSA_ONE = 10 ** 12   # fixed-point unit mass
+SALSA_ITERS = 4
+SALSA_MIN_C = 2        # prune hapax bigram edges
+
+
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran '00) over the DIRECTED
+    word-bigram graph — the random-walk sibling of HITS that needs NO
+    global normalization step, which is what makes it expressible in the
+    textrank fixed-point BIGINT discipline: each half-iteration is
+    authority[d] = Σ (hub[s]·c) DIV outw[s] then
+    hub[s] = Σ (auth[d]·c) DIV inw[d] — floor division per edge, integer
+    sums, bit-exact on both engines, hash gate verifies the EXACT
+    integers. Per iteration: two edge-sized joins over the
+    vocabulary-bounded edge relation (checkpointed; the corpus is
+    scanned once). HITS itself normalizes by a global sum each step —
+    a decimal division whose rounding differs across engines — so SALSA
+    is the right graph-centrality twin for an exactness-gated engine."""
+    d = _tokenized_docs(spark, sf_dir)
+    toks = d.select(F.filter("words", lambda x: F.length(x) > 0)
+                    .alias("toks"))
+    adj = (
+        toks.select(F.explode(F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) "
+            "ELSE array() END")).alias("p"))
+        .select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = (adj.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") >= SALSA_MIN_C)
+             .localCheckpoint())
+    outw = edges.groupBy("src").agg(F.sum("c").alias("outw"))
+    inw = edges.groupBy("dst").agg(F.sum("c").alias("inw"))
+    nh = outw.agg(F.count(F.lit(1)).alias("n"))
+    hub = (outw.crossJoin(F.broadcast(nh))
+           .select("src", "outw", F.expr(f"{SALSA_ONE} div n").alias("h")))
+    auth = None
+    for _ in range(SALSA_ITERS):
+        auth = (edges.join(F.broadcast(hub), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("(h * c) div outw")).alias("a")))
+        auth = auth.join(F.broadcast(inw), "dst")
+        hub = (edges.join(F.broadcast(auth), "dst")
+               .groupBy("src")
+               .agg(F.sum(F.expr("(a * c) div inw")).alias("h")))
+        hub = hub.join(F.broadcast(outw), "src")
+    h_side = hub.select(F.col("src").alias("word"), "h")
+    a_side = auth.select(F.col("dst").alias("word"), "a")
+    return (h_side.join(a_side, "word", "full")
+            .select("word",
+                    F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+                    F.coalesce("a", F.lit(0)).cast("long").alias("auth")))
+
+
+def _salsa_oracle() -> str:
+    """Generated CTE chain replaying the identical integer recursion."""
+    head = f"""
+    WITH toks AS (
+        SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+        FROM documents
+    ),
+    adj AS (
+        SELECT p.w1 AS src, p.w2 AS dst FROM (
+            SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(2, len(toks) + 1),
+                    i -> struct_pack(w1 := toks[i - 1], w2 := toks[i]))
+                ELSE [] END) AS p
+            FROM toks) t
+        WHERE p.w1 <> p.w2
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS c FROM adj
+        GROUP BY src, dst HAVING count(*) >= {SALSA_MIN_C}
+    ),
+    outw AS (SELECT src, sum(c) AS outw FROM edges GROUP BY src),
+    inw AS (SELECT dst, sum(c) AS inw FROM edges GROUP BY dst),
+    nh AS (SELECT count(*) AS n FROM outw),
+    hub0 AS (
+        SELECT src, outw, CAST({SALSA_ONE} // n AS BIGINT) AS h
+        FROM outw CROSS JOIN nh
+    )"""
+    blocks = [head]
+    for t in range(SALSA_ITERS):
+        blocks.append(f"""
+    auth{t + 1} AS (
+        SELECT e.dst, inw.inw,
+               CAST(sum(hub{t}.h * e.c // hub{t}.outw) AS BIGINT) AS a
+        FROM edges e JOIN hub{t} ON e.src = hub{t}.src
+        JOIN inw ON e.dst = inw.dst
+        GROUP BY e.dst, inw.inw
+    ),
+    hub{t + 1} AS (
+        SELECT e.src, outw.outw,
+               CAST(sum(auth{t + 1}.a * e.c // auth{t + 1}.inw) AS BIGINT)
+               AS h
+        FROM edges e JOIN auth{t + 1} ON e.dst = auth{t + 1}.dst
+        JOIN outw ON e.src = outw.src
+        GROUP BY e.src, outw.outw
+    )""")
+    last = SALSA_ITERS
+    return (",".join(blocks) + f"""
+    SELECT COALESCE(h.src, a.dst) AS word,
+           COALESCE(h.h, 0) AS hub, COALESCE(a.a, 0) AS auth
+    FROM hub{last} h FULL OUTER JOIN auth{last} a ON h.src = a.dst""")
+
+
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "mi_contingency": q_mi_contingency,
@@ -2586,6 +2695,7 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "prefix_filter_jaccard": q_prefix_filter_jaccard,
     "heaps_law": q_heaps_law,
+    "salsa_scores": q_salsa_scores,
     "quantile_normalize": q_quantile_normalize,
     "bootstrap_resample": q_bootstrap_resample,
     "bootstrap_ci": q_bootstrap_ci,
@@ -3720,3 +3830,5 @@ ORACLES["heaps_law"] = """
     FROM agg
 """
 
+
+ORACLES["salsa_scores"] = _salsa_oracle()

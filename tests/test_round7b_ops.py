@@ -268,3 +268,14 @@ def test_skyline_is_pareto_frontier(spark):
     from pyspark.sql import functions as F2
     cmin = o.agg(F2.min(F2.floor(F2.col("o_totalprice") * 100))).first()[0]
     assert any(c == cmin for c, _ in pts)
+
+
+def test_salsa_mass_and_coverage(spark):
+    rows = TA.q_salsa_scores(spark, SF).collect()
+    assert rows
+    hub_total = sum(r["hub"] for r in rows)
+    auth_total = sum(r["auth"] for r in rows)
+    # floor division only leaks mass, never creates it
+    assert 0 < auth_total <= TA.SALSA_ONE
+    assert 0 < hub_total <= TA.SALSA_ONE
+    assert all(r["hub"] >= 0 and r["auth"] >= 0 for r in rows)
