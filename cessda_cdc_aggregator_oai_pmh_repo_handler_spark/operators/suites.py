@@ -524,6 +524,11 @@ _CORPUS_SUBS = (
     Sub("salsa_scores", text_analysis.q_salsa_scores,
         text_analysis.ORACLES["salsa_scores"],
         (("word", "str"),), ("hub", "auth")),
+    Sub("fellegi_sunter", text_analysis.q_fellegi_sunter,
+        text_analysis.ORACLES["fellegi_sunter"],
+        (("field", "str"),),
+        ("dup_pairs", "nondup_pairs", "agree_dup", "agree_nondup",
+         "w_agree", "w_disagree")),
 )
 
 _TPCH_SUBS = (

@@ -2685,6 +2685,79 @@ def _salsa_oracle() -> str:
     FROM hub{last} h FULL OUTER JOIN auth{last} a ON h.src = a.dst""")
 
 
+FS_BLOCK_WIDTH = 50   # n_chars block width for candidate generation
+FS_BLOCK_CAP = 24     # docs kept per block (deterministic by doc_id)
+FS_DUP_J = 0.5        # shingle-jaccard threshold labeling a "true" match
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weight training (the 1969 model
+    behind every probabilistic entity-resolution system), fully
+    relational: candidate pairs come from (lang, length-block) BLOCKING
+    with a deterministic per-block cap (row_number by doc_id over the
+    block exchange — bounded partitions, never a corpus cross join);
+    ground-truth match labels are exact trigram-shingle Jaccard ≥ 0.5
+    computed in-array per pair; then for each comparison field
+    (same source, length within 10, same first word) the m/u
+    probabilities are Laplace-smoothed EXACT integer counts and the
+    agreement/disagreement log-weights ln(m/u), ln((1−m)/(1−u)) are
+    single-shot doubles. Output is K field rows — the trained linkage
+    model, auditable in one look."""
+    from pyspark.sql import Window
+
+    d = _tokenized_docs(spark, sf_dir).withColumn(
+        "ws", F.filter("words", lambda x: F.length(x) > 0))
+    toks = F.slice(F.array_sort(F.array_distinct(F.expr(
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1])) "
+        "ELSE array() END"))), 1, PFJ_CAP)
+    base = d.select(
+        "doc_id", "source", "n_chars", "lang",
+        F.element_at("ws", 1).alias("w1"),
+        toks.alias("toks"),
+        (F.col("n_chars") / F.lit(FS_BLOCK_WIDTH)).cast("long").alias("lb"))
+    w = Window.partitionBy("lang", "lb").orderBy("doc_id")
+    base = (base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= FS_BLOCK_CAP))
+    a = base.select(*[F.col(c).alias(c + "_a")
+                      for c in ("doc_id", "source", "n_chars", "w1", "toks")],
+                    "lang", "lb")
+    b = base.select(*[F.col(c).alias(c + "_b")
+                      for c in ("doc_id", "source", "n_chars", "w1", "toks")],
+                    "lang", "lb")
+    pairs = (a.join(b, ["lang", "lb"])
+             .filter(F.col("doc_id_a") < F.col("doc_id_b")))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.size("toks_a") + F.size("toks_b") - inter
+    lab = pairs.select(
+        (inter.cast("double") >= F.lit(FS_DUP_J) * uni.cast("double"))
+        .cast("int").alias("dup"),
+        (F.col("source_a") == F.col("source_b")).cast("int").alias("f_src"),
+        (F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 10)
+        .cast("int").alias("f_len"),
+        (F.col("w1_a") == F.col("w1_b")).cast("int").alias("f_w1"))
+    long = lab.selectExpr(
+        "dup",
+        "stack(3, 'same_source', f_src, 'len_within_10', f_len, "
+        "'same_first_word', f_w1) AS (field, agree)")
+    agg = long.groupBy("field").agg(
+        F.sum("dup").cast("long").alias("dup_pairs"),
+        F.sum(1 - F.col("dup")).cast("long").alias("nondup_pairs"),
+        F.sum(F.col("dup") * F.col("agree")).cast("long").alias("agree_dup"),
+        F.sum((1 - F.col("dup")) * F.col("agree")).cast("long")
+        .alias("agree_nondup"))
+    m = ((F.col("agree_dup").cast("double") + F.lit(1.0))
+         / (F.col("dup_pairs").cast("double") + F.lit(2.0)))
+    u = ((F.col("agree_nondup").cast("double") + F.lit(1.0))
+         / (F.col("nondup_pairs").cast("double") + F.lit(2.0)))
+    return agg.select(
+        "field", "dup_pairs", "nondup_pairs", "agree_dup", "agree_nondup",
+        F.round(F.log(m / u), 6).alias("w_agree"),
+        F.round(F.log((F.lit(1.0) - m) / (F.lit(1.0) - u)), 6)
+        .alias("w_disagree"))
+
+
 QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "mi_contingency": q_mi_contingency,
@@ -2696,6 +2769,7 @@ QUERIES = {
     "prefix_filter_jaccard": q_prefix_filter_jaccard,
     "heaps_law": q_heaps_law,
     "salsa_scores": q_salsa_scores,
+    "fellegi_sunter": q_fellegi_sunter,
     "quantile_normalize": q_quantile_normalize,
     "bootstrap_resample": q_bootstrap_resample,
     "bootstrap_ci": q_bootstrap_ci,
@@ -3832,3 +3906,77 @@ ORACLES["heaps_law"] = """
 
 
 ORACLES["salsa_scores"] = _salsa_oracle()
+
+ORACLES["fellegi_sunter"] = f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS words
+        FROM documents
+    ),
+    base0 AS (
+        SELECT doc_id, source, n_chars, lang,
+               words[1] AS w1,
+               list_sort(list_distinct(CASE WHEN len(words) >= 3 THEN
+                   list_transform(range(2, len(words)),
+                       i -> words[i - 1] || ' ' || words[i]
+                            || ' ' || words[i + 1])
+                   ELSE [] END))[1:{PFJ_CAP}] AS toks,
+               CAST(n_chars // {FS_BLOCK_WIDTH} AS BIGINT) AS lb
+        FROM d
+    ),
+    base AS (
+        SELECT * FROM (
+            SELECT base0.*,
+                   row_number() OVER (PARTITION BY lang, lb
+                                      ORDER BY doc_id) AS rn
+            FROM base0)
+        WHERE rn <= {FS_BLOCK_CAP}
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb,
+               a.n_chars AS na, b.n_chars AS nb,
+               a.w1 AS wa, b.w1 AS wb,
+               len(list_intersect(a.toks, b.toks)) AS inter,
+               len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS uni
+        FROM base a JOIN base b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    ),
+    lab AS (
+        SELECT CASE WHEN CAST(inter AS DOUBLE)
+                         >= {FS_DUP_J} * CAST(uni AS DOUBLE)
+                    THEN 1 ELSE 0 END AS dup,
+               CASE WHEN sa = sb THEN 1 ELSE 0 END AS f_src,
+               CASE WHEN abs(na - nb) <= 10 THEN 1 ELSE 0 END AS f_len,
+               CASE WHEN wa = wb THEN 1 ELSE 0 END AS f_w1
+        FROM pairs
+    ),
+    longf AS (
+        SELECT dup, 'same_source' AS field, f_src AS agree FROM lab
+        UNION ALL
+        SELECT dup, 'len_within_10', f_len FROM lab
+        UNION ALL
+        SELECT dup, 'same_first_word', f_w1 FROM lab
+    ),
+    agg AS (
+        SELECT field,
+               CAST(sum(dup) AS BIGINT) AS dup_pairs,
+               CAST(sum(1 - dup) AS BIGINT) AS nondup_pairs,
+               CAST(sum(dup * agree) AS BIGINT) AS agree_dup,
+               CAST(sum((1 - dup) * agree) AS BIGINT) AS agree_nondup
+        FROM longf GROUP BY field
+    )
+    SELECT field, dup_pairs, nondup_pairs, agree_dup, agree_nondup,
+           round(ln(((CAST(agree_dup AS DOUBLE) + 1.0)
+                     / (CAST(dup_pairs AS DOUBLE) + 2.0))
+                    / ((CAST(agree_nondup AS DOUBLE) + 1.0)
+                       / (CAST(nondup_pairs AS DOUBLE) + 2.0))), 6)
+           AS w_agree,
+           round(ln((1.0 - (CAST(agree_dup AS DOUBLE) + 1.0)
+                     / (CAST(dup_pairs AS DOUBLE) + 2.0))
+                    / (1.0 - (CAST(agree_nondup AS DOUBLE) + 1.0)
+                       / (CAST(nondup_pairs AS DOUBLE) + 2.0))), 6)
+           AS w_disagree
+    FROM agg
+"""

@@ -279,3 +279,18 @@ def test_salsa_mass_and_coverage(spark):
     assert 0 < auth_total <= TA.SALSA_ONE
     assert 0 < hub_total <= TA.SALSA_ONE
     assert all(r["hub"] >= 0 and r["auth"] >= 0 for r in rows)
+
+
+def test_fellegi_sunter_weight_signs_and_counts(spark):
+    rows = {r["field"]: r for r in TA.q_fellegi_sunter(spark, SF).collect()}
+    assert set(rows) == {"same_source", "len_within_10", "same_first_word"}
+    d0 = next(iter(rows.values()))
+    for r in rows.values():
+        # every field row sees the same labeled pair population
+        assert r["dup_pairs"] == d0["dup_pairs"]
+        assert r["nondup_pairs"] == d0["nondup_pairs"]
+        assert 0 <= r["agree_dup"] <= r["dup_pairs"]
+        assert 0 <= r["agree_nondup"] <= r["nondup_pairs"]
+        # an informative agreement field must weight agreement above
+        # disagreement
+        assert r["w_agree"] > r["w_disagree"]
