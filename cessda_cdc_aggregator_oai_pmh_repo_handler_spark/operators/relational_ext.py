@@ -2566,12 +2566,43 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "cents", "ep"))
 
 
+def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup across the region→nation hierarchy: order
+    revenue aggregated to nation (exact DECIMAL cents via one fact-side
+    groupBy on the pre-joined customer dimension), region totals as a
+    second fold of the K-row nation relation broadcast back, and each
+    nation's share of its region as ONE single-shot double. The
+    drill-down report every BI layer asks for, with the fact table
+    scanned exactly once and only K rows ever exchanged twice."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    dim = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("c_custkey", "n_name", "r_name"))
+    per_nation = (o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+                  .groupBy("r_name", "n_name")
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(_cents("o_totalprice")).alias("rev")))
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum("rev").alias("region_rev"))
+    j = per_nation.join(F.broadcast(per_region), "r_name")
+    return j.select(
+        "r_name", "n_name", "n_orders",
+        F.col("rev").cast("long").alias("rev_cents"),
+        F.round(F.col("rev").cast("double")
+                / F.col("region_rev").cast("double"), 6)
+        .alias("share_of_region"))
+
+
 QUERIES = {
     "supplier_stats": q_supplier_stats,
     "target_encoding": q_target_encoding,
     "column_profile": q_column_profile,
     "table_fingerprint": q_table_fingerprint,
     "skyline_orders": q_skyline_orders,
+    "hierarchy_share": q_hierarchy_share,
     "frequent_itemsets": q_frequent_itemsets,
     "itemcf_recommend": q_itemcf_recommend,
     "key_skew_audit": q_key_skew_audit,
@@ -3303,6 +3334,26 @@ ORACLES = {
                         * CAST(n_g AS DOUBLE))
                      / 100.0, 4) AS enc
         FROM grp CROSS JOIN tot
+    """,
+    "hierarchy_share": """
+        WITH per_nation AS (
+            SELECT r.r_name, n.n_name, count(*) AS n_orders,
+                   sum(CAST(floor(o.o_totalprice * 100) AS HUGEINT)) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        ),
+        per_region AS (
+            SELECT r_name, sum(rev) AS region_rev
+            FROM per_nation GROUP BY r_name
+        )
+        SELECT pn.r_name, pn.n_name, pn.n_orders,
+               CAST(pn.rev AS BIGINT) AS rev_cents,
+               round(CAST(pn.rev AS DOUBLE)
+                     / CAST(pr.region_rev AS DOUBLE), 6) AS share_of_region
+        FROM per_nation pn JOIN per_region pr USING (r_name)
     """,
     "skyline_orders": """
         WITH d AS (

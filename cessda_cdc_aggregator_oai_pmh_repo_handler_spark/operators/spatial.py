@@ -31,6 +31,45 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
+HAV_LAT0, HAV_LON0 = 48.8566, 2.3522  # reference point for the census
+HAV_CAP = 200                          # bounded customer slice
+
+
+def q_geo_haversine(spark, sf_dir):
+    """Great-circle distance census: haversine km from a fixed reference
+    point for a bounded customer slice, with synthetic lat/lon derived
+    from the customer key by the same Knuth multiplicative hash the grid
+    join uses (integer micro-degree coordinates, exact on both engines).
+    The trig itself is per-row single-shot double arithmetic written
+    shape-identically in the DuckDB oracle (the ln/entropy precedent —
+    no accumulation, so no merge-order exposure), rounded once. One
+    pruned scan, no shuffle beyond the scan itself."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    c = (load_table(spark, "customer", sf_dir)
+         .filter(F.col("c_custkey") < HAV_CAP))
+    lat_i = (F.col("c_custkey") * F.lit(LAT_MULT)) % F.lit(LAT_SPAN)
+    lon_i = (F.col("c_custkey") * F.lit(LON_MULT)) % F.lit(LON_SPAN)
+    # integer micro-units → degrees in [-5, 5) / [-10, 10) around origin
+    lat = (lat_i.cast("double") / F.lit(100000.0)) - F.lit(5.0)
+    lon = (lon_i.cast("double") / F.lit(100000.0)) - F.lit(10.0)
+    rad = F.lit(3.141592653589793 / 180.0)
+    la1, lo1 = F.lit(HAV_LAT0) * rad, F.lit(HAV_LON0) * rad
+    la2, lo2 = lat * rad, lon * rad
+    a = (F.sin((la2 - la1) / 2) * F.sin((la2 - la1) / 2)
+         + F.cos(la1) * F.cos(la2)
+         * F.sin((lo2 - lo1) / 2) * F.sin((lo2 - lo1) / 2))
+    km = F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
+    return c.select(
+        "c_custkey",
+        lat_i.cast("long").alias("lat_micro"),
+        lon_i.cast("long").alias("lon_micro"),
+        F.round(km, 4).alias("dist_km"),
+    )
+
+
 LAT_MULT = 2654435761  # Knuth multiplicative hashes — exact in BIGINT
 LON_MULT = 2246822519
 LAT_SPAN = 1_000_000   # raw coordinate domains (micro-degree-ish units)
@@ -143,6 +182,7 @@ def q_spatial_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "geo_haversine": q_geo_haversine,
     "spatial_radius_join": q_spatial_radius_join,
     "spatial_sssp": q_spatial_sssp,
 }
@@ -183,6 +223,33 @@ def _sssp_oracle(rounds: int = SSSP_ROUNDS) -> str:
 
 
 ORACLES = {
+    "geo_haversine": f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   (c_custkey * {LAT_MULT}) % {LAT_SPAN} AS lat_i,
+                   (c_custkey * {LON_MULT}) % {LON_SPAN} AS lon_i
+            FROM customer WHERE c_custkey < {HAV_CAP}
+        ),
+        deg AS (
+            SELECT c_custkey, lat_i, lon_i,
+                   (CAST(lat_i AS DOUBLE) / 100000.0 - 5.0)
+                   * (3.141592653589793 / 180.0) AS la2,
+                   (CAST(lon_i AS DOUBLE) / 100000.0 - 10.0)
+                   * (3.141592653589793 / 180.0) AS lo2,
+                   {HAV_LAT0} * (3.141592653589793 / 180.0) AS la1,
+                   {HAV_LON0} * (3.141592653589793 / 180.0) AS lo1
+            FROM c
+        )
+        SELECT c_custkey,
+               CAST(lat_i AS BIGINT) AS lat_micro,
+               CAST(lon_i AS BIGINT) AS lon_micro,
+               round(2.0 * 6371.0 * asin(sqrt(
+                   sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
+                   + cos(la1) * cos(la2)
+                   * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2))), 4)
+               AS dist_km
+        FROM deg
+    """,
     "spatial_sssp": _sssp_oracle(),
     "spatial_radius_join": f"""
         WITH c AS (

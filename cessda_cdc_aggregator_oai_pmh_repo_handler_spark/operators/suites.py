@@ -266,6 +266,9 @@ _TEMPORAL_SUBS = (
     Sub("spatial_sssp", spatial.q_spatial_sssp,
         spatial.ORACLES["spatial_sssp"],
         (("node", "str"),), ("d",)),
+    Sub("geo_haversine", spatial.q_geo_haversine,
+        spatial.ORACLES["geo_haversine"],
+        (("c_custkey", "str"),), ("lat_micro", "lon_micro", "dist_km")),
     Sub("holt_winters", arrays.q_holt_winters,
         arrays.ORACLES["holt_winters"],
         (("user_id", "str"),), ("n", "level", "trend", "fcst")),
@@ -604,6 +607,10 @@ _SQL_SURFACE_SUBS = (
     Sub("skyline_orders", relational_ext.q_skyline_orders,
         relational_ext.ORACLES["skyline_orders"],
         (("o_orderkey", "str"),), ("cents", "ep")),
+    Sub("hierarchy_share", relational_ext.q_hierarchy_share,
+        relational_ext.ORACLES["hierarchy_share"],
+        (("r_name", "str"), ("n_name", "str")),
+        ("n_orders", "rev_cents", "share_of_region")),
     Sub("frequent_itemsets", relational_ext.q_frequent_itemsets,
         relational_ext.ORACLES["frequent_itemsets"],
         (("pa", "str"), ("pb", "str")), ("support",)),

@@ -294,3 +294,30 @@ def test_fellegi_sunter_weight_signs_and_counts(spark):
         # an informative agreement field must weight agreement above
         # disagreement
         assert r["w_agree"] > r["w_disagree"]
+
+
+def test_geo_haversine_bounds(spark):
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        spatial as SP,
+    )
+    rows = SP.q_geo_haversine(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # synthetic coords lie within ~[-5,5]x[-10,10] degrees; distance
+        # to Paris is bounded by a half-circumference
+        assert 0.0 <= r["dist_km"] <= 20015.1
+        assert 0 <= r["lat_micro"] < SP.LAT_SPAN
+        assert 0 <= r["lon_micro"] < SP.LON_SPAN
+
+
+def test_hierarchy_share_sums_to_one(spark):
+    rows = RE.q_hierarchy_share(spark, SF).collect()
+    assert rows
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    for region, rs in by_region.items():
+        total = sum(r["share_of_region"] for r in rs)
+        assert abs(total - 1.0) < 1e-3, (region, total)
+        for r in rs:
+            assert 0.0 < r["share_of_region"] <= 1.0
