@@ -1473,9 +1473,15 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = m.groupBy("i").agg(F.sum("c").alias("n_i"))
     mat = m.join(F.broadcast(n), "i")
     states = m.select(F.col("i").alias("state")).distinct()
-    k = states.count()  # K is tiny (event-type vocabulary), driver-known
-    v = states.select("state",
-                      F.lit(MARKOV_SCALE // k).cast("long").alias("mass"))
+    # K derived relationally (broadcast 1-row count crossJoined in-plan),
+    # never states.count() on the driver: the operator stays a lazy
+    # DataFrame like every sibling, and an empty pairs relation yields an
+    # empty result instead of a ZeroDivisionError.
+    kdf = states.agg(F.count(F.lit(1)).alias("_k"))
+    v = (states.crossJoin(F.broadcast(kdf))
+         .select("state",
+                 F.expr(f"CAST({MARKOV_SCALE} DIV _k AS BIGINT)")
+                 .alias("mass")))
     for _ in range(MARKOV_ITERS):
         v = (mat.join(F.broadcast(v), mat.i == v.state)
              .select(F.col("j").alias("state"),
@@ -1573,6 +1579,124 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n") >= 3))
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table over user lifetimes (days from first
+    to last event): per distinct duration d — deaths (users whose
+    lifetime ends at exactly d), at-risk (users with lifetime ≥ d), and
+    cumulative deaths. The hashed surface is exact integers ONLY: the
+    survival product Π(1−dᵢ/nᵢ) is a float accumulation whose
+    summation order the engines don't contract on, so the table carries
+    the exact sufficient statistics and the curve is derivable
+    client-side (the exact-sufficient-statistics discipline). Shape: one
+    per-user aggregate (map-side combinable), one groupBy on duration,
+    then a cumulative window over the distinct-durations relation —
+    bounded by the corpus timespan in days, corpus-size-independent, so
+    the single-partition window is the plan you'd want at any scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    life = (e.groupBy("user_id")
+            .agg(F.datediff(F.max(F.col("ts").cast("date")),
+                            F.min(F.col("ts").cast("date")))
+                 .alias("dur")))
+    tbl = life.groupBy("dur").agg(F.count(F.lit(1)).alias("deaths"))
+    w = (Window.orderBy("dur")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tbl = tbl.withColumn("cum_deaths",
+                         F.sum("deaths").over(w).cast("long"))
+    total = life.agg(F.count(F.lit(1)).alias("n_total"))
+    return (tbl.crossJoin(F.broadcast(total))
+            .select(F.col("dur").cast("long").alias("dur"),
+                    F.col("deaths").cast("long").alias("deaths"),
+                    "cum_deaths",
+                    (F.col("n_total") - F.col("cum_deaths")
+                     + F.col("deaths")).cast("long").alias("at_risk")))
+
+
+XCORR_A, XCORR_B = "click", "purchase"
+XCORR_LAGS = (0, 1, 2)
+
+
+def q_xcorr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams (does CLICK
+    volume at hour t predict PURCHASE volume at hour t+h?): hourly
+    counts per type (exact integers, one groupBy), a full-outer
+    self-join at each lag h with absent hours as 0, then Pearson r from
+    BIGINT sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    acf_lag discipline extended to a PAIR of series. The hour grid is
+    the union of observed hours at t and t+h (deterministic set
+    algebra, both engines agree). Corr is one single-shot double per
+    lag; the joined relation is bounded by the corpus timespan in
+    hours. Lags unroll as a UNION of three bounded joins — no
+    per-row Python, no window."""
+    e = load_table(spark, "events", sf_dir)
+    hour = (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+    cnt = (e.filter(F.col("event_type").isin(XCORR_A, XCORR_B))
+           .select("event_type", hour.alias("h"))
+           .groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c")))
+    xa = (cnt.filter(F.col("event_type") == XCORR_A)
+          .select(F.col("h").alias("ha"), F.col("c").alias("x")))
+    xb = (cnt.filter(F.col("event_type") == XCORR_B)
+          .select(F.col("h").alias("hb"), F.col("c").alias("y")))
+    outs = []
+    for lag in XCORR_LAGS:
+        # shift the y series BEFORE the join so it stays an equi-join
+        # (a +lag predicate would plan as a nested-loop outer join)
+        yb = xb.select((F.col("hb") - F.lit(lag)).alias("ha"),
+                       F.col("y"))
+        j = (xa.join(yb, "ha", "full")
+             .select(F.coalesce("x", F.lit(0)).alias("x"),
+                     F.coalesce("y", F.lit(0)).alias("y")))
+        agg = j.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("x").cast("long").alias("sx"),
+                    F.sum("y").cast("long").alias("sy"),
+                    F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                    F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                    F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+        outs.append(agg.select(F.lit(lag).cast("long").alias("lag"),
+                               "n", "sx", "sy", "sxy", "sxx", "syy"))
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    nd = F.col("n").cast("double")
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    r = ((nd * dbl("sxy") - dbl("sx") * dbl("sy"))
+         / F.sqrt((nd * dbl("sxx") - dbl("sx") * dbl("sx"))
+                  * (nd * dbl("syy") - dbl("sy") * dbl("sy"))))
+    return u.select("lag", "n", "sx", "sy", "sxy", r.alias("xcorr"))
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition surprisal of the event-type Markov chain: for each
+    observed (prev → next) pair, the exact integer transition count c
+    and row total nᵢ, plus the single-shot surprisal −ln(c/nᵢ) =
+    ln(nᵢ/c) — the building block of the chain's entropy rate, left
+    UN-summed so the hashed surface has no float accumulation (each row
+    is one ln over a ratio of exact integers; the ln/entropy precedent).
+    Same one-pass pair extraction as q_markov_stationary; the K² output
+    relation is vocabulary-sized, corpus-independent."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pairs = (d.withColumn("prev_t", F.lag("event_type").over(w))
+             .filter(F.col("prev_t").isNotNull()))
+    m = pairs.groupBy(F.col("prev_t").alias("i"),
+                      F.col("event_type").alias("j")).agg(
+        F.count(F.lit(1)).alias("c"))
+    n = m.groupBy("i").agg(F.sum("c").cast("long").alias("n_i"))
+    surprisal = F.log(F.col("n_i").cast("double")
+                      / F.col("c").cast("double"))
+    return (m.join(F.broadcast(n), "i")
+            .select("i", "j", F.col("c").cast("long").alias("c"), "n_i",
+                    surprisal.alias("surprisal")))
+
+
 QUERIES = {
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
@@ -1618,6 +1742,9 @@ QUERIES = {
     "markov_stationary": q_markov_stationary,
     "fano_burstiness": q_fano_burstiness,
     "ohlc_bars": q_ohlc_bars,
+    "kaplan_meier": q_kaplan_meier,
+    "xcorr_event_types": q_xcorr_event_types,
+    "transition_entropy": q_transition_entropy,
 }
 
 ORACLES = {
@@ -2395,5 +2522,92 @@ ORACLES = {
                   / (CAST(hours AS DOUBLE) * (CAST(hours AS DOUBLE) - 1.0)))
                  / (CAST(n AS DOUBLE) / CAST(hours AS DOUBLE)), 6) AS fano
     FROM agg
+""",
+    "kaplan_meier": """
+    WITH life AS (
+        SELECT user_id,
+               date_diff('day', CAST(min(ts) AS DATE),
+                         CAST(max(ts) AS DATE)) AS dur
+        FROM events GROUP BY user_id
+    ),
+    tbl AS (SELECT dur, count(*) AS deaths FROM life GROUP BY dur),
+    cum AS (
+        SELECT dur, deaths,
+               CAST(sum(deaths) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                   AS cum_deaths
+        FROM tbl
+    ),
+    tot AS (SELECT count(*) AS n_total FROM life)
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(deaths AS BIGINT) AS deaths,
+           cum_deaths,
+           CAST(n_total - cum_deaths + deaths AS BIGINT) AS at_risk
+    FROM cum CROSS JOIN tot
+""",
+    "xcorr_event_types": """
+    WITH cnt AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               count(*) AS c
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, h
+    ),
+    xa AS (SELECT h AS ha, c AS x FROM cnt WHERE event_type = 'click'),
+    xb AS (SELECT h AS hb, c AS y FROM cnt WHERE event_type = 'purchase'),
+    -- a FULL OUTER can't be parameterized by a lag row, so the three
+    -- lags unroll as explicit joins (mirroring the Spark-side loop)
+    j0 AS (SELECT coalesce(xa.x, 0) AS x, coalesce(xb.y, 0) AS y
+           FROM xa FULL OUTER JOIN xb ON xb.hb - 0 = xa.ha),
+    j1 AS (SELECT coalesce(xa.x, 0) AS x, coalesce(xb.y, 0) AS y
+           FROM xa FULL OUTER JOIN xb ON xb.hb - 1 = xa.ha),
+    j2 AS (SELECT coalesce(xa.x, 0) AS x, coalesce(xb.y, 0) AS y
+           FROM xa FULL OUTER JOIN xb ON xb.hb - 2 = xa.ha),
+    agg AS (
+        SELECT 0 AS lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM j0
+        UNION ALL
+        SELECT 1, count(*), sum(x), sum(y), sum(x * y), sum(x * x),
+               sum(y * y)
+        FROM j1
+        UNION ALL
+        SELECT 2, count(*), sum(x), sum(y), sum(x * y), sum(x * x),
+               sum(y * y)
+        FROM j2
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+           CAST(sxy AS BIGINT) AS sxy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS xcorr
+    FROM agg
+""",
+    "transition_entropy": """
+    WITH d AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id) AS prev_t
+        FROM d
+    ),
+    m AS (
+        SELECT prev_t AS i, event_type AS j, count(*) AS c
+        FROM pairs WHERE prev_t IS NOT NULL GROUP BY prev_t, event_type
+    ),
+    n AS (SELECT i, CAST(sum(c) AS BIGINT) AS n_i FROM m GROUP BY i)
+    SELECT m.i, m.j, CAST(m.c AS BIGINT) AS c, n.n_i,
+           ln(CAST(n.n_i AS DOUBLE) / CAST(m.c AS DOUBLE)) AS surprisal
+    FROM m JOIN n USING (i)
 """,
 }

@@ -673,40 +673,98 @@ ORACLE_REGR_CONFORMANCE = """
 """
 
 
+def _grouped_bucketed_prefix(df: DataFrame, group_col: str,
+                             value_col: str, weight_col: str,
+                             out_col: str) -> DataFrame:
+    """Inclusive running sum of ``weight_col`` within each ``group_col``
+    ordered by ``value_col``, WITHOUT a per-group fat-key window — the
+    grouped sibling of text_analysis.bucketed_global_rank (r6 verdict
+    #3's machinery, extended per r7 verdict #4): range-bucket the
+    integer value (bucketing is monotone, so ties share a bucket and
+    bucket order == value order), running-sum WITHIN each (group,
+    bucket) partition in parallel, add each bucket's per-group starting
+    offset — an exclusive prefix over the ≤groups×4096-row bucket-count
+    relation, folded on the driver. Two tiny eager jobs (bounds + bucket
+    sums), both reduce before collecting; values are bit-identical to
+    the fat window's, so swapping this in changes no hashes."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    b = df.agg(F.min(value_col).alias("lo"),
+               F.max(value_col).alias("hi")).collect()[0]
+    if b["lo"] is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    lo, hi = int(b["lo"]), int(b["hi"])
+    nb = 4096
+    width = max(1, (hi - lo + nb) // nb)
+    d2 = df.withColumn("_pfx_bkt", F.expr(
+        f"CAST((`{value_col}` - {lo}) div {width} AS BIGINT)"))
+    rows = (d2.groupBy(group_col, "_pfx_bkt")
+            .agg(F.sum(weight_col).alias("_c")).collect())
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r[group_col], []).append((r["_pfx_bkt"], int(r["_c"])))
+    offs = []
+    for gk, lst in per.items():
+        acc = 0
+        for bkt, c in sorted(lst):
+            offs.append((gk, bkt, acc))
+            acc += c
+    gtype = dict(zip(df.columns, [f.dataType.simpleString()
+                                  for f in df.schema.fields]))[group_col]
+    off_df = spark.createDataFrame(
+        offs, f"`{group_col}` {gtype}, _pfx_bkt bigint, _pfx_off bigint")
+    w = (Window.partitionBy(group_col, "_pfx_bkt").orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d2.join(F.broadcast(off_df), [group_col, "_pfx_bkt"])
+            .withColumn(out_col,
+                        F.sum(weight_col).over(w) + F.col("_pfx_off"))
+            .drop("_pfx_bkt", "_pfx_off"))
+
+
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per group — the outlier-robust sibling
     of regr/stats_agg's Pearson: midranks within (l_returnflag) for each
     variable, then Pearson on the ranks. Exactness discipline throughout:
-    the DOUBLED midrank 2R = 2·rank + ties − 1 is an integer (rank() =
-    min rank, count() over (group, value) = ties), sums fold in
-    DECIMAL(38,0), and the correlation is one single-shot double. Ranks
-    come from value-deterministic window functions (rank/count), never
-    row_number, so arrival order cannot leak in. Windows partition on the
-    GROUP key; at 100 TB a per-group bucketed_global_rank (text_analysis)
-    replaces them — same integers, no fat-key sort."""
-    from pyspark.sql import Window
-
+    the DOUBLED midrank 2R = 2·cum − ties + 1 is an integer (cum = rows
+    with value ≤ v in the group, ties = rows equal to v; identical to
+    the textbook 2·min_rank + ties − 1), sums fold in DECIMAL(38,0), and
+    the correlation is one single-shot double. Scale path (r7 verdict
+    #4): the fact collapses to distinct (group, q, p) triples with row
+    counts FIRST (domain-bounded — sublinear in corpus size), midranks
+    come from ``_grouped_bucketed_prefix`` over the even smaller
+    per-variable distinct-value relations (windows partition on (group,
+    bucket), never the 3-value group key alone), and the final sums are
+    count-weighted over the triples. No fact-sized fat-key sort
+    anywhere; hashes bit-identical to the window formulation."""
     li = load_table(spark, "lineitem", sf_dir)
     d = li.select(
         "l_returnflag",
         _cents("l_quantity").alias("q"),
         _cents("l_extendedprice").alias("p"),
     )
+    pairs = d.groupBy("l_returnflag", "q", "p").agg(
+        F.count(F.lit(1)).alias("c"))
 
-    def r2(col: str):
-        wr = Window.partitionBy("l_returnflag").orderBy(col)
-        wt = Window.partitionBy("l_returnflag", col)
-        return (F.lit(2) * F.rank().over(wr)
-                + F.count(F.lit(1)).over(wt) - 1).cast("decimal(19,0)")
+    def ranks(col: str) -> DataFrame:
+        t = pairs.groupBy("l_returnflag", col).agg(
+            F.sum("c").alias("_ties"))
+        t = _grouped_bucketed_prefix(t, "l_returnflag", col, "_ties",
+                                     "_cum")
+        two_r = (F.lit(2) * F.col("_cum") - F.col("_ties") + 1)
+        return t.select("l_returnflag", col,
+                        two_r.cast("decimal(19,0)").alias(f"r{col}"))
 
-    d = d.withColumn("rq", r2("q")).withColumn("rp", r2("p"))
-    agg = d.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rq").alias("sq"),
-        F.sum(F.col("rq") * F.col("rq")).alias("sqq"),
-        F.sum("rp").alias("sp"),
-        F.sum(F.col("rp") * F.col("rp")).alias("spp"),
-        F.sum(F.col("rq") * F.col("rp")).alias("sqp"),
+    j = (pairs.join(ranks("q"), ["l_returnflag", "q"])
+         .join(ranks("p"), ["l_returnflag", "p"]))
+    cd = F.col("c").cast("decimal(19,0)")
+    agg = j.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n"),
+        F.sum(cd * F.col("rq")).alias("sq"),
+        F.sum(cd * F.col("rq") * F.col("rq")).alias("sqq"),
+        F.sum(cd * F.col("rp")).alias("sp"),
+        F.sum(cd * F.col("rp") * F.col("rp")).alias("spp"),
+        F.sum(cd * F.col("rq") * F.col("rp")).alias("sqp"),
     )
     nd = F.col("n").cast("double")
 
@@ -1076,8 +1134,8 @@ SQL_TEXT_PARITY = """
            CAST(count(*) AS BIGINT) AS orders,
            CAST(sum(CASE WHEN o.o_totalprice > 150000
                     THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
-           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 2) AS avg_price
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
@@ -1102,6 +1160,15 @@ def q_sql_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine's double-accumulation order can perturb the hash; every window
 # ORDER BY carries a unique tie-breaker so frame contents are total-
 # ordered and engine-independent.
+#
+# r8 scalar-exactness rule (r7 verdict #2/#3): round(x, n) in a hashed
+# SELECT list is only ever applied to a DECIMAL — never a DOUBLE. The
+# engines' double-round algorithms differ (Spark rounds the BigDecimal
+# binary expansion HALF_UP, DuckDB rounds the shortest decimal) and
+# deterministically disagree when the true value sits at a .xx5
+# boundary (the three-round sql_text_lateral_alias red: 31234.685).
+# Raw double +,-,*,/ and casts are IEEE-deterministic and bit-identical
+# cross-engine, so un-rounded double arithmetic is safe to hash.
 SQL_TEXTS = {
     # running aggregate + row numbering in one window text
     "sql_text_window": """
@@ -1148,13 +1215,23 @@ SQL_TEXTS = {
                                 (l_returnflag, l_linestatus), ())
     """,
     # Lateral column aliases: a SELECT item referencing the alias defined
-    # just before it, chained — both engines resolve left-to-right
+    # just before it, chained — both engines resolve left-to-right. The
+    # alias chain runs in DECIMAL: round(price*0.1, 2) on DOUBLE hit a
+    # deterministic cross-engine divergence (o_totalprice=312346.85 →
+    # product 31234.684999999998; Spark's BigDecimal HALF_UP rounds the
+    # binary expansion DOWN to .68, DuckDB's round() gives .69). DECIMAL
+    # sees exactly 31234.685 on both engines; DOUBLE only at the edge.
     "sql_text_lateral_alias": """
         SELECT o_orderkey,
-               CAST(o_totalprice AS DOUBLE) AS price,
-               round(price * 0.1, 2) AS tithe,
-               round(tithe + 1.0, 2) AS tithe_plus
-        FROM orders WHERE o_custkey < 50
+               CAST(price_dec AS DOUBLE) AS price,
+               CAST(tithe_dec AS DOUBLE) AS tithe,
+               CAST(tithe_dec + 1.0 AS DOUBLE) AS tithe_plus
+        FROM (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+                   round(price_dec * 0.1, 2) AS tithe_dec
+            FROM orders WHERE o_custkey < 50
+        ) t
     """,
     # Explicit NULLS FIRST/LAST ordering under LIMIT — the classic engine
     # divergence (Spark defaults NULLS FIRST for ASC, DuckDB NULLS LAST):
@@ -2569,22 +2646,29 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent rollup across the region→nation hierarchy: order
     revenue aggregated to nation (exact DECIMAL cents via one fact-side
-    groupBy on the pre-joined customer dimension), region totals as a
-    second fold of the K-row nation relation broadcast back, and each
-    nation's share of its region as ONE single-shot double. The
-    drill-down report every BI layer asks for, with the fact table
-    scanned exactly once and only K rows ever exchanged twice."""
+    groupBy on o_custkey BEFORE any join), region totals as a second
+    fold of the K-row nation relation broadcast back, and each nation's
+    share of its region as ONE single-shot double. The drill-down report
+    every BI layer asks for: the fact table is scanned exactly once and
+    collapses to customer cardinality map-side; the orders→customer join
+    is then two customer-sized relations with NO broadcast hint (r7
+    verdict #5 — customer is fact-sized at the 100 TB design point, so
+    forcing it driver-side risks OOM; AQE picks the strategy), while the
+    genuinely K-row nation/region dims stay broadcast."""
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
     n = load_table(spark, "nation", sf_dir)
     r = load_table(spark, "region", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_ord"),
+        F.sum(_cents("o_totalprice")).alias("rev_c"))
     dim = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
            .select("c_custkey", "n_name", "r_name"))
-    per_nation = (o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+    per_nation = (per_cust.join(dim, per_cust.o_custkey == dim.c_custkey)
                   .groupBy("r_name", "n_name")
-                  .agg(F.count(F.lit(1)).alias("n_orders"),
-                       F.sum(_cents("o_totalprice")).alias("rev")))
+                  .agg(F.sum("n_ord").alias("n_orders"),
+                       F.sum("rev_c").alias("rev")))
     per_region = per_nation.groupBy("r_name").agg(
         F.sum("rev").alias("region_rev"))
     j = per_nation.join(F.broadcast(per_region), "r_name")
@@ -2594,6 +2678,246 @@ def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev").cast("double")
                 / F.col("region_rev").cast("double"), 6)
         .alias("share_of_region"))
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation per group (quantity vs discount,
+    per l_returnflag) — the pair-concordance sibling of spearman_corr.
+    Naively O(n²) in pairs; here the fact collapses FIRST to the
+    distinct (group, q, d) value grid with row counts (domain-bounded:
+    ≤ |quantities|×|discounts| cells per group, corpus-independent), and
+    concordant/discordant pair counts come from the grid's SELF-join
+    C = Σ c_a·c_b over cells with q_a<q_b ∧ d_a<d_b (equi-join on the
+    group key + inequality filter — a ≤cells² relation, never n²). Tie
+    terms n₁/n₂ fold from the per-variable marginals; every count is
+    exact DECIMAL(38,0); τ-b is one single-shot double."""
+    li = load_table(spark, "lineitem", sf_dir)
+    d = li.select(
+        "l_returnflag",
+        _cents("l_quantity").alias("q"),
+        _cents("l_discount").alias("dd"),
+    )
+    grid = d.groupBy("l_returnflag", "q", "dd").agg(
+        F.count(F.lit(1)).alias("c"))
+    cdec = F.col("c").cast("decimal(19,0)")
+
+    def tie_pairs(col: str, alias: str) -> DataFrame:
+        m = grid.groupBy("l_returnflag", col).agg(
+            F.sum("c").cast("decimal(19,0)").alias("t"))
+        return m.groupBy("l_returnflag").agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("decimal(38,0)").alias(alias))
+
+    a = grid.select(F.col("l_returnflag").alias("rf"),
+                    F.col("q").alias("qa"), F.col("dd").alias("da"),
+                    cdec.alias("ca"))
+    b = grid.select(F.col("l_returnflag").alias("rf"),
+                    F.col("q").alias("qb"), F.col("dd").alias("db"),
+                    cdec.alias("cb"))
+    pair = a.join(b, "rf").filter(F.col("qa") < F.col("qb"))
+    cd = pair.groupBy("rf").agg(
+        F.sum(F.when(F.col("da") < F.col("db"),
+                     F.col("ca") * F.col("cb")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)").alias("conc"),
+        F.sum(F.when(F.col("da") > F.col("db"),
+                     F.col("ca") * F.col("cb")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)").alias("disc"))
+    n = d.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    ndec = F.col("n").cast("decimal(19,0)")
+    j = (n.withColumn("n0", (ndec * (ndec - 1) / 2).cast("decimal(38,0)"))
+         .join(tie_pairs("q", "n1"), "l_returnflag")
+         .join(tie_pairs("dd", "n2"), "l_returnflag")
+         .join(cd, n.l_returnflag == cd.rf).drop("rf"))
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    tau = ((dbl("conc") - dbl("disc"))
+           / F.sqrt((dbl("n0") - dbl("n1")) * (dbl("n0") - dbl("n2"))))
+    return j.select("l_returnflag", F.col("n").cast("long").alias("n"),
+                    dbl("conc").alias("concordant"),
+                    dbl("disc").alias("discordant"),
+                    tau.alias("tau_b"))
+
+
+ORACLE_KENDALL_TAU = """
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+               CAST(floor(l_discount * 100) AS BIGINT) AS dd
+        FROM lineitem
+    ),
+    grid AS (
+        SELECT l_returnflag, q, dd, count(*) AS c
+        FROM d GROUP BY l_returnflag, q, dd
+    ),
+    tq AS (
+        SELECT l_returnflag,
+               sum(CAST(t * (t - 1) / 2 AS HUGEINT)) AS n1
+        FROM (SELECT l_returnflag, q, CAST(sum(c) AS HUGEINT) AS t
+              FROM grid GROUP BY l_returnflag, q) m
+        GROUP BY l_returnflag
+    ),
+    td AS (
+        SELECT l_returnflag,
+               sum(CAST(t * (t - 1) / 2 AS HUGEINT)) AS n2
+        FROM (SELECT l_returnflag, dd, CAST(sum(c) AS HUGEINT) AS t
+              FROM grid GROUP BY l_returnflag, dd) m
+        GROUP BY l_returnflag
+    ),
+    cd AS (
+        SELECT a.l_returnflag,
+               sum(CASE WHEN a.dd < b.dd
+                   THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc,
+               sum(CASE WHEN a.dd > b.dd
+                   THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
+        FROM grid a JOIN grid b
+          ON a.l_returnflag = b.l_returnflag AND a.q < b.q
+        GROUP BY a.l_returnflag
+    ),
+    nn AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(CAST(count(*) AS HUGEINT)
+                    * (count(*) - 1) / 2 AS HUGEINT) AS n0
+        FROM d GROUP BY l_returnflag
+    )
+    SELECT nn.l_returnflag, CAST(nn.n AS BIGINT) AS n,
+           CAST(cd.conc AS DOUBLE) AS concordant,
+           CAST(cd.disc AS DOUBLE) AS discordant,
+           (CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
+           / sqrt((CAST(nn.n0 AS DOUBLE) - CAST(tq.n1 AS DOUBLE))
+                  * (CAST(nn.n0 AS DOUBLE) - CAST(td.n2 AS DOUBLE)))
+               AS tau_b
+    FROM nn JOIN tq USING (l_returnflag)
+            JOIN td USING (l_returnflag)
+            JOIN cd USING (l_returnflag)
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue, per market segment —
+    the inequality readout every skew/fairness audit wants. The fact
+    collapses to per-customer cent totals map-side, joins the segment
+    (shuffle join, both sides customer-cardinality — no broadcast), and
+    then collapses AGAIN to the distinct (segment, cents) relation with
+    tie counts, over which ``_grouped_bucketed_prefix`` yields the
+    inclusive rank boundary cum per value (no fat per-segment window).
+    The rank-weighted sum needs no join back to rows: a block of t tied
+    values x at ranks (cum−t+1 … cum) contributes x·(t·cum − t(t−1)/2)
+    to W = Σ rank·x, all in DECIMAL(38,0). Gini = (2W − (n+1)S)/(nS) as
+    one single-shot double per segment."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    seg = pc.join(c.select("c_custkey", "c_mktsegment"),
+                  pc.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "cents")
+    t = seg.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("t"))
+    t = _grouped_bucketed_prefix(t, "seg", "cents", "t", "cum")
+    tdec = F.col("t").cast("decimal(19,0)")
+    xdec = F.col("cents").cast("decimal(19,0)")
+    cumdec = F.col("cum").cast("decimal(19,0)")
+    w_term = xdec * (tdec * cumdec - tdec * (tdec - 1) / 2)
+    agg = t.groupBy("seg").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(xdec * tdec).cast("decimal(38,0)").alias("s"),
+        F.sum(w_term).cast("decimal(38,0)").alias("w"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    wd = F.col("w").cast("double")
+    gini = (2.0 * wd - (nd + 1.0) * sd) / (nd * sd)
+    return agg.select("seg", "n", sd.alias("sum_cents"),
+                      gini.alias("gini"))
+
+
+ORACLE_GINI = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS seg, pc.cents
+        FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+    ),
+    r AS (
+        SELECT seg, cents,
+               row_number() OVER (PARTITION BY seg ORDER BY cents) AS i
+        FROM seg
+    ),
+    agg AS (
+        SELECT seg, count(*) AS n,
+               sum(CAST(cents AS HUGEINT)) AS s,
+               sum(CAST(i AS HUGEINT) * cents) AS w
+        FROM r GROUP BY seg
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n,
+           CAST(s AS DOUBLE) AS sum_cents,
+           (2.0 * CAST(w AS DOUBLE)
+            - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
+    FROM agg
+"""
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided 10% trimmed mean of order value per priority — the
+    outlier-robust location estimate. Trim bounds are per-group
+    ``percentile_disc`` (DISCRETE percentiles are exact data values —
+    the column_histogram discipline, so the bounds are bit-identical in
+    any engine reading the same parquet; the oracle spells the same
+    ANSI smallest-value-with-cume_dist≥f definition explicitly). The
+    kept slice then folds count + DECIMAL cent sum in one pass against
+    the broadcast K-row bounds; the mean is one single-shot double
+    division. Two bounded passes, no global sort."""
+    o = load_table(spark, "orders", sf_dir)
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP "
+               "(ORDER BY o_totalprice)").alias("lo"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP "
+               "(ORDER BY o_totalprice)").alias("hi"))
+    kept = (o.join(F.broadcast(bounds), "o_orderpriority")
+            .filter((F.col("o_totalprice") >= F.col("lo"))
+                    & (F.col("o_totalprice") <= F.col("hi")))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("kept_n"),
+                 F.sum(_cents("o_totalprice")).alias("kept_cents"),
+                 F.min("lo").alias("lo"), F.min("hi").alias("hi")))
+    mean = (F.col("kept_cents").cast("double")
+            / F.col("kept_n").cast("double") / 100.0)
+    return kept.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("lo") * 100).cast("long").alias("lo_cents"),
+        F.floor(F.col("hi") * 100).cast("long").alias("hi_cents"),
+        F.col("kept_n").cast("long").alias("kept_n"),
+        mean.alias("trimmed_mean"))
+
+
+ORACLE_TRIMMED_MEAN = """
+    WITH b AS (
+        SELECT o_orderpriority, o_totalprice,
+               cume_dist() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice) AS cd
+        FROM orders
+    ),
+    bounds AS (
+        SELECT o_orderpriority,
+               min(CASE WHEN cd >= 0.1 THEN o_totalprice END) AS lo,
+               min(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS hi
+        FROM b GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(floor(min(bo.lo) * 100) AS BIGINT) AS lo_cents,
+           CAST(floor(min(bo.hi) * 100) AS BIGINT) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS kept_n,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / count(*) / 100.0 AS trimmed_mean
+    FROM orders o JOIN bounds bo USING (o_orderpriority)
+    WHERE o.o_totalprice >= bo.lo AND o.o_totalprice <= bo.hi
+    GROUP BY o.o_orderpriority
+"""
 
 
 QUERIES = {

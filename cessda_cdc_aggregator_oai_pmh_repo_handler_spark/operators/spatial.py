@@ -35,7 +35,15 @@ HAV_LAT0, HAV_LON0 = 48.8566, 2.3522  # reference point for the census
 HAV_CAP = 200                          # bounded customer slice
 
 
-def q_geo_haversine(spark, sf_dir):
+LAT_MULT = 2654435761  # Knuth multiplicative hashes — exact in BIGINT
+LON_MULT = 2246822519
+LAT_SPAN = 1_000_000   # raw coordinate domains (micro-degree-ish units)
+LON_SPAN = 2_000_000
+GRID = 100_000         # cell edge == search radius
+RADIUS2 = GRID * GRID  # squared planar threshold, exact integer
+
+
+def q_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-circle distance census: haversine km from a fixed reference
     point for a bounded customer slice, with synthetic lat/lon derived
     from the customer key by the same Knuth multiplicative hash the grid
@@ -44,10 +52,6 @@ def q_geo_haversine(spark, sf_dir):
     shape-identically in the DuckDB oracle (the ln/entropy precedent —
     no accumulation, so no merge-order exposure), rounded once. One
     pruned scan, no shuffle beyond the scan itself."""
-    from pyspark.sql import functions as F
-
-    from ..sources.tables import load_table
-
     c = (load_table(spark, "customer", sf_dir)
          .filter(F.col("c_custkey") < HAV_CAP))
     lat_i = (F.col("c_custkey") * F.lit(LAT_MULT)) % F.lit(LAT_SPAN)
@@ -68,14 +72,6 @@ def q_geo_haversine(spark, sf_dir):
         lon_i.cast("long").alias("lon_micro"),
         F.round(km, 4).alias("dist_km"),
     )
-
-
-LAT_MULT = 2654435761  # Knuth multiplicative hashes — exact in BIGINT
-LON_MULT = 2246822519
-LAT_SPAN = 1_000_000   # raw coordinate domains (micro-degree-ish units)
-LON_SPAN = 2_000_000
-GRID = 100_000         # cell edge == search radius
-RADIUS2 = GRID * GRID  # squared planar threshold, exact integer
 
 
 def _with_coords(df: DataFrame, key: str) -> DataFrame:

@@ -2304,7 +2304,6 @@ def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             - n1d * (n1d + F.lit(1.0)))
            / (F.lit(2.0) * n1d * n0d))
     tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
-    fn = n1d - tp
     prec = tp / (tp + fp)
     rec = tp / n1d
     return agg.select(

@@ -516,3 +516,75 @@ def test_round7_new_ops_no_cartesian_or_global_sort(spark):
               AR.q_attribution_last_touch):
         bad = _global_windows(plan_of(q(spark, SF)))
         assert not bad, (q.__name__, bad)
+
+
+def test_spearman_no_fat_group_window(spark):
+    """r7 verdict #4: spearman's midranks used rank()/count() windows
+    partitioned on l_returnflag alone — 3 fat partitions sorting the
+    whole fact at 100 TB. The rewrite collapses the fact to distinct
+    (group, q, p) triples and ranks via _grouped_bucketed_prefix, so
+    every Window in the plan must carry the bucket column in its
+    partition key (never the 3-value group key alone)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        relational_ext as RE,
+    )
+
+    plan = plan_of(RE.q_spearman_corr(spark, SF))
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            part = ln.split("], [")[1] if "], [" in ln else ""
+            assert "_pfx_bkt" in part, ln
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_bucketed_prefix_matches_window(spark):
+    """Running sums from the bucketed path must be bit-identical to
+    sum() OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) —
+    including groups whose values cluster in one bucket and values
+    crossing bucket edges."""
+    from pyspark.sql import Window, functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext import (
+        _grouped_bucketed_prefix,
+    )
+
+    df = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 41).alias("v")).groupBy("g", "v").agg(
+        F.count(F.lit(1)).alias("w"))
+    got = {(r["g"], r["v"], r["cum"]) for r in _grouped_bucketed_prefix(
+        df, "g", "v", "w", "cum").collect()}
+    w = (Window.partitionBy("g").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {(r["g"], r["v"], r["cum"]) for r in df.select(
+        "g", "v", F.sum("w").over(w).alias("cum")).collect()}
+    assert got == want
+
+
+def test_hierarchy_share_preaggregates_fact_no_fact_broadcast(spark):
+    """r7 verdict #5: orders must collapse to per-customer partials
+    BEFORE the customer join, and the customer-cardinality dim must not
+    be broadcast (driver OOM hazard at the 100 TB design point); only
+    the K-row nation/region dims may broadcast."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        relational_ext as RE,
+    )
+
+    # with auto-broadcast off, only HINT-forced broadcasts survive — at
+    # sf0.001 Catalyst stats-broadcasts the per-customer aggregate on its
+    # own, which is fine (at 100 TB the stats exceed the threshold and
+    # AQE falls back to shuffle); the hazard is a forced hint
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(RE.q_hierarchy_share(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    agg_lines = [ln for ln in plan.splitlines()
+                 if "HashAggregate" in ln and "o_custkey" in ln]
+    assert agg_lines, "per-customer partial aggregate missing"
+    # customer-sized relations never hint-broadcast: any surviving
+    # broadcast join must key on nation/region, never a custkey
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln:
+            assert "c_custkey" not in ln and "o_custkey" not in ln, ln
