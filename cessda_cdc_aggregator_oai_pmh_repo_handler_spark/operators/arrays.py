@@ -1675,9 +1675,14 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and row total nᵢ, plus the single-shot surprisal −ln(c/nᵢ) =
     ln(nᵢ/c) — the building block of the chain's entropy rate, left
     UN-summed so the hashed surface has no float accumulation (each row
-    is one ln over a ratio of exact integers; the ln/entropy precedent).
-    Same one-pass pair extraction as q_markov_stationary; the K² output
-    relation is vocabulary-sized, corpus-independent."""
+    is one ln over a ratio of exact integers), and rounded to 6 decimals
+    — the strict full-repr gate proved the engines' ln() implementations
+    (JVM Math.log vs libm) differ in the LAST ULP on real inputs, and
+    round-6 is the house absorber for transcendental values (the
+    token_pmi/entropy pattern; boundary collisions are measure-zero for
+    irrational values, unlike money doubles). Same one-pass pair
+    extraction as q_markov_stationary; the K² output relation is
+    vocabulary-sized, corpus-independent."""
     from pyspark.sql import Window
 
     e = load_table(spark, "events", sf_dir)
@@ -1690,8 +1695,8 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("event_type").alias("j")).agg(
         F.count(F.lit(1)).alias("c"))
     n = m.groupBy("i").agg(F.sum("c").cast("long").alias("n_i"))
-    surprisal = F.log(F.col("n_i").cast("double")
-                      / F.col("c").cast("double"))
+    surprisal = F.round(F.log(F.col("n_i").cast("double")
+                              / F.col("c").cast("double")), 6)
     return (m.join(F.broadcast(n), "i")
             .select("i", "j", F.col("c").cast("long").alias("c"), "n_i",
                     surprisal.alias("surprisal")))
@@ -2607,7 +2612,8 @@ ORACLES = {
     ),
     n AS (SELECT i, CAST(sum(c) AS BIGINT) AS n_i FROM m GROUP BY i)
     SELECT m.i, m.j, CAST(m.c AS BIGINT) AS c, n.n_i,
-           ln(CAST(n.n_i AS DOUBLE) / CAST(m.c AS DOUBLE)) AS surprisal
+           round(ln(CAST(n.n_i AS DOUBLE) / CAST(m.c AS DOUBLE)), 6)
+               AS surprisal
     FROM m JOIN n USING (i)
 """,
 }

@@ -722,49 +722,113 @@ def _grouped_bucketed_prefix(df: DataFrame, group_col: str,
             .drop("_pfx_bkt", "_pfx_off"))
 
 
+_SPEARMAN_OFF_CACHE: dict = {}
+
+
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per group — the outlier-robust sibling
     of regr/stats_agg's Pearson: midranks within (l_returnflag) for each
     variable, then Pearson on the ranks. Exactness discipline throughout:
-    the DOUBLED midrank 2R = 2·cum − ties + 1 is an integer (cum = rows
-    with value ≤ v in the group, ties = rows equal to v; identical to
-    the textbook 2·min_rank + ties − 1), sums fold in DECIMAL(38,0), and
-    the correlation is one single-shot double. Scale path (r7 verdict
-    #4): the fact collapses to distinct (group, q, p) triples with row
-    counts FIRST (domain-bounded — sublinear in corpus size), midranks
-    come from ``_grouped_bucketed_prefix`` over the even smaller
-    per-variable distinct-value relations (windows partition on (group,
-    bucket), never the 3-value group key alone), and the final sums are
-    count-weighted over the triples. No fact-sized fat-key sort
-    anywhere; hashes bit-identical to the window formulation."""
+    the DOUBLED midrank 2R = 2·min_rank + ties − 1 is an integer, sums
+    fold in DECIMAL(38,0), and the correlation is one single-shot
+    double. Scale path (r7 verdict #4, v4 — the skyline two-level-prefix
+    pattern): values bucket by FIXED widths (cent domains are
+    sf-invariant TPC-H generator constants, so no bounds job and the
+    operator stays fully lazy); per-(group, bucket) row counts fold to a
+    ≤groups×~640-row relation whose exclusive prefix comes from a
+    broadcast triangular self-join (constant-sized at any corpus);
+    min-ranks are then in-bucket rank() + the joined offset, ties a
+    (group, value) window — every fact-sized window keys on (group,
+    bucket) or (group, value), never the 3-value group key alone, so no
+    fat single-task sort exists at any scale. The two K-row offset
+    relations memoize per (session, corpus) with localCheckpoint (the
+    shingle-cache pattern): they are stage-one artifacts like the LSH
+    shingle table, and rebuilding them per call spent more wall time on
+    job/broadcast-launch overhead than the whole fat-window sort at
+    bench scale.
+
+    Local-bench economics, measured at sf0.1 (r8): this plan runs ~5.5s
+    warm vs the fat window's ~3.2s — entirely stage-count, not data:
+    hash(group) satisfies EVERY window clustering here, so the fat plan
+    does ONE exchange for all four windows, while the scale-safe plan
+    needs one exchange per variable (the cross-term Σrq·rp requires both
+    per-row ranks, i.e. both sort orders touched per row — two exchanges
+    is the provable minimum once the partition key must be finer than
+    the group) plus two tiny broadcast builds. At 100 TB the fat plan is
+    three single-task sorts of the whole fact; this one is ~2000
+    parallel sorts. Variants that measured WORSE at bench scale: the
+    distinct-(q,p)-grid collapse (fact-sized on near-unique prices, rank
+    join-backs → 9.8s), driver-folded offsets (eager per-call scan jobs
+    → 8.6s), offsets as literal-array expressions (analysis/codegen cost
+    → 6.3s). Hashes bit-identical to the naive fat-window
+    formulation."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import corpus_key, memo_put
+
     li = load_table(spark, "lineitem", sf_dir)
     d = li.select(
         "l_returnflag",
         _cents("l_quantity").alias("q"),
         _cents("l_extendedprice").alias("p"),
     )
-    pairs = d.groupBy("l_returnflag", "q", "p").agg(
-        F.count(F.lit(1)).alias("c"))
 
-    def ranks(col: str) -> DataFrame:
-        t = pairs.groupBy("l_returnflag", col).agg(
-            F.sum("c").alias("_ties"))
-        t = _grouped_bucketed_prefix(t, "l_returnflag", col, "_ties",
-                                     "_cum")
-        two_r = (F.lit(2) * F.col("_cum") - F.col("_ties") + 1)
-        return t.select("l_returnflag", col,
-                        two_r.cast("decimal(19,0)").alias(f"r{col}"))
+    # fixed bucket widths over the cent domains (quantity 100..5000,
+    # extendedprice ~9e4..1.05e7 cents at every SF) → ~300 / ~640 buckets
+    widths = {"q": 16, "p": 16384}
+    # BOTH bucket columns go on the raw scan first, and both offset
+    # relations derive from that same cheap subtree — deriving the second
+    # variable's bucket counts from the first variable's RANKED relation
+    # would re-execute the first window stack inside the branch (Spark
+    # does not dedupe common subtrees), which tripled the bench time
+    d2 = d
+    for col, w in widths.items():
+        d2 = d2.withColumn(f"_bkt_{col}", F.expr(f"`{col}` div {w}"))
 
-    j = (pairs.join(ranks("q"), ["l_returnflag", "q"])
-         .join(ranks("p"), ["l_returnflag", "p"]))
-    cd = F.col("c").cast("decimal(19,0)")
-    agg = j.groupBy("l_returnflag").agg(
-        F.sum("c").alias("n"),
-        F.sum(cd * F.col("rq")).alias("sq"),
-        F.sum(cd * F.col("rq") * F.col("rq")).alias("sqq"),
-        F.sum(cd * F.col("rp")).alias("sp"),
-        F.sum(cd * F.col("rp") * F.col("rp")).alias("spp"),
-        F.sum(cd * F.col("rq") * F.col("rp")).alias("sqp"),
+    def offsets(col: str) -> DataFrame:
+        bc = f"_bkt_{col}"
+        cnts = (d2.groupBy("l_returnflag", bc)
+                .agg(F.count(F.lit(1)).alias("_c")))
+        x, y = cnts.alias("x"), cnts.alias("y")
+        return (x.join(F.broadcast(y),
+                       (F.col("y.l_returnflag") == F.col("x.l_returnflag"))
+                       & (F.col(f"y.{bc}") < F.col(f"x.{bc}")), "left")
+                .groupBy(F.col("x.l_returnflag").alias("l_returnflag"),
+                         F.col(f"x.{bc}").alias(bc))
+                .agg(F.coalesce(F.sum("y._c"), F.lit(0)).cast("long")
+                     .alias(f"_off_{col}")))
+
+    key = corpus_key(spark, sf_dir, "lineitem")
+    cached = _SPEARMAN_OFF_CACHE.get(key)
+    if cached is None:
+        cached = (offsets("q").localCheckpoint(),
+                  offsets("p").localCheckpoint())
+        memo_put(_SPEARMAN_OFF_CACHE, key, cached)
+    off_q, off_p = cached
+    j = (d2.join(F.broadcast(off_q), ["l_returnflag", "_bkt_q"])
+         .join(F.broadcast(off_p), ["l_returnflag", "_bkt_p"]))
+
+    def midrank(col: str):
+        # the tie window carries the bucket in its key: ties share a
+        # bucket (bucketing is monotone), so counts are unchanged, and
+        # HashPartitioning(rf, bkt) satisfies the (rf, bkt, col)
+        # clustering with the SAME (rf, bkt, col) sort — rank and tie
+        # count share one exchange + one sort per variable
+        w_in = (Window.partitionBy("l_returnflag", f"_bkt_{col}")
+                .orderBy(col))
+        w_tie = Window.partitionBy("l_returnflag", f"_bkt_{col}", col)
+        return (F.lit(2) * (F.rank().over(w_in) + F.col(f"_off_{col}"))
+                + F.count(F.lit(1)).over(w_tie) - 1).cast("decimal(19,0)")
+
+    d = (j.withColumn("rq", midrank("q")).withColumn("rp", midrank("p"))
+         .drop("_bkt_q", "_bkt_p", "_off_q", "_off_p"))
+    agg = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq").alias("sq"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sqq"),
+        F.sum("rp").alias("sp"),
+        F.sum(F.col("rp") * F.col("rp")).alias("spp"),
+        F.sum(F.col("rq") * F.col("rp")).alias("sqp"),
     )
     nd = F.col("n").cast("double")
 
@@ -1162,13 +1226,19 @@ def q_sql_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordered and engine-independent.
 #
 # r8 scalar-exactness rule (r7 verdict #2/#3): round(x, n) in a hashed
-# SELECT list is only ever applied to a DECIMAL — never a DOUBLE. The
-# engines' double-round algorithms differ (Spark rounds the BigDecimal
-# binary expansion HALF_UP, DuckDB rounds the shortest decimal) and
-# deterministically disagree when the true value sits at a .xx5
-# boundary (the three-round sql_text_lateral_alias red: 31234.685).
-# Raw double +,-,*,/ and casts are IEEE-deterministic and bit-identical
-# cross-engine, so un-rounded double arithmetic is safe to hash.
+# SELECT list never applies to a DOUBLE of money/decimal provenance.
+# The engines' double-round algorithms differ (Spark rounds the
+# BigDecimal binary expansion HALF_UP, DuckDB rounds the shortest
+# decimal) and deterministically disagree when the true value sits at a
+# .xx5 boundary — and money arithmetic lands on such boundaries
+# SYSTEMATICALLY (the three-round sql_text_lateral_alias red:
+# 312346.85·0.1 = 31234.685). Raw double +,-,*,/,sqrt and casts are
+# IEEE-correctly-rounded and bit-identical cross-engine, so un-rounded
+# rational double arithmetic is safe to hash. Transcendentals (ln, exp)
+# are NOT: JVM Math.log and libm differ in the last ulp on real inputs
+# (caught by the strict gate on transition_entropy), so ln-derived
+# values hash through round(·, 6) — for irrational values a .5·10⁻⁶
+# rounding boundary is measure-zero, unlike money.
 SQL_TEXTS = {
     # running aggregate + row numbering in one window text
     "sql_text_window": """
@@ -2921,6 +2991,9 @@ ORACLE_TRIMMED_MEAN = """
 
 
 QUERIES = {
+    "kendall_tau": q_kendall_tau,
+    "gini_concentration": q_gini_concentration,
+    "trimmed_mean": q_trimmed_mean,
     "supplier_stats": q_supplier_stats,
     "target_encoding": q_target_encoding,
     "column_profile": q_column_profile,
@@ -3002,6 +3075,9 @@ _STATS_ORACLE_PARTS = [
 ]
 
 ORACLES = {
+    "kendall_tau": ORACLE_KENDALL_TAU,
+    "gini_concentration": ORACLE_GINI,
+    "trimmed_mean": ORACLE_TRIMMED_MEAN,
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),
     "benford_digits": ORACLE_BENFORD,
     "frequent_itemsets": f"""

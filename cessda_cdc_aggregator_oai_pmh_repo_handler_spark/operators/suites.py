@@ -295,6 +295,15 @@ _TEMPORAL_SUBS = (
         arrays.ORACLES["ohlc_bars"],
         (("event_type", "str"), ("h", "str")),
         ("n", "open_c", "close_c", "high_c", "low_c")),
+    Sub("kaplan_meier", arrays.q_kaplan_meier,
+        arrays.ORACLES["kaplan_meier"],
+        (("dur", "str"),), ("deaths", "cum_deaths", "at_risk")),
+    Sub("xcorr_event_types", arrays.q_xcorr_event_types,
+        arrays.ORACLES["xcorr_event_types"],
+        (("lag", "str"),), ("n", "sx", "sy", "sxy", "xcorr")),
+    Sub("transition_entropy", arrays.q_transition_entropy,
+        arrays.ORACLES["transition_entropy"],
+        (("i", "str"), ("j", "str")), ("c", "n_i", "surprisal")),
 )
 
 _CORPUS_SUBS = (
@@ -532,6 +541,15 @@ _CORPUS_SUBS = (
         (("field", "str"),),
         ("dup_pairs", "nondup_pairs", "agree_dup", "agree_nondup",
          "w_agree", "w_disagree")),
+    Sub("llr_keywords", text_analysis.q_llr_keywords,
+        text_analysis.ORACLES["llr_keywords"],
+        (("lang", "str"), ("w", "str")), ("k11", "cw", "nl", "llr")),
+    Sub("vocab_coverage", text_analysis.q_vocab_coverage,
+        text_analysis.ORACLES["vocab_coverage"],
+        (("k", "str"),), ("covered", "total", "types", "share")),
+    Sub("matryoshka_norms", ann.q_matryoshka_norms,
+        ann.ORACLES["matryoshka_norms"],
+        (("vec_id", "str"),), ("e4", "e16", "e64", "share_head")),
 )
 
 _TPCH_SUBS = (
@@ -797,6 +815,17 @@ _SQL_SURFACE_SUBS = (
          ("ny_jan", "str"), ("ny_jul", "str"), ("kathmandu", "str")),
         ("roundtrip_ok", "off_berlin_jan_min", "off_berlin_jul_min",
          "off_ny_jul_min", "off_ktm_min")),
+    Sub("kendall_tau", relational_ext.q_kendall_tau,
+        relational_ext.ORACLES["kendall_tau"],
+        (("l_returnflag", "str"),),
+        ("n", "concordant", "discordant", "tau_b")),
+    Sub("gini_concentration", relational_ext.q_gini_concentration,
+        relational_ext.ORACLES["gini_concentration"],
+        (("seg", "str"),), ("n", "sum_cents", "gini")),
+    Sub("trimmed_mean", relational_ext.q_trimmed_mean,
+        relational_ext.ORACLES["trimmed_mean"],
+        (("priority", "str"),),
+        ("lo_cents", "hi_cents", "kept_n", "trimmed_mean")),
 )
 
 _SET_OPS_SUBS = (

@@ -2757,7 +2757,189 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_disagree"))
 
 
+LLR_TOP_PER_LANG = 15
+
+
+def q_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio keyword extraction per language —
+    the significance-test sibling of token_pmi (PMI over-weights rare
+    pairs; LLR is the corpus-linguistics standard for 'surprisingly
+    frequent in THIS slice'). One token explode → (lang, term) counts;
+    the 2×2 contingency (in-lang vs rest occurrences, term vs other
+    tokens) folds from exact integer marginals (per-term totals joined
+    in, per-lang totals broadcast — a K-row dim). Term selection is by
+    exact INTEGER order (in-lang count desc, term) via a per-lang
+    window over the vocabulary relation — never by the float statistic,
+    so the kept set is engine-deterministic by construction. G² itself
+    is one single-shot fixed-arity xlogx expression per row, rounded to
+    6 decimals — the house absorber for the engines' last-ulp ln()
+    differences (JVM Math.log vs libm; see transition_entropy) — with
+    x·ln(x) guarded to 0 at x=0."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("lang", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    lw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("k11"))
+    wtot = lw.groupBy("w").agg(F.sum("k11").cast("long").alias("cw"))
+    ltot = lw.groupBy("lang").agg(F.sum("k11").cast("long").alias("nl"))
+    ntot = ltot.agg(F.sum("nl").cast("long").alias("nn"))
+    pick = Window.partitionBy("lang").orderBy(F.desc("k11"), "w")
+    top = (lw.withColumn("rn", F.row_number().over(pick))
+           .filter(F.col("rn") <= LLR_TOP_PER_LANG).drop("rn"))
+    j = (top.join(wtot, "w")
+         .join(F.broadcast(ltot), "lang")
+         .crossJoin(F.broadcast(ntot)))
+    k11 = F.col("k11").cast("double")
+    k12 = (F.col("cw") - F.col("k11")).cast("double")
+    k21 = (F.col("nl") - F.col("k11")).cast("double")
+    k22 = (F.col("nn") - F.col("cw") - F.col("nl")
+           + F.col("k11")).cast("double")
+
+    def xlx(x):
+        return F.when(x == 0, F.lit(0.0)).otherwise(x * F.log(x))
+
+    nn = F.col("nn").cast("double")
+    llr = 2.0 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) + xlx(nn)
+                 - xlx(k11 + k12) - xlx(k21 + k22)
+                 - xlx(k11 + k21) - xlx(k12 + k22))
+    return j.select("lang", "w",
+                    F.col("k11").cast("long").alias("k11"),
+                    "cw", "nl", F.round(llr, 6).alias("llr"))
+
+
+ORACLE_LLR_KEYWORDS = """
+    WITH tok AS (
+        SELECT lang, t.w
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+        WHERE t.w <> ''
+    ),
+    lw AS (SELECT lang, w, count(*) AS k11 FROM tok GROUP BY lang, w),
+    wtot AS (SELECT w, CAST(sum(k11) AS BIGINT) AS cw FROM lw GROUP BY w),
+    ltot AS (SELECT lang, CAST(sum(k11) AS BIGINT) AS nl
+             FROM lw GROUP BY lang),
+    ntot AS (SELECT CAST(sum(nl) AS BIGINT) AS nn FROM ltot),
+    top AS (
+        SELECT lang, w, k11
+        FROM (SELECT lang, w, k11,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY k11 DESC, w) AS rn
+              FROM lw) x
+        WHERE rn <= {top}
+    ),
+    j AS (
+        SELECT t.lang, t.w,
+               CAST(t.k11 AS DOUBLE) AS a,
+               CAST(wt.cw - t.k11 AS DOUBLE) AS b,
+               CAST(lt.nl - t.k11 AS DOUBLE) AS c,
+               CAST(nt.nn - wt.cw - lt.nl + t.k11 AS DOUBLE) AS d,
+               CAST(nt.nn AS DOUBLE) AS nnd,
+               CAST(t.k11 AS BIGINT) AS k11, wt.cw, lt.nl
+        FROM top t
+        JOIN wtot wt USING (w)
+        JOIN ltot lt USING (lang)
+        CROSS JOIN ntot nt
+    )
+    SELECT lang, w, k11, cw, nl,
+           round(2.0 * ((CASE WHEN a = 0 THEN 0 ELSE a * ln(a) END)
+                + (CASE WHEN b = 0 THEN 0 ELSE b * ln(b) END)
+                + (CASE WHEN c = 0 THEN 0 ELSE c * ln(c) END)
+                + (CASE WHEN d = 0 THEN 0 ELSE d * ln(d) END)
+                + (CASE WHEN nnd = 0 THEN 0 ELSE nnd * ln(nnd) END)
+                - (CASE WHEN a + b = 0 THEN 0
+                        ELSE (a + b) * ln(a + b) END)
+                - (CASE WHEN c + d = 0 THEN 0
+                        ELSE (c + d) * ln(c + d) END)
+                - (CASE WHEN a + c = 0 THEN 0
+                        ELSE (a + c) * ln(a + c) END)
+                - (CASE WHEN b + d = 0 THEN 0
+                        ELSE (b + d) * ln(b + d) END)), 6) AS llr
+    FROM j
+""".format(top=LLR_TOP_PER_LANG)
+
+
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES do
+    the top-K most frequent token TYPES cover, for K ∈ {10, 100, 1000} —
+    the tokenizer-budget readout next to heaps_law (type growth) and
+    zipf_slope (frequency decay). Selection is exact-integer ordered
+    (count desc, token): ``orderBy().limit()`` plans as a distributed
+    TakeOrdered (per-partition top-K + driver merge, no global sort
+    shuffle), and the row_number window that assigns positions runs over
+    the ≤max(K)-row survivors — bounded by the constant K, never by
+    corpus or vocabulary size. Totals crossJoin in as a broadcast 1-row
+    aggregate; the share is one single-shot double per K."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    cnt = (d.select(F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    kmax = max(VOCAB_COVERAGE_KS)
+    top = cnt.orderBy(F.desc("cnt"), "w").limit(kmax)
+    w = Window.orderBy(F.desc("cnt"), "w")
+    top = top.withColumn("rn", F.row_number().over(w))
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("total"),
+                  F.count(F.lit(1)).cast("long").alias("types"))
+    covered = top.agg(*[
+        F.sum(F.when(F.col("rn") <= k, F.col("cnt")).otherwise(0))
+        .cast("long").alias(f"cov_{k}") for k in VOCAB_COVERAGE_KS])
+    j = covered.crossJoin(F.broadcast(tot))
+    rows = [
+        j.select(F.lit(k).cast("long").alias("k"),
+                 F.col(f"cov_{k}").alias("covered"),
+                 "total", "types",
+                 (F.col(f"cov_{k}").cast("double")
+                  / F.col("total").cast("double")).alias("share"))
+        for k in VOCAB_COVERAGE_KS]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionAll(r)
+    return u
+
+
+ORACLE_VOCAB_COVERAGE = """
+    WITH tok AS (
+        SELECT t.w
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+        WHERE t.w <> ''
+    ),
+    cnt AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS types FROM cnt),
+    top AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn
+        FROM cnt ORDER BY cnt DESC, w LIMIT 1000
+    ),
+    cov AS (
+        SELECT CAST(sum(CASE WHEN rn <= 10 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS cov_10,
+               CAST(sum(CASE WHEN rn <= 100 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS cov_100,
+               CAST(sum(CASE WHEN rn <= 1000 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS cov_1000
+        FROM top
+    )
+    SELECT CAST(10 AS BIGINT) AS k, cov_10 AS covered, total, types,
+           CAST(cov_10 AS DOUBLE) / total AS share
+    FROM cov CROSS JOIN tot
+    UNION ALL
+    SELECT 100, cov_100, total, types, CAST(cov_100 AS DOUBLE) / total
+    FROM cov CROSS JOIN tot
+    UNION ALL
+    SELECT 1000, cov_1000, total, types, CAST(cov_1000 AS DOUBLE) / total
+    FROM cov CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "llr_keywords": q_llr_keywords,
+    "vocab_coverage": q_vocab_coverage,
     "naive_bayes_lang": q_naive_bayes_lang,
     "mi_contingency": q_mi_contingency,
     "model_eval_auc": q_model_eval_auc,
@@ -2819,6 +3001,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "llr_keywords": ORACLE_LLR_KEYWORDS,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "textrank_keywords": _textrank_oracle(),
     "bootstrap_resample": f"""
         WITH ranked AS (

@@ -659,6 +659,69 @@ def streaming_holt_winters(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_transition_counts(spark: SparkSession, source_dir: str,
+                                schema: T.StructType):
+    """STREAMING Markov transition counts — the ``applyInPandasWithState``
+    twin of the pair-extraction stage shared by the batch
+    ``arrays.q_markov_stationary`` and ``arrays.q_transition_entropy``
+    (both gate-verified vs DuckDB): per-user (prev → next) event-type
+    counts maintained incrementally. State is BOUNDED at O(K²) per key —
+    the last event type plus a ≤K² count table (K = event-type
+    vocabulary, 5 here), serialized as a sorted-key JSON string — however
+    long the history; the batch form's lag() window needs each user's
+    full ordered history co-located, the stream needs a constant-size
+    table. Every emission reports the cumulative per-(i,j) counts AS IF
+    the stream ended now, so stream-final rows summed across users equal
+    the batch transition matrix exactly under in-order delivery (the
+    streaming_pattern_counts ordering contract). Online, this is the
+    transition-matrix feed for drift monitors and next-event models."""
+    import json
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("i", T.StringType()),
+        T.StructField("j", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last", T.StringType()),
+        T.StructField("counts", T.StringType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        last, cj = state.get if state.exists else ("", "{}")
+        counts = json.loads(cj)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for t in batch["event_type"]:
+            if last:
+                k = f"{last}|{t}"
+                counts[k] = counts.get(k, 0) + 1
+            last = t
+        state.update((last, json.dumps(counts, sort_keys=True)))
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(ks),
+                "i": [k.split("|")[0] for k in ks],
+                "j": [k.split("|")[1] for k in ks],
+                "n": [counts[k] for k in ks],
+            })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_interval_coverage(spark: SparkSession, source_dir: str,
                                 schema: T.StructType):
     """STREAMING gaps-and-islands — the ``applyInPandasWithState`` twin of

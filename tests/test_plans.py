@@ -533,7 +533,9 @@ def test_spearman_no_fat_group_window(spark):
     for ln in plan.splitlines():
         if "Window [" in ln:
             part = ln.split("], [")[1] if "], [" in ln else ""
-            assert "_pfx_bkt" in part, ln
+            # partition must be finer than the group key: either the
+            # range bucket (min-rank windows) or the value (tie windows)
+            assert ("_bkt_" in part or "q#" in part or "p#" in part), ln
     assert "CartesianProduct" not in plan
 
 
@@ -588,3 +590,36 @@ def test_hierarchy_share_preaggregates_fact_no_fact_broadcast(spark):
     for ln in plan.splitlines():
         if "BroadcastHashJoin" in ln:
             assert "c_custkey" not in ln and "o_custkey" not in ln, ln
+
+
+def test_round8_new_ops_no_cartesian(spark):
+    """Round-8 additions keep the house plan contract: no
+    CartesianProduct anywhere (kendall's grid self-join must key on the
+    group column; xcorr's lag joins must stay equi-joins on the shifted
+    hour). Bounded-relation global windows (kaplan_meier's distinct
+    durations, vocab_coverage's top-K survivors) are exempt from the
+    no-global-window rule by construction — their partition sizes are
+    domain/constant-bounded, not corpus-bounded."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        ann as ANN,
+        arrays as AR,
+        relational_ext as RE,
+        text_analysis as TA,
+    )
+
+    for q in (RE.q_kendall_tau, RE.q_gini_concentration, RE.q_trimmed_mean,
+              AR.q_kaplan_meier, AR.q_xcorr_event_types,
+              AR.q_transition_entropy, TA.q_llr_keywords,
+              TA.q_vocab_coverage, ANN.q_matryoshka_norms):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+    # gini's rank windows must carry the bucket key, never the segment
+    # key alone (same discipline as spearman)
+    plan = plan_of(RE.q_gini_concentration(spark, SF))
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            part = ln.split("], [")[1] if "], [" in ln else ""
+            assert "_pfx_bkt" in part, ln
+    # matryoshka is a pure per-row map: no exchange at all
+    plan = plan_of(ANN.q_matryoshka_norms(spark, SF))
+    assert "Exchange" not in plan

@@ -566,3 +566,53 @@ def test_streaming_interval_coverage_matches_batch(spark, tmp_path):
     want = {int(r["user_id"]): (r["n_islands"], r["covered_s"])
             for r in arrays.q_interval_coverage(spark, sf_dir).collect()}
     assert finals == want
+
+
+def test_streaming_transition_counts_match_batch(spark, tmp_path):
+    """Stream-final per-user (prev→next) counts across 2 in-order
+    microbatches, summed over users, equal the batch lag()-window
+    transition matrix exactly — bounded O(K²) state per key."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "events_trans")
+    os.makedirs(src)
+    ordered_ts = [r["ts"] for r in
+                  events.select("ts").orderBy("ts").collect()]
+    mid = ordered_ts[len(ordered_ts) // 2]
+    events.filter(F.col("ts") <= F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=0")
+    events.filter(F.col("ts") > F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=1")
+
+    stream = I.streaming_transition_counts(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("trans_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update mode re-emits cumulative counts each batch: final per
+    # (user, i, j) = max n (counts are monotone)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM trans_stream").collect():
+        k = (int(r["user_id"]), r["i"], r["j"])
+        finals[k] = max(finals.get(k, 0), r["n"])
+    got = defaultdict(int)
+    for (_, i, j), n in finals.items():
+        got[(i, j)] += n
+    # batch twin: the same lag()-window pair extraction markov/entropy use
+    s = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pairs = (events.select("user_id", "event_id", s.alias("s"),
+                           "event_type")
+             .withColumn("prev_t", F.lag("event_type").over(w))
+             .filter(F.col("prev_t").isNotNull()))
+    want = {(r["prev_t"], r["event_type"]): r["c"]
+            for r in pairs.groupBy("prev_t", "event_type")
+            .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert dict(got) == want
