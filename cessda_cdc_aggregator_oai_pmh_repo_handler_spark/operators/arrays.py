@@ -1702,7 +1702,78 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     surprisal.alias("surprisal")))
 
 
+def q_streak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length census of per-user event-type STREAKS (consecutive
+    same-type events) — the value-change sibling of the time-based
+    gaps-and-islands in interval_coverage: a change flag (lag() within
+    user), a running sum of flags as the run id (both windows keyed on
+    user_id — fine-grained at any scale), one groupBy to measure each
+    run, one rollup per event type: number of runs, longest run, runs of
+    length ≥ 3, and total events in them. Exact integers end to end —
+    the session-quality / bot-behavior readout next to fano (burstiness
+    in time) and markov (what follows what)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    chg = F.when(F.lag("event_type").over(w).isNull()
+                 | (F.lag("event_type").over(w) != F.col("event_type")),
+                 1).otherwise(0)
+    run = (d.withColumn("chg", chg)
+           .withColumn("run_id", F.sum("chg").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))))
+    lens = (run.groupBy("user_id", "run_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("len")))
+    return (lens.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_runs"),
+                 F.max("len").cast("long").alias("max_run"),
+                 F.sum(F.when(F.col("len") >= 3, 1).otherwise(0))
+                 .cast("long").alias("runs_ge3"),
+                 F.sum(F.when(F.col("len") >= 3, F.col("len"))
+                       .otherwise(0)).cast("long").alias("events_ge3")))
+
+
+ORACLE_STREAK_CENSUS = """
+    WITH d AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type, s, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run_id
+        FROM flagged
+    ),
+    lens AS (
+        SELECT user_id, run_id, event_type, count(*) AS len
+        FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len) AS BIGINT) AS max_run,
+           CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS runs_ge3,
+           CAST(sum(CASE WHEN len >= 3 THEN len ELSE 0 END) AS BIGINT)
+               AS events_ge3
+    FROM lens GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "streak_census": q_streak_census,
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
@@ -1753,6 +1824,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streak_census": ORACLE_STREAK_CENSUS,
     "ab_test_analysis": """
         WITH per_user AS (
             SELECT user_id % 2 AS arm,

@@ -998,11 +998,16 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤3e13, codegen-friendly) and only the sums widen to DECIMAL(38,0)
     (Spark) / HUGEINT (DuckDB's automatic BIGINT-sum type) — width-18
     decimal multiplies overflow DuckDB's int64 fast path. The
-    hash-checked outputs are the RAW integer sums cast to double: the
-    same exact integer rounds to the same nearest double on both
-    engines, so no decimal-rounding convention is ever invoked; the
-    driver divides the scale factors back out before solving, so β
-    lands in original units. The solve verifies through a
+    hash-checked outputs are the RAW integer sums cast to double. Above
+    2⁵³ that cast must be CORRECTLY rounded on both engines: Spark's
+    path is Python float(Decimal) (exact), but DuckDB's native
+    HUGEINT→DOUBLE is a two-step hi·2⁶⁴+lo float expression that
+    DOUBLE-ROUNDS — the r8 strict sf0.1 sweep caught syy_cents2
+    (≈2.22e19) off by one ulp — so the oracle casts through VARCHAR
+    (strtod is correctly rounded), making both engines produce the
+    nearest double of the same exact integer. The driver divides the
+    scale factors back out before solving, so β lands in original
+    units. The solve verifies through a
     gradient-residual indicator ‖(XᵀX+λD)β − Xᵀy‖/‖Xᵀy‖ < 1e-8 and an
     R² ∈ [0,1] indicator (both deterministically 1.0 — the oracle
     claims exactly that)."""
@@ -1020,14 +1025,14 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RIDGE_REGRESSION = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                AS DOUBLE) AS sum_y_cents,
-           CAST(sum(CAST(round(l_quantity) AS BIGINT)
-                    * CAST(round(l_extendedprice * 100) AS BIGINT))
-                AS DOUBLE) AS sum_qy_cents,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * CAST(round(l_extendedprice * 100) AS BIGINT))
-                AS DOUBLE) AS syy_cents2,
+           CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS VARCHAR) AS DOUBLE) AS sum_y_cents,
+           CAST(CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS VARCHAR) AS DOUBLE) AS sum_qy_cents,
+           CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS VARCHAR) AS DOUBLE) AS syy_cents2,
            CAST(1.0 AS DOUBLE) AS grad_ok,
            CAST(1.0 AS DOUBLE) AS r2_ok
     FROM lineitem
@@ -1238,7 +1243,12 @@ def q_sql_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are NOT: JVM Math.log and libm differ in the last ulp on real inputs
 # (caught by the strict gate on transition_entropy), so ln-derived
 # values hash through round(·, 6) — for irrational values a .5·10⁻⁶
-# rounding boundary is measure-zero, unlike money.
+# rounding boundary is measure-zero, unlike money. Exact integers WIDER
+# THAN 2⁵³ are a third class: hashing them through a DOUBLE cast
+# requires a correctly-rounded conversion on both engines, and DuckDB's
+# native HUGEINT→DOUBLE double-rounds (1 ulp off; caught on
+# ridge_regression at sf0.1) — such oracles cast through VARCHAR
+# (strtod is correctly rounded; Spark's float(Decimal) path already is).
 SQL_TEXTS = {
     # running aggregate + row numbering in one window text
     "sql_text_window": """
@@ -2990,8 +3000,100 @@ ORACLE_TRIMMED_MEAN = """
 """
 
 
+def q_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a deterministic tie-break — the most-frequent
+    quantity per return flag, ties broken toward the SMALLEST value.
+    Built from first principles rather than the engines' mode()
+    aggregates (whose tie-breaking is implementation-defined and
+    therefore un-hashable): one (group, value) count pass, then
+    max_by over the composite (count, −value) struct — exact integers
+    end to end, two map-combinable aggregations, no window, no sort."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cnt = (li.select("l_returnflag", _cents("l_quantity").alias("q"))
+           .groupBy("l_returnflag", "q")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    return (cnt.groupBy("l_returnflag")
+            .agg(F.max_by("q", F.struct(F.col("cnt"), (-F.col("q"))))
+                 .cast("long").alias("mode_cents"),
+                 F.max(F.struct(F.col("cnt"), (-F.col("q"))))
+                 .getField("cnt").cast("long").alias("mode_n"),
+                 F.count(F.lit(1)).cast("long").alias("distinct_vals")))
+
+
+ORACLE_MODE_STATS = """
+    WITH cnt AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, q
+    ),
+    ranked AS (
+        SELECT l_returnflag, q, cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, q ASC) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS dv
+        FROM cnt
+    )
+    SELECT l_returnflag, CAST(q AS BIGINT) AS mode_cents,
+           CAST(cnt AS BIGINT) AS mode_n,
+           CAST(dv AS BIGINT) AS distinct_vals
+    FROM ranked WHERE rn = 1
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the price level at which half the
+    QUANTITY (not half the rows) sits below: the robust price index
+    inventory/pricing pipelines want. Exact integer construction: one
+    (group, price) pass sums quantity units per distinct price, the
+    cumulative weight comes from ``_grouped_bucketed_prefix`` (range
+    buckets + driver-folded offsets — no fat per-group window), and the
+    median is the smallest price whose doubled cumulative weight reaches
+    the group total (2·cum ≥ W in BIGINT — no halves, no floats
+    anywhere). Output is exact integers only."""
+    li = load_table(spark, "lineitem", sf_dir)
+    t = (li.select("l_returnflag", _cents("l_extendedprice").alias("p"),
+                   F.col("l_quantity").cast("long").alias("w"))
+         .groupBy("l_returnflag", "p").agg(F.sum("w").alias("w")))
+    t = _grouped_bucketed_prefix(t, "l_returnflag", "p", "w", "cum")
+    tot = t.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("wtot"))
+    j = t.join(F.broadcast(tot), "l_returnflag")
+    hit = j.filter(F.lit(2) * F.col("cum") >= F.col("wtot"))
+    return (hit.groupBy("l_returnflag")
+            .agg(F.min("p").cast("long").alias("median_cents"),
+                 F.min("wtot").cast("long").alias("total_weight")))
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY l_returnflag, p
+    ),
+    c AS (
+        SELECT l_returnflag, p, w,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS wtot
+        FROM t
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cum >= wtot THEN p END) AS BIGINT)
+               AS median_cents,
+           CAST(min(wtot) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "kendall_tau": q_kendall_tau,
+    "mode_stats": q_mode_stats,
+    "weighted_median": q_weighted_median,
     "gini_concentration": q_gini_concentration,
     "trimmed_mean": q_trimmed_mean,
     "supplier_stats": q_supplier_stats,
@@ -3076,6 +3178,8 @@ _STATS_ORACLE_PARTS = [
 
 ORACLES = {
     "kendall_tau": ORACLE_KENDALL_TAU,
+    "mode_stats": ORACLE_MODE_STATS,
+    "weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "gini_concentration": ORACLE_GINI,
     "trimmed_mean": ORACLE_TRIMMED_MEAN,
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),

@@ -304,6 +304,10 @@ _TEMPORAL_SUBS = (
     Sub("transition_entropy", arrays.q_transition_entropy,
         arrays.ORACLES["transition_entropy"],
         (("i", "str"), ("j", "str")), ("c", "n_i", "surprisal")),
+    Sub("streak_census", arrays.q_streak_census,
+        arrays.ORACLES["streak_census"],
+        (("event_type", "str"),),
+        ("n_runs", "max_run", "runs_ge3", "events_ge3")),
 )
 
 _CORPUS_SUBS = (
@@ -550,6 +554,9 @@ _CORPUS_SUBS = (
     Sub("matryoshka_norms", ann.q_matryoshka_norms,
         ann.ORACLES["matryoshka_norms"],
         (("vec_id", "str"),), ("e4", "e16", "e64", "share_head")),
+    Sub("sparse_cosine_join", text_analysis.q_sparse_cosine_join,
+        text_analysis.ORACLES["sparse_cosine_join"],
+        (("da", "str"), ("db", "str")), ("dot", "na", "nb", "cosine")),
 )
 
 _TPCH_SUBS = (
@@ -826,6 +833,13 @@ _SQL_SURFACE_SUBS = (
         relational_ext.ORACLES["trimmed_mean"],
         (("priority", "str"),),
         ("lo_cents", "hi_cents", "kept_n", "trimmed_mean")),
+    Sub("mode_stats", relational_ext.q_mode_stats,
+        relational_ext.ORACLES["mode_stats"],
+        (("l_returnflag", "str"),),
+        ("mode_cents", "mode_n", "distinct_vals")),
+    Sub("weighted_median", relational_ext.q_weighted_median,
+        relational_ext.ORACLES["weighted_median"],
+        (("l_returnflag", "str"),), ("median_cents", "total_weight")),
 )
 
 _SET_OPS_SUBS = (

@@ -2757,6 +2757,91 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_disagree"))
 
 
+SCJ_DOC_CAP = 300     # bounded slice for the gate
+SCJ_DF_MIN, SCJ_DF_MAX = 2, 20  # shared AND rare: the postings bound
+SCJ_MIN_COSINE = 0.30
+
+
+def q_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-vector cosine self-join over a DF-BOUNDED postings
+    index — the bag-of-words sibling of the embedding similarity_join
+    (dense cosine) and prefix_filter_jaccard (set overlap): document
+    pairs scored by cosine over raw term frequencies, restricted to the
+    rare-term subspace (document frequency in [SCJ_DF_MIN, SCJ_DF_MAX]).
+    The DF cap IS the candidate-generation discipline: a token's posting
+    list is ≤ DF_MAX docs, so the index self-join fans out at most
+    DF_MAX² per token regardless of corpus size — boilerplate terms
+    never join. Dot products and norms are exact BIGINT folds of tf
+    products; the cosine is division + sqrt only (IEEE-correctly-rounded,
+    bit-identical cross-engine — no transcendental), so it hashes
+    unrounded."""
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < SCJ_DOC_CAP)
+    tok = d.select("doc_id", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfb = (tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df").between(SCJ_DF_MIN, SCJ_DF_MAX)))
+    post = tf.join(dfb.select("w"), "w")
+    norms = (post.groupBy("doc_id")
+             .agg(F.sum(F.col("tf") * F.col("tf")).cast("long")
+                  .alias("n2")))
+    a = post.select(F.col("w"), F.col("doc_id").alias("da"),
+                    F.col("tf").alias("ta"))
+    b = post.select(F.col("w"), F.col("doc_id").alias("db"),
+                    F.col("tf").alias("tb"))
+    dots = (a.join(b, "w").filter(F.col("da") < F.col("db"))
+            .groupBy("da", "db")
+            .agg(F.sum(F.col("ta") * F.col("tb")).cast("long")
+                 .alias("dot")))
+    na = norms.select(F.col("doc_id").alias("da"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("n2").alias("nb"))
+    cos = (F.col("dot").cast("double")
+           / F.sqrt(F.col("na").cast("double")
+                    * F.col("nb").cast("double")))
+    return (dots.join(F.broadcast(na), "da").join(F.broadcast(nb), "db")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= SCJ_MIN_COSINE)
+            .select("da", "db", "dot", "na", "nb", "cosine"))
+
+
+ORACLE_SPARSE_COSINE = f"""
+    WITH tok AS (
+        SELECT doc_id, t.w
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+        WHERE t.w <> '' AND doc_id < {SCJ_DOC_CAP}
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    dfb AS (
+        SELECT w FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) x
+        WHERE df BETWEEN {SCJ_DF_MIN} AND {SCJ_DF_MAX}
+    ),
+    post AS (SELECT tf.* FROM tf JOIN dfb USING (w)),
+    norms AS (
+        SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        FROM post GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM post a JOIN post b
+          ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da, db, dot, na.n2 AS na, nb.n2 AS nb,
+           CAST(dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = da
+    JOIN norms nb ON nb.doc_id = db
+    WHERE CAST(dot AS DOUBLE)
+          / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+          >= {SCJ_MIN_COSINE}
+"""
+
+
 LLR_TOP_PER_LANG = 15
 
 
@@ -2939,6 +3024,7 @@ ORACLE_VOCAB_COVERAGE = """
 
 QUERIES = {
     "llr_keywords": q_llr_keywords,
+    "sparse_cosine_join": q_sparse_cosine_join,
     "vocab_coverage": q_vocab_coverage,
     "naive_bayes_lang": q_naive_bayes_lang,
     "mi_contingency": q_mi_contingency,
@@ -3002,6 +3088,7 @@ QUERIES = {
 
 ORACLES = {
     "llr_keywords": ORACLE_LLR_KEYWORDS,
+    "sparse_cosine_join": ORACLE_SPARSE_COSINE,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "textrank_keywords": _textrank_oracle(),
     "bootstrap_resample": f"""

@@ -68,3 +68,24 @@ def test_fixed_decimal_round_agrees(spark):
     assert sval == dval == 31234.69
     assert (value_hash(["tithe"], [(sval,)])
             == value_hash(["tithe"], [(dval,)]))
+
+
+def test_duckdb_wide_int_to_double_needs_varchar_route():
+    """DuckDB's native HUGEINT→DOUBLE conversion double-rounds (a two-step
+    hi·2^64 + lo float expression), so exact integers above 2^53 can land
+    one ulp off Python's / Spark's correctly-rounded value — the r8
+    sf0.1 sweep caught ridge_regression's syy_cents2 this way. Casting
+    through VARCHAR (strtod, correctly rounded) must match exactly; this
+    pins both behaviors so an engine upgrade that fixes the native cast
+    is noticed."""
+    n = 22240711483861231690  # the actual divergent sum from the sweep
+    raw = duckdb.sql(
+        f"SELECT CAST(CAST({n} AS HUGEINT) AS DOUBLE)").fetchone()[0]
+    via = duckdb.sql(
+        f"SELECT CAST(CAST(CAST({n} AS HUGEINT) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()[0]
+    assert via == float(n)  # correctly rounded
+    assert raw != via       # the native cast is 1 ulp off for this value
+    from tools.hashing import value_hash
+    assert (value_hash(["v"], [(via,)])
+            == value_hash(["v"], [(float(n),)]))
