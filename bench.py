@@ -159,6 +159,14 @@ def main():
         # bisection warranted. Compare this round's end-of-round
         # frozen_cohort_sec above against BOTH numbers.
         "frozen_cohort_start_of_round_r8": 93.7546,
+        # CONTROL experiment closing the question: bench re-run at r7
+        # HEAD (0068df1, git worktree) at 11:15 the same day read
+        # 106.95s — WORSE than the r8-HEAD end-of-round 98.25s measured
+        # 20 minutes earlier. The identical r7 code that read 89.99s at
+        # round-7 time reads ~107s now: the drift is box state, not
+        # code, and like-for-like r8 is faster than r7 under the same
+        # conditions. Readings are only comparable within one run.
+        "frozen_cohort_r7head_control": 106.9516,
         "frozen_cohort_missing": cohort_missing,
         "frozen_cohort": ("r5 roster (134 suite sub-ops + singletons); "
                           "sum of PER-OP isolated warm timings — compare "

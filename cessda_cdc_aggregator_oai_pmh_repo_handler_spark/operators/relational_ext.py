@@ -683,40 +683,38 @@ def _grouped_bucketed_prefix(df: DataFrame, group_col: str,
     integer value (bucketing is monotone, so ties share a bucket and
     bucket order == value order), running-sum WITHIN each (group,
     bucket) partition in parallel, add each bucket's per-group starting
-    offset — an exclusive prefix over the ≤groups×4096-row bucket-count
-    relation, folded on the driver. Two tiny eager jobs (bounds + bucket
-    sums), both reduce before collecting; values are bit-identical to
-    the fat window's, so swapping this in changes no hashes."""
+    offset. FULLY LAZY (r8): the bounds come from a broadcast 1-row
+    min/max aggregate crossJoined in-plan (the markov-K pattern — the
+    original driver-side bounds/offset collects re-ran two eager scan
+    jobs on EVERY call, which bench attribution priced at ~3s/call),
+    and the exclusive prefix is a broadcast triangular self-join over
+    the ≤groups×4096-row bucket-sum relation (the skyline two-level
+    pattern — constant-sized at any corpus). Values are bit-identical
+    to the fat window's, so swapping this in changes no hashes."""
     from pyspark.sql import Window
 
-    spark = df.sparkSession
-    b = df.agg(F.min(value_col).alias("lo"),
-               F.max(value_col).alias("hi")).collect()[0]
-    if b["lo"] is None:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    lo, hi = int(b["lo"]), int(b["hi"])
     nb = 4096
-    width = max(1, (hi - lo + nb) // nb)
-    d2 = df.withColumn("_pfx_bkt", F.expr(
-        f"CAST((`{value_col}` - {lo}) div {width} AS BIGINT)"))
-    rows = (d2.groupBy(group_col, "_pfx_bkt")
-            .agg(F.sum(weight_col).alias("_c")).collect())
-    per: dict = {}
-    for r in rows:
-        per.setdefault(r[group_col], []).append((r["_pfx_bkt"], int(r["_c"])))
-    offs = []
-    for gk, lst in per.items():
-        acc = 0
-        for bkt, c in sorted(lst):
-            offs.append((gk, bkt, acc))
-            acc += c
-    gtype = dict(zip(df.columns, [f.dataType.simpleString()
-                                  for f in df.schema.fields]))[group_col]
-    off_df = spark.createDataFrame(
-        offs, f"`{group_col}` {gtype}, _pfx_bkt bigint, _pfx_off bigint")
+    b = df.agg(F.min(value_col).alias("_pfx_lo"),
+               F.max(value_col).alias("_pfx_hi"))
+    d2 = (df.crossJoin(F.broadcast(b))
+          .withColumn("_pfx_w", F.greatest(F.lit(1).cast("long"), F.expr(
+              f"CAST((_pfx_hi - _pfx_lo + {nb}) div {nb} AS BIGINT)")))
+          .withColumn("_pfx_bkt", F.expr(
+              f"CAST((`{value_col}` - _pfx_lo) div _pfx_w AS BIGINT)"))
+          .drop("_pfx_lo", "_pfx_hi", "_pfx_w"))
+    cnts = (d2.groupBy(group_col, "_pfx_bkt")
+            .agg(F.sum(weight_col).alias("_pfx_c")))
+    x, y = cnts.alias("x"), cnts.alias("y")
+    off = (x.join(F.broadcast(y),
+                  (F.col(f"y.{group_col}") == F.col(f"x.{group_col}"))
+                  & (F.col("y._pfx_bkt") < F.col("x._pfx_bkt")), "left")
+           .groupBy(F.col(f"x.{group_col}").alias(group_col),
+                    F.col("x._pfx_bkt").alias("_pfx_bkt"))
+           .agg(F.coalesce(F.sum("y._pfx_c"), F.lit(0)).cast("long")
+                .alias("_pfx_off")))
     w = (Window.partitionBy(group_col, "_pfx_bkt").orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (d2.join(F.broadcast(off_df), [group_col, "_pfx_bkt"])
+    return (d2.join(F.broadcast(off), [group_col, "_pfx_bkt"])
             .withColumn(out_col,
                         F.sum(weight_col).over(w) + F.col("_pfx_off"))
             .drop("_pfx_bkt", "_pfx_off"))
@@ -3044,21 +3042,40 @@ ORACLE_MODE_STATS = """
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median per group — the price level at which half the
     QUANTITY (not half the rows) sits below: the robust price index
-    inventory/pricing pipelines want. Exact integer construction: one
-    (group, price) pass sums quantity units per distinct price, the
-    cumulative weight comes from ``_grouped_bucketed_prefix`` (range
-    buckets + driver-folded offsets — no fat per-group window), and the
-    median is the smallest price whose doubled cumulative weight reaches
-    the group total (2·cum ≥ W in BIGINT — no halves, no floats
-    anywhere). Output is exact integers only."""
+    inventory/pricing pipelines want. Exact integer construction, two
+    fact passes (the spearman fixed-width discipline — price cents
+    bucket by a domain constant, so no bounds job): pass 1 sums quantity
+    per (group, bucket) DIRECTLY from the fact (tiny relation, exclusive
+    prefix via the broadcast triangular self-join); pass 2 sums quantity
+    per (group, price) and adds the in-bucket running sum (window keyed
+    (group, bucket) — never the group alone) plus the joined bucket
+    offset. The median is the smallest price whose doubled cumulative
+    weight reaches the group total (2·cum ≥ W in BIGINT — no halves, no
+    floats anywhere). Output is exact integers only."""
+    from pyspark.sql import Window
+
     li = load_table(spark, "lineitem", sf_dir)
-    t = (li.select("l_returnflag", _cents("l_extendedprice").alias("p"),
-                   F.col("l_quantity").cast("long").alias("w"))
-         .groupBy("l_returnflag", "p").agg(F.sum("w").alias("w")))
-    t = _grouped_bucketed_prefix(t, "l_returnflag", "p", "w", "cum")
-    tot = t.groupBy("l_returnflag").agg(
-        F.sum("w").cast("long").alias("wtot"))
-    j = t.join(F.broadcast(tot), "l_returnflag")
+    d = li.select("l_returnflag", _cents("l_extendedprice").alias("p"),
+                  F.col("l_quantity").cast("long").alias("w"))
+    d = d.withColumn("_bkt", F.expr("p div 16384"))
+    cnts = d.groupBy("l_returnflag", "_bkt").agg(
+        F.sum("w").alias("_c"))
+    x, y = cnts.alias("x"), cnts.alias("y")
+    off = (x.join(F.broadcast(y),
+                  (F.col("y.l_returnflag") == F.col("x.l_returnflag"))
+                  & (F.col("y._bkt") < F.col("x._bkt")), "left")
+           .groupBy(F.col("x.l_returnflag").alias("l_returnflag"),
+                    F.col("x._bkt").alias("_bkt"))
+           .agg(F.coalesce(F.sum("y._c"), F.lit(0)).cast("long")
+                .alias("_off")))
+    tot = cnts.groupBy("l_returnflag").agg(
+        F.sum("_c").cast("long").alias("wtot"))
+    t = d.groupBy("l_returnflag", "_bkt", "p").agg(F.sum("w").alias("w"))
+    w_in = (Window.partitionBy("l_returnflag", "_bkt").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = (t.join(F.broadcast(off), ["l_returnflag", "_bkt"])
+         .join(F.broadcast(tot), "l_returnflag")
+         .withColumn("cum", F.sum("w").over(w_in) + F.col("_off")))
     hit = j.filter(F.lit(2) * F.col("cum") >= F.col("wtot"))
     return (hit.groupBy("l_returnflag")
             .agg(F.min("p").cast("long").alias("median_cents"),
