@@ -1772,8 +1772,69 @@ ORACLE_STREAK_CENSUS = """
 """
 
 
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for per-type conversion rates — the
+    small-sample-safe binomial CI every experimentation readout should
+    use instead of the normal approximation (which collapses at p→0/1):
+    per event type, users who fired it vs users who also purchased,
+    then the 95% Wilson bounds. Counts are exact integers from two
+    map-combinable aggregates over a user-type semi-relation; the
+    bounds are single-shot +,-,*,/,sqrt arithmetic (IEEE
+    correctly-rounded — no transcendental, no round-on-double), so they
+    hash unrounded at full precision."""
+    e = load_table(spark, "events", sf_dir)
+    ut = e.select("user_id", "event_type").distinct()
+    buyers = (ut.filter(F.col("event_type") == "purchase")
+              .select("user_id").distinct())
+    j = (ut.filter(F.col("event_type") != "purchase")
+         .join(buyers.withColumn("conv", F.lit(1)), "user_id", "left"))
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.coalesce("conv", F.lit(0))).cast("long").alias("k"))
+    z2 = F.lit(3.8416)  # z=1.96 squared, exact decimal literal as double
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    p = kd / nd
+    denom = nd + z2
+    center = (kd + z2 / 2.0) / denom
+    half = (F.lit(1.96) * F.sqrt(nd) / denom
+            * F.sqrt(p * (1.0 - p) + z2 / (4.0 * nd)))
+    return agg.select("event_type", "n", "k",
+                      (center - half).alias("lo"),
+                      (center + half).alias("hi"))
+
+
+ORACLE_WILSON_CI = """
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    buyers AS (
+        SELECT DISTINCT user_id FROM ut WHERE event_type = 'purchase'
+    ),
+    agg AS (
+        SELECT ut.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN b.user_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM ut LEFT JOIN buyers b USING (user_id)
+        WHERE ut.event_type <> 'purchase'
+        GROUP BY ut.event_type
+    )
+    SELECT event_type, n, k,
+           ((CAST(k AS DOUBLE) + 3.8416 / 2.0) / (CAST(n AS DOUBLE) + 3.8416))
+           - (1.96 * sqrt(CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) + 3.8416)
+              * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+                     + 3.8416 / (4.0 * CAST(n AS DOUBLE)))) AS lo,
+           ((CAST(k AS DOUBLE) + 3.8416 / 2.0) / (CAST(n AS DOUBLE) + 3.8416))
+           + (1.96 * sqrt(CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) + 3.8416)
+              * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+                     + 3.8416 / (4.0 * CAST(n AS DOUBLE)))) AS hi
+    FROM agg
+"""
+
+
 QUERIES = {
     "streak_census": q_streak_census,
+    "wilson_ci": q_wilson_ci,
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
@@ -1825,6 +1886,7 @@ QUERIES = {
 
 ORACLES = {
     "streak_census": ORACLE_STREAK_CENSUS,
+    "wilson_ci": ORACLE_WILSON_CI,
     "ab_test_analysis": """
         WITH per_user AS (
             SELECT user_id % 2 AS arm,

@@ -3107,10 +3107,87 @@ ORACLE_WEIGHTED_MEDIAN = """
 """
 
 
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by deciles — the distribution table behind
+    gini_concentration (which customers hold which share of revenue,
+    per segment): per-customer cent totals rank within their segment
+    via the lazy ``_grouped_bucketed_prefix`` (no fat per-segment
+    window), each distinct-value block lands in decile
+    ⌈10·cum/W⌉ computed by exact integer ceiling division (a tied block
+    is wholly assigned to its last member's decile — deterministic on
+    both engines, unlike ntile's arbitrary tie split), and the rollup
+    emits exact integer customer counts and cent sums per (segment,
+    decile) with the revenue share as one single-shot division."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    seg = pc.join(c.select("c_custkey", "c_mktsegment"),
+                  pc.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "cents")
+    t = seg.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("t"))
+    t = _grouped_bucketed_prefix(t, "seg", "cents", "t", "cum")
+    tot = t.groupBy("seg").agg(
+        F.sum("t").cast("long").alias("W"),
+        F.sum(F.col("cents") * F.col("t")).cast("decimal(38,0)")
+        .alias("total_cents"))
+    j = t.join(F.broadcast(tot), "seg")
+    dec = F.expr("CAST((10 * cum + W - 1) div W AS BIGINT)")
+    g = (j.withColumn("decile", dec)
+         .groupBy("seg", "decile")
+         .agg(F.sum("t").cast("long").alias("customers"),
+              F.sum(F.col("cents").cast("decimal(19,0)") * F.col("t"))
+              .cast("decimal(38,0)").alias("dc"),
+              F.min("total_cents").alias("tc")))
+    return g.select(
+        "seg", "decile", "customers",
+        F.col("dc").cast("double").alias("decile_cents"),
+        (F.col("dc").cast("double") / F.col("tc").cast("double"))
+        .alias("share"))
+
+
+ORACLE_LORENZ_DECILES = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS seg, pc.cents
+        FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+    ),
+    t AS (
+        SELECT seg, cents, count(*) AS t
+        FROM seg GROUP BY seg, cents
+    ),
+    cumm AS (
+        SELECT seg, cents, t,
+               CAST(sum(t) OVER (PARTITION BY seg ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+               CAST(sum(t) OVER (PARTITION BY seg) AS BIGINT) AS W,
+               CAST(sum(CAST(cents AS HUGEINT) * t)
+                    OVER (PARTITION BY seg) AS HUGEINT) AS tc
+        FROM t
+    )
+    SELECT seg, CAST((10 * cum + W - 1) // W AS BIGINT) AS decile,
+           CAST(sum(t) AS BIGINT) AS customers,
+           CAST(sum(CAST(cents AS HUGEINT) * t) AS DOUBLE)
+               AS decile_cents,
+           CAST(sum(CAST(cents AS HUGEINT) * t) AS DOUBLE)
+               / CAST(min(tc) AS DOUBLE) AS share
+    FROM cumm
+    GROUP BY seg, CAST((10 * cum + W - 1) // W AS BIGINT)
+"""
+
+
 QUERIES = {
     "kendall_tau": q_kendall_tau,
     "mode_stats": q_mode_stats,
     "weighted_median": q_weighted_median,
+    "lorenz_deciles": q_lorenz_deciles,
     "gini_concentration": q_gini_concentration,
     "trimmed_mean": q_trimmed_mean,
     "supplier_stats": q_supplier_stats,
@@ -3197,6 +3274,7 @@ ORACLES = {
     "kendall_tau": ORACLE_KENDALL_TAU,
     "mode_stats": ORACLE_MODE_STATS,
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "lorenz_deciles": ORACLE_LORENZ_DECILES,
     "gini_concentration": ORACLE_GINI,
     "trimmed_mean": ORACLE_TRIMMED_MEAN,
     "table_stats": "\nUNION ALL\n".join(_STATS_ORACLE_PARTS),

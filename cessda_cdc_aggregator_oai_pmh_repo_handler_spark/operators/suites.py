@@ -308,6 +308,9 @@ _TEMPORAL_SUBS = (
         arrays.ORACLES["streak_census"],
         (("event_type", "str"),),
         ("n_runs", "max_run", "runs_ge3", "events_ge3")),
+    Sub("wilson_ci", arrays.q_wilson_ci,
+        arrays.ORACLES["wilson_ci"],
+        (("event_type", "str"),), ("n", "k", "lo", "hi")),
 )
 
 _CORPUS_SUBS = (
@@ -840,6 +843,10 @@ _SQL_SURFACE_SUBS = (
     Sub("weighted_median", relational_ext.q_weighted_median,
         relational_ext.ORACLES["weighted_median"],
         (("l_returnflag", "str"),), ("median_cents", "total_weight")),
+    Sub("lorenz_deciles", relational_ext.q_lorenz_deciles,
+        relational_ext.ORACLES["lorenz_deciles"],
+        (("seg", "str"), ("decile", "str")),
+        ("customers", "decile_cents", "share")),
 )
 
 _SET_OPS_SUBS = (
