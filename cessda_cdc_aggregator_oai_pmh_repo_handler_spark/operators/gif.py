@@ -92,6 +92,7 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     table, next_code, width = fresh()
     out.write(clear, width)
     cur = indices[0]
+    wrote_since_clear = False
     for px in indices[1:]:
         key = (cur, px)
         nxt = table.get(key)
@@ -99,9 +100,11 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             cur = nxt
             continue
         out.write(cur, width)
+        wrote_since_clear = True
         if next_code == _MAX_CODE:
             out.write(clear, width)
             table, next_code, width = fresh()
+            wrote_since_clear = False
         else:
             table[key] = next_code
             next_code += 1
@@ -109,6 +112,17 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
                 width += 1
         cur = px
     out.write(cur, width)
+    # The decoder adds a dictionary entry after EVERY data code past the
+    # first since CLEAR and bumps its code width when that add lands on
+    # next_code == 2^width — including after this FINAL data code, whose
+    # entry the encoder never needs.  Mirror that accounting so EOI is
+    # written at the width the decoder will read it with; without it the
+    # decoder reads EOI at width+1 and runs off the stream (round-8
+    # falsifying example: n_colors=2, 18 px).  The decoder's post-final
+    # next_code equals ours exactly (it is one add behind through the
+    # stream and skips none at the end).
+    if wrote_since_clear and next_code == (1 << width) and width < 12:
+        width += 1
     out.write(eoi, width)
     return out.flush()
 
