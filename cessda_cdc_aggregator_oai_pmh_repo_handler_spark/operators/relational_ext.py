@@ -1201,7 +1201,9 @@ SQL_TEXT_PARITY = """
            CAST(count(*) AS BIGINT) AS orders,
            CAST(sum(CASE WHEN o.o_totalprice > 150000
                     THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                     AS VARCHAR(64))
+                AS DOUBLE)
                  / count(*) AS avg_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2830,15 +2832,18 @@ ORACLE_KENDALL_TAU = """
         FROM d GROUP BY l_returnflag, q, dd
     ),
     tq AS (
+        -- '//' (integer floor division) keeps the tie-pair counts exact
+        -- HUGEINT; '/' is DOUBLE division in DuckDB and silently loses
+        -- precision above 2^53 (t*(t-1) is always even, so '//' is exact)
         SELECT l_returnflag,
-               sum(CAST(t * (t - 1) / 2 AS HUGEINT)) AS n1
+               sum(t * (t - 1) // 2) AS n1
         FROM (SELECT l_returnflag, q, CAST(sum(c) AS HUGEINT) AS t
               FROM grid GROUP BY l_returnflag, q) m
         GROUP BY l_returnflag
     ),
     td AS (
         SELECT l_returnflag,
-               sum(CAST(t * (t - 1) / 2 AS HUGEINT)) AS n2
+               sum(t * (t - 1) // 2) AS n2
         FROM (SELECT l_returnflag, dd, CAST(sum(c) AS HUGEINT) AS t
               FROM grid GROUP BY l_returnflag, dd) m
         GROUP BY l_returnflag
@@ -2855,16 +2860,21 @@ ORACLE_KENDALL_TAU = """
     ),
     nn AS (
         SELECT l_returnflag, count(*) AS n,
-               CAST(CAST(count(*) AS HUGEINT)
-                    * (count(*) - 1) / 2 AS HUGEINT) AS n0
+               CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 AS n0
         FROM d GROUP BY l_returnflag
     )
+    -- every HUGEINT that can exceed 2^53 reaches DOUBLE through VARCHAR
+    -- (strtod is correctly rounded; DuckDB's native HUGEINT->DOUBLE
+    -- double-rounds -- the ridge_regression ulp class)
     SELECT nn.l_returnflag, CAST(nn.n AS BIGINT) AS n,
-           CAST(cd.conc AS DOUBLE) AS concordant,
-           CAST(cd.disc AS DOUBLE) AS discordant,
-           (CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
-           / sqrt((CAST(nn.n0 AS DOUBLE) - CAST(tq.n1 AS DOUBLE))
-                  * (CAST(nn.n0 AS DOUBLE) - CAST(td.n2 AS DOUBLE)))
+           CAST(CAST(cd.conc AS VARCHAR) AS DOUBLE) AS concordant,
+           CAST(CAST(cd.disc AS VARCHAR) AS DOUBLE) AS discordant,
+           (CAST(CAST(cd.conc AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(cd.disc AS VARCHAR) AS DOUBLE))
+           / sqrt((CAST(CAST(nn.n0 AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(tq.n1 AS VARCHAR) AS DOUBLE))
+                  * (CAST(CAST(nn.n0 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(td.n2 AS VARCHAR) AS DOUBLE)))
                AS tau_b
     FROM nn JOIN tq USING (l_returnflag)
             JOIN td USING (l_returnflag)
@@ -2931,11 +2941,13 @@ ORACLE_GINI = """
                sum(CAST(i AS HUGEINT) * cents) AS w
         FROM r GROUP BY seg
     )
+    -- w = sum(rank*cents) exceeds 2^53 at modest scale: VARCHAR-route
+    -- every HUGEINT->DOUBLE so the conversion is correctly rounded
     SELECT seg, CAST(n AS BIGINT) AS n,
-           CAST(s AS DOUBLE) AS sum_cents,
-           (2.0 * CAST(w AS DOUBLE)
-            - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_cents,
+           (2.0 * CAST(CAST(w AS VARCHAR) AS DOUBLE)
+            - (CAST(n AS DOUBLE) + 1.0) * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE)) AS gini
     FROM agg
 """
 
@@ -2990,7 +3002,8 @@ ORACLE_TRIMMED_MEAN = """
            CAST(floor(min(bo.lo) * 100) AS BIGINT) AS lo_cents,
            CAST(floor(min(bo.hi) * 100) AS BIGINT) AS hi_cents,
            CAST(count(*) AS BIGINT) AS kept_n,
-           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+           CAST(CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                     AS VARCHAR)
                 AS DOUBLE) / count(*) / 100.0 AS trimmed_mean
     FROM orders o JOIN bounds bo USING (o_orderpriority)
     WHERE o.o_totalprice >= bo.lo AND o.o_totalprice <= bo.hi
@@ -3172,12 +3185,14 @@ ORACLE_LORENZ_DECILES = """
                     OVER (PARTITION BY seg) AS HUGEINT) AS tc
         FROM t
     )
+    -- decile_cents / tc are HUGEINT sums of rank-weighted cents:
+    -- VARCHAR-route the DOUBLE conversion (correctly-rounded strtod)
     SELECT seg, CAST((10 * cum + W - 1) // W AS BIGINT) AS decile,
            CAST(sum(t) AS BIGINT) AS customers,
-           CAST(sum(CAST(cents AS HUGEINT) * t) AS DOUBLE)
+           CAST(CAST(sum(CAST(cents AS HUGEINT) * t) AS VARCHAR) AS DOUBLE)
                AS decile_cents,
-           CAST(sum(CAST(cents AS HUGEINT) * t) AS DOUBLE)
-               / CAST(min(tc) AS DOUBLE) AS share
+           CAST(CAST(sum(CAST(cents AS HUGEINT) * t) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(min(tc) AS VARCHAR) AS DOUBLE) AS share
     FROM cumm
     GROUP BY seg, CAST((10 * cum + W - 1) // W AS BIGINT)
 """
