@@ -722,6 +722,199 @@ def streaming_transition_counts(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_streak_census(spark: SparkSession, source_dir: str,
+                            schema: T.StructType):
+    """STREAMING run-length census — the ``applyInPandasWithState`` twin
+    of the batch ``arrays.q_streak_census`` (gate-verified vs DuckDB):
+    per-user event-type streak statistics maintained incrementally.
+    State is BOUNDED at O(K) per key (K = event-type vocabulary): the
+    open run's type and length plus a per-type table of closed-run
+    stats (n_runs, max_run, runs_ge3, events_ge3) as a sorted-key JSON
+    string — the batch form's run-id window needs the user's full
+    ordered history co-located. Every emission reports each type's
+    census AS IF the stream ended now (open run folded in as closed),
+    so all four fields are monotone nondecreasing and stream-final
+    rows, aggregated across users (sum / max), equal the batch answer
+    exactly under in-order delivery."""
+    import json
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_runs", T.LongType()),
+        T.StructField("max_run", T.LongType()),
+        T.StructField("runs_ge3", T.LongType()),
+        T.StructField("events_ge3", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("open_type", T.StringType()),
+        T.StructField("open_len", T.LongType()),
+        T.StructField("closed", T.StringType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        open_type, open_len, cj = (
+            state.get if state.exists else ("", 0, "{}"))
+        closed = {k: list(v) for k, v in json.loads(cj).items()}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+
+        def fold(tbl, t, length):
+            st = tbl.setdefault(t, [0, 0, 0, 0])
+            st[0] += 1
+            st[1] = max(st[1], length)
+            if length >= 3:
+                st[2] += 1
+                st[3] += length
+            return tbl
+
+        for t in batch["event_type"]:
+            if t == open_type:
+                open_len += 1
+            else:
+                if open_type:
+                    fold(closed, open_type, open_len)
+                open_type, open_len = t, 1
+        state.update((open_type, open_len,
+                      json.dumps(closed, sort_keys=True)))
+        asif = {k: list(v) for k, v in closed.items()}
+        if open_type:
+            fold(asif, open_type, open_len)
+        if asif:
+            ks = sorted(asif)
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(ks),
+                "event_type": ks,
+                "n_runs": [asif[k][0] for k in ks],
+                "max_run": [asif[k][1] for k in ks],
+                "runs_ge3": [asif[k][2] for k in ks],
+                "events_ge3": [asif[k][3] for k in ks],
+            })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_conversion_flags(spark: SparkSession, source_dir: str,
+                               schema: T.StructType):
+    """STREAMING per-(user, type) conversion flags — the
+    ``applyInPandasWithState`` twin of the distinct/semi-join stage of
+    the batch ``arrays.q_wilson_ci`` (gate-verified vs DuckDB): which
+    event types each user has fired, and whether the user has purchased,
+    maintained with O(K) state per key (the sorted type set plus one
+    bool). Every emission re-reports ALL of the user's non-purchase
+    types with the conversion flag AS OF now — the flag is monotone
+    (0→1 when the purchase arrives, possibly AFTER the exposure), so
+    stream-final rows aggregated per type (n = count, k = sum conv)
+    plug into the closed-form Wilson bounds and equal the batch answer
+    exactly. Online, this is the live experiment-dashboard feed."""
+    import json
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("conv", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("types", T.StringType()),
+        T.StructField("purchased", T.BooleanType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        tj, purchased = state.get if state.exists else ("[]", False)
+        types = set(json.loads(tj))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for t in batch["event_type"]:
+            if t == "purchase":
+                purchased = True
+            else:
+                types.add(t)
+        state.update((json.dumps(sorted(types)), bool(purchased)))
+        if types:
+            ks = sorted(types)
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(ks),
+                "event_type": ks,
+                "conv": [1 if purchased else 0] * len(ks),
+            })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_user_lifetime(spark: SparkSession, source_dir: str,
+                            schema: T.StructType):
+    """STREAMING user lifetimes — the ``applyInPandasWithState`` twin of
+    the per-user fold inside the batch ``arrays.q_kaplan_meier``
+    (gate-verified vs DuckDB): first/last event DAY per user as two
+    integers of state, emitting the lifetime duration AS IF the stream
+    ended now. Durations are monotone nondecreasing under in-order
+    delivery, so stream-final per-user rows bucketed by duration
+    (deaths per d, cumulative deaths, at-risk) reproduce the batch
+    Kaplan-Meier table exactly. The event-ordered fold is the survival
+    pipeline's online half: censored (still-active) users simply carry
+    their current duration."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("dur", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("first_day", T.LongType()),
+        T.StructField("last_day", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        first_day, last_day = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # calendar day of the naive timestamp (matches Spark's
+        # cast-to-date on timestamp_ntz); ns-normalize first — Arrow may
+        # hand datetime64[us]
+        days = (batch["ts"].astype("datetime64[ns]").astype("int64")
+                // (86_400 * 1_000_000_000))
+        lo, hi = int(days.min()), int(days.max())
+        first_day = lo if first_day is None else min(first_day, lo)
+        last_day = hi if last_day is None else max(last_day, hi)
+        state.update((first_day, last_day))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "dur": [last_day - first_day],
+        })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_interval_coverage(spark: SparkSession, source_dir: str,
                                 schema: T.StructType):
     """STREAMING gaps-and-islands — the ``applyInPandasWithState`` twin of

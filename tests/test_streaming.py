@@ -568,6 +568,128 @@ def test_streaming_interval_coverage_matches_batch(spark, tmp_path):
     assert finals == want
 
 
+def _two_batch_source(spark, events, tmp_path, name):
+    """Write the events split into 2 time-ordered microbatch dirs."""
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    ordered_ts = [r["ts"] for r in
+                  events.select("ts").orderBy("ts").collect()]
+    mid = ordered_ts[len(ordered_ts) // 2]
+    events.filter(F.col("ts") <= F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=0")
+    events.filter(F.col("ts") > F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/batch=1")
+    return src
+
+
+def test_streaming_streak_census_matches_batch(spark, tmp_path):
+    """r8 verdict #6: stream-final per-(user, type) streak censuses
+    (all four fields monotone, so elementwise max = last emission),
+    aggregated across users (sum/max), equal the batch
+    q_streak_census rollup exactly — O(K) state per key."""
+    from collections import defaultdict
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_streak")
+
+    stream = I.streaming_streak_census(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("streak_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM streak_stream").collect():
+        k = (int(r["user_id"]), r["event_type"])
+        cur = (r["n_runs"], r["max_run"], r["runs_ge3"], r["events_ge3"])
+        prev = finals.get(k, (0, 0, 0, 0))
+        finals[k] = tuple(max(a, b) for a, b in zip(prev, cur))
+    got: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for (_, t), (n_runs, max_run, ge3, ev3) in finals.items():
+        g = got[t]
+        g[0] += n_runs
+        g[1] = max(g[1], max_run)
+        g[2] += ge3
+        g[3] += ev3
+    want = {r["event_type"]: [r["n_runs"], r["max_run"], r["runs_ge3"],
+                              r["events_ge3"]]
+            for r in arrays.q_streak_census(spark, sf_dir).collect()}
+    assert {k: list(v) for k, v in got.items()} == want
+
+
+def test_streaming_conversion_flags_match_batch_wilson(spark, tmp_path):
+    """r8 verdict #6: stream-final per-(user, type) conversion flags
+    (monotone 0→1 — the purchase may arrive AFTER the exposure, in a
+    later microbatch) fold to the same (n, k) per type as the batch
+    q_wilson_ci distinct/semi-join stage, hence the same Wilson
+    bounds."""
+    from collections import defaultdict
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_conv")
+
+    stream = I.streaming_conversion_flags(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("conv_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM conv_stream").collect():
+        k = (int(r["user_id"]), r["event_type"])
+        finals[k] = max(finals.get(k, 0), int(r["conv"]))
+    nk: dict = defaultdict(lambda: [0, 0])
+    for (_, t), conv in finals.items():
+        nk[t][0] += 1
+        nk[t][1] += conv
+    want = {r["event_type"]: [r["n"], r["k"]]
+            for r in arrays.q_wilson_ci(spark, sf_dir).collect()}
+    assert {k: list(v) for k, v in nk.items()} == want
+
+
+def test_streaming_user_lifetime_matches_batch_km(spark, tmp_path):
+    """r8 verdict #6: stream-final per-user lifetimes (monotone under
+    in-order delivery) bucketed into the Kaplan-Meier table (deaths,
+    cumulative deaths, at-risk per distinct duration) equal the batch
+    q_kaplan_meier output exactly — two integers of state per user."""
+    from collections import Counter
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_km")
+
+    stream = I.streaming_user_lifetime(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("life_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM life_stream").collect():
+        uid = int(r["user_id"])
+        finals[uid] = max(finals.get(uid, 0), int(r["dur"]))
+    deaths = Counter(finals.values())
+    n_total = len(finals)
+    got, cum = {}, 0
+    for dur in sorted(deaths):
+        cum += deaths[dur]
+        got[dur] = (deaths[dur], cum, n_total - cum + deaths[dur])
+    want = {r["dur"]: (r["deaths"], r["cum_deaths"], r["at_risk"])
+            for r in arrays.q_kaplan_meier(spark, sf_dir).collect()}
+    assert got == want
+
+
 def test_streaming_transition_counts_match_batch(spark, tmp_path):
     """Stream-final per-user (prev→next) counts across 2 in-order
     microbatches, summed over users, equal the batch lag()-window
