@@ -72,6 +72,82 @@ winnow_pairs xml_roundtrip zscore_normalize approx_distinct
 """.split())
 
 
+def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
+    """Time each frozen-cohort op on THIS repo (A) and on the pinned repo
+    at ``ab_repo`` (B, in a subprocess worker) back-to-back, alternating
+    which side goes first per op to cancel order bias. Returns the
+    detail record; on worker failure returns an error record instead of
+    failing the bench."""
+    import subprocess
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import suites
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    suite_names = set(suite_sub_lists)
+    thunks = {}
+    for name, fn in qs.items():
+        if name not in suite_names:
+            thunks[name] = (lambda fn=fn: fn(spark, sf_dir).collect())
+    for subs in suite_sub_lists.values():
+        for s in subs:
+            if s.op in FROZEN_COHORT_R5:
+                thunks[s.op] = (lambda s=s:
+                                suites._spark_long(s.fn(spark, sf_dir), s)
+                                .collect())
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(here, "tools", "bench_ab_worker.py"),
+         ab_repo],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+    try:
+        ready = json.loads(proc.stdout.readline())
+        roster = sorted(set(thunks) & set(ready["ops"]))
+        limit = os.environ.get("SPARK_GRAFT_AB_LIMIT")
+        if limit:
+            roster = roster[: int(limit)]
+
+        def time_b(op):
+            proc.stdin.write(json.dumps({"op": op}) + "\n")
+            proc.stdin.flush()
+            return float(json.loads(proc.stdout.readline())["sec"])
+
+        def time_a(op):
+            run = thunks[op]
+            run()  # warm (mirrors the worker's 1-warm-1-timed protocol)
+            t0 = time.perf_counter()
+            run()
+            return round(time.perf_counter() - t0, 4)
+
+        ops: dict[str, list[float]] = {}
+        for i, op in enumerate(roster):
+            if i % 2 == 0:
+                a, b = time_a(op), time_b(op)
+            else:
+                b, a = time_b(op), time_a(op)
+            ops[op] = [a, b]
+        proc.stdin.write(json.dumps({"exit": True}) + "\n")
+        proc.stdin.flush()
+        proc.wait(timeout=120)
+        a_sum = round(sum(v[0] for v in ops.values()), 4)
+        b_sum = round(sum(v[1] for v in ops.values()), 4)
+        return {
+            "repo_b": ab_repo,
+            "protocol": ("per op: 1 warm + 1 timed per side, sides "
+                         "alternating which goes first; B side in its own "
+                         "process+session from the pinned repo"),
+            "cohort_a_sec": a_sum,
+            "cohort_b_sec": b_sum,
+            "a_over_b": round(a_sum / b_sum, 4) if b_sum else None,
+            "n_ops": len(ops),
+            "only_a": sorted(set(thunks) - set(ready["ops"])),
+            "ops_ab_sec": ops,
+        }
+    except Exception as e:  # record, don't fail the round's bench
+        proc.kill()
+        return {"repo_b": ab_repo, "error": repr(e)}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -129,6 +205,22 @@ def main():
             suites._spark_long(s.fn(spark, sf_dir), s).collect()
             ops[s.op] = round(time.perf_counter() - t0, 4)
         suite_op_sec[suite_name] = ops
+    # --- Same-run A/B interleave (r8 verdict #7) ------------------------
+    # The r8 control experiment proved bench readings are only comparable
+    # WITHIN one run (the identical r7 code read 89.99s at round-7 time
+    # and 106.95s three weeks later: box state, not code). With
+    # SPARK_GRAFT_AB_REPO pointing at a pinned worktree of a prior HEAD,
+    # each frozen-cohort op is timed on THIS repo and on the pinned repo
+    # back-to-back in one session pair (the B side runs in a subprocess
+    # with its own SparkSession — module-level isolation, since a shared
+    # process would let cloudpickle resolve B's functions to A's modules
+    # on the Python workers). Cross-round ratios from the interleaved
+    # sums no longer depend on box history.
+    ab = None
+    ab_repo = os.environ.get("SPARK_GRAFT_AB_REPO")
+    if ab_repo:
+        ab = _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Detail first (big maps on their own line / sidecar), compact
     # headline LAST: the driver tail-captures stdout and must always see
@@ -180,6 +272,8 @@ def main():
         "suite_op_sec": suite_op_sec,
         "sf": sf_val,
     }
+    if ab is not None:
+        detail["ab_interleave"] = ab
     print(json.dumps(detail))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
