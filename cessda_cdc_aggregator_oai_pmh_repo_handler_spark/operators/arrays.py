@@ -1832,9 +1832,274 @@ ORACLE_WILSON_CI = """
 """
 
 
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al.'s pre-period
+    covariate adjustment — the industry-standard experiment
+    sensitivity lever): arm = user_id parity, covariate x = the user's
+    event count in the PRE period (first half of the corpus timespan),
+    outcome y = purchases in the POST period. θ = cov(x,y)/var(x) pools
+    ALL users; each arm reports mean(y) − θ·(mean(x) − mean(x_all)).
+    The pre/post split point is an in-plan broadcast 1-row min/max
+    aggregate (the markov-K pattern — fully lazy, integer epoch midpoint
+    identical in both engines); sufficient statistics are exact BIGINTs
+    from ONE per-user aggregate, so θ and the adjusted means are
+    single-shot doubles."""
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    b = e.agg(F.min(s).alias("_lo"), F.max(s).alias("_hi"))
+    d = (e.select("user_id", "event_type", s.alias("s"))
+         .crossJoin(F.broadcast(b))
+         .withColumn("_mid", F.expr("(_lo + _hi) div 2")))
+    users = d.groupBy("user_id").agg(
+        F.sum(F.when(F.col("s") <= F.col("_mid"), 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when((F.col("s") > F.col("_mid"))
+                     & (F.col("event_type") == "purchase"), 1).otherwise(0))
+        .cast("long").alias("y"))
+    users = users.withColumn("arm", F.expr("user_id % 2"))
+    g = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("x").cast("long").alias("sx_all"),
+        F.sum("y").cast("long").alias("sy_all"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    arm = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"))
+    j = arm.crossJoin(F.broadcast(g))
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    theta = ((dbl("n_all") * dbl("sxy") - dbl("sx_all") * dbl("sy_all"))
+             / (dbl("n_all") * dbl("sxx") - dbl("sx_all") * dbl("sx_all")))
+    raw = dbl("sy") / dbl("n")
+    adj = raw - theta * (dbl("sx") / dbl("n") - dbl("sx_all") / dbl("n_all"))
+    return j.select(F.col("arm").cast("long").alias("arm"),
+                    "n", "sx", "sy",
+                    raw.alias("raw_mean"), adj.alias("adj_mean"))
+
+
+ORACLE_CUPED = """
+    WITH b AS (
+        SELECT CAST(floor(min(epoch(ts))) AS BIGINT) AS lo,
+               CAST(floor(max(epoch(ts))) AS BIGINT) AS hi
+        FROM events
+    ),
+    users AS (
+        SELECT user_id,
+               sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             <= (lo + hi) // 2 THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             > (lo + hi) // 2
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS y
+        FROM events CROSS JOIN b
+        GROUP BY user_id
+    ),
+    g AS (
+        SELECT count(*) AS n_all, sum(x) AS sx_all, sum(y) AS sy_all,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM users
+    ),
+    arm AS (
+        SELECT user_id % 2 AS arm, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy
+        FROM users GROUP BY user_id % 2
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sx,
+           CAST(sy AS BIGINT) AS sy,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+           - ((CAST(n_all AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx_all AS DOUBLE) * CAST(sy_all AS DOUBLE))
+              / (CAST(n_all AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE)))
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+               AS adj_mean
+    FROM arm CROSS JOIN g
+"""
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) table between two cohorts' survival (user
+    lifetimes as in kaplan_meier, cohort = user_id parity): per distinct
+    duration t — group-1 deaths d1, total deaths d, group-1 at-risk n1,
+    total at-risk n, plus the hypergeometric expectation e1 = n1·d/n
+    and variance v1. The exact-sufficient-statistics discipline: the
+    hashed surface is the per-time table (integers + single-shot
+    doubles), and the χ² = (Σ(d1−e1))²/Σv1 fold is client-side — float
+    ACCUMULATION across rows is exactly what the engines don't contract
+    on. At-risk counts come from a cumulative window over the
+    distinct-durations relation — bounded by the corpus timespan in
+    days, corpus-size-independent (the kaplan_meier justification)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    life = (e.groupBy("user_id")
+            .agg(F.datediff(F.max(F.col("ts").cast("date")),
+                            F.min(F.col("ts").cast("date")))
+                 .alias("dur"))
+            .withColumn("g", F.expr("user_id % 2")))
+    tbl = life.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("d1"))
+    w_prev = (Window.orderBy("dur")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    tot = life.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1_tot"))
+    tbl = (tbl
+           .withColumn("_cd", F.coalesce(F.sum("d").over(w_prev), F.lit(0)))
+           .withColumn("_cd1", F.coalesce(F.sum("d1").over(w_prev),
+                                          F.lit(0)))
+           .crossJoin(F.broadcast(tot)))
+    n = (F.col("n_tot") - F.col("_cd")).cast("long")
+    n1 = (F.col("n1_tot") - F.col("_cd1")).cast("long")
+    nd, n1d = n.cast("double"), n1.cast("double")
+    dd = F.col("d").cast("double")
+    e1 = n1d * dd / nd
+    v1 = (dd * (n1d / nd) * (1.0 - n1d / nd)
+          * (nd - dd) / (nd - 1.0))
+    return tbl.select(
+        F.col("dur").cast("long").alias("dur"),
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d").cast("long").alias("d"),
+        n1.alias("n1"), n.alias("n"),
+        e1.alias("e1"),
+        F.when(n > 1, v1).otherwise(F.lit(0.0)).alias("v1"))
+
+
+ORACLE_LOGRANK = """
+    WITH life AS (
+        SELECT user_id, user_id % 2 AS g,
+               date_diff('day', CAST(min(ts) AS DATE),
+                         CAST(max(ts) AS DATE)) AS dur
+        FROM events GROUP BY user_id
+    ),
+    tbl AS (
+        SELECT dur, count(*) AS d,
+               sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d1
+        FROM life GROUP BY dur
+    ),
+    tot AS (
+        SELECT count(*) AS n_tot,
+               sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1_tot
+        FROM life
+    ),
+    cum AS (
+        SELECT dur, d, d1,
+               coalesce(sum(d) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cd,
+               coalesce(sum(d1) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cd1
+        FROM tbl
+    )
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(d1 AS BIGINT) AS d1,
+           CAST(d AS BIGINT) AS d,
+           CAST(n1_tot - cd1 AS BIGINT) AS n1,
+           CAST(n_tot - cd AS BIGINT) AS n,
+           CAST(n1_tot - cd1 AS DOUBLE) * CAST(d AS DOUBLE)
+           / CAST(n_tot - cd AS DOUBLE) AS e1,
+           CASE WHEN n_tot - cd > 1 THEN
+               CAST(d AS DOUBLE)
+               * (CAST(n1_tot - cd1 AS DOUBLE) / CAST(n_tot - cd AS DOUBLE))
+               * (1.0 - CAST(n1_tot - cd1 AS DOUBLE)
+                        / CAST(n_tot - cd AS DOUBLE))
+               * (CAST(n_tot - cd AS DOUBLE) - CAST(d AS DOUBLE))
+               / (CAST(n_tot - cd AS DOUBLE) - 1.0)
+           ELSE 0.0 END AS v1
+    FROM cum CROSS JOIN tot
+"""
+
+
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern (permutation entropy, Bandt-Pompe) census of the
+    event value series: each user's consecutive value TRIPLE maps to its
+    order pattern — encoded as the three pairwise comparators
+    (v0?v1, v1?v2, v0?v2 ∈ {<,=,>}), which also classifies ties — and
+    the corpus-wide pattern census is the complexity readout (a
+    monotone series collapses to one pattern, white noise spreads over
+    all six). Triples come from two lead() windows keyed on user_id
+    (fine-grained at any scale); the census is ≤ 3³ rows. Counts are
+    exact; the share is a single-shot division and the entropy term
+    −p·ln p hashes through round(·, 6) (the house transcendental
+    absorber)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "value")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    d = (d.withColumn("v1", F.lead("value", 1).over(w))
+         .withColumn("v2", F.lead("value", 2).over(w))
+         .filter(F.col("v2").isNotNull()))
+
+    def cmp(a, b):
+        return (F.when(F.col(a) < F.col(b), F.lit("<"))
+                .when(F.col(a) == F.col(b), F.lit("="))
+                .otherwise(F.lit(">")))
+
+    pat = F.concat(cmp("value", "v1"), cmp("v1", "v2"), cmp("value", "v2"))
+    cnt = (d.select(pat.alias("pattern"))
+           .groupBy("pattern").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = cnt.agg(F.sum("cnt").alias("total"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    share = F.col("cnt").cast("double") / F.col("total").cast("double")
+    return j.select(
+        "pattern",
+        F.col("cnt").cast("long").alias("cnt"),
+        share.alias("share"),
+        F.round(-share * F.log(share), 6).alias("ent_term"))
+
+
+ORACLE_PERMUTATION_ENTROPY = """
+    WITH d AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+        FROM events
+    ),
+    t AS (
+        SELECT value AS v0,
+               lead(value, 1) OVER w AS v1,
+               lead(value, 2) OVER w AS v2
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    pats AS (
+        SELECT concat(
+                   CASE WHEN v0 < v1 THEN '<'
+                        WHEN v0 = v1 THEN '=' ELSE '>' END,
+                   CASE WHEN v1 < v2 THEN '<'
+                        WHEN v1 = v2 THEN '=' ELSE '>' END,
+                   CASE WHEN v0 < v2 THEN '<'
+                        WHEN v0 = v2 THEN '=' ELSE '>' END) AS pattern
+        FROM t WHERE v2 IS NOT NULL
+    ),
+    cnt AS (SELECT pattern, count(*) AS cnt FROM pats GROUP BY pattern),
+    tot AS (SELECT sum(cnt) AS total FROM cnt)
+    SELECT pattern, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           round(-(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                 * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+               AS ent_term
+    FROM cnt CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "streak_census": q_streak_census,
     "wilson_ci": q_wilson_ci,
+    "cuped_adjustment": q_cuped_adjustment,
+    "logrank_test": q_logrank_test,
+    "permutation_entropy": q_permutation_entropy,
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
@@ -1887,6 +2152,9 @@ QUERIES = {
 ORACLES = {
     "streak_census": ORACLE_STREAK_CENSUS,
     "wilson_ci": ORACLE_WILSON_CI,
+    "cuped_adjustment": ORACLE_CUPED,
+    "logrank_test": ORACLE_LOGRANK,
+    "permutation_entropy": ORACLE_PERMUTATION_ENTROPY,
     "ab_test_analysis": """
         WITH per_user AS (
             SELECT user_id % 2 AS arm,

@@ -3189,7 +3189,161 @@ ORACLE_LORENZ_DECILES = """
 """
 
 
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of per-customer revenue within
+    each market segment — the antitrust/concentration sibling of Gini
+    (dispersion) and Lorenz (the full curve): HHI = Σ shareᵢ² = Σcᵢ²/S².
+    Same pre-aggregated fact as gini_concentration (orders collapse to
+    per-customer cent totals map-side BEFORE the customer join); the
+    readout needs only three map-combinable sums per segment — no rank,
+    no window, no prefix machinery at all. Σc² exceeds 2^53 already at
+    gate scale (customer totals ~1e8 cents, squared ~1e16), so the
+    DECIMAL(38,0) sums cast to double on the Spark side (correctly
+    rounded) and the oracle VARCHAR-routes the HUGEINT (the
+    ridge_regression ulp class); HHI and top-1 share are single-shot
+    double divisions."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    seg = pc.join(c.select("c_custkey", "c_mktsegment"),
+                  pc.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "cents")
+    xdec = F.col("cents").cast("decimal(19,0)")
+    agg = seg.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xdec).cast("decimal(38,0)").alias("s"),
+        F.sum(xdec * xdec).cast("decimal(38,0)").alias("ss"),
+        F.max("cents").cast("long").alias("top1_cents"))
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    return agg.select(
+        "seg", "n", "top1_cents",
+        (ssd / (sd * sd)).alias("hhi"),
+        (F.col("top1_cents").cast("double") / sd).alias("top1_share"))
+
+
+ORACLE_HHI = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS seg, pc.cents
+        FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+    ),
+    agg AS (
+        SELECT seg, count(*) AS n,
+               sum(CAST(cents AS HUGEINT)) AS s,
+               sum(CAST(cents AS HUGEINT) * cents) AS ss,
+               max(cents) AS top1_cents
+        FROM seg GROUP BY seg
+    )
+    -- ss > 2^53 at gate scale already: VARCHAR-route every HUGEINT
+    SELECT seg, CAST(n AS BIGINT) AS n,
+           CAST(top1_cents AS BIGINT) AS top1_cents,
+           CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+           / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s AS VARCHAR) AS DOUBLE)) AS hhi,
+           CAST(top1_cents AS DOUBLE)
+           / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS top1_share
+    FROM agg
+"""
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the frequent-itemset pairs: confidence
+    P(b|a) and lift P(ab)/(P(a)P(b)) on top of raw pair support — the
+    L2→rules step of A-Priori that turns co-occurrence counts into a
+    recommendation/affinity readout. Candidate pairs come from the same
+    capped in-array combination as frequent_itemsets (no per-order
+    self-join, a viral basket cannot explode the exchange); per-item
+    basket counts fold from the exploded capped baskets (one groupBy on
+    the item key — the natural shuffle); the pair→item-count joins are
+    plain equi-joins on the item key with NO broadcast hint (the item
+    relation is part-cardinality: broadcastable at bench scale, AQE
+    decides at 100 TB). Every count is an exact BIGINT; confidence and
+    lift are single-shot double divisions, with the total basket count
+    joined in-plan from a broadcast 1-row aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.slice(F.array_sort(F.collect_set("l_partkey")), 1, FI_CAP)
+             .alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    item_n = (baskets.select(F.explode("items").alias("item"))
+              .groupBy("item").agg(F.count(F.lit(1)).alias("sup_i")))
+    n_b = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    pair_arr = F.flatten(F.transform(
+        "items",
+        lambda x, i: F.transform(
+            F.slice("items", i + 2, FI_CAP),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= FI_MINSUP)
+    )
+    j = (pairs
+         .join(item_n.select(F.col("item").alias("pa"),
+                             F.col("sup_i").alias("sup_a")), "pa")
+         .join(item_n.select(F.col("item").alias("pb"),
+                             F.col("sup_i").alias("sup_b")), "pb")
+         .crossJoin(F.broadcast(n_b)))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return j.select(
+        "pa", "pb",
+        F.col("sup_ab").cast("long").alias("sup_ab"),
+        F.col("sup_a").cast("long").alias("sup_a"),
+        F.col("sup_b").cast("long").alias("sup_b"),
+        (d("sup_ab") / d("sup_a")).alias("conf_a_to_b"),
+        (d("sup_ab") / d("sup_b")).alias("conf_b_to_a"),
+        (d("sup_ab") * d("n_baskets")
+         / (d("sup_a") * d("sup_b"))).alias("lift"))
+
+
+ORACLE_ASSOCIATION_RULES = f"""
+    WITH b AS (
+        SELECT l_orderkey, unnest(items) AS pk
+        FROM (
+            SELECT l_orderkey,
+                   list_sort(list_distinct(list(l_partkey)))[1:{FI_CAP}]
+                       AS items
+            FROM lineitem GROUP BY l_orderkey
+        ) WHERE len(items) >= 2
+    ),
+    item_n AS (SELECT pk, count(*) AS sup_i FROM b GROUP BY pk),
+    n_b AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b),
+    pairs AS (
+        SELECT x.pk AS pa, y.pk AS pb, count(*) AS sup_ab
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
+        GROUP BY x.pk, y.pk
+        HAVING count(*) >= {FI_MINSUP}
+    )
+    SELECT pa, pb,
+           CAST(sup_ab AS BIGINT) AS sup_ab,
+           CAST(a.sup_i AS BIGINT) AS sup_a,
+           CAST(bb.sup_i AS BIGINT) AS sup_b,
+           CAST(sup_ab AS DOUBLE) / a.sup_i AS conf_a_to_b,
+           CAST(sup_ab AS DOUBLE) / bb.sup_i AS conf_b_to_a,
+           CAST(sup_ab AS DOUBLE) * n_baskets
+           / (CAST(a.sup_i AS DOUBLE) * bb.sup_i) AS lift
+    FROM pairs
+    JOIN item_n a ON pairs.pa = a.pk
+    JOIN item_n bb ON pairs.pb = bb.pk
+    CROSS JOIN n_b
+"""
+
+
 QUERIES = {
+    "hhi_concentration": q_hhi_concentration,
+    "association_rules": q_association_rules,
     "kendall_tau": q_kendall_tau,
     "mode_stats": q_mode_stats,
     "weighted_median": q_weighted_median,
@@ -3277,6 +3431,8 @@ _STATS_ORACLE_PARTS = [
 ]
 
 ORACLES = {
+    "hhi_concentration": ORACLE_HHI,
+    "association_rules": ORACLE_ASSOCIATION_RULES,
     "kendall_tau": ORACLE_KENDALL_TAU,
     "mode_stats": ORACLE_MODE_STATS,
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,

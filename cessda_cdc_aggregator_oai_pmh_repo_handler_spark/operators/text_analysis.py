@@ -1955,6 +1955,79 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between every source pair's document
+    lengths — the magnitude companion to welch_ttest's significance
+    (a t-statistic grows with n even for trivial differences; d is the
+    standardized mean gap practitioners actually threshold on). Same
+    K-row sufficient-statistic reduction and broadcast pair self-join
+    as welch_ttest; d = (m_a − m_b)/s_pooled with the pooled variance
+    folded from the exact DECIMAL sums, all single-shot doubles written
+    expression-identically in the oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    x = F.col("n_chars").cast("decimal(19,0)")
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    a = st.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"),
+                  F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa"))
+    b = st.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"),
+                  F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb"))
+    j = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    ssa = dbl("sxxa") - dbl("sxa") * dbl("sxa") / na  # (n-1)·var_a
+    ssb = dbl("sxxb") - dbl("sxb") * dbl("sxb") / nb
+    pooled = F.sqrt((ssa + ssb) / (na + nb - F.lit(2.0)))
+    dd = (dbl("sxa") / na - dbl("sxb") / nb) / pooled
+    return j.select(
+        "src_a", "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(dd, 4).alias("cohens_d"))
+
+
+MCNEMAR_LEN_THR = 400  # classifier A: "english iff n_chars > 400"
+
+
+def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two deterministic classifiers of
+    the SAME documents (is the doc English?): A = length rule
+    (n_chars > MCNEMAR_LEN_THR), B = lexical rule (contains ' the ').
+    The eval-pipeline question it answers — "is classifier B actually
+    better than A, given they saw identical items?" — is exactly what
+    unpaired tests get wrong. One corpus pass folds the full paired
+    confusion (both right / A-only right / B-only right / both wrong)
+    as exact integers; the continuity-corrected statistic
+    (|b−c|−1)²/(b+c) is one single-shot double."""
+    d = load_table(spark, "documents", sf_dir)
+    truth = (F.col("lang") == "en").cast("int")
+    pred_a = (F.col("n_chars") > MCNEMAR_LEN_THR).cast("int")
+    pred_b = (F.instr(F.col("text"), " the ") > 0).cast("int")
+    flags = d.select(
+        (pred_a == truth).cast("int").alias("a_ok"),
+        (pred_b == truth).cast("int").alias("b_ok"))
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a_ok") * F.col("b_ok")).cast("long")
+        .alias("both_right"),
+        F.sum(F.col("a_ok") * (1 - F.col("b_ok"))).cast("long")
+        .alias("a_only"),
+        F.sum((1 - F.col("a_ok")) * F.col("b_ok")).cast("long")
+        .alias("b_only"),
+        F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok"))).cast("long")
+        .alias("both_wrong"))
+    b_, c_ = F.col("a_only").cast("double"), F.col("b_only").cast("double")
+    stat = ((F.abs(b_ - c_) - 1.0) * (F.abs(b_ - c_) - 1.0)) / (b_ + c_)
+    return agg.select("n", "both_right", "a_only", "b_only", "both_wrong",
+                      stat.alias("mcnemar_cc"))
+
+
 MW_SRC_A, MW_SRC_B = "src0", "src1"  # the designated Mann-Whitney pair
 
 
@@ -3041,6 +3114,8 @@ QUERIES = {
     "bootstrap_resample": q_bootstrap_resample,
     "bootstrap_ci": q_bootstrap_ci,
     "welch_ttest": q_welch_ttest,
+    "cohens_d": q_cohens_d,
+    "mcnemar_paired": q_mcnemar_paired,
     "mann_whitney": q_mann_whitney,
     "gmean_hmean": q_gmean_hmean,
     "ks_test": q_ks_test,
@@ -3744,6 +3819,63 @@ ORACLES = {
 # round-7 statistical tests — appended after the literal dict so
 # cohens_kappa can reuse the naive_bayes confusion SQL verbatim (the two
 # ops share one matrix by construction on the Spark side too)
+ORACLES["cohens_d"] = """
+    WITH st AS (
+        SELECT source, count(*) AS n,
+               sum(CAST(n_chars AS HUGEINT)) AS sx,
+               sum(CAST(n_chars AS HUGEINT)
+                   * CAST(n_chars AS HUGEINT)) AS sxx
+        FROM documents GROUP BY source
+    ),
+    m AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+               CAST(a.sx AS DOUBLE) AS sxa, CAST(b.sx AS DOUBLE) AS sxb,
+               CAST(a.sxx AS DOUBLE) AS sxxa,
+               CAST(b.sxx AS DOUBLE) AS sxxb
+        FROM st a JOIN st b ON a.source < b.source
+    ),
+    e AS (
+        SELECT src_a, src_b, n_a, n_b, na, nb, sxa, sxb,
+               sxxa - sxa * sxa / na AS ssa,
+               sxxb - sxb * sxb / nb AS ssb
+        FROM m
+    )
+    SELECT src_a, src_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round((sxa / na - sxb / nb)
+                 / sqrt((ssa + ssb) / (na + nb - 2.0)), 4) AS cohens_d
+    FROM e
+"""
+
+ORACLES["mcnemar_paired"] = f"""
+    WITH flags AS (
+        SELECT CASE WHEN (n_chars > {MCNEMAR_LEN_THR})
+                        = (lang = 'en') THEN 1 ELSE 0 END AS a_ok,
+               CASE WHEN (strpos(text, ' the ') > 0)
+                        = (lang = 'en') THEN 1 ELSE 0 END AS b_ok
+        FROM documents
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(a_ok * b_ok) AS both_right,
+               sum(a_ok * (1 - b_ok)) AS a_only,
+               sum((1 - a_ok) * b_ok) AS b_only,
+               sum((1 - a_ok) * (1 - b_ok)) AS both_wrong
+        FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(both_right AS BIGINT) AS both_right,
+           CAST(a_only AS BIGINT) AS a_only,
+           CAST(b_only AS BIGINT) AS b_only,
+           CAST(both_wrong AS BIGINT) AS both_wrong,
+           (abs(CAST(a_only AS DOUBLE) - b_only) - 1.0)
+           * (abs(CAST(a_only AS DOUBLE) - b_only) - 1.0)
+           / (CAST(a_only AS DOUBLE) + b_only) AS mcnemar_cc
+    FROM agg
+"""
+
 ORACLES["ks_test"] = f"""
     WITH d AS (
         SELECT source, n_chars FROM documents

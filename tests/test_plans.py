@@ -612,6 +612,35 @@ def test_hierarchy_share_preaggregates_fact_no_fact_broadcast(spark):
             assert "c_custkey" not in ln and "o_custkey" not in ln, ln
 
 
+def test_round9_new_ops_no_cartesian(spark):
+    """Round-9 additions keep the house plan contract: no
+    CartesianProduct anywhere. hhi/association_rules join on real keys
+    (segment / item); cuped/permutation_entropy/logrank's crossJoins are
+    broadcast 1-row aggregates (BroadcastNestedLoopJoin over a single
+    row, not a cartesian); logrank's global window runs over the
+    distinct-durations relation (domain-bounded — the kaplan_meier
+    exemption)."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        arrays as AR,
+        relational_ext as RE,
+        text_analysis as TA,
+    )
+
+    for q in (RE.q_hhi_concentration, RE.q_association_rules,
+              AR.q_cuped_adjustment, AR.q_logrank_test,
+              AR.q_permutation_entropy, TA.q_cohens_d,
+              TA.q_mcnemar_paired):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+    # permutation_entropy's fact windows must key on user_id, never run
+    # unpartitioned over the corpus
+    plan = plan_of(AR.q_permutation_entropy(spark, SF))
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            part = ln.split("], [")[1] if "], [" in ln else ""
+            assert "user_id#" in part, ln
+
+
 def test_round8_new_ops_no_cartesian(spark):
     """Round-8 additions keep the house plan contract: no
     CartesianProduct anywhere (kendall's grid self-join must key on the
