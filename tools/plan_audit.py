@@ -92,7 +92,14 @@ HEADLINERS = {
     "theta_sketch_ops": "Theta set algebra: union/intersection/difference computed on SKETCHES; the exact census is one groupBy(l_suppkey) pass with map-side partials.",
     "bitmap_distinct": "Exact mergeable distinct: bitmap_construct_agg per (slice, bucket, partition), bitmap_or_agg merge, counts summed from bucket bitmaps — distinct-sized state, no count(DISTINCT) expand.",
     "regr_conformance": "SQL:2003 regression family: exact DECIMAL sufficient-statistic sums with map-side partial merge (no double moment sketches), one exchange on the group key, single-shot float math above K rows.",
-    "spearman_corr": "Spearman: value-deterministic rank()+count() windows on the GROUP key build doubled integer midranks; Pearson-on-ranks from exact DECIMAL sums in one grouped aggregate.",
+    "spearman_corr": "Spearman (r9): quantity midranks from a broadcast 50-value grid (zero fact exchanges), price midranks from the bucketed two-level prefix with in-plan lazy offsets — ONE fact exchange total; Pearson-on-ranks from exact DECIMAL sums.",
+    "hhi_concentration": "Herfindahl index: fact pre-aggregated to per-customer cents BEFORE the segment join; three map-combinable sums per segment — no rank, no window, no prefix.",
+    "association_rules": "A-Priori rules: capped in-array pair combinations (no per-order self-join) + equi-joins to item basket counts with NO broadcast hint (AQE decides); basket total is a broadcast 1-row aggregate.",
+    "cohens_d": "Cohen's d: corpus reduces to K source rows of exact DECIMAL sufficient stats; pairs from a broadcast self-join of that tiny relation (the welch_ttest shape).",
+    "mcnemar_paired": "McNemar: ONE corpus pass folds the paired confusion as exact integers; the continuity-corrected statistic is a single-shot double above a 1-row aggregate.",
+    "cuped_adjustment": "CUPED: pre/post split point is an in-plan broadcast min/max (fully lazy); one per-user aggregate, K-row arm/global sufficient stats, single-shot theta.",
+    "logrank_test": "Log-rank: per-duration survival table over the distinct-durations relation (domain-bounded window); chi-square fold left client-side so no cross-row float accumulation is hashed.",
+    "permutation_entropy": "Permutation entropy: two lead() windows keyed on user_id (fine-grained at any scale); the ordinal-pattern census is <=27 rows, -p ln p through round(.,6).",
     "edit_distance_conformance": "Levenshtein conformance: one partitioned lead() window pairs successor prefixes; the DP runs as a codegen'd expression — no join, no Python.",
     "welch_ttest": "Welch t-test: corpus reduces to K source rows of exact DECIMAL sufficient stats; the K^2/2 pairs are a broadcast self-join of that tiny relation.",
     "mann_whitney": "Mann-Whitney U: doubled integer midranks from the BOUNDED value-histogram via a broadcast <=-self-join prefix sum — no window, no corpus sort; U and the tie term are exact integers.",
