@@ -3002,6 +3002,70 @@ ORACLE_TRIMMED_MEAN = """
 """
 
 
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided 10% WINSORIZED mean of order value per priority — the
+    clamping sibling of trimmed_mean (outliers are pulled to the p10/p90
+    fences instead of dropped, so n stays constant — the estimator
+    robust-regression pipelines prefer when row counts must not change).
+    Same exact discipline: percentile_disc bounds are exact data values
+    (bit-identical in any engine over the same parquet), the clamped
+    cent sum folds as exact integers against the broadcast K-row bounds,
+    and the mean is one single-shot double division."""
+    o = load_table(spark, "orders", sf_dir)
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP "
+               "(ORDER BY o_totalprice)").alias("lo"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP "
+               "(ORDER BY o_totalprice)").alias("hi"))
+    cents = _cents("o_totalprice")
+    lo_c = F.floor(F.col("lo") * 100).cast("long")
+    hi_c = F.floor(F.col("hi") * 100).cast("long")
+    clamped = F.least(F.greatest(cents, lo_c), hi_c)
+    agg = (o.join(F.broadcast(bounds), "o_orderpriority")
+           .groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(clamped).cast("long").alias("wins_cents"),
+                F.min(lo_c).alias("lo_cents"),
+                F.min(hi_c).alias("hi_cents")))
+    mean = (F.col("wins_cents").cast("double")
+            / F.col("n").cast("double") / 100.0)
+    return agg.select(
+        F.col("o_orderpriority").alias("priority"),
+        "lo_cents", "hi_cents", "n", "wins_cents",
+        mean.alias("winsorized_mean"))
+
+
+ORACLE_WINSORIZED_MEAN = """
+    WITH b AS (
+        SELECT o_orderpriority, o_totalprice,
+               cume_dist() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice) AS cd
+        FROM orders
+    ),
+    bounds AS (
+        SELECT o_orderpriority,
+               CAST(floor(min(CASE WHEN cd >= 0.1 THEN o_totalprice END)
+                          * 100) AS BIGINT) AS lo_c,
+               CAST(floor(min(CASE WHEN cd >= 0.9 THEN o_totalprice END)
+                          * 100) AS BIGINT) AS hi_c
+        FROM b GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority AS priority,
+           min(bo.lo_c) AS lo_cents,
+           min(bo.hi_c) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(greatest(
+                CAST(floor(o.o_totalprice * 100) AS BIGINT),
+                bo.lo_c), bo.hi_c)) AS BIGINT) AS wins_cents,
+           CAST(CAST(sum(least(greatest(
+                CAST(floor(o.o_totalprice * 100) AS BIGINT),
+                bo.lo_c), bo.hi_c)) AS VARCHAR) AS DOUBLE)
+           / count(*) / 100.0 AS winsorized_mean
+    FROM orders o JOIN bounds bo USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+"""
+
+
 def q_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group MODE with a deterministic tie-break — the most-frequent
     quantity per return flag, ties broken toward the SMALLEST value.
@@ -3344,6 +3408,7 @@ ORACLE_ASSOCIATION_RULES = f"""
 QUERIES = {
     "hhi_concentration": q_hhi_concentration,
     "association_rules": q_association_rules,
+    "winsorized_mean": q_winsorized_mean,
     "kendall_tau": q_kendall_tau,
     "mode_stats": q_mode_stats,
     "weighted_median": q_weighted_median,
@@ -3433,6 +3498,7 @@ _STATS_ORACLE_PARTS = [
 ORACLES = {
     "hhi_concentration": ORACLE_HHI,
     "association_rules": ORACLE_ASSOCIATION_RULES,
+    "winsorized_mean": ORACLE_WINSORIZED_MEAN,
     "kendall_tau": ORACLE_KENDALL_TAU,
     "mode_stats": ORACLE_MODE_STATS,
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,

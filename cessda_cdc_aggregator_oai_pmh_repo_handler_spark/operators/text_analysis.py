@@ -2028,6 +2028,129 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stat.alias("mcnemar_cc"))
 
 
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth-mover) distance between every source
+    pair's document-length distributions — the integral sibling of
+    ks_test's max ECDF gap (two corpora can share a small KS-D yet need
+    massive mass transport; W1 is what distribution-shift monitors
+    actually budget against). EXACT INTEGER construction: over the
+    sorted union V of observed lengths, W1·n_a·n_b = Σᵥ
+    |cumA(v)·n_b − cumB(v)·n_a|·gap(v) — every term is a product of
+    counts and the value gap, folded in DECIMAL(38,0); the division by
+    n_a·n_b is the only float step (n < 2²⁶ at any plausible SF, so the
+    double product is exact). All machinery runs over the
+    sources×values GRID (value-domain-bounded, corpus-independent):
+    per-source cumulative counts are a window over the grid keyed by
+    source, the gap one global lead over the V-row distinct-values
+    relation (the kaplan_meier bounded-window exemption)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    hist = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c"))
+    vals = (hist.select("n_chars").distinct()
+            .withColumn("gap", F.coalesce(
+                F.lead("n_chars").over(Window.orderBy("n_chars"))
+                - F.col("n_chars"), F.lit(0))))
+    srcs = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (srcs.crossJoin(F.broadcast(vals))
+            .join(hist, ["source", "n_chars"], "left")
+            .withColumn("_c", F.coalesce("c", F.lit(0))))
+    w_cum = (Window.partitionBy("source").orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grid = grid.withColumn("cum", F.sum("_c").over(w_cum).cast("long"))
+    a = grid.select(F.col("source").alias("src_a"), "n_chars", "gap",
+                    F.col("n").alias("n_a"), F.col("cum").alias("cum_a"))
+    b = grid.select(F.col("source").alias("src_b"),
+                    F.col("n_chars").alias("v_b"),
+                    F.col("n").alias("n_b"), F.col("cum").alias("cum_b"))
+    j = a.join(b, (F.col("src_a") < F.col("src_b"))
+               & (F.col("n_chars") == F.col("v_b")))
+    term = (F.abs(F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                  - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a"))
+            * F.col("gap"))
+    agg = (j.groupBy("src_a", "src_b", "n_a", "n_b")
+           .agg(F.sum(term).cast("decimal(38,0)").alias("w1_num")))
+    w1 = (F.col("w1_num").cast("double")
+          / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    return agg.select("src_a", "src_b",
+                      F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      F.col("w1_num").cast("double").alias("w1_num"),
+                      w1.alias("w1"))
+
+
+BD_TOP_WORDS = 30  # Burrows' Delta marker-word count (global freq order)
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry table: the per-(marker word, source)
+    z-score of the word's per-million rate — the authorship/register
+    fingerprint whose pairwise mean |z_a − z_b| is the classic Delta.
+    Marker words are the global top-BD_TOP_WORDS by exact INTEGER order
+    (count desc, word — never a float), rates are floor(c·10⁶/N) exact
+    integers (cross-engine identical), and the across-source mean/std
+    per word fold from integer sums over the K-source grid — so z is a
+    single-shot double above exact integers. The pairwise Delta fold is
+    client-side (the logrank discipline: no cross-row float accumulation
+    in the hashed surface). Everything above the one token-explode
+    groupBy runs on vocabulary- or K-sized relations."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("source", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    wtot = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    top = (wtot.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("cw"), "w")))
+        .filter(F.col("rn") <= BD_TOP_WORDS).select("w"))
+    # K-source × top-word grid; absent cells are rate 0
+    grid = (stot.crossJoin(F.broadcast(top))
+            .join(sw, ["source", "w"], "left")
+            .withColumn("fpm", F.expr(
+                "CAST(coalesce(c, 0) * 1000000 div n_s AS BIGINT)")))
+    stats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("fpm").cast("long").alias("sf"),
+        F.sum(F.col("fpm") * F.col("fpm")).cast("long").alias("sff"))
+    j = grid.join(F.broadcast(stats), "w")
+    kd = F.col("k").cast("double")
+    mu = F.col("sf").cast("double") / kd
+    # population variance from exact integer sums
+    var = (kd * F.col("sff").cast("double")
+           - F.col("sf").cast("double") * F.col("sf").cast("double")) \
+        / (kd * kd)
+    z = (F.col("fpm").cast("double") - mu) / F.sqrt(var)
+    return j.select("w", "source",
+                    F.col("fpm").cast("long").alias("fpm"),
+                    z.alias("z"))
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: token count N, type count V,
+    type-token ratio V/N, and Herdan's C = ln V / ln N (the
+    length-robust variant — raw TTR collapses as N grows, which is why
+    corpus-quality dashboards pair them). One token explode → (source,
+    word) counts; V and N fold from that vocabulary-sized relation with
+    map-side partials. TTR is a single-shot division of exact integers;
+    Herdan's C is transcendental and hashes through round(·, 6) (the
+    house ln absorber)."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("source", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("types"),
+        F.sum("c").cast("long").alias("tokens"))
+    ttr = F.col("types").cast("double") / F.col("tokens").cast("double")
+    herdan = F.round(F.log(F.col("types").cast("double"))
+                     / F.log(F.col("tokens").cast("double")), 6)
+    return agg.select("source", "types", "tokens",
+                      ttr.alias("ttr"), herdan.alias("herdan_c"))
+
+
 MW_SRC_A, MW_SRC_B = "src0", "src1"  # the designated Mann-Whitney pair
 
 
@@ -3116,6 +3239,9 @@ QUERIES = {
     "welch_ttest": q_welch_ttest,
     "cohens_d": q_cohens_d,
     "mcnemar_paired": q_mcnemar_paired,
+    "wasserstein_1d": q_wasserstein_1d,
+    "burrows_delta": q_burrows_delta,
+    "lexical_diversity": q_lexical_diversity,
     "mann_whitney": q_mann_whitney,
     "gmean_hmean": q_gmean_hmean,
     "ks_test": q_ks_test,
@@ -3874,6 +4000,94 @@ ORACLES["mcnemar_paired"] = f"""
            * (abs(CAST(a_only AS DOUBLE) - b_only) - 1.0)
            / (CAST(a_only AS DOUBLE) + b_only) AS mcnemar_cc
     FROM agg
+"""
+
+ORACLES["wasserstein_1d"] = """
+    WITH hist AS (
+        SELECT source, n_chars, count(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    vals AS (
+        SELECT n_chars,
+               coalesce(lead(n_chars) OVER (ORDER BY n_chars)
+                        - n_chars, 0) AS gap
+        FROM (SELECT DISTINCT n_chars FROM hist)
+    ),
+    srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+             FROM hist GROUP BY source),
+    grid AS (
+        SELECT s.source, v.n_chars, v.gap, s.n,
+               CAST(sum(coalesce(h.c, 0)) OVER (
+                   PARTITION BY s.source ORDER BY v.n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM srcs s CROSS JOIN vals v
+        LEFT JOIN hist h ON h.source = s.source
+                        AND h.n_chars = v.n_chars
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(CAST(sum(abs(CAST(a.cum AS HUGEINT) * b.n
+                             - CAST(b.cum AS HUGEINT) * a.n) * a.gap)
+                     AS VARCHAR) AS DOUBLE) AS w1_num,
+           CAST(CAST(sum(abs(CAST(a.cum AS HUGEINT) * b.n
+                             - CAST(b.cum AS HUGEINT) * a.n) * a.gap)
+                     AS VARCHAR) AS DOUBLE)
+           / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS w1
+    FROM grid a JOIN grid b
+      ON a.source < b.source AND a.n_chars = b.n_chars
+    GROUP BY a.source, b.source, a.n, b.n
+"""
+
+ORACLES["burrows_delta"] = f"""
+    WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+        FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+             FROM sw GROUP BY source),
+    top AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (
+                ORDER BY sum(c) DESC, w) AS rn
+            FROM sw GROUP BY w
+        ) WHERE rn <= {BD_TOP_WORDS}
+    ),
+    grid AS (
+        SELECT s.source, t.w,
+               CAST(coalesce(x.c, 0) * 1000000 // s.n_s AS BIGINT) AS fpm
+        FROM stot s CROSS JOIN top t
+        LEFT JOIN sw x ON x.source = s.source AND x.w = t.w
+    ),
+    stats AS (
+        SELECT w, count(*) AS k, sum(fpm) AS sf,
+               sum(fpm * fpm) AS sff
+        FROM grid GROUP BY w
+    )
+    SELECT g.w, g.source, CAST(g.fpm AS BIGINT) AS fpm,
+           (CAST(g.fpm AS DOUBLE) - CAST(sf AS DOUBLE) / k)
+           / sqrt((CAST(k AS DOUBLE) * CAST(sff AS DOUBLE)
+                   - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+                  / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) AS z
+    FROM grid g JOIN stats USING (w)
+"""
+
+ORACLES["lexical_diversity"] = """
+    WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+        FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS types,
+           CAST(sum(c) AS BIGINT) AS tokens,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+           round(ln(CAST(count(*) AS DOUBLE))
+                 / ln(CAST(sum(c) AS DOUBLE)), 6) AS herdan_c
+    FROM sw GROUP BY source
 """
 
 ORACLES["ks_test"] = f"""

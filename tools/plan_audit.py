@@ -100,6 +100,10 @@ HEADLINERS = {
     "cuped_adjustment": "CUPED: pre/post split point is an in-plan broadcast min/max (fully lazy); one per-user aggregate, K-row arm/global sufficient stats, single-shot theta.",
     "logrank_test": "Log-rank: per-duration survival table over the distinct-durations relation (domain-bounded window); chi-square fold left client-side so no cross-row float accumulation is hashed.",
     "permutation_entropy": "Permutation entropy: two lead() windows keyed on user_id (fine-grained at any scale); the ordinal-pattern census is <=27 rows, -p ln p through round(.,6).",
+    "winsorized_mean": "Winsorized mean: percentile_disc bounds broadcast (K rows), clamped cent sum folds as exact integers in one fact pass — n constant, no second scan.",
+    "wasserstein_1d": "Exact 1-D earth-mover: W1*na*nb = sum |cumA*nb - cumB*na| * gap as DECIMAL integers over the sources-x-values GRID (value-domain-bounded); the only float step is the final division.",
+    "burrows_delta": "Burrows' Delta: global top-M marker words by exact integer order, per-million integer rates on the K-source grid, z from integer sums — the pairwise Delta fold is client-side.",
+    "lexical_diversity": "Lexical diversity: one token explode to the (source, word) relation; types/tokens fold with map-side partials; Herdan's C through round(.,6).",
     "edit_distance_conformance": "Levenshtein conformance: one partitioned lead() window pairs successor prefixes; the DP runs as a codegen'd expression — no join, no Python.",
     "welch_ttest": "Welch t-test: corpus reduces to K source rows of exact DECIMAL sufficient stats; the K^2/2 pairs are a broadcast self-join of that tiny relation.",
     "mann_whitney": "Mann-Whitney U: doubled integer midranks from the BOUNDED value-histogram via a broadcast <=-self-join prefix sum — no window, no corpus sort; U and the tie term are exact integers.",
