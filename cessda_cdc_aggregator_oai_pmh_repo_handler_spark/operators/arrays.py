@@ -1491,6 +1491,239 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("state", "mass")
 
 
+ATTR_CHANNELS = ("click", "error", "signup", "view")  # event-type domain
+ATTR_CONV = "purchase"
+ATTR_SQUARINGS = 4  # T^(2^4): 16-step absorption horizon
+ATTR_SCALE = 10 ** 12
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov REMOVAL-EFFECT channel attribution (the data-driven
+    multi-touch model): user journeys truncate at the first conversion,
+    build an absorbing chain START → channels → {purchase, END}, and
+    each channel's credit is how much the chain's conversion probability
+    drops when that channel is removed (transitions into it become
+    failures). The exactness discipline is markov_stationary's fixed
+    point: the homogeneous-coordinate matrix [[T, b], [0, 1]] (base term
+    as a '__ONE__' pseudo-state) is raised to 2^ATTR_SQUARINGS by
+    REPEATED SQUARING in scaled-integer floor arithmetic
+    (Σ v_ik·v_kj DIV SCALE in DECIMAL(38,0) — bit-exact,
+    merge-order-free), and p = (T^16 applied to the base) at START. The
+    oracle replays the identical squarings as generated CTE blocks.
+
+    Scale shape: ONE corpus pass (user-keyed windows) builds the K²
+    transition counts; ALL FIVE chain variants (full + one per removed
+    channel) are tagged rows of one ≤5·(K+1)²-row relation, so each
+    squaring is one tiny join + groupBy REGARDLESS of channel count —
+    log-depth and corpus-independent (4 launches where the linear
+    recursion paid 12+). Removal effects and shares are single-shot
+    doubles over exact scaled integers (the share denominator folds as
+    an exact integer window over the 4-row output)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_conv = F.coalesce(
+        F.sum(F.when(F.col("event_type") == ATTR_CONV, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    kept = d.withColumn("_pc", prev_conv).filter(F.col("_pc") == 0)
+    # lag and lead share ONE ascending window (a desc row_number would
+    # force a second per-user sort); the journey's last kept row is
+    # simply lead IS NULL
+    wk = Window.partitionBy("user_id").orderBy("s", "event_id")
+    kept = (kept
+            .withColumn("_prev", F.lag("event_type").over(wk))
+            .withColumn("_next", F.lead("event_type").over(wk)))
+    lag_pairs = (kept.filter(F.col("_prev").isNotNull())
+                 .select(F.col("_prev").alias("i"),
+                         F.col("event_type").alias("j")))
+    start_pairs = (kept.filter(F.col("_prev").isNull())
+                   .select(F.lit("START").alias("i"),
+                           F.col("event_type").alias("j")))
+    end_pairs = (kept.filter(F.col("_next").isNull()
+                             & (F.col("event_type") != ATTR_CONV))
+                 .select(F.col("event_type").alias("i"),
+                         F.lit("END").alias("j")))
+    pairs = lag_pairs.unionByName(start_pairs).unionByName(end_pairs)
+    m = pairs.groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+    n = m.groupBy("i").agg(F.sum("c").cast("decimal(19,0)").alias("n_i"))
+    conv = (m.filter(F.col("j") == ATTR_CONV)
+            .select("i", F.col("c").cast("decimal(19,0)").alias("cc")))
+    base = (n.join(conv, "i", "left")
+            .withColumn("cc", F.coalesce("cc", F.lit(0))
+                        .cast("decimal(19,0)")))
+
+    runs = spark.createDataFrame(
+        [("__full__",)] + [(ch,) for ch in ATTR_CHANNELS], ["run"])
+    # The absorbing base term rides the SAME join as the transitions: a
+    # virtual edge i → '__ONE__' with weight cc and a constant pseudo-
+    # state a('__ONE__') = SCALE, so each iteration is exactly
+    # markov_stationary's one-join-one-groupBy shape (the earlier
+    # base-left-join formulation measured 17.8s warm vs ~4s for this).
+    # States whose a is identically 0 (no conversion path) drop out of
+    # the relation; joins treat absent states as 0 — the same value.
+    live = (m.filter(~F.col("j").isin(ATTR_CONV, "END"))
+            .select("i", "j", "c")
+            .unionByName(base.filter(F.col("cc") > 0)
+                         .select("i", F.lit("__ONE__").alias("j"),
+                                 F.col("cc").cast("long").alias("c"))))
+    mat_t = (live.join(F.broadcast(n), "i")
+             .crossJoin(F.broadcast(runs))
+             .filter((F.col("run") == "__full__")
+                     | ((F.col("i") != F.col("run"))
+                        & (F.col("j") != F.col("run"))))
+             .select("run", "i", "j",
+                     F.col("c").cast("decimal(19,0)").alias("c"),
+                     "n_i")
+             # the textrank/winnow checkpointed-edge-list pattern: Spark
+             # does not dedupe common subtrees, so WITHOUT this every
+             # squaring level re-executes the corpus pair-extraction
+             # windows inside its own branch (measured 16-18s warm at
+             # sf0.01 for the un-checkpointed linear recursion).
+             # coalesce(1): the relation is ≤5·K² rows; a 32-partition
+             # checkpoint makes every downstream stage a 32-task launch.
+             # Residual warm cost (~7s locally) is the 5 checkpoint-job
+             # launches + per-squaring stages — fixed, corpus-
+             # independent, the markov_stationary launch-overhead class.
+             .coalesce(1).localCheckpoint())
+    one = runs.select("run", F.lit("__ONE__").alias("i"),
+                      F.lit("__ONE__").alias("j"),
+                      F.lit(ATTR_SCALE).cast("long").alias("v"))
+    # Matrix POWER BY SQUARING over the homogeneous-coordinate matrix
+    # [[T, b], [0, 1]] (the '__ONE__' pseudo-state absorbs the base
+    # term): ATTR_SQUARINGS=4 squarings yield T^16 absorption — log
+    # depth instead of the linear recursion's 12 sequential
+    # join+groupBy launches (measured 7.5s warm; launch-bound, not
+    # data-bound). Each level checkpoints its ≤5·(K+1)²-row product so
+    # the doubling recursion never re-executes lower levels.
+    mm = (mat_t.select(
+        "run", "i", "j",
+        F.expr(f"CAST(c * {ATTR_SCALE} DIV n_i AS BIGINT)").alias("v"))
+        .unionByName(one)
+        .coalesce(1).localCheckpoint())
+    for _ in range(ATTR_SQUARINGS):
+        x, y = mm.alias("x"), mm.alias("y")
+        mm = (x.join(y, (F.col("x.run") == F.col("y.run"))
+                     & (F.col("x.j") == F.col("y.i")))
+              .select(F.col("x.run").alias("run"),
+                      F.col("x.i").alias("i"), F.col("y.j").alias("j"),
+                      (F.col("x.v").cast("decimal(38,0)")
+                       * F.col("y.v")).alias("_t"))
+              .groupBy("run", "i", "j")
+              .agg(F.expr(f"CAST(sum(_t) DIV {ATTR_SCALE} AS BIGINT)")
+                   .alias("v"))
+              .coalesce(1).localCheckpoint())
+    p = (mm.filter((F.col("i") == "START") & (F.col("j") == "__ONE__"))
+         .select("run", F.col("v").alias("a")))
+    full = (p.filter(F.col("run") == "__full__")
+            .select(F.col("a").alias("p_full")))
+    rem = (p.filter(F.col("run") != "__full__")
+           .select(F.col("run").alias("channel"),
+                   F.col("a").alias("p_removed"))
+           .crossJoin(F.broadcast(full)))
+    drop = (F.col("p_full") - F.col("p_removed")).cast("long")
+    tot = F.sum(drop).over(Window.partitionBy())  # 4-row exact window
+    return rem.select(
+        "channel", "p_full", "p_removed",
+        (drop.cast("double") / F.col("p_full").cast("double"))
+        .alias("removal_effect"),
+        (drop.cast("double") / tot.cast("double")).alias("share"))
+
+
+def _markov_attr_oracle() -> str:
+    """Generate the tagged-runs fixed-point recursion as CTE blocks —
+    the same DECIMAL floor-division iteration the Spark side runs."""
+    runs_rows = ", ".join(
+        [f"('{r}')" for r in ("__full__",) + ATTR_CHANNELS])
+    head = f"""
+        WITH d AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+            FROM events
+        ),
+        pc AS (
+            SELECT user_id, event_id, s, event_type,
+                   coalesce(sum(CASE WHEN event_type = '{ATTR_CONV}'
+                                     THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS prev_conv
+            FROM d
+        ),
+        kept AS (
+            SELECT user_id, event_id, s, event_type,
+                   lag(event_type) OVER w AS prev,
+                   lead(event_type) OVER w AS nxt
+            FROM pc WHERE prev_conv = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        ),
+        pairs AS (
+            SELECT prev AS i, event_type AS j FROM kept
+            WHERE prev IS NOT NULL
+            UNION ALL
+            SELECT 'START', event_type FROM kept WHERE prev IS NULL
+            UNION ALL
+            SELECT event_type, 'END' FROM kept
+            WHERE nxt IS NULL AND event_type <> '{ATTR_CONV}'
+        ),
+        m AS (SELECT i, j, count(*) AS c FROM pairs GROUP BY i, j),
+        n AS (SELECT i, CAST(sum(c) AS HUGEINT) AS n_i FROM m GROUP BY i),
+        conv AS (SELECT i, CAST(c AS HUGEINT) AS cc FROM m
+                 WHERE j = '{ATTR_CONV}'),
+        base AS (
+            SELECT n.i, n.n_i, coalesce(conv.cc, 0) AS cc
+            FROM n LEFT JOIN conv USING (i)
+        ),
+        runs(run) AS (VALUES {runs_rows}),
+        live AS (
+            SELECT i, j, c FROM m WHERE j NOT IN ('{ATTR_CONV}', 'END')
+            UNION ALL
+            SELECT i, '__ONE__', CAST(cc AS BIGINT) FROM base WHERE cc > 0
+        ),
+        mat_t AS (
+            SELECT runs.run, live.i, live.j,
+                   CAST(live.c AS HUGEINT) AS c, n.n_i
+            FROM live JOIN n USING (i) CROSS JOIN runs
+            WHERE runs.run = '__full__'
+               OR (live.i <> runs.run AND live.j <> runs.run)
+        ),
+        m0 AS (
+            SELECT run, i, j, c * {ATTR_SCALE} // n_i AS v FROM mat_t
+            UNION ALL
+            SELECT run, '__ONE__', '__ONE__',
+                   CAST({ATTR_SCALE} AS HUGEINT) FROM runs
+        )"""
+    blocks = [head]
+    for t in range(ATTR_SQUARINGS):
+        blocks.append(f"""
+        m{t + 1} AS (
+            SELECT x.run, x.i, y.j,
+                   sum(x.v * y.v) // {ATTR_SCALE} AS v
+            FROM m{t} x JOIN m{t} y
+              ON x.run = y.run AND x.j = y.i
+            GROUP BY x.run, x.i, y.j
+        )""")
+    tail = f"""
+        ,p AS (SELECT run, v AS a FROM m{ATTR_SQUARINGS}
+               WHERE i = 'START' AND j = '__ONE__'),
+        full_p AS (SELECT a AS p_full FROM p WHERE run = '__full__'),
+        rem AS (
+            SELECT run AS channel, a AS p_removed, p_full
+            FROM p CROSS JOIN full_p WHERE run <> '__full__'
+        )
+        SELECT channel,
+               CAST(p_full AS BIGINT) AS p_full,
+               CAST(p_removed AS BIGINT) AS p_removed,
+               CAST(p_full - p_removed AS DOUBLE)
+               / CAST(p_full AS DOUBLE) AS removal_effect,
+               CAST(p_full - p_removed AS DOUBLE)
+               / CAST(sum(p_full - p_removed) OVER () AS DOUBLE) AS share
+        FROM rem"""
+    return ",".join(blocks) + tail
+
+
 def _markov_oracle() -> str:
     """Generate the 20 unrolled fixed-point iterations as CTE blocks —
     the same BIGINT floor-division recursion the Spark side runs."""
@@ -2100,6 +2333,7 @@ QUERIES = {
     "cuped_adjustment": q_cuped_adjustment,
     "logrank_test": q_logrank_test,
     "permutation_entropy": q_permutation_entropy,
+    "markov_attribution": q_markov_attribution,
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
@@ -2155,6 +2389,7 @@ ORACLES = {
     "cuped_adjustment": ORACLE_CUPED,
     "logrank_test": ORACLE_LOGRANK,
     "permutation_entropy": ORACLE_PERMUTATION_ENTROPY,
+    "markov_attribution": _markov_attr_oracle(),
     "ab_test_analysis": """
         WITH per_user AS (
             SELECT user_id % 2 AS arm,

@@ -629,7 +629,8 @@ def test_round9_new_ops_no_cartesian(spark):
     for q in (RE.q_hhi_concentration, RE.q_association_rules,
               RE.q_winsorized_mean,
               AR.q_cuped_adjustment, AR.q_logrank_test,
-              AR.q_permutation_entropy, TA.q_cohens_d,
+              AR.q_permutation_entropy, AR.q_markov_attribution,
+              TA.q_cohens_d,
               TA.q_mcnemar_paired, TA.q_wasserstein_1d,
               TA.q_burrows_delta, TA.q_lexical_diversity):
         plan = plan_of(q(spark, SF))

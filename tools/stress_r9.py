@@ -40,6 +40,11 @@ OPS = {
     "cuped_adjustment": arrays.q_cuped_adjustment,
     "logrank_test": arrays.q_logrank_test,
     "permutation_entropy": arrays.q_permutation_entropy,
+    "markov_attribution": arrays.q_markov_attribution,
+    "winsorized_mean": relational_ext.q_winsorized_mean,
+    "wasserstein_1d": text_analysis.q_wasserstein_1d,
+    "burrows_delta": text_analysis.q_burrows_delta,
+    "lexical_diversity": text_analysis.q_lexical_diversity,
 }
 
 SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
