@@ -1505,6 +1505,20 @@ SQL_TEXTS = {
         FROM ranked
         GROUP BY segment, quartile
     """,
+    # SQL:2008 ordered-set aggregates (WITHIN GROUP): percentile_disc
+    # returns an exact data value from the same parquet, so floor(·*100)
+    # is a bit-identical BIGINT on both engines — no rounding class
+    "sql_text_ordered_set": """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(percentile_disc(0.5) WITHIN GROUP
+                          (ORDER BY o_totalprice) * 100) AS BIGINT)
+                   AS p50_cents,
+               CAST(floor(percentile_disc(0.9) WITHIN GROUP
+                          (ORDER BY o_totalprice) * 100) AS BIGINT)
+                   AS p90_cents
+        FROM orders GROUP BY o_orderpriority
+    """,
 }
 
 

@@ -915,6 +915,75 @@ def streaming_user_lifetime(spark: SparkSession, source_dir: str,
     )
 
 
+def streaming_ordinal_patterns(spark: SparkSession, source_dir: str,
+                               schema: T.StructType):
+    """STREAMING ordinal-pattern census — the ``applyInPandasWithState``
+    twin of the batch ``arrays.q_permutation_entropy`` pattern
+    extraction (gate-verified vs DuckDB): per-user counts of the
+    Bandt-Pompe order pattern of each consecutive value TRIPLE,
+    maintained with O(1) state per key (the last two values plus a ≤27-
+    entry pattern table). Patterns encode as the three pairwise
+    comparators (v0?v1, v1?v2, v0?v2), matching the batch op exactly.
+    Every emission reports the per-(user, pattern) counts AS IF the
+    stream ended now (monotone), so stream-final rows summed across
+    users equal the batch census under in-order delivery — the online
+    complexity/drift feed for time-series monitors."""
+    import json
+    import math
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("v1", T.DoubleType()),
+        T.StructField("v2", T.DoubleType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("counts", T.StringType()),
+    ])
+
+    def cmp(a: float, b: float) -> str:
+        return "<" if a < b else ("=" if a == b else ">")
+
+    def update(key, pdfs, state: GroupState):
+        v1, v2, k, cj = (state.get if state.exists
+                         else (0.0, 0.0, 0, "{}"))
+        counts = json.loads(cj)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            v = float(v)
+            if math.isnan(v):
+                continue
+            if k >= 2:
+                pat = cmp(v1, v2) + cmp(v2, v) + cmp(v1, v)
+                counts[pat] = counts.get(pat, 0) + 1
+            v1, v2 = v2, v
+            k = min(k + 1, 2)
+        state.update((v1, v2, k, json.dumps(counts, sort_keys=True)))
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(ks),
+                "pattern": ks,
+                "n": [counts[p] for p in ks],
+            })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_interval_coverage(spark: SparkSession, source_dir: str,
                                 schema: T.StructType):
     """STREAMING gaps-and-islands — the ``applyInPandasWithState`` twin of

@@ -690,6 +690,38 @@ def test_streaming_user_lifetime_matches_batch_km(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_ordinal_patterns_match_batch(spark, tmp_path):
+    """r9: stream-final per-(user, pattern) triple censuses (monotone
+    counts → max = last emission), summed across users, equal the batch
+    q_permutation_entropy pattern counts exactly — O(1)+27 state per
+    key."""
+    from collections import defaultdict
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_ordpat")
+
+    stream = I.streaming_ordinal_patterns(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("ordpat_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM ordpat_stream").collect():
+        k = (int(r["user_id"]), r["pattern"])
+        finals[k] = max(finals.get(k, 0), int(r["n"]))
+    got: dict = defaultdict(int)
+    for (_, pat), n in finals.items():
+        got[pat] += n
+    want = {r["pattern"]: r["cnt"]
+            for r in arrays.q_permutation_entropy(spark, sf_dir).collect()}
+    assert dict(got) == want
+
+
 def test_streaming_transition_counts_match_batch(spark, tmp_path):
     """Stream-final per-user (prev→next) counts across 2 in-order
     microbatches, summed over users, equal the batch lag()-window
