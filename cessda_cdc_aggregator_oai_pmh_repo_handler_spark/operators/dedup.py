@@ -1250,6 +1250,99 @@ ORACLES["triangle_stats"] = f"""
 QUERIES["triangle_stats"] = q_triangle_stats
 
 
+KCORE_KS = (2, 3)
+KCORE_PEELS = 4
+
+
+def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core census of the verified near-dup graph: after KCORE_PEELS
+    rounds of removing nodes with degree < k, how many nodes/edges
+    survive per k — the density stratification reviewers use ABOVE
+    triangle_stats (a 3-core survivor is a genuine duplicate cluster;
+    chains and stars peel away entirely). The op is specified as the
+    FIXED-DEPTH peel (both engines run exactly KCORE_PEELS rounds —
+    deterministic regardless of whether the peel has converged; real
+    dedup graphs stabilize in 2-3 rounds because near-dup components
+    are small and dense).
+
+    Shape: both k values ride ONE tagged edge relation (the
+    markov_attribution trick), so each peel round is one degree
+    aggregate + one semi-join filter over the ≤2·|E|-row relation —
+    EDGE-scale, corpus-independent, checkpointed per round (the
+    textrank discipline: Spark does not dedupe common subtrees and a
+    lazy peel tree re-executes lower rounds ~4^depth times)."""
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    ks = spark.createDataFrame([(k,) for k in KCORE_KS], ["k"])
+    e = (pairs.crossJoin(F.broadcast(ks))
+         .select("k", F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+         .coalesce(1).localCheckpoint())
+    for _ in range(KCORE_PEELS):
+        sym = e.select("k", F.col("a").alias("u")).unionByName(
+            e.select("k", F.col("b").alias("u")))
+        keep = (sym.groupBy("k", "u").agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= F.col("k"))
+                .select("k", "u"))
+        e = (e.join(keep.withColumnRenamed("u", "a"), ["k", "a"],
+                    "left_semi")
+             .join(keep.withColumnRenamed("u", "b"), ["k", "b"],
+                   "left_semi")
+             .select("k", "a", "b")
+             .coalesce(1).localCheckpoint())
+    sym = e.select("k", F.col("a").alias("u")).unionByName(
+        e.select("k", F.col("b").alias("u")))
+    nodes = sym.groupBy("k", "u").agg(F.count(F.lit(1)).alias("deg"))
+    return (nodes.groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_nodes"),
+                 (F.sum("deg") / 2).cast("long").alias("core_edges"),
+                 F.max("deg").cast("long").alias("max_deg"))
+            .select(F.col("k").cast("long").alias("k"),
+                    "core_nodes", "core_edges", "max_deg"))
+
+
+def _kcore_oracle() -> str:
+    ks_rows = ", ".join(f"({k})" for k in KCORE_KS)
+    # AS MATERIALIZED throughout: each peel level references the prior
+    # one three times (degree union + two EXISTS); DuckDB's default CTE
+    # inlining would re-inline the full minhash pipeline ~3^PEELS times
+    blocks = [f"""
+    WITH verified AS MATERIALIZED ({ORACLES['minhash_lsh_pairs']}),
+    ks(k) AS (VALUES {ks_rows}),
+    e0 AS MATERIALIZED (SELECT k, doc_a AS a, doc_b AS b
+           FROM verified CROSS JOIN ks)"""]
+    for t in range(KCORE_PEELS):
+        blocks.append(f"""
+    keep{t} AS MATERIALIZED (
+        SELECT k, u FROM (
+            SELECT k, u, count(*) AS deg FROM (
+                SELECT k, a AS u FROM e{t}
+                UNION ALL SELECT k, b FROM e{t}
+            ) GROUP BY k, u
+        ) WHERE deg >= k
+    ),
+    e{t + 1} AS MATERIALIZED (
+        SELECT e.k, e.a, e.b FROM e{t} e
+        WHERE EXISTS (SELECT 1 FROM keep{t} x
+                      WHERE x.k = e.k AND x.u = e.a)
+          AND EXISTS (SELECT 1 FROM keep{t} y
+                      WHERE y.k = e.k AND y.u = e.b)
+    )""")
+    tail = f"""
+    ,sym AS (SELECT k, a AS u FROM e{KCORE_PEELS}
+             UNION ALL SELECT k, b FROM e{KCORE_PEELS}),
+    nodes AS (SELECT k, u, count(*) AS deg FROM sym GROUP BY k, u)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS core_nodes,
+           CAST(sum(deg) // 2 AS BIGINT) AS core_edges,
+           CAST(max(deg) AS BIGINT) AS max_deg
+    FROM nodes GROUP BY k"""
+    return ",".join(blocks) + tail
+
+
+ORACLES["kcore_census"] = _kcore_oracle()
+QUERIES["kcore_census"] = q_kcore_census
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleaning pipeline in one query: quality gate
     (C4-style rules) → exact dedup (md5 hash-groupBy) → near-dup removal

@@ -626,13 +626,18 @@ def test_round9_new_ops_no_cartesian(spark):
         text_analysis as TA,
     )
 
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
+        dedup as DD,
+    )
+
     for q in (RE.q_hhi_concentration, RE.q_association_rules,
               RE.q_winsorized_mean,
               AR.q_cuped_adjustment, AR.q_logrank_test,
               AR.q_permutation_entropy, AR.q_markov_attribution,
               TA.q_cohens_d,
               TA.q_mcnemar_paired, TA.q_wasserstein_1d,
-              TA.q_burrows_delta, TA.q_lexical_diversity):
+              TA.q_burrows_delta, TA.q_lexical_diversity,
+              DD.q_kcore_census):
         plan = plan_of(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
     # permutation_entropy's fact windows must key on user_id, never run
