@@ -1344,6 +1344,152 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("covered_s").cast("long").alias("covered_s")))
 
 
+ALIGN_A, ALIGN_B = "click", "view"  # the aligned stream pair
+
+
+def q_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval INTERSECTION join between two event streams' activity
+    islands — per user, how many seconds were CLICK activity and VIEW
+    activity simultaneously open (plus each stream's own coverage and
+    the temporal Jaccard overlap/(a+b−overlap)): the temporal set
+    algebra behind co-activity and engagement-quality metrics, and the
+    operator family (interval intersection) that naive engines express
+    as a range self-join. Here it is a SWEEP LINE entirely in user-keyed
+    windows: each stream's merged islands (the interval_coverage
+    gaps-and-islands shape) emit ±1 open/close markers, the merged
+    marker stream per user carries running active-counts for BOTH
+    streams, and each inter-marker segment adds its width to the overlap
+    when both counters were positive on its left edge. Exact integer
+    epoch-seconds end to end; every window keys on user_id. Zero joins —
+    the two streams meet in a unionByName."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin(ALIGN_A, ALIGN_B))
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", "event_type", s.alias("s"),
+                 (s + INTERVAL_HOLD_S).alias("e"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    d = (d.withColumn("new_island",
+                      F.when(prev_max.isNull() | (F.col("s") > prev_max),
+                             1).otherwise(0))
+         .withColumn("island", F.sum("new_island").over(
+             w.rowsBetween(Window.unboundedPreceding, 0))))
+    isl = d.groupBy("user_id", "event_type", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi"))
+    marks = (isl.select("user_id", "event_type",
+                        F.col("lo").alias("t"), F.lit(1).alias("dd"))
+             .unionByName(isl.select("user_id", "event_type",
+                                     F.col("hi").alias("t"),
+                                     F.lit(-1).alias("dd"))))
+    da = F.when(F.col("event_type") == ALIGN_A, F.col("dd")).otherwise(0)
+    db = F.when(F.col("event_type") == ALIGN_B, F.col("dd")).otherwise(0)
+    sweep = marks.select("user_id", "t", da.alias("da"), db.alias("db"))
+    # deterministic total order: closes (−1) before opens at equal t —
+    # half-open [lo, hi) islands never create phantom zero-width overlap
+    ws = Window.partitionBy("user_id").orderBy("t", "da", "db")
+    run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (sweep
+             .withColumn("a_act", F.sum("da").over(run))
+             .withColumn("b_act", F.sum("db").over(run))
+             .withColumn("seg", F.lead("t").over(ws) - F.col("t"))
+             .filter(F.col("seg").isNotNull()))
+    both = F.when((F.col("a_act") > 0) & (F.col("b_act") > 0),
+                  F.col("seg")).otherwise(0)
+    a_cov = F.when(F.col("a_act") > 0, F.col("seg")).otherwise(0)
+    b_cov = F.when(F.col("b_act") > 0, F.col("seg")).otherwise(0)
+    agg = sweep.groupBy("user_id").agg(
+        F.sum(both).cast("long").alias("overlap_s"),
+        F.sum(a_cov).cast("long").alias("a_cov_s"),
+        F.sum(b_cov).cast("long").alias("b_cov_s"))
+    union_s = (F.col("a_cov_s") + F.col("b_cov_s") - F.col("overlap_s"))
+    jac = F.when(union_s > 0,
+                 F.col("overlap_s").cast("double")
+                 / union_s.cast("double")).otherwise(0.0)
+    return agg.select("user_id", "overlap_s", "a_cov_s", "b_cov_s",
+                      jac.alias("time_jaccard"))
+
+
+ORACLE_INTERVAL_ALIGN = f"""
+    WITH d AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_HOLD_S} AS e
+        FROM events WHERE event_type IN ('{ALIGN_A}', '{ALIGN_B}')
+    ),
+    flagged AS (
+        SELECT user_id, event_type, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) IS NULL
+                     OR s > max(e) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island,
+               event_id
+        FROM d
+    ),
+    numbered AS (
+        SELECT user_id, event_type, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    isl AS (
+        SELECT user_id, event_type, island,
+               min(s) AS lo, max(e) AS hi
+        FROM numbered GROUP BY user_id, event_type, island
+    ),
+    marks AS (
+        SELECT user_id, event_type, lo AS t, 1 AS dd FROM isl
+        UNION ALL
+        SELECT user_id, event_type, hi, -1 FROM isl
+    ),
+    sweep0 AS (
+        SELECT user_id, t,
+               CASE WHEN event_type = '{ALIGN_A}' THEN dd ELSE 0 END AS da,
+               CASE WHEN event_type = '{ALIGN_B}' THEN dd ELSE 0 END AS db
+        FROM marks
+    ),
+    sweep AS (
+        SELECT user_id, t,
+               sum(da) OVER w AS a_act,
+               sum(db) OVER w AS b_act,
+               lead(t) OVER (PARTITION BY user_id
+                             ORDER BY t, da, db) - t AS seg
+        FROM sweep0
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, da, db
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    agg AS (
+        SELECT user_id,
+               sum(CASE WHEN a_act > 0 AND b_act > 0
+                        THEN seg ELSE 0 END) AS overlap_s,
+               sum(CASE WHEN a_act > 0 THEN seg ELSE 0 END) AS a_cov_s,
+               sum(CASE WHEN b_act > 0 THEN seg ELSE 0 END) AS b_cov_s
+        FROM sweep WHERE seg IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(overlap_s AS BIGINT) AS overlap_s,
+           CAST(a_cov_s AS BIGINT) AS a_cov_s,
+           CAST(b_cov_s AS BIGINT) AS b_cov_s,
+           CASE WHEN a_cov_s + b_cov_s - overlap_s > 0
+                THEN CAST(overlap_s AS DOUBLE)
+                     / CAST(a_cov_s + b_cov_s - overlap_s AS DOUBLE)
+                ELSE 0.0 END AS time_jaccard
+    FROM agg
+"""
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build from a change stream: per user, ordered
     by (ts, event_id), every event_type change opens a new version; LEAD
@@ -2334,6 +2480,7 @@ QUERIES = {
     "logrank_test": q_logrank_test,
     "permutation_entropy": q_permutation_entropy,
     "markov_attribution": q_markov_attribution,
+    "interval_align": q_interval_align,
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
@@ -2390,6 +2537,7 @@ ORACLES = {
     "logrank_test": ORACLE_LOGRANK,
     "permutation_entropy": ORACLE_PERMUTATION_ENTROPY,
     "markov_attribution": _markov_attr_oracle(),
+    "interval_align": ORACLE_INTERVAL_ALIGN,
     "ab_test_analysis": """
         WITH per_user AS (
             SELECT user_id % 2 AS arm,
