@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.session import build_session
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
-    arrays, relational_ext, text_analysis,
+    arrays, dedup, relational_ext, text_analysis,
 )
 from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
     clear_corpus_caches,
@@ -41,6 +41,8 @@ OPS = {
     "logrank_test": arrays.q_logrank_test,
     "permutation_entropy": arrays.q_permutation_entropy,
     "markov_attribution": arrays.q_markov_attribution,
+    "interval_align": arrays.q_interval_align,
+    "kcore_census": dedup.q_kcore_census,
     "winsorized_mean": relational_ext.q_winsorized_mean,
     "wasserstein_1d": text_analysis.q_wasserstein_1d,
     "burrows_delta": text_analysis.q_burrows_delta,
