@@ -279,6 +279,51 @@ def test_adpcm_boundaries_decode_deterministically(seed, n, kind):
 
 
 @settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 13), st.integers(1, 9))
+def test_bmp_roundtrip_at_row_padding_boundaries(seed, w, h):
+    """BMP rows pad to 4-byte boundaries; widths 1..13 hit every padding
+    residue (3w mod 4 ∈ {0,1,2,3}) — roundtrip must be exact (BMP is
+    uncompressed) including the bottom-up row order restore."""
+    import numpy as np
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.bmp import (
+        decode_bmp, encode_bmp_rgb,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    rows = [[tuple(int(v) for v in rng.randint(0, 256, 3))
+             for _ in range(w)] for _ in range(h)]
+    dw, dh, flat = decode_bmp(encode_bmp_rgb(rows))
+    assert (dw, dh) == (w, h)
+    assert flat == [px for row in rows for px in row]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 4), st.integers(1, 30),
+       st.integers(2, 9))
+def test_gif_container_roundtrip_any_geometry(seed, n_frames, npx, n_colors):
+    """Full GIF container (not just the LZW core) at adversarial
+    geometry: any frame count, 1..30-pixel frames (width 1 — the
+    degenerate raster), tiny palettes near the width-bump boundaries the
+    round-8 bug lived at. Indexed content must round-trip exactly."""
+    import numpy as np
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.gif import (
+        decode_gif, encode_gif,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    w, h = 1, npx
+    frames = [bytes(rng.randint(0, n_colors, w * h).astype("uint8"))
+              for _ in range(n_frames)]
+    palette = bytes(rng.randint(0, 256, 3 * n_colors).astype("uint8"))
+    payload = encode_gif(frames, palette, w, h)
+    dec, palettes, dw, dh = decode_gif(payload)
+    assert (dw, dh) == (w, h)
+    assert [bytes(f) for f in dec] == frames
+
+
+@settings(max_examples=200, deadline=None)
 @given(st.integers(1, 48), st.integers(1, 48), st.integers(0, 255),
        st.sampled_from([35, 50, 75, 88, 95]))
 def test_jpeg_flat_image_dc_accuracy(h, w, v, q):
