@@ -1343,6 +1343,81 @@ ORACLES["kcore_census"] = _kcore_oracle()
 QUERIES["kcore_census"] = q_kcore_census
 
 
+SEM_SPLIT_MOD, SEM_SPLIT_TRAIN = 10, 8  # vec_id % 10 < 8 → train
+
+
+def q_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/val leakage: near-duplicate EMBEDDING pairs that
+    straddle the split boundary — the contamination class the n-gram
+    split_leakage sweep cannot see (a paraphrase shares no 8-gram but
+    sits at cosine 0.99). Splits assign deterministically by vec_id
+    residue; the pair relation is the sign-signature-blocked
+    embedding_neardup join (never all-pairs), and each pair classifies
+    by pure id arithmetic — no extra join. One row: corpus split sizes,
+    within-split pair counts, and the cross-split LEAKED pair count with
+    its rate over all near-dup pairs."""
+    e = load_table(spark, "embeddings", sf_dir)
+    sizes = e.agg(
+        F.sum(F.when(F.col("vec_id") % SEM_SPLIT_MOD < SEM_SPLIT_TRAIN, 1)
+              .otherwise(0)).cast("long").alias("train_vecs"),
+        F.sum(F.when(F.col("vec_id") % SEM_SPLIT_MOD >= SEM_SPLIT_TRAIN, 1)
+              .otherwise(0)).cast("long").alias("val_vecs"))
+    pairs = q_embedding_neardup(spark, sf_dir)
+    in_train = (F.col("vec_a") % SEM_SPLIT_MOD < SEM_SPLIT_TRAIN)
+    in_train_b = (F.col("vec_b") % SEM_SPLIT_MOD < SEM_SPLIT_TRAIN)
+    cls = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("neardup_pairs"),
+        F.coalesce(F.sum(F.when(in_train & in_train_b, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("train_pairs"),
+        F.coalesce(F.sum(F.when(~in_train & ~in_train_b, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("val_pairs"),
+        F.coalesce(F.sum(F.when(in_train != in_train_b, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("leaked_pairs"))
+    j = sizes.crossJoin(F.broadcast(cls))
+    rate = F.when(F.col("neardup_pairs") > 0,
+                  F.col("leaked_pairs").cast("double")
+                  / F.col("neardup_pairs").cast("double")).otherwise(0.0)
+    return j.select("train_vecs", "val_vecs", "neardup_pairs",
+                    "train_pairs", "val_pairs", "leaked_pairs",
+                    rate.alias("leak_rate"))
+
+
+ORACLES["semantic_split_leakage"] = f"""
+    WITH pairs AS ({ORACLES['embedding_neardup']}),
+    sizes AS (
+        SELECT sum(CASE WHEN vec_id % {SEM_SPLIT_MOD} < {SEM_SPLIT_TRAIN}
+                        THEN 1 ELSE 0 END) AS train_vecs,
+               sum(CASE WHEN vec_id % {SEM_SPLIT_MOD} >= {SEM_SPLIT_TRAIN}
+                        THEN 1 ELSE 0 END) AS val_vecs
+        FROM embeddings
+    ),
+    cls AS (
+        SELECT count(*) AS neardup_pairs,
+               sum(CASE WHEN vec_a % {SEM_SPLIT_MOD} < {SEM_SPLIT_TRAIN}
+                         AND vec_b % {SEM_SPLIT_MOD} < {SEM_SPLIT_TRAIN}
+                        THEN 1 ELSE 0 END) AS train_pairs,
+               sum(CASE WHEN vec_a % {SEM_SPLIT_MOD} >= {SEM_SPLIT_TRAIN}
+                         AND vec_b % {SEM_SPLIT_MOD} >= {SEM_SPLIT_TRAIN}
+                        THEN 1 ELSE 0 END) AS val_pairs,
+               sum(CASE WHEN (vec_a % {SEM_SPLIT_MOD} < {SEM_SPLIT_TRAIN})
+                          <> (vec_b % {SEM_SPLIT_MOD} < {SEM_SPLIT_TRAIN})
+                        THEN 1 ELSE 0 END) AS leaked_pairs
+        FROM pairs
+    )
+    SELECT CAST(train_vecs AS BIGINT) AS train_vecs,
+           CAST(val_vecs AS BIGINT) AS val_vecs,
+           CAST(neardup_pairs AS BIGINT) AS neardup_pairs,
+           CAST(coalesce(train_pairs, 0) AS BIGINT) AS train_pairs,
+           CAST(coalesce(val_pairs, 0) AS BIGINT) AS val_pairs,
+           CAST(coalesce(leaked_pairs, 0) AS BIGINT) AS leaked_pairs,
+           CASE WHEN neardup_pairs > 0
+                THEN CAST(leaked_pairs AS DOUBLE) / neardup_pairs
+                ELSE 0.0 END AS leak_rate
+    FROM sizes CROSS JOIN cls
+"""
+QUERIES["semantic_split_leakage"] = q_semantic_split_leakage
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleaning pipeline in one query: quality gate
     (C4-style rules) → exact dedup (md5 hash-groupBy) → near-dup removal

@@ -3016,6 +3016,55 @@ ORACLE_TRIMMED_MEAN = """
 """
 
 
+FH_BUCKETS = 64
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature census: categorical features (priority,
+    segment, and their interaction) hash into FH_BUCKETS buckets via the
+    md5 recipe both engines share bit-for-bit (table_fingerprint's
+    hex-prefix→BIGINT), and the census reports each bucket's occurrence
+    count and DISTINCT feature load — the collision diagnostic every
+    hashed-feature model (VW-style linear, wide-and-deep) needs before
+    committing to a dimensionality. One fact pass with an in-row
+    3-element explode, one groupBy on the bucket key; all exact
+    integers."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(c.select("c_custkey", "c_mktsegment"),
+               o.o_custkey == c.c_custkey)
+    feats = j.select(F.explode(F.array(
+        F.concat(F.lit("pri:"), F.col("o_orderpriority")),
+        F.concat(F.lit("seg:"), F.col("c_mktsegment")),
+        F.concat(F.lit("x:"), F.col("o_orderpriority"),
+                 F.lit("|"), F.col("c_mktsegment")),
+    )).alias("f"))
+    bucket = (F.conv(F.substring(F.md5(F.col("f")), 1, 12), 16, 10)
+              .cast("long") % FH_BUCKETS)
+    return (feats.select(bucket.alias("bucket"), "f")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("occurrences"),
+                 F.countDistinct("f").cast("long")
+                 .alias("distinct_features")))
+
+
+ORACLE_FEATURE_HASHING = f"""
+    WITH feats AS (
+        SELECT unnest([
+                   'pri:' || o.o_orderpriority,
+                   'seg:' || c.c_mktsegment,
+                   'x:' || o.o_orderpriority || '|' || c.c_mktsegment
+               ]) AS f
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT CAST('0x' || substring(md5(f), 1, 12) AS BIGINT)
+               % {FH_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS occurrences,
+           CAST(count(DISTINCT f) AS BIGINT) AS distinct_features
+    FROM feats GROUP BY 1
+"""
+
+
 def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided 10% WINSORIZED mean of order value per priority — the
     clamping sibling of trimmed_mean (outliers are pulled to the p10/p90
@@ -3423,6 +3472,7 @@ QUERIES = {
     "hhi_concentration": q_hhi_concentration,
     "association_rules": q_association_rules,
     "winsorized_mean": q_winsorized_mean,
+    "feature_hashing": q_feature_hashing,
     "kendall_tau": q_kendall_tau,
     "mode_stats": q_mode_stats,
     "weighted_median": q_weighted_median,
@@ -3513,6 +3563,7 @@ ORACLES = {
     "hhi_concentration": ORACLE_HHI,
     "association_rules": ORACLE_ASSOCIATION_RULES,
     "winsorized_mean": ORACLE_WINSORIZED_MEAN,
+    "feature_hashing": ORACLE_FEATURE_HASHING,
     "kendall_tau": ORACLE_KENDALL_TAU,
     "mode_stats": ORACLE_MODE_STATS,
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,
