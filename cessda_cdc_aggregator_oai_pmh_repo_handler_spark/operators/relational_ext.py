@@ -3016,6 +3016,73 @@ ORACLE_TRIMMED_MEAN = """
 """
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Theil-Sen robust slope of extendedprice on quantity —
+    the median-of-pairwise-slopes estimator that shrugs off the outliers
+    OLS (regr_conformance) chases. True Theil-Sen is O(n²) in points;
+    here the fact collapses FIRST to the 50-value quantity grid with
+    exact per-value sufficient statistics (n, Σy), so the pair set is
+    ≤C(50,2)=1225 rows per group — domain-bounded, corpus-independent
+    (the kendall_tau grid discipline). Each aggregated pair slope
+    (m₂−m₁)/(x₂−x₁) is a single-shot double over exact integers; the
+    median is percentile_disc over the bounded slope relation — an
+    exact element of an identical set on both engines, so it hashes
+    with no rounding class."""
+    li = load_table(spark, "lineitem", sf_dir)
+    d = li.select("l_returnflag",
+                  _cents("l_quantity").alias("x"),
+                  _cents("l_extendedprice").alias("y"))
+    g = d.groupBy("l_returnflag", "x").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"))
+    a = g.select(F.col("l_returnflag").alias("rf"),
+                 F.col("x").alias("x1"), F.col("n").alias("n1"),
+                 F.col("sy").alias("sy1"))
+    b = g.select(F.col("l_returnflag").alias("rf"),
+                 F.col("x").alias("x2"), F.col("n").alias("n2"),
+                 F.col("sy").alias("sy2"))
+    p = a.join(F.broadcast(b), "rf").filter(F.col("x1") < F.col("x2"))
+    slope = ((F.col("sy2").cast("double") / F.col("n2").cast("double")
+              - F.col("sy1").cast("double") / F.col("n1").cast("double"))
+             / (F.col("x2") - F.col("x1")).cast("double"))
+    return (p.select("rf", slope.alias("slope"))
+            .groupBy("rf")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY slope)").alias("ts_slope"))
+            .select(F.col("rf").alias("l_returnflag"),
+                    "n_pairs", "ts_slope"))
+
+
+ORACLE_THEIL_SEN = """
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag, x, count(*) AS n,
+               sum(CAST(y AS HUGEINT)) AS sy
+        FROM d GROUP BY l_returnflag, x
+    ),
+    p AS (
+        -- sy is a HUGEINT cent sum: VARCHAR-route the DOUBLE conversion
+        -- (correctly-rounded strtod; the ridge_regression ulp class)
+        SELECT a.l_returnflag AS rf,
+               (CAST(CAST(b.sy AS VARCHAR) AS DOUBLE) / b.n
+                - CAST(CAST(a.sy AS VARCHAR) AS DOUBLE) / a.n)
+               / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM g a JOIN g b
+          ON a.l_returnflag = b.l_returnflag AND a.x < b.x
+    )
+    SELECT rf AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) AS ts_slope
+    FROM p GROUP BY rf
+"""
+
+
 FH_BUCKETS = 64
 
 
@@ -3473,6 +3540,7 @@ QUERIES = {
     "association_rules": q_association_rules,
     "winsorized_mean": q_winsorized_mean,
     "feature_hashing": q_feature_hashing,
+    "theil_sen": q_theil_sen,
     "kendall_tau": q_kendall_tau,
     "mode_stats": q_mode_stats,
     "weighted_median": q_weighted_median,
@@ -3564,6 +3632,7 @@ ORACLES = {
     "association_rules": ORACLE_ASSOCIATION_RULES,
     "winsorized_mean": ORACLE_WINSORIZED_MEAN,
     "feature_hashing": ORACLE_FEATURE_HASHING,
+    "theil_sen": ORACLE_THEIL_SEN,
     "kendall_tau": ORACLE_KENDALL_TAU,
     "mode_stats": ORACLE_MODE_STATS,
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,

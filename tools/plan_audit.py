@@ -101,6 +101,7 @@ HEADLINERS = {
     "logrank_test": "Log-rank: per-duration survival table over the distinct-durations relation (domain-bounded window); chi-square fold left client-side so no cross-row float accumulation is hashed.",
     "permutation_entropy": "Permutation entropy: two lead() windows keyed on user_id (fine-grained at any scale); the ordinal-pattern census is <=27 rows, -p ln p through round(.,6).",
     "winsorized_mean": "Winsorized mean: percentile_disc bounds broadcast (K rows), clamped cent sum folds as exact integers in one fact pass — n constant, no second scan.",
+    "theil_sen": "Grouped Theil-Sen: fact collapses to the 50-value quantity grid FIRST, so the pairwise-slope relation is C(50,2) rows per group — domain-bounded; median via percentile_disc over exact-set slopes.",
     "feature_hashing": "Hashing-trick census: in-row 3-element explode + one groupBy on the md5 bucket key; collision load via bounded per-bucket count_distinct — all exact integers.",
     "semantic_split_leakage": "Semantic leakage: sign-signature-blocked embedding pair join (never all-pairs); split classification is pure id arithmetic — no extra join.",
     "interval_align": "Interval intersection join: both streams' merged islands emit ±1 markers, ONE user-keyed sweep window carries both running active-counts, inter-marker segments fold exact integer overlap — zero joins, no range self-join.",
