@@ -1344,6 +1344,75 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("covered_s").cast("long").alias("covered_s")))
 
 
+SEQ_TYPES = "cepsv"   # event-type initials (click/error/purchase/signup/view)
+SEQ_MINSUP = 5        # minimum supporting users per pattern
+SEQ_CAP = 12          # journey prefix window (the "early journey" scope;
+#                       also the documented coverage bound)
+
+
+def q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support census (the GSP / PrefixSpan L2+L3
+    step): for every ordered event-type pattern of length 2 and 3, how
+    many users' journeys contain it as a SUBSEQUENCE — the sequence-
+    mining sibling of frequent_itemsets (which ignores order). Journeys
+    collapse to one capped initials string per user (sorted struct
+    collect on ONE user-keyed exchange — the event_pattern_match
+    machinery; SEQ_CAP is the stated coverage bound, logged by
+    construction); the 150 candidate patterns are a LITERAL relation
+    whose crossJoin is a constant 150× fan-out of the USER-sized journey
+    table (the spatial 9×-replication discipline, never corpus²);
+    subsequence tests compile to a regexp per row ('v.*c.*p'), identical
+    RE semantics in both engines for this .*-chain fragment. Exact
+    integer supports, one groupBy on the pattern key."""
+    import itertools
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", s.alias("s"), "event_id",
+                 F.substring("event_type", 1, 1).alias("i"))
+    j = (d.groupBy("user_id")
+         .agg(F.array_join(
+             F.transform(
+                 F.slice(F.array_sort(F.collect_list(
+                     F.struct("s", "event_id", "i"))), 1, SEQ_CAP),
+                 lambda x: x["i"]), "").alias("journey")))
+    pats = [("".join(p), ".*".join(p)) for n in (2, 3)
+            for p in itertools.product(SEQ_TYPES, repeat=n)]
+    pdf = spark.createDataFrame(pats, ["pattern", "re"])
+    hit = (j.crossJoin(F.broadcast(pdf))
+           .filter(F.expr("journey RLIKE re")))
+    return (hit.groupBy("pattern")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= SEQ_MINSUP)
+            .select("pattern", "support",
+                    F.length("pattern").cast("long").alias("plen")))
+
+
+def _sequence_support_oracle() -> str:
+    import itertools
+
+    pats = ["".join(p) for n in (2, 3)
+            for p in itertools.product(SEQ_TYPES, repeat=n)]
+    pat_rows = ", ".join(f"('{p}', '{'.*'.join(p)}')" for p in pats)
+    return f"""
+    WITH j AS (
+        SELECT user_id,
+               substring(string_agg(substring(event_type, 1, 1), ''
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                      event_id),
+                         1, {SEQ_CAP}) AS journey
+        FROM events GROUP BY user_id
+    ),
+    pats(pattern, re) AS (VALUES {pat_rows})
+    SELECT pattern, CAST(count(*) AS BIGINT) AS support,
+           CAST(length(pattern) AS BIGINT) AS plen
+    FROM j CROSS JOIN pats
+    WHERE regexp_matches(journey, re)
+    GROUP BY pattern
+    HAVING count(*) >= {SEQ_MINSUP}
+"""
+
+
 ALIGN_A, ALIGN_B = "click", "view"  # the aligned stream pair
 
 
@@ -2481,6 +2550,7 @@ QUERIES = {
     "permutation_entropy": q_permutation_entropy,
     "markov_attribution": q_markov_attribution,
     "interval_align": q_interval_align,
+    "sequence_support": q_sequence_support,
     "funnel_steps": q_funnel_steps,
     "rfm_segments": q_rfm_segments,
     "ewma_smooth": q_ewma_smooth,
@@ -2538,6 +2608,7 @@ ORACLES = {
     "permutation_entropy": ORACLE_PERMUTATION_ENTROPY,
     "markov_attribution": _markov_attr_oracle(),
     "interval_align": ORACLE_INTERVAL_ALIGN,
+    "sequence_support": _sequence_support_oracle(),
     "ab_test_analysis": """
         WITH per_user AS (
             SELECT user_id % 2 AS arm,

@@ -104,6 +104,7 @@ HEADLINERS = {
     "theil_sen": "Grouped Theil-Sen: fact collapses to the 50-value quantity grid FIRST, so the pairwise-slope relation is C(50,2) rows per group — domain-bounded; median via percentile_disc over exact-set slopes.",
     "feature_hashing": "Hashing-trick census: in-row 3-element explode + one groupBy on the md5 bucket key; collision load via bounded per-bucket count_distinct — all exact integers.",
     "semantic_split_leakage": "Semantic leakage: sign-signature-blocked embedding pair join (never all-pairs); split classification is pure id arithmetic — no extra join.",
+    "sequence_support": "GSP/PrefixSpan L2+L3: journeys collapse to one capped initials string per user (one exchange); 150 literal patterns crossJoin a USER-sized relation (constant fan-out, never corpus^2); regexp subsequence tests, exact integer supports.",
     "interval_align": "Interval intersection join: both streams' merged islands emit ±1 markers, ONE user-keyed sweep window carries both running active-counts, inter-marker segments fold exact integer overlap — zero joins, no range self-join.",
     "kcore_census": "k-core census: fixed-depth peel over the checkpointed TAGGED edge relation (both k values in one pass) — each round one degree aggregate + two semi-joins at EDGE scale, corpus-independent.",
     "markov_attribution": "Markov removal-effect attribution: one corpus pass builds the K^2 chain; all 5 variants (full + removals) are TAGGED rows of one checkpointed <=5(K+1)^2-row matrix; absorption via 4 scaled-integer matrix SQUARINGS (T^16, log depth) — corpus-independent iterations, shares from exact integer drops.",
