@@ -71,6 +71,23 @@ variant_extract versioned_table weighted_sample window_functions
 winnow_pairs xml_roundtrip zscore_normalize approx_distinct
 """.split())
 
+# The singleton (non-suite) queries() slots as of the r5 roster — pinned
+# explicitly so a singleton ADDED or semantically changed in a later
+# round can't silently land in the frozen-cohort sums (r9 advice:
+# membership must be filtered, not assumed, for singletons too).
+FROZEN_SINGLETONS_R5 = frozenset("""
+ann_bruteforce ann_ivf_probe ann_lsh_probe array_exists
+array_transform_agg clean_corpus conjunction count_filtered count_total
+distinct_language distinct_values embedding_neardup exact_dedup_stats
+fingerprint_dedup group_counts in_list json_extract kmeans_clusters
+label_centroids lang_id lookup_join metrics_rollup minhash_lsh_pairs
+multimodal_features ne_filter neardup_components ngram_jaccard_pairs
+pagination pivot_events point_lookup projection quality_filter_pipeline
+quality_scores range_filter semi_join simhash_pairs studies_datacite_valid
+studies_derivations studies_list_page studies_metrics tfidf_top_terms
+token_stats topk_per_group train_val_split
+""".split())
+
 
 def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
     """Time each frozen-cohort op on THIS repo (A) and on the pinned repo
@@ -86,7 +103,7 @@ def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
     suite_names = set(suite_sub_lists)
     thunks = {}
     for name, fn in qs.items():
-        if name not in suite_names:
+        if name not in suite_names and name in FROZEN_SINGLETONS_R5:
             thunks[name] = (lambda fn=fn: fn(spark, sf_dir).collect())
     for subs in suite_sub_lists.values():
         for s in subs:
@@ -231,7 +248,8 @@ def main():
     suite_names = set(suite_sub_lists)
     measured_subs = {n for ops in suite_op_sec.values() for n in ops}
     frozen_cohort_sec = round(
-        sum(t for n, t in warm.items() if n not in suite_names)
+        sum(t for n, t in warm.items()
+            if n not in suite_names and n in FROZEN_SINGLETONS_R5)
         + sum(t for ops in suite_op_sec.values()
               for n, t in ops.items() if n in FROZEN_COHORT_R5), 4)
     # a renamed/removed roster op must be visible, not silently shrink the
@@ -260,7 +278,8 @@ def main():
         # conditions. Readings are only comparable within one run.
         "frozen_cohort_r7head_control": 106.9516,
         "frozen_cohort_missing": cohort_missing,
-        "frozen_cohort": ("r5 roster (134 suite sub-ops + singletons); "
+        "frozen_cohort": ("r5 roster (134 suite sub-ops + the pinned "
+                          "FROZEN_SINGLETONS_R5 singleton slots); "
                           "sum of PER-OP isolated warm timings — compare "
                           "against other rounds' frozen_cohort_sec, not "
                           "against the suite-folded warm total"),

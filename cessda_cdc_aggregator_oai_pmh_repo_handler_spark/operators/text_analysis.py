@@ -2023,7 +2023,13 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok"))).cast("long")
         .alias("both_wrong"))
     b_, c_ = F.col("a_only").cast("double"), F.col("b_only").cast("double")
-    stat = ((F.abs(b_ - c_) - 1.0) * (F.abs(b_ - c_) - 1.0)) / (b_ + c_)
+    # Continuity correction clamped at 0 (textbook max(|b-c|-1, 0)), and
+    # the b+c=0 degenerate case (classifiers agree everywhere) pinned to
+    # 0.0 — Spark would return NULL but DuckDB's IEEE path yields nan,
+    # a latent cross-engine hash divergence.
+    diff = F.greatest(F.abs(b_ - c_) - 1.0, F.lit(0.0))
+    stat = F.when(b_ + c_ > 0.0, (diff * diff) / (b_ + c_)) \
+        .otherwise(F.lit(0.0))
     return agg.select("n", "both_right", "a_only", "b_only", "both_wrong",
                       stat.alias("mcnemar_cc"))
 
@@ -2122,7 +2128,12 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (kd * F.col("sff").cast("double")
            - F.col("sf").cast("double") * F.col("sf").cast("double")) \
         / (kd * kd)
-    z = (F.col("fpm").cast("double") - mu) / F.sqrt(var)
+    # var=0 (marker word with identical rate across all sources) would
+    # give NULL in Spark but inf/nan in DuckDB — pin the degenerate z
+    # to 0.0 in both engines.
+    z = F.when(var > 0.0,
+               (F.col("fpm").cast("double") - mu) / F.sqrt(var)) \
+        .otherwise(F.lit(0.0))
     return j.select("w", "source",
                     F.col("fpm").cast("long").alias("fpm"),
                     z.alias("z"))
@@ -3996,9 +4007,11 @@ ORACLES["mcnemar_paired"] = f"""
            CAST(a_only AS BIGINT) AS a_only,
            CAST(b_only AS BIGINT) AS b_only,
            CAST(both_wrong AS BIGINT) AS both_wrong,
-           (abs(CAST(a_only AS DOUBLE) - b_only) - 1.0)
-           * (abs(CAST(a_only AS DOUBLE) - b_only) - 1.0)
-           / (CAST(a_only AS DOUBLE) + b_only) AS mcnemar_cc
+           CASE WHEN a_only + b_only > 0 THEN
+               greatest(abs(CAST(a_only AS DOUBLE) - b_only) - 1.0, 0.0)
+               * greatest(abs(CAST(a_only AS DOUBLE) - b_only) - 1.0, 0.0)
+               / (CAST(a_only AS DOUBLE) + b_only)
+           ELSE 0.0 END AS mcnemar_cc
     FROM agg
 """
 
@@ -4067,10 +4080,14 @@ ORACLES["burrows_delta"] = f"""
         FROM grid GROUP BY w
     )
     SELECT g.w, g.source, CAST(g.fpm AS BIGINT) AS fpm,
-           (CAST(g.fpm AS DOUBLE) - CAST(sf AS DOUBLE) / k)
-           / sqrt((CAST(k AS DOUBLE) * CAST(sff AS DOUBLE)
-                   - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
-                  / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) AS z
+           CASE WHEN (CAST(k AS DOUBLE) * CAST(sff AS DOUBLE)
+                      - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)) > 0 THEN
+               (CAST(g.fpm AS DOUBLE) - CAST(sf AS DOUBLE) / k)
+               / sqrt((CAST(k AS DOUBLE) * CAST(sff AS DOUBLE)
+                       - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+                      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+           ELSE 0.0 END AS z
     FROM grid g JOIN stats USING (w)
 """
 

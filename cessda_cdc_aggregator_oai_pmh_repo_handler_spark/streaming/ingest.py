@@ -694,7 +694,12 @@ def streaming_transition_counts(spark: SparkSession, source_dir: str,
         last, cj = state.get if state.exists else ("", "{}")
         counts = json.loads(cj)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+        # mirror the batch ops' SECOND-truncated unix_timestamp sort key
+        # (full-precision ts would tie-break same-second events by
+        # sub-second order instead of event_id, breaking exact parity)
+        batch = batch.assign(
+            _s=batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000).sort_values(["_s", "event_id"])
         for t in batch["event_type"]:
             if last:
                 k = f"{last}|{t}"
@@ -759,7 +764,14 @@ def streaming_streak_census(spark: SparkSession, source_dir: str,
             state.get if state.exists else ("", 0, "{}"))
         closed = {k: list(v) for k, v in json.loads(cj).items()}
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+        # batch q_streak_census orders by SECOND-truncated unix_timestamp
+        # + event_id; mirror that key exactly (full-precision ts would
+        # tie-break same-second events by sub-second order instead of
+        # event_id, breaking parity). Normalize to ns first: Arrow may
+        # hand datetime64[us].
+        batch = batch.assign(
+            _s=batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000).sort_values(["_s", "event_id"])
 
         def fold(tbl, t, length):
             st = tbl.setdefault(t, [0, 0, 0, 0])
@@ -953,7 +965,11 @@ def streaming_ordinal_patterns(spark: SparkSession, source_dir: str,
                          else (0.0, 0.0, 0, "{}"))
         counts = json.loads(cj)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+        # mirror batch q_permutation_entropy's SECOND-truncated sort key
+        # (see streaming_streak_census for the rationale)
+        batch = batch.assign(
+            _s=batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000).sort_values(["_s", "event_id"])
         for v in batch["value"]:
             v = float(v)
             if math.isnan(v):

@@ -770,3 +770,60 @@ def test_streaming_transition_counts_match_batch(spark, tmp_path):
             for r in pairs.groupBy("prev_t", "event_type")
             .agg(F.count(F.lit(1)).alias("c")).collect()}
     assert dict(got) == want
+
+
+def test_streaming_streak_census_subsecond_tiebreak_parity(spark, tmp_path):
+    """r9 advice: the batch ops order by SECOND-truncated unix_timestamp
+    + event_id; the streaming twins must mirror that key. This fixture
+    is the falsifying case for a full-precision ts sort: three events
+    share one second but their event_id order CONTRADICTS their
+    sub-second order, and a fourth event in the next second extends the
+    run only under the event_id tiebreak (A,A,B,A vs B,A,A,A)."""
+    from collections import defaultdict
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, us, sec, typ):
+        return (eid, base + datetime.timedelta(seconds=sec, microseconds=us),
+                1, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 900_000, 0, "view"),   # sub-second order: 3rd
+        ev(2, 500_000, 0, "view"),   # sub-second order: 2nd
+        ev(3, 100_000, 0, "click"),  # sub-second order: 1st
+        ev(4, 0, 1, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # event_id order within the second: view,view,click,view ->
+    # view runs [2,1] (max 2); sub-second order would give
+    # click,view,view,view -> one view run of 3 (max 3).
+    sf_dir = str(tmp_path / "tie_sf")
+    os.makedirs(sf_dir)
+    events.coalesce(1).write.parquet(sf_dir + "/events.parquet")
+
+    batch = {r["event_type"]: (r["n_runs"], r["max_run"])
+             for r in arrays.q_streak_census(spark, sf_dir).collect()}
+    assert batch["view"] == (2, 2)  # pins the event_id-tiebreak semantics
+
+    src = str(tmp_path / "tie_src")
+    os.makedirs(src)
+    events.coalesce(1).write.parquet(src + "/batch=0")
+    stream = I.streaming_streak_census(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("tie_streak")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM tie_streak").collect():
+        k = (int(r["user_id"]), r["event_type"])
+        cur = (r["n_runs"], r["max_run"], r["runs_ge3"], r["events_ge3"])
+        prev = finals.get(k, (0, 0, 0, 0))
+        finals[k] = tuple(max(a, b) for a, b in zip(prev, cur))
+    got: dict = defaultdict(lambda: [0, 0])
+    for (_, t), (n_runs, max_run, _ge3, _ev3) in finals.items():
+        got[t][0] += n_runs
+        got[t][1] = max(got[t][1], max_run)
+    assert {k: tuple(v) for k, v in got.items()} == batch
