@@ -766,12 +766,12 @@ _BM25_SQL = f"""
         WHERE doc_id = {BM25_QUERY_DOC}
     )
     SELECT doc_id,
-           CAST(sum(CAST(floor(
+           CAST(CAST(sum(CAST(floor(
                     ln((n_docs - df + 0.5) / (df + 0.5) + 1)
                     * (tf * ({BM25_K1} + 1)
                        / (tf + {BM25_K1} * (1 - {BM25_B}
                            + {BM25_B} * dl / avgdl)))
-                    * 1000000.0) AS HUGEINT)) AS DOUBLE)
+                    * 1000000.0) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
            / 1000000.0 AS bm25,
            count(*) AS matched_terms
     FROM tf

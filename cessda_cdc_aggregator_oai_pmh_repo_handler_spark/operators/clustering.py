@@ -302,7 +302,8 @@ def _kmeans_oracle_sql(k: int = K, dim: int = GATE_DIM,
     return f"""
         WITH {ctes}
         SELECT cluster, count(*) AS n,
-               CAST(sum(CAST(floor(dist * 100) AS HUGEINT)) AS DOUBLE)
+               CAST(CAST(sum(CAST(floor(dist * 100) AS HUGEINT))
+                         AS VARCHAR) AS DOUBLE)
                / 100.0 AS inertia
         FROM fin GROUP BY cluster ORDER BY cluster
     """
