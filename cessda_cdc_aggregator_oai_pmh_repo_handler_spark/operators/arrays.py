@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import corpus_key, load_table, memo_put
 
 
 def q_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,27 +1664,93 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("total_gap_s")))
 
 
-def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stationary distribution of the event-type Markov chain in exact
-    fixed-point arithmetic: consecutive (prev→next) pairs per user build
-    the K×K transition-count matrix (ONE corpus pass + one partitioned
-    lag window); the power iteration then runs entirely on that K-row
-    relation — 20 unrolled join+groupBy steps of
-    mass'_j = Σ_i (mass_i · c_ij) DIV n_i in BIGINT (floor division,
-    bit-exact, merge-order-free; the textrank_keywords discipline). The
-    oracle replays the identical integer recursion as 20 generated CTE
-    blocks. Iteration cost is K²-row joins — independent of corpus size."""
+# Shared checkpointed transition spine for the Markov family (r9 verdict
+# #2): q_markov_stationary, q_markov_attribution and q_transition_entropy
+# all build K² transition counts from the SAME corpus pass; memoize the
+# counts so a suite run pays the pass (and its checkpoint launch train)
+# once. Keyed by (session, events-corpus ident); registered in
+# sources.tables.clear_corpus_caches for cold-bench isolation.
+_MARKOV_SPINE_CACHE: dict = {}
+
+
+def _markov_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged transition-count spine: (variant, i, j, c) with
+    variant='all' = every consecutive per-user (prev→next) event-type
+    pair (stationary / entropy), variant='trunc' = journeys truncated at
+    the first conversion with START/END pseudo-states (the attribution
+    absorbing chain). ONE corpus pass — a single user-keyed window sort
+    computes lag, lead and the prior-conversion count together, and a
+    per-row conditional struct array + explode emits both variants
+    without re-scanning (a UNION of per-variant selects would execute
+    the window once per branch: Spark does not dedupe common subtrees).
+
+    Truncation correctness without a second window: kept rows (_pc = 0)
+    are a contiguous PREFIX of each user's ordered sequence (they
+    precede-or-are the first conversion), so lag over ALL events equals
+    lag within the kept subset on kept rows, and a kept non-conversion
+    row's successor is always kept — hence lead-over-all reproduces the
+    kept-subset END condition exactly.
+
+    The ≤2·(K+2)² count relation is coalesce(1).localCheckpoint()ed:
+    every downstream iteration (20 power steps, 4 squarings) re-executes
+    a 1-partition local relation instead of the corpus window, and the
+    eager job runs once per (session, corpus) instead of once per
+    operator."""
     from pyspark.sql import Window
 
+    key = corpus_key(spark, sf_dir, "events")
+    hit = _MARKOV_SPINE_CACHE.get(key)
+    if hit is not None:
+        return hit
     e = load_table(spark, "events", sf_dir)
     s = F.unix_timestamp("ts").cast("long")
     d = e.select("user_id", "event_id", s.alias("s"), "event_type")
     w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    pairs = (d.withColumn("prev_t", F.lag("event_type").over(w))
-             .filter(F.col("prev_t").isNotNull()))
-    m = pairs.groupBy(F.col("prev_t").alias("i"),
-                      F.col("event_type").alias("j")).agg(
-        F.count(F.lit(1)).alias("c"))
+    ann = (d.withColumn("_prev", F.lag("event_type").over(w))
+           .withColumn("_next", F.lead("event_type").over(w))
+           .withColumn("_pc", F.coalesce(
+               F.sum(F.when(F.col("event_type") == ATTR_CONV, 1)
+                     .otherwise(0))
+               .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+               F.lit(0))))
+    t = F.col("event_type")
+    kept = F.col("_pc") == 0
+
+    def ent(cond, variant, i, j):
+        return F.when(cond, F.struct(F.lit(variant).alias("variant"),
+                                     i.alias("i"), j.alias("j")))
+
+    rows = F.array(
+        ent(F.col("_prev").isNotNull(), "all", F.col("_prev"), t),
+        ent(kept & F.col("_prev").isNotNull(), "trunc",
+            F.col("_prev"), t),
+        ent(kept & F.col("_prev").isNull(), "trunc",
+            F.lit("START"), t),
+        ent(kept & F.col("_next").isNull() & (t != F.lit(ATTR_CONV)),
+            "trunc", t, F.lit("END")),
+    )
+    spine = (ann.select(F.explode(
+        F.filter(rows, lambda x: x.isNotNull())).alias("p"))
+        .groupBy("p.variant", "p.i", "p.j")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .coalesce(1).localCheckpoint())
+    memo_put(_MARKOV_SPINE_CACHE, key, spine)
+    return spine
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain in exact
+    fixed-point arithmetic: consecutive (prev→next) pairs per user build
+    the K×K transition-count matrix (ONE corpus pass + one partitioned
+    lag window, shared across the Markov family via the memoized
+    ``_markov_pair_counts`` spine); the power iteration then runs
+    entirely on that K-row relation — 20 unrolled join+groupBy steps of
+    mass'_j = Σ_i (mass_i · c_ij) DIV n_i in BIGINT (floor division,
+    bit-exact, merge-order-free; the textrank_keywords discipline). The
+    oracle replays the identical integer recursion as 20 generated CTE
+    blocks. Iteration cost is K²-row joins — independent of corpus size."""
+    m = (_markov_pair_counts(spark, sf_dir)
+         .filter(F.col("variant") == "all").select("i", "j", "c"))
     n = m.groupBy("i").agg(F.sum("c").alias("n_i"))
     mat = m.join(F.broadcast(n), "i")
     states = m.select(F.col("i").alias("state")).distinct()
@@ -1736,33 +1802,8 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer window over the 4-row output)."""
     from pyspark.sql import Window
 
-    e = load_table(spark, "events", sf_dir)
-    s = F.unix_timestamp("ts").cast("long")
-    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
-    w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    prev_conv = F.coalesce(
-        F.sum(F.when(F.col("event_type") == ATTR_CONV, 1).otherwise(0))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
-    kept = d.withColumn("_pc", prev_conv).filter(F.col("_pc") == 0)
-    # lag and lead share ONE ascending window (a desc row_number would
-    # force a second per-user sort); the journey's last kept row is
-    # simply lead IS NULL
-    wk = Window.partitionBy("user_id").orderBy("s", "event_id")
-    kept = (kept
-            .withColumn("_prev", F.lag("event_type").over(wk))
-            .withColumn("_next", F.lead("event_type").over(wk)))
-    lag_pairs = (kept.filter(F.col("_prev").isNotNull())
-                 .select(F.col("_prev").alias("i"),
-                         F.col("event_type").alias("j")))
-    start_pairs = (kept.filter(F.col("_prev").isNull())
-                   .select(F.lit("START").alias("i"),
-                           F.col("event_type").alias("j")))
-    end_pairs = (kept.filter(F.col("_next").isNull()
-                             & (F.col("event_type") != ATTR_CONV))
-                 .select(F.col("event_type").alias("i"),
-                         F.lit("END").alias("j")))
-    pairs = lag_pairs.unionByName(start_pairs).unionByName(end_pairs)
-    m = pairs.groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+    m = (_markov_pair_counts(spark, sf_dir)
+         .filter(F.col("variant") == "trunc").select("i", "j", "c"))
     n = m.groupBy("i").agg(F.sum("c").cast("decimal(19,0)").alias("n_i"))
     conv = (m.filter(F.col("j") == ATTR_CONV)
             .select("i", F.col("c").cast("decimal(19,0)").alias("cc")))
@@ -1791,18 +1832,12 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (F.col("j") != F.col("run"))))
              .select("run", "i", "j",
                      F.col("c").cast("decimal(19,0)").alias("c"),
-                     "n_i")
-             # the textrank/winnow checkpointed-edge-list pattern: Spark
-             # does not dedupe common subtrees, so WITHOUT this every
-             # squaring level re-executes the corpus pair-extraction
-             # windows inside its own branch (measured 16-18s warm at
-             # sf0.01 for the un-checkpointed linear recursion).
-             # coalesce(1): the relation is ≤5·K² rows; a 32-partition
-             # checkpoint makes every downstream stage a 32-task launch.
-             # Residual warm cost (~7s locally) is the 5 checkpoint-job
-             # launches + per-squaring stages — fixed, corpus-
-             # independent, the markov_stationary launch-overhead class.
-             .coalesce(1).localCheckpoint())
+                     "n_i"))
+    # No checkpoint here any more: the corpus pair-extraction lives in
+    # the memoized _markov_pair_counts spine (already a 1-partition
+    # localCheckpoint), so mat_t is a chain of tiny broadcast joins over
+    # local data, executed exactly once inside the first mm checkpoint
+    # below — the r9 eager-job count drops by one launch train.
     one = runs.select("run", F.lit("__ONE__").alias("i"),
                       F.lit("__ONE__").alias("j"),
                       F.lit(ATTR_SCALE).cast("long").alias("v"))
@@ -2128,20 +2163,12 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM Math.log vs libm) differ in the LAST ULP on real inputs, and
     round-6 is the house absorber for transcendental values (the
     token_pmi/entropy pattern; boundary collisions are measure-zero for
-    irrational values, unlike money doubles). Same one-pass pair
-    extraction as q_markov_stationary; the K² output relation is
-    vocabulary-sized, corpus-independent."""
-    from pyspark.sql import Window
-
-    e = load_table(spark, "events", sf_dir)
-    s = F.unix_timestamp("ts").cast("long")
-    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
-    w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    pairs = (d.withColumn("prev_t", F.lag("event_type").over(w))
-             .filter(F.col("prev_t").isNotNull()))
-    m = pairs.groupBy(F.col("prev_t").alias("i"),
-                      F.col("event_type").alias("j")).agg(
-        F.count(F.lit(1)).alias("c"))
+    irrational values, unlike money doubles). The pair extraction is the
+    memoized ``_markov_pair_counts`` spine shared with
+    q_markov_stationary; the K² output relation is vocabulary-sized,
+    corpus-independent."""
+    m = (_markov_pair_counts(spark, sf_dir)
+         .filter(F.col("variant") == "all").select("i", "j", "c"))
     n = m.groupBy("i").agg(F.sum("c").cast("long").alias("n_i"))
     surprisal = F.round(F.log(F.col("n_i").cast("double")
                               / F.col("c").cast("double")), 6)

@@ -682,3 +682,78 @@ def test_round8_new_ops_no_cartesian(spark):
     # matryoshka is a pure per-row map: no exchange at all
     plan = plan_of(ANN.q_matryoshka_norms(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_markov_spine_is_shared_and_memoized(spark):
+    """r9 verdict #2: the Markov family (stationary / attribution /
+    transition entropy) shares ONE memoized checkpointed transition
+    spine. After the first build, constructing the stationary and
+    entropy DataFrames fires ZERO further Spark jobs (their pair
+    extraction is the cached spine), and all three ops resolve to the
+    same single cache entry."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        clear_corpus_caches,
+    )
+
+    clear_corpus_caches(spark)
+    arrays.q_markov_stationary(spark, SF)  # first build pays the spine
+    assert len(arrays._MARKOV_SPINE_CACHE) == 1
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df1 = arrays.q_markov_stationary(spark, SF)
+    df2 = arrays.q_transition_entropy(spark, SF)
+    _ = df1.columns, df2.columns  # force analysis
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, f"build fired jobs: {sorted(after - before)}"
+    # attribution still runs its (documented) squaring checkpoints at
+    # build, but must REUSE the spine, not create a second cache entry
+    arrays.q_markov_attribution(spark, SF)
+    assert len(arrays._MARKOV_SPINE_CACHE) == 1
+
+
+def test_markov_spine_trunc_matches_two_window_formulation(spark):
+    """The spine derives the truncated-journey pairs from ONE window
+    over ALL events (lag/lead-over-all restricted to kept rows); this
+    pins the equivalence against the original two-window formulation
+    (filter to the pre-conversion prefix, THEN lag/lead within it) —
+    the subtle step is that kept rows form a contiguous prefix, so
+    lag-over-all == lag-over-kept on them."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, "events", SF)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("user_id", "event_id", s.alias("s"), "event_type")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_conv = F.coalesce(
+        F.sum(F.when(F.col("event_type") == arrays.ATTR_CONV, 1)
+              .otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    kept = d.withColumn("_pc", prev_conv).filter(F.col("_pc") == 0)
+    wk = Window.partitionBy("user_id").orderBy("s", "event_id")
+    kept = (kept.withColumn("_prev", F.lag("event_type").over(wk))
+            .withColumn("_next", F.lead("event_type").over(wk)))
+    pairs = (
+        kept.filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("i"), F.col("event_type").alias("j"))
+        .unionByName(kept.filter(F.col("_prev").isNull())
+                     .select(F.lit("START").alias("i"),
+                             F.col("event_type").alias("j")))
+        .unionByName(kept.filter(
+            F.col("_next").isNull()
+            & (F.col("event_type") != arrays.ATTR_CONV))
+            .select(F.col("event_type").alias("i"),
+                    F.lit("END").alias("j"))))
+    want = {(r["i"], r["j"]): r["c"] for r in
+            pairs.groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+            .collect()}
+    got = {(r["i"], r["j"]): r["c"] for r in
+           arrays._markov_pair_counts(spark, SF)
+           .filter(F.col("variant") == "trunc").collect()}
+    assert got == want
