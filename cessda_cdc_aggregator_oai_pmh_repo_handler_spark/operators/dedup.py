@@ -1261,9 +1261,13 @@ def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle_stats (a 3-core survivor is a genuine duplicate cluster;
     chains and stars peel away entirely). The op is specified as the
     FIXED-DEPTH peel (both engines run exactly KCORE_PEELS rounds —
-    deterministic regardless of whether the peel has converged; real
-    dedup graphs stabilize in 2-3 rounds because near-dup components
-    are small and dense).
+    deterministic regardless of whether the peel has converged), and
+    each output row carries a relationally-computed ``converged`` flag:
+    1 iff every surviving node's degree is ≥ k, i.e. the peel reached
+    its fixed point and the fixed-depth census IS the true k-core (r9
+    verdict #3 — the claim "real dedup graphs stabilize in 2-3 rounds"
+    is now asserted in the hashed surface, not assumed; pytest
+    additionally requires converged=1 at gate scale).
 
     Shape: both k values ride ONE tagged edge relation (the
     markov_attribution trick), so each peel round is one degree
@@ -1295,9 +1299,15 @@ def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nodes.groupBy("k")
             .agg(F.count(F.lit(1)).cast("long").alias("core_nodes"),
                  (F.sum("deg") / 2).cast("long").alias("core_edges"),
-                 F.max("deg").cast("long").alias("max_deg"))
+                 F.max("deg").cast("long").alias("max_deg"),
+                 F.min("deg").alias("_min_deg"))
             .select(F.col("k").cast("long").alias("k"),
-                    "core_nodes", "core_edges", "max_deg"))
+                    "core_nodes", "core_edges", "max_deg",
+                    # fixed point iff no survivor is still below k: a
+                    # further peel would remove zero nodes, so the
+                    # fixed-depth census equals the true k-core
+                    F.when(F.col("_min_deg") >= F.col("k"), 1)
+                    .otherwise(0).cast("long").alias("converged")))
 
 
 def _kcore_oracle() -> str:
@@ -1334,7 +1344,9 @@ def _kcore_oracle() -> str:
     SELECT CAST(k AS BIGINT) AS k,
            CAST(count(*) AS BIGINT) AS core_nodes,
            CAST(sum(deg) // 2 AS BIGINT) AS core_edges,
-           CAST(max(deg) AS BIGINT) AS max_deg
+           CAST(max(deg) AS BIGINT) AS max_deg,
+           CAST(CASE WHEN min(deg) >= k THEN 1 ELSE 0 END
+                AS BIGINT) AS converged
     FROM nodes GROUP BY k"""
     return ",".join(blocks) + tail
 
