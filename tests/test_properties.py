@@ -388,3 +388,164 @@ def test_adpcm_decode_is_exact_inverse_of_encoder_state(samples):
     assert all(-32768 <= v <= 32767 for v in dec)
     dec2, _ = decode_wav_any(encode_wav_ima_adpcm(samples))
     assert dec2 == dec
+
+
+# --- r9 verdict #4: the two codecs still on fixtures-only boundaries ---
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.integers(0, 260),
+       st.lists(st.integers(0, 300), min_size=0, max_size=3),
+       st.integers(0, 255),
+       st.booleans())
+def test_zip_container_boundaries(seed, n_samples, extra_sizes,
+                                  comment_len, stored):
+    """ZIP container at its structural boundaries: first-member sizes
+    from 44 bytes (empty WAV) upward, 0..3 EXTRA members of 0..300
+    bytes after it (member-size boundaries incl. empty members and the
+    central-directory offset they shift), STORED vs DEFLATED, and an
+    archive comment of 0..255 bytes — the EOCD back-scan boundary
+    zipfile must get right. Decode must equal the inner codec's decode
+    exactly regardless of any of it."""
+    import io
+    import zipfile
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _decode, encode_wav_payload,
+    )
+
+    inner = encode_wav_payload(seed % 10_000, n_samples)
+    buf = io.BytesIO()
+    method = zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+    with zipfile.ZipFile(buf, "w", method) as zf:
+        zf.writestr("media.bin", inner)
+        for i, sz in enumerate(extra_sizes):
+            zf.writestr(f"pad{i}.dat", bytes(sz))
+        zf.comment = bytes(comment_len)
+    assert _decode(buf.getvalue()) == _decode(inner)
+
+
+def test_zip_container_degenerate_archives_raise_cleanly():
+    """Empty archive and empty FIRST member both raise the canonical
+    NotImplementedError (a dispatchable failure, not a crash)."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _decode,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w"):
+        pass
+    with pytest.raises(NotImplementedError):
+        _decode(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("empty.bin", b"")
+    with pytest.raises(NotImplementedError):
+        _decode(buf.getvalue())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.one_of(st.sampled_from([0, 1, 233, 234, 235, 489, 490]),
+                 st.integers(0, 600)),
+       st.integers(0, 2),
+       st.integers(1, 95),
+       st.lists(st.integers(0, 513), min_size=0, max_size=2))
+def test_tar_container_boundaries(seed, n_samples, n_dirs, name_len,
+                                  trailing_sizes):
+    """POSIX tar at its 512-byte block boundaries: first regular member
+    sizes straddling one and two blocks (n=233/234 puts the WAV at
+    511/512 bytes exactly), 0..2 directory entries BEFORE it (the
+    decoder must skip non-regular members), ustar names up to the
+    95-char comfort zone, and trailing members whose sizes cross the
+    block edge (0/511/512/513). Decode = the first regular member's
+    decode, always."""
+    import io
+    import tarfile
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _decode, encode_wav_payload,
+    )
+
+    inner = encode_wav_payload(seed % 10_000, n_samples)
+    buf = io.BytesIO()
+    name = ("m" * name_len) + ".wav"
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for i in range(n_dirs):
+            d = tarfile.TarInfo(f"dir{i}/")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+        info = tarfile.TarInfo(name)
+        info.size = len(inner)
+        tf.addfile(info, io.BytesIO(inner))
+        for i, sz in enumerate(trailing_sizes):
+            t = tarfile.TarInfo(f"pad{i}.dat")
+            t.size = sz
+            tf.addfile(t, io.BytesIO(bytes(sz)))
+    assert _decode(buf.getvalue()) == _decode(inner)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.integers(1, 9),
+       st.lists(st.integers(0, 4), min_size=1, max_size=12))
+def test_png_forced_filter_type_edges(seed, width, filters):
+    """PNG un-filter path with each row's filter CHOSEN BY HYPOTHESIS
+    (the shipped encoder cycles y%5, so row-0-with-Paeth, all-Average
+    images, etc. were never exercised). Builds a spec-correct PNG by
+    applying the chosen filter per row to md5-seeded RGB, then asserts
+    _decode_png reproduces the exact BT.601 luma — covering every
+    (filter, first-row, x<bpp) combination including Paeth ties and
+    Average's floor((left+up)/2) with odd sums, at widths down to 1
+    pixel (the bpp edge where left/up-left are zero)."""
+    import hashlib
+    import struct
+    import zlib
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal import (
+        _PNG_SIG, _decode_png, _paeth, _png_chunk,
+    )
+
+    height = len(filters)
+    seed_b = hashlib.md5(f"pngf:{seed}".encode()).digest()
+    n = 3 * width * height
+    raw = (seed_b * (n // len(seed_b) + 1))[:n]
+    bpp, stride = 3, 3 * width
+    out = bytearray()
+    prior = bytes(stride)
+    for y, f in enumerate(filters):
+        row = raw[y * stride:(y + 1) * stride]
+        out.append(f)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+           + _png_chunk(b"IEND", b""))
+    expected = [
+        (0.299 * raw[3 * i] + 0.587 * raw[3 * i + 1]
+         + 0.114 * raw[3 * i + 2]) / 255
+        for i in range(width * height)
+    ]
+    assert _decode_png(png) == expected
