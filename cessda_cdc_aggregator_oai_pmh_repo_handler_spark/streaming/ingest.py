@@ -1270,3 +1270,221 @@ def streaming_event_window_counts(spark: SparkSession, source_dir: str,
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
     return stream
+
+
+def streaming_interval_align(spark: SparkSession, source_dir: str,
+                             schema: T.StructType):
+    """STREAMING interval-intersection — the ``applyInPandasWithState``
+    twin of the batch ``arrays.q_interval_align`` sweep line
+    (gate-verified vs DuckDB): per-user co-activity of the click/view
+    interval streams maintained online with O(1) state per key. The
+    open/close counters of the batch sweep ARE the state (r9 verdict
+    #5): per stream the current open island's end plus the accumulated
+    closed coverage, and one shared overlap accumulator; each incoming
+    event first advances the sweep past any STRICTLY-earlier island
+    closes (accounting a/b/both segment widths), then extends or opens
+    its stream's island — mirroring the batch's half-open [lo, hi)
+    merge (an event at s == open end EXTENDS, closes sort before opens
+    at equal t). Every emission reports totals AS IF the stream ended
+    now (both opens flushed on a copy), so stream-final rows equal the
+    batch answer exactly under in-order delivery."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.arrays import ALIGN_A, ALIGN_B, INTERVAL_HOLD_S
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("overlap_s", T.LongType()),
+        T.StructField("a_cov_s", T.LongType()),
+        T.StructField("b_cov_s", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cur_t", T.LongType()),
+        T.StructField("a_end", T.LongType()),   # -1 = no open island
+        T.StructField("b_end", T.LongType()),
+        T.StructField("a_cov", T.LongType()),
+        T.StructField("b_cov", T.LongType()),
+        T.StructField("overlap", T.LongType()),
+    ])
+
+    def account(cur_t, a_end, b_end, a_cov, b_cov, overlap, t):
+        """Advance the sweep from cur_t to t, accounting active spans
+        (clipped at each stream's island end)."""
+        a_hi = min(t, a_end) if a_end >= 0 else cur_t
+        b_hi = min(t, b_end) if b_end >= 0 else cur_t
+        if a_end >= 0 and a_hi > cur_t:
+            a_cov += a_hi - cur_t
+        if b_end >= 0 and b_hi > cur_t:
+            b_cov += b_hi - cur_t
+        both_hi = min(a_hi, b_hi)
+        if a_end >= 0 and b_end >= 0 and both_hi > cur_t:
+            overlap += both_hi - cur_t
+        if a_end >= 0 and a_end <= t:
+            a_end = -1
+        if b_end >= 0 and b_end <= t:
+            b_end = -1
+        return t, a_end, b_end, a_cov, b_cov, overlap
+
+    def update(key, pdfs, state: GroupState):
+        cur_t, a_end, b_end, a_cov, b_cov, overlap = (
+            state.get if state.exists else (0, -1, -1, 0, 0, 0))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["event_type"].isin([ALIGN_A, ALIGN_B])]
+        # batch op sorts on SECOND-truncated unix_timestamp + event_id
+        batch = batch.assign(
+            _s=batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000).sort_values(["_s", "event_id"])
+        for s, typ in zip(batch["_s"], batch["event_type"]):
+            s = int(s)
+            # advance the sweep to s: accounts active segment widths and
+            # closes islands ending at or before s. An island closed at
+            # exactly s and immediately re-opened below is contiguous
+            # half-open [lo, s) + [s, s+HOLD) — identical totals to the
+            # batch merge, which keeps it one island.
+            cur_t, a_end, b_end, a_cov, b_cov, overlap = account(
+                cur_t, a_end, b_end, a_cov, b_cov, overlap, s)
+            if typ == ALIGN_A:
+                a_end = max(a_end, s + INTERVAL_HOLD_S)
+            else:
+                b_end = max(b_end, s + INTERVAL_HOLD_S)
+        state.update((cur_t, a_end, b_end, a_cov, b_cov, overlap))
+        # flush on a copy: totals AS IF the stream ended now
+        fc, fa, fb, fav, fbv, fo = cur_t, a_end, b_end, a_cov, b_cov, overlap
+        horizon = max(fa, fb)
+        if horizon >= 0:
+            fc, fa, fb, fav, fbv, fo = account(
+                fc, fa, fb, fav, fbv, fo, horizon)
+        if fav or fbv or fo:
+            yield pd.DataFrame({
+                "user_id": [key[0]], "overlap_s": [fo],
+                "a_cov_s": [fav], "b_cov_s": [fbv],
+            })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_sequence_support(spark: SparkSession, source_dir: str,
+                               schema: T.StructType):
+    """STREAMING GSP prefix-support — the ``applyInPandasWithState`` twin
+    of the batch ``arrays.q_sequence_support`` census (gate-verified vs
+    DuckDB): per-user ordered-subsequence pattern hits over the capped
+    early-journey window, maintained with O(SEQ_CAP) state per key (the
+    journey initials string, append-only and frozen once SEQ_CAP chars
+    long — exactly the batch's slice(1, SEQ_CAP)). Every emission
+    reports ALL patterns the journey currently contains (hits are
+    monotone: appends never destroy a subsequence and the cap freezes
+    the window), so stream-final (user, pattern) rows counted per
+    pattern equal the batch support census under in-order delivery."""
+    import itertools
+    import re as re_mod
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.arrays import SEQ_CAP, SEQ_TYPES
+
+    pats = [("".join(p), re_mod.compile(".*".join(p)))
+            for n in (2, 3)
+            for p in itertools.product(SEQ_TYPES, repeat=n)]
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("pattern", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("journey", T.StringType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (journey,) = state.get if state.exists else ("",)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # batch op sorts on SECOND-truncated unix_timestamp + event_id
+        batch = batch.assign(
+            _s=batch["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000).sort_values(["_s", "event_id"])
+        for t in batch["event_type"]:
+            if len(journey) >= SEQ_CAP:
+                break
+            journey += t[0]
+        journey = journey[:SEQ_CAP]
+        state.update((journey,))
+        # search, not match: the batch RLIKE is unanchored
+        hits = [p for p, rx in pats if rx.search(journey)]
+        if hits:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(hits),
+                "pattern": hits,
+            })
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_cuped_counters(spark: SparkSession, source_dir: str,
+                             schema: T.StructType, mid_epoch_s: int):
+    """STREAMING CUPED sufficient statistics — the incremental form of
+    the batch ``arrays.q_cuped_adjustment`` per-user aggregate
+    (gate-verified vs DuckDB): per-user pre-period covariate x (events
+    at or before the split point) and post-period outcome y (purchases
+    after it), TWO integers of state per key. The split point is a
+    PARAMETER (an online experiment knows its pre/post boundary
+    a priori; the batch op derives the same integer midpoint from the
+    corpus min/max in-plan). Every emission reports (x, y) AS OF now —
+    both monotone — so stream-final rows folded into
+    (n, Σx, Σy, Σxy, Σx²) per arm reproduce θ and the adjusted means
+    exactly under in-order delivery: the live experiment-dashboard
+    feed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        x, y = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        secs = (batch["ts"].astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000)
+        for s, typ in zip(secs, batch["event_type"]):
+            if int(s) <= mid_epoch_s:
+                x += 1
+            elif typ == "purchase":
+                y += 1
+        state.update((x, y))
+        yield pd.DataFrame({"user_id": [key[0]], "x": [x], "y": [y]})
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -827,3 +827,138 @@ def test_streaming_streak_census_subsecond_tiebreak_parity(spark, tmp_path):
         got[t][0] += n_runs
         got[t][1] = max(got[t][1], max_run)
     assert {k: tuple(v) for k, v in got.items()} == batch
+
+
+def test_streaming_interval_align_matches_batch(spark, tmp_path):
+    """r9 verdict #5: the interval-intersection sweep line folds online
+    with O(1) state (the open/close counters ARE the state); stream-
+    final per-user totals (monotone nondecreasing) equal the batch
+    q_interval_align answer exactly, including the derived temporal
+    Jaccard."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_align")
+
+    stream = I.streaming_interval_align(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("align_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM align_stream").collect():
+        uid = int(r["user_id"])
+        cur = (r["overlap_s"], r["a_cov_s"], r["b_cov_s"])
+        prev = finals.get(uid, (0, 0, 0))
+        finals[uid] = tuple(max(a, b) for a, b in zip(prev, cur))
+    got = {}
+    for uid, (ov, ac, bc) in finals.items():
+        union_s = ac + bc - ov
+        got[uid] = (ov, ac, bc,
+                    (float(ov) / float(union_s)) if union_s > 0 else 0.0)
+    want = {int(r["user_id"]): (r["overlap_s"], r["a_cov_s"],
+                                r["b_cov_s"], r["time_jaccard"])
+            for r in arrays.q_interval_align(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_streaming_sequence_support_matches_batch(spark, tmp_path):
+    """r9 verdict #5: GSP prefix-support folds online with O(SEQ_CAP)
+    state (the capped journey string); stream-final (user, pattern)
+    hits counted per pattern equal the batch census exactly."""
+    from collections import defaultdict
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_gsp")
+
+    stream = I.streaming_sequence_support(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("gsp_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    hits = set()
+    for r in spark.sql("SELECT * FROM gsp_stream").collect():
+        hits.add((int(r["user_id"]), r["pattern"]))
+    support: dict = defaultdict(int)
+    for _, pat in hits:
+        support[pat] += 1
+    got = {p: n for p, n in support.items() if n >= arrays.SEQ_MINSUP}
+    want = {r["pattern"]: r["support"]
+            for r in arrays.q_sequence_support(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_streaming_cuped_counters_match_batch(spark, tmp_path):
+    """r9 verdict #5: CUPED sufficient statistics fold online with two
+    integers of state per user (split point passed as the parameter an
+    online experiment knows a priori; here the batch op's own corpus
+    midpoint). Stream-final per-user (x, y) reproduce the batch
+    per-user aggregate exactly, and folding them through the identical
+    single-shot double formula reproduces q_cuped_adjustment's
+    raw/adjusted means bit for bit."""
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_cuped")
+
+    lo, hi = events.select(
+        F.min(F.unix_timestamp("ts").cast("long")),
+        F.max(F.unix_timestamp("ts").cast("long"))).first()
+    mid = (int(lo) + int(hi)) // 2
+
+    stream = I.streaming_cuped_counters(spark, src, events.schema, mid)
+    q = (stream.writeStream.format("memory").queryName("cuped_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM cuped_stream").collect():
+        uid = int(r["user_id"])
+        cur = (int(r["x"]), int(r["y"]))
+        prev = finals.get(uid, (0, 0))
+        finals[uid] = tuple(max(a, b) for a, b in zip(prev, cur))
+    # per-user parity against the batch aggregate
+    s = F.unix_timestamp("ts").cast("long")
+    users = (events.select("user_id", "event_type", s.alias("s"))
+             .groupBy("user_id").agg(
+                 F.sum(F.when(F.col("s") <= mid, 1).otherwise(0))
+                 .cast("long").alias("x"),
+                 F.sum(F.when((F.col("s") > mid)
+                              & (F.col("event_type") == "purchase"), 1)
+                       .otherwise(0)).cast("long").alias("y")))
+    want_users = {int(r["user_id"]): (r["x"], r["y"])
+                  for r in users.collect()}
+    assert finals == want_users
+    # fold the stream finals through the identical single-shot formula
+    n_all = len(finals)
+    sx_all = sum(x for x, _ in finals.values())
+    sy_all = sum(y for _, y in finals.values())
+    sxy = sum(x * y for x, y in finals.values())
+    sxx = sum(x * x for x, _ in finals.values())
+    theta = ((float(n_all) * float(sxy) - float(sx_all) * float(sy_all))
+             / (float(n_all) * float(sxx) - float(sx_all) * float(sx_all)))
+    got_rows = {}
+    for arm in (0, 1):
+        grp = [(x, y) for uid, (x, y) in finals.items() if uid % 2 == arm]
+        n = len(grp)
+        sx = sum(x for x, _ in grp)
+        sy = sum(y for _, y in grp)
+        raw = float(sy) / float(n)
+        adj = raw - theta * (float(sx) / float(n)
+                             - float(sx_all) / float(n_all))
+        got_rows[arm] = (n, sx, sy, raw, adj)
+    want_rows = {int(r["arm"]): (r["n"], r["sx"], r["sy"],
+                                 r["raw_mean"], r["adj_mean"])
+                 for r in arrays.q_cuped_adjustment(spark, sf_dir).collect()}
+    assert got_rows == want_rows
