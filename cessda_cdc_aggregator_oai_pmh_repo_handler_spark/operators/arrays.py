@@ -3500,3 +3500,92 @@ ORACLES = {
     FROM m JOIN n USING (i)
 """,
 }
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz UP-DOWN runs test per event type: is the value
+    series random, trending, or oscillating? Consecutive moves (value
+    diffs, ties dropped — the textbook convention) classify up/down;
+    the run count R against its randomness expectation
+    μ = (2n−1)/3, σ² = (16n−29)/90 gives the z — the sequence-
+    randomness diagnostic next to mann_kendall (monotone trend) and
+    acf_lag (linear memory), and unlike both it needs NO global
+    statistic: two user-keyed… type-keyed lag windows (the acf_lag
+    partitioning exemption: event_type is low-cardinality but the
+    series per type is the object under test) and exact integer counts
+    all the way to the single-shot z."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("event_type", s.alias("s"), "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    d = (d.withColumn("_diff", F.col("value") - F.lag("value").over(w))
+         .filter(F.col("_diff").isNotNull() & (F.col("_diff") != 0.0))
+         .withColumn("_dir", (F.col("_diff") > 0).cast("int")))
+    w2 = Window.partitionBy("event_type").orderBy("s", "event_id")
+    d = d.withColumn(
+        "_chg", F.when(F.lag("_dir").over(w2).isNull()
+                       | (F.lag("_dir").over(w2) != F.col("_dir")), 1)
+        .otherwise(0))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.sum("_dir").cast("long").alias("ups"),
+        F.sum(1 - F.col("_dir")).cast("long").alias("downs"),
+        F.sum("_chg").cast("long").alias("runs"))
+    nobs = (F.col("n_moves") + 1).cast("double")
+    mu = (2.0 * nobs - 1.0) / 3.0
+    var = (16.0 * nobs - 29.0) / 90.0
+    z = F.when(var > 0.0,
+               (F.col("runs").cast("double") - mu) / F.sqrt(var)) \
+        .otherwise(F.lit(0.0))
+    return agg.select("event_type", "n_moves", "ups", "downs", "runs",
+                      z.alias("z"))
+
+
+ORACLE_RUNS_TEST = """
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id, value
+        FROM events
+    ),
+    diffs AS (
+        SELECT event_type, s, event_id,
+               value - lag(value) OVER w AS diff
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY s, event_id)
+    ),
+    moves AS (
+        SELECT event_type, s, event_id,
+               CASE WHEN diff > 0 THEN 1 ELSE 0 END AS dir
+        FROM diffs WHERE diff IS NOT NULL AND diff <> 0.0
+    ),
+    flagged AS (
+        SELECT event_type, dir,
+               CASE WHEN lag(dir) OVER w2 IS NULL
+                         OR lag(dir) OVER w2 <> dir
+                    THEN 1 ELSE 0 END AS chg
+        FROM moves
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY s, event_id)
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS n_moves,
+               sum(dir) AS ups, sum(1 - dir) AS downs,
+               sum(chg) AS runs
+        FROM flagged GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_moves AS BIGINT) AS n_moves,
+           CAST(ups AS BIGINT) AS ups,
+           CAST(downs AS BIGINT) AS downs,
+           CAST(runs AS BIGINT) AS runs,
+           CASE WHEN (16.0 * (n_moves + 1) - 29.0) / 90.0 > 0 THEN
+               (CAST(runs AS DOUBLE)
+                - (2.0 * (CAST(n_moves AS DOUBLE) + 1.0) - 1.0) / 3.0)
+               / sqrt((16.0 * (CAST(n_moves AS DOUBLE) + 1.0) - 29.0)
+                      / 90.0)
+           ELSE 0.0 END AS z
+    FROM agg
+"""
+
+ORACLES["runs_test"] = ORACLE_RUNS_TEST

@@ -1510,3 +1510,187 @@ ORACLES["clean_corpus"] = f"""
            (SELECT count(*) FROM keeper) AS after_exact,
            (SELECT count(*) FROM final) AS after_neardup
 """
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-dup graph under its OWN
+    connected-component partition — the review gate for a dedup run:
+    modularity near the maximum means the verified pairs form tight,
+    well-separated duplicate clusters; a low score means the band join
+    is bleeding borderline edges between clusters (chains). Per
+    community c: intra-edge count e_c, degree sum d_c, and the term
+    q_c = e_c/m − (d_c/(2m))² — modularity is Σ q_c, left UN-summed
+    (the logrank discipline: each hashed row is one single-shot double
+    over exact integers; cross-row float accumulation is client-side).
+    Since components ARE the partition, every edge is intra-community
+    (e_c sums to m) — the score then measures how evenly degree mass
+    splits across clusters, the null-model half of the formula.
+
+    Shape: both relations are memoized checkpoints (verified pairs,
+    components); two broadcast-ish joins map edges/degrees to
+    components, then one groupBy on the component key — edge-scale,
+    corpus-independent, no new shuffles beyond the K-row rollup."""
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    comp = q_neardup_components(spark, sf_dir)
+    m_df = pairs.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    ca = comp.select(F.col("doc_id").alias("doc_a"),
+                     F.col("component").alias("comp"))
+    intra = (pairs.join(ca, "doc_a")
+             .groupBy("comp").agg(F.count(F.lit(1)).alias("e_c")))
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
+    dsum = (deg.join(comp, "doc_id")
+            .groupBy(F.col("component").alias("comp"))
+            .agg(F.sum("deg").cast("long").alias("d_c"),
+                 F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    j = (dsum.join(intra, "comp", "left")
+         .withColumn("e_c", F.coalesce("e_c", F.lit(0)).cast("long"))
+         .crossJoin(F.broadcast(m_df)))
+    md = F.col("_m").cast("double")
+    q_term = (F.col("e_c").cast("double") / md
+              - (F.col("d_c").cast("double") / (2.0 * md))
+              * (F.col("d_c").cast("double") / (2.0 * md)))
+    return j.select("comp", "n_nodes", "e_c", "d_c",
+                    F.col("_m").alias("m"), q_term.alias("q_term"))
+
+
+def _graph_modularity_oracle() -> str:
+    # hop_distance idiom: top-level WITH RECURSIVE, NO MATERIALIZED —
+    # AS MATERIALIZED around the nested-recursive components subquery
+    # segfaults DuckDB 1.x (physical-operator type mismatch)
+    return f"""
+        WITH RECURSIVE
+        verified AS ({ORACLES['minhash_lsh_pairs']}),
+        comp AS (
+            SELECT * FROM ({ORACLES['neardup_components']}) c0),
+        m AS (SELECT count(*) AS _m FROM verified),
+        intra AS (
+            SELECT c.component AS comp, count(*) AS e_c
+            FROM verified v JOIN comp c ON v.doc_a = c.doc_id
+            GROUP BY c.component
+        ),
+        deg AS (
+            SELECT doc_id, count(*) AS deg FROM (
+                SELECT doc_a AS doc_id FROM verified
+                UNION ALL SELECT doc_b FROM verified
+            ) GROUP BY doc_id
+        ),
+        dsum AS (
+            SELECT c.component AS comp,
+                   CAST(sum(d.deg) AS BIGINT) AS d_c,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg d JOIN comp c USING (doc_id)
+            GROUP BY c.component
+        )
+        SELECT ds.comp, ds.n_nodes,
+               CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c, ds.d_c,
+               CAST(m._m AS BIGINT) AS m,
+               CAST(coalesce(i.e_c, 0) AS DOUBLE) / _m
+               - (CAST(ds.d_c AS DOUBLE) / (2.0 * _m))
+                 * (CAST(ds.d_c AS DOUBLE) / (2.0 * _m)) AS q_term
+        FROM dsum ds LEFT JOIN intra i USING (comp) CROSS JOIN m
+    """
+
+
+ORACLES["graph_modularity"] = _graph_modularity_oracle()
+QUERIES["graph_modularity"] = q_graph_modularity
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over edges) of the near-dup graph — one number separating a
+    hub-and-spoke boilerplate cluster (strongly negative: high-degree
+    template nodes linked to leaves) from clique-like mirror sets
+    (positive). Sufficient statistics fold over the 2m directed edge
+    stubs in exact integers (DECIMAL(38,0) — degree products summed
+    over edges exceed 2^53 once hubs appear, so the oracle
+    VARCHAR-routes every wide cast per tools/oracle_lint.py); r is a
+    single-shot double. One degree aggregate + two broadcast-shaped
+    joins + one global fold over the memoized edge relation."""
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
+    e = (pairs
+         .join(deg.select(F.col("doc_id").alias("doc_a"),
+                          F.col("deg").alias("da")), "doc_a")
+         .join(deg.select(F.col("doc_id").alias("doc_b"),
+                          F.col("deg").alias("db")), "doc_b"))
+    # symmetrized stubs: each edge contributes (da,db) and (db,da)
+    stubs = (e.select(F.col("da").alias("x"), F.col("db").alias("y"))
+             .unionByName(e.select(F.col("db").alias("x"),
+                                   F.col("da").alias("y"))))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    agg = stubs.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"))
+    nd = F.col("n2").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    denom = nd * sxxd - sxd * sxd
+    r = F.when(denom > 0.0,
+               (nd * sxyd - sxd * sxd) / denom).otherwise(F.lit(0.0))
+    return agg.select(
+        "n2",
+        sxd.alias("sum_deg"),
+        sxyd.alias("sum_prod"),
+        sxxd.alias("sum_sq"),
+        r.alias("assortativity"))
+
+
+def _degree_assortativity_oracle() -> str:
+    return f"""
+        WITH verified AS MATERIALIZED ({ORACLES['minhash_lsh_pairs']}),
+        deg AS (
+            SELECT doc_id, count(*) AS deg FROM (
+                SELECT doc_a AS doc_id FROM verified
+                UNION ALL SELECT doc_b FROM verified
+            ) GROUP BY doc_id
+        ),
+        e AS (
+            SELECT x.deg AS da, y.deg AS db
+            FROM verified v
+            JOIN deg x ON v.doc_a = x.doc_id
+            JOIN deg y ON v.doc_b = y.doc_id
+        ),
+        stubs AS (
+            SELECT da AS x, db AS y FROM e
+            UNION ALL SELECT db, da FROM e
+        ),
+        agg AS (
+            SELECT count(*) AS n2,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM stubs
+        )
+        SELECT CAST(n2 AS BIGINT) AS n2,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sum_deg,
+               CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sum_prod,
+               CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sum_sq,
+               CASE WHEN CAST(n2 AS DOUBLE)
+                         * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(sx AS VARCHAR) AS DOUBLE) > 0
+               THEN (CAST(n2 AS DOUBLE)
+                     * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE)
+                       * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               ELSE 0.0 END AS assortativity
+        FROM agg
+    """
+
+
+ORACLES["degree_assortativity"] = _degree_assortativity_oracle()
+QUERIES["degree_assortativity"] = q_degree_assortativity

@@ -4613,3 +4613,294 @@ ORACLES["fellegi_sunter"] = f"""
            AS w_disagree
     FROM agg
 """
+
+
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of each source's vocabulary plus
+    the Good-Turing unseen-probability mass — the corpus-coverage pair
+    that answers "how much vocabulary have we NOT seen yet" (Chao1's
+    lower bound on true vocabulary from singleton/doubleton counts) and
+    "how much probability mass will the next token spend on novel
+    types" (f1/N). The sampling-theory complement of heaps_law (a fit)
+    and vocab_coverage (observed head coverage). All sufficient
+    statistics — types V, tokens N, singletons f1, doubletons f2 — are
+    exact integers from the one token-explode groupBy (map-side
+    combinable); chao1 = V + f1(f1−1)/(2(f2+1)) (the bias-corrected
+    form, defined at f2=0) and gt_unseen = f1/N are single-shot
+    doubles."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("source", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("types"),
+        F.sum("c").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+        .alias("f2"))
+    f1d = F.col("f1").cast("double")
+    chao1 = (F.col("types").cast("double")
+             + f1d * (f1d - 1.0)
+             / (2.0 * (F.col("f2").cast("double") + 1.0)))
+    return agg.select("source", "types", "tokens", "f1", "f2",
+                      chao1.alias("chao1"),
+                      (f1d / F.col("tokens").cast("double"))
+                      .alias("gt_unseen"))
+
+
+ORACLES["chao1_richness"] = """
+    WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+        FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS types,
+           CAST(sum(c) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(count(*) AS DOUBLE)
+           + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             * (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                - 1.0)
+             / (2.0 * (CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                            AS DOUBLE) + 1.0)) AS chao1,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(sum(c) AS DOUBLE) AS gt_unseen
+    FROM sw GROUP BY source
+"""
+QUERIES["chao1_richness"] = q_chao1_richness
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank terms across ALL sources' document lengths —
+    the k-group extension of mann_whitney (is at least one source's
+    length distribution shifted?). Same exactness discipline: DOUBLED
+    midranks (2R = 2·before + ties + 1, an integer) from the
+    value-histogram relation via the tiny broadcast prefix self-join;
+    per-source Σ2R folds in DECIMAL(38,0) (VARCHAR-routed to DOUBLE in
+    the oracle per tools/oracle_lint.py). The hashed surface is the
+    per-source term table — n, rank-sum, mean rank, and the source's
+    h_term = 12·R̄²·n/(N(N+1)) — with the Σ and the −3(N+1) shift left
+    client-side (the logrank discipline: no cross-row float
+    accumulation in the hashed surface)."""
+    d = load_table(spark, "documents", sf_dir).select("source", "n_chars")
+    vals = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    before = (
+        vals.alias("v1")
+        .join(F.broadcast(vals.alias("v2")),
+              F.col("v2.n_chars") < F.col("v1.n_chars"), "left")
+        .groupBy(F.col("v1.n_chars").alias("n_chars"),
+                 F.col("v1.c").alias("c"))
+        .agg(F.coalesce(F.sum("v2.c"), F.lit(0)).alias("before"))
+        .select("n_chars",
+                (F.lit(2) * F.col("before") + F.col("c") + 1).alias("r2"))
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    per_src = (
+        d.join(F.broadcast(before), "n_chars")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(F.col("r2").cast("decimal(19,0)"))
+             .cast("decimal(38,0)").alias("r2sum"))
+        .crossJoin(F.broadcast(tot)))
+    nd = F.col("n").cast("double")
+    ntd = F.col("n_tot").cast("double")
+    mean_rank = F.col("r2sum").cast("double") / (2.0 * nd)
+    h_term = (12.0 * mean_rank * mean_rank * nd
+              / (ntd * (ntd + 1.0)))
+    return per_src.select(
+        "source", "n", "n_tot",
+        F.col("r2sum").cast("double").alias("rank_sum2"),
+        mean_rank.alias("mean_rank"),
+        h_term.alias("h_term"))
+
+
+ORACLES["kruskal_wallis"] = """
+    WITH d AS (SELECT source, n_chars FROM documents),
+    vals AS (SELECT n_chars, count(*) AS c FROM d GROUP BY n_chars),
+    before AS (
+        SELECT v1.n_chars,
+               2 * coalesce(sum(v2.c), 0) + v1.c + 1 AS r2
+        FROM vals v1 LEFT JOIN vals v2 ON v2.n_chars < v1.n_chars
+        GROUP BY v1.n_chars, v1.c
+    ),
+    tot AS (SELECT count(*) AS n_tot FROM d),
+    per_src AS (
+        SELECT d.source, count(*) AS n,
+               sum(CAST(b.r2 AS HUGEINT)) AS r2sum
+        FROM d JOIN before b USING (n_chars)
+        GROUP BY d.source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_tot AS BIGINT) AS n_tot,
+           CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) AS rank_sum2,
+           CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) / (2.0 * n) AS mean_rank,
+           12.0 * (CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) / (2.0 * n))
+                * (CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) / (2.0 * n))
+                * CAST(n AS DOUBLE)
+           / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0))
+               AS h_term
+    FROM per_src CROSS JOIN tot
+"""
+QUERIES["kruskal_wallis"] = q_kruskal_wallis
+
+
+HELLINGER_SCALE = 10 ** 12
+
+
+def q_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between every source pair's document-length
+    distributions — the bounded [0,1] geometric companion to
+    wasserstein_1d (mass transport) and js_divergence (information):
+    H² = 1 − Σ√(p·q). The float-accumulation hazard (Σ over grid rows
+    of irrational √ terms is merge-order-dependent) is absorbed by the
+    bm25 micro-unit discipline: each term is floor(√(pₐ·p_b)·10¹²) — a
+    single-shot double pipeline (two exact-int divisions, one multiply,
+    one correctly-rounded sqrt, one floor) that lands on an exact
+    integer — and the SUM of those integers is merge-order-free. BC and
+    H then are single-shot doubles off the scaled-integer coefficient.
+    All machinery on the sources×values histogram grid (value-bounded,
+    corpus-independent), the wasserstein join shape."""
+    d = load_table(spark, "documents", sf_dir)
+    hist = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c"))
+    srcs = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    h = hist.join(srcs, "source")
+    a = h.select(F.col("source").alias("src_a"), "n_chars",
+                 F.col("c").alias("ca"), F.col("n").alias("n_a"))
+    b = h.select(F.col("source").alias("src_b"),
+                 F.col("n_chars").alias("v_b"),
+                 F.col("c").alias("cb"), F.col("n").alias("n_b"))
+    j = a.join(b, (F.col("src_a") < F.col("src_b"))
+               & (F.col("n_chars") == F.col("v_b")))
+    term = F.floor(F.sqrt(
+        (F.col("ca").cast("double") / F.col("n_a").cast("double"))
+        * (F.col("cb").cast("double") / F.col("n_b").cast("double")))
+        * F.lit(float(HELLINGER_SCALE))).cast("decimal(38,0)")
+    agg = (j.groupBy("src_a", "src_b", "n_a", "n_b")
+           .agg(F.sum(term).cast("decimal(38,0)").alias("bc_scaled")))
+    bc = F.col("bc_scaled").cast("double") / F.lit(float(HELLINGER_SCALE))
+    return agg.select(
+        "src_a", "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("bc_scaled").cast("double").alias("bc_scaled"),
+        F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc))
+        .alias("hellinger"))
+
+
+ORACLES["hellinger_distance"] = f"""
+    WITH hist AS (
+        SELECT source, n_chars, count(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+             FROM hist GROUP BY source),
+    h AS (SELECT hist.source, n_chars, c, n
+          FROM hist JOIN srcs USING (source)),
+    j AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b,
+               CAST(floor(sqrt(
+                   (CAST(a.c AS DOUBLE) / a.n)
+                   * (CAST(b.c AS DOUBLE) / b.n))
+                   * {HELLINGER_SCALE}.0) AS HUGEINT) AS term
+        FROM h a JOIN h b
+          ON a.source < b.source AND a.n_chars = b.n_chars
+    ),
+    agg AS (
+        SELECT src_a, src_b, n_a, n_b, sum(term) AS bc_scaled
+        FROM j GROUP BY src_a, src_b, n_a, n_b
+    )
+    SELECT src_a, src_b, n_a, n_b,
+           CAST(CAST(bc_scaled AS VARCHAR) AS DOUBLE) AS bc_scaled,
+           sqrt(greatest(0.0,
+                1.0 - CAST(CAST(bc_scaled AS VARCHAR) AS DOUBLE)
+                      / {HELLINGER_SCALE}.0)) AS hellinger
+    FROM agg
+"""
+QUERIES["hellinger_distance"] = q_hellinger_distance
+
+
+COCHRAN_CLS = 3  # length rule, ' the ' rule, ' and ' rule
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE deterministic English classifiers of the
+    same documents — the k-classifier extension of mcnemar_paired (are
+    the classifiers' accuracies jointly distinguishable, given they saw
+    identical items?): A = length rule (n_chars > threshold), B =
+    lexical ' the ', C = lexical ' and '. Sufficient statistics are all
+    exact integers from ONE corpus pass (per-classifier correct counts
+    G_j and the per-document correct-count moments ΣL, ΣL²);
+    Q = k(k−1)(ΣG² − (ΣG)²/k) / (k·ΣL − ΣL²) is a single-shot double,
+    guarded at the degenerate denominator (all documents scored
+    identically by all classifiers) like mcnemar's b+c=0 pin."""
+    d = load_table(spark, "documents", sf_dir)
+    truth = (F.col("lang") == "en").cast("int")
+    preds = [
+        (F.col("n_chars") > MCNEMAR_LEN_THR).cast("int"),
+        (F.instr(F.col("text"), " the ") > 0).cast("int"),
+        (F.instr(F.col("text"), " and ") > 0).cast("int"),
+    ]
+    oks = [(p == truth).cast("int").alias(f"ok{i}")
+           for i, p in enumerate(preds)]
+    flags = d.select(*oks)
+    lsum = sum(F.col(f"ok{i}") for i in range(COCHRAN_CLS))
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(F.col(f"ok{i}")).cast("long").alias(f"g{i + 1}")
+          for i in range(COCHRAN_CLS)],
+        F.sum(lsum).cast("long").alias("sum_l"),
+        F.sum(lsum * lsum).cast("long").alias("sum_l2"))
+    k = float(COCHRAN_CLS)
+    gs = [F.col(f"g{i + 1}").cast("double") for i in range(COCHRAN_CLS)]
+    gsum = gs[0] + gs[1] + gs[2]
+    gsq = gs[0] * gs[0] + gs[1] * gs[1] + gs[2] * gs[2]
+    denom = k * F.col("sum_l").cast("double") \
+        - F.col("sum_l2").cast("double")
+    q = F.when(denom > 0.0,
+               F.lit(k) * F.lit(k - 1.0) * (gsq - gsum * gsum / F.lit(k))
+               / denom).otherwise(F.lit(0.0))
+    return agg.select("n", "g1", "g2", "g3", "sum_l", "sum_l2",
+                      q.alias("cochran_q"))
+
+
+ORACLES["cochran_q"] = f"""
+    WITH flags AS (
+        SELECT CASE WHEN (n_chars > {MCNEMAR_LEN_THR})
+                        = (lang = 'en') THEN 1 ELSE 0 END AS ok0,
+               CASE WHEN (strpos(text, ' the ') > 0)
+                        = (lang = 'en') THEN 1 ELSE 0 END AS ok1,
+               CASE WHEN (strpos(text, ' and ') > 0)
+                        = (lang = 'en') THEN 1 ELSE 0 END AS ok2
+        FROM documents
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(ok0) AS g1, sum(ok1) AS g2, sum(ok2) AS g3,
+               sum(ok0 + ok1 + ok2) AS sum_l,
+               sum((ok0 + ok1 + ok2) * (ok0 + ok1 + ok2)) AS sum_l2
+        FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(g1 AS BIGINT) AS g1,
+           CAST(g2 AS BIGINT) AS g2,
+           CAST(g3 AS BIGINT) AS g3,
+           CAST(sum_l AS BIGINT) AS sum_l,
+           CAST(sum_l2 AS BIGINT) AS sum_l2,
+           CASE WHEN 3.0 * sum_l - sum_l2 > 0 THEN
+               3.0 * 2.0
+               * (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2
+                  + CAST(g3 AS DOUBLE) * g3
+                  - (CAST(g1 AS DOUBLE) + g2 + g3)
+                    * (CAST(g1 AS DOUBLE) + g2 + g3) / 3.0)
+               / (3.0 * CAST(sum_l AS DOUBLE) - sum_l2)
+           ELSE 0.0 END AS cochran_q
+    FROM agg
+"""
+QUERIES["cochran_q"] = q_cochran_q

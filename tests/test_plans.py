@@ -639,7 +639,11 @@ def test_round9_new_ops_no_cartesian(spark):
               TA.q_burrows_delta, TA.q_lexical_diversity,
               DD.q_kcore_census, AR.q_interval_align,
               RE.q_feature_hashing, DD.q_semantic_split_leakage,
-              RE.q_theil_sen, AR.q_sequence_support):
+              RE.q_theil_sen, AR.q_sequence_support,
+              TA.q_chao1_richness, TA.q_kruskal_wallis,
+              TA.q_hellinger_distance, TA.q_cochran_q,
+              DD.q_graph_modularity, DD.q_degree_assortativity,
+              AR.q_runs_test):
         plan = plan_of(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
     # permutation_entropy's fact windows must key on user_id, never run
