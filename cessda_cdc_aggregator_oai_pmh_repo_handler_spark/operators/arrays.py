@@ -3589,3 +3589,147 @@ ORACLE_RUNS_TEST = """
 """
 
 ORACLES["runs_test"] = ORACLE_RUNS_TEST
+
+
+def q_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker symmetry test of the event-type transition matrix — the
+    K×K generalization of McNemar: is traffic i→j balanced by j→i, or
+    does the chain have directional drift (funnels)? Rides the memoized
+    ``_markov_pair_counts`` spine ('all' variant), so the corpus pass is
+    shared with markov_stationary/transition_entropy; everything below
+    is a K²-row self-join. Per unordered pair {i<j}: the two directed
+    counts and the continuity-free χ² term (n_ij−n_ji)²/(n_ij+n_ji),
+    guarded at n_ij+n_ji=0 (the mcnemar degenerate pin); the Σ over
+    pairs and the df count are client-side (logrank discipline)."""
+    m = (_markov_pair_counts(spark, sf_dir)
+         .filter(F.col("variant") == "all").select("i", "j", "c"))
+    a = m.filter(F.col("i") < F.col("j"))
+    b = (m.filter(F.col("i") > F.col("j"))
+         .select(F.col("j").alias("i"), F.col("i").alias("j"),
+                 F.col("c").alias("c_rev")))
+    jn = a.join(b, ["i", "j"], "full_outer")
+    nij = F.coalesce(F.col("c"), F.lit(0)).cast("long")
+    nji = F.coalesce(F.col("c_rev"), F.lit(0)).cast("long")
+    diff = nij.cast("double") - nji.cast("double")
+    tot = nij.cast("double") + nji.cast("double")
+    term = F.when(tot > 0.0, diff * diff / tot).otherwise(F.lit(0.0))
+    return jn.select("i", "j", nij.alias("n_ij"), nji.alias("n_ji"),
+                     term.alias("chi_term"))
+
+
+ORACLE_BOWKER = """
+    WITH d AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT lag(event_type) OVER w AS i, event_type AS j
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    m AS (SELECT i, j, count(*) AS c FROM pairs
+          WHERE i IS NOT NULL GROUP BY i, j),
+    a AS (SELECT i, j, c FROM m WHERE i < j),
+    b AS (SELECT j AS i, i AS j, c AS c_rev FROM m WHERE i > j),
+    jn AS (
+        SELECT coalesce(a.i, b.i) AS i, coalesce(a.j, b.j) AS j,
+               coalesce(a.c, 0) AS n_ij, coalesce(b.c_rev, 0) AS n_ji
+        FROM a FULL OUTER JOIN b ON a.i = b.i AND a.j = b.j
+    )
+    SELECT i, j,
+           CAST(n_ij AS BIGINT) AS n_ij,
+           CAST(n_ji AS BIGINT) AS n_ji,
+           CASE WHEN n_ij + n_ji > 0 THEN
+               (CAST(n_ij AS DOUBLE) - n_ji)
+               * (CAST(n_ij AS DOUBLE) - n_ji)
+               / (CAST(n_ij AS DOUBLE) + n_ji)
+           ELSE 0.0 END AS chi_term
+    FROM jn
+"""
+ORACLES["bowker_symmetry"] = ORACLE_BOWKER
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank terms: blocks = users, treatments = event types,
+    response = the user's count of that type — the within-subject
+    k-treatment test (kruskal_wallis ranks globally; Friedman ranks
+    WITHIN each user, cancelling per-user activity level). The K-grid
+    per user (users × K rows, K = type vocabulary) fills absent cells
+    with 0; DOUBLED midranks come from two user-keyed windows (min-rank
+    + tie count: 2R = 2(rank−1) + t + 1, an exact integer). Hashed
+    per-type rows carry n, Σ2R (DECIMAL(38,0), VARCHAR-routed in the
+    oracle), the mean rank, and the type's χ² contribution
+    12·n·(R̄−(k+1)/2)²/(k(k+1)); Σ over types is client-side."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    types = cnt.select("event_type").distinct()
+    users = cnt.select("user_id").distinct()
+    grid = (users.crossJoin(F.broadcast(types))
+            .join(cnt, ["user_id", "event_type"], "left")
+            .withColumn("cnt", F.coalesce("cnt", F.lit(0))))
+    w_rank = Window.partitionBy("user_id").orderBy("cnt")
+    w_tie = Window.partitionBy("user_id", "cnt")
+    grid = (grid.withColumn("_minr", F.rank().over(w_rank))
+            .withColumn("_t", F.count(F.lit(1)).over(w_tie))
+            .withColumn("r2", 2 * (F.col("_minr") - 1) + F.col("_t") + 1))
+    kdf = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    per_type = (grid.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum(F.col("r2").cast("decimal(19,0)"))
+                     .cast("decimal(38,0)").alias("r2sum"))
+                .crossJoin(F.broadcast(kdf)))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    mean_rank = F.col("r2sum").cast("double") / (2.0 * nd)
+    dev = mean_rank - (kd + 1.0) / 2.0
+    chi_term = 12.0 * nd * dev * dev / (kd * (kd + 1.0))
+    return per_type.select(
+        "event_type", "n", F.col("k").alias("k"),
+        F.col("r2sum").cast("double").alias("rank_sum2"),
+        mean_rank.alias("mean_rank"),
+        chi_term.alias("chi_term"))
+
+
+ORACLE_FRIEDMAN = """
+    WITH cnt AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    types AS (SELECT DISTINCT event_type FROM cnt),
+    users AS (SELECT DISTINCT user_id FROM cnt),
+    grid AS (
+        SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS cnt
+        FROM users u CROSS JOIN types t
+        LEFT JOIN cnt c ON c.user_id = u.user_id
+                       AND c.event_type = t.event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type,
+               2 * (rank() OVER (PARTITION BY user_id ORDER BY cnt) - 1)
+               + count(*) OVER (PARTITION BY user_id, cnt) + 1 AS r2
+        FROM grid
+    ),
+    kdf AS (SELECT count(*) AS k FROM types),
+    per_type AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(r2 AS HUGEINT)) AS r2sum
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) AS rank_sum2,
+           CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) / (2.0 * n) AS mean_rank,
+           12.0 * CAST(n AS DOUBLE)
+           * (CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) / (2.0 * n)
+              - (CAST(k AS DOUBLE) + 1.0) / 2.0)
+           * (CAST(CAST(r2sum AS VARCHAR) AS DOUBLE) / (2.0 * n)
+              - (CAST(k AS DOUBLE) + 1.0) / 2.0)
+           / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) AS chi_term
+    FROM per_type CROSS JOIN kdf
+"""
+ORACLES["friedman_test"] = ORACLE_FRIEDMAN

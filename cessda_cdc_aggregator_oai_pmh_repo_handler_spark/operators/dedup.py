@@ -1694,3 +1694,72 @@ def _degree_assortativity_oracle() -> str:
 
 ORACLES["degree_assortativity"] = _degree_assortativity_oracle()
 QUERIES["degree_assortativity"] = q_degree_assortativity
+
+
+SIMHASH_DOC_CAP = 200  # q_simhash_pairs' bounded id window
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of the TRUE
+    duplicate-pair population from two independent detectors — MinHash
+    (within the simhash comparison window) as capture one, SimHash as
+    capture two: N̂ = |A|·|B| / |A∩B|, with the pair-set Jaccard as the
+    agreement readout. The dedup-QA question it answers — "how many
+    duplicate pairs do BOTH sweeps miss?" — is exactly what
+    single-method recall numbers can't see. Both pair relations are
+    memoized checkpoints; the intersection is one equi-join on the
+    oriented pair key. Chapman's (+1) bias-corrected variant rides
+    along, defined even at zero overlap."""
+    win = (q_minhash_lsh_pairs(spark, sf_dir)
+           .filter((F.col("doc_a") < SIMHASH_DOC_CAP)
+                   & (F.col("doc_b") < SIMHASH_DOC_CAP))
+           .select("doc_a", "doc_b"))
+    sim = q_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    na = win.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = sim.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    ov = (win.join(sim, ["doc_a", "doc_b"])
+          .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
+    j = na.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(ov))
+    ad, bd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    od = F.col("overlap").cast("double")
+    lincoln = F.when(F.col("overlap") > 0, ad * bd / od) \
+        .otherwise(F.lit(0.0))
+    chapman = ((ad + 1.0) * (bd + 1.0) / (od + 1.0)) - 1.0
+    union = ad + bd - od
+    jac = F.when(union > 0.0, od / union).otherwise(F.lit(0.0))
+    return j.select("n_a", "n_b", "overlap",
+                    lincoln.alias("lincoln"),
+                    chapman.alias("chapman"),
+                    jac.alias("pair_jaccard"))
+
+
+def _capture_recapture_oracle() -> str:
+    return f"""
+        WITH mh AS MATERIALIZED ({ORACLES['minhash_lsh_pairs']}),
+        win AS (SELECT doc_a, doc_b FROM mh
+                WHERE doc_a < {SIMHASH_DOC_CAP}
+                  AND doc_b < {SIMHASH_DOC_CAP}),
+        sh AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({ORACLES['simhash_pairs']}) s0),
+        na AS (SELECT count(*) AS n_a FROM win),
+        nb AS (SELECT count(*) AS n_b FROM sh),
+        ov AS (SELECT count(*) AS overlap
+               FROM win JOIN sh USING (doc_a, doc_b))
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(overlap AS BIGINT) AS overlap,
+               CASE WHEN overlap > 0
+               THEN CAST(n_a AS DOUBLE) * n_b / overlap
+               ELSE 0.0 END AS lincoln,
+               (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+               / (CAST(overlap AS DOUBLE) + 1.0) - 1.0 AS chapman,
+               CASE WHEN CAST(n_a AS DOUBLE) + n_b - overlap > 0
+               THEN CAST(overlap AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) + n_b - overlap)
+               ELSE 0.0 END AS pair_jaccard
+        FROM na CROSS JOIN nb CROSS JOIN ov
+    """
+
+
+ORACLES["capture_recapture"] = _capture_recapture_oracle()
+QUERIES["capture_recapture"] = q_capture_recapture
