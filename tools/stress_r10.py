@@ -43,7 +43,10 @@ from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
 
 SRC = "/root/testdata/sf0.1"
 REPS = 10
-OFF = 10 ** 9  # key offset per replica; sf0.1 keys are far below this
+# key offset per replica: sf0.1 keys are far below 1e8, and the result
+# must survive spatial.py's Knuth multiplicative hash (key * ~2.65e9)
+# within int64 — rep*1e9 offsets overflowed there
+OFF = 10 ** 8
 
 # per-table integer key columns to shift by rep*OFF (PK + FKs into other
 # replicated tables; nation/region keys stay — they are dimensions)
@@ -145,16 +148,21 @@ def main() -> None:
     report: dict = {}
     for name, fn in OPS.items():
         times: dict = {}
-        for label, sf in scales:
-            clear_corpus_caches(spark)
-            fn(spark, sf).collect()  # cold build (memo caches cleared)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rows = len(fn(spark, sf).collect())
-                best = min(best, time.perf_counter() - t0)
-            times[label] = round(best, 3)
-            times[f"rows_{label}"] = rows
+        try:
+            for label, sf in scales:
+                clear_corpus_caches(spark)
+                fn(spark, sf).collect()  # cold build (caches cleared)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = len(fn(spark, sf).collect())
+                    best = min(best, time.perf_counter() - t0)
+                times[label] = round(best, 3)
+                times[f"rows_{label}"] = rows
+        except Exception as ex:  # one op must not kill the ladder
+            report[name] = {**times, "error": repr(ex)[:300]}
+            print(f"{name}: ERROR {ex!r}"[:200], file=sys.stderr)
+            continue
         r10 = round(times["0.1"] / max(times["0.01"], 1e-9), 2)
         r100 = round(times["1"] / max(times["0.01"], 1e-9), 2)
         report[name] = {**times, "t_ratio_10x_data": r10,
