@@ -3733,3 +3733,55 @@ ORACLE_FRIEDMAN = """
     FROM per_type CROSS JOIN kdf
 """
 ORACLES["friedman_test"] = ORACLE_FRIEDMAN
+
+
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-event gap census per event type — the
+    distributional readout fano_burstiness compresses to one number:
+    which timescales carry the traffic (sub-second bursts vs hourly
+    returns vs dormancy), as a ≤40-bucket-per-type relation. Gaps come
+    from the per-user lag (exact epoch-second integers); the log2
+    bucket is floor(log2(gap)) computed INTEGER-exactly as the bit
+    length of the gap minus one — length of the binary representation
+    (Spark ``conv(gap, 10, 2)``, DuckDB ``bin(gap)``) — never floating
+    log, whose boundary behavior at exact powers of two is an ulp
+    hazard. Zero gaps (same-second events) bucket at −1."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    d = e.select("event_type", "user_id", s.alias("s"), "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    d = (d.withColumn("gap", F.col("s") - F.lag("s").over(w))
+         .filter(F.col("gap").isNotNull()))
+    bucket = F.when(F.col("gap") <= 0, F.lit(-1)) \
+        .otherwise(F.length(F.conv(F.col("gap").cast("string"),
+                                   10, 2)) - 1)
+    g = d.select("event_type", bucket.cast("long").alias("bucket"))
+    return (g.groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+ORACLE_GAP_HISTOGRAM = """
+    WITH d AS (
+        SELECT event_type, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type, s - lag(s) OVER w AS gap
+        FROM d
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY s, event_id)
+    )
+    SELECT event_type,
+           CAST(CASE WHEN gap <= 0 THEN -1
+                     ELSE length(ltrim(bin(CAST(gap AS BIGINT)), '0')) - 1
+                END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY event_type, CASE WHEN gap <= 0 THEN -1
+                              ELSE length(ltrim(bin(CAST(gap AS BIGINT)),
+                                                '0')) - 1 END
+"""
+ORACLES["gap_histogram"] = ORACLE_GAP_HISTOGRAM

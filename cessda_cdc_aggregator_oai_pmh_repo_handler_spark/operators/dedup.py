@@ -1763,3 +1763,85 @@ def _capture_recapture_oracle() -> str:
 
 ORACLES["capture_recapture"] = _capture_recapture_oracle()
 QUERIES["capture_recapture"] = q_capture_recapture
+
+
+RICH_CLUB_KS = (1, 2, 3)
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the near-dup graph at degree thresholds
+    k ∈ RICH_CLUB_KS: among nodes of degree > k, what fraction of their
+    possible pairings are actual edges — φ(k) = 2·E_k/(N_k(N_k−1)).
+    High-degree template/boilerplate hubs that also link to EACH OTHER
+    (a rich club) mean one mega-cluster is forming; hubs that don't are
+    independent template families. The density stratification sibling
+    of kcore (peeling) and assortativity (correlation). All three k
+    thresholds ride ONE tagged relation (the kcore trick): degrees from
+    one aggregate over the memoized pairs, the club edge count from a
+    double semi-join per tag — edge-scale throughout. N_k(N_k−1) stays
+    an exact integer product of BIGINTs (< 2^53 territory after the
+    double cast on both engines; the product is formed as a DOUBLE of
+    two exact ints — correctly-rounded once, bit-identical)."""
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
+    ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], ["k"])
+    club = (deg.crossJoin(F.broadcast(ks))
+            .filter(F.col("deg") > F.col("k"))
+            .select("k", "doc_id"))
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    e = pairs.crossJoin(F.broadcast(ks)).select("k", "doc_a", "doc_b")
+    ek = (e.join(club.withColumnRenamed("doc_id", "doc_a"),
+                 ["k", "doc_a"], "left_semi")
+          .join(club.withColumnRenamed("doc_id", "doc_b"),
+                ["k", "doc_b"], "left_semi")
+          .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("e_k")))
+    j = nk.join(ek, "k", "left").withColumn(
+        "e_k", F.coalesce("e_k", F.lit(0)).cast("long"))
+    nkd = F.col("n_k").cast("double")
+    phi = F.when(F.col("n_k") >= 2,
+                 2.0 * F.col("e_k").cast("double")
+                 / (nkd * (nkd - 1.0))).otherwise(F.lit(0.0))
+    return j.select(F.col("k").cast("long").alias("k"),
+                    "n_k", "e_k", phi.alias("phi"))
+
+
+def _rich_club_oracle() -> str:
+    ks_rows = ", ".join(f"({k})" for k in RICH_CLUB_KS)
+    return f"""
+        WITH verified AS MATERIALIZED ({ORACLES['minhash_lsh_pairs']}),
+        deg AS (
+            SELECT doc_id, count(*) AS deg FROM (
+                SELECT doc_a AS doc_id FROM verified
+                UNION ALL SELECT doc_b FROM verified
+            ) GROUP BY doc_id
+        ),
+        ks(k) AS (VALUES {ks_rows}),
+        club AS (
+            SELECT k, doc_id FROM deg CROSS JOIN ks WHERE deg > k
+        ),
+        nk AS (SELECT k, count(*) AS n_k FROM club GROUP BY k),
+        ek AS (
+            SELECT ks.k, count(*) AS e_k
+            FROM verified v CROSS JOIN ks
+            WHERE EXISTS (SELECT 1 FROM club c
+                          WHERE c.k = ks.k AND c.doc_id = v.doc_a)
+              AND EXISTS (SELECT 1 FROM club c
+                          WHERE c.k = ks.k AND c.doc_id = v.doc_b)
+            GROUP BY ks.k
+        )
+        SELECT CAST(nk.k AS BIGINT) AS k,
+               CAST(nk.n_k AS BIGINT) AS n_k,
+               CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+               CASE WHEN nk.n_k >= 2
+               THEN 2.0 * CAST(coalesce(ek.e_k, 0) AS DOUBLE)
+                    / (CAST(nk.n_k AS DOUBLE) * (CAST(nk.n_k AS DOUBLE) - 1.0))
+               ELSE 0.0 END AS phi
+        FROM nk LEFT JOIN ek ON nk.k = ek.k
+    """
+
+
+ORACLES["rich_club"] = _rich_club_oracle()
+QUERIES["rich_club"] = q_rich_club

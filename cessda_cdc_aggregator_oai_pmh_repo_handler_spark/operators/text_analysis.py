@@ -4904,3 +4904,52 @@ ORACLES["cochran_q"] = f"""
     FROM agg
 """
 QUERIES["cochran_q"] = q_cochran_q
+
+
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the classic repeat-rate
+    statistic K = 10⁴·(Σc² − N)/N² (vocabulary-size-free, unlike TTR;
+    the stylometric constant next to lexical_diversity's TTR/Herdan and
+    burrows_delta's z-profile). Σc² is an exact DECIMAL(38,0) integer
+    (word counts squared exceed 2^53 on big corpora, so the oracle
+    VARCHAR-routes the HUGEINT per tools/oracle_lint.py); K is one
+    single-shot double. One token-explode groupBy, map-side
+    combinable."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("source", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    cdec = F.col("c").cast("decimal(19,0)")
+    agg = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("types"),
+        F.sum("c").cast("long").alias("tokens"),
+        F.sum(cdec * cdec).cast("decimal(38,0)").alias("s2"))
+    nd = F.col("tokens").cast("double")
+    k = 10000.0 * (F.col("s2").cast("double") - nd) / (nd * nd)
+    return agg.select("source", "types", "tokens",
+                      F.col("s2").cast("double").alias("sum_c2"),
+                      k.alias("yule_k"))
+
+
+ORACLES["yule_k"] = """
+    WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+        FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+    agg AS (
+        SELECT source, count(*) AS types, sum(c) AS tokens,
+               sum(CAST(c AS HUGEINT) * c) AS s2
+        FROM sw GROUP BY source
+    )
+    SELECT source,
+           CAST(types AS BIGINT) AS types,
+           CAST(tokens AS BIGINT) AS tokens,
+           CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS sum_c2,
+           10000.0 * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                      - CAST(tokens AS DOUBLE))
+           / (CAST(tokens AS DOUBLE) * CAST(tokens AS DOUBLE)) AS yule_k
+    FROM agg
+"""
+QUERIES["yule_k"] = q_yule_k
