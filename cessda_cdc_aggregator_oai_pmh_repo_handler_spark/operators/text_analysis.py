@@ -2100,13 +2100,12 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shot double above exact integers. The pairwise Delta fold is
     client-side (the logrank discipline: no cross-row float accumulation
     in the hashed surface). Everything above the one token-explode
-    groupBy runs on vocabulary- or K-sized relations."""
+    groupBy (the memoized ``_source_word_counts`` relation shared with
+    chao1/yule_k/lexical_diversity) runs on vocabulary- or K-sized
+    relations."""
     from pyspark.sql import Window
 
-    d = load_table(spark, "documents", sf_dir)
-    tok = d.select("source", F.explode(
-        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
-    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    sw = _source_word_counts(spark, sf_dir)
     stot = sw.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
     wtot = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
     top = (wtot.withColumn(
@@ -2147,11 +2146,10 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     word) counts; V and N fold from that vocabulary-sized relation with
     map-side partials. TTR is a single-shot division of exact integers;
     Herdan's C is transcendental and hashes through round(·, 6) (the
-    house ln absorber)."""
-    d = load_table(spark, "documents", sf_dir)
-    tok = d.select("source", F.explode(
-        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
-    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    house ln absorber). Counts come from the memoized
+    ``_source_word_counts`` relation shared across the stylometry
+    family."""
+    sw = _source_word_counts(spark, sf_dir)
     agg = sw.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("types"),
         F.sum("c").cast("long").alias("tokens"))
@@ -4627,11 +4625,9 @@ def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers from the one token-explode groupBy (map-side
     combinable); chao1 = V + f1(f1−1)/(2(f2+1)) (the bias-corrected
     form, defined at f2=0) and gt_unseen = f1/N are single-shot
-    doubles."""
-    d = load_table(spark, "documents", sf_dir)
-    tok = d.select("source", F.explode(
-        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
-    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    doubles. Counts come from the memoized ``_source_word_counts``
+    relation shared across the stylometry family."""
+    sw = _source_word_counts(spark, sf_dir)
     agg = sw.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("types"),
         F.sum("c").cast("long").alias("tokens"),
@@ -4915,10 +4911,7 @@ def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARCHAR-routes the HUGEINT per tools/oracle_lint.py); K is one
     single-shot double. One token-explode groupBy, map-side
     combinable."""
-    d = load_table(spark, "documents", sf_dir)
-    tok = d.select("source", F.explode(
-        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
-    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    sw = _source_word_counts(spark, sf_dir)
     cdec = F.col("c").cast("decimal(19,0)")
     agg = sw.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("types"),
@@ -4953,3 +4946,27 @@ ORACLES["yule_k"] = """
     FROM agg
 """
 QUERIES["yule_k"] = q_yule_k
+
+
+# Shared (source, word, count) relation for the whitespace-token
+# stylometry family (r10, the _markov_pair_counts pattern): chao1,
+# Yule's K, lexical diversity and Burrows' Delta all fold the same
+# token-explode groupBy; memoize the vocabulary-sized count relation so
+# a suite run pays the corpus pass once. Distinct from _tokenized_docs,
+# which lowercases (different token identity). Registered in
+# sources.tables.clear_corpus_caches.
+_SW_COUNTS_CACHE: dict = {}
+
+
+def _source_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = corpus_key(spark, sf_dir)
+    hit = _SW_COUNTS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("source", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+    sw = (tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+          .coalesce(8).localCheckpoint())
+    memo_put(_SW_COUNTS_CACHE, key, sw)
+    return sw

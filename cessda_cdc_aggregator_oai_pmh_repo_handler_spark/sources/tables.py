@@ -132,7 +132,7 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
           "_PAGERANK_CACHE", "_HOPS_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis",
          ("_TOKENIZED_CACHE", "_BIGRAM_EX_CACHE", "_WINNOW_FP_CACHE",
-          "_LEAK_GRAM_CACHE")),
+          "_LEAK_GRAM_CACHE", "_SW_COUNTS_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.arrays", ("_MARKOV_SPINE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.bpe", ("_BPE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.ann",
