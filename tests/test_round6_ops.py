@@ -494,13 +494,16 @@ def test_spatial_sssp_invariants(spark, sf_dir):
     assert out[spatial.SSSP_SOURCE] == 0
     assert all(d >= 0 for d in out.values())
     # triangle inequality against the direct-edge relation: for every
-    # settled node with a direct edge from the source, d <= that edge
+    # node the source KEEPS under the k-NN degree cap (same (w, v)
+    # tie-break as the operator), d <= that edge
     cust = spatial._with_coords(
         load_table(spark, "customer", sf_dir), "c_custkey")
     build = cust.select(F.col("c_custkey").alias("c2"), "lat", "lon")
-    direct = {r["c2"]: r["dist2"] for r in spatial.grid_radius_pairs(
-        cust.filter(F.col("c_custkey") == spatial.SSSP_SOURCE), build)
-        .filter(F.col("c2") != spatial.SSSP_SOURCE).collect()}
+    all_direct = sorted(
+        ((r["dist2"], r["c2"]) for r in spatial.grid_radius_pairs(
+            cust.filter(F.col("c_custkey") == spatial.SSSP_SOURCE), build)
+         .filter(F.col("c2") != spatial.SSSP_SOURCE).collect()))
+    direct = {c2: w for w, c2 in all_direct[:spatial.SSSP_DEGREE_CAP]}
     for v, w in direct.items():
         assert v in out and out[v] <= w
     # settled set grows beyond the 1-hop neighborhood on a dense graph
