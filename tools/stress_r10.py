@@ -175,7 +175,7 @@ def main() -> None:
            "sf1_slice": {"dir": args.out, "reps": REPS,
                          "gen_sec": gen_s,
                          "construction": ("10x crossJoin replicas, keys "
-                                          "shifted rep*1e9, documents "
+                                          "shifted rep*1e8, documents "
                                           "letter-rotated per replica, "
                                           "embeddings perturbed")},
            "ops": report}
