@@ -3785,3 +3785,216 @@ ORACLE_GAP_HISTOGRAM = """
                                                 '0')) - 1 END
 """
 ORACLES["gap_histogram"] = ORACLE_GAP_HISTOGRAM
+
+
+ETA2_SCALE = 10 ** 6
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOVA η² of event value by hour-of-day per event type — how much
+    of the value variance the diurnal cycle explains (the effect-size
+    companion to seasonal_profile's means: η² → 0 means the hourly
+    profile is noise, → 1 means the series IS its seasonality). EXACT
+    construction: values scale to floor(value·10⁶) BIGINTs (identical
+    doubles → identical integers on both engines), so every sufficient
+    statistic — per-hour n_h and S_h, per-type N, S, Σv² — is an exact
+    integer fold in DECIMAL(38,0); the between-group sum Σ_h S_h²
+    DIV n_h and the correction S² DIV N use integer FLOOR division
+    (bit-exact, merge-order-free — the markov_stationary discipline; η²
+    is defined as this floor variant and documented as such). The final
+    ratio is one single-shot double; the oracle VARCHAR-routes every
+    wide integer per tools/oracle_lint.py."""
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    v = F.floor(F.col("value") * ETA2_SCALE).cast("long")
+    d = (e.select("event_type", s.alias("s"), v.alias("v"))
+         .withColumn("hour", F.expr("CAST(s DIV 3600 % 24 AS BIGINT)"))
+         .drop("s"))
+    vdec = F.col("v").cast("decimal(19,0)")
+    per_hour = d.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(vdec).cast("decimal(38,0)").alias("s_h"))
+    ssb_term = F.expr("CAST(s_h * s_h AS DECIMAL(38,0)) DIV n_h")
+    ssb = per_hour.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("hours"),
+        F.sum(ssb_term).cast("decimal(38,0)").alias("ssb_raw"))
+    tot = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vdec).cast("decimal(38,0)").alias("s"),
+        F.sum(vdec * vdec).cast("decimal(38,0)").alias("s2"))
+    j = tot.join(ssb, "event_type")
+    corr = F.expr("CAST(s * s AS DECIMAL(38,0)) DIV n")
+    sst = F.col("s2").cast("double") - corr.cast("double")
+    ssb_d = F.col("ssb_raw").cast("double") - corr.cast("double")
+    eta2 = F.when(sst > 0.0, ssb_d / sst).otherwise(F.lit(0.0))
+    return j.select("event_type", "n", "hours",
+                    F.col("s2").cast("double").alias("sst_plus_corr"),
+                    F.col("ssb_raw").cast("double").alias("ssb_raw"),
+                    eta2.alias("eta2"))
+
+
+ORACLE_SEASONALITY = f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 AS hour,
+               CAST(floor(value * {ETA2_SCALE}) AS BIGINT) AS v
+        FROM events
+    ),
+    per_hour AS (
+        SELECT event_type, hour, count(*) AS n_h,
+               sum(CAST(v AS HUGEINT)) AS s_h
+        FROM d GROUP BY event_type, hour
+    ),
+    ssb AS (
+        SELECT event_type, count(*) AS hours,
+               sum(s_h * s_h // n_h) AS ssb_raw
+        FROM per_hour GROUP BY event_type
+    ),
+    tot AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(v AS HUGEINT)) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS s2
+        FROM d GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(b.hours AS BIGINT) AS hours,
+           CAST(CAST(t.s2 AS VARCHAR) AS DOUBLE) AS sst_plus_corr,
+           CAST(CAST(b.ssb_raw AS VARCHAR) AS DOUBLE) AS ssb_raw,
+           CASE WHEN CAST(CAST(t.s2 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(t.s * t.s // t.n AS VARCHAR) AS DOUBLE)
+                     > 0
+           THEN (CAST(CAST(b.ssb_raw AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(t.s * t.s // t.n AS VARCHAR) AS DOUBLE))
+                / (CAST(CAST(t.s2 AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(t.s * t.s // t.n AS VARCHAR) AS DOUBLE))
+           ELSE 0.0 END AS eta2
+    FROM tot t JOIN ssb b USING (event_type)
+"""
+ORACLES["seasonality_strength"] = ORACLE_SEASONALITY
+
+
+# O'Brien-Fleming two-sided 5% z boundaries for 4 equally-spaced looks
+SEQ_AB_BOUNDS = (4.333, 2.963, 2.359, 2.014)
+
+
+def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B readout: the two-proportion z at FOUR
+    interim looks (time-quartile cutoffs of the corpus span) against
+    the O'Brien-Fleming spending boundaries — the experiment-monitoring
+    primitive that lets a pipeline stop early without inflating false
+    positives (peeking at a fixed 1.96 is the classic A/B sin).
+    Arms are user-id parity; a user converts at look k if they have a
+    purchase at or before the cutoff. All four looks ride ONE corpus
+    pass: a constant 4× broadcast fan-out tags each event with every
+    look whose cutoff admits it (the kcore/GSP discipline), one
+    (look, user) aggregate folds conversion flags, one (look, arm)
+    aggregate the sufficient integers. Cutoffs are integer epoch
+    arithmetic off an in-plan broadcast min/max (the CUPED pattern —
+    fully lazy, engine-identical); z is a single-shot double rounded to
+    6 (house style), the boundary a literal."""
+    e = load_table(spark, "events", sf_dir)
+    s = F.unix_timestamp("ts").cast("long")
+    b = e.agg(F.min(s).alias("_lo"), F.max(s).alias("_hi"))
+    looks = spark.createDataFrame(
+        [(k, SEQ_AB_BOUNDS[k - 1]) for k in (1, 2, 3, 4)],
+        "look long, bound double")
+    d = (e.select("user_id", "event_type", s.alias("s"))
+         .crossJoin(F.broadcast(b))
+         .crossJoin(F.broadcast(looks))
+         .withColumn("_cut", F.expr("_lo + (_hi - _lo) * look DIV 4"))
+         .filter(F.col("s") <= F.col("_cut")))
+    per_user = d.groupBy("look", "bound", "user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .alias("conv"))
+    per_arm = (per_user
+               .withColumn("arm", F.expr("user_id % 2"))
+               .groupBy("look", "bound")
+               .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                    .cast("long").alias("n0"),
+                    F.sum(F.when(F.col("arm") == 0, F.col("conv"))
+                          .otherwise(0)).cast("long").alias("c0"),
+                    F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                    .cast("long").alias("n1"),
+                    F.sum(F.when(F.col("arm") == 1, F.col("conv"))
+                          .otherwise(0)).cast("long").alias("c1")))
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p = (c0 + c1) / (n0 + n1)
+    var = p * (1.0 - p) * (1.0 / n0 + 1.0 / n1)
+    z = F.when((n0 > 0) & (n1 > 0) & (var > 0.0),
+               F.round((c1 / n1 - c0 / n0) / F.sqrt(var), 6)) \
+        .otherwise(F.lit(0.0))
+    return per_arm.select(
+        "look", "n0", "c0", "n1", "c1", "bound", z.alias("z"),
+        F.when((F.abs(z) > F.col("bound")), 1).otherwise(0)
+        .cast("long").alias("significant"))
+
+
+def _sequential_ab_oracle() -> str:
+    look_rows = ", ".join(
+        f"({k}, {SEQ_AB_BOUNDS[k - 1]})" for k in (1, 2, 3, 4))
+    return f"""
+    WITH b AS (
+        SELECT CAST(floor(min(epoch(ts))) AS BIGINT) AS lo,
+               CAST(floor(max(epoch(ts))) AS BIGINT) AS hi
+        FROM events
+    ),
+    looks(look, bound) AS (VALUES {look_rows}),
+    d AS (
+        SELECT l.look, l.bound, e.user_id, e.event_type
+        FROM events e CROSS JOIN b CROSS JOIN looks l
+        WHERE CAST(floor(epoch(e.ts)) AS BIGINT)
+              <= b.lo + (b.hi - b.lo) * l.look // 4
+    ),
+    per_user AS (
+        SELECT look, bound, user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM d GROUP BY look, bound, user_id
+    ),
+    per_arm AS (
+        SELECT look, bound,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS c0,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS c1
+        FROM per_user GROUP BY look, bound
+    )
+    SELECT CAST(look AS BIGINT) AS look,
+           CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+           CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           bound,
+           CASE WHEN n0 > 0 AND n1 > 0
+                 AND ((CAST(c0 AS DOUBLE) + c1) / (CAST(n0 AS DOUBLE) + n1))
+                     * (1.0 - (CAST(c0 AS DOUBLE) + c1)
+                              / (CAST(n0 AS DOUBLE) + n1))
+                     * (1.0 / n0 + 1.0 / n1) > 0
+           THEN round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                / sqrt(((CAST(c0 AS DOUBLE) + c1)
+                        / (CAST(n0 AS DOUBLE) + n1))
+                       * (1.0 - (CAST(c0 AS DOUBLE) + c1)
+                                / (CAST(n0 AS DOUBLE) + n1))
+                       * (1.0 / n0 + 1.0 / n1)), 6)
+           ELSE 0.0 END AS z,
+           CAST(CASE WHEN abs(
+               CASE WHEN n0 > 0 AND n1 > 0
+                     AND ((CAST(c0 AS DOUBLE) + c1)
+                          / (CAST(n0 AS DOUBLE) + n1))
+                         * (1.0 - (CAST(c0 AS DOUBLE) + c1)
+                                  / (CAST(n0 AS DOUBLE) + n1))
+                         * (1.0 / n0 + 1.0 / n1) > 0
+               THEN round((CAST(c1 AS DOUBLE) / n1
+                           - CAST(c0 AS DOUBLE) / n0)
+                    / sqrt(((CAST(c0 AS DOUBLE) + c1)
+                            / (CAST(n0 AS DOUBLE) + n1))
+                           * (1.0 - (CAST(c0 AS DOUBLE) + c1)
+                                    / (CAST(n0 AS DOUBLE) + n1))
+                           * (1.0 / n0 + 1.0 / n1)), 6)
+               ELSE 0.0 END) > bound THEN 1 ELSE 0 END AS BIGINT)
+               AS significant
+    FROM per_arm
+    """
+
+
+ORACLES["sequential_ab"] = _sequential_ab_oracle()

@@ -1845,3 +1845,113 @@ def _rich_club_oracle() -> str:
 
 ORACLES["rich_club"] = _rich_club_oracle()
 QUERIES["rich_club"] = q_rich_club
+
+
+DEGPL_MIN_DEG = 1
+
+
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the near-dup graph's degree distribution: OLS
+    slope of ln(count) on ln(degree) over the degree histogram — the
+    graph sibling of zipf_slope (heavy-tailed degrees mean template/
+    boilerplate hubs; a steep cutoff means uniform near-dup pairs).
+    Same exactness discipline as zipf_slope: the histogram is a tiny
+    distinct-degree relation; each row's OLS terms are single-shot
+    doubles ROUNDED to DECIMAL(20,12) BEFORE the fold, so the sum is
+    merge-order-free; slope/intercept are single-shot at the end."""
+    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
+    hist = (deg.filter(F.col("deg") >= DEGPL_MIN_DEG)
+            .groupBy("deg").agg(F.count(F.lit(1)).alias("cnt")))
+    x = F.log(F.col("deg").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def fx(e):
+        return F.round(e, 12).cast("decimal(20,12)")
+
+    terms = hist.select(
+        F.lit(1).alias("one"), fx(x).alias("sx"), fx(y).alias("sy"),
+        fx(x * x).alias("sxx"), fx(x * y).alias("sxy"))
+    agg = terms.agg(
+        F.sum("one").cast("long").alias("n_degrees"),
+        F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"), F.sum("sxy").alias("sxy"))
+    nD = F.col("n_degrees").cast("double")
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    denom = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+    slope = F.when(denom != 0.0,
+                   (nD * dbl("sxy") - dbl("sx") * dbl("sy")) / denom) \
+        .otherwise(F.lit(0.0))
+    intercept = F.when(denom != 0.0,
+                       (dbl("sy") - slope * dbl("sx")) / nD) \
+        .otherwise(F.lit(0.0))
+    return agg.select("n_degrees",
+                      dbl("sx").alias("sum_lnx"),
+                      dbl("sy").alias("sum_lny"),
+                      slope.alias("slope"),
+                      intercept.alias("intercept"))
+
+
+def _degree_powerlaw_oracle() -> str:
+    return f"""
+        WITH verified AS MATERIALIZED ({ORACLES['minhash_lsh_pairs']}),
+        deg AS (
+            SELECT doc_id, count(*) AS deg FROM (
+                SELECT doc_a AS doc_id FROM verified
+                UNION ALL SELECT doc_b FROM verified
+            ) GROUP BY doc_id
+        ),
+        hist AS (SELECT deg, count(*) AS cnt FROM deg
+                 WHERE deg >= {DEGPL_MIN_DEG} GROUP BY deg),
+        terms AS (
+            SELECT 1 AS one,
+                   CAST(round(ln(CAST(deg AS DOUBLE)), 12)
+                        AS DECIMAL(20,12)) AS sx,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)), 12)
+                        AS DECIMAL(20,12)) AS sy,
+                   CAST(round(ln(CAST(deg AS DOUBLE))
+                              * ln(CAST(deg AS DOUBLE)), 12)
+                        AS DECIMAL(20,12)) AS sxx,
+                   CAST(round(ln(CAST(deg AS DOUBLE))
+                              * ln(CAST(cnt AS DOUBLE)), 12)
+                        AS DECIMAL(20,12)) AS sxy
+            FROM hist
+        ),
+        agg AS (
+            SELECT CAST(sum(one) AS BIGINT) AS n_degrees,
+                   sum(sx) AS sx, sum(sy) AS sy,
+                   sum(sxx) AS sxx, sum(sxy) AS sxy
+            FROM terms
+        )
+        SELECT n_degrees,
+               CAST(sx AS DOUBLE) AS sum_lnx,
+               CAST(sy AS DOUBLE) AS sum_lny,
+               CASE WHEN CAST(n_degrees AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+               THEN (CAST(n_degrees AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n_degrees AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               ELSE 0.0 END AS slope,
+               CASE WHEN CAST(n_degrees AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+               THEN (CAST(sy AS DOUBLE)
+                     - ((CAST(n_degrees AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n_degrees AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * CAST(sx AS DOUBLE))
+                    / CAST(n_degrees AS DOUBLE)
+               ELSE 0.0 END AS intercept
+        FROM agg
+    """
+
+
+ORACLES["degree_powerlaw"] = _degree_powerlaw_oracle()
+QUERIES["degree_powerlaw"] = q_degree_powerlaw
