@@ -643,7 +643,10 @@ def test_round9_new_ops_no_cartesian(spark):
               TA.q_chao1_richness, TA.q_kruskal_wallis,
               TA.q_hellinger_distance, TA.q_cochran_q,
               DD.q_graph_modularity, DD.q_degree_assortativity,
-              AR.q_runs_test):
+              AR.q_runs_test, AR.q_bowker_symmetry, AR.q_friedman_test,
+              AR.q_gap_histogram, AR.q_seasonality_strength,
+              AR.q_sequential_ab, DD.q_capture_recapture,
+              DD.q_rich_club, DD.q_degree_powerlaw, TA.q_yule_k):
         plan = plan_of(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
     # permutation_entropy's fact windows must key on user_id, never run
