@@ -3998,3 +3998,64 @@ def _sequential_ab_oracle() -> str:
 
 
 ORACLES["sequential_ab"] = _sequential_ab_oracle()
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-rate table of the event-type chain: per transition (i→j)
+    the stationary mass of i (the verified fixed-point iteration's
+    exact scaled integer), the exact transition counts, and the term
+    (π_i/SCALE)·(c/n_i)·ln(n_i/c) whose Σ is the chain's entropy rate
+    — the long-run bits-per-event of user behavior (drift monitors
+    watch it tighten as bots repeat themselves). Composes TWO verified
+    relations — the stationary distribution and the shared transition
+    spine — with one K-row broadcast join; each hashed row is a
+    single-shot double over exact integers, ln through round(·, 6) (the
+    transition_entropy discipline), Σ left client-side (the logrank
+    rule: no cross-row float accumulation in the hashed surface)."""
+    st = q_markov_stationary(spark, sf_dir).select(
+        F.col("state").alias("i"), "mass")
+    m = (_markov_pair_counts(spark, sf_dir)
+         .filter(F.col("variant") == "all").select("i", "j", "c"))
+    n = m.groupBy("i").agg(F.sum("c").cast("long").alias("n_i"))
+    j = m.join(F.broadcast(n), "i").join(F.broadcast(st), "i")
+    pi = F.col("mass").cast("double") / F.lit(float(MARKOV_SCALE))
+    pij = F.col("c").cast("double") / F.col("n_i").cast("double")
+    term = F.round(pi * pij * F.log(F.col("n_i").cast("double")
+                                    / F.col("c").cast("double")), 6)
+    return j.select("i", "j",
+                    F.col("mass").cast("long").alias("mass"),
+                    F.col("c").cast("long").alias("c"),
+                    "n_i", term.alias("rate_term"))
+
+
+def _markov_entropy_rate_oracle() -> str:
+    return f"""
+    WITH stat AS (SELECT * FROM ({ORACLES['markov_stationary']}) s0),
+    d2 AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+        FROM events
+    ),
+    pairs2 AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id) AS prev_t
+        FROM d2
+    ),
+    m2 AS (
+        SELECT prev_t AS i, event_type AS j, count(*) AS c
+        FROM pairs2 WHERE prev_t IS NOT NULL GROUP BY prev_t, event_type
+    ),
+    n2 AS (SELECT i, CAST(sum(c) AS BIGINT) AS n_i FROM m2 GROUP BY i)
+    SELECT m2.i, m2.j,
+           CAST(stat.mass AS BIGINT) AS mass,
+           CAST(m2.c AS BIGINT) AS c,
+           n2.n_i,
+           round((CAST(stat.mass AS DOUBLE) / {MARKOV_SCALE})
+                 * (CAST(m2.c AS DOUBLE) / n2.n_i)
+                 * ln(CAST(n2.n_i AS DOUBLE) / m2.c), 6) AS rate_term
+    FROM m2 JOIN n2 USING (i) JOIN stat ON stat.state = m2.i
+    """
+
+
+ORACLES["markov_entropy_rate"] = _markov_entropy_rate_oracle()

@@ -4970,3 +4970,150 @@ def _source_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           .coalesce(8).localCheckpoint())
     memo_put(_SW_COUNTS_CACHE, key, sw)
     return sw
+
+
+QTE_DECILES = tuple(range(1, 10))
+
+
+def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect at the deciles: English vs non-English
+    document lengths compared decile-by-decile — where welch_ttest and
+    mann_whitney give ONE number, the QTE profile shows WHERE the
+    distributions differ (short-form spam vs long-tail articles).
+    EXACT construction: each group's d-th decile is the value at
+    position ceil(d·n_g/10) in sorted order — an integer position
+    resolved as min{v : cum_g(v) ≥ pos} over the value-histogram grid
+    (the mann_whitney grid discipline: no corpus sort, no window; one
+    broadcast prefix self-join for cumulative counts, a constant 9×
+    decile fan-out, one min-aggregate). Every output is an exact
+    integer."""
+    d = (load_table(spark, "documents", sf_dir)
+         .select((F.col("lang") == "en").cast("int").alias("g"),
+                 "n_chars"))
+    hist = d.groupBy("g", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    ng = hist.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    cum = (
+        hist.alias("h1")
+        .join(F.broadcast(hist.alias("h2")),
+              (F.col("h2.g") == F.col("h1.g"))
+              & (F.col("h2.n_chars") <= F.col("h1.n_chars")))
+        .groupBy(F.col("h1.g").alias("g"),
+                 F.col("h1.n_chars").alias("n_chars"))
+        .agg(F.sum("h2.c").cast("long").alias("cum")))
+    ds = spark.createDataFrame([(x,) for x in QTE_DECILES], ["d"])
+    q = (cum.join(ng, "g").crossJoin(F.broadcast(ds))
+         .withColumn("pos", F.expr("(d * n_g + 9) DIV 10"))
+         .filter(F.col("cum") >= F.col("pos"))
+         .groupBy("g", "d").agg(F.min("n_chars").alias("q")))
+    en = q.filter(F.col("g") == 1).select("d", F.col("q").alias("q_en"))
+    other = q.filter(F.col("g") == 0).select(
+        "d", F.col("q").alias("q_other"))
+    return (en.join(other, "d")
+            .select(F.col("d").cast("long").alias("d"),
+                    F.col("q_en").cast("long").alias("q_en"),
+                    F.col("q_other").cast("long").alias("q_other"),
+                    (F.col("q_en") - F.col("q_other")).cast("long")
+                    .alias("qte")))
+
+
+ORACLES["qte_deciles"] = f"""
+    WITH d AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, n_chars
+        FROM documents
+    ),
+    hist AS (SELECT g, n_chars, count(*) AS c FROM d GROUP BY g, n_chars),
+    ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM hist GROUP BY g),
+    cum AS (
+        SELECT h1.g, h1.n_chars, CAST(sum(h2.c) AS BIGINT) AS cum
+        FROM hist h1 JOIN hist h2
+          ON h2.g = h1.g AND h2.n_chars <= h1.n_chars
+        GROUP BY h1.g, h1.n_chars
+    ),
+    ds(d) AS (VALUES {', '.join(f'({x})' for x in QTE_DECILES)}),
+    q AS (
+        SELECT cum.g, ds.d, min(cum.n_chars) AS q
+        FROM cum JOIN ng USING (g) CROSS JOIN ds
+        WHERE cum.cum >= (ds.d * ng.n_g + 9) // 10
+        GROUP BY cum.g, ds.d
+    )
+    SELECT CAST(en.d AS BIGINT) AS d,
+           CAST(en.q AS BIGINT) AS q_en,
+           CAST(o.q AS BIGINT) AS q_other,
+           CAST(en.q - o.q AS BIGINT) AS qte
+    FROM (SELECT d, q FROM q WHERE g = 1) en
+    JOIN (SELECT d, q FROM q WHERE g = 0) o USING (d)
+"""
+QUERIES["qte_deciles"] = q_qte_deciles
+
+
+def q_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra trend terms across ORDERED sources (lexical
+    order as the dose ordering): for every ordered source pair a < b,
+    the doubled U statistic U2 = 2·#{x_a < x_b} + #{x_a = x_b} over
+    document lengths — the ordered-alternative sharpening of
+    kruskal_wallis (J = Σ U is sensitive to monotone shifts that H
+    dilutes). Exact integers end to end over the sources×values
+    histogram grid (the wasserstein join shape): per shared value,
+    c_b·(2·cumlt_a + c_a) folds in DECIMAL(38,0) — VARCHAR-routed to
+    DOUBLE in the oracle per tools/oracle_lint.py. The Σ over pairs and
+    the normal moments are client-side (logrank discipline)."""
+    d = load_table(spark, "documents", sf_dir)
+    hist = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c"))
+    vals = hist.select("n_chars").distinct()
+    srcs = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (srcs.crossJoin(F.broadcast(vals))
+            .join(hist, ["source", "n_chars"], "left")
+            .withColumn("_c", F.coalesce("c", F.lit(0))))
+    from pyspark.sql import Window
+    w_cum = (Window.partitionBy("source").orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    grid = grid.withColumn(
+        "cumlt", F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
+        .cast("long"))
+    a = grid.select(F.col("source").alias("src_a"), "n_chars",
+                    F.col("n").alias("n_a"),
+                    F.col("_c").alias("ca"), F.col("cumlt").alias("lta"))
+    b = grid.select(F.col("source").alias("src_b"),
+                    F.col("n_chars").alias("v_b"),
+                    F.col("n").alias("n_b"), F.col("_c").alias("cb"))
+    j = a.join(b, (F.col("src_a") < F.col("src_b"))
+               & (F.col("n_chars") == F.col("v_b")))
+    term = (F.col("cb").cast("decimal(19,0)")
+            * (2 * F.col("lta") + F.col("ca")))
+    agg = (j.groupBy("src_a", "src_b", "n_a", "n_b")
+           .agg(F.sum(term).cast("decimal(38,0)").alias("u2")))
+    return agg.select("src_a", "src_b",
+                      F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      F.col("u2").cast("double").alias("u2"))
+
+
+ORACLES["jonckheere_trend"] = """
+    WITH hist AS (
+        SELECT source, n_chars, count(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    vals AS (SELECT DISTINCT n_chars FROM hist),
+    srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+             FROM hist GROUP BY source),
+    grid AS (
+        SELECT s.source, v.n_chars, s.n,
+               coalesce(h.c, 0) AS c,
+               CAST(coalesce(sum(coalesce(h.c, 0)) OVER (
+                   PARTITION BY s.source ORDER BY v.n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cumlt
+        FROM srcs s CROSS JOIN vals v
+        LEFT JOIN hist h ON h.source = s.source
+                        AND h.n_chars = v.n_chars
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(CAST(sum(CAST(b.c AS HUGEINT) * (2 * a.cumlt + a.c))
+                     AS VARCHAR) AS DOUBLE) AS u2
+    FROM grid a JOIN grid b
+      ON a.source < b.source AND a.n_chars = b.n_chars
+    GROUP BY a.source, b.source, a.n, b.n
+"""
+QUERIES["jonckheere_trend"] = q_jonckheere_trend
