@@ -1955,3 +1955,59 @@ def _degree_powerlaw_oracle() -> str:
 
 ORACLES["degree_powerlaw"] = _degree_powerlaw_oracle()
 QUERIES["degree_powerlaw"] = q_degree_powerlaw
+
+
+def q_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size census of the near-dup graph: how many duplicate
+    clusters exist at each size, what fraction of clustered documents
+    the largest ("giant") component holds — THE percolation readout for
+    a dedup run (a creeping giant component means the similarity
+    threshold is bleeding unrelated docs together; healthy corpora show
+    a steep small-size histogram). Rides the memoized components
+    relation: one groupBy to size each component, one to fold the
+    histogram; giant fraction arrives per-row via a broadcast 1-row
+    total (single-shot double over exact integers)."""
+    comp = q_neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"))
+    tot = sizes.agg(F.sum("size").cast("long").alias("n_docs"),
+                    F.max("size").cast("long").alias("giant"))
+    census = sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"))
+    j = census.crossJoin(F.broadcast(tot))
+    share = (F.col("size").cast("double") * F.col("n_components")
+             / F.col("n_docs").cast("double"))
+    return j.select(F.col("size").cast("long").alias("size"),
+                    "n_components", "n_docs", "giant",
+                    share.alias("doc_share"),
+                    (F.col("size") == F.col("giant")).cast("long")
+                    .alias("is_giant"))
+
+
+def _component_census_oracle() -> str:
+    return f"""
+        WITH comp AS (
+            SELECT * FROM ({ORACLES['neardup_components']}) c0),
+        sizes AS (
+            SELECT component, count(*) AS size
+            FROM comp GROUP BY component
+        ),
+        tot AS (SELECT CAST(sum(size) AS BIGINT) AS n_docs,
+                       CAST(max(size) AS BIGINT) AS giant FROM sizes),
+        census AS (
+            SELECT size, count(*) AS n_components
+            FROM sizes GROUP BY size
+        )
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(n_components AS BIGINT) AS n_components,
+               n_docs, giant,
+               CAST(size AS DOUBLE) * n_components
+               / CAST(n_docs AS DOUBLE) AS doc_share,
+               CAST(CASE WHEN size = giant THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_giant
+        FROM census CROSS JOIN tot
+    """
+
+
+ORACLES["component_census"] = _component_census_oracle()
+QUERIES["component_census"] = q_component_census

@@ -5117,3 +5117,64 @@ ORACLES["jonckheere_trend"] = """
     GROUP BY a.source, b.source, a.n, b.n
 """
 QUERIES["jonckheere_trend"] = q_jonckheere_trend
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between every source pair: intersection size,
+    Jaccard, and the Szymkiewicz-Simpson overlap coefficient
+    |A∩B|/min(|A|,|B|) — the corpus-mixing diagnostic that separates
+    "same register, different volume" (high overlap coefficient, modest
+    Jaccard) from genuinely disjoint domains. Rides the memoized
+    ``_source_word_counts`` relation: per-source vocab sizes from one
+    groupBy, the intersection from one equi-join on the word key
+    (vocabulary-sized, never corpus-sized), exact integers to two
+    single-shot ratios."""
+    sw = _source_word_counts(spark, sf_dir).select("source", "w")
+    sizes = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    a = sw.select(F.col("source").alias("src_a"), "w")
+    b = sw.select(F.col("source").alias("src_b"),
+                  F.col("w").alias("w_b"))
+    inter = (a.join(b, (F.col("src_a") < F.col("src_b"))
+                    & (F.col("w") == F.col("w_b")))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("inter")))
+    j = (inter
+         .join(sizes.select(F.col("source").alias("src_a"),
+                            F.col("v").alias("v_a")), "src_a")
+         .join(sizes.select(F.col("source").alias("src_b"),
+                            F.col("v").alias("v_b")), "src_b"))
+    union = F.col("v_a") + F.col("v_b") - F.col("inter")
+    jac = F.col("inter").cast("double") / union.cast("double")
+    ov = (F.col("inter").cast("double")
+          / F.least("v_a", "v_b").cast("double"))
+    return j.select("src_a", "src_b", "v_a", "v_b", "inter",
+                    jac.alias("jaccard"), ov.alias("overlap_coef"))
+
+
+ORACLES["vocab_overlap"] = """
+    WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+        FROM documents
+    ),
+    sw AS (SELECT DISTINCT source, w FROM tok),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+              FROM sw GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sw a JOIN sw b
+          ON a.source < b.source AND a.w = b.w
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.v AS v_a, sb.v AS v_b, i.inter,
+           CAST(i.inter AS DOUBLE)
+           / (CAST(sa.v AS DOUBLE) + sb.v - i.inter) AS jaccard,
+           CAST(i.inter AS DOUBLE)
+           / CAST(least(sa.v, sb.v) AS DOUBLE) AS overlap_coef
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+"""
+QUERIES["vocab_overlap"] = q_vocab_overlap

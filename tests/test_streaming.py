@@ -962,3 +962,43 @@ def test_streaming_cuped_counters_match_batch(spark, tmp_path):
                                  r["raw_mean"], r["adj_mean"])
                  for r in arrays.q_cuped_adjustment(spark, sf_dir).collect()}
     assert got_rows == want_rows
+
+
+def test_bowker_terms_derivable_from_streaming_transition_counts(
+        spark, tmp_path):
+    """The Bowker symmetry table is a pure fold of the transition
+    matrix, so the streaming transition-counts twin doubles as its
+    online feed: stream-final per-(i,j) counts summed over users,
+    folded through the (i<j) symmetry terms, equal the batch
+    q_bowker_symmetry output exactly."""
+    from collections import defaultdict
+
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import arrays
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, "events", sf_dir)
+    src = _two_batch_source(spark, events, tmp_path, "events_bowker")
+
+    stream = I.streaming_transition_counts(spark, src, events.schema)
+    q = (stream.writeStream.format("memory").queryName("bowker_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    finals: dict = {}
+    for r in spark.sql("SELECT * FROM bowker_stream").collect():
+        k = (int(r["user_id"]), r["i"], r["j"])
+        finals[k] = max(finals.get(k, 0), r["n"])
+    m: dict = defaultdict(int)
+    for (_, i, j), n in finals.items():
+        m[(i, j)] += n
+    got = {}
+    for (i, j) in {(min(i, j), max(i, j)) for (i, j) in m if i != j}:
+        nij, nji = m.get((i, j), 0), m.get((j, i), 0)
+        term = ((float(nij) - nji) ** 2 / (float(nij) + nji)
+                if nij + nji > 0 else 0.0)
+        got[(i, j)] = (nij, nji, term)
+    want = {(r["i"], r["j"]): (r["n_ij"], r["n_ji"], r["chi_term"])
+            for r in arrays.q_bowker_symmetry(spark, sf_dir).collect()}
+    assert got == want
