@@ -1743,33 +1743,56 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point arithmetic: consecutive (prev→next) pairs per user build
     the K×K transition-count matrix (ONE corpus pass + one partitioned
     lag window, shared across the Markov family via the memoized
-    ``_markov_pair_counts`` spine); the power iteration then runs
-    entirely on that K-row relation — 20 unrolled join+groupBy steps of
-    mass'_j = Σ_i (mass_i · c_ij) DIV n_i in BIGINT (floor division,
-    bit-exact, merge-order-free; the textrank_keywords discipline). The
-    oracle replays the identical integer recursion as 20 generated CTE
-    blocks. Iteration cost is K²-row joins — independent of corpus size."""
+    ``_markov_pair_counts`` spine); the 20-step power iteration
+    mass'_j = Σ_i (mass_i · c_ij) DIV n_i (floor division, bit-exact,
+    merge-order-free) then runs as ONE Arrow stage of exact Python
+    integer arithmetic over the K²-bounded, corpus-independent spine
+    slice — r10 optimization: the former 20 unrolled join+groupBy steps
+    were ~40 sequential tiny shuffle stages of pure launch overhead at
+    every scale. The oracle replays the identical integer recursion as
+    20 generated CTE blocks; the strict hash is the equivalence proof."""
     m = (_markov_pair_counts(spark, sf_dir)
          .filter(F.col("variant") == "all").select("i", "j", "c"))
-    n = m.groupBy("i").agg(F.sum("c").alias("n_i"))
-    mat = m.join(F.broadcast(n), "i")
-    states = m.select(F.col("i").alias("state")).distinct()
-    # K derived relationally (broadcast 1-row count crossJoined in-plan),
-    # never states.count() on the driver: the operator stays a lazy
-    # DataFrame like every sibling, and an empty pairs relation yields an
-    # empty result instead of a ZeroDivisionError.
-    kdf = states.agg(F.count(F.lit(1)).alias("_k"))
-    v = (states.crossJoin(F.broadcast(kdf))
-         .select("state",
-                 F.expr(f"CAST({MARKOV_SCALE} DIV _k AS BIGINT)")
-                 .alias("mass")))
-    for _ in range(MARKOV_ITERS):
-        v = (mat.join(F.broadcast(v), mat.i == v.state)
-             .select(F.col("j").alias("state"),
-                     F.expr("mass * c DIV n_i").alias("contrib"))
-             .groupBy("state")
-             .agg(F.sum("contrib").cast("long").alias("mass")))
-    return v.select("state", "mass")
+    iters, scale = MARKOV_ITERS, MARKOV_SCALE
+
+    def iterate(batches):
+        import pandas as pd
+
+        parts = [p for p in batches]
+        pdf = (pd.concat(parts) if parts
+               else pd.DataFrame({"i": [], "j": [], "c": []}))
+        edges = [(i, j, int(c))
+                 for i, j, c in zip(pdf["i"], pdf["j"], pdf["c"])]
+        n_i: dict = {}
+        for i, _, c in edges:
+            n_i[i] = n_i.get(i, 0) + c
+        k = len(n_i)
+        if k == 0:
+            yield pd.DataFrame({"state": pd.Series([], dtype="object"),
+                                "mass": pd.Series([], dtype="int64")})
+            return
+        mass = {s: scale // k for s in n_i}
+        for _ in range(iters):
+            nxt: dict = {}
+            for i, j, c in edges:
+                mi = mass.get(i)
+                if mi is not None:
+                    nxt[j] = nxt.get(j, 0) + mi * c // n_i[i]
+            mass = nxt
+        yield pd.DataFrame({"state": list(mass),
+                            "mass": pd.Series(list(mass.values()),
+                                              dtype="int64")})
+
+    # The 20-step fixed-point runs as ONE Arrow stage over the (already
+    # 1-partition, checkpointed, ≤(K+2)²-row) spine slice in exact Python
+    # integer floor arithmetic — bit-identical to the former 20 unrolled
+    # join+groupBy steps (same Σ mass·c DIV n_i per step, integer sums are
+    # merge-order-free), which paid ~40 sequential tiny shuffle stages of
+    # pure launch overhead at EVERY corpus size (the relation is K²-bounded
+    # and corpus-independent, so local iteration is the right 100 TB plan
+    # too; guide §4.2). The DuckDB oracle still replays the recursion as 20
+    # generated CTE blocks — the hash gate is the bit-exactness proof.
+    return m.coalesce(1).mapInPandas(iterate, "state string, mass long")
 
 
 ATTR_CHANNELS = ("click", "error", "signup", "view")  # event-type domain
@@ -1793,93 +1816,86 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical squarings as generated CTE blocks.
 
     Scale shape: ONE corpus pass (user-keyed windows) builds the K²
-    transition counts; ALL FIVE chain variants (full + one per removed
-    channel) are tagged rows of one ≤5·(K+1)²-row relation, so each
-    squaring is one tiny join + groupBy REGARDLESS of channel count —
-    log-depth and corpus-independent (4 launches where the linear
-    recursion paid 12+). Removal effects and shares are single-shot
-    doubles over exact scaled integers (the share denominator folds as
-    an exact integer window over the 4-row output)."""
-    from pyspark.sql import Window
-
+    transition counts (the memoized, checkpointed family spine); the
+    chain construction, ALL FIVE tagged variants (full + one per removed
+    channel), the doubling recursion and the share pivot are
+    corpus-INDEPENDENT (≤5·(K+1)² matrix entries at any data volume), so
+    since r10 they run as ONE lazy Arrow stage of exact Python integer
+    arithmetic over the spine slice — bit-identical replay of the former
+    relational plan (c·SCALE DIV n_i base entries, Σ v_ik·v_kj DIV SCALE
+    squarings: integer sums are merge-order-free, floor division on the
+    non-negative domain matches DIV / DuckDB's //; the share divisions
+    run through numpy float64, the same IEEE-754 ops the JVM executes).
+    The r9 form paid 4 eager coalesce(1).localCheckpoint() launch trains
+    at BUILD time plus a broadcast self-reference of the result, ~7 s of
+    launch overhead per call at sf0.1 for the same ≤180-row matrix. The
+    oracle still replays the squarings as generated CTE blocks; the
+    strict hash is the equivalence proof."""
     m = (_markov_pair_counts(spark, sf_dir)
          .filter(F.col("variant") == "trunc").select("i", "j", "c"))
-    n = m.groupBy("i").agg(F.sum("c").cast("decimal(19,0)").alias("n_i"))
-    conv = (m.filter(F.col("j") == ATTR_CONV)
-            .select("i", F.col("c").cast("decimal(19,0)").alias("cc")))
-    base = (n.join(conv, "i", "left")
-            .withColumn("cc", F.coalesce("cc", F.lit(0))
-                        .cast("decimal(19,0)")))
+    squarings, scale = ATTR_SQUARINGS, ATTR_SCALE
+    channels, conv_state = ATTR_CHANNELS, ATTR_CONV
 
-    runs = spark.createDataFrame(
-        [("__full__",)] + [(ch,) for ch in ATTR_CHANNELS], ["run"])
-    # The absorbing base term rides the SAME join as the transitions: a
-    # virtual edge i → '__ONE__' with weight cc and a constant pseudo-
-    # state a('__ONE__') = SCALE, so each iteration is exactly
-    # markov_stationary's one-join-one-groupBy shape (the earlier
-    # base-left-join formulation measured 17.8s warm vs ~4s for this).
-    # States whose a is identically 0 (no conversion path) drop out of
-    # the relation; joins treat absent states as 0 — the same value.
-    live = (m.filter(~F.col("j").isin(ATTR_CONV, "END"))
-            .select("i", "j", "c")
-            .unionByName(base.filter(F.col("cc") > 0)
-                         .select("i", F.lit("__ONE__").alias("j"),
-                                 F.col("cc").cast("long").alias("c"))))
-    mat_t = (live.join(F.broadcast(n), "i")
-             .crossJoin(F.broadcast(runs))
-             .filter((F.col("run") == "__full__")
-                     | ((F.col("i") != F.col("run"))
-                        & (F.col("j") != F.col("run"))))
-             .select("run", "i", "j",
-                     F.col("c").cast("decimal(19,0)").alias("c"),
-                     "n_i"))
-    # No checkpoint here any more: the corpus pair-extraction lives in
-    # the memoized _markov_pair_counts spine (already a 1-partition
-    # localCheckpoint), so mat_t is a chain of tiny broadcast joins over
-    # local data, executed exactly once inside the first mm checkpoint
-    # below — the r9 eager-job count drops by one launch train.
-    one = runs.select("run", F.lit("__ONE__").alias("i"),
-                      F.lit("__ONE__").alias("j"),
-                      F.lit(ATTR_SCALE).cast("long").alias("v"))
-    # Matrix POWER BY SQUARING over the homogeneous-coordinate matrix
-    # [[T, b], [0, 1]] (the '__ONE__' pseudo-state absorbs the base
-    # term): ATTR_SQUARINGS=4 squarings yield T^16 absorption — log
-    # depth instead of the linear recursion's 12 sequential
-    # join+groupBy launches (measured 7.5s warm; launch-bound, not
-    # data-bound). Each level checkpoints its ≤5·(K+1)²-row product so
-    # the doubling recursion never re-executes lower levels.
-    mm = (mat_t.select(
-        "run", "i", "j",
-        F.expr(f"CAST(c * {ATTR_SCALE} DIV n_i AS BIGINT)").alias("v"))
-        .unionByName(one)
-        .coalesce(1).localCheckpoint())
-    for _ in range(ATTR_SQUARINGS):
-        x, y = mm.alias("x"), mm.alias("y")
-        mm = (x.join(y, (F.col("x.run") == F.col("y.run"))
-                     & (F.col("x.j") == F.col("y.i")))
-              .select(F.col("x.run").alias("run"),
-                      F.col("x.i").alias("i"), F.col("y.j").alias("j"),
-                      (F.col("x.v").cast("decimal(38,0)")
-                       * F.col("y.v")).alias("_t"))
-              .groupBy("run", "i", "j")
-              .agg(F.expr(f"CAST(sum(_t) DIV {ATTR_SCALE} AS BIGINT)")
-                   .alias("v"))
-              .coalesce(1).localCheckpoint())
-    p = (mm.filter((F.col("i") == "START") & (F.col("j") == "__ONE__"))
-         .select("run", F.col("v").alias("a")))
-    full = (p.filter(F.col("run") == "__full__")
-            .select(F.col("a").alias("p_full")))
-    rem = (p.filter(F.col("run") != "__full__")
-           .select(F.col("run").alias("channel"),
-                   F.col("a").alias("p_removed"))
-           .crossJoin(F.broadcast(full)))
-    drop = (F.col("p_full") - F.col("p_removed")).cast("long")
-    tot = F.sum(drop).over(Window.partitionBy())  # 4-row exact window
-    return rem.select(
-        "channel", "p_full", "p_removed",
-        (drop.cast("double") / F.col("p_full").cast("double"))
-        .alias("removal_effect"),
-        (drop.cast("double") / tot.cast("double")).alias("share"))
+    def attribute(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches]
+        pdf = (pd.concat(parts) if parts
+               else pd.DataFrame({"i": [], "j": [], "c": []}))
+        edges = [(i, j, int(c))
+                 for i, j, c in zip(pdf["i"], pdf["j"], pdf["c"])]
+        n_i: dict = {}
+        for i, _, c in edges:
+            n_i[i] = n_i.get(i, 0) + c
+        # absorbing base term as a virtual edge i → '__ONE__' with
+        # weight cc(i) = transitions into the conversion state
+        cc = {i: c for i, j, c in edges if j == conv_state}
+        live = ([(i, j, c) for i, j, c in edges
+                 if j not in (conv_state, "END")]
+                + [(i, "__ONE__", cc[i]) for i in n_i if cc.get(i, 0) > 0])
+        mm_d: dict = {}
+        for run in ("__full__",) + channels:
+            for i, j, c in live:
+                if run == "__full__" or (i != run and j != run):
+                    mm_d[(run, i, j)] = c * scale // n_i[i]
+            mm_d[(run, "__ONE__", "__ONE__")] = scale
+        for _ in range(squarings):
+            by_rk: dict = {}  # (run, k) -> [(i, v)] for the left factor
+            for (r, i, k), v in mm_d.items():
+                by_rk.setdefault((r, k), []).append((i, v))
+            nxt: dict = {}
+            for (r, k, j), vy in mm_d.items():  # right factor: i == k
+                for i, vx in by_rk.get((r, k), ()):
+                    key = (r, i, j)
+                    nxt[key] = nxt.get(key, 0) + vx * vy
+            mm_d = {key: t // scale for key, t in nxt.items()}
+        p = {r: v for (r, i, j), v in mm_d.items()
+             if i == "START" and j == "__ONE__"}
+        p_full = p.get("__full__")
+        rows = []
+        if p_full is not None:
+            rem = [(r, pr) for r, pr in p.items() if r != "__full__"]
+            tot = sum(p_full - pr for _, pr in rem)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for r, pr in rem:
+                    drop = p_full - pr
+                    rows.append((
+                        r, p_full, pr,
+                        float(np.float64(drop) / np.float64(p_full)),
+                        float(np.float64(drop) / np.float64(tot))))
+        yield pd.DataFrame(
+            {"channel": [r[0] for r in rows],
+             "p_full": pd.Series([r[1] for r in rows], dtype="int64"),
+             "p_removed": pd.Series([r[2] for r in rows], dtype="int64"),
+             "removal_effect": pd.Series([r[3] for r in rows],
+                                         dtype="float64"),
+             "share": pd.Series([r[4] for r in rows], dtype="float64")})
+
+    return m.coalesce(1).mapInPandas(
+        attribute,
+        "channel string, p_full long, p_removed long, "
+        "removal_effect double, share double")
 
 
 def _markov_attr_oracle() -> str:
@@ -3814,7 +3830,16 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_hour = d.groupBy("event_type", "hour").agg(
         F.count(F.lit(1)).cast("long").alias("n_h"),
         F.sum(vdec).cast("decimal(38,0)").alias("s_h"))
-    ssb_term = F.expr("CAST(s_h * s_h AS DECIMAL(38,0)) DIV n_h")
+    # Floor division and its sum stay in DECIMAL(38,0) end to end — the
+    # oracle's HUGEINT // never leaves wide integers, but Spark's DIV
+    # returns BIGINT, and at sf0.1 the 24-term sum (~5e19) overflows a
+    # long under ANSI (the round-10 bench abort). (a - a % b) / b is
+    # exact floor division for the non-negative domain (values are
+    # floor(value·1e6) with value ≥ 0) at any scale factor.
+    ssb_term = F.expr(
+        "CAST((CAST(s_h * s_h AS DECIMAL(38,0))"
+        " - CAST(s_h * s_h AS DECIMAL(38,0)) % n_h) / n_h"
+        " AS DECIMAL(38,0))")
     ssb = per_hour.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("hours"),
         F.sum(ssb_term).cast("decimal(38,0)").alias("ssb_raw"))
@@ -3823,7 +3848,11 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec).cast("decimal(38,0)").alias("s"),
         F.sum(vdec * vdec).cast("decimal(38,0)").alias("s2"))
     j = tot.join(ssb, "event_type")
-    corr = F.expr("CAST(s * s AS DECIMAL(38,0)) DIV n")
+    # same DECIMAL-end-to-end floor division as ssb_term: s² DIV n is
+    # ~5e19 at sf0.1 and would overflow Spark's BIGINT-returning DIV
+    corr = F.expr(
+        "CAST((CAST(s * s AS DECIMAL(38,0))"
+        " - CAST(s * s AS DECIMAL(38,0)) % n) / n AS DECIMAL(38,0))")
     sst = F.col("s2").cast("double") - corr.cast("double")
     ssb_d = F.col("ssb_raw").cast("double") - corr.cast("double")
     eta2 = F.when(sst > 0.0, ssb_d / sst).otherwise(F.lit(0.0))

@@ -710,12 +710,14 @@ def test_markov_spine_is_shared_and_memoized(spark):
     before = set(tracker.getJobIdsForGroup(None))
     df1 = arrays.q_markov_stationary(spark, SF)
     df2 = arrays.q_transition_entropy(spark, SF)
-    _ = df1.columns, df2.columns  # force analysis
+    # r10 optimization: the attribution squarings run as one lazy Arrow
+    # stage now, so building it fires ZERO jobs too (r9 paid 4 eager
+    # localCheckpoint launch trains here) — and it must still REUSE the
+    # spine, not create a second cache entry
+    df3 = arrays.q_markov_attribution(spark, SF)
+    _ = df1.columns, df2.columns, df3.columns  # force analysis
     after = set(tracker.getJobIdsForGroup(None))
     assert after == before, f"build fired jobs: {sorted(after - before)}"
-    # attribution still runs its (documented) squaring checkpoints at
-    # build, but must REUSE the spine, not create a second cache entry
-    arrays.q_markov_attribution(spark, SF)
     assert len(arrays._MARKOV_SPINE_CACHE) == 1
 
 
