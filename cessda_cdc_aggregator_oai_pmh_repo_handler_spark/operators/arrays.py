@@ -188,17 +188,22 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("ts").alias("t"), F.col("event_id").alias("e"),
                   F.col("value").alias("v")))), lambda x: x["v"])
                   .alias("s")))
-    qrow = (series.filter(F.col("user_id") == TS_QUERY_USER)
-            .select(F.slice("s", 1, TS_W).alias("q")).collect()[0])
-    q = F.array(*[F.lit(float(x)) for x in qrow["q"]])
+    # query vector as an in-plan 1-row broadcast (r10: the former
+    # .collect() fired two eager jobs at build time on every call; the
+    # crossJoin ships the same TS_W doubles, and ReuseExchange shares
+    # the series groupBy between the two branches)
+    qdf = (series.filter(F.col("user_id") == TS_QUERY_USER)
+           .select(F.slice("s", 1, TS_W).alias("_q")))
     win = (series.select(
         "user_id", "s",
         F.posexplode(F.sequence(F.lit(0), F.size("s") - TS_W)))
         .withColumnRenamed("pos", "off")
         .select("user_id", "off",
-                F.slice("s", F.col("off") + 1, TS_W).alias("w")))
-    dist = F.aggregate(F.zip_with("w", q, lambda a, b: (a - b) * (a - b)),
-                       F.lit(0.0), lambda acc, x: acc + x)
+                F.slice("s", F.col("off") + 1, TS_W).alias("w"))
+        .crossJoin(F.broadcast(qdf)))
+    dist = F.aggregate(
+        F.zip_with("w", F.col("_q"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
     return (win.select("user_id", "off", F.round(dist, 6).alias("dist"))
             .orderBy("dist", "user_id", "off").limit(TS_K))
 
@@ -1247,22 +1252,53 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE ops in identical order, so the doubles agree bit for
     bit before the final rounding. Scale = number of series; each series
     folds sequentially by nature (the Kalman/EWMA family), and state is
-    one scalar per key."""
-    import pandas as pd
+    one scalar per key.
 
+    r10 optimization (guide §4.2): the former per-key
+    groupBy().applyInPandas paid pandas' per-GROUP machinery (a sorted
+    sub-frame + a 1-row result frame per key — ~2 ms × 1,500 users ≈ 3 s
+    at sf0.1, linear in key count at every scale). The fold now streams
+    over hash-partitioned, partition-sorted Arrow batches (repartition +
+    sortWithinPartitions = the same single exchange the grouped map
+    paid) with a plain per-row loop and cross-batch carry — the
+    identical multiply-add sequence per user, so the doubles are
+    bit-identical; the hash gate proves it."""
     e = load_table(spark, "events", sf_dir).select(
         "user_id", "ts", "event_id", "value")
+    a_co, b_co = EWMA_A, EWMA_B
 
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        s = None
-        for x in pdf["value"].to_numpy():
-            s = float(x) if s is None else EWMA_A * float(x) + EWMA_B * s
-        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
-                             "n": [len(pdf)], "ewma": [s]})
+    def fold_stream(batches):
+        import pandas as pd
 
-    out = e.groupBy("user_id").applyInPandas(
-        fold, "user_id bigint, n bigint, ewma double")
+        users, ns, ewmas = [], [], []
+        cur, n, s = None, 0, None
+        for pdf in batches:
+            u_arr = pdf["user_id"].to_numpy()
+            v_arr = pdf["value"].to_numpy()
+            for k in range(len(u_arr)):
+                u = u_arr[k]
+                if u != cur:
+                    if cur is not None:
+                        users.append(cur)
+                        ns.append(n)
+                        ewmas.append(s)
+                    cur, n, s = u, 0, None
+                x = float(v_arr[k])
+                s = x if s is None else a_co * x + b_co * s
+                n += 1
+        if cur is not None:
+            users.append(cur)
+            ns.append(n)
+            ewmas.append(s)
+        yield pd.DataFrame({
+            "user_id": pd.Series(users, dtype="int64"),
+            "n": pd.Series(ns, dtype="int64"),
+            "ewma": pd.Series(ewmas, dtype="float64")})
+
+    out = (e.repartition("user_id")
+           .sortWithinPartitions("user_id", "ts", "event_id")
+           .mapInPandas(fold_stream,
+                        "user_id bigint, n bigint, ewma double"))
     return out.select("user_id", "n", F.round("ewma", 6).alias("ewma"))
 
 
@@ -1279,27 +1315,57 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion as a WITH RECURSIVE walk with the same literal coefficients
     and expression shapes, so the doubles agree bit for bit before the
     final rounding; the one-step forecast rounds the unrounded level+trend
-    on both engines. Scale = number of series, state = two scalars/key."""
-    import pandas as pd
+    on both engines. Scale = number of series, state = two scalars/key.
 
+    r10 optimization: same partition-streamed fold as ewma_smooth
+    (guide §4.2) — one exchange, one Arrow pass, no per-group pandas
+    frames; the per-user multiply-add sequence is unchanged, so the
+    doubles stay bit-identical."""
     e = load_table(spark, "events", sf_dir).select(
         "user_id", "ts", "event_id", "value")
+    ha, hb, hg, hd = HW_A, HW_B, HW_G, HW_D
 
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        xs = pdf["value"].to_numpy()
-        lvl, tr = float(xs[0]), 0.0
-        for x in xs[1:]:
-            prev = lvl
-            lvl = HW_A * float(x) + HW_B * (lvl + tr)
-            tr = HW_G * (lvl - prev) + HW_D * tr
-        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
-                             "n": [len(pdf)], "level": [lvl],
-                             "trend": [tr], "fcst": [lvl + tr]})
+    def fold_stream(batches):
+        import pandas as pd
 
-    out = e.groupBy("user_id").applyInPandas(
-        fold, "user_id bigint, n bigint, level double, trend double, "
-              "fcst double")
+        users, ns, lvls, trs = [], [], [], []
+        cur, n, lvl, tr = None, 0, 0.0, 0.0
+        for pdf in batches:
+            u_arr = pdf["user_id"].to_numpy()
+            v_arr = pdf["value"].to_numpy()
+            for k in range(len(u_arr)):
+                u = u_arr[k]
+                x = float(v_arr[k])
+                if u != cur:
+                    if cur is not None:
+                        users.append(cur)
+                        ns.append(n)
+                        lvls.append(lvl)
+                        trs.append(tr)
+                    cur, n, lvl, tr = u, 1, x, 0.0
+                else:
+                    prev = lvl
+                    lvl = ha * x + hb * (lvl + tr)
+                    tr = hg * (lvl - prev) + hd * tr
+                    n += 1
+        if cur is not None:
+            users.append(cur)
+            ns.append(n)
+            lvls.append(lvl)
+            trs.append(tr)
+        yield pd.DataFrame({
+            "user_id": pd.Series(users, dtype="int64"),
+            "n": pd.Series(ns, dtype="int64"),
+            "level": pd.Series(lvls, dtype="float64"),
+            "trend": pd.Series(trs, dtype="float64"),
+            "fcst": pd.Series([lv + t for lv, t in zip(lvls, trs)],
+                              dtype="float64")})
+
+    out = (e.repartition("user_id")
+           .sortWithinPartitions("user_id", "ts", "event_id")
+           .mapInPandas(fold_stream,
+                        "user_id bigint, n bigint, level double, "
+                        "trend double, fcst double"))
     return out.select("user_id", "n",
                       F.round("level", 6).alias("level"),
                       F.round("trend", 6).alias("trend"),

@@ -1195,8 +1195,10 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by its rank-neighborhood, so no hub explodes the wedge
     count the way an unoriented join would). The oracle runs the same
     enumeration in DuckDB over its own verified-pairs mirror."""
-    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # (no re-checkpoint: the memoized pairs relation IS a localCheckpoint
+    # already — the former extra checkpoint fired one eager copy job per
+    # call for zero lineage benefit; r10 optimization)
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))
@@ -1254,6 +1256,38 @@ KCORE_KS = (2, 3)
 KCORE_PEELS = 4
 
 
+_KCORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KCORE_PEELS-round peeled, k-tagged edge relation (the
+    fixed-depth peel both engines replay), memoized per (session,
+    corpus) like the components/pairs relations it derives from."""
+    key = corpus_key(spark, sf_dir)
+    cached = _KCORE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ks = spark.createDataFrame([(k,) for k in KCORE_KS], ["k"])
+    e = (pairs.crossJoin(F.broadcast(ks))
+         .select("k", F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+         .coalesce(1).localCheckpoint())
+    for _ in range(KCORE_PEELS):
+        sym = e.select("k", F.col("a").alias("u")).unionByName(
+            e.select("k", F.col("b").alias("u")))
+        keep = (sym.groupBy("k", "u").agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= F.col("k"))
+                .select("k", "u"))
+        e = (e.join(keep.withColumnRenamed("u", "a"), ["k", "a"],
+                    "left_semi")
+             .join(keep.withColumnRenamed("u", "b"), ["k", "b"],
+                   "left_semi")
+             .select("k", "a", "b")
+             .coalesce(1).localCheckpoint())
+    memo_put(_KCORE_CACHE, key, e)
+    return e
+
+
 def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core census of the verified near-dup graph: after KCORE_PEELS
     rounds of removing nodes with degree < k, how many nodes/edges
@@ -1274,25 +1308,12 @@ def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + one semi-join filter over the ≤2·|E|-row relation —
     EDGE-scale, corpus-independent, checkpointed per round (the
     textrank discipline: Spark does not dedupe common subtrees and a
-    lazy peel tree re-executes lower rounds ~4^depth times)."""
-    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
-    ks = spark.createDataFrame([(k,) for k in KCORE_KS], ["k"])
-    e = (pairs.crossJoin(F.broadcast(ks))
-         .select("k", F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-         .coalesce(1).localCheckpoint())
-    for _ in range(KCORE_PEELS):
-        sym = e.select("k", F.col("a").alias("u")).unionByName(
-            e.select("k", F.col("b").alias("u")))
-        keep = (sym.groupBy("k", "u").agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= F.col("k"))
-                .select("k", "u"))
-        e = (e.join(keep.withColumnRenamed("u", "a"), ["k", "a"],
-                    "left_semi")
-             .join(keep.withColumnRenamed("u", "b"), ["k", "b"],
-                   "left_semi")
-             .select("k", "a", "b")
-             .coalesce(1).localCheckpoint())
+    lazy peel tree re-executes lower rounds ~4^depth times). The peeled
+    edge relation is memoized per (session, corpus) — the
+    _COMPONENTS_CACHE pattern: the peel's checkpoint launch train
+    (~19 jobs / 1.2 s at sf0.1) runs once per corpus, not per call (r10
+    optimization; cold-bench isolation clears it like every memo)."""
+    e = _kcore_edges(spark, sf_dir)
     sym = e.select("k", F.col("a").alias("u")).unionByName(
         e.select("k", F.col("b").alias("u")))
     nodes = sym.groupBy("k", "u").agg(F.count(F.lit(1)).alias("deg"))
@@ -1434,7 +1455,17 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleaning pipeline in one query: quality gate
     (C4-style rules) → exact dedup (md5 hash-groupBy) → near-dup removal
     (MinHash-LSH components, keep each cluster's lowest id). Returns the
-    funnel counts — the headline numbers a 100 TB curation run reports."""
+    funnel counts — the headline numbers a 100 TB curation run reports.
+
+    r10 optimization: the funnel used to run as FOUR eager driver
+    ``.count()`` actions over persist()ed stages (14 jobs fired at
+    DataFrame-build time, ~1.2 s/call at sf0.1, plus corpus-scale
+    executor cache pressure at 100 TB). The four counts are now four
+    1-row aggregates crossJoined broadcast in ONE lazy plan — the
+    physical planner's ReuseExchange dedupes the shared quality-scan and
+    exact-dedup exchanges, so the single action pays each stage once,
+    the persist/unpersist pair disappears, and the operator is as lazy
+    as every sibling. Same counts, same schema; hash-gate verified."""
     from .text_analysis import STOPWORDS
 
     d = load_table(spark, "documents", sf_dir)
@@ -1443,12 +1474,9 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / n
     quality_ok = (n >= 20) & (n <= 90) & (stop_ratio >= 0.02)
 
-    # cache the funnel stages: four driver counts follow, and without the
-    # persist each count re-executes every upstream stage (the quality scan
-    # twice, the exact-dedup groupBy twice) — measured ~2× the runtime
-    docs = d.select("doc_id", F.md5("text").alias("h")).filter(quality_ok).persist()
+    docs = d.select("doc_id", F.md5("text").alias("h")).filter(quality_ok)
     # exact dedup: keep lowest doc_id per hash
-    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("doc_id")).persist()
+    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     # near-dup removal among exact-keepers: drop non-representatives of
     # minhash components (component id = lowest member). The components DF
     # arrives localCheckpointed (label-propagation truncates its own lineage),
@@ -1457,18 +1485,13 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     final = keeper.join(dupes, "doc_id", "left_anti")
 
-    try:
-        total = d.count()
-        after_quality = docs.count()
-        after_exact = keeper.count()
-        after_neardup = final.count()
-    finally:
-        docs.unpersist()
-        keeper.unpersist()
-    return spark.createDataFrame(
-        [(total, after_quality, after_exact, after_neardup)],
-        "total long, after_quality long, after_exact long, after_neardup long",
-    )
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    return (cnt(d, "total")
+            .crossJoin(F.broadcast(cnt(docs, "after_quality")))
+            .crossJoin(F.broadcast(cnt(keeper, "after_exact")))
+            .crossJoin(F.broadcast(cnt(final, "after_neardup"))))
 
 
 QUERIES["clean_corpus"] = q_clean_corpus
@@ -1530,8 +1553,10 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     components); two broadcast-ish joins map edges/degrees to
     components, then one groupBy on the component key — edge-scale,
     corpus-independent, no new shuffles beyond the K-row rollup."""
-    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # (no re-checkpoint: the memoized pairs relation IS a localCheckpoint
+    # already — the former extra checkpoint fired one eager copy job per
+    # call for zero lineage benefit; r10 optimization)
     comp = q_neardup_components(spark, sf_dir)
     m_df = pairs.agg(F.count(F.lit(1)).cast("long").alias("_m"))
     ca = comp.select(F.col("doc_id").alias("doc_a"),
@@ -1609,8 +1634,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARCHAR-routes every wide cast per tools/oracle_lint.py); r is a
     single-shot double. One degree aggregate + two broadcast-shaped
     joins + one global fold over the memoized edge relation."""
-    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # (no re-checkpoint: the memoized pairs relation IS a localCheckpoint
+    # already — the former extra checkpoint fired one eager copy job per
+    # call for zero lineage benefit; r10 optimization)
     deg = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
@@ -1782,8 +1809,10 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer product of BIGINTs (< 2^53 territory after the
     double cast on both engines; the product is formed as a DOUBLE of
     two exact ints — correctly-rounded once, bit-identical)."""
-    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # (no re-checkpoint: the memoized pairs relation IS a localCheckpoint
+    # already — the former extra checkpoint fired one eager copy job per
+    # call for zero lineage benefit; r10 optimization)
     deg = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
@@ -1859,8 +1888,10 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-degree relation; each row's OLS terms are single-shot
     doubles ROUNDED to DECIMAL(20,12) BEFORE the fold, so the sum is
     merge-order-free; slope/intercept are single-shot at the end."""
-    pairs = (q_minhash_lsh_pairs(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # (no re-checkpoint: the memoized pairs relation IS a localCheckpoint
+    # already — the former extra checkpoint fired one eager copy job per
+    # call for zero lineage benefit; r10 optimization)
     deg = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import (
     exact_avg, exact_sum, exact_wsum, money, rate,
 )
-from ..sources.tables import load_table
+from ..sources.tables import corpus_key, load_table, memo_put
 
 
 def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,12 +921,24 @@ ORACLE_EDIT_DISTANCE = f"""
 RIDGE_LAMBDA = 1.0   # L2 penalty on the non-intercept coefficients
 
 
+# fitted ridge model per (session, lineitem-corpus ident) — the trained-
+# model memo (kmeans/PQ/BPE precedent); the fit is one aggregation pass
+# + a p² driver solve, deterministic in the corpus. Cleared by
+# clear_corpus_caches for cold-bench isolation.
+_RIDGE_FIT_CACHE: dict = {}
+
+
 def ridge_fit(spark: SparkSession, sf_dir: str) -> dict:
     """The data pass + solve behind q_ridge_regression, exposed so tests
     can compare β against a driver-side closed form. Returns the raw
     integer sufficient statistics row plus β (original units), R², and
-    the verification indicators."""
+    the verification indicators. Memoized per (session, corpus) — r10."""
     import numpy as np
+
+    key = corpus_key(spark, sf_dir, "lineitem")
+    hit = _RIDGE_FIT_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     li = load_table(spark, "lineitem", sf_dir)
 
@@ -966,8 +978,10 @@ def ridge_fit(spark: SparkSession, sf_dir: str) -> dict:
     sse = syy - 2.0 * beta @ b + beta @ A @ beta
     sst = syy - b[0] ** 2 / n
     r2 = 1.0 - sse / sst
-    return {"stats": stats, "beta": beta, "r2": r2,
-            "grad_ok": grad_ok, "r2_ok": float(0.0 <= r2 <= 1.0)}
+    fit = {"stats": stats, "beta": beta, "r2": r2,
+           "grad_ok": grad_ok, "r2_ok": float(0.0 <= r2 <= 1.0)}
+    memo_put(_RIDGE_FIT_CACHE, key, fit)
+    return fit
 
 
 def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1647,9 +1661,16 @@ def q_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle spells out the same ANSI definition — smallest value with
     cume_dist >= f — explicitly; interpolating percentile_cont was a
     1-ulp cross-engine gate risk). Pass 2 counts rows per half-open
-    (lo, hi] interval with ``sum(when)`` columns against those literal
-    bounds. At 100 TB swap pass 1 to ``percentile_approx`` (mergeable
-    sketch) and keep pass 2 unchanged."""
+    (lo, hi] interval with ``sum(when)`` columns against those bounds.
+    At 100 TB swap pass 1 to ``percentile_approx`` (mergeable sketch)
+    and keep pass 2 unchanged.
+
+    FULLY LAZY since r10: the bounds ride a broadcast 1-row aggregate
+    crossJoined in-plan (the spearman-grid pattern) instead of a
+    build-time .first() — the former form fired two eager jobs on every
+    call. Pass 2 groups by the (constant) bound columns, exactly the
+    oracle's ``FROM orders, bounds GROUP BY`` shape, so an empty table
+    still yields zero rows."""
     o = load_table(spark, "orders", sf_dir)
     fracs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
     # ONE percentile_disc over an ARRAY of fractions: a single sorted
@@ -1659,23 +1680,27 @@ def q_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     brow = o.agg(F.expr(f"percentile_disc(array({arr})) WITHIN GROUP "
                         f"(ORDER BY o_totalprice)").alias("bs"),
                  F.min("o_totalprice").alias("b0"),
-                 F.max("o_totalprice").alias("bN")).first()
-    bounds = [brow["b0"]] + list(brow["bs"] or [None] * len(fracs)) \
-        + [brow["bN"]]
-    if bounds[0] is None:  # empty table: no buckets, not repr(None) SQL
-        return spark.createDataFrame(
-            [], "bucket string, rows long, lo double, hi double")
+                 F.max("o_totalprice").alias("bN"))
+
+    def bexpr(i: int) -> str:
+        if i == 0:
+            return "b0"
+        if i == HIST_BUCKETS:
+            return "bN"
+        return f"element_at(bs, {i})"
+
     v = F.col("o_totalprice")
     cols = []
     for i in range(1, HIST_BUCKETS + 1):
-        lo, hi = bounds[i - 1], bounds[i]
-        cond = (v <= F.lit(hi)) if i == 1 else \
-            ((v > F.lit(lo)) & (v <= F.lit(hi)))
+        lo, hi = F.expr(bexpr(i - 1)), F.expr(bexpr(i))
+        cond = (v <= hi) if i == 1 else ((v > lo) & (v <= hi))
         cols.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long")
                     .alias(f"c{i}"))
-    counts = o.agg(*cols)
+    counts = (o.crossJoin(F.broadcast(brow))
+              .groupBy("b0", "bs", "bN").agg(*cols))
     stack = ", ".join(
-        f"'{i}', c{i}, {bounds[i - 1]!r}D, {bounds[i]!r}D"
+        f"'{i}', c{i}, CAST({bexpr(i - 1)} AS DOUBLE), "
+        f"CAST({bexpr(i)} AS DOUBLE)"
         for i in range(1, HIST_BUCKETS + 1))
     return counts.selectExpr(
         f"stack({HIST_BUCKETS}, {stack}) AS (bucket, rows, lo, hi)")

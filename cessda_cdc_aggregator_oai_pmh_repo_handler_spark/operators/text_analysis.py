@@ -1090,7 +1090,9 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.slice(F.array_sort(F.array_distinct(
         F.filter(F.split("text", " "), lambda x: x != ""))), 1, PMI_CAP)
     docs = d.select(arr.alias("toks")).filter(F.size("toks") > 0)
-    n_docs = docs.count()
+    # n_docs as an in-plan broadcast 1-row aggregate (r10: the former
+    # .count() fired an eager corpus job at build time on every call)
+    nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
     uni = (docs.select(F.explode("toks").alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
     pair_arr = F.flatten(F.transform(
@@ -1105,8 +1107,10 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
     ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
     return (pairs.join(ua, "wa").join(ub, "wb")
+            .crossJoin(F.broadcast(nd))
             .select("wa", "wb", "cab",
-                    F.round(F.log((F.col("cab").cast("double") * n_docs)
+                    F.round(F.log((F.col("cab").cast("double")
+                                   * F.col("_nd"))
                                   / (F.col("ca") * F.col("cb"))), 6)
                     .alias("pmi"))
             .orderBy(F.desc("pmi"), "wa", "wb").limit(PMI_TOP))
@@ -1616,22 +1620,16 @@ TR_ITERS = 4         # fixed power iterations (TextRank converges fast)
 TR_ONE = 10 ** 12    # fixed-point unit: ranks are BIGINT micro-ranks
 
 
-def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank keyword extraction (Mihalcea & Tarau '04) — PageRank over
-    the token co-occurrence graph: adjacent content words (≥4 chars,
-    first TR_CAP per doc) form weighted undirected edges, and 4 power
-    iterations at damping 0.85 rank every word by graph centrality.
+_TEXTRANK_SYM_CACHE: dict = {}
 
-    The whole iteration runs in FIXED-POINT INTEGER arithmetic: ranks are
-    BIGINT micro-ranks (1e12 = mass 1), per-edge contributions are
-    ``(pr · w) div wdeg`` and the damping mix is ``(15·1e12) div (100·n)
-    + (85·Σ) div 100`` — floor division end to end, so every iteration is
-    bit-exact on both engines and the hash gate verifies the EXACT
-    integer ranks. No float ever folds (the pagerank_neardup
-    quantization discipline taken to its limit). Per iteration: one
-    edge-sized join + one aggregation; the corpus is tokenized once
-    (the symmetrized edge list is checkpointed so iterations never
-    re-scan the documents)."""
+
+def _textrank_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized, weight-filtered co-occurrence edge checkpoint for
+    textrank — memoized per (session, corpus)."""
+    key = corpus_key(spark, sf_dir)
+    hit = _TEXTRANK_SYM_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = load_table(spark, "documents", sf_dir)
     toks = d.select(F.slice(
         F.filter(_words(), lambda x: F.length(x) >= TR_MIN_LEN),
@@ -1655,6 +1653,28 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst"), "w")) \
         .localCheckpoint()
+    memo_put(_TEXTRANK_SYM_CACHE, key, sym)
+    return sym
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau '04) — PageRank over
+    the token co-occurrence graph: adjacent content words (≥4 chars,
+    first TR_CAP per doc) form weighted undirected edges, and 4 power
+    iterations at damping 0.85 rank every word by graph centrality.
+
+    The whole iteration runs in FIXED-POINT INTEGER arithmetic: ranks are
+    BIGINT micro-ranks (1e12 = mass 1), per-edge contributions are
+    ``(pr · w) div wdeg`` and the damping mix is ``(15·1e12) div (100·n)
+    + (85·Σ) div 100`` — floor division end to end, so every iteration is
+    bit-exact on both engines and the hash gate verifies the EXACT
+    integer ranks. No float ever folds (the pagerank_neardup
+    quantization discipline taken to its limit). Per iteration: one
+    edge-sized join + one aggregation; the corpus is tokenized once
+    (the symmetrized edge list is checkpointed AND memoized per
+    (session, corpus) since r10 — the SSSP/Markov-spine pattern — so
+    repeated executions pay the corpus scan once, not per call)."""
+    sym = _textrank_sym(spark, sf_dir)
     wdeg = sym.groupBy("src").agg(F.sum("w").alias("wdeg"))
     nrow = wdeg.agg(F.count(F.lit(1)).alias("n"))
     pr = (wdeg.crossJoin(F.broadcast(nrow))
@@ -1737,34 +1757,35 @@ def bucketed_global_rank(df: DataFrame, value_col: str,
       order and ties always share a bucket),
     - row_number WITHIN each bucket in parallel (one hash exchange),
     - add each bucket's starting offset — an exclusive prefix sum over
-      the ≤4096-row bucket-count relation, folded on the driver (a K-row
-      manifest op like the k-means partial merge, never corpus-sized).
+      the ≤4096-row bucket-count relation via a broadcast triangular
+      self-join (never corpus-sized).
 
     Positions are bit-identical to the global window's, so swapping this
-    in changes no hashes. Two tiny eager jobs (bounds + bucket counts)
-    run at build time; both reduce before they collect."""
+    in changes no hashes. FULLY LAZY since r10: the bounds ride a
+    broadcast 1-row min/max aggregate crossJoined in-plan and the
+    offsets are the _grouped_bucketed_prefix triangular-join pattern —
+    the former driver-side bounds + bucket-count collects fired two
+    eager jobs on EVERY call (×3 call sites per suite pass)."""
     from pyspark.sql import Window
 
-    spark = df.sparkSession
-    bounds = df.agg(F.min(value_col).alias("lo"),
-                    F.max(value_col).alias("hi")).collect()[0]
-    if bounds["lo"] is None:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max(1, (hi - lo + GLOBAL_RANK_BUCKETS) // GLOBAL_RANK_BUCKETS)
-    d2 = df.withColumn("_grk_bkt", F.expr(
-        f"CAST((`{value_col}` - {lo}) div {width} AS BIGINT)"))
-    counts = sorted(
-        (r["_grk_bkt"], r["c"])
-        for r in d2.groupBy("_grk_bkt")
-                   .agg(F.count(F.lit(1)).alias("c")).collect())
-    offs, acc = [], 0
-    for b, c in counts:
-        offs.append((b, acc))
-        acc += c
-    off_df = spark.createDataFrame(offs, "_grk_bkt bigint, _grk_off bigint")
+    nb = GLOBAL_RANK_BUCKETS
+    b = df.agg(F.min(value_col).alias("_grk_lo"),
+               F.max(value_col).alias("_grk_hi"))
+    d2 = (df.crossJoin(F.broadcast(b))
+          .withColumn("_grk_w", F.greatest(F.lit(1).cast("long"), F.expr(
+              f"CAST((_grk_hi - _grk_lo + {nb}) div {nb} AS BIGINT)")))
+          .withColumn("_grk_bkt", F.expr(
+              f"CAST((`{value_col}` - _grk_lo) div _grk_w AS BIGINT)"))
+          .drop("_grk_lo", "_grk_hi", "_grk_w"))
+    cnts = d2.groupBy("_grk_bkt").agg(F.count(F.lit(1)).alias("_grk_c"))
+    x, y = cnts.alias("x"), cnts.alias("y")
+    off = (x.join(F.broadcast(y),
+                  F.col("y._grk_bkt") < F.col("x._grk_bkt"), "left")
+           .groupBy(F.col("x._grk_bkt").alias("_grk_bkt"))
+           .agg(F.coalesce(F.sum("y._grk_c"), F.lit(0)).cast("long")
+                .alias("_grk_off")))
     w = Window.partitionBy("_grk_bkt").orderBy(value_col, *tiebreak_cols)
-    return (d2.join(F.broadcast(off_df), "_grk_bkt")
+    return (d2.join(F.broadcast(off), "_grk_bkt")
             .withColumn(out_col, F.row_number().over(w) + F.col("_grk_off"))
             .drop("_grk_bkt", "_grk_off"))
 
@@ -2785,19 +2806,16 @@ SALSA_ITERS = 4
 SALSA_MIN_C = 2        # prune hapax bigram edges
 
 
-def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SALSA hub/authority scores (Lempel & Moran '00) over the DIRECTED
-    word-bigram graph — the random-walk sibling of HITS that needs NO
-    global normalization step, which is what makes it expressible in the
-    textrank fixed-point BIGINT discipline: each half-iteration is
-    authority[d] = Σ (hub[s]·c) DIV outw[s] then
-    hub[s] = Σ (auth[d]·c) DIV inw[d] — floor division per edge, integer
-    sums, bit-exact on both engines, hash gate verifies the EXACT
-    integers. Per iteration: two edge-sized joins over the
-    vocabulary-bounded edge relation (checkpointed; the corpus is
-    scanned once). HITS itself normalizes by a global sum each step —
-    a decimal division whose rounding differs across engines — so SALSA
-    is the right graph-centrality twin for an exactness-gated engine."""
+_SALSA_EDGES_CACHE: dict = {}
+
+
+def _salsa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bigram edge checkpoint for SALSA — memoized per
+    (session, corpus)."""
+    key = corpus_key(spark, sf_dir)
+    hit = _SALSA_EDGES_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = _tokenized_docs(spark, sf_dir)
     toks = d.select(F.filter("words", lambda x: F.length(x) > 0)
                     .alias("toks"))
@@ -2813,6 +2831,27 @@ def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (adj.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
              .filter(F.col("c") >= SALSA_MIN_C)
              .localCheckpoint())
+    memo_put(_SALSA_EDGES_CACHE, key, edges)
+    return edges
+
+
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran '00) over the DIRECTED
+    word-bigram graph — the random-walk sibling of HITS that needs NO
+    global normalization step, which is what makes it expressible in the
+    textrank fixed-point BIGINT discipline: each half-iteration is
+    authority[d] = Σ (hub[s]·c) DIV outw[s] then
+    hub[s] = Σ (auth[d]·c) DIV inw[d] — floor division per edge, integer
+    sums, bit-exact on both engines, hash gate verifies the EXACT
+    integers. Per iteration: two edge-sized joins over the
+    vocabulary-bounded edge relation (checkpointed; the corpus is
+    scanned once). HITS itself normalizes by a global sum each step —
+    a decimal division whose rounding differs across engines — so SALSA
+    is the right graph-centrality twin for an exactness-gated engine.
+    The edge checkpoint is memoized per (session, corpus) since r10
+    (the SSSP/textrank pattern): repeated executions pay the corpus
+    scan + bigram groupBy once, not per call."""
+    edges = _salsa_edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("c").alias("outw"))
     inw = edges.groupBy("dst").agg(F.sum("c").alias("inw"))
     nh = outw.agg(F.count(F.lit(1)).alias("n"))

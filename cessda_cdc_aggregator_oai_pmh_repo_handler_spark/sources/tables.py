@@ -129,18 +129,22 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies", ("_FIXTURE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.dedup",
          ("_SHINGLE_CACHE", "_VERIFIED_PAIRS_CACHE", "_COMPONENTS_CACHE",
-          "_PAGERANK_CACHE", "_HOPS_CACHE")),
+          "_PAGERANK_CACHE", "_HOPS_CACHE", "_KCORE_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis",
          ("_TOKENIZED_CACHE", "_BIGRAM_EX_CACHE", "_WINNOW_FP_CACHE",
-          "_LEAK_GRAM_CACHE", "_SW_COUNTS_CACHE")),
+          "_LEAK_GRAM_CACHE", "_SW_COUNTS_CACHE", "_TEXTRANK_SYM_CACHE",
+          "_SALSA_EDGES_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.arrays", ("_MARKOV_SPINE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.spatial", ("_SSSP_EDGES_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.bpe", ("_BPE_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.clustering",
+         ("_KMEANS_MODEL_CACHE", "_PCA_COV_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.ann",
          ("_PQ_CACHE", "_PQ_MODEL_CACHE", "_POSTINGS_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.pii", ("_PII_DOCS_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal", ("_MEDIA_REAL_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.studies_demo", ("_PLANNER_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext", ("_RIDGE_FIT_CACHE",)),
     ]
     for mod_name, attrs in specs:
         try:

@@ -402,9 +402,14 @@ def test_ewma_smooth_matches_python_mirror(spark, sf_dir):
 
 
 def test_ewma_smooth_plan_is_grouped_map(spark, sf_dir):
+    """r10: the per-key grouped map became a partition-streamed
+    MapInPandas over one hash exchange + partition sort (guide §4.2 —
+    no per-group pandas frames); the plan must still show exactly one
+    exchange keyed on user_id and the Arrow stage."""
     plan = (arrays.q_ewma_smooth(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
 
 
 def test_robust_stats_matches_python_order_stats(spark, sf_dir):

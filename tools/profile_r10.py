@@ -68,6 +68,12 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session("profile-r10")
     spark.sparkContext.setLogLevel("ERROR")
+    # conf experiments: PROFILE_CONF="k=v;k2=v2" applied post-build
+    # (runtime-settable SQL confs only — AQE knobs, arrow, etc.)
+    for kv in os.environ.get("PROFILE_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            spark.conf.set(k.strip(), v.strip())
     sc = spark.sparkContext
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
