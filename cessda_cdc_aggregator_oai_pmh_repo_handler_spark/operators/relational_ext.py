@@ -687,10 +687,14 @@ def _grouped_bucketed_prefix(df: DataFrame, group_col: str,
     min/max aggregate crossJoined in-plan (the markov-K pattern — the
     original driver-side bounds/offset collects re-ran two eager scan
     jobs on EVERY call, which bench attribution priced at ~3s/call),
-    and the exclusive prefix is a broadcast triangular self-join over
-    the ≤groups×4096-row bucket-sum relation (the skyline two-level
-    pattern — constant-sized at any corpus). Values are bit-identical
-    to the fat window's, so swapping this in changes no hashes."""
+    and the exclusive prefix is a cumulative window over the
+    ≤groups×4096-row bucket-sum relation, partitioned per group and
+    ordered by bucket — each window partition is ≤4096 rows at ANY
+    corpus size (r10: this replaces a broadcast triangular self-join
+    whose BroadcastNestedLoopJoin evaluated buckets² pairs per group,
+    ~1 s of interpreted compare per call site at sf0.1). Values are
+    bit-identical to the fat window's, so swapping this in changes no
+    hashes."""
     from pyspark.sql import Window
 
     nb = 4096
@@ -704,14 +708,12 @@ def _grouped_bucketed_prefix(df: DataFrame, group_col: str,
           .drop("_pfx_lo", "_pfx_hi", "_pfx_w"))
     cnts = (d2.groupBy(group_col, "_pfx_bkt")
             .agg(F.sum(weight_col).alias("_pfx_c")))
-    x, y = cnts.alias("x"), cnts.alias("y")
-    off = (x.join(F.broadcast(y),
-                  (F.col(f"y.{group_col}") == F.col(f"x.{group_col}"))
-                  & (F.col("y._pfx_bkt") < F.col("x._pfx_bkt")), "left")
-           .groupBy(F.col(f"x.{group_col}").alias(group_col),
-                    F.col("x._pfx_bkt").alias("_pfx_bkt"))
-           .agg(F.coalesce(F.sum("y._pfx_c"), F.lit(0)).cast("long")
-                .alias("_pfx_off")))
+    w_off = (Window.partitionBy(group_col).orderBy("_pfx_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = cnts.select(
+        group_col, "_pfx_bkt",
+        F.coalesce(F.sum("_pfx_c").over(w_off), F.lit(0)).cast("long")
+        .alias("_pfx_off"))
     w = (Window.partitionBy(group_col, "_pfx_bkt").orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (d2.join(F.broadcast(off), [group_col, "_pfx_bkt"])
@@ -735,18 +737,22 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``q`` (quantity cents) lives on the TPC-H generator's 50-value
       integer grid at EVERY scale factor, so its midranks need no
       fact-sized window at all: a (group, q) count grid (≤150 rows,
-      map-side combinable) plus a broadcast triangular self-join yields
-      the exclusive prefix, and 2R_q = 2·prefix + ties + 1 joins back
+      map-side combinable) whose exclusive prefix is a cumulative
+      window over the grid itself (r10 — replaces a broadcast
+      triangular self-join whose BroadcastNestedLoopJoin burned grid²
+      interpreted compares), and 2R_q = 2·prefix + ties + 1 joins back
       broadcast. Zero exchanges of the fact for this variable.
     * ``p`` (extendedprice cents) is near-unique, so it keeps the
       bucketed two-level prefix (fixed width 16384 over the
       sf-invariant ~9e4..1.05e7 cent domain → ~640 buckets — a domain
       constant, so no bounds job): per-(group, bucket) counts fold to a
-      ≤groups×640-row relation whose exclusive prefix is a broadcast
-      triangular self-join; min-ranks are in-bucket rank() + the joined
-      offset, ties a (group, bucket, p) window. Every fact-sized window
-      keys on (group, bucket), never the 3-value group key alone, so no
-      fat single-task sort exists at any scale.
+      ≤groups×640-row relation whose exclusive prefix is the same
+      cumulative bucket window; min-ranks are in-bucket rank() + the
+      joined offset, ties a (group, bucket, p) window. Every FACT-sized
+      window keys on (group, bucket), never the 3-value group key alone
+      (the group-keyed windows touch only the bucket/grid COUNT
+      relations, bounded at any scale), so no fat single-task sort
+      exists at any corpus.
 
     FULLY LAZY (r8 verdict #4): both helper relations are in-plan
     broadcast subtrees — building this DataFrame fires zero Spark jobs
@@ -766,39 +772,48 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, "lineitem", sf_dir)
+    # cents as LONG on the hot path (r10): _cents' DECIMAL(19,0) is
+    # precision-19 — above Spark's long-backed 18 — so every row's q/p
+    # was a heap Decimal through the joins, the rank window's ORDER BY
+    # and the bucket div (measured ~6x on the probe join alone). All
+    # derived quantities (prefix sums, 2R midranks) stay well inside
+    # int64 at any scale (cents < 2^31, 2R ≤ 2n+1); the sufficient-
+    # statistic sums still fold in DECIMAL(19,0)->DECIMAL(38,0) exactly
+    # as before, so the hashed output is bit-identical.
     d = li.select(
         "l_returnflag",
-        _cents("l_quantity").alias("q"),
-        _cents("l_extendedprice").alias("p"),
+        _cents_long("l_quantity").alias("q"),
+        _cents_long("l_extendedprice").alias("p"),
     )
 
-    # q: broadcast midrank grid — 2R = 2·(#rows below) + ties + 1
+    # q: broadcast midrank grid — 2R = 2·(#rows below) + ties + 1. The
+    # exclusive prefix is a cumulative window over the ≤groups×50-row
+    # grid, ordered by q (r10: replaces the broadcast triangular
+    # self-join, whose BroadcastNestedLoopJoin evaluated grid² pairs in
+    # interpreted compares; identical integer sums, window partitions
+    # bounded by the 50-value grid at any corpus size)
     gq = d.groupBy("l_returnflag", "q").agg(F.count(F.lit(1)).alias("_cq"))
-    gx, gy = gq.alias("gx"), gq.alias("gy")
-    rq_grid = (gx.join(F.broadcast(gy),
-                       (F.col("gy.l_returnflag") == F.col("gx.l_returnflag"))
-                       & (F.col("gy.q") < F.col("gx.q")), "left")
-               .groupBy(F.col("gx.l_returnflag").alias("l_returnflag"),
-                        F.col("gx.q").alias("q"),
-                        F.col("gx._cq").alias("_cq"))
-               .agg(F.coalesce(F.sum("gy._cq"), F.lit(0)).cast("long")
-                    .alias("_pfx"))
-               .select("l_returnflag", "q",
-                       (F.lit(2) * F.col("_pfx") + F.col("_cq") + 1)
-                       .cast("decimal(19,0)").alias("rq")))
+    w_gq = (Window.partitionBy("l_returnflag").orderBy("q")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    rq_grid = gq.select(
+        "l_returnflag", "q",
+        (F.lit(2) * F.coalesce(F.sum("_cq").over(w_gq),
+                               F.lit(0)).cast("long")
+         + F.col("_cq") + 1).cast("decimal(19,0)").alias("rq"))
 
-    # p: bucketed two-level prefix, offsets as an in-plan broadcast
+    # p: bucketed two-level prefix; the per-(group, bucket) offsets are
+    # the same cumulative-window exclusive prefix over the ≤groups×640-
+    # row bucket-count relation (bounded by the sf-invariant cent
+    # domain / 16384 — constant at any corpus size)
     d2 = d.withColumn("_bkt_p", F.expr("`p` div 16384"))
     cnts = (d2.groupBy("l_returnflag", "_bkt_p")
             .agg(F.count(F.lit(1)).alias("_c")))
-    cx, cy = cnts.alias("cx"), cnts.alias("cy")
-    off_p = (cx.join(F.broadcast(cy),
-                     (F.col("cy.l_returnflag") == F.col("cx.l_returnflag"))
-                     & (F.col("cy._bkt_p") < F.col("cx._bkt_p")), "left")
-             .groupBy(F.col("cx.l_returnflag").alias("l_returnflag"),
-                      F.col("cx._bkt_p").alias("_bkt_p"))
-             .agg(F.coalesce(F.sum("cy._c"), F.lit(0)).cast("long")
-                  .alias("_off_p")))
+    w_off = (Window.partitionBy("l_returnflag").orderBy("_bkt_p")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_p = cnts.select(
+        "l_returnflag", "_bkt_p",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("long")
+        .alias("_off_p"))
 
     j = (d2.join(F.broadcast(off_p), ["l_returnflag", "_bkt_p"])
          .join(F.broadcast(rq_grid), ["l_returnflag", "q"]))
@@ -2802,10 +2817,13 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms n₁/n₂ fold from the per-variable marginals; every count is
     exact DECIMAL(38,0); τ-b is one single-shot double."""
     li = load_table(spark, "lineitem", sf_dir)
+    # grid keys as LONG cents (r10, the spearman fix): the fact-sized
+    # groupBy hashed heap Decimals; every downstream count/tie fold
+    # already widens to DECIMAL explicitly, so values are bit-identical
     d = li.select(
         "l_returnflag",
-        _cents("l_quantity").alias("q"),
-        _cents("l_discount").alias("dd"),
+        _cents_long("l_quantity").alias("q"),
+        _cents_long("l_discount").alias("dd"),
     )
     grid = d.groupBy("l_returnflag", "q", "dd").agg(
         F.count(F.lit(1)).alias("c"))
@@ -3054,9 +3072,11 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact element of an identical set on both engines, so it hashes
     with no rounding class."""
     li = load_table(spark, "lineitem", sf_dir)
+    # x/y as LONG cents on the fact path (r10, the spearman fix); the
+    # sum input still widens to DECIMAL(19,0) exactly as before
     d = li.select("l_returnflag",
-                  _cents("l_quantity").alias("x"),
-                  _cents("l_extendedprice").alias("y"))
+                  _cents_long("l_quantity").alias("x"),
+                  _cents_long("l_extendedprice").alias("y"))
     g = d.groupBy("l_returnflag", "x").agg(
         F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
         F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"))
@@ -3172,14 +3192,17 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                "(ORDER BY o_totalprice)").alias("lo"),
         F.expr("percentile_disc(0.9) WITHIN GROUP "
                "(ORDER BY o_totalprice)").alias("hi"))
-    cents = _cents("o_totalprice")
+    # cents as LONG on the per-row clamp path (r10, the spearman fix);
+    # the sum input widens to DECIMAL(19,0) below, same as before
+    cents = _cents_long("o_totalprice")
     lo_c = F.floor(F.col("lo") * 100).cast("long")
     hi_c = F.floor(F.col("hi") * 100).cast("long")
     clamped = F.least(F.greatest(cents, lo_c), hi_c)
     agg = (o.join(F.broadcast(bounds), "o_orderpriority")
            .groupBy("o_orderpriority")
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum(clamped).cast("long").alias("wins_cents"),
+                F.sum(clamped.cast("decimal(19,0)")).cast("long")
+                .alias("wins_cents"),
                 F.min(lo_c).alias("lo_cents"),
                 F.min(hi_c).alias("hi_cents")))
     mean = (F.col("wins_cents").cast("double")
@@ -3278,19 +3301,24 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, "lineitem", sf_dir)
-    d = li.select("l_returnflag", _cents("l_extendedprice").alias("p"),
+    # price cents as LONG (r10, the spearman fix): DECIMAL(19,0) cents
+    # are heap Decimals in every join/window/groupBy touch; the long
+    # domain (cents < 2^31) and long weight sums are exact, and the
+    # output column was already CAST to BIGINT — bit-identical.
+    d = li.select("l_returnflag", _cents_long("l_extendedprice").alias("p"),
                   F.col("l_quantity").cast("long").alias("w"))
     d = d.withColumn("_bkt", F.expr("p div 16384"))
     cnts = d.groupBy("l_returnflag", "_bkt").agg(
         F.sum("w").alias("_c"))
-    x, y = cnts.alias("x"), cnts.alias("y")
-    off = (x.join(F.broadcast(y),
-                  (F.col("y.l_returnflag") == F.col("x.l_returnflag"))
-                  & (F.col("y._bkt") < F.col("x._bkt")), "left")
-           .groupBy(F.col("x.l_returnflag").alias("l_returnflag"),
-                    F.col("x._bkt").alias("_bkt"))
-           .agg(F.coalesce(F.sum("y._c"), F.lit(0)).cast("long")
-                .alias("_off")))
+    # exclusive prefix as a cumulative window over the bucket-count
+    # relation (r10 — replaces the buckets² BroadcastNestedLoopJoin;
+    # window partitions bounded by the cent-domain/16384 bucket count)
+    w_off = (Window.partitionBy("l_returnflag").orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = cnts.select(
+        "l_returnflag", "_bkt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("long")
+        .alias("_off"))
     tot = cnts.groupBy("l_returnflag").agg(
         F.sum("_c").cast("long").alias("wtot"))
     t = d.groupBy("l_returnflag", "_bkt", "p").agg(F.sum("w").alias("w"))

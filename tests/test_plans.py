@@ -533,9 +533,17 @@ def test_spearman_no_fat_group_window(spark):
     for ln in plan.splitlines():
         if "Window [" in ln:
             part = ln.split("], [")[1] if "], [" in ln else ""
-            # partition must be finer than the group key: either the
-            # range bucket (min-rank windows) or the value (tie windows)
-            assert ("_bkt_" in part or "q#" in part or "p#" in part), ln
+            # fact-sized windows must partition finer than the group
+            # key: the range bucket (min-rank windows) or the value
+            # (tie windows). Windows partitioned on the group alone are
+            # allowed ONLY when they ORDER BY the bucket/grid column —
+            # those are the r10 cumulative-offset windows over the
+            # bucket-COUNT relations (≤groups×640 rows at any scale),
+            # which replaced the BroadcastNestedLoopJoin triangular
+            # prefixes.
+            ordered = ln.split("], [")[2] if ln.count("], [") >= 2 else ""
+            assert ("_bkt_" in part or "q#" in part or "p#" in part
+                    or "_bkt_" in ordered or "q#" in ordered), ln
     assert "CartesianProduct" not in plan
 
 
