@@ -90,27 +90,40 @@ token_stats topk_per_group train_val_split
 
 
 def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
-    """Time each frozen-cohort op on THIS repo (A) and on the pinned repo
-    at ``ab_repo`` (B, in a subprocess worker) back-to-back, alternating
-    which side goes first per op to cancel order bias. Returns the
-    detail record; on worker failure returns an error record instead of
-    failing the bench."""
+    """Time every op COMMON TO BOTH repos on THIS repo (A) and on the
+    pinned repo at ``ab_repo`` (B, in a subprocess worker) back-to-back,
+    alternating which side goes first per op to cancel order bias (r9
+    advice: the roster is the exact intersection, no unfiltered
+    singletons). The r5 frozen-cohort sums are reported alongside as the
+    subset of the same measurements. Returns the detail record; on
+    worker failure returns an error record instead of failing the
+    bench."""
     import subprocess
 
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import suites
 
     here = os.path.dirname(os.path.abspath(__file__))
     suite_names = set(suite_sub_lists)
+    # r10: time EVERY op common to both repos (the worker advertises its
+    # full roster), not only the r5 frozen cohort — ops added after r5
+    # are where optimization rounds move the most, and the frozen-only
+    # record was blind to them. The frozen-cohort sums are still
+    # reported (computed from the same measurements) for cross-round
+    # continuity.
     thunks = {}
+    frozen: set[str] = set()
     for name, fn in qs.items():
-        if name not in suite_names and name in FROZEN_SINGLETONS_R5:
+        if name not in suite_names:
             thunks[name] = (lambda fn=fn: fn(spark, sf_dir).collect())
+            if name in FROZEN_SINGLETONS_R5:
+                frozen.add(name)
     for subs in suite_sub_lists.values():
         for s in subs:
+            thunks[s.op] = (lambda s=s:
+                            suites._spark_long(s.fn(spark, sf_dir), s)
+                            .collect())
             if s.op in FROZEN_COHORT_R5:
-                thunks[s.op] = (lambda s=s:
-                                suites._spark_long(s.fn(spark, sf_dir), s)
-                                .collect())
+                frozen.add(s.op)
 
     proc = subprocess.Popen(
         [sys.executable, os.path.join(here, "tools", "bench_ab_worker.py"),
@@ -148,14 +161,22 @@ def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
         proc.wait(timeout=120)
         a_sum = round(sum(v[0] for v in ops.values()), 4)
         b_sum = round(sum(v[1] for v in ops.values()), 4)
+        fa = round(sum(v[0] for op, v in ops.items() if op in frozen), 4)
+        fb = round(sum(v[1] for op, v in ops.items() if op in frozen), 4)
         return {
             "repo_b": ab_repo,
             "protocol": ("per op: 1 warm + 1 timed per side, sides "
                          "alternating which goes first; B side in its own "
-                         "process+session from the pinned repo"),
-            "cohort_a_sec": a_sum,
-            "cohort_b_sec": b_sum,
-            "a_over_b": round(a_sum / b_sum, 4) if b_sum else None,
+                         "process+session from the pinned repo; roster = "
+                         "ALL ops present in both repos (r10 — the "
+                         "frozen-cohort sums below are the r5-roster "
+                         "subset of the same measurements)"),
+            "full_a_sec": a_sum,
+            "full_b_sec": b_sum,
+            "a_over_b_full": round(a_sum / b_sum, 4) if b_sum else None,
+            "cohort_a_sec": fa,
+            "cohort_b_sec": fb,
+            "a_over_b": round(fa / fb, 4) if fb else None,
             "n_ops": len(ops),
             "only_a": sorted(set(thunks) - set(ready["ops"])),
             "ops_ab_sec": ops,

@@ -2410,8 +2410,27 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact decimal sums (merge-order-free) and the argmax — ties broken
     by lang order — is bit-deterministic. Shapes: the (lang, token) count
     table shuffle-joins on the token (vocabulary-sized, never collected);
-    class totals, priors, and V are 5-row/scalar broadcasts."""
+    class totals, priors, and V are 5-row/scalar broadcasts.
+
+    The K²-row confusion relation is memoized+checkpointed per (session,
+    corpus) since r10 (the _COMPONENTS_CACHE shared-relation pattern):
+    cohens_kappa references it FOUR times (rows/cols/diag/total
+    marginals) and Spark does not dedupe common subtrees, so the
+    un-memoized form re-ran the whole train+score pipeline four times
+    per kappa execution (26 jobs, ~2 s at sf0.1)."""
+    return _nb_confusion(spark, sf_dir)
+
+
+_NB_CONF_CACHE: dict = {}
+
+
+def _nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    key = corpus_key(spark, sf_dir)
+    hit = _NB_CONF_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     d = load_table(spark, "documents", sf_dir)
     toks = d.select(
@@ -2453,10 +2472,13 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
     best = (per_class.withColumn("rn", F.row_number().over(pick))
             .filter(F.col("rn") == 1))
-    return best.groupBy(
+    conf = best.groupBy(
         F.col("lang").alias("true_lang"), F.col("c").alias("pred_lang")
     ).agg(F.count(F.lit(1)).alias("docs"),
           F.round(F.sum("score").cast("double"), 4).alias("sum_score"))
+    conf = conf.coalesce(1).localCheckpoint()
+    memo_put(_NB_CONF_CACHE, key, conf)
+    return conf
 
 
 def q_mi_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,7 +133,7 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis",
          ("_TOKENIZED_CACHE", "_BIGRAM_EX_CACHE", "_WINNOW_FP_CACHE",
           "_LEAK_GRAM_CACHE", "_SW_COUNTS_CACHE", "_TEXTRANK_SYM_CACHE",
-          "_SALSA_EDGES_CACHE")),
+          "_SALSA_EDGES_CACHE", "_NB_CONF_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.arrays", ("_MARKOV_SPINE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.spatial", ("_SSSP_EDGES_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.bpe", ("_BPE_CACHE",)),
