@@ -693,7 +693,12 @@ def test_round8_new_ops_no_cartesian(spark):
     for ln in plan.splitlines():
         if "Window [" in ln:
             part = ln.split("], [")[1] if "], [" in ln else ""
-            assert "_pfx_bkt" in part, ln
+            ordered = ln.split("], [")[2] if ln.count("], [") >= 2 else ""
+            # fact-sized windows carry the bucket in the PARTITION key;
+            # group-keyed windows are allowed only when ordering by the
+            # bucket — the r10 cumulative-offset windows over the
+            # bucket-COUNT relation (the spearman test's rule)
+            assert "_pfx_bkt" in part or "_pfx_bkt" in ordered, ln
     # matryoshka is a pure per-row map: no exchange at all
     plan = plan_of(ANN.q_matryoshka_norms(spark, SF))
     assert "Exchange" not in plan
