@@ -99,16 +99,20 @@ def _oracle_long(sub: Sub) -> str:
     return "\nUNION ALL\n".join(selects)
 
 
-# Built suite plans memoized per (session, corpus ident) — the
-# _TABLE_CACHE precedent taken one level up: a DataFrame is an immutable
-# LOGICAL PLAN, so constructing the N-branch union once per
-# (session, corpus) is safe and every re-execution still computes from
-# the parquet inputs (this caches the prepared plan, never results).
-# Cleared by clear_corpus_caches, so the bench's cold mode still prices
-# full construction — and the entry MUST die with the sub-op memo caches
-# it references (their localCheckpoint blocks are unpersisted on clear).
-# Measured r10: corpus_stats_suite spent 28.7 s per call just BUILDING
-# the 94-branch plan (py4j expression construction + Catalyst analysis).
+# Built per-sub long-format DataFrames memoized per (session, corpus
+# ident) — the _TABLE_CACHE precedent taken one level up: a DataFrame is
+# an immutable LOGICAL PLAN, so constructing each sub-query once per
+# (session, corpus) is safe. Measured r10: corpus_stats_suite spent
+# 28.7 s per call just BUILDING its 94 sub-plans (py4j expression
+# construction + Catalyst analysis). Deliberately NOT a memo of the
+# final union DataFrame: re-collecting one cached top-level Dataset
+# would let Spark SKIP completed shuffle map stages across bench runs
+# (shuffle-output reuse ≈ result caching — measured sql_surface_suite
+# 12 s → 3.7 s that way, and rejected); a FRESH union per call creates a
+# new query execution with no shared RDD lineage, so every timed run
+# recomputes from the parquet inputs. Cleared by clear_corpus_caches,
+# so cold mode still prices full construction, and entries die with the
+# sub-op memo checkpoints they reference.
 _SUITE_PLAN_CACHE: dict = {}
 
 
@@ -130,13 +134,11 @@ def _make_suite(subs: tuple[Sub, ...]):
         from ..sources.tables import corpus_key, memo_put
 
         key = (*corpus_key(spark, sf_dir), id(subs))
-        hit = _SUITE_PLAN_CACHE.get(key)
-        if hit is not None:
-            return hit
-        out = _union_tree(
-            [_spark_long(s.fn(spark, sf_dir), s) for s in subs])
-        memo_put(_SUITE_PLAN_CACHE, key, out)
-        return out
+        parts = _SUITE_PLAN_CACHE.get(key)
+        if parts is None:
+            parts = [_spark_long(s.fn(spark, sf_dir), s) for s in subs]
+            memo_put(_SUITE_PLAN_CACHE, key, tuple(parts))
+        return _union_tree(list(parts))
 
     sql = "\nUNION ALL\n".join(_oracle_long(s) for s in subs)
     return q, sql

@@ -64,6 +64,7 @@ def _job_bill(sc, t0_job):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     do_explain = "--explain" in sys.argv
+    plans_only = "--plans-only" in sys.argv  # skip timing, just dump plans
     phase = os.environ.get("PROFILE_PHASE", "before")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session("profile-r10")
@@ -86,6 +87,23 @@ def main():
 
     for name in args:
         fn = _resolve(name)
+        if plans_only:
+            df = fn(spark, sf_dir)
+            try:
+                txt = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted")
+            except Exception:
+                import io
+                from contextlib import redirect_stdout
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    df.explain("formatted")
+                txt = buf.getvalue()
+            with open(os.path.join(here, "plans", "r10",
+                                   f"{name}_{phase}.txt"), "w") as fh:
+                fh.write(txt)
+            print(name, "plan written", flush=True)
+            continue
         # warm shared memo caches once (mirror bench warm semantics)
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
