@@ -125,13 +125,40 @@ def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
             if s.op in FROZEN_COHORT_R5:
                 frozen.add(s.op)
 
+    # r10 post-mortem: the end-of-round interleave died with a
+    # JSONDecodeError because the worker's stdout carried a non-protocol
+    # line (the child JVM shares the fd) and the single readline()+loads
+    # had no tolerance — and the worker's stderr vanished with it. The
+    # protocol is now marker-prefixed ("@AB@{json}"), the reader skips
+    # anything else, and stderr is captured to a sidecar for the error
+    # record.
+    ab_errlog = os.path.join(here, "ab_worker.stderr.log")
+    errfh = open(ab_errlog, "w")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(here, "tools", "bench_ab_worker.py"),
          ab_repo],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=errfh,
+        text=True, env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+
+    def read_msg():
+        """Next marker-prefixed protocol message; skips stray lines.
+        Raises on EOF (worker death) or a worker-reported fatal."""
+        mark = "@AB@"
+        while True:
+            line = proc.stdout.readline()
+            if not line:
+                raise RuntimeError("ab worker stdout EOF (worker died; "
+                                   f"see {ab_errlog})")
+            line = line.strip()
+            if not line.startswith(mark):
+                continue
+            msg = json.loads(line[len(mark):])
+            if "fatal" in msg:
+                raise RuntimeError(f"ab worker fatal: {msg['fatal']}")
+            return msg
+
     try:
-        ready = json.loads(proc.stdout.readline())
+        ready = read_msg()
         roster = sorted(set(thunks) & set(ready["ops"]))
         limit = os.environ.get("SPARK_GRAFT_AB_LIMIT")
         if limit:
@@ -140,7 +167,11 @@ def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
         def time_b(op):
             proc.stdin.write(json.dumps({"op": op}) + "\n")
             proc.stdin.flush()
-            return float(json.loads(proc.stdout.readline())["sec"])
+            msg = read_msg()
+            if msg.get("sec") is None:
+                raise RuntimeError(f"ab worker failed on {op}: "
+                                   f"{msg.get('error')}")
+            return float(msg["sec"])
 
         def time_a(op):
             run = thunks[op]
@@ -183,7 +214,15 @@ def _run_ab_interleave(spark, sf_dir, ab_repo, qs, suite_sub_lists):
         }
     except Exception as e:  # record, don't fail the round's bench
         proc.kill()
-        return {"repo_b": ab_repo, "error": repr(e)}
+        errfh.close()
+        try:
+            with open(ab_errlog) as fh:
+                tail = fh.read()[-2000:]
+        except OSError:
+            tail = None
+        return {"repo_b": ab_repo, "error": repr(e), "stderr_tail": tail}
+    finally:
+        errfh.close()
 
 
 def main():

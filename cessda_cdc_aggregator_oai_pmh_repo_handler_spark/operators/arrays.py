@@ -1270,6 +1270,12 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_stream(batches):
         import pandas as pd
 
+        # INVARIANT (r10 advice): events.user_id is non-null (generator
+        # guarantees it; verified 0 nulls at every SF). The raw `u != cur`
+        # group-boundary compare below relies on it — a NULL key would
+        # surface as NaN (NaN != NaN splits every null row into its own
+        # group) and then fail the int64 output construction, where the
+        # former groupBy().applyInPandas folded all nulls as ONE group.
         users, ns, ewmas = [], [], []
         cur, n, s = None, 0, None
         for pdf in batches:
@@ -1328,6 +1334,8 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_stream(batches):
         import pandas as pd
 
+        # INVARIANT: events.user_id is non-null — see the ewma fold's
+        # note; the raw `u != cur` boundary compare depends on it.
         users, ns, lvls, trs = [], [], [], []
         cur, n, lvl, tr = None, 0, 0.0, 0.0
         for pdf in batches:
@@ -1903,7 +1911,6 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels, conv_state = ATTR_CHANNELS, ATTR_CONV
 
     def attribute(batches):
-        import numpy as np
         import pandas as pd
 
         parts = [p for p in batches]
@@ -1943,20 +1950,26 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         if p_full is not None:
             rem = [(r, pr) for r, pr in p.items() if r != "__full__"]
             tot = sum(p_full - pr for _, pr in rem)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                for r, pr in rem:
-                    drop = p_full - pr
-                    rows.append((
-                        r, p_full, pr,
-                        float(np.float64(drop) / np.float64(p_full)),
-                        float(np.float64(drop) / np.float64(tot))))
+            # r11 (r10 advice): a degenerate corpus (p_full == 0 or
+            # tot == 0) must emit NULL, matching the relational plan's
+            # double-division null semantics — not the ±inf/NaN numpy
+            # yields under errstate suppression. On the normal path the
+            # plain float division is the identical IEEE-754 op.
+            for r, pr in rem:
+                drop = p_full - pr
+                rows.append((
+                    r, p_full, pr,
+                    float(drop) / float(p_full) if p_full != 0 else None,
+                    float(drop) / float(tot) if tot != 0 else None))
         yield pd.DataFrame(
             {"channel": [r[0] for r in rows],
              "p_full": pd.Series([r[1] for r in rows], dtype="int64"),
              "p_removed": pd.Series([r[2] for r in rows], dtype="int64"),
+             # nullable Float64: None → Arrow null (a bare float64
+             # Series would turn None into NaN, not SQL NULL)
              "removal_effect": pd.Series([r[3] for r in rows],
-                                         dtype="float64"),
-             "share": pd.Series([r[4] for r in rows], dtype="float64")})
+                                         dtype="Float64"),
+             "share": pd.Series([r[4] for r in rows], dtype="Float64")})
 
     return m.coalesce(1).mapInPandas(
         attribute,

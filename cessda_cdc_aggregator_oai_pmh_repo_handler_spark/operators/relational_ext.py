@@ -2388,6 +2388,34 @@ FI_CAP = 32      # per-basket distinct-item cap (lexicographic, like PMI)
 FI_MINSUP = 2    # minimum pair support emitted
 
 
+# r11: the capped per-order basket relation is the shared input of
+# frequent_itemsets AND association_rules, and association_rules alone
+# referenced it THREE times in one plan (item counts, basket count, pair
+# counts) — Spark does not dedupe common subtrees, so the lineitem
+# groupBy+collect_set ran 3× per execution (the r10 cohens_kappa/NB
+# finding, guide §3.3). Checkpointed + memoized per (session, corpus)
+# like the tokenized corpus; registered in clear_corpus_caches so the
+# bench's cold mode still prices the build.
+_BASKETS_CACHE: dict = {}
+
+
+def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = corpus_key(spark, sf_dir, "lineitem")
+    hit = _BASKETS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.slice(F.array_sort(F.collect_set("l_partkey")), 1, FI_CAP)
+             .alias("items"))
+        .filter(F.size("items") >= 2)
+        .localCheckpoint()
+    )
+    memo_put(_BASKETS_CACHE, key, baskets)
+    return baskets
+
+
 def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FREQUENT-ITEMSET PAIR MINING (the A-Priori L2 step / market-basket
     co-occurrence): parts ordered together, pair support ≥ FI_MINSUP.
@@ -2403,14 +2431,10 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     stated (and logged-by-construction) coverage bound, exactly as in
     the PMI op. The oracle mirrors the cap with DuckDB list functions
     and counts pairs via the classic per-order self-join, proving the
-    in-array combination form equivalent."""
-    li = load_table(spark, "lineitem", sf_dir)
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.slice(F.array_sort(F.collect_set("l_partkey")), 1, FI_CAP)
-             .alias("items"))
-        .filter(F.size("items") >= 2)
-    )
+    in-array combination form equivalent. Baskets come from the
+    ``_order_baskets`` memoized checkpoint shared with association_rules
+    (r11 — see the cache comment above)."""
+    baskets = _order_baskets(spark, sf_dir)
     pair_arr = F.flatten(F.transform(
         "items",
         lambda x, i: F.transform(
@@ -3513,14 +3537,12 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is part-cardinality: broadcastable at bench scale, AQE
     decides at 100 TB). Every count is an exact BIGINT; confidence and
     lift are single-shot double divisions, with the total basket count
-    joined in-plan from a broadcast 1-row aggregate."""
-    li = load_table(spark, "lineitem", sf_dir)
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.slice(F.array_sort(F.collect_set("l_partkey")), 1, FI_CAP)
-             .alias("items"))
-        .filter(F.size("items") >= 2)
-    )
+    joined in-plan from a broadcast 1-row aggregate. The three basket
+    references (item counts, basket count, pair counts) read the
+    ``_order_baskets`` memoized checkpoint (r11): Spark does not dedupe
+    common subtrees, so the inline form re-ran the lineitem
+    groupBy+collect_set 3× per execution."""
+    baskets = _order_baskets(spark, sf_dir)
     item_n = (baskets.select(F.explode("items").alias("item"))
               .groupBy("item").agg(F.count(F.lit(1)).alias("sup_i")))
     n_b = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))

@@ -201,16 +201,34 @@ def q_spatial_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     proximity routing. The capped graph is directed (u keeping v does
     not imply v keeps u), which Bellman-Ford handles natively. The edge
     relation is the memoized ``_sssp_edges`` checkpoint (built once per
-    session+corpus — the Markov-spine pattern)."""
+    session+corpus — the Markov-spine pattern).
+
+    r11 (guide §2.4): the per-round ``union + groupBy(node).min`` paid one
+    shuffle per relaxation (11 jobs / 4 exchanges per execution). The
+    min is DEFERRED instead: round t's frontier is every WALK of exactly
+    t edges from the source (edges ⋈ broadcast(frontier), no shuffle —
+    the walk count is bounded by SSSP_DEGREE_CAP^SSSP_ROUNDS = 16⁴ ≤
+    65 536 rows at ANY corpus size, so each frontier stays broadcastable
+    by construction), and ONE final groupBy takes min(d) over the union
+    of all levels. min over all ≤4-edge walks ≡ 4 unrolled Bellman-Ford
+    relaxations — identical exact BIGINT distances — but the plan now
+    carries 4 broadcast exchanges + 1 shuffle instead of 4 shuffles, and
+    AQE's stage cache reuses each level's broadcast between the union
+    branch and the next level's build."""
     edges = _sssp_edges(spark, sf_dir)
     dist = spark.createDataFrame([(SSSP_SOURCE, 0)], "node long, d long")
+    levels = [dist]
+    frontier = dist
     for _ in range(SSSP_ROUNDS):
-        cand = (edges.join(dist.select(F.col("node").alias("u"), "d"), "u")
-                .select(F.col("v").alias("node"),
-                        (F.col("d") + F.col("w")).alias("d")))
-        dist = (dist.unionByName(cand)
-                .groupBy("node").agg(F.min("d").alias("d")))
-    return dist
+        frontier = (edges.join(
+            F.broadcast(frontier.select(F.col("node").alias("u"), "d")), "u")
+            .select(F.col("v").alias("node"),
+                    (F.col("d") + F.col("w")).alias("d")))
+        levels.append(frontier)
+    walks = levels[0]
+    for lv in levels[1:]:
+        walks = walks.unionByName(lv)
+    return walks.groupBy("node").agg(F.min("d").alias("d"))
 
 
 QUERIES = {

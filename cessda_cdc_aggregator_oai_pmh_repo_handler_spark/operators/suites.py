@@ -129,11 +129,18 @@ def _union_tree(parts: list) -> DataFrame:
     return parts[0]
 
 
-def _make_suite(subs: tuple[Sub, ...]):
+def _make_suite(name: str, subs: tuple[Sub, ...]):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..sources.tables import corpus_key, memo_put
+        from ..sources.tables import (TABLES, corpus_ident, memo_put,
+                                      session_key)
 
-        key = (*corpus_key(spark, sf_dir), id(subs))
+        # r11 (advice + verdict #10): the key folds the idents of EVERY
+        # table (suites read lineitem/orders/customer/events/… , not
+        # only documents — a non-documents table regenerated in place
+        # must invalidate the cached sub-plans), and the suite NAME
+        # replaces the brittle id(subs).
+        ident = "||".join(corpus_ident(sf_dir, t) for t in TABLES)
+        key = (session_key(spark), ident, name)
         parts = _SUITE_PLAN_CACHE.get(key)
         if parts is None:
             parts = [_spark_long(s.fn(spark, sf_dir), s) for s in subs]
@@ -1049,7 +1056,7 @@ SUITE_SUBS = {
 QUERIES = {}
 ORACLES = {}
 for _name, _subs in SUITE_SUBS.items():
-    QUERIES[_name], ORACLES[_name] = _make_suite(_subs)
+    QUERIES[_name], ORACLES[_name] = _make_suite(_name, _subs)
 
 q_window_suite = QUERIES["window_suite"]
 q_temporal_join_suite = QUERIES["temporal_join_suite"]

@@ -1345,15 +1345,26 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("g")
     )
+    # r11 (guide §2.3): coverage = |union of the fixed-length [pos,
+    # pos+K-1] windows|. The K-fold position explode + per-doc
+    # count_distinct shuffled K× the matched rows and built a per-doc
+    # hash set; interval merging is exact and linear: positions are
+    # unique per doc (posexplode), so with pos sorted the union size is
+    # K for the first match + min(K, pos−prev) for each later one — a
+    # lag window keyed like the groupBy (one exchange, no explode).
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
     cov = (
         grams.join(dup, "g")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"),
-                                 F.col("pos") + F.lit(DUPSPAN_K - 1))).alias("t"),
-        )
+        .select("doc_id", "pos")
+        .withColumn("_gap", F.col("pos") - F.lag("pos").over(w_doc))
+        .select("doc_id",
+                F.when(F.col("_gap").isNull(), F.lit(DUPSPAN_K))
+                .otherwise(F.least(F.lit(DUPSPAN_K), F.col("_gap")))
+                .alias("_inc"))
         .groupBy("doc_id")
-        .agg(F.count_distinct("t").alias("cov"))
+        .agg(F.sum("_inc").cast("long").alias("cov"))
     )
     per_doc = (
         toks.select("doc_id", "source", F.size("w").alias("n_tokens"))
@@ -1675,21 +1686,33 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, corpus) since r10 — the SSSP/Markov-spine pattern — so
     repeated executions pay the corpus scan once, not per call)."""
     sym = _textrank_sym(spark, sf_dir)
-    wdeg = sym.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # r11 (guide §2.4, the salsa pattern): the per-iteration edge⋈rank
+    # join used to be planned from size estimates (sort-merge at scale)
+    # and every contrib groupBy(dst) re-exchanged the post-join rows —
+    # 15 stages per execution. The exchange now sits BELOW the join:
+    # ``sym`` is repartitioned by dst once (iteration-invariant, so
+    # AQE's stage cache executes it once per run), the rank relation is
+    # explicitly broadcast (vocabulary-bounded, the salsa precedent),
+    # and each groupBy(dst) runs exchange-free. The wdeg⋈contrib mix
+    # join broadcasts contrib for the same reason. Integer sums are
+    # order-free, so results are bit-identical.
+    s_dst = sym.repartition("dst")
+    wdeg = sym.repartition("src").groupBy("src").agg(F.sum("w").alias("wdeg"))
     nrow = wdeg.agg(F.count(F.lit(1)).alias("n"))
     pr = (wdeg.crossJoin(F.broadcast(nrow))
           .select(F.col("src").alias("word"), "wdeg", "n",
                   F.expr(f"{TR_ONE} div n").alias("pr")))
     for _ in range(TR_ITERS):
         contrib = (
-            sym.join(pr.select(F.col("word").alias("src"),
-                               F.col("wdeg").alias("sdeg"), "pr"), "src")
+            s_dst.join(F.broadcast(
+                pr.select(F.col("word").alias("src"),
+                          F.col("wdeg").alias("sdeg"), "pr")), "src")
             .groupBy(F.col("dst").alias("word"))
             .agg(F.sum(F.expr("(pr * w) div sdeg")).alias("c"))
         )
         pr = (wdeg.crossJoin(F.broadcast(nrow))
               .select(F.col("src").alias("word"), "wdeg", "n")
-              .join(contrib, "word", "left")
+              .join(F.broadcast(contrib), "word", "left")
               .select("word", "wdeg", "n", F.expr(
                   f"(15 * {TR_ONE}) div (100 * n)"
                   " + (85 * coalesce(c, 0L)) div 100").alias("pr")))
@@ -1757,15 +1780,16 @@ def bucketed_global_rank(df: DataFrame, value_col: str,
       order and ties always share a bucket),
     - row_number WITHIN each bucket in parallel (one hash exchange),
     - add each bucket's starting offset — an exclusive prefix sum over
-      the ≤4096-row bucket-count relation via a broadcast triangular
-      self-join (never corpus-sized).
+      the ≤4096-row bucket-count relation via a cumulative window
+      ordered by bucket (never corpus-sized).
 
     Positions are bit-identical to the global window's, so swapping this
     in changes no hashes. FULLY LAZY since r10: the bounds ride a
-    broadcast 1-row min/max aggregate crossJoined in-plan and the
-    offsets are the _grouped_bucketed_prefix triangular-join pattern —
+    broadcast 1-row min/max aggregate crossJoined in-plan; the offsets
+    are the _grouped_bucketed_prefix cumulative-window pattern (r11 —
     the former driver-side bounds + bucket-count collects fired two
-    eager jobs on EVERY call (×3 call sites per suite pass)."""
+    eager jobs on EVERY call, and the r10 interim triangular self-join
+    burned buckets² interpreted compares per call)."""
     from pyspark.sql import Window
 
     nb = GLOBAL_RANK_BUCKETS
@@ -1778,12 +1802,19 @@ def bucketed_global_rank(df: DataFrame, value_col: str,
               f"CAST((`{value_col}` - _grk_lo) div _grk_w AS BIGINT)"))
           .drop("_grk_lo", "_grk_hi", "_grk_w"))
     cnts = d2.groupBy("_grk_bkt").agg(F.count(F.lit(1)).alias("_grk_c"))
-    x, y = cnts.alias("x"), cnts.alias("y")
-    off = (x.join(F.broadcast(y),
-                  F.col("y._grk_bkt") < F.col("x._grk_bkt"), "left")
-           .groupBy(F.col("x._grk_bkt").alias("_grk_bkt"))
-           .agg(F.coalesce(F.sum("y._grk_c"), F.lit(0)).cast("long")
-                .alias("_grk_off")))
+    # r11 (per the r10 advice): the exclusive prefix was a broadcast
+    # triangular self-join — a BroadcastNestedLoopJoin evaluating up to
+    # buckets² pairs in interpreted compares, the exact pattern r10
+    # replaced with cumulative windows in _grouped_bucketed_prefix.
+    # Same cumulative window here: its single partition holds
+    # ≤GLOBAL_RANK_BUCKETS rows at ANY corpus size (a bounded K-row
+    # offset window, not a corpus-sized global sort).
+    w_off = (Window.orderBy("_grk_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = cnts.select(
+        "_grk_bkt",
+        F.coalesce(F.sum("_grk_c").over(w_off), F.lit(0)).cast("long")
+        .alias("_grk_off"))
     w = Window.partitionBy("_grk_bkt").orderBy(value_col, *tiebreak_cols)
     return (d2.join(F.broadcast(off), "_grk_bkt")
             .withColumn(out_col, F.row_number().over(w) + F.col("_grk_off"))
@@ -2763,17 +2794,30 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref_len = (F.size("toks")
                 - F.ceil(F.size("toks") * F.lit(PFJ_THRESHOLD)).cast("int")
                 + 1)
+    # r11 (guide §2.3/§8): decide with small rows, move big rows once.
+    # The exploded prefix relation used to carry each doc's FULL toks
+    # array (≤PFJ_CAP strings of 12+gram chars) pref_len times through
+    # the candidate equi-join AND the pair dropDuplicates shuffle; the
+    # candidate generation needs only doc ids. Ids alone flow through
+    # explode → join → distinct, and the two bounded arrays are
+    # re-attached afterwards by one equi-join per side against ``base``
+    # (each toks array is shuffled ONCE instead of pref_len times) —
+    # same candidate set, same verification, same rows. Measured at
+    # sf0.1: 2.8 s → ~1.5 s; plan diff: the pair exchanges now carry
+    # (id, id) instead of (id, id, array, array).
     pref = base.select(
-        "doc_id", "toks",
-        F.explode(F.slice("toks", 1, pref_len)).alias("ptok"))
-    a = pref.select(F.col("doc_id").alias("id_a"),
-                    F.col("toks").alias("toks_a"), "ptok")
-    b = pref.select(F.col("doc_id").alias("id_b"),
-                    F.col("toks").alias("toks_b"), "ptok")
-    cand = (a.join(b, "ptok")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "toks_a", "toks_b")
-            .dropDuplicates(["id_a", "id_b"]))
+        "doc_id", F.explode(F.slice("toks", 1, pref_len)).alias("ptok"))
+    a = pref.select(F.col("doc_id").alias("id_a"), "ptok")
+    b = pref.select(F.col("doc_id").alias("id_b"), "ptok")
+    cand_ids = (a.join(b, "ptok")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct())
+    cand = (cand_ids
+            .join(base.select(F.col("doc_id").alias("id_a"),
+                              F.col("toks").alias("toks_a")), "id_a")
+            .join(base.select(F.col("doc_id").alias("id_b"),
+                              F.col("toks").alias("toks_b")), "id_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = (F.size("toks_a") + F.size("toks_b") - inter)
     out = (cand.withColumn("inter", inter)
@@ -2872,20 +2916,34 @@ def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the right graph-centrality twin for an exactness-gated engine.
     The edge checkpoint is memoized per (session, corpus) since r10
     (the SSSP/textrank pattern): repeated executions pay the corpus
-    scan + bigram groupBy once, not per call."""
+    scan + bigram groupBy once, not per call.
+
+    r11 (guide §2.4): the 4 iterations used to pay 8 edge-sized shuffles
+    (each half-iteration's groupBy exchanged the post-join rows) — 27
+    single-task stages per execution at sf0.1, pure launch overhead.
+    The exchange now sits BELOW the broadcast join: ``edges`` is
+    repartitioned by dst (and by src) ONCE, every per-iteration
+    broadcast-hash join preserves that partitioning, and every
+    groupBy(dst)/groupBy(src) runs exchange-free on top of it. The two
+    repartition exchanges are iteration-invariant, so AQE's stage cache
+    executes each once per run and reuses the shuffle output for all 4
+    iterations — 8 edge shuffles → 2, identical integer results (sums
+    are order-free exact BIGINT arithmetic)."""
     edges = _salsa_edges(spark, sf_dir)
-    outw = edges.groupBy("src").agg(F.sum("c").alias("outw"))
-    inw = edges.groupBy("dst").agg(F.sum("c").alias("inw"))
+    e_src = edges.repartition("src")
+    e_dst = edges.repartition("dst")
+    outw = e_src.groupBy("src").agg(F.sum("c").alias("outw"))
+    inw = e_dst.groupBy("dst").agg(F.sum("c").alias("inw"))
     nh = outw.agg(F.count(F.lit(1)).alias("n"))
     hub = (outw.crossJoin(F.broadcast(nh))
            .select("src", "outw", F.expr(f"{SALSA_ONE} div n").alias("h")))
     auth = None
     for _ in range(SALSA_ITERS):
-        auth = (edges.join(F.broadcast(hub), "src")
+        auth = (e_dst.join(F.broadcast(hub), "src")
                 .groupBy("dst")
                 .agg(F.sum(F.expr("(h * c) div outw")).alias("a")))
         auth = auth.join(F.broadcast(inw), "dst")
-        hub = (edges.join(F.broadcast(auth), "dst")
+        hub = (e_src.join(F.broadcast(auth), "dst")
                .groupBy("src")
                .agg(F.sum(F.expr("(a * c) div inw")).alias("h")))
         hub = hub.join(F.broadcast(outw), "src")

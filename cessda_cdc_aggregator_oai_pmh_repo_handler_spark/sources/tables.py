@@ -144,7 +144,8 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.pii", ("_PII_DOCS_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.multimodal", ("_MEDIA_REAL_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.studies_demo", ("_PLANNER_CACHE",)),
-        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext", ("_RIDGE_FIT_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.relational_ext",
+         ("_RIDGE_FIT_CACHE", "_BASKETS_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.suites", ("_SUITE_PLAN_CACHE",)),
     ]
     for mod_name, attrs in specs:

@@ -461,14 +461,19 @@ def test_global_rank_ops_have_no_single_partition_window(spark):
     """r6 verdict #3: bootstrap_resample / quantile_normalize ranked the
     corpus with an unpartitioned row_number/rank — a single-task sort at
     100 TB. Both now go through bucketed_global_rank (range buckets +
-    parallel within-bucket windows + driver-folded K-row offsets); their
-    plans must contain no globally-ordered Window node."""
+    parallel within-bucket windows + bounded K-row offsets); their
+    plans must contain no CORPUS-SIZED globally-ordered Window node.
+    The r11 cumulative-offset window over the bucket-COUNT relation is
+    exempt: it orders by _grk_bkt, so its single partition holds
+    ≤GLOBAL_RANK_BUCKETS rows at any corpus size (the same bounded-
+    offset-window carve-out as the spearman test)."""
     from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators import (
         text_analysis as TA,
     )
 
     for q in (TA.q_bootstrap_resample, TA.q_quantile_normalize):
-        bad = _global_windows(plan_of(q(spark, SF)))
+        bad = [ln for ln in _global_windows(plan_of(q(spark, SF)))
+               if "_grk_bkt" not in ln]
         assert not bad, (q.__name__, bad)
 
 

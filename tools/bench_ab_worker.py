@@ -29,6 +29,16 @@ import os
 import sys
 import time
 
+# Protocol lines are prefixed so the parent can tell them apart from
+# anything else that lands on this process's stdout (the child JVM shares
+# the fd and can emit banners/warnings before the session is up — the r10
+# end-of-round interleave died with a JSONDecodeError on exactly that).
+AB_MARK = "@AB@"
+
+
+def emit(obj) -> None:
+    print(AB_MARK + json.dumps(obj), flush=True)
+
 
 def main() -> None:
     repo = os.path.abspath(sys.argv[1])
@@ -54,7 +64,7 @@ def main() -> None:
                             suites._spark_long(s.fn(spark, sf_dir), s)
                             .collect())
 
-    print(json.dumps({"ready": True, "ops": sorted(thunks)}), flush=True)
+    emit({"ready": True, "ops": sorted(thunks)})
     warmed: set[str] = set()
     for line in sys.stdin:
         line = line.strip()
@@ -65,16 +75,23 @@ def main() -> None:
             break
         op = req["op"]
         run = thunks[op]
-        if op not in warmed:
+        try:
+            if op not in warmed:
+                run()
+                warmed.add(op)
+            t0 = time.perf_counter()
             run()
-            warmed.add(op)
-        t0 = time.perf_counter()
-        run()
-        print(json.dumps({"op": op,
-                          "sec": round(time.perf_counter() - t0, 4)}),
-              flush=True)
+            emit({"op": op, "sec": round(time.perf_counter() - t0, 4)})
+        except Exception as e:  # report per-op failure, keep serving
+            emit({"op": op, "sec": None, "error": repr(e)})
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the parent must see WHY, not a silent EOF
+        import traceback
+
+        emit({"fatal": repr(e), "traceback": traceback.format_exc()[-2000:]})
+        raise

@@ -99,7 +99,7 @@ def main():
                 with redirect_stdout(buf):
                     df.explain("formatted")
                 txt = buf.getvalue()
-            with open(os.path.join(here, "plans", "r10",
+            with open(os.path.join(here, "plans", os.environ.get("PROFILE_PLANDIR", "r10"),
                                    f"{name}_{phase}.txt"), "w") as fh:
                 fh.write(txt)
             print(name, "plan written", flush=True)
@@ -126,7 +126,7 @@ def main():
                 with redirect_stdout(buf):
                     df.explain("formatted")
                 txt = buf.getvalue()
-            with open(os.path.join(here, "plans", "r10",
+            with open(os.path.join(here, "plans", os.environ.get("PROFILE_PLANDIR", "r10"),
                                    f"{name}_{phase}.txt"), "w") as fh:
                 fh.write(txt)
 
