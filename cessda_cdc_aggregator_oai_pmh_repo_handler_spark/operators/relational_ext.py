@@ -62,13 +62,25 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all four grouping levels in one
-    pass (partial aggregation before the expand)."""
+    pass.
+
+    r11 (guide §2.3 — aggregate before you shuffle/expand): Spark plans
+    the cube as Expand-THEN-partial-aggregate, so the naive form pushed
+    4× the fact rows through the hash aggregate (2.4 M expanded rows at
+    sf0.1; 4× the corpus at any scale). Counts and decimal sums are
+    associative, so the cube now runs over the (rf, ls) PRE-aggregated
+    partials (≤ |rf|·|ls| rows): same four grouping levels, bit-identical
+    totals, and the Expand multiplies a K-row relation instead of the
+    fact."""
     li = load_table(spark, "lineitem", sf_dir)
+    pre = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.count("*").alias("_c"),
+                F.sum(money("l_extendedprice")).alias("_s")))
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        pre.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("cnt"),
-            exact_sum(money("l_extendedprice")).alias("sum_price"),
+            F.sum("_c").cast("long").alias("cnt"),
+            F.round(F.sum("_s"), 2).cast("double").alias("sum_price"),
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
         )
@@ -110,25 +122,64 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (full aggregate set) — the canonical
-    scan-heavy single-pass aggregation."""
+    scan-heavy single-pass aggregation.
+
+    r11 (the r10 BIGINT-cents discipline extended to the money-product
+    scan): ``money·(1−rate)`` and ``·(1+rate)`` were per-row DECIMAL
+    multiply chains whose widths (18,4)/(25,6) exceed Spark's long-backed
+    precision — heap BigDecimal per row on the hottest full-scan path
+    (measured ~1.0 s noop for a 2-stage/4-task query at sf0.1). The
+    identical exact values now come from 64-bit integer arithmetic:
+    ep_c = floor(ep·100) (the single-shot IEEE op both engines run),
+    disc/tax as integer percent, per-row products ≤ 1.2e11 (domain
+    bound, corpus-size-independent), summed through compact
+    DECIMAL(18,0) inputs (sum buffers widen to DECIMAL(28,0) — exact
+    past 1e14 rows). The dollar values are reconstructed by EXACT
+    decimal literal multiplies (×0.01 / ×0.0001 / ×0.000001 — never a
+    division, so no precision-loss rounding), making every output
+    bit-identical to the former decimal pipeline; the unchanged oracle
+    hash proves it."""
     li = load_table(spark, "lineitem", sf_dir)
-    # decimal-exact money pipeline: sums are order-independent, so the
-    # hashed text is bit-stable across partial-merge schedules (VERDICT r5)
-    disc_price = money("l_extendedprice") * (1 - rate("l_discount"))
-    charge = disc_price * (1 + rate("l_tax"))
-    return (
+    # cents via the SAME half-up decimal cast as money()/rate() (a raw
+    # floor(col·100) truncates the other way on doubles like x.x49999…);
+    # the narrow decimal×100 is compact and exact, the long cast lossless
+    ep_c = (money("l_extendedprice") * 100).cast("long")
+    d_pct = (rate("l_discount") * 100).cast("long")
+    t_pct = (rate("l_tax") * 100).cast("long")
+    disc_u4 = (ep_c * (100 - d_pct)).cast("decimal(18,0)")   # 1e-4 dollars
+    charge_u6 = (ep_c * (100 - d_pct) * (100 + t_pct)).cast("decimal(18,0)")
+    cents02 = F.lit("0.01").cast("decimal(3,2)")
+    u4 = F.lit("0.0001").cast("decimal(5,4)")
+    u6 = F.lit("0.000001").cast("decimal(7,6)")
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            exact_sum(money("l_extendedprice")).alias("sum_base_price"),
-            exact_sum(disc_price).alias("sum_disc_price"),
-            exact_sum(charge).alias("sum_charge"),
+            F.sum(ep_c.cast("decimal(18,0)")).alias("_sbp_c"),
+            F.sum(disc_u4).alias("_sdp_u"),
+            F.sum(charge_u6).alias("_sch_u"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            exact_avg(money("l_extendedprice")).alias("avg_price"),
-            exact_avg(rate("l_discount")).alias("avg_disc"),
+            F.count("l_extendedprice").alias("_n_ep"),
+            F.sum(rate("l_discount")).alias("_sd"),
+            F.count("l_discount").alias("_n_d"),
             F.count("*").alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        # exact decimal rescale (Σcents·0.01 ≡ the former Σ DECIMAL(12,2))
+        F.round(F.col("_sbp_c") * cents02, 2).cast("double")
+        .alias("sum_base_price"),
+        F.round(F.col("_sdp_u") * u4, 2).cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.col("_sch_u") * u6, 2).cast("double").alias("sum_charge"),
+        "avg_qty",
+        F.round((F.col("_sbp_c") * cents02).cast("double") / F.col("_n_ep"),
+                4).cast("double").alias("avg_price"),
+        F.round(F.col("_sd").cast("double") / F.col("_n_d"), 4)
+        .cast("double").alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -241,8 +292,13 @@ def _cents_long(col: str):
 
 
 def _pl(a: str, b: str):
-    """Exact product of two `_cents_long` columns, widened for summing."""
-    return (F.col(a) * F.col(b)).cast("decimal(20,0)")
+    """Exact product of two `_cents_long` columns, widened for summing.
+    DECIMAL(18,0) — the last long-backed precision (r10's finding: one
+    digit more forces a heap BigDecimal per row). The per-row product is
+    domain-bounded (< 2⁶², and < 1e18 for every cents column here)
+    regardless of corpus size; only the SUM buffer widens (+10 digits,
+    exact past 1e14 rows)."""
+    return (F.col(a) * F.col(b)).cast("decimal(18,0)")
 
 
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,13 +321,13 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = d.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("q").cast("decimal(19,0)")).alias("sq"),
+        F.sum(F.col("q").cast("decimal(18,0)")).alias("sq"),
         F.sum(_pl("q", "q")).alias("sqq"),
-        F.sum(F.col("p").cast("decimal(19,0)")).alias("sp"),
+        F.sum(F.col("p").cast("decimal(18,0)")).alias("sp"),
         F.sum(_pl("p", "p")).alias("spp"),
         F.sum(_pl("q", "p")).alias("sqp"),
-        F.sum(F.col("dc").cast("decimal(19,0)")).alias("sd"),
-        F.sum(F.col("tx").cast("decimal(19,0)")).alias("st"),
+        F.sum(F.col("dc").cast("decimal(18,0)")).alias("sd"),
+        F.sum(F.col("tx").cast("decimal(18,0)")).alias("st"),
         F.sum(_pl("dc", "tx")).alias("sdt"),
     )
     n = F.col("cnt").cast("double")
@@ -607,8 +663,8 @@ def q_regr_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = d.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("x").cast("decimal(19,0)")).alias("sx"),
-        F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,0)")).alias("sy"),
         F.sum(_pl("x", "y")).alias("sxy"),
         F.sum(_pl("x", "x")).alias("sxx"),
         F.sum(_pl("y", "y")).alias("syy"),
@@ -2178,15 +2234,22 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total in ONE pass over lineitem. Like the cube, Catalyst plans
     a single scan + Expand (3 copies here, only the sets asked for —
     cheaper than cube's 4) with partial aggregation before the exchange;
-    grouping() columns disambiguate the null group from real nulls."""
+    grouping() columns disambiguate the null group from real nulls.
+
+    r11: like cube_rollup, the Expand actually multiplies the FACT rows
+    before partial aggregation, so the sets now run over the (rf, ls)
+    pre-aggregated partials (≤ |rf|·|ls| rows) — counts and sums are
+    associative, totals bit-identical."""
     li = load_table(spark, "lineitem", sf_dir)
+    pre = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.count("*").alias("_c"), F.sum("l_quantity").alias("_q")))
     return (
-        li.groupingSets(
+        pre.groupingSets(
             [["l_returnflag"], ["l_linestatus"], []],
             "l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("_c").cast("long").alias("cnt"),
+            F.round(F.sum("_q"), 2).alias("sum_qty"),
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
         )
@@ -3103,7 +3166,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                   _cents_long("l_extendedprice").alias("y"))
     g = d.groupBy("l_returnflag", "x").agg(
         F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
-        F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"))
+        F.sum(F.col("y").cast("decimal(18,0)")).alias("sy"))
     a = g.select(F.col("l_returnflag").alias("rf"),
                  F.col("x").alias("x1"), F.col("n").alias("n1"),
                  F.col("sy").alias("sy1"))

@@ -1443,11 +1443,22 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     than broadcast, and the whole thing is three exchanges end to end.
     Per source: docs scored, mean log-prob, low-scoring docs."""
     ex = _bigram_digests(spark, sf_dir)
-    pair_counts = ex.groupBy("bh").agg(F.count(F.lit(1)).alias("cb"))
-    prev_counts = ex.groupBy("ph").agg(F.count(F.lit(1)).alias("cp"))
+    # r11 (guide §2.3): a bigram hash determines its prev hash, so the
+    # prev-count table folds from the PAIR-count table (Σ cb per ph over
+    # the distinct-bigram relation) instead of re-shuffling the full
+    # occurrence relation by ph; the two count tables join each other
+    # (vocabulary-sized) BEFORE the one join onto the big relation. Full-
+    # corpus exchanges drop from three (bh, ph, doc) to two (bh, doc) —
+    # and the bh exchange is the same subtree as the count build, which
+    # AQE's stage cache executes once. Counts and the per-row log
+    # expression are unchanged — bit-identical scores.
+    pair_counts = ex.groupBy("bh").agg(F.count(F.lit(1)).alias("cb"),
+                                       F.max("ph").alias("ph"))
+    prev_counts = pair_counts.groupBy("ph").agg(F.sum("cb").alias("cp"))
+    counts = (pair_counts.join(prev_counts, "ph")
+              .select("bh", "cb", "cp"))
     per_doc = (
-        ex.join(pair_counts, "bh")
-        .join(prev_counts, "ph")
+        ex.join(counts, "bh")
         .groupBy("doc_id", "source")
         .agg(F.avg(F.log("cb") - F.log("cp")).alias("lp"))
     )
@@ -1480,14 +1491,20 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the +1 smoothing keeps unseen-in-target bigrams finite without a
     separate vocabulary pass. Per source: docs, mean weight, kept."""
     ex = _bigram_digests(spark, sf_dir)
-    raw_counts = ex.groupBy("bh").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_counts = (ex.filter(F.col("lang") == DSIR_TARGET_LANG)
-                  .groupBy("bh").agg(F.count(F.lit(1)).alias("ct")))
+    # r11 (guide §2.3): raw and target counts fold in ONE groupBy (the
+    # target count is a conditional sum — identical integers to the
+    # former filtered second aggregation + left join's coalesce(ct, 0)),
+    # so the corpus relation is shuffled by bh once instead of twice,
+    # and that bh exchange is the same subtree the scoring join reads
+    # (AQE stage reuse). Per-row log expression unchanged.
+    counts = ex.groupBy("bh").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .alias("ct"))
     per_doc = (
-        ex.join(raw_counts, "bh")
-        .join(tgt_counts, "bh", "left")
+        ex.join(counts, "bh")
         .groupBy("doc_id", "source")
-        .agg(F.avg(F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+        .agg(F.avg(F.log(F.col("ct") + F.lit(1))
                    - F.log(F.col("cr") + F.lit(1))).alias("w"))
     )
     return per_doc.groupBy("source").agg(
