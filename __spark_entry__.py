@@ -78,6 +78,10 @@ GATE_ORDER = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables import (
+        plan_memoized,
+    )
+
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
     q.update(relational_ext.QUERIES)
@@ -89,6 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(studies_demo.QUERIES)
     q.update(clustering.QUERIES)
     q.update(multimodal.QUERIES)
+    # r11: singleton slots go through the central analyzed-plan memo
+    # (sources/tables.plan_memoized — construction is a real per-call
+    # cost; every execution still recomputes from parquet). Suites keep
+    # their own _SUITE_PLAN_CACHE.
+    q = {name: plan_memoized(name, fn) for name, fn in q.items()}
     q.update(suites.QUERIES)
     return {name: q[name] for name in GATE_ORDER}
 

@@ -112,6 +112,51 @@ def memo_put(cache: dict, key: tuple[str, str], value) -> None:
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+# r11 central fixed-cost fix (the r10 verdict's top item): profiling put
+# 0.05–0.45 s of every query call into CONSTRUCTING its DataFrame — py4j
+# expression chatter plus Catalyst analysis — a per-call cost that real
+# engines amortize with prepared/cached plans. This cache holds the
+# ANALYZED LOGICAL PLAN per (session, all-table corpus idents, query
+# name): the _SUITE_PLAN_CACHE precedent applied once, centrally. Every
+# cache hit returns a FRESH Dataset (`df.select("*")` — a new
+# QueryExecution with new shuffle dependencies), so every execution still
+# recomputes from the parquet inputs; re-collecting the SAME Dataset
+# would let the DAGScheduler skip completed map stages (shuffle-output
+# reuse ≈ result caching — measured and rejected in r10, re-verified
+# r11: same-df re-collect skips the map stage, the select("*") clone
+# re-runs it). Cleared by clear_corpus_caches, so the bench's cold mode
+# still prices full construction.
+_PLAN_CACHE: dict = {}
+
+
+def plan_memoized(name: str, fn):
+    """Wrap a ``(spark, sf_dir) -> DataFrame`` query builder with the
+    analyzed-plan memo. A build that FIRES SPARK JOBS is never cached:
+    eager work at construction time is either a side effect that IS the
+    operator (versioned_table's lakehouse file ops) or a documented
+    per-call materialization (the tpch_q11/q15 CTE checkpoints, the
+    driver-held sketches) — the guard keeps their per-call semantics
+    without a hand-maintained exclusion list."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ident = "||".join(corpus_ident(sf_dir, t) for t in TABLES)
+        key = (session_key(spark), ident, name)
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            return hit.select("*")
+        tracker = spark.sparkContext.statusTracker()
+        ids = tracker.getJobIdsForGroup(None)
+        before = max(ids) if ids else -1
+        df = fn(spark, sf_dir)
+        ids = tracker.getJobIdsForGroup(None)
+        if (max(ids) if ids else -1) == before:
+            memo_put(_PLAN_CACHE, key, df)
+        return df
+
+    q.__name__ = f"memo_{name}"
+    q.__wrapped__ = fn
+    return q
+
+
 def clear_corpus_caches(spark: SparkSession | None = None) -> None:
     """Drop EVERY in-process memo cache (unpersisting cached/checkpointed
     DataFrames best-effort) plus Spark's table cache. The benchmark's
@@ -125,7 +170,8 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
     from importlib import import_module
 
     specs = [
-        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables", ("_TABLE_CACHE",)),
+        ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.tables",
+         ("_TABLE_CACHE", "_PLAN_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies", ("_FIXTURE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.dedup",
          ("_SHINGLE_CACHE", "_VERIFIED_PAIRS_CACHE", "_COMPONENTS_CACHE",

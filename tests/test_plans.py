@@ -265,7 +265,14 @@ def test_grouping_sets_single_scan_expand(spark):
     plan = plan_of(relational_ext.q_grouping_sets(spark, SF))
     assert plan.count("FileScan") == 1      # one pass, not one per set
     assert "Expand" in plan                 # the grouping-sets expansion
-    assert plan.count("Exchange hashpartitioning") == 1
+    # r11: the sets run over the (rf, ls) PRE-aggregated partials, so the
+    # Expand multiplies a K-row relation instead of the fact — two
+    # exchanges now (fact pre-agg + K-row sets agg), and the Expand must
+    # sit ABOVE the pre-aggregate (its input column set is the partial
+    # sums, not the raw fact columns).
+    assert plan.count("Exchange hashpartitioning") == 2
+    window = plan[plan.index("Expand"):plan.index("Expand") + 500]
+    assert "_c" in window or "_q" in window, window
 
 
 def test_analytic_extras_share_one_exchange(spark):
