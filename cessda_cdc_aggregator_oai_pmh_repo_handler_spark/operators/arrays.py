@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import corpus_key, load_table, memo_put
+from ..sources.tables import corpus_key, load_table, local_rows, memo_put
 
 
 def q_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,9 +977,16 @@ def q_acf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # r11: per-row arithmetic stays in 64-bit ints — x ≤ ~5.6e6 micro-
+    # units (events.value is domain-bounded, not corpus-sized), so the
+    # lag products are ≤ ~3.2e13 and fit a long at any scale factor; the
+    # former DECIMAL(19,0) per-row values forced heap-BigDecimal lead
+    # buffers and multiplies on the full-scan path (the stats_agg/tpch_q1
+    # finding). Sums still fold in DECIMAL (inputs cast long→(18,0),
+    # buffers widen +10 digits — exact past 1e14 rows).
     d = e.select(
         "event_type", "ts", "event_id",
-        _value_int().cast("decimal(19,0)").alias("x"),
+        _value_int().alias("x"),
     )
     d = d.select(
         "event_type", "x",
@@ -991,13 +998,17 @@ def q_acf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "x",
         "stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)",
     ).filter(F.col("y").isNotNull())
+
+    def d18(e_):
+        return e_.cast("decimal(18,0)")
+
     agg = pairs.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(d18(F.col("x"))).alias("sx"),
+        F.sum(d18(F.col("y"))).alias("sy"),
+        F.sum(d18(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d18(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d18(F.col("y") * F.col("y"))).alias("syy"),
     )
     nd = F.col("n").cast("double")
 
@@ -1452,7 +1463,9 @@ def q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
                  lambda x: x["i"]), "").alias("journey")))
     pats = [("".join(p), ".*".join(p)) for n in (2, 3)
             for p in itertools.product(SEQ_TYPES, repeat=n)]
-    pdf = spark.createDataFrame(pats, ["pattern", "re"])
+    # r11: literal VALUES relation, not a pickled-row RDD — the former
+    # createDataFrame paid a Python-worker round-trip per execution
+    pdf = local_rows(spark, pats, "pattern string, re string")
     hit = (j.crossJoin(F.broadcast(pdf))
            .filter(F.expr("journey RLIKE re")))
     return (hit.groupBy("pattern")
@@ -1521,11 +1534,18 @@ def q_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
              w.rowsBetween(Window.unboundedPreceding, 0))))
     isl = d.groupBy("user_id", "event_type", "island").agg(
         F.min("s").alias("lo"), F.max("e").alias("hi"))
-    marks = (isl.select("user_id", "event_type",
-                        F.col("lo").alias("t"), F.lit(1).alias("dd"))
-             .unionByName(isl.select("user_id", "event_type",
-                                     F.col("hi").alias("t"),
-                                     F.lit(-1).alias("dd"))))
+    # r11: ±1 markers explode from ONE pass over the islands — the former
+    # self-unionByName referenced the isl subtree twice and Spark executed
+    # the events scan + island window + groupBy once PER BRANCH (common
+    # subtrees are not deduped); same rows, one execution
+    marks = (isl.select(
+        "user_id", "event_type",
+        F.explode(F.array(
+            F.struct(F.col("lo").alias("t"), F.lit(1).alias("dd")),
+            F.struct(F.col("hi").alias("t"), F.lit(-1).alias("dd"))))
+        .alias("m"))
+        .select("user_id", "event_type", F.col("m.t").alias("t"),
+                F.col("m.dd").alias("dd")))
     da = F.when(F.col("event_type") == ALIGN_A, F.col("dd")).otherwise(0)
     db = F.when(F.col("event_type") == ALIGN_B, F.col("dd")).otherwise(0)
     sweep = marks.select("user_id", "t", da.alias("da"), db.alias("db"))
@@ -4004,8 +4024,8 @@ def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     s = F.unix_timestamp("ts").cast("long")
     b = e.agg(F.min(s).alias("_lo"), F.max(s).alias("_hi"))
-    looks = spark.createDataFrame(
-        [(k, SEQ_AB_BOUNDS[k - 1]) for k in (1, 2, 3, 4)],
+    looks = local_rows(
+        spark, [(k, SEQ_AB_BOUNDS[k - 1]) for k in (1, 2, 3, 4)],
         "look long, bound double")
     d = (e.select("user_id", "event_type", s.alias("s"))
          .crossJoin(F.broadcast(b))

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import corpus_key, load_table, memo_put
+from ..sources.tables import corpus_key, load_table, local_rows, memo_put
 
 N_PERMS = 8
 N_BANDS = 4          # 2 rows per band
@@ -1646,10 +1646,14 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("deg").alias("da")), "doc_a")
          .join(deg.select(F.col("doc_id").alias("doc_b"),
                           F.col("deg").alias("db")), "doc_b"))
-    # symmetrized stubs: each edge contributes (da,db) and (db,da)
-    stubs = (e.select(F.col("da").alias("x"), F.col("db").alias("y"))
-             .unionByName(e.select(F.col("db").alias("x"),
-                                   F.col("da").alias("y"))))
+    # symmetrized stubs: each edge contributes (da,db) and (db,da) —
+    # exploded in ONE pass over e (r11: the former self-unionByName
+    # executed the pairs⋈deg⋈deg join once per branch)
+    stubs = (e.select(F.explode(F.array(
+        F.struct(F.col("da").alias("x"), F.col("db").alias("y")),
+        F.struct(F.col("db").alias("x"), F.col("da").alias("y"))))
+        .alias("s"))
+        .select(F.col("s.x").alias("x"), F.col("s.y").alias("y")))
     xd = F.col("x").cast("decimal(19,0)")
     yd = F.col("y").cast("decimal(19,0)")
     agg = stubs.agg(
@@ -1816,7 +1820,7 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
-    ks = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], ["k"])
+    ks = local_rows(spark, [(k,) for k in RICH_CLUB_KS], "k bigint")
     club = (deg.crossJoin(F.broadcast(ks))
             .filter(F.col("deg") > F.col("k"))
             .select("k", "doc_id"))

@@ -747,7 +747,12 @@ def synthetic_media_real(spark: SparkSession, n: int = 64) -> DataFrame:
     # real batches; a production media table gets its partitioning from
     # the file layout instead. Memoized per (session, n) — the encode loop
     # and createDataFrame dominate this fixed fixture's cost.
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+    # r11: localCheckpoint additionally pins the encoded payloads as
+    # JVM-resident blocks — without it every action re-ran the Python-
+    # worker deserialization of the pickled row RDD (the pii_scrub
+    # finding: the fixture scan, not the codecs, was the per-call tax)
+    df = (spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+          .localCheckpoint())
     _MEDIA_REAL_CACHE[(session_key(spark), n)] = df
     return df
 

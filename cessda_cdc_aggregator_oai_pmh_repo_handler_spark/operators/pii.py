@@ -85,8 +85,14 @@ def synthetic_pii_docs(spark: SparkSession) -> DataFrame:
     key = session_key(spark)
     df = _PII_DOCS_CACHE.get(key)
     if df is None:
+        # r11: localCheckpoint pins the 24 rows as JVM-resident blocks —
+        # a python-list DataFrame is otherwise backed by an RDD of
+        # PICKLED rows, and every downstream action re-ran the
+        # Python-worker deserialization (measured: bare count 1.6 s vs
+        # 0.14 s checkpointed; the regexes were never the cost)
         df = spark.createDataFrame(
-            _pii_rows(), "pii_id long, text string").coalesce(4)
+            _pii_rows(), "pii_id long, text string").coalesce(4) \
+            .localCheckpoint()
         _PII_DOCS_CACHE[key] = df
     return df
 

@@ -2558,9 +2558,15 @@ def q_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= CF_MIN_CO)
     )
-    sym = co.select(F.col("pa").alias("a"), F.col("pb").alias("b"), "co") \
-        .unionByName(co.select(F.col("pb").alias("a"),
-                               F.col("pa").alias("b"), "co"))
+    # r11: symmetrize in ONE pass over co (explode of the two directions)
+    # — the former self-unionByName referenced the co subtree twice and
+    # Spark executed the basket build + pair explode + groupBy once per
+    # branch (common subtrees are not deduped); same rows, one execution
+    sym = (co.select(F.explode(F.array(
+        F.struct(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        F.struct(F.col("pb").alias("a"), F.col("pa").alias("b"))))
+        .alias("e"), "co")
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"), "co"))
     scored = (
         sym.join(singles.select(F.col("item").alias("a"),
                                 F.col("n").alias("n_a")), "a")

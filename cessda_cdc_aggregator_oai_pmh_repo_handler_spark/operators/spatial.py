@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import corpus_key, load_table, memo_put
+from ..sources.tables import corpus_key, load_table, local_rows, memo_put
 
 HAV_LAT0, HAV_LON0 = 48.8566, 2.3522  # reference point for the census
 HAV_CAP = 200                          # bounded customer slice
@@ -216,7 +216,7 @@ def q_spatial_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's stage cache reuses each level's broadcast between the union
     branch and the next level's build."""
     edges = _sssp_edges(spark, sf_dir)
-    dist = spark.createDataFrame([(SSSP_SOURCE, 0)], "node long, d long")
+    dist = local_rows(spark, [(SSSP_SOURCE, 0)], "node long, d long")
     levels = [dist]
     frontier = dist
     for _ in range(SSSP_ROUNDS):

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import corpus_key, load_table, memo_put
+from ..sources.tables import corpus_key, load_table, local_rows, memo_put
 
 # tiny stopword/marker inventories; deliberately deterministic & portable
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -99,6 +99,36 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(path)
     memo_put(_TOKENIZED_CACHE, key, docs)
     return docs
+
+
+# r11: the per-(source, term) frequency table — the canonical stage-one
+# term-frequency relation of the 100 TB design — was rebuilt from its
+# own full token explode + term shuffle by THREE operators per bench
+# pass (tfidf_top_terms, zipf_slope, heaps_law; ~0.9 s each, dominated
+# by the identical explode+exchange). One materialization serves all
+# three: tf IS this relation, zipf's spectrum is a second-level groupBy
+# of it, heaps' (N, V) fold is one aggregate over it. Narrow (source,
+# term, c), vocabulary×sources-sized — orders of magnitude below the
+# token stream it summarizes. Memoized per (session, corpus) like the
+# tokenized corpus; registered in clear_corpus_caches so cold runs
+# price the build.
+_TERM_FREQ_CACHE: dict = {}
+
+
+def _term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, w, c): exact token counts per source, empty tokens
+    INCLUDED (tfidf counts them; zipf/heaps filter on length(w) > 0
+    afterwards, which is exact on the aggregated rows)."""
+    key = corpus_key(spark, sf_dir)
+    hit = _TERM_FREQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = _tokenized_docs(spark, sf_dir)
+    tf = (d.select("source", F.explode("words").alias("w"))
+          .groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint())
+    memo_put(_TERM_FREQ_CACHE, key, tf)
+    return tf
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,11 +599,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     action inside query construction forces an extra job and makes the
     "query" two jobs deep at 100 TB. No repartition before the explode:
     shuffling full text rows to gain map parallelism costs more than the
-    skewed scan it fixes (r2 regression, 1.04 → 1.53 s)."""
-    d = _tokenized_docs(spark, sf_dir)
-    words = d.select("source", F.explode("words").alias("term"))
-    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    nsrc = d.agg(F.countDistinct("source").alias("n_sources"))
+    skewed scan it fixes (r2 regression, 1.04 → 1.53 s). Since r11 the
+    tf relation is the shared ``_term_freq`` checkpoint (explode +
+    term exchange paid once across tfidf/zipf/heaps)."""
+    tfreq = _term_freq(spark, sf_dir)
+    tf = tfreq.select("source", F.col("w").alias("term"),
+                      F.col("c").alias("tf"))
+    # n_sources stays a census of ALL docs (a null-text source would be
+    # absent from the exploded tf relation but counted here) — a pruned
+    # one-column scan of the tokenized side-table, not a token explode
+    nsrc = _tokenized_docs(spark, sf_dir).agg(
+        F.countDistinct("source").alias("n_sources"))
     from pyspark.sql import Window
 
     # df rides a count-over-window on the ALREADY-AGGREGATED tf relation
@@ -1183,8 +1219,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= jcms.estimateCount(int(r["l_suppkey"]))
                      <= r["exact_cnt"] + bound) else 0.0)
             for r in top]
-    return spark.createDataFrame(
-        rows, "l_suppkey long, exact_cnt long, cms_ok double")
+    # r11: literal VALUES relation — the pickled-row createDataFrame paid
+    # a Python-worker round-trip on every downstream action
+    return local_rows(
+        spark, rows, "l_suppkey long, exact_cnt long, cms_ok double")
 
 
 # The ONE definition of the hash split: 0-255 draw from the first two md5
@@ -1878,6 +1916,30 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r11: bootstrap_resample and bootstrap_ci both build the SAME global
+# draw-position relation, and each referenced it TWICE in one plan (the
+# draw fan-out's `i` domain and the equi-join target) — Spark does not
+# dedupe common subtrees, so the bucketed_global_rank machinery (bounds
+# agg + bucket counts + offset window + in-bucket windows) executed 4×
+# across the pair per bench pass (13 single-task jobs each, ~0.85 s of
+# pure stage launch). Checkpointed + memoized per (session, corpus) like
+# the order baskets (guide §3.3); registered in clear_corpus_caches so
+# the bench's cold mode still prices the build.
+_BOOT_RANKED_CACHE: dict = {}
+
+
+def _boot_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = corpus_key(spark, sf_dir)
+    hit = _BOOT_RANKED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    ranked = bucketed_global_rank(d, "doc_id", (), "_pos").select(
+        (F.col("_pos") - 1).alias("rn"), "n_chars").localCheckpoint()
+    memo_put(_BOOT_RANKED_CACHE, key, ranked)
+    return ranked
+
+
 BOOT_B = 24                 # bootstrap resamples
 BOOT_MULT_A = 2654435761    # draw index = (b·A + i·B + (i² mod n)·C) mod n
 BOOT_MULT_B = 2246822519    # — the quadratic term makes the map NON-affine
@@ -1900,11 +1962,13 @@ def q_bootstrap_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions without a corpus-wide sort (range buckets + parallel
     within-bucket windows + driver-folded K-row offsets — no Exchange
     SinglePartition in the plan, asserted in test_plans); the draw
-    relation fans out B× and equi-joins back on the drawn index."""
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
-    ranked = bucketed_global_rank(d, "doc_id", (), "_pos").select(
-        (F.col("_pos") - 1).alias("rn"), "n_chars")
-    n = d.agg(F.count(F.lit(1)).alias("n"))
+    relation fans out B× and equi-joins back on the drawn index. The
+    positions come from the memoized ``_boot_ranked`` checkpoint (r11)
+    shared with bootstrap_ci — the plan referenced the rank subtree
+    twice (draw domain + join target) and Spark recomputed it both
+    times."""
+    ranked = _boot_ranked(spark, sf_dir)
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
     draws = (
         ranked.select(F.col("rn").alias("i"))
         .crossJoin(F.broadcast(n))
@@ -1936,11 +2000,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spread statistics fold exactly: SE of the resample means =
     sqrt((B·ΣS² − (ΣS)²)/(B·(B−1)))/n from DECIMAL sums with one
     single-shot double at the end (the de-flake discipline — no float
-    is ever summed). One row: B, grand mean, SE, CI bounds."""
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
-    ranked = bucketed_global_rank(d, "doc_id", (), "_pos").select(
-        (F.col("_pos") - 1).alias("rn"), "n_chars")
-    n = d.agg(F.count(F.lit(1)).alias("n"))
+    is ever summed). One row: B, grand mean, SE, CI bounds. Positions
+    come from the memoized ``_boot_ranked`` checkpoint (r11) shared with
+    bootstrap_resample."""
+    ranked = _boot_ranked(spark, sf_dir)
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
     draws = (
         ranked.select(F.col("rn").alias("i"))
         .crossJoin(F.broadcast(n))
@@ -2721,10 +2785,12 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles rounded to DECIMAL(20,12) BEFORE the sum (the js_divergence
     discipline), so the fold is merge-order-free; slope and intercept are
     single-shot at the end."""
-    d = _tokenized_docs(spark, sf_dir)
-    tok = (d.select(F.explode("words").alias("w"))
+    # r11: the frequency spectrum folds from the shared _term_freq
+    # checkpoint (Σ over sources of the per-source counts — exact), not
+    # its own token explode + term exchange
+    tok = (_term_freq(spark, sf_dir)
            .filter(F.length("w") > 0)
-           .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+           .groupBy("w").agg(F.sum("c").cast("long").alias("f"))
            .filter(F.col("f") >= ZIPF_MIN_FREQ))
     hist = tok.groupBy("f").agg(F.count(F.lit(1)).alias("t"))
     pref = (
@@ -2854,12 +2920,13 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs from two aggregations; each source's OLS terms are single-shot
     doubles rounded to DECIMAL(20,12) BEFORE the K-row sum (the zipf_slope
     discipline), β and ln k single-shot at the end."""
-    d = _tokenized_docs(spark, sf_dir)
-    tok = (d.select("source", F.explode("words").alias("w"))
-           .filter(F.length("w") > 0))
-    per_src = tok.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.count_distinct("w").alias("v"))
+    # r11: (N, V) fold from the shared _term_freq checkpoint — N is the
+    # weight sum, V the row count per source (rows are distinct terms)
+    per_src = (_term_freq(spark, sf_dir)
+               .filter(F.length("w") > 0)
+               .groupBy("source").agg(
+                   F.sum("c").cast("long").alias("n_tok"),
+                   F.count(F.lit(1)).alias("v")))
     x = F.log(F.col("n_tok").cast("double"))
     y = F.log(F.col("v").cast("double"))
 
@@ -5136,7 +5203,7 @@ def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("h1.g").alias("g"),
                  F.col("h1.n_chars").alias("n_chars"))
         .agg(F.sum("h2.c").cast("long").alias("cum")))
-    ds = spark.createDataFrame([(x,) for x in QTE_DECILES], ["d"])
+    ds = local_rows(spark, [(x,) for x in QTE_DECILES], "d int")
     q = (cum.join(ng, "g").crossJoin(F.broadcast(ds))
          .withColumn("pos", F.expr("(d * n_g + 9) DIV 10"))
          .filter(F.col("cum") >= F.col("pos"))

@@ -218,5 +218,10 @@ def fixture_studies(spark: SparkSession) -> DataFrame:
     key = session_key(spark)
     if key not in _FIXTURE_CACHE:
         df = spark.createDataFrame(fixture_records(), schema=studies_schema())
-        _FIXTURE_CACHE[key] = df.cache()
+        # r11: localCheckpoint, not cache() — the cached plan still sat
+        # on a pickled-row RDD, so every catalog clearCache() (the
+        # bench's cold isolation) put the Python-worker deserialization
+        # back on the first action of every query; checkpointed blocks
+        # are JVM-resident until _FIXTURE_CACHE itself is cleared
+        _FIXTURE_CACHE[key] = df.localCheckpoint()
     return _FIXTURE_CACHE[key]

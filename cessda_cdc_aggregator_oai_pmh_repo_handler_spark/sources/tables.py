@@ -157,6 +157,34 @@ def plan_memoized(name: str, fn):
     return q
 
 
+def local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small literal relation as a JVM ``LocalTableScan`` (r11). A
+    python-list ``createDataFrame`` is backed by an RDD of PICKLED rows,
+    so EVERY action on a query that embeds one pays a Python-worker
+    round-trip just to rescan constants (measured 1.6 s vs 0.14 s on the
+    24-row pii fixture). A VALUES plan carries the literals inside the
+    JVM plan itself — no Python at execution, no RDD. ``schema`` is
+    ``"name type, name type"`` (Spark SQL types); values may be
+    str/int/float/bool/None."""
+    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, float):
+            return repr(v) + "D"
+        return str(v)
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    names = ", ".join(n for n, _ in cols)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({names})")
+
+
 def clear_corpus_caches(spark: SparkSession | None = None) -> None:
     """Drop EVERY in-process memo cache (unpersisting cached/checkpointed
     DataFrames best-effort) plus Spark's table cache. The benchmark's
@@ -179,7 +207,8 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis",
          ("_TOKENIZED_CACHE", "_BIGRAM_EX_CACHE", "_WINNOW_FP_CACHE",
           "_LEAK_GRAM_CACHE", "_SW_COUNTS_CACHE", "_TEXTRANK_SYM_CACHE",
-          "_SALSA_EDGES_CACHE", "_NB_CONF_CACHE")),
+          "_SALSA_EDGES_CACHE", "_NB_CONF_CACHE", "_BOOT_RANKED_CACHE",
+          "_TERM_FREQ_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.arrays", ("_MARKOV_SPINE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.spatial", ("_SSSP_EDGES_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.bpe", ("_BPE_CACHE",)),
