@@ -203,7 +203,8 @@ def clear_corpus_caches(spark: SparkSession | None = None) -> None:
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.sources.studies", ("_FIXTURE_CACHE",)),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.dedup",
          ("_SHINGLE_CACHE", "_VERIFIED_PAIRS_CACHE", "_COMPONENTS_CACHE",
-          "_PAGERANK_CACHE", "_HOPS_CACHE", "_KCORE_CACHE")),
+          "_PAGERANK_CACHE", "_HOPS_CACHE", "_KCORE_CACHE",
+          "_SIMHASH_DOCS_CACHE")),
         ("cessda_cdc_aggregator_oai_pmh_repo_handler_spark.operators.text_analysis",
          ("_TOKENIZED_CACHE", "_BIGRAM_EX_CACHE", "_WINNOW_FP_CACHE",
           "_LEAK_GRAM_CACHE", "_SW_COUNTS_CACHE", "_TEXTRANK_SYM_CACHE",
