@@ -204,7 +204,13 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact equi-join (lineitem ⋈ orders) — the scale path the
     reference never needs but a 100 TB corpus does: sort-merge on the shared
-    key, with AQE free to pick broadcast when one side is small."""
+    key, with AQE free to pick broadcast when one side is small.
+
+    r11 note: the tpch_q1 integer-cents rewrite was TRIED here and
+    measured 20–30 % SLOWER head-to-head, then reverted — this product's
+    precision is (17,4), still long-backed compact decimal, so the old
+    form was never on the heap-BigDecimal path the q1 chains (18,4)/
+    (25,6) were; the extra long↔decimal conversions only added work."""
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     return (
